@@ -1,0 +1,175 @@
+package graft
+
+import graft.core.{Dictionary, Tables}
+import graft.est.Exact
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operator catalog: every implemented operator from SURVEY.md §2 is
+  * exposed as a named query over the driver's testdata, with a DuckDB
+  * oracle where the semantics are SQL-expressible.
+  *
+  * Determinism rules for oracle-checked queries: integer-exact aggregates
+  * (counts, sums of integral doubles, min/max) or identically-ordered
+  * float arithmetic only; explicit ORDER BY on every multi-row result.
+  */
+object Queries {
+
+  final case class Entry(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // Fixed predicate workloads (the reference's query shape: 5-op
+  // conjunctions with literals from the data, estimators.py:41-52).
+  val W1: Seq[Pred] = Seq(
+    Pred("l_quantity", Op.Leq, 24.0),
+    Pred("l_discount", Op.Geq, 0.05),
+    Pred("l_returnflag", Op.Eq, "R"))
+
+  val W2: Seq[Pred] = Seq(
+    Pred("o_orderstatus", Op.Eq, "F"),
+    Pred("o_totalprice", Op.Leq, 150000.0))
+
+  val W3: Seq[Pred] = Seq(
+    Pred("l_shipdate", Op.Leq, Pred.ts("1997-06-30 00:00:00")),
+    Pred("l_linestatus", Op.Eq, "F"),
+    Pred("l_quantity", Op.Geq, 10.0))
+
+  private def li(s: SparkSession, dir: String) = Tables.read(s, dir, "lineitem")
+
+  /** Columns whose domains the dictionary queries exercise. */
+  private val dictCols =
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+      "l_tax", "l_linenumber")
+
+  val estimatorEntries: Seq[Entry] = Seq(
+    Entry("q_oracle_card",
+      (s, d) => Exact.oracle(li(s, d), W1),
+      Some(Exact.oracleSql("lineitem", W1))),
+    Entry("q_oracle_card_ts",
+      (s, d) => Exact.oracle(li(s, d), W3),
+      Some(Exact.oracleSql("lineitem", W3))),
+    Entry("q_oracle_card_orders",
+      (s, d) => Exact.oracle(Tables.read(s, d, "orders"), W2),
+      Some(Exact.oracleSql("orders", W2))),
+    Entry("q_heuristic_card",
+      (s, d) => Exact.heuristic(li(s, d), W1),
+      Some(Exact.heuristicSql("lineitem", W1))),
+    Entry("q_sample_card",
+      (s, d) => Exact.systematicSampling(li(s, d),
+        col("l_orderkey") * 7 + col("l_linenumber"), 97, W1),
+      Some(Exact.systematicSamplingSql("lineitem",
+        "l_orderkey * 7 + l_linenumber", 97, W1))),
+    Entry("q_region_size",
+      (s, d) => Exact.queryRegionSize(li(s, d), W1),
+      Some(Exact.queryRegionSizeSql("lineitem", W1))),
+    Entry("q_const",
+      (s, d) => Exact.const(li(s, d), 42L),
+      Some("SELECT CAST(42 AS BIGINT) AS est_card"))
+  )
+
+  val dictionaryEntries: Seq[Entry] = Seq(
+    // Per-column DistributionSize incl. the null slot (common.py:52-57).
+    Entry("q_domain_sizes",
+      (s, d) => {
+        val cols = dictCols.map { c =>
+          (countDistinct(col(c)) +
+            max(when(col(c).isNull, 1L).otherwise(0L))).as(s"ds_$c")
+        }
+        li(s, d).agg(cols.head, cols.tail: _*)
+      },
+      Some {
+        val cols = dictCols.map { c =>
+          s"count(DISTINCT $c) + max(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ds_$c"
+        }.mkString(", ")
+        s"SELECT $cols FROM lineitem"
+      }),
+    // The sorted dictionary of one column with its bin ids
+    // (common.py:67-85): null-first sort order == dense_rank - 1.
+    Entry("q_vocab_quantity",
+      (s, d) => {
+        val df = li(s, d)
+        val meta = Dictionary.columnMeta(df, "l_quantity")
+        Dictionary.vocabDf(s, meta).orderBy("value")
+      },
+      Some("SELECT l_quantity AS value, CAST(dense_rank() OVER " +
+        "(ORDER BY l_quantity ASC NULLS FIRST) - 1 AS INTEGER) AS bin " +
+        "FROM (SELECT DISTINCT l_quantity FROM lineitem) ORDER BY value")),
+    // Bulk discretize (common.py:273-312) via broadcast vocab joins.
+    Entry("q_discretize",
+      (s, d) => {
+        val df = li(s, d)
+        val metas = Seq("l_returnflag", "l_linestatus", "l_quantity")
+          .map(Dictionary.columnMeta(df, _))
+        Dictionary.discretize(df, metas)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag_bin"), col("l_linestatus_bin"),
+            col("l_quantity_bin"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "CAST(dense_rank() OVER (ORDER BY l_returnflag ASC NULLS FIRST) - 1 AS INTEGER) AS l_returnflag_bin, " +
+        "CAST(dense_rank() OVER (ORDER BY l_linestatus ASC NULLS FIRST) - 1 AS INTEGER) AS l_linestatus_bin, " +
+        "CAST(dense_rank() OVER (ORDER BY l_quantity ASC NULLS FIRST) - 1 AS INTEGER) AS l_quantity_bin " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+  )
+
+  val aggEntries: Seq[Entry] = Seq(
+    // Shuffle-aggregation workhorse (TPC-H Q1 shape), hash-safe aggregates
+    // only: counts, sums of integral doubles, min/max.
+    Entry("q1_agg",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "sum(l_quantity) AS sum_qty, " +
+        "count(DISTINCT l_orderkey) AS n_orders, " +
+        "min(l_extendedprice) AS min_price, " +
+        "max(l_extendedprice) AS max_price FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")),
+    // Entropy ingredients: histogram of full-width group sizes
+    // (train_model.py:340-343 uses groupby(all cols).size()).
+    Entry("q_group_size_hist",
+      (s, d) => li(s, d)
+        .groupBy(dictCols.map(col): _*)
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size"),
+      Some("SELECT group_size, count(*) AS n_groups FROM (" +
+        s"SELECT count(*) AS group_size FROM lineitem GROUP BY " +
+        dictCols.mkString(", ") +
+        ") GROUP BY group_size ORDER BY group_size")),
+    // Time-bucketed aggregation over the event stream table.
+    Entry("q_events_hourly",
+      (s, d) => Tables.read(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("hour", "event_type"),
+      Some("SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"))
+  )
+
+  def all: Seq[Entry] = estimatorEntries ++ dictionaryEntries ++ aggEntries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}

@@ -1,13 +1,29 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the reference's core task (estimate
+    * `SELECT COUNT(*) FROM lineitem WHERE <W1>` several ways) on
+    * sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val oracle = Queries.queries("q_oracle_card")(spark, dir)
+      .select(lit("oracle").as("estimator"), col("card").as("est_card"))
+    val heur = Queries.queries("q_heuristic_card")(spark, dir)
+      .select(lit("heuristic").as("estimator"), col("est_card"))
+    val samp = Queries.queries("q_sample_card")(spark, dir)
+      .select(lit("sampling").as("estimator"), col("est_card"))
+    oracle.union(heur).union(samp)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -1,0 +1,112 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column dictionary ("domain"): the complete sorted list of distinct
+  * values, with the null (if any) at position 0.
+  *
+  * Mirrors the reference's `Column.SetDistribution` semantics
+  * (reference common.py:67-85): domain is `sort(unique(values))` with
+  * NaN/NaT inserted before the smallest value, so bin 0 is reserved for
+  * null whenever a null exists. That invariant is load-bearing: a
+  * predicate mask computed over the domain is always false at position 0,
+  * so a null row can never satisfy a conjunct (common.py:11-24).
+  *
+  * Scale posture: only the *domain* (bounded, dictionary-encoded columns;
+  * ~4k values/column in the reference's DMV data) crosses to the driver
+  * and is broadcast. Raw data never does.
+  */
+final case class ColumnMeta(
+    name: String,
+    dataType: DataType,
+    domain: Array[Any],
+    hasNull: Boolean) {
+
+  /** Reference `DistributionSize` (common.py:52-57): vocab size incl. null. */
+  def distributionSize: Int = domain.length
+
+  private lazy val valueToBin: Map[Any, Int] =
+    domain.iterator.zipWithIndex.filter(_._1 != null).toMap
+
+  /** Reference `Column.ValToBin` (common.py:59-65). Null → 0 when present. */
+  def valToBin(v: Any): Int =
+    if (v == null) { require(hasNull, s"null not in domain of $name"); 0 }
+    else valueToBin.getOrElse(v, -1)
+
+  /** Total ordering used for range predicates over the domain. */
+  lazy val ordering: Ordering[Any] = ColumnMeta.orderingFor(dataType)
+
+  /** Domain values (excluding null slot) as a typed array for mask eval. */
+  def nonNullDomain: Array[Any] = if (hasNull) domain.drop(1) else domain
+}
+
+object ColumnMeta {
+  /** Ordering consistent with Spark's `orderBy(asc)` for supported types. */
+  def orderingFor(dt: DataType): Ordering[Any] = dt match {
+    case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+    case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case DoubleType =>
+      Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+    case FloatType =>
+      Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+    case TimestampType =>
+      Ordering.Long.on[Any](_.asInstanceOf[java.sql.Timestamp].getTime)
+    case DateType =>
+      Ordering.Long.on[Any](_.asInstanceOf[java.sql.Date].getTime)
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+}
+
+/** Reference `Table` (common.py:101-145): ordered columns + cardinality. */
+final case class TableMeta(
+    name: String,
+    cardinality: Long,
+    columns: Seq[ColumnMeta]) {
+  val nameToIndex: Map[String, Int] =
+    columns.iterator.map(_.name).zipWithIndex.toMap
+  def column(name: String): ColumnMeta = columns(nameToIndex(name))
+}
+
+/** Dataset registry (reference datasets.py:9-20): named loaders that pick
+  * the modeled column subset for each table.
+  */
+object Tables {
+  /** Modeled column subsets per table (the analog of LoadDmv's 11-of-20
+    * projection, reference datasets.py:11-15). */
+  val modeledColumns: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_discount", "l_tax", "l_shipdate", "l_linenumber"),
+    "orders" -> Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+      "o_orderdate"),
+    "customer" -> Seq("c_nationkey", "c_mktsegment", "c_acctbal"),
+    "events" -> Seq("event_type", "user_id", "value")
+  )
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    if (table == "events") readEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for. Read nanos as long and truncate to
+    * microseconds (exactly what DuckDB's µs TIMESTAMP does on read), using
+    * integer division — ns-since-epoch exceeds a double's 2^53 mantissa.
+    */
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Load a table projected to its modeled columns (column pruning reaches
+    * the parquet scan — the Spark analog of `usecols`, common.py:189). */
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = read(spark, sfDir, table)
+    modeledColumns.get(table) match {
+      case Some(cols) => df.select(cols.map(col): _*)
+      case None => df
+    }
+  }
+}

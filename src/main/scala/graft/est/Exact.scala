@@ -1,0 +1,102 @@
+package graft.est
+
+import graft.core.{ColumnMeta, TableMeta}
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The classical (non-learned) estimators from the reference's suite
+  * (estimators.py), each expressed as a *DataFrame program* so the
+  * estimate itself is computed in the engine — scan, filter, and
+  * aggregation all stay distributed and whole-stage-codegen'd; nothing
+  * but the final scalar row reaches the driver.
+  */
+object Exact {
+
+  /** Reference `Oracle` (estimators.py:505-536): exact COUNT(*) under the
+    * conjunction. Catalyst plans scan+filter+partial/final count; the
+    * filter is pushed into the parquet scan.
+    */
+  def oracle(df: DataFrame, preds: Seq[Pred]): DataFrame =
+    df.filter(Pred.conj(preds)).agg(count(lit(1)).as("card"))
+
+  def oracleSql(table: String, preds: Seq[Pred]): String =
+    s"SELECT count(*) AS card FROM $table WHERE ${Pred.whereSql(preds)}"
+
+  /** Reference `Heuristic` (estimators.py:480-502): attribute-value-
+    * independence — product of per-column selectivities × N, computed in
+    * ONE scan via count-if aggregates (no per-predicate passes).
+    * `ceil` mirrors estimators.py:502; arithmetic order is kept identical
+    * in [[heuristicSql]] so both engines produce the same IEEE result.
+    */
+  def heuristic(df: DataFrame, preds: Seq[Pred]): DataFrame = {
+    val n = count(lit(1))
+    val sel = preds.zipWithIndex.map { case (p, i) =>
+      (sum(when(p.toColumn, 1L).otherwise(0L)) / n).as(s"s$i")
+    }
+    val prod = preds.indices.map(i => col(s"s$i")).reduce(_ * _)
+    df.agg(n.as("n"), sel: _*)
+      .select(ceil(col("n") * prod).cast("long").as("est_card"))
+  }
+
+  def heuristicSql(table: String, preds: Seq[Pred]): String = {
+    val sels = preds.zipWithIndex.map { case (p, i) =>
+      s"sum(CASE WHEN ${p.toSql} THEN 1 ELSE 0 END) / count(*) AS s$i"
+    }.mkString(", ")
+    val prod = preds.indices.map(i => s"s$i").mkString(" * ")
+    s"SELECT CAST(ceil(n * $prod) AS BIGINT) AS est_card FROM " +
+      s"(SELECT count(*) AS n, $sels FROM $table)"
+  }
+
+  /** Reference `Sampling` (estimators.py:584-616), made deterministic and
+    * DuckDB-reproducible: the "sample" is the systematic subset
+    * `key % modulus = 0` (instead of a seeded RNG sample, whose stream is
+    * engine-specific). Estimate = ceil(matches / sampleSize * N), as in
+    * estimators.py:613-616. One scan computes N, sample size and matches.
+    */
+  def systematicSampling(df: DataFrame, keyExpr: Column, modulus: Int,
+      preds: Seq[Pred]): DataFrame = {
+    val inSample = pmod(keyExpr, lit(modulus)) === 0
+    df.agg(
+      count(lit(1)).as("n"),
+      sum(when(inSample, 1L).otherwise(0L)).as("ns"),
+      sum(when(inSample && Pred.conj(preds), 1L).otherwise(0L)).as("m"))
+      .select(ceil(col("m") / col("ns") * col("n"))
+        .cast("long").as("est_card"))
+  }
+
+  def systematicSamplingSql(table: String, keySql: String, modulus: Int,
+      preds: Seq[Pred]): String =
+    s"SELECT CAST(ceil(m / ns * n) AS BIGINT) AS est_card FROM (" +
+      s"SELECT count(*) AS n, " +
+      s"sum(CASE WHEN ($keySql) % $modulus = 0 THEN 1 ELSE 0 END) AS ns, " +
+      s"sum(CASE WHEN ($keySql) % $modulus = 0 AND (${Pred.whereSql(preds)}) " +
+      s"THEN 1 ELSE 0 END) AS m FROM $table)"
+
+  /** Reference `QueryRegionSize` (estimators.py:539-564): product over
+    * queried columns of the number of domain values satisfying the
+    * predicate. Per-column distinct counts in one pass each (cheap; domain
+    * columns only), multiplied in the plan.
+    */
+  def queryRegionSize(df: DataFrame, preds: Seq[Pred]): DataFrame = {
+    val counts = preds.zipWithIndex.map { case (p, i) =>
+      countDistinct(when(p.toColumn, col(p.col))).as(s"d$i")
+    }
+    val prod = preds.indices.map(i => col(s"d$i")).reduce(_ * _)
+    df.agg(counts.head, counts.tail: _*)
+      .select(prod.cast("long").as("region_size"))
+  }
+
+  def queryRegionSizeSql(table: String, preds: Seq[Pred]): String = {
+    val counts = preds.zipWithIndex.map { case (p, i) =>
+      s"count(DISTINCT CASE WHEN ${p.toSql} THEN ${p.col} END) AS d$i"
+    }.mkString(", ")
+    val prod = preds.indices.map(i => s"d$i").mkString(" * ")
+    s"SELECT CAST($prod AS BIGINT) AS region_size FROM " +
+      s"(SELECT $counts FROM $table)"
+  }
+
+  /** Reference `Const` (estimators.py:567-581). */
+  def const(df: DataFrame, c: Long): DataFrame =
+    df.sparkSession.range(1).select(lit(c).as("est_card"))
+}

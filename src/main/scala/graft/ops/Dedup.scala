@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH banding, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale shape: exact dedup is one hash-partitioned window/aggregation on
+  * the fingerprint (the only shuffle). MinHash signatures are map-side;
+  * LSH banding shuffles (band, bandHash) key pairs — tiny rows — so the
+  * full text is never shuffled; candidate pairs are verified with one
+  * join per side. This is the standard shingle→minhash→band→bucket-join
+  * plan and survives 100 TB as long as bucket skew is salted (hot buckets
+  * here are bounded by the band hash width).
+  */
+object Dedup {
+
+  /** Exact dedup, keep-first: one row per distinct fingerprint, keeping
+    * the smallest id. A window over the fingerprint hash — a single
+    * shuffle on the dedup key.
+    */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
+  def exactKeepFirstSql(table: String, id: String, text: String): String =
+    s"SELECT $id FROM (SELECT $id, row_number() OVER " +
+      s"(PARTITION BY md5($text) ORDER BY $id) AS rn FROM $table) " +
+      s"WHERE rn = 1 ORDER BY $id"
+
+  /** Corpus-level dup stats in one aggregation. */
+  def stats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_unique"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("n_dups"))
+
+  def statsSql(table: String, text: String): String =
+    s"SELECT count(*) AS n_docs, count(DISTINCT md5($text)) AS n_unique, " +
+      s"count(*) - count(DISTINCT md5($text)) AS n_dups FROM $table"
+
+  /** Word n-gram shingles as a distinct-element array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + 1, n)))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over shingles of xxhash64(seed, shingle). Map-side only.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** MinHash+LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket by (band, hash(band slice)), emit candidate
+    * pairs that collide in ≥1 band with their signature-estimated
+    * Jaccard. Shuffles only (id, bandHash) pairs.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          x => x)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash-64: per token, xxhash64; per bit, sum of ±1 weighted by the
+    * bit; fingerprint = OR of (1<<i) where the sum is positive. Bitwise
+    * assembly avoids ANSI-mode long-overflow on the sign bit.
+    * One shuffle on doc id after the token explode.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), i)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+      .orderBy("id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold: distinct shingles
+    * exploded, self-joined on shingle (co-partitioned by the join key),
+    * intersection counted, union from per-doc shingle counts. The ratio
+    * is a single division of two ints — DuckDB-reproducible.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_sz"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardPairsSql(table: String, id: String, text: String,
+      n: Int, threshold: Double): String = {
+    // word n-grams via token position windows; distinct shingles per doc
+    s"""WITH toks AS (
+  SELECT $id AS id, u.tok, u.pos
+  FROM (SELECT $id, regexp_split_to_array(trim($text), '\\s+') AS arr FROM $table),
+  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+), sh AS (
+  SELECT DISTINCT id, tok${(1 until n).map(i => s" || ' ' || lead(tok, $i) OVER w").mkString} AS shingle
+  FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(tok, ${n - 1}) OVER w IS NOT NULL
+), cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz,
+  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $threshold
+ORDER BY id_a, id_b"""
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, document fingerprinting, quality scoring, language ID.
+  *
+  * All are narrow per-row transforms built from codegen'd built-in
+  * functions (no UDFs): at 100 TB they run map-side inside one
+  * whole-stage-codegen pipeline over the scan, shuffle-free.
+  *
+  * Every metric is DuckDB-reproducible: integer counts or single-division
+  * ratios with identical operation order on both sides.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty/blank text → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  def tokenCountSql(text: String): String =
+    s"CASE WHEN trim($text) = '' THEN 0 ELSE " +
+      s"CAST(len(regexp_split_to_array(trim($text), '\\s+')) AS INTEGER) END"
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the canonical near-dup-resistant exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  def fingerprintSql(text: String): String =
+    s"md5(lower(regexp_replace(trim($text), '\\s+', ' ', 'g')))"
+
+  /** # regex matches in text (Spark `regexp_count` ≡ DuckDB
+    * `len(regexp_extract_all(...))`); patterns must be RE2-safe. */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  def matchCountSql(text: String, pattern: String): String =
+    s"len(regexp_extract_all($text, '$pattern'))"
+
+  /** Stopword marker sets per language for the n-gram/stopword language
+    * heuristic. Deterministic and tiny by design.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to|is|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|dans)\\b",
+    "es" -> "\\b(el|los|las|y|es|una|que)\\b")
+
+  /** Non-ASCII character count — proxy score for CJK/other scripts. */
+  val otherPattern = "[^\\x00-\\x7f]"
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts,
+    * ties broken by marker-list order, all-zero → 'unknown'.
+    * Emitted as a when-chain so the DuckDB CASE mirror is exact.
+    */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, p) => l -> matchCount(text, p) } :+
+      ("other" -> matchCount(text, otherPattern))
+
+  def langId(scoreCols: Seq[(String, Column)]): Column = {
+    val names = scoreCols.map(_._1)
+    val byName = scoreCols.toMap
+    names.foldRight(lit("unknown")) { (l, els) =>
+      val isMax = names.filter(_ != l)
+        .map(o => byName(l) >= byName(o))
+        .reduce(_ && _) && byName(l) > 0
+      when(isMax, lit(l)).otherwise(els)
+    }
+  }
+
+  def langIdSql(text: String): String = {
+    val scores = (langMarkers.map { case (l, p) =>
+      l -> matchCountSql(text, p)
+    } :+ ("other" -> matchCountSql(text, otherPattern))).toMap
+    val names = scores.keys.toSeq.sortBy(
+      n => (langMarkers.map(_._1) :+ "other").indexOf(n))
+    val whens = names.map { l =>
+      val conds = names.filter(_ != l)
+        .map(o => s"${scores(l)} >= ${scores(o)}")
+        .mkString(" AND ")
+      s"WHEN $conds AND ${scores(l)} > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'unknown' END"
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{Dictionary, Tables}
 import graft.est.Exact
+import graft.ops.{Dedup, TextOps}
 import graft.query.{Op, Pred}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -98,22 +99,27 @@ object Queries {
         "(ORDER BY l_quantity ASC NULLS FIRST) - 1 AS INTEGER) AS bin " +
         "FROM (SELECT DISTINCT l_quantity FROM lineitem) ORDER BY value")),
     // Bulk discretize (common.py:273-312) via broadcast vocab joins.
+    // Bins are computed over the FULL table; the correctness artifact is
+    // bounded to a deterministic 1/997 key slice so the verification path
+    // never materializes + globally sorts the whole fact table at scale.
     Entry("q_discretize",
       (s, d) => {
         val df = li(s, d)
         val metas = Seq("l_returnflag", "l_linestatus", "l_quantity")
           .map(Dictionary.columnMeta(df, _))
         Dictionary.discretize(df, metas)
+          .filter(pmod(col("l_orderkey"), lit(997)) === 0)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag_bin"), col("l_linestatus_bin"),
             col("l_quantity_bin"))
           .orderBy("l_orderkey", "l_linenumber")
       },
-      Some("SELECT l_orderkey, l_linenumber, " +
+      Some("SELECT * FROM (SELECT l_orderkey, l_linenumber, " +
         "CAST(dense_rank() OVER (ORDER BY l_returnflag ASC NULLS FIRST) - 1 AS INTEGER) AS l_returnflag_bin, " +
         "CAST(dense_rank() OVER (ORDER BY l_linestatus ASC NULLS FIRST) - 1 AS INTEGER) AS l_linestatus_bin, " +
         "CAST(dense_rank() OVER (ORDER BY l_quantity ASC NULLS FIRST) - 1 AS INTEGER) AS l_quantity_bin " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+        "FROM lineitem) WHERE l_orderkey % 997 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber"))
   )
 
   val aggEntries: Seq[Entry] = Seq(
@@ -165,7 +171,59 @@ object Queries {
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"))
   )
 
-  def all: Seq[Entry] = estimatorEntries ++ dictionaryEntries ++ aggEntries
+  private def docs(s: SparkSession, d: String) = Tables.read(s, d, "documents")
+
+  /** LLM-training-data-pipeline operators over the documents table
+    * (dedup + text analysis; SURVEY §7.5). Map-side ops are checked
+    * per-row; whole-corpus ops via bounded aggregates. MinHash/SimHash use
+    * Spark-specific hashes (xxhash64 seeds) so they get rows-only checks.
+    */
+  val docEntries: Seq[Entry] = Seq(
+    Entry("q_dedup_stats",
+      (s, d) => Dedup.stats(docs(s, d), "text"),
+      Some(Dedup.statsSql("documents", "text"))),
+    Entry("q_dedup_keep_first",
+      (s, d) => Dedup.exactKeepFirst(docs(s, d), "doc_id", "text"),
+      Some(Dedup.exactKeepFirstSql("documents", "doc_id", "text"))),
+    Entry("q_token_counts",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " + TextOps.tokenCountSql("text") +
+        " AS n_tokens FROM documents ORDER BY doc_id")),
+    Entry("q_fingerprint",
+      (s, d) => docs(s, d)
+        .groupBy(col("source"))
+        .agg(countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("SELECT source, count(DISTINCT " + TextOps.fingerprintSql("text") +
+        ") AS n_unique, count(*) AS n_docs FROM documents " +
+        "GROUP BY source ORDER BY source")),
+    Entry("q_lang_id",
+      (s, d) => docs(s, d)
+        .select(TextOps.langId(TextOps.langScores(col("text"))).as("lang_pred"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred"),
+      Some("SELECT " + TextOps.langIdSql("text") + " AS lang_pred, " +
+        "count(*) AS cnt FROM documents GROUP BY 1 ORDER BY lang_pred")),
+    Entry("q_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5))),
+    Entry("q_simhash",
+      (s, d) => Dedup.simhash64(
+        docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text"),
+      None),
+    Entry("q_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      None)
+  )
+
+  def all: Seq[Entry] =
+    estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

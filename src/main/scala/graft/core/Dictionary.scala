@@ -35,12 +35,34 @@ object Dictionary {
     ColumnMeta(colName, field.dataType, domain, hasNull)
   }
 
-  /** Build TableMeta for the given columns (defaults to all). */
-  def tableMeta(df: DataFrame, name: String,
-      cols: Seq[String] = Nil): TableMeta = {
+  /** Build TableMeta for the given columns (defaults to all) in ONE pass:
+    * a single aggregation computes `count(*)` plus per-column
+    * `collect_set` + null flags, so the fact table is scanned once (with
+    * map-side partial aggregation) instead of ncols+1 times. Sorting the
+    * bounded domains happens on the driver. `maxDomainSize` guards
+    * against dictionary-encoding a high-cardinality column — at 100 TB a
+    * blown domain must fail fast, not OOM the driver.
+    */
+  def tableMeta(df: DataFrame, name: String, cols: Seq[String] = Nil,
+      maxDomainSize: Int = 1 << 22): TableMeta = {
     val wanted = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
-    val cardinality = df.count()
-    TableMeta(name, cardinality, wanted.map(columnMeta(df, _)))
+    val aggs = wanted.flatMap { c =>
+      Seq(collect_set(col(c)).as(s"__dom_$c"),
+        max(when(col(c).isNull, 1).otherwise(0)).as(s"__null_$c"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cardinality = row.getAs[Long]("__n")
+    val metas = wanted.map { c =>
+      val dt = df.schema(c).dataType
+      val distinct = row.getAs[scala.collection.Seq[Any]](s"__dom_$c").toArray
+      require(distinct.length <= maxDomainSize,
+        s"domain of $c exceeds $maxDomainSize; not dictionary-encodable")
+      val hasNull = row.getAs[Int](s"__null_$c") == 1
+      val sorted = distinct.sorted(ColumnMeta.orderingFor(dt))
+      val domain = if (hasNull) null +: sorted else sorted
+      ColumnMeta(c, dt, domain, hasNull)
+    }
+    TableMeta(name, cardinality, metas)
   }
 
   /** Vocab as a (value, bin) DataFrame for join-based encoding. Bin ids
@@ -50,12 +72,12 @@ object Dictionary {
     * `dense_rank() OVER (ORDER BY v ASC NULLS FIRST) - 1`.
     */
   def vocabDf(spark: SparkSession, meta: ColumnMeta): DataFrame = {
-    val shift = if (meta.hasNull) 1 else 0
-    val rows = meta.nonNullDomain.zipWithIndex.map { case (v, i) =>
-      Row(v, i + shift)
-    }
+    // The full domain INCLUDING the null slot (bin 0 when present), so
+    // the vocab row count equals distributionSize and matches a DuckDB
+    // `dense_rank() ... NULLS FIRST - 1` over DISTINCT values exactly.
+    val rows = meta.domain.zipWithIndex.map { case (v, i) => Row(v, i) }
     val schema = StructType(Seq(
-      StructField("value", meta.dataType, nullable = false),
+      StructField("value", meta.dataType, nullable = meta.hasNull),
       StructField("bin", IntegerType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)

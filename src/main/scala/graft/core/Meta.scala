@@ -90,14 +90,19 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$table.parquet")
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read nanos as long and truncate to
-    * microseconds (exactly what DuckDB's µs TIMESTAMP does on read), using
-    * integer division — ns-since-epoch exceeds a double's 2^53 mantissa.
+    * has no native type for. Read nanos as long and floor to microseconds
+    * (what DuckDB's µs TIMESTAMP does on read) via `(ts - pmod(ts,1000))
+    * div 1000` — exact integer arithmetic (ns-since-epoch exceeds a
+    * double's 2^53 mantissa) with floor semantics even pre-epoch, where
+    * plain `div` would truncate toward zero.
+    * `nanosAsLong` is a session conf (no per-read parquet option exists);
+    * setting it is idempotent and only affects NANOS-typed columns.
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Load a table projected to its modeled columns (column pruning reaches

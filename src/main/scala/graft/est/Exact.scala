@@ -43,8 +43,10 @@ object Exact {
     val sels = preds.zipWithIndex.map { case (p, i) =>
       s"sum(CASE WHEN ${p.toSql} THEN 1 ELSE 0 END) / count(*) AS s$i"
     }.mkString(", ")
+    // parenthesized so DuckDB evaluates n * ((s0*s1)*s2) — the exact IEEE
+    // association order Spark's `col("n") * (s0*s1*s2)` produces.
     val prod = preds.indices.map(i => s"s$i").mkString(" * ")
-    s"SELECT CAST(ceil(n * $prod) AS BIGINT) AS est_card FROM " +
+    s"SELECT CAST(ceil(n * ($prod)) AS BIGINT) AS est_card FROM " +
       s"(SELECT count(*) AS n, $sels FROM $table)"
   }
 

@@ -12,22 +12,23 @@ import org.apache.spark.sql.functions._
   * LSH banding shuffles (band, bandHash) key pairs — tiny rows — so the
   * full text is never shuffled; candidate pairs are verified with one
   * join per side. This is the standard shingle→minhash→band→bucket-join
-  * plan and survives 100 TB as long as bucket skew is salted (hot buckets
-  * here are bounded by the band hash width).
+  * plan and survives 100 TB as long as bucket skew is bounded: LSH
+  * buckets are capped (`maxBucketSize`) and the exact-Jaccard join is
+  * document-frequency-capped, since an uncapped hot key yields O(k²)
+  * join rows.
   */
 object Dedup {
 
   /** Exact dedup, keep-first: one row per distinct fingerprint, keeping
-    * the smallest id. A window over the fingerprint hash — a single
-    * shuffle on the dedup key.
+    * the smallest id. `groupBy(fingerprint).min(id)` instead of a window —
+    * partial (map-side) aggregation halves the shuffle and avoids the
+    * per-partition sort a `row_number` window would force.
     */
-  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
       .orderBy(col(idCol))
-  }
 
   def exactKeepFirstSql(table: String, id: String, text: String): String =
     s"SELECT $id FROM (SELECT $id, row_number() OVER " +
@@ -52,7 +53,7 @@ object Dedup {
       filter(
         transform(toks, (_, i) =>
           when(i <= size(toks) - n,
-            concat_ws(" ", slice(toks, i + 1, n)))),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
         x => x.isNotNull))
   }
 
@@ -70,9 +71,16 @@ object Dedup {
     * `rowsPerBand`, bucket by (band, hash(band slice)), emit candidate
     * pairs that collide in ≥1 band with their signature-estimated
     * Jaccard. Shuffles only (id, bandHash) pairs.
+    *
+    * Skew guard: a bucket holding k docs emits k² candidate pairs, so
+    * buckets above `maxBucketSize` (e.g. a boilerplate page duplicated a
+    * million times) are dropped before the self-join — their members are
+    * still found via exact dedup or other bands; this bounds the join
+    * output at (bands · buckets · cap²) regardless of input skew.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, numHashes).as("sig"))
@@ -80,9 +88,14 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
+    val bucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val bounded = banded.join(bucketSizes, Seq("band", "bucket"))
+    val l = bounded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
+    val r = bounded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -118,11 +131,23 @@ object Dedup {
     * exploded, self-joined on shingle (co-partitioned by the join key),
     * intersection counted, union from per-doc shingle counts. The ratio
     * is a single division of two ints — DuckDB-reproducible.
+    *
+    * Skew guard: a shingle shared by m docs yields m² join rows, so
+    * shingles with document frequency > `maxShingleDf` are excluded from
+    * BOTH the intersection and the per-doc counts (the cap is part of the
+    * operator's semantics and is mirrored in the SQL oracle). Stop-shingle
+    * removal like this is the standard fix; near-dup pairs whose overlap
+    * is exclusively ultra-common shingles are not near-dups of interest.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      n: Int, threshold: Double, maxShingleDf: Int = 10000): DataFrame = {
+    val all = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("shingle"))
+    val rareShingles = all.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf)
+      .select("shingle")
+    val sh = all.join(rareShingles, Seq("shingle"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
@@ -140,16 +165,20 @@ object Dedup {
   }
 
   def ngramJaccardPairsSql(table: String, id: String, text: String,
-      n: Int, threshold: Double): String = {
+      n: Int, threshold: Double, maxShingleDf: Int = 10000): String = {
     // word n-grams via token position windows; distinct shingles per doc
     s"""WITH toks AS (
   SELECT $id AS id, u.tok, u.pos
   FROM (SELECT $id, regexp_split_to_array(trim($text), '\\s+') AS arr FROM $table),
   LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT id, tok${(1 until n).map(i => s" || ' ' || lead(tok, $i) OVER w").mkString} AS shingle
   FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
   QUALIFY lead(tok, ${n - 1}) OVER w IS NOT NULL
+), sh AS (
+  SELECT id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING count(*) <= $maxShingleDf)
 ), cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter

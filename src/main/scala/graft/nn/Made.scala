@@ -1,0 +1,460 @@
+package graft.nn
+
+/** MADE / ResMADE: autoregressive masked MLP over `nin` dictionary-encoded
+  * columns with per-column multi-class output heads — a from-scratch Scala
+  * re-implementation of the architecture in reference made.py:54-707
+  * (MADE ICML'15, ResMADE arXiv:1904.05626).
+  *
+  * Differences from the reference, deliberate:
+  *  - mask construction for the direct input→output connections uses the
+  *    ordering-general construction (reference made.py:224-245) for ALL
+  *    orderings; the natural-ordering special case at made.py:216-222
+  *    indexes `[curr:dist_size]` where it means `[curr:curr+dist_size]`
+  *    and silently under-connects.
+  *  - `one_hot` input encoding always emits a full one-hot (the
+  *    reference's `dom<=2 → single column` shortcut at made.py:498-499 is
+  *    inconsistent with its own declared encoded size at made.py:255-256).
+  *  - no GPU/torch machinery; manual backprop (layers in Nn.scala).
+  *
+  * @param nin            number of columns
+  * @param hiddenSizes    hidden layer widths
+  * @param inputBins      per-column domain sizes (made.py:86-88)
+  * @param inputEncoding  null | "one_hot" | "binary" (made.py:595-612)
+  * @param residual       ResMADE residual blocks (made.py:100)
+  * @param doDirectIo     direct input→output connections (made.py:90-91)
+  * @param columnMasking  train-time wildcard dropout enabling the
+  *                       wildcard-skipping inference optimization
+  *                       (made.py:101-103, 452-487)
+  * @param fixedOrdering  ordering(i) = position of column i (made.py:105-107)
+  */
+final class Made(
+    val nin: Int,
+    val hiddenSizes: Seq[Int],
+    val inputBins: Array[Int],
+    val inputEncoding: String = null,
+    val residual: Boolean = false,
+    val doDirectIo: Boolean = false,
+    val columnMasking: Boolean = false,
+    val seed: Long = 11123L,
+    val fixedOrdering: Array[Int] = null) {
+
+  require(inputBins.length == nin)
+  private val rng = new java.util.Random(seed)
+
+  /** Encoded width of column i at the input (made.py:249-263). */
+  def inputEncodedSize(i: Int): Int = inputEncoding match {
+    case null => 1
+    case "one_hot" => inputBins(i)
+    case "binary" =>
+      math.max(1, math.ceil(math.log(inputBins(i)) / math.log(2)).toInt)
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  /** Output head width of column i (one_hot output; made.py:265-275). */
+  def outputEncodedSize(i: Int): Int = inputBins(i)
+
+  val inputBinsEncoded: Array[Int] = Array.tabulate(nin)(inputEncodedSize)
+  /** cumsum of encoded input widths (made.py:138-139). */
+  val inputBinsEncodedCumsum: Array[Int] = inputBinsEncoded.scanLeft(0)(_ + _).tail
+  val encodedOutBins: Array[Int] = Array.tabulate(nin)(outputEncodedSize)
+  /** cumsum of output head widths (made.py:199). */
+  val logitIndices: Array[Int] = encodedOutBins.scanLeft(0)(_ + _).tail
+  val totalInputSize: Int = inputBinsEncodedCumsum.last
+  val totalOutputSize: Int = logitIndices.last
+
+  /** ordering(naturalIdx) = position in the autoregressive order. */
+  val ordering: Array[Int] =
+    if (fixedOrdering != null) fixedOrdering.clone()
+    else Array.tabulate(nin)(identity)
+
+  // ---- network (made.py:143-172) ----
+  val layers: Array[Layer] = {
+    val hs = totalInputSize +: hiddenSizes :+ totalOutputSize
+    val buf = scala.collection.mutable.ArrayBuffer[Layer]()
+    for (Seq(h0, h1) <- hs.sliding(2)) {
+      if (residual) {
+        if (h0 == h1) buf += new MaskedResidualBlock(h0)
+        else buf += new MaskedLinear(h0, h1)
+      } else {
+        buf += new MaskedLinear(h0, h1)
+        buf += new ReLU(h1)
+      }
+    }
+    if (!residual) buf.remove(buf.length - 1) // pop trailing activation
+    buf.toArray
+  }
+  private val maskedLayers: Array[Layer] = layers.collect {
+    case l: MaskedLinear => l
+    case b: MaskedResidualBlock => b
+  }
+
+  val directIoLayer: MaskedLinear =
+    if (doDirectIo) new MaskedLinear(totalInputSize, totalOutputSize) else null
+
+  /** Learnable [MASK] representation per column (made.py:186-191). */
+  val unkEmbeddings: Array[Param] =
+    if (columnMasking) Array.tabulate(nin)(i => new Param(new Array[Float](inputBinsEncoded(i))))
+    else null
+
+  buildMasks()
+  initWeights()
+
+  def params: Seq[Param] =
+    layers.flatMap(_.params).toSeq ++
+      (if (directIoLayer != null) directIoLayer.params else Nil) ++
+      (if (unkEmbeddings != null) unkEmbeddings.toSeq else Nil)
+
+  def parameterCount: Long = params.map(_.data.length.toLong).sum
+
+  /** Port of update_masks (made.py:277-393), single-mask case. */
+  private def buildMasks(): Unit = {
+    val L = hiddenSizes.length
+    // Hidden-unit degrees (made.py:322-337).
+    val degrees = new Array[Array[Int]](L)
+    for (l <- 0 until L) {
+      degrees(l) =
+        if (nin > 1) {
+          if (residual)
+            // Sequential assignment for ResMADE (made.py:325-327).
+            Array.tabulate(hiddenSizes(l))(k => math.floorMod(k - 1, nin - 1))
+          else {
+            val low = if (l == 0) ordering.min else degrees(l - 1).min
+            Array.fill(hiddenSizes(l))(low + rng.nextInt(nin - 1 - low))
+          }
+        } else Array.fill(hiddenSizes(l))(-1)
+    }
+    def deg(l: Int): Array[Int] = if (l == -1) ordering else degrees(l)
+    // Connectivity: hidden masks use <=, output mask uses < (made.py:339-340).
+    val masks = scala.collection.mutable.ArrayBuffer[Array[Array[Boolean]]]()
+    for (l <- 0 until L)
+      masks += Array.tabulate(deg(l - 1).length, hiddenSizes(l))(
+        (i, j) => deg(l - 1)(i) <= degrees(l)(j))
+    masks += Array.tabulate(deg(L - 1).length, nin)(
+      (i, j) => deg(L - 1)(i) < ordering(j))
+
+    // Expand output mask columns by per-column head widths (made.py:342-365).
+    val last = masks.remove(masks.length - 1)
+    masks += last.map(row =>
+      Array.tabulate(nin)(j => Array.fill(encodedOutBins(j))(row(j))).flatten)
+
+    // Expand input mask rows by per-column encoded widths (made.py:367-382).
+    if (inputEncoding != null) {
+      val first = masks.remove(0)
+      masks.insert(0,
+        Array.tabulate(nin)(i =>
+          Array.fill(inputBinsEncoded(i))(first(i))).flatten)
+    }
+
+    require(masks.length == maskedLayers.length)
+    maskedLayers.zip(masks).foreach {
+      case (l: MaskedLinear, m) => l.setMaskInOut(m)
+      case (b: MaskedResidualBlock, m) => b.setMaskInOut(m)
+      case _ => ()
+    }
+
+    if (doDirectIo) buildDirectIoMask()
+  }
+
+  /** Direct input→output connectivity, ordering-general construction
+    * (made.py:224-245): output head of the column at order position j
+    * connects to the input slice of every column at order position < j.
+    */
+  private def buildDirectIoMask(): Unit = {
+    val m = Array.ofDim[Boolean](totalInputSize, totalOutputSize)
+    val invOrdering = new Array[Int](nin) // position -> natural idx
+    for (nat <- 0 until nin) invOrdering(ordering(nat)) = nat
+    for (ordI <- 0 until nin) {
+      val natI = invOrdering(ordI)
+      val inpL = if (natI == 0) 0 else inputBinsEncodedCumsum(natI - 1)
+      val inpR = inputBinsEncodedCumsum(natI)
+      for (ordJ <- ordI + 1 until nin) {
+        val natJ = invOrdering(ordJ)
+        val outL = if (natJ == 0) 0 else logitIndices(natJ - 1)
+        val outR = logitIndices(natJ)
+        for (i <- inpL until inpR; o <- outL until outR) m(i)(o) = true
+      }
+    }
+    directIoLayer.setMaskInOut(m)
+  }
+
+  def initWeights(): Unit = {
+    val wrng = new java.util.Random(seed ^ 0x5DEECE66DL)
+    layers.foreach {
+      case l: MaskedLinear => l.initXavier(wrng)
+      case b: MaskedResidualBlock => b.l1.initXavier(wrng); b.l2.initXavier(wrng)
+      case _ => ()
+    }
+    if (directIoLayer != null) directIoLayer.initXavier(wrng)
+  }
+
+  // ---- input encoding (made.py:492-612) ----
+
+  /** Encode one column's values into `out[., sliceOf(naturalIdx)]`.
+    * `values == null` writes the learnable [MASK] embedding (wildcard,
+    * made.py:413-418). The workhorse of both training encode and the
+    * progressive sampler's incremental buffer updates.
+    */
+  def encodeColumn(naturalIdx: Int, values: Array[Int], out: Array[Float],
+      batch: Int): Unit = {
+    val off = if (naturalIdx == 0) 0 else inputBinsEncodedCumsum(naturalIdx - 1)
+    val w = inputBinsEncoded(naturalIdx)
+    val stride = totalInputSize
+    if (values == null) {
+      require(unkEmbeddings != null,
+        "wildcard encoding requires columnMasking=true")
+      val unk = unkEmbeddings(naturalIdx).data
+      var r = 0
+      while (r < batch) {
+        System.arraycopy(unk, 0, out, r * stride + off, w)
+        r += 1
+      }
+    } else inputEncoding match {
+      case "one_hot" =>
+        var r = 0
+        while (r < batch) {
+          val base = r * stride + off
+          java.util.Arrays.fill(out, base, base + w, 0f)
+          out(base + values(r)) = 1f
+          r += 1
+        }
+      case "binary" =>
+        var r = 0
+        while (r < batch) {
+          val base = r * stride + off
+          val v = values(r)
+          var b = 0
+          while (b < w) { out(base + b) = ((v >> b) & 1).toFloat; b += 1 }
+          r += 1
+        }
+      case null =>
+        var r = 0
+        while (r < batch) { out(r * stride + off) = values(r).toFloat; r += 1 }
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** Per-batch column-masking state for backprop into unk embeddings. */
+  private var dropMask: Array[Array[Boolean]] = null
+
+  /** Full-row encode of a training batch `data[r][c]` = bin id. With
+    * columnMasking and train=true, applies the reference's wildcard
+    * dropout (made.py:452-487): per column draw p ~ U{0..nin-1}/nin, then
+    * per row replace the encoding with the [MASK] embedding w.p. p.
+    */
+  def encodeInput(data: Array[Array[Int]], train: Boolean): Array[Float] = {
+    val batch = data.length
+    val out = new Array[Float](batch * totalInputSize)
+    val colBuf = new Array[Int](batch)
+    dropMask = null
+    if (columnMasking && train) dropMask = new Array[Array[Boolean]](nin)
+    for (c <- 0 until nin) {
+      var r = 0
+      while (r < batch) { colBuf(r) = data(r)(c); r += 1 }
+      encodeColumn(c, colBuf, out, batch)
+      if (columnMasking && train) {
+        val p = rng.nextInt(nin).toDouble / nin
+        val drops = new Array[Boolean](batch)
+        val off = if (c == 0) 0 else inputBinsEncodedCumsum(c - 1)
+        val w = inputBinsEncoded(c)
+        val unk = unkEmbeddings(c).data
+        r = 0
+        while (r < batch) {
+          if (rng.nextDouble() < p) {
+            drops(r) = true
+            System.arraycopy(unk, 0, out, r * totalInputSize + off, w)
+          }
+          r += 1
+        }
+        dropMask(c) = drops
+      }
+    }
+    out
+  }
+
+  // ---- forward / backward ----
+
+  private var inpCache: Array[Float] = null
+
+  /** Forward from an encoded input buffer (made.py:637-643). */
+  def forwardEncoded(inp: Array[Float], batch: Int): Array[Float] = {
+    var h = inp
+    var i = 0
+    while (i < layers.length) { h = layers(i).forward(h, batch); i += 1 }
+    if (directIoLayer != null) {
+      val res = directIoLayer.forward(inp, batch)
+      var k = 0
+      while (k < h.length) { h(k) += res(k); k += 1 }
+    }
+    h
+  }
+
+  /** Training forward: encode + net (made.py:614-635). */
+  def forward(data: Array[Array[Int]], train: Boolean): Array[Float] = {
+    val inp = encodeInput(data, train)
+    inpCache = inp
+    forwardEncoded(inp, data.length)
+  }
+
+  /** Backward from dL/dLogits; accumulates all param grads including the
+    * unk embeddings touched by column masking. */
+  def backward(gradLogits: Array[Float], batch: Int): Unit = {
+    var g = gradLogits
+    var i = layers.length - 1
+    while (i >= 0) { g = layers(i).backward(g, batch); i -= 1 }
+    if (directIoLayer != null) {
+      val gDirect = directIoLayer.backward(gradLogits, batch)
+      var k = 0
+      while (k < g.length) { g(k) += gDirect(k); k += 1 }
+    }
+    // g = dL/dEncodedInput; route dropped slices into unk embedding grads.
+    if (dropMask != null) {
+      for (c <- 0 until nin) {
+        val drops = dropMask(c)
+        val off = if (c == 0) 0 else inputBinsEncodedCumsum(c - 1)
+        val w = inputBinsEncoded(c)
+        val ug = unkEmbeddings(c).grad
+        var r = 0
+        while (r < batch) {
+          if (drops(r)) {
+            val base = r * totalInputSize + off
+            var j = 0
+            while (j < w) { ug(j) += g(base + j); j += 1 }
+          }
+          r += 1
+        }
+      }
+    }
+  }
+
+  /** Gradient wrt the (encoded) input — used by the autoregressiveness
+    * check (made.py:710-752). Must be called right after forward. */
+  def backwardToInput(gradLogits: Array[Float], batch: Int): Array[Float] = {
+    var g = gradLogits
+    var i = layers.length - 1
+    while (i >= 0) { g = layers(i).backward(g, batch); i -= 1 }
+    if (directIoLayer != null) {
+      val gDirect = directIoLayer.backward(gradLogits, batch)
+      var k = 0
+      while (k < g.length) { g(k) += gDirect(k); k += 1 }
+    }
+    g
+  }
+
+  /** The logits slice for `log p(x_i | x_<i)` (made.py:645-674). */
+  def logitsForCol(idx: Int, logits: Array[Float], batch: Int): Array[Float] = {
+    val l = if (idx == 0) 0 else logitIndices(idx - 1)
+    val w = encodedOutBins(idx)
+    val out = new Array[Float](batch * w)
+    var r = 0
+    while (r < batch) {
+      System.arraycopy(logits, r * totalOutputSize + l, out, r * w, w)
+      r += 1
+    }
+    out
+  }
+
+  /** Mean NLL (nats) + dL/dLogits for a batch: per-column softmax
+    * cross-entropy summed over columns (made.py:676-694), gradient scaled
+    * by 1/batch for a mean loss.
+    */
+  def nllWithGrad(logits: Array[Float], data: Array[Array[Int]],
+      batch: Int): (Double, Array[Float]) = {
+    val grad = new Array[Float](logits.length)
+    var total = 0.0
+    val invB = 1f / batch
+    for (c <- 0 until nin) {
+      val l = if (c == 0) 0 else logitIndices(c - 1)
+      val w = encodedOutBins(c)
+      var r = 0
+      while (r < batch) {
+        val base = r * totalOutputSize + l
+        var mx = Float.NegativeInfinity
+        var j = 0
+        while (j < w) { if (logits(base + j) > mx) mx = logits(base + j); j += 1 }
+        var sum = 0.0
+        j = 0
+        while (j < w) { sum += math.exp(logits(base + j) - mx); j += 1 }
+        val logZ = mx + math.log(sum)
+        val t = data(r)(c)
+        total += logZ - logits(base + t)
+        j = 0
+        while (j < w) {
+          grad(base + j) =
+            ((math.exp(logits(base + j) - logZ)).toFloat -
+              (if (j == t) 1f else 0f)) * invB
+          j += 1
+        }
+        r += 1
+      }
+    }
+    (total / batch, grad)
+  }
+
+  /** Mean NLL only (no grad) — evaluation path. */
+  def nll(logits: Array[Float], data: Array[Array[Int]], batch: Int): Double = {
+    var total = 0.0
+    for (c <- 0 until nin) {
+      val l = if (c == 0) 0 else logitIndices(c - 1)
+      val w = encodedOutBins(c)
+      var r = 0
+      while (r < batch) {
+        val base = r * totalOutputSize + l
+        var mx = Float.NegativeInfinity
+        var j = 0
+        while (j < w) { if (logits(base + j) > mx) mx = logits(base + j); j += 1 }
+        var sum = 0.0
+        j = 0
+        while (j < w) { sum += math.exp(logits(base + j) - mx); j += 1 }
+        total += mx + math.log(sum) - logits(base + data(r)(c))
+        r += 1
+      }
+    }
+    total / batch
+  }
+
+  /** Ancestral sampling of `num` tuples (made.py:696-707). */
+  def sample(num: Int, sampleRng: java.util.Random): Array[Array[Int]] = {
+    val sampled = Array.ofDim[Int](num, nin)
+    val inp = new Array[Float](num * totalInputSize)
+    val zeros = new Array[Int](num)
+    for (c <- 0 until nin) encodeColumn(c, zeros, inp, num)
+    val invOrdering = new Array[Int](nin)
+    for (nat <- 0 until nin) invOrdering(ordering(nat)) = nat
+    for (pos <- 0 until nin) {
+      val nat = invOrdering(pos)
+      val logits = forwardEncoded(inp, num)
+      val colLogits = logitsForCol(nat, logits, num)
+      val w = encodedOutBins(nat)
+      val colBuf = new Array[Int](num)
+      var r = 0
+      while (r < num) {
+        colBuf(r) = Made.sampleCategorical(colLogits, r * w, w, sampleRng)
+        sampled(r)(nat) = colBuf(r)
+        r += 1
+      }
+      encodeColumn(nat, colBuf, inp, num)
+    }
+    sampled
+  }
+}
+
+object Made {
+  /** Draw from softmax(logits[off until off+w]). */
+  def sampleCategorical(logits: Array[Float], off: Int, w: Int,
+      rng: java.util.Random): Int = {
+    var mx = Float.NegativeInfinity
+    var j = 0
+    while (j < w) { if (logits(off + j) > mx) mx = logits(off + j); j += 1 }
+    var sum = 0.0
+    j = 0
+    while (j < w) { sum += math.exp(logits(off + j) - mx); j += 1 }
+    var u = rng.nextDouble() * sum
+    j = 0
+    while (j < w) {
+      u -= math.exp(logits(off + j) - mx)
+      if (u <= 0) return j
+      j += 1
+    }
+    w - 1
+  }
+}

@@ -1,0 +1,232 @@
+package graft.nn
+
+/** Minimal dependency-free neural-net core: flat row-major `Array[Float]`
+  * tensors `[batch, dim]`, masked linear layers with manual backprop, and
+  * Adam. Sized for the reference's models (hundreds of units, MBs of
+  * weights — reference README.md:75-85), which train driver-side on
+  * Spark-prepared encoded data and broadcast for distributed inference.
+  *
+  * Scale posture: the 100 TB path never moves raw data to the driver —
+  * only encoded minibatches (bounded) flow in and model weights (MBs)
+  * flow out; see graft.nn.Trainer.
+  */
+final class Param(val data: Array[Float]) {
+  val grad = new Array[Float](data.length)
+  // Adam moments (estimators stay zero where grads are always zero, so
+  // masked weight entries never drift away from zero).
+  val m = new Array[Float](data.length)
+  val v = new Array[Float](data.length)
+  def zeroGrad(): Unit = java.util.Arrays.fill(grad, 0f)
+}
+
+/** Adam (reference train_model.py:375-383: lr 2e-4 default; the per-step
+  * lr is overwritten by the schedule in the train loop).
+  */
+final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
+    beta1: Float = 0.9f, beta2: Float = 0.999f, eps: Float = 1e-8f) {
+  private var t = 0
+  def zeroGrad(): Unit = params.foreach(_.zeroGrad())
+  def step(): Unit = {
+    t += 1
+    val bc1 = 1.0 - math.pow(beta1, t)
+    val bc2 = 1.0 - math.pow(beta2, t)
+    params.foreach { p =>
+      val d = p.data; val g = p.grad; val m = p.m; val v = p.v
+      var i = 0
+      while (i < d.length) {
+        m(i) = beta1 * m(i) + (1 - beta1) * g(i)
+        v(i) = beta2 * v(i) + (1 - beta2) * g(i) * g(i)
+        val mh = m(i) / bc1
+        val vh = v(i) / bc2
+        d(i) -= (lr * mh / (math.sqrt(vh) + eps)).toFloat
+        i += 1
+      }
+    }
+  }
+}
+
+sealed trait Layer {
+  /** Forward; caches whatever backward needs. Returns [batch, nOut]. */
+  def forward(x: Array[Float], batch: Int): Array[Float]
+  /** Backward given dL/dOut; accumulates param grads, returns dL/dIn. */
+  def backward(gradOut: Array[Float], batch: Int): Array[Float]
+  def params: Seq[Param]
+  def nIn: Int
+  def nOut: Int
+}
+
+/** `y = (M ⊙ W) x + b` — reference made.py:11-28. The mask is baked into
+  * the weights (applied at init and to every gradient), which is both the
+  * reference's `masked_weight` inference optimization (made.py:24-28) and
+  * the invariant that keeps Adam from moving masked entries.
+  * Weight layout: row-major [nOut, nIn].
+  */
+final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
+  val weight = new Param(new Array[Float](nOut * nIn))
+  val bias = new Param(new Array[Float](nOut))
+  /** null = dense. Layout [nOut, nIn], 1f = connected. */
+  var mask: Array[Float] = null
+  private var xCache: Array[Float] = null
+
+  /** Set connectivity from an [nIn, nOut] boolean matrix (the orientation
+    * update_masks builds, made.py:19-21 transposes on set). */
+  def setMaskInOut(m: Array[Array[Boolean]]): Unit = {
+    require(m.length == nIn && m(0).length == nOut, s"${m.length}x${m(0).length} vs $nIn x $nOut")
+    mask = new Array[Float](nOut * nIn)
+    var i = 0
+    while (i < nIn) {
+      var o = 0
+      while (o < nOut) { mask(o * nIn + i) = if (m(i)(o)) 1f else 0f; o += 1 }
+      i += 1
+    }
+    applyMask()
+  }
+
+  def applyMask(): Unit = if (mask != null) {
+    var k = 0
+    while (k < weight.data.length) {
+      if (mask(k) == 0f) weight.data(k) = 0f
+      k += 1
+    }
+  }
+
+  /** Xavier-uniform init (reference train_model.py:322-327). */
+  def initXavier(rng: java.util.Random): Unit = {
+    val bound = math.sqrt(6.0 / (nIn + nOut)).toFloat
+    var k = 0
+    while (k < weight.data.length) {
+      weight.data(k) = (rng.nextFloat() * 2 - 1) * bound
+      k += 1
+    }
+    java.util.Arrays.fill(bias.data, 0f)
+    applyMask()
+  }
+
+  def forward(x: Array[Float], batch: Int): Array[Float] = {
+    xCache = x
+    forwardNoCache(x, batch)
+  }
+
+  /** Inference-path forward that skips the backprop cache. */
+  def forwardNoCache(x: Array[Float], batch: Int): Array[Float] = {
+    val out = new Array[Float](batch * nOut)
+    val w = weight.data; val b = bias.data
+    var r = 0
+    while (r < batch) {
+      val xOff = r * nIn
+      val oOff = r * nOut
+      var o = 0
+      while (o < nOut) {
+        var acc = b(o)
+        val wOff = o * nIn
+        var i = 0
+        while (i < nIn) { acc += w(wOff + i) * x(xOff + i); i += 1 }
+        out(oOff + o) = acc
+        o += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  def backward(gradOut: Array[Float], batch: Int): Array[Float] = {
+    val x = xCache
+    val w = weight.data; val gw = weight.grad; val gb = bias.grad
+    val gradIn = new Array[Float](batch * nIn)
+    var r = 0
+    while (r < batch) {
+      val xOff = r * nIn
+      val oOff = r * nOut
+      var o = 0
+      while (o < nOut) {
+        val g = gradOut(oOff + o)
+        if (g != 0f) {
+          gb(o) += g
+          val wOff = o * nIn
+          var i = 0
+          while (i < nIn) {
+            gw(wOff + i) += g * x(xOff + i)
+            gradIn(xOff + i) += g * w(wOff + i)
+            i += 1
+          }
+        }
+        o += 1
+      }
+      r += 1
+    }
+    // Mask the weight gradient so Adam's moments never see masked entries
+    // (equivalent to differentiating through W_eff = M ⊙ W).
+    if (mask != null) {
+      var k = 0
+      while (k < gw.length) { if (mask(k) == 0f) gw(k) = 0f; k += 1 }
+    }
+    gradIn
+  }
+
+  def params: Seq[Param] = Seq(weight, bias)
+}
+
+final class ReLU(val dim: Int) extends Layer {
+  private var outCache: Array[Float] = null
+  def nIn: Int = dim
+  def nOut: Int = dim
+  def forward(x: Array[Float], batch: Int): Array[Float] = {
+    val out = new Array[Float](batch * dim)
+    var k = 0
+    while (k < batch * dim) { out(k) = if (x(k) > 0f) x(k) else 0f; k += 1 }
+    outCache = out
+    out
+  }
+  def backward(gradOut: Array[Float], batch: Int): Array[Float] = {
+    val g = new Array[Float](batch * dim)
+    var k = 0
+    while (k < batch * dim) { g(k) = if (outCache(k) > 0f) gradOut(k) else 0f; k += 1 }
+    g
+  }
+  def params: Seq[Param] = Nil
+}
+
+/** `x + L2(act(L1(act(x))))`, both linears sharing one mask — reference
+  * made.py:31-51. */
+final class MaskedResidualBlock(val dim: Int) extends Layer {
+  val l1 = new MaskedLinear(dim, dim)
+  val l2 = new MaskedLinear(dim, dim)
+  private var xCache: Array[Float] = null
+  private var h1Cache: Array[Float] = null
+  def nIn: Int = dim
+  def nOut: Int = dim
+  def setMaskInOut(m: Array[Array[Boolean]]): Unit = {
+    l1.setMaskInOut(m); l2.setMaskInOut(m)
+  }
+  private def relu(x: Array[Float]): Array[Float] = {
+    val out = new Array[Float](x.length)
+    var k = 0
+    while (k < x.length) { out(k) = if (x(k) > 0f) x(k) else 0f; k += 1 }
+    out
+  }
+  def forward(x: Array[Float], batch: Int): Array[Float] = {
+    xCache = x
+    val h1 = l1.forward(relu(x), batch)
+    h1Cache = h1
+    val h2 = l2.forward(relu(h1), batch)
+    val out = new Array[Float](x.length)
+    var k = 0
+    while (k < x.length) { out(k) = x(k) + h2(k); k += 1 }
+    out
+  }
+  def backward(gradOut: Array[Float], batch: Int): Array[Float] = {
+    val gA2 = l2.backward(gradOut, batch)
+    val gH1 = new Array[Float](gA2.length)
+    var k = 0
+    while (k < gA2.length) { gH1(k) = if (h1Cache(k) > 0f) gA2(k) else 0f; k += 1 }
+    val gA1 = l1.backward(gH1, batch)
+    val gX = new Array[Float](gradOut.length)
+    k = 0
+    while (k < gX.length) {
+      gX(k) = gradOut(k) + (if (xCache(k) > 0f) gA1(k) else 0f)
+      k += 1
+    }
+    gX
+  }
+  def params: Seq[Param] = l1.params ++ l2.params
+}

@@ -1,0 +1,189 @@
+package graft.nn
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's autoregressiveness self-checks
+  * (made.py:710-752) plus finite-difference gradient verification of the
+  * hand-written backprop.
+  */
+class MadeSpec extends AnyFunSuite {
+
+  // (nin, hiddens, input_bins, direct_io) — made.py:714-724.
+  private val referenceConfigs = Seq(
+    (2, Seq(10), Array(2, 5), false),
+    (2, Seq(10, 30), Array(2, 5), false),
+    (3, Seq(6), Array(2, 2, 2), false),
+    (3, Seq(4, 4), Array(2, 1, 2), false),
+    (4, Seq(16, 8, 16), Array(2, 3, 1, 2), false),
+    (2, Seq(10), Array(2, 5), true),
+    (2, Seq(10, 30), Array(2, 5), true),
+    (3, Seq(6), Array(2, 2, 2), true),
+    (3, Seq(4, 4), Array(2, 1, 2), true),
+    (4, Seq(16, 8, 16), Array(2, 3, 1, 2), true)
+  )
+
+  /** dLogits[k]/dInput via backprop, for a single random input row. */
+  private def inputGrad(model: Made, k: Int, inp: Array[Float]): Array[Float] = {
+    model.forwardEncoded(inp.clone(), 1)
+    val gradLogits = new Array[Float](model.totalOutputSize)
+    gradLogits(k) = 1f
+    model.backwardToInput(gradLogits, 1)
+  }
+
+  test("autoregressiveness: reference configs, raw input encoding") {
+    val rng = new java.util.Random(14)
+    for ((nin, hiddens, bins, directIo) <- referenceConfigs) {
+      val model = new Made(nin, hiddens, bins, inputEncoding = null,
+        doDirectIo = directIo)
+      val cumsum = bins.scanLeft(0)(_ + _).tail
+      for (k <- 0 until model.totalOutputSize) {
+        val inp = Array.fill(nin)(rng.nextFloat())
+        val grad = inputGrad(model, k, inp)
+        val varIdx = cumsum.indexWhere(k < _)
+        // Output head k (column varIdx) must not depend on inputs >= varIdx.
+        for (i <- varIdx until nin)
+          assert(grad(i) == 0f,
+            s"cfg=($nin,$hiddens,${bins.mkString(",")},$directIo) " +
+              s"output $k (col $varIdx) depends on input $i")
+      }
+    }
+  }
+
+  test("autoregressiveness: one_hot and binary encodings, ResMADE, orderings") {
+    val rng = new java.util.Random(7)
+    val bins = Array(3, 4, 2, 5)
+    val orderings = Seq(null, Array(2, 0, 3, 1), Array(3, 2, 1, 0))
+    for {
+      enc <- Seq("one_hot", "binary")
+      res <- Seq(false, true)
+      directIo <- Seq(false, true)
+      ord <- orderings
+    } {
+      val model = new Made(4, Seq(16, 16), bins, inputEncoding = enc,
+        residual = res, doDirectIo = directIo,
+        fixedOrdering = if (ord == null) null else ord)
+      val ordering = model.ordering
+      val cumOut = model.logitIndices
+      val cumIn = model.inputBinsEncodedCumsum
+      for (k <- 0 until model.totalOutputSize) {
+        val inp = Array.fill(model.totalInputSize)(rng.nextFloat())
+        val grad = inputGrad(model, k, inp)
+        val outCol = cumOut.indexWhere(k < _)
+        // Output for column outCol may depend only on input columns at an
+        // earlier position in the ordering.
+        for (inCol <- 0 until 4 if ordering(inCol) >= ordering(outCol)) {
+          val l = if (inCol == 0) 0 else cumIn(inCol - 1)
+          for (j <- l until cumIn(inCol))
+            assert(grad(j) == 0f,
+              s"enc=$enc res=$res dio=$directIo ord=${ordering.mkString(",")}: " +
+                s"output $k (col $outCol) depends on input col $inCol")
+        }
+      }
+    }
+  }
+
+  test("backprop matches finite differences") {
+    val bins = Array(3, 4, 2)
+    val model = new Made(3, Seq(8, 8), bins, inputEncoding = "one_hot",
+      residual = true, doDirectIo = true, seed = 5)
+    val rng = new java.util.Random(3)
+    val data = Array.fill(4)(bins.map(b => rng.nextInt(b)))
+
+    def loss(): Double = {
+      val logits = model.forward(data, train = false)
+      model.nll(logits, data, data.length)
+    }
+    // Analytic grads.
+    model.params.foreach(_.zeroGrad())
+    val logits = model.forward(data, train = false)
+    val (_, gradLogits) = model.nllWithGrad(logits, data, data.length)
+    model.backward(gradLogits, data.length)
+
+    val eps = 1e-2f
+    var checked = 0
+    // Enumerate params WITH their masks: perturbing a masked weight entry
+    // must be skipped — the mask is baked into the weights (init + grad
+    // time), so the forward pass intentionally does not re-apply it.
+    val linears = (model.layers.flatMap {
+      case l: MaskedLinear => Seq(l)
+      case b: MaskedResidualBlock => Seq(b.l1, b.l2)
+      case _ => Nil
+    } :+ model.directIoLayer).filter(_ != null)
+    val paramsWithMask: Seq[(Param, Array[Float])] =
+      linears.toSeq.flatMap(l => Seq((l.weight, l.mask), (l.bias, null)))
+    for ((p, mask) <- paramsWithMask; if p.data.nonEmpty) {
+      // Spot-check a few entries per param tensor.
+      val idxs = Seq(0, p.data.length / 2, p.data.length - 1).distinct
+        .filter(i => mask == null || mask(i) != 0f)
+      for (i <- idxs) {
+        val orig = p.data(i)
+        p.data(i) = orig + eps; val lp = loss()
+        p.data(i) = orig - eps; val lm = loss()
+        p.data(i) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = p.grad(i)
+        assert(math.abs(numeric - analytic) <= 1e-3 + 0.05 * math.abs(numeric),
+          s"grad mismatch at $i: analytic=$analytic numeric=$numeric")
+        checked += 1
+      }
+    }
+    assert(checked > 20)
+  }
+
+  test("column-masking wildcard embedding gets gradients") {
+    val bins = Array(3, 4)
+    val model = new Made(2, Seq(8), bins, inputEncoding = "one_hot",
+      columnMasking = true, seed = 1)
+    val rng = new java.util.Random(9)
+    val data = Array.fill(64)(bins.map(b => rng.nextInt(b)))
+    // At step 0 every path through a dropped row is dead: unk embeddings
+    // and biases are zero, so hidden pre-activations are exactly 0 and
+    // ReLU'(0)=0 (the reference has the same cold start). Take a few
+    // optimizer steps so biases move, then require gradient flow into the
+    // unk embeddings.
+    val opt = new Adam(model.params, lr = 1e-2f)
+    var gotGrad = false
+    for (_ <- 0 until 20) {
+      opt.zeroGrad()
+      val logits = model.forward(data, train = true)
+      val (_, gradLogits) = model.nllWithGrad(logits, data, data.length)
+      model.backward(gradLogits, data.length)
+      if (model.unkEmbeddings.exists(_.grad.exists(_ != 0f))) gotGrad = true
+      opt.step()
+    }
+    assert(gotGrad, "no gradient reached any unk embedding")
+    // And the embeddings themselves must have moved.
+    assert(model.unkEmbeddings.exists(_.data.exists(_ != 0f)))
+  }
+
+  test("training reduces NLL on a learnable synthetic table") {
+    // Two strongly correlated columns: x2 = x1 with prob .9.
+    val rng = new java.util.Random(42)
+    val bins = Array(4, 4)
+    val data = Array.fill(512) {
+      val a = rng.nextInt(4)
+      val b = if (rng.nextDouble() < 0.9) a else rng.nextInt(4)
+      Array(a, b)
+    }
+    val model = new Made(2, Seq(32), bins, inputEncoding = "one_hot", seed = 2)
+    val opt = new Adam(model.params, lr = 5e-3f)
+    def evalNll(): Double = {
+      val logits = model.forward(data, train = false)
+      model.nll(logits, data, data.length)
+    }
+    val before = evalNll()
+    for (_ <- 0 until 60) {
+      opt.zeroGrad()
+      val logits = model.forward(data, train = true)
+      val (_, grad) = model.nllWithGrad(logits, data, data.length)
+      model.backward(grad, data.length)
+      opt.step()
+    }
+    val after = evalNll()
+    assert(after < before - 0.3,
+      s"NLL did not improve: before=$before after=$after")
+    // Joint entropy of the generating process ≈ 2 + 0.9*log2(...) bits;
+    // the model must land well under the 4-bit independence bound.
+    assert(after / math.log(2) < 3.5, s"NLL ${after / math.log(2)} bits too high")
+  }
+}

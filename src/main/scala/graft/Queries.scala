@@ -1,9 +1,11 @@
 package graft
 
-import graft.core.{Dictionary, Tables}
-import graft.est.Exact
+import graft.core.{Dictionary, TableMeta, Tables}
+import graft.est.{Exact, ProgressiveSampling, SampleFromModel}
+import graft.nn.{Made, Trainer}
 import graft.ops.{Dedup, TextOps}
 import graft.query.{Op, Pred}
+import graft.workload.Workload
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -222,8 +224,148 @@ object Queries {
       None)
   )
 
+  // ---- neural estimator suite (SURVEY §2.4-2.6) ----
+
+  /** Columns the lineitem density model covers: the small-domain subset
+    * (the reference likewise models a column subset, datasets.py:11-15).
+    */
+  private val modelCols =
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
+
+  /** Train-once-per-sfDir cache so Verify/Bench don't retrain per entry. */
+  private val modelCache =
+    scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
+
+  /** ResMADE over the lineitem subset, trained deterministically:
+    * dictionary + encode + entropy on the cluster, minibatch loop on the
+    * driver (reference train_model.py:330-447 shape).
+    */
+  def lineitemModel(s: SparkSession, d: String): (Made, TableMeta) =
+    modelCache.synchronized {
+      modelCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 200000)
+        val model = new Made(
+          nin = modelCols.length,
+          hiddenSizes = Seq(64, 64),
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          inputEncoding = "one_hot",
+          residual = true,
+          doDirectIo = true,
+          columnMasking = true,
+          seed = 11123L)
+        Trainer.train(model, data, epochs = 2, batchSize = 1024,
+          schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
+        (model, meta)
+      })
+    }
+
+  /** The evaluation workload over the modeled columns (seeded generator,
+    * eval_model.py:175-217). */
+  def lineitemWorkload(s: SparkSession, d: String,
+      meta: TableMeta, n: Int): Seq[Seq[Pred]] = {
+    val df = li(s, d)
+    val anchors = Workload.anchorRows(df, modelCols, n)
+    Workload.generate(meta, modelCols, anchors, n,
+      minFilters = 2, maxFilters = 4, seed = 1234L)
+  }
+
+  val neuralEntries: Seq[Entry] = Seq(
+    // Seeded-workload true cardinalities: generator determinism + the
+    // one-pass count-if oracle, DuckDB-checked per query.
+    Entry("q_workload_truths",
+      (s, d) => {
+        val meta = Dictionary.tableMeta(
+          li(s, d).select(modelCols.map(col): _*), "lineitem", modelCols)
+        val qs = lineitemWorkload(s, d, meta, 20)
+        // The oracle SQL embeds the generated literals, which depend on
+        // the sfDir's data — publish it now so oracleSql (read after the
+        // queries run in Verify) carries the matching text.
+        workloadTruthsSql = Some(Workload.trueCardsSql("lineitem", qs))
+        Workload.trueCardsDf(s, li(s, d), qs)
+      },
+      None),
+    // ProgressiveSampling flagship estimate on W1 (model-based; seeded
+    // deterministic but not SQL-expressible -> rows-only check).
+    Entry("q_psample_card",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        Seq(ps.query(W1)).toDF("est_card")
+      },
+      None),
+    // SampleFromModel estimate on the same workload (estimators.py:421-477).
+    Entry("q_model_sample_card",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 2000)
+        Seq(sm.query(W1)).toDF("est_card")
+      },
+      None),
+    // q-error quantile report for every estimator over the seeded
+    // workload (RunN + ReportEsts, eval_model.py:258-300). One scan
+    // computes all truths; the model estimators run on the driver.
+    Entry("q_qerror_report",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val qs = lineitemWorkload(s, d, meta, 30)
+        val df = li(s, d)
+        val truths = Workload.trueCards(df, qs)
+        val n = meta.cardinality
+        // Heuristic (AVI) for all queries in ONE scan: per-pred count-ifs.
+        val flat = qs.zipWithIndex.flatMap { case (q, qi) =>
+          q.zipWithIndex.map { case (p, pi) =>
+            sum(when(p.toColumn, 1L).otherwise(0L)).as(s"q${qi}_p$pi")
+          }
+        }
+        val selRow = df.agg(flat.head, flat.tail: _*).collect()(0)
+        val heurEsts = qs.zipWithIndex.map { case (q, qi) =>
+          val sel = q.indices.map(pi =>
+            selRow.getAs[Long](s"q${qi}_p$pi").toDouble / n).product
+          math.ceil(sel * n)
+        }
+        val ps = new ProgressiveSampling(model, meta, numSamples = 500,
+          shortcircuit = true)
+        val psEsts = qs.map(q => ps.query(q).toDouble)
+        val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 1000)
+        val smEsts = qs.map(q => sm.query(q).toDouble)
+        val rows = Seq(
+          ("heuristic", heurEsts), ("psample", psEsts), ("msample", smEsts)
+        ).map { case (name, ests) =>
+          val errs = ests.zip(truths).map { case (e, t) =>
+            Workload.qError(e, t.toDouble)
+          }
+          val r = Workload.report(name, errs, 0.0)
+          (r.name, r.count, r.median, r.p95, r.p99, r.max)
+        }
+        rows.toDF("estimator", "n", "median", "p95", "p99", "max")
+          .orderBy("estimator")
+      },
+      None)
+  )
+
   def all: Seq[Entry] =
-    estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries
+    estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
+      neuralEntries.map { e =>
+        // q_workload_truths needs its oracle SQL generated from the same
+        // seeded workload the query runs (literals embedded in SQL).
+        if (e.name == "q_workload_truths") e.copy(oracle = workloadTruthsSql)
+        else e
+      }
+
+  /** Oracle SQL for q_workload_truths: regenerate the seeded workload
+    * from sf0.01 metadata-free info. The generator only needs domains
+    * for the dom<10 '=' rule and anchor rows — both derived from the
+    * data, so the driver's DuckDB run at sf0.01 must see the same
+    * queries the Spark run generated there. We keep a cache filled by
+    * the query fn at runtime.
+    */
+  @volatile private[graft] var workloadTruthsSql: Option[String] = None
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

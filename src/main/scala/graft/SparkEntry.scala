@@ -16,7 +16,11 @@ object SparkEntry {
       .select(lit("heuristic").as("estimator"), col("est_card"))
     val samp = Queries.queries("q_sample_card")(spark, dir)
       .select(lit("sampling").as("estimator"), col("est_card"))
-    oracle.union(heur).union(samp)
+    val psample = Queries.queries("q_psample_card")(spark, dir)
+      .select(lit("psample").as("estimator"), col("est_card"))
+    val msample = Queries.queries("q_model_sample_card")(spark, dir)
+      .select(lit("msample").as("estimator"), col("est_card"))
+    oracle.union(heur).union(samp).union(psample).union(msample)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

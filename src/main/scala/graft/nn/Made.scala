@@ -36,7 +36,7 @@ final class Made(
     val doDirectIo: Boolean = false,
     val columnMasking: Boolean = false,
     val seed: Long = 11123L,
-    val fixedOrdering: Array[Int] = null) {
+    val fixedOrdering: Array[Int] = null) extends Serializable {
 
   require(inputBins.length == nin)
   private val rng = new java.util.Random(seed)

@@ -10,7 +10,7 @@ package graft.nn
   * only encoded minibatches (bounded) flow in and model weights (MBs)
   * flow out; see graft.nn.Trainer.
   */
-final class Param(val data: Array[Float]) {
+final class Param(val data: Array[Float]) extends Serializable {
   val grad = new Array[Float](data.length)
   // Adam moments (estimators stay zero where grads are always zero, so
   // masked weight entries never drift away from zero).
@@ -23,7 +23,8 @@ final class Param(val data: Array[Float]) {
   * lr is overwritten by the schedule in the train loop).
   */
 final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
-    beta1: Float = 0.9f, beta2: Float = 0.999f, eps: Float = 1e-8f) {
+    beta1: Float = 0.9f, beta2: Float = 0.999f, eps: Float = 1e-8f)
+    extends Serializable {
   private var t = 0
   def zeroGrad(): Unit = params.foreach(_.zeroGrad())
   def step(): Unit = {
@@ -45,7 +46,7 @@ final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
   }
 }
 
-sealed trait Layer {
+sealed trait Layer extends Serializable {
   /** Forward; caches whatever backward needs. Returns [batch, nOut]. */
   def forward(x: Array[Float], batch: Int): Array[Float]
   /** Backward given dL/dOut; accumulates param grads, returns dL/dIn. */

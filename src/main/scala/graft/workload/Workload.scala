@@ -1,0 +1,130 @@
+package graft.workload
+
+import graft.core.TableMeta
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded query-workload generator + q-error evaluation harness — the
+  * Spark re-expression of reference eval_model.py:165-217 (generator +
+  * metric) and 258-375 (RunN / RunNParallel / report).
+  */
+object Workload {
+
+  /** q-error (reference ErrorMetric, eval_model.py:165-172): max of the
+    * two ratios, with the zero-cardinality conventions. */
+  def qError(est: Double, truth: Double): Double =
+    if (truth == 0 && est != 0) est
+    else if (truth != 0 && est == 0) truth
+    else if (truth == 0 && est == 0) 1.0
+    else math.max(est / truth, truth / est)
+
+  /** Deterministic anchor rows for the generator (the analog of
+    * `table.data.iloc[rng.randint(N)]`, eval_model.py:180): a systematic
+    * `hash % k == 0` subset, ordered, bounded — never a full collect.
+    */
+  def anchorRows(df: DataFrame, cols: Seq[String], n: Int): Array[Array[Any]] = {
+    val total = df.count()
+    val k = math.max(1L, total / math.max(1, n * 2))
+    val sel = df.select(cols.map(col): _*)
+      .filter(pmod(hash(cols.map(col): _*), lit(k)) === 0)
+      .limit(n * 4)
+      .collect()
+    sel.map(r => Array.tabulate(cols.length)(r.get)).toArray
+  }
+
+  /** Port of SampleTupleThenRandom/GenerateQuery (eval_model.py:175-217):
+    * per query draw an anchor row, pick `numFilters` distinct columns
+    * (numFilters ~ U[minFilters, maxFilters]), ops uniform from
+    * {<=, >=, =} but forced to '=' for domains < 10 (eval_model.py:192-195),
+    * literals = the anchor row's values. Null-valued picks are skipped
+    * (a null literal matches nothing under the reference's semantics).
+    */
+  def generate(meta: TableMeta, cols: Seq[String], anchors: Array[Array[Any]],
+      numQueries: Int, minFilters: Int, maxFilters: Int,
+      seed: Long = 1234L): Seq[Seq[Pred]] = {
+    require(anchors.nonEmpty, "no anchor rows")
+    val rng = new java.util.Random(seed)
+    val eligibleOps = Array[Op](Op.Leq, Op.Geq, Op.Eq)
+    (0 until numQueries).map { _ =>
+      val row = anchors(rng.nextInt(anchors.length))
+      val nf = math.min(cols.length,
+        minFilters + rng.nextInt(maxFilters - minFilters + 1))
+      // choose nf distinct column indices
+      val idxs = rng.ints(0, cols.length).distinct().limit(nf).toArray
+      idxs.toSeq.flatMap { ci =>
+        val cname = cols(ci)
+        val v = row(ci)
+        if (v == null) None
+        else {
+          val dom = meta.column(cname).distributionSize
+          val op =
+            if (dom < 10) Op.Eq
+            else eligibleOps(rng.nextInt(eligibleOps.length))
+          Some(Pred(cname, op, v))
+        }
+      }
+    }.filter(_.nonEmpty)
+  }
+
+  /** True cardinalities for a workload in ONE distributed pass: a single
+    * aggregation of count-if columns instead of one job per query —
+    * exactly the plan you want when the workload is large and the table
+    * is 100 TB (the reference's Oracle loops queries, estimators.py:516).
+    */
+  def trueCards(df: DataFrame, queries: Seq[Seq[Pred]]): Array[Long] = {
+    require(queries.nonEmpty)
+    val aggs = queries.zipWithIndex.map { case (q, i) =>
+      sum(when(Pred.conj(q), 1L).otherwise(0L)).as(s"q$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    Array.tabulate(queries.length)(i => row.getLong(i))
+  }
+
+  /** Same as a DataFrame (query_id, card) for the DuckDB oracle gate. */
+  def trueCardsDf(spark: SparkSession, df: DataFrame,
+      queries: Seq[Seq[Pred]]): DataFrame = {
+    import spark.implicits._
+    val cards = trueCards(df, queries)
+    cards.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("query_id", "card").orderBy("query_id")
+  }
+
+  def trueCardsSql(table: String, queries: Seq[Seq[Pred]]): String =
+    queries.zipWithIndex.map { case (q, i) =>
+      s"SELECT $i AS query_id, (SELECT count(*) FROM $table " +
+        s"WHERE ${Pred.whereSql(q)}) AS card"
+    }.mkString("", " UNION ALL ", " ORDER BY query_id")
+
+  final case class Report(name: String, count: Int, median: Double,
+      p95: Double, p99: Double, max: Double, meanMillis: Double)
+
+  /** Quantile report (reference CardEst.report / ReportEsts,
+    * estimators.py:85-90, eval_model.py:258-265). */
+  def report(name: String, errors: Seq[Double], meanMillis: Double): Report = {
+    val s = errors.sorted
+    def q(p: Double): Double =
+      if (s.isEmpty) Double.NaN else s(math.min(s.length - 1, (p * s.length).toInt))
+    Report(name, s.length, q(0.5), q(0.95), q(0.99),
+      if (s.isEmpty) Double.NaN else s.last, meanMillis)
+  }
+
+  /** Distributed batch runner — the RunNParallel analog
+    * (eval_model.py:303-375): partition the queries, broadcast the
+    * estimator (weights are MBs), run per-partition, collect per-query
+    * errors. `estimator` must be serializable.
+    */
+  def runDistributed(spark: SparkSession, estimator: Seq[Pred] => Long,
+      queries: Seq[Seq[Pred]], truths: Array[Long],
+      parallelism: Int = 8): Array[(Int, Long, Double)] = {
+    val bcEst = spark.sparkContext.broadcast(estimator)
+    val indexed = queries.zipWithIndex.map { case (q, i) => (i, q, truths(i)) }
+    spark.sparkContext.parallelize(indexed, parallelism)
+      .map { case (i, q, truth) =>
+        val est = bcEst.value(q)
+        (i, est, qError(est.toDouble, truth.toDouble))
+      }
+      .collect()
+      .sortBy(_._1)
+  }
+}

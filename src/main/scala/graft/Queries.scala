@@ -3,7 +3,7 @@ package graft
 import graft.core.{Dictionary, TableMeta, Tables}
 import graft.est.{Exact, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Similarity, TextOps}
 import graft.query.{Op, Pred}
 import graft.workload.Workload
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -224,6 +224,53 @@ object Queries {
       None)
   )
 
+  // ---- similarity search over embeddings (north star; SURVEY §7.5) ----
+
+  private def emb(s: SparkSession, d: String) = Tables.read(s, d, "embeddings")
+
+  /** Deterministic query vector (seeded, data-independent so the DuckDB
+    * oracle SQL is static). Testdata embeddings are 64-dim. */
+  private val annQueryVec: Array[Float] = {
+    val rng = new java.util.Random(20260812L)
+    Array.fill(64)(rng.nextGaussian().toFloat)
+  }
+
+  val embeddingEntries: Seq[Entry] = Seq(
+    // Brute-force cosine top-k — exact baseline, DuckDB-checked with a
+    // bit-identical left-assoc double expression on both sides.
+    Entry("q_ann_topk",
+      (s, d) => Similarity.bruteForceTopKIds(emb(s, d), "vec_id", "embedding",
+        annQueryVec, 10),
+      Some(Similarity.bruteForceTopKIdsSql("embeddings", "vec_id", "embedding",
+        annQueryVec, 10))),
+    // Sign-LSH bucketed approximate top-k — the scale path (prunes the
+    // scan to the query's bucket + Hamming-1 probes). Approximate by
+    // design -> rows-only check.
+    Entry("q_ann_lsh_topk",
+      (s, d) => Similarity.lshTopK(emb(s, d), "vec_id", "embedding",
+        annQueryVec, 10),
+      None),
+    // Embedding-cosine near-dup pairs via bucketed self-join (rows-only:
+    // LSH candidate generation is approximate).
+    Entry("q_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding",
+        threshold = 0.9),
+      None),
+    // Source sanity over the embeddings table (oracle-checked).
+    Entry("q_embed_stats",
+      (s, d) => emb(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("vec_id")).as("n_ids"),
+          min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim"))
+        .orderBy("label"),
+      Some("SELECT label, count(*) AS cnt, count(DISTINCT vec_id) AS n_ids, " +
+        "CAST(min(len(embedding)) AS INTEGER) AS min_dim, " +
+        "CAST(max(len(embedding)) AS INTEGER) AS max_dim " +
+        "FROM embeddings GROUP BY label ORDER BY label"))
+  )
+
   // ---- neural estimator suite (SURVEY §2.4-2.6) ----
 
   /** Columns the lineitem density model covers: the small-domain subset
@@ -351,6 +398,7 @@ object Queries {
 
   def all: Seq[Entry] =
     estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
+      embeddingEntries ++
       neuralEntries.map { e =>
         // q_workload_truths needs its oracle SQL generated from the same
         // seeded workload the query runs (literals embedded in SQL).

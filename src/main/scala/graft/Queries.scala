@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Dictionary, TableMeta, Tables}
-import graft.est.{Exact, ProgressiveSampling, SampleFromModel}
+import graft.est.{BayesNet, BayesNetEstimator, Exact, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
 import graft.ops.{Dedup, Similarity, TextOps}
 import graft.query.{Op, Pred}
@@ -320,6 +320,18 @@ object Queries {
       })
     }
 
+  private val bnCache = scala.collection.mutable.Map.empty[String, BayesNet]
+
+  /** Chow–Liu BN over the same lineitem subset (fit once per sfDir). */
+  def lineitemBn(s: SparkSession, d: String): BayesNet =
+    bnCache.synchronized {
+      bnCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        BayesNet.fit(df, meta)
+      })
+    }
+
   /** The evaluation workload over the modeled columns (seeded generator,
     * eval_model.py:175-217). */
   def lineitemWorkload(s: SparkSession, d: String,
@@ -365,6 +377,16 @@ object Queries {
         Seq(sm.query(W1)).toDF("est_card")
       },
       None),
+    // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
+    // analog; seeded deterministic, model-based -> rows-only check).
+    Entry("q_bn_card",
+      (s, d) => {
+        import s.implicits._
+        val bn = lineitemBn(s, d)
+        Seq(new BayesNetEstimator(bn, numSamples = 2000).query(W1))
+          .toDF("est_card")
+      },
+      None),
     // q-error quantile report for every estimator over the seeded
     // workload (RunN + ReportEsts, eval_model.py:258-300). One scan
     // computes all truths; the model estimators run on the driver.
@@ -393,8 +415,11 @@ object Queries {
         val psEsts = qs.map(q => ps.query(q).toDouble)
         val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 1000)
         val smEsts = qs.map(q => sm.query(q).toDouble)
+        val bnEst = new BayesNetEstimator(lineitemBn(s, d), numSamples = 500)
+        val bnEsts = qs.map(q => bnEst.query(q).toDouble)
         val rows = Seq(
-          ("heuristic", heurEsts), ("psample", psEsts), ("msample", smEsts)
+          ("heuristic", heurEsts), ("psample", psEsts), ("msample", smEsts),
+          ("bayesnet", bnEsts)
         ).map { case (name, ests) =>
           val errs = ests.zip(truths).map { case (e, t) =>
             Workload.qError(e, t.toDouble)

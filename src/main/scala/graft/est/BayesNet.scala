@@ -1,0 +1,192 @@
+package graft.est
+
+import graft.core.{Dictionary, TableMeta}
+import graft.query.Pred
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tree-structured Bayesian network cardinality estimator — the Spark
+  * re-expression of reference estimators.py:680-997 (there: pomegranate
+  * `from_samples` + pgmpy VariableElimination; here: Chow–Liu structure
+  * learning from pairwise mutual information, CPTs from co-occurrence
+  * counts, and progressive sampling over the tree).
+  *
+  * Distributed shape: structure learning needs one `groupBy(ci, cj)`
+  * aggregation per column pair (each a single shuffle over the encoded
+  * table, collected only as bounded (bin, bin, count) triples); CPTs
+  * reuse the same counts. Inference is driver-side over broadcast-able
+  * CPTs, like the reference's per-worker estimator replicas
+  * (eval_model.py:303-375).
+  *
+  * @param parent   parent(i) = parent column index in the tree, -1 = root
+  * @param order    topological sampling order (root first), analog of
+  *                 estimators.py:802-812
+  * @param marginals marginals(i)(b) = p(x_i = b), used for roots
+  * @param cpts     cpts(i)(parentBin)(b) = p(x_i = b | parent = parentBin)
+  */
+final class BayesNet(
+    val meta: TableMeta,
+    val parent: Array[Int],
+    val order: Array[Int],
+    val marginals: Array[Array[Double]],
+    val cpts: Array[Map[Int, Array[Double]]]) extends Serializable {
+
+  val nin: Int = meta.columns.length
+
+  /** Exact joint probability of a full bin assignment under the tree. */
+  def jointProb(bins: Array[Int]): Double = {
+    var p = 1.0
+    for (i <- 0 until nin) {
+      p *= (if (parent(i) < 0) marginals(i)(bins(i))
+            else cpts(i).get(bins(parent(i)))
+              .map(_(bins(i))).getOrElse(0.0))
+    }
+    p
+  }
+}
+
+object BayesNet {
+
+  /** Chow–Liu fit: pairwise MI via per-pair groupBy counts, max-weight
+    * spanning tree on the driver (column count is metadata-sized), CPTs
+    * from the same pairwise counts.
+    */
+  def fit(df: DataFrame, meta: TableMeta): BayesNet = {
+    val cols = meta.columns.map(_.name)
+    val nin = cols.length
+    val enc = Dictionary.discretize(df, meta.columns)
+      .select(cols.map(c => col(s"${c}_bin").as(c)): _*)
+    val n = meta.cardinality.toDouble
+
+    // Per-column marginal counts (one aggregation per column; domains are
+    // dictionary-sized so the collected rows are bounded).
+    val marginals: Array[Array[Double]] = Array.tabulate(nin) { i =>
+      val m = new Array[Double](meta.columns(i).distributionSize)
+      enc.groupBy(col(cols(i))).agg(count(lit(1)).as("c")).collect()
+        .foreach(r => m(r.getInt(0)) = r.getLong(1) / n)
+      m
+    }
+
+    // Pairwise joint counts + mutual information.
+    val pairCounts = scala.collection.mutable.Map
+      .empty[(Int, Int), Map[(Int, Int), Double]]
+    val mi = Array.ofDim[Double](nin, nin)
+    for (i <- 0 until nin; j <- i + 1 until nin) {
+      val joint = enc.groupBy(col(cols(i)), col(cols(j)))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2) / n).toMap
+      pairCounts((i, j)) = joint
+      var m = 0.0
+      joint.foreach { case ((bi, bj), pij) =>
+        val pi = marginals(i)(bi)
+        val pj = marginals(j)(bj)
+        if (pij > 0) m += pij * math.log(pij / (pi * pj))
+      }
+      mi(i)(j) = m
+      mi(j)(i) = m
+    }
+
+    // Max-weight spanning tree (Prim), rooted at column 0.
+    val parent = Array.fill(nin)(-1)
+    val inTree = Array.fill(nin)(false)
+    inTree(0) = true
+    for (_ <- 1 until nin) {
+      var bestI = -1; var bestJ = -1; var best = Double.NegativeInfinity
+      for (i <- 0 until nin if inTree(i); j <- 0 until nin if !inTree(j))
+        if (mi(i)(j) > best) { best = mi(i)(j); bestI = i; bestJ = j }
+      parent(bestJ) = bestI
+      inTree(bestJ) = true
+    }
+
+    // Topological order: parents before children (estimators.py:802-812).
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    while (order.length < nin) {
+      for (i <- 0 until nin
+           if !order.contains(i) && (parent(i) < 0 || order.contains(parent(i))))
+        order += i
+    }
+
+    // CPTs p(child | parent) from the pairwise joints.
+    val cpts: Array[Map[Int, Array[Double]]] = Array.tabulate(nin) { i =>
+      if (parent(i) < 0) Map.empty[Int, Array[Double]]
+      else {
+        val p = parent(i)
+        val joint =
+          if (p < i) pairCounts((p, i))
+          else pairCounts((i, p)).map { case ((a, b), v) => (b, a) -> v }
+        joint.groupBy(_._1._1).map { case (pb, entries) =>
+          val dist = new Array[Double](meta.columns(i).distributionSize)
+          val tot = entries.values.sum
+          entries.foreach { case ((_, cb), v) => dist(cb) = v / tot }
+          pb -> dist
+        }
+      }
+    }
+    new BayesNet(meta, parent, order.toArray, marginals, cpts)
+  }
+}
+
+/** Progressive sampling over the BN (reference Query,
+  * estimators.py:846-997): walk the topological order; per column compute
+  * the conditional given the sampled parent, marginalize the mass
+  * matching the predicate, renormalize vanished paths, sample forward.
+  */
+final class BayesNetEstimator(
+    val bn: BayesNet,
+    val numSamples: Int,
+    seed: Long = 1234L) extends Serializable {
+
+  private val rng = new java.util.Random(seed)
+
+  def selectivity(preds: Seq[Pred]): Double = {
+    val byCol = Pred.fillWildcards(bn.meta, preds)
+    val valid: Array[Array[Boolean]] = Array.tabulate(bn.nin) { i =>
+      val ps = byCol(i)
+      if (ps.isEmpty) null
+      else {
+        val masks = ps.map(_.domainMask(bn.meta.columns(i)))
+        Array.tabulate(bn.meta.columns(i).distributionSize)(j =>
+          masks.forall(_(j)))
+      }
+    }
+    val masses = Array.fill(numSamples)(1.0)
+    val sampled = Array.fill(numSamples, bn.nin)(-1)
+    for (i <- bn.order) {
+      val dom = bn.meta.columns(i).distributionSize
+      var r = 0
+      while (r < numSamples) {
+        val dist =
+          if (bn.parent(i) < 0) bn.marginals(i)
+          else bn.cpts(i).getOrElse(sampled(r)(bn.parent(i)),
+            new Array[Double](dom))
+        var mass = 0.0
+        var j = 0
+        while (j < dom) {
+          if (valid(i) == null || valid(i)(j)) mass += dist(j)
+          j += 1
+        }
+        if (valid(i) != null) masses(r) *= mass
+        // Sample forward from the (masked) conditional; vanished paths
+        // fall back to uniform so the walk can continue (its recorded
+        // mass is already ~0) — estimators.py:938-944.
+        var u = rng.nextDouble() * (if (mass > 0) mass else 1.0)
+        var pick = -1
+        j = 0
+        while (j < dom && pick < 0) {
+          val pj =
+            if (mass > 0) (if (valid(i) == null || valid(i)(j)) dist(j) else 0.0)
+            else 1.0 / dom
+          u -= pj
+          if (u <= 0) pick = j
+          j += 1
+        }
+        sampled(r)(i) = if (pick < 0) dom - 1 else pick
+        r += 1
+      }
+    }
+    masses.sum / numSamples
+  }
+
+  def query(preds: Seq[Pred]): Long =
+    math.ceil(selectivity(preds) * bn.meta.cardinality).toLong
+}

@@ -1,0 +1,85 @@
+package graft.est
+
+import graft.core.Dictionary
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class BayesNetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // Chain-correlated data a -> b -> c: the Chow-Liu tree can represent
+  // the joint exactly, so the BN estimate should track the truth.
+  private lazy val (df, rows) = {
+    val rng = new java.util.Random(11)
+    val rs = Seq.fill(2000) {
+      val a = rng.nextInt(4)
+      val b = (a + (if (rng.nextDouble() < 0.8) 0 else rng.nextInt(3))) % 4
+      val c = (b + (if (rng.nextDouble() < 0.8) 0 else rng.nextInt(4))) % 5
+      Row(a, b, c)
+    }
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("c", IntegerType)))
+    (spark.createDataFrame(spark.sparkContext.parallelize(rs, 2), schema), rs)
+  }
+
+  private lazy val meta = Dictionary.tableMeta(df, "t")
+  private lazy val bn = BayesNet.fit(df, meta)
+
+  test("BN joint distribution sums to 1") {
+    var total = 0.0
+    for (a <- 0 until 4; b <- 0 until 4; c <- 0 until 5)
+      total += bn.jointProb(Array(a, b, c))
+    assert(math.abs(total - 1.0) < 1e-9, s"sum=$total")
+  }
+
+  test("structure learning links the correlated chain") {
+    // Every non-root node's parent must be a genuinely correlated column;
+    // with a->b->c the tree edges must be exactly {a-b, b-c} (any rooting).
+    val edges = bn.parent.zipWithIndex.collect {
+      case (p, i) if p >= 0 => Set(p, i)
+    }.toSet
+    assert(edges == Set(Set(0, 1), Set(1, 2)), s"edges=$edges")
+  }
+
+  test("estimate matches exact BN marginalization") {
+    val preds = Seq(Pred("a", Op.Leq, 1), Pred("c", Op.Geq, 2))
+    val byBin = { // exact: sum joint over satisfying bin states
+      var s = 0.0
+      for (a <- 0 until 4; b <- 0 until 4; c <- 0 until 5
+           if a <= 1 && c >= 2) s += bn.jointProb(Array(a, b, c))
+      s
+    }
+    val est = new BayesNetEstimator(bn, numSamples = 4000).selectivity(preds)
+    assert(math.abs(est - byBin) <= 0.05 * byBin + 0.005,
+      s"est=$est exact=$byBin")
+  }
+
+  test("estimate tracks the true cardinality on tree-shaped data") {
+    val preds = Seq(Pred("a", Op.Eq, 2), Pred("c", Op.Leq, 3))
+    val truth = rows.count(r => r.getInt(0) == 2 && r.getInt(2) <= 3).toLong
+    val est = new BayesNetEstimator(bn, numSamples = 4000).query(preds)
+    val q = math.max(est.toDouble / truth, truth.toDouble / est)
+    assert(q < 1.5, s"q-error $q (est=$est truth=$truth)")
+  }
+
+  test("impossible conjunction estimates zero") {
+    val preds = Seq(Pred("b", Op.Eq, 3), Pred("b", Op.Eq, 0))
+    assert(new BayesNetEstimator(bn, 500).query(preds) == 0L)
+  }
+}

@@ -377,6 +377,18 @@ object Queries {
         Seq(sm.query(W1)).toDF("est_card")
       },
       None),
+    // Catalyst-CBO optimizer estimate on W1 — the reference's Postgres
+    // EXPLAIN baseline (estimators.py:619-677) re-expressed as ANALYZE
+    // TABLE + FilterEstimation (rows-only: engine-internal estimate).
+    Entry("q_cbo_card",
+      (s, d) => {
+        import s.implicits._
+        val tbl = "graft_cbo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        graft.est.Cbo.ensureAnalyzed(s,
+          li(s, d).select(modelCols.map(col): _*), tbl)
+        Seq(graft.est.Cbo.estimate(s, tbl, W1)).toDF("est_card")
+      },
+      None),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

@@ -134,7 +134,9 @@ object BayesNet {
 final class BayesNetEstimator(
     val bn: BayesNet,
     val numSamples: Int,
-    seed: Long = 1234L) extends Serializable {
+    seed: Long = 1234L) extends CardEst {
+
+  def name: String = s"bn_$numSamples"
 
   private val rng = new java.util.Random(seed)
 

@@ -1,0 +1,67 @@
+package graft.est
+
+import graft.query.Pred
+import graft.workload.Workload
+
+/** The estimator extension seam (reference CardEst base,
+  * estimators.py:29-90): `query` plus timing + error accumulation and
+  * quantile reporting. New estimators plug in by implementing `query`
+  * ("Other estimators can be appended as well", eval_model.py:587).
+  */
+trait CardEst extends Serializable {
+  def name: String
+  def query(preds: Seq[Pred]): Long
+
+  private val errors = scala.collection.mutable.ArrayBuffer[Double]()
+  private val estCards = scala.collection.mutable.ArrayBuffer[Long]()
+  private val durationsMs = scala.collection.mutable.ArrayBuffer[Double]()
+
+  /** Run one query against a known truth, recording error + latency
+    * (OnStart/OnEnd + AddError, estimators.py:55-67). */
+  def run(preds: Seq[Pred], truth: Long): Long = {
+    val t0 = System.nanoTime()
+    val est = query(preds)
+    durationsMs += (System.nanoTime() - t0) / 1e6
+    estCards += est
+    errors += Workload.qError(est.toDouble, truth.toDouble)
+    est
+  }
+
+  /** Merge stats from a worker replica (estimators.py:72-83). */
+  def merge(other: CardEst): Unit = {
+    errors ++= other.errors
+    estCards ++= other.estCards
+    durationsMs ++= other.durationsMs
+  }
+
+  def recordedErrors: Seq[Double] = errors.toSeq
+
+  /** max/99th/95th/median q-error + mean ms (estimators.py:85-90). */
+  def report: Workload.Report =
+    Workload.report(name, errors.toSeq,
+      if (durationsMs.isEmpty) Double.NaN
+      else durationsMs.sum / durationsMs.length)
+}
+
+/** The autoregressive-model extension seam (reference README.md:45 +
+  * duck-typed calls at estimators.py:177-354): any model exposing this
+  * surface can drive ProgressiveSampling.
+  */
+trait ArModel extends Serializable {
+  def nin: Int
+  /** Per-column domain sizes. */
+  def inputBins: Array[Int]
+  /** ordering(naturalIdx) = position in the autoregressive order. */
+  def ordering: Array[Int]
+  /** Whether wildcard ([MASK]) encodings are available. */
+  def columnMasking: Boolean
+  /** Width of the flat encoded-input buffer. */
+  def totalInputSize: Int
+  /** Encode one column's values (null = wildcard [MASK]) into `out`. */
+  def encodeColumn(naturalIdx: Int, values: Array[Int], out: Array[Float],
+      batch: Int): Unit
+  /** Forward from an encoded buffer to flat logits. */
+  def forwardEncoded(inp: Array[Float], batch: Int): Array[Float]
+  /** Slice/project the logits of `log p(x_idx | ...)`. */
+  def logitsForCol(idx: Int, logits: Array[Float], batch: Int): Array[Float]
+}

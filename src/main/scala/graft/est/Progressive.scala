@@ -21,11 +21,13 @@ import graft.query.Pred
   *   trained with columnMasking.
   */
 final class ProgressiveSampling(
-    val model: Made,
+    val model: ArModel,
     val meta: TableMeta,
     val numSamples: Int,
     val shortcircuit: Boolean = false,
-    seed: Long = 1234L) extends Serializable {
+    seed: Long = 1234L) extends CardEst {
+
+  def name: String = s"psample_$numSamples"
 
   require(meta.columns.length == model.nin)
   require(!shortcircuit || model.columnMasking,
@@ -162,7 +164,9 @@ final class SampleFromModel(
     val model: Made,
     val meta: TableMeta,
     val numSamplesPerQuery: Int,
-    seed: Long = 1234L) extends Serializable {
+    seed: Long = 1234L) extends CardEst {
+
+  def name: String = s"msample_$numSamplesPerQuery"
 
   private val rng = new java.util.Random(seed)
 

@@ -36,7 +36,8 @@ final class Made(
     val doDirectIo: Boolean = false,
     val columnMasking: Boolean = false,
     val seed: Long = 11123L,
-    val fixedOrdering: Array[Int] = null) extends Serializable {
+    val fixedOrdering: Array[Int] = null)
+    extends graft.est.ArModel {
 
   require(inputBins.length == nin)
   private val rng = new java.util.Random(seed)

@@ -109,6 +109,24 @@ object Workload {
       if (s.isEmpty) Double.NaN else s.last, meanMillis)
   }
 
+  /** Results sink (reference SaveEstimators, eval_model.py:450-464):
+    * per-query rows (est, err, est_card, true_card, query_dur_ms) → CSV.
+    */
+  def saveResults(spark: SparkSession, path: String,
+      rows: Seq[(String, Double, Long, Long, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("est", "err", "est_card", "true_card", "query_dur_ms")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Golden-card source (reference LoadOracleCardinalities,
+    * eval_model.py:467-476): one true cardinality per line, header row.
+    */
+  def loadOracleCards(spark: SparkSession, path: String): Array[Long] =
+    spark.read.option("header", "true").csv(path)
+      .collect().map(_.getString(0).toLong)
+
   /** Distributed batch runner — the RunNParallel analog
     * (eval_model.py:303-375): partition the queries, broadcast the
     * estimator (weights are MBs), run per-partition, collect per-query

@@ -320,6 +320,28 @@ object Queries {
       })
     }
 
+  private val transformerCache =
+    scala.collection.mutable.Map.empty[String, (graft.nn.Transformer, TableMeta)]
+
+  /** Small decoder-only Transformer over the same lineitem subset — the
+    * second model family (transformer.py:267-598). */
+  def lineitemTransformer(s: SparkSession, d: String): (graft.nn.Transformer, TableMeta) =
+    transformerCache.synchronized {
+      transformerCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 30000)
+        val model = new graft.nn.Transformer(
+          nin = modelCols.length,
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          dModel = 16, dFf = 32, numHeads = 2, numBlocks = 2,
+          columnMasking = true, seed = 11123L)
+        Trainer.train(model, data, epochs = 2, batchSize = 1024,
+          schedule = Trainer.ConstantLr(5e-3f), seed = 0L)
+        (model, meta)
+      })
+    }
+
   private val bnCache = scala.collection.mutable.Map.empty[String, BayesNet]
 
   /** Chow–Liu BN over the same lineitem subset (fit once per sfDir). */
@@ -375,6 +397,17 @@ object Queries {
         val (model, meta) = lineitemModel(s, d)
         val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 2000)
         Seq(sm.query(W1)).toDF("est_card")
+      },
+      None),
+    // Transformer-backed progressive sampling on W1 (the second model
+    // family; seeded deterministic, model-based -> rows-only check).
+    Entry("q_psample_transformer",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemTransformer(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        Seq(ps.query(W1)).toDF("est_card")
       },
       None),
     // Catalyst-CBO optimizer estimate on W1 — the reference's Postgres

@@ -16,6 +16,18 @@ object Cbo {
       tableName: String): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     if (!spark.catalog.tableExists(tableName)) {
+      // The in-memory catalog forgets tables between sessions but the
+      // warehouse directory persists; clear a stale location first.
+      val warehouse = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = new java.io.File(warehouse, tableName.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
       df.write.mode("overwrite").saveAsTable(tableName)
       spark.sql(
         s"ANALYZE TABLE $tableName COMPUTE STATISTICS FOR ALL COLUMNS")

@@ -37,7 +37,7 @@ final class Made(
     val columnMasking: Boolean = false,
     val seed: Long = 11123L,
     val fixedOrdering: Array[Int] = null)
-    extends graft.est.ArModel {
+    extends graft.est.ArModel with Trainable {
 
   require(inputBins.length == nin)
   private val rng = new java.util.Random(seed)

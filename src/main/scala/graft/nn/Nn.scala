@@ -46,6 +46,19 @@ final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
   }
 }
 
+/** The train-loop surface shared by both model families (MADE and the
+  * Transformer): opaque forward output consumed by the model's own NLL.
+  */
+trait Trainable extends Serializable {
+  def params: Seq[Param]
+  def parameterCount: Long
+  def forward(data: Array[Array[Int]], train: Boolean): Array[Float]
+  def nllWithGrad(logits: Array[Float], data: Array[Array[Int]],
+      batch: Int): (Double, Array[Float])
+  def nll(logits: Array[Float], data: Array[Array[Int]], batch: Int): Double
+  def backward(grad: Array[Float], batch: Int): Unit
+}
+
 sealed trait Layer extends Serializable {
   /** Forward; caches whatever backward needs. Returns [batch, nOut]. */
   def forward(x: Array[Float], batch: Int): Array[Float]

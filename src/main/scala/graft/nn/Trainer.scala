@@ -67,7 +67,7 @@ object Trainer {
     * shuffled batches, per-step LR from the schedule, per-column
     * cross-entropy NLL, entropy-gap logging in bits.
     */
-  def train(model: Made, data: Array[Array[Int]], epochs: Int,
+  def train(model: Trainable, data: Array[Array[Int]], epochs: Int,
       batchSize: Int = 2048, schedule: LrSchedule = ConstantLr(2e-4f),
       tableBits: Double = Double.NaN, seed: Long = 0L,
       verbose: Boolean = false): Seq[EpochLog] = {
@@ -112,7 +112,7 @@ object Trainer {
   }
 
   /** Full-data NLL in eval mode (no column-mask dropout), batched. */
-  def evalNll(model: Made, data: Array[Array[Int]],
+  def evalNll(model: Trainable, data: Array[Array[Int]],
       batchSize: Int = 4096): Double = {
     var total = 0.0
     var off = 0
@@ -130,7 +130,7 @@ object Trainer {
   // metric-encoded filename; eval_model.py:497-508 regex-parses it) ----
 
   /** `<dir>/<dataset>-<MB>MB-model<bits>-data<bits>-made-<epochs>epochs-seed<seed>.gmdl` */
-  def checkpointPath(dir: String, dataset: String, model: Made,
+  def checkpointPath(dir: String, dataset: String, model: Trainable,
       modelBits: Double, dataBits: Double, epochs: Int, seed: Long): String = {
     val mb = model.parameterCount * 4.0 / 1e6
     f"$dir/$dataset-$mb%.1fMB-model$modelBits%.3f-data$dataBits%.3f-made-${epochs}epochs-seed$seed.gmdl"
@@ -138,7 +138,7 @@ object Trainer {
 
   private val MagicV1 = 0x47524654 // "GRFT"
 
-  def save(model: Made, path: String): Unit = {
+  def save(model: Trainable, path: String): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -155,7 +155,7 @@ object Trainer {
   }
 
   /** Load weights into a structurally identical model. */
-  def load(model: Made, path: String): Unit = {
+  def load(model: Trainable, path: String): Unit = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(path)))
     try {
@@ -170,12 +170,16 @@ object Trainer {
         while (i < len) { p.data(i) = in.readFloat(); i += 1 }
       }
     } finally in.close()
-    // Re-assert the mask invariant on loaded weights.
-    model.layers.foreach {
-      case l: MaskedLinear => l.applyMask()
-      case b: MaskedResidualBlock => b.l1.applyMask(); b.l2.applyMask()
+    // Re-assert the mask invariant on loaded MADE weights.
+    model match {
+      case m: Made =>
+        m.layers.foreach {
+          case l: MaskedLinear => l.applyMask()
+          case b: MaskedResidualBlock => b.l1.applyMask(); b.l2.applyMask()
+          case _ => ()
+        }
+        if (m.directIoLayer != null) m.directIoLayer.applyMask()
       case _ => ()
     }
-    if (model.directIoLayer != null) model.directIoLayer.applyMask()
   }
 }

@@ -399,6 +399,18 @@ object Queries {
         Seq(sm.query(W1)).toDF("est_card")
       },
       None),
+    // MaxDiff(V,A) histogram estimate on W1 (estimators.py:1000-1408;
+    // deterministic build -> rows-only check).
+    Entry("q_maxdiff_card",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 50000)
+        val h = graft.est.MaxDiffHistogram.build(meta, data, limit = 200)
+        Seq(h.query(W1)).toDF("est_card")
+      },
+      None),
     // Transformer-backed progressive sampling on W1 (the second model
     // family; seeded deterministic, model-based -> rows-only check).
     Entry("q_psample_transformer",

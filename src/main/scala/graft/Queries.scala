@@ -3,7 +3,7 @@ package graft
 import graft.core.{Dictionary, TableMeta, Tables}
 import graft.est.{BayesNet, BayesNetEstimator, Exact, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{Op, Pred}
 import graft.workload.Workload
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -233,6 +233,21 @@ object Queries {
     Entry("q_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
+      None),
+    // Multimodal binary-column stats (documents lifted into the
+    // binary-asset schema; oracle via DuckDB BLOB functions).
+    Entry("q_multimodal_stats",
+      (s, d) => Multimodal.stats(
+        Multimodal.fromText(docs(s, d), "doc_id", "text")),
+      Some(Multimodal.statsSql("documents", "doc_id", "text"))),
+    // Batched per-partition byte-histogram features over binary payloads
+    // (real mapPartitions decode plumbing; rows-only check).
+    Entry("q_multimodal_features",
+      (s, d) => Multimodal.byteHistogramFeatures(
+        Multimodal.fromText(docs(s, d), "doc_id", "text"), bins = 16)
+        .select(col("asset_id"), col("byte_entropy"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("asset_id"),
       None)
   )
 

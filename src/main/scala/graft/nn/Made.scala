@@ -19,7 +19,10 @@ package graft.nn
   * @param nin            number of columns
   * @param hiddenSizes    hidden layer widths
   * @param inputBins      per-column domain sizes (made.py:86-88)
-  * @param inputEncoding  null | "one_hot" | "binary" (made.py:595-612)
+  * @param inputEncoding  null | "one_hot" | "binary" | "embed"
+  *                       (made.py:595-612); "embed" uses a learnable
+  *                       per-column embedding, falling back to one-hot
+  *                       for domains <= embedSize (made.py:177-184)
   * @param residual       ResMADE residual blocks (made.py:100)
   * @param doDirectIo     direct input→output connections (made.py:90-91)
   * @param columnMasking  train-time wildcard dropout enabling the
@@ -36,7 +39,9 @@ final class Made(
     val doDirectIo: Boolean = false,
     val columnMasking: Boolean = false,
     val seed: Long = 11123L,
-    val fixedOrdering: Array[Int] = null)
+    val fixedOrdering: Array[Int] = null,
+    val embedSize: Int = 32,
+    val inputNoEmbIfLeq: Boolean = true)
     extends graft.est.ArModel with Trainable {
 
   require(inputBins.length == nin)
@@ -48,8 +53,16 @@ final class Made(
     case "one_hot" => inputBins(i)
     case "binary" =>
       math.max(1, math.ceil(math.log(inputBins(i)) / math.log(2)).toInt)
+    case "embed" =>
+      if (inputNoEmbIfLeq) math.min(inputBins(i), embedSize) else embedSize
     case other => throw new IllegalArgumentException(other)
   }
+
+  /** Whether column i uses a learnable embedding (vs one-hot fallback,
+    * made.py:180-184). */
+  def usesEmbedding(i: Int): Boolean =
+    inputEncoding == "embed" &&
+      (inputBins(i) > embedSize || !inputNoEmbIfLeq)
 
   /** Output head width of column i (one_hot output; made.py:265-275). */
   def outputEncodedSize(i: Int): Int = inputBins(i)
@@ -97,13 +110,28 @@ final class Made(
     if (columnMasking) Array.tabulate(nin)(i => new Param(new Array[Float](inputBinsEncoded(i))))
     else null
 
+  /** Per-column input embeddings [dom_i, encodedWidth_i] where active
+    * (made.py:177-184); normal(0.02) init (train_model.py:326-327). */
+  val embedWeights: Array[Param] = Array.tabulate(nin) { i =>
+    if (usesEmbedding(i)) {
+      val p = new Param(new Array[Float](inputBins(i) * inputBinsEncoded(i)))
+      val erng = new java.util.Random(seed + 77 + i)
+      var k = 0
+      while (k < p.data.length) {
+        p.data(k) = (erng.nextGaussian() * 0.02).toFloat; k += 1
+      }
+      p
+    } else null
+  }
+
   buildMasks()
   initWeights()
 
   def params: Seq[Param] =
     layers.flatMap(_.params).toSeq ++
       (if (directIoLayer != null) directIoLayer.params else Nil) ++
-      (if (unkEmbeddings != null) unkEmbeddings.toSeq else Nil)
+      (if (unkEmbeddings != null) unkEmbeddings.toSeq else Nil) ++
+      embedWeights.filter(_ != null).toSeq
 
   def parameterCount: Long = params.map(_.data.length.toLong).sum
 
@@ -210,6 +238,25 @@ final class Made(
         r += 1
       }
     } else inputEncoding match {
+      case "embed" =>
+        val w = inputBinsEncoded(naturalIdx)
+        if (usesEmbedding(naturalIdx)) {
+          val e = embedWeights(naturalIdx).data
+          var r = 0
+          while (r < batch) {
+            System.arraycopy(e, values(r) * w, out, r * stride + off, w)
+            r += 1
+          }
+        } else {
+          // one-hot fallback for small domains (made.py:435-440)
+          var r = 0
+          while (r < batch) {
+            val base = r * stride + off
+            java.util.Arrays.fill(out, base, base + w, 0f)
+            out(base + values(r)) = 1f
+            r += 1
+          }
+        }
       case "one_hot" =>
         var r = 0
         while (r < batch) {
@@ -236,6 +283,7 @@ final class Made(
 
   /** Per-batch column-masking state for backprop into unk embeddings. */
   private var dropMask: Array[Array[Boolean]] = null
+  private var dataCache: Array[Array[Int]] = null
 
   /** Full-row encode of a training batch `data[r][c]` = bin id. With
     * columnMasking and train=true, applies the reference's wildcard
@@ -246,6 +294,7 @@ final class Made(
     val batch = data.length
     val out = new Array[Float](batch * totalInputSize)
     val colBuf = new Array[Int](batch)
+    dataCache = data
     dropMask = null
     if (columnMasking && train) dropMask = new Array[Array[Boolean]](nin)
     for (c <- 0 until nin) {
@@ -307,19 +356,26 @@ final class Made(
       var k = 0
       while (k < g.length) { g(k) += gDirect(k); k += 1 }
     }
-    // g = dL/dEncodedInput; route dropped slices into unk embedding grads.
-    if (dropMask != null) {
+    // g = dL/dEncodedInput; route dropped slices into unk embedding
+    // grads and non-dropped embed-encoded slices into the input
+    // embeddings (made.py:448-449 backprop path).
+    if (dropMask != null || embedWeights.exists(_ != null)) {
       for (c <- 0 until nin) {
-        val drops = dropMask(c)
         val off = if (c == 0) 0 else inputBinsEncodedCumsum(c - 1)
         val w = inputBinsEncoded(c)
-        val ug = unkEmbeddings(c).grad
+        val drops = if (dropMask != null) dropMask(c) else null
+        val eg = if (embedWeights(c) != null) embedWeights(c).grad else null
         var r = 0
         while (r < batch) {
-          if (drops(r)) {
-            val base = r * totalInputSize + off
+          val base = r * totalInputSize + off
+          if (drops != null && drops(r)) {
+            val ug = unkEmbeddings(c).grad
             var j = 0
             while (j < w) { ug(j) += g(base + j); j += 1 }
+          } else if (eg != null) {
+            val eo = dataCache(r)(c) * w
+            var j = 0
+            while (j < w) { eg(eo + j) += g(base + j); j += 1 }
           }
           r += 1
         }

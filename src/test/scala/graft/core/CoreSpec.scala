@@ -142,6 +142,38 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q1.flatten.forall(_.op == Op.Eq))
   }
 
+  test("distributed runner partitions queries and computes q-errors") {
+    val queries = Seq(
+      Seq(Pred("d", Op.Leq, 2.0)), Seq(Pred("d", Op.Geq, 1.0)),
+      Seq(Pred("d", Op.Eq, 3.0)))
+    val truths = Array(3L, 5L, 2L)
+    val est: Seq[Pred] => Long = _.length match { case _ => 4L }
+    val res = Workload.runDistributed(spark, est, queries, truths,
+      parallelism = 2)
+    assert(res.length == 3)
+    assert(res.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(res.forall(_._2 == 4L))
+    assert(math.abs(res(0)._3 - 4.0 / 3.0) < 1e-12)
+    assert(math.abs(res(1)._3 - 5.0 / 4.0) < 1e-12)
+  }
+
+  test("results sink and golden-card source round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("results").toString
+    Workload.saveResults(spark, s"$dir/results",
+      Seq(("psample", 1.5, 15L, 10L, 3.2), ("oracle", 1.0, 10L, 10L, 9.9)))
+    val back = spark.read.option("header", "true").csv(s"$dir/results")
+    assert(back.count() == 2)
+    assert(back.columns.toSeq ==
+      Seq("est", "err", "est_card", "true_card", "query_dur_ms"))
+    // Golden-card file: header + one true card per line.
+    val s2 = spark
+    import s2.implicits._
+    Seq(10L, 20L, 30L).toDF("card").coalesce(1)
+      .write.option("header", "true").csv(s"$dir/golden")
+    val cards = Workload.loadOracleCards(spark, s"$dir/golden")
+    assert(cards.sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("checkpoint save/load round-trips the model bit-exactly") {
     val model = new graft.nn.Made(2, Seq(8), Array(3, 4),
       inputEncoding = "one_hot", columnMasking = true, seed = 17)

@@ -54,14 +54,16 @@ class MadeSpec extends AnyFunSuite {
     val bins = Array(3, 4, 2, 5)
     val orderings = Seq(null, Array(2, 0, 3, 1), Array(3, 2, 1, 0))
     for {
-      enc <- Seq("one_hot", "binary")
+      enc <- Seq("one_hot", "binary", "embed")
       res <- Seq(false, true)
       directIo <- Seq(false, true)
       ord <- orderings
     } {
+      // embedSize=3 makes columns with dom>3 use learnable embeddings
+      // and the rest fall back to one-hot (made.py:180-184).
       val model = new Made(4, Seq(16, 16), bins, inputEncoding = enc,
         residual = res, doDirectIo = directIo,
-        fixedOrdering = if (ord == null) null else ord)
+        fixedOrdering = if (ord == null) null else ord, embedSize = 3)
       val ordering = model.ordering
       val cumOut = model.logitIndices
       val cumIn = model.inputBinsEncodedCumsum
@@ -128,6 +130,38 @@ class MadeSpec extends AnyFunSuite {
       }
     }
     assert(checked > 20)
+  }
+
+  test("embed input encoding: backprop matches finite differences") {
+    val bins = Array(6, 4, 7)
+    val model = new Made(3, Seq(8), bins, inputEncoding = "embed",
+      embedSize = 4, seed = 8)
+    val rng = new java.util.Random(4)
+    val data = Array.fill(4)(bins.map(b => rng.nextInt(b)))
+    def loss(): Double = {
+      val logits = model.forward(data, train = false)
+      model.nll(logits, data, data.length)
+    }
+    model.params.foreach(_.zeroGrad())
+    val logits = model.forward(data, train = false)
+    val (_, gradLogits) = model.nllWithGrad(logits, data, data.length)
+    model.backward(gradLogits, data.length)
+    // Check the embedding params specifically (plus spot-check others).
+    val eps = 1e-3f
+    var checked = 0
+    for (p <- model.embedWeights.filter(_ != null);
+         i <- Seq(0, p.data.length / 2, p.data.length - 1).distinct) {
+      val orig = p.data(i)
+      p.data(i) = orig + eps; val lp = loss()
+      p.data(i) = orig - eps; val lm = loss()
+      p.data(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      assert(math.abs(numeric - p.grad(i)) <= 1e-3 + 0.05 * math.abs(numeric),
+        s"embed grad mismatch at $i: analytic=${p.grad(i)} numeric=$numeric")
+      checked += 1
+    }
+    assert(checked >= 6)
+    assert(model.embedWeights.count(_ != null) == 2) // dom 6 and 7 > embedSize 4
   }
 
   test("column-masking wildcard embedding gets gradients") {

@@ -157,6 +157,16 @@ object Queries {
         s"SELECT count(*) AS group_size FROM lineitem GROUP BY " +
         dictCols.mkString(", ") +
         ") GROUP BY group_size ORDER BY group_size")),
+    // Exact discrete quantiles (SURVEY §2.7) via an identical
+    // rank-window formulation on both engines: value at 0-based index
+    // floor(p*(n-1)) of the sorted column — percentile_disc semantics,
+    // integer indexing, no interpolation arithmetic to diverge on.
+    Entry("q_quantiles",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql(Queries.quantilesSql)
+      },
+      Some(quantilesSql)),
     // Time-bucketed aggregation over the event stream table.
     Entry("q_events_hourly",
       (s, d) => Tables.read(s, d, "events")
@@ -505,6 +515,17 @@ object Queries {
       None)
   )
 
+  /** Runs verbatim in Spark SQL and DuckDB (ANSI window functions).
+    * lazy: referenced from entry vals declared earlier in this object. */
+  lazy val quantilesSql: String =
+    "WITH s AS (SELECT l_quantity AS v, " +
+      "row_number() OVER (ORDER BY l_quantity) AS rn, " +
+      "count(*) OVER () AS n FROM lineitem) " +
+      Seq(0.25, 0.5, 0.75, 0.95).map { p =>
+        s"SELECT CAST($p AS DOUBLE) AS p, max(CASE WHEN rn = " +
+          s"CAST(floor($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS value FROM s"
+      }.mkString("", " UNION ALL ", " ORDER BY p")
+
   def all: Seq[Entry] =
     estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
       embeddingEntries ++
@@ -527,6 +548,11 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap
 
-  def oracleSql: Map[String, String] =
-    all.flatMap(e => e.oracle.map(e.name -> _)).toMap
+  def oracleSql: Map[String, String] = {
+    val m = all.flatMap(e => e.oracle.map(e.name -> _)).toMap
+    m.foreach { case (k, v) =>
+      require(v != null, s"null oracle SQL for $k (val init order?)")
+    }
+    m
+  }
 }

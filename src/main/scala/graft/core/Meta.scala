@@ -89,6 +89,24 @@ object Tables {
     if (table == "events") readEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** CSV scan with projection — the reference's load path
+    * (`pd.read_csv(usecols=cols)`, common.py:186-193): header CSV with
+    * an explicit schema (type casts, common.py:195-214, including
+    * timestamp parsing), projected so column pruning reaches the scan.
+    */
+  def readCsv(spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String] = Nil,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .schema(schema)
+      .csv(path)
+    if (cols.isEmpty) df else df.select(cols.map(col): _*)
+  }
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. Read nanos as long and floor to microseconds
     * (what DuckDB's µs TIMESTAMP does on read) via `(ts - pmod(ts,1000))

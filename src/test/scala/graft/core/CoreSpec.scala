@@ -174,6 +174,21 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cards.sorted.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("CSV scan with projection and type casts") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.csv"),
+      "a,b,ts\n1,x,2024-01-02 03:04:05\n2,y,2024-06-07 08:09:10\n")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("ts", TimestampType)))
+    val t = Tables.readCsv(spark, s"$dir/t.csv", schema, Seq("a", "ts"))
+    assert(t.columns.toSeq == Seq("a", "ts"))
+    val rows2 = t.orderBy("a").collect()
+    assert(rows2.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows2(0).getTimestamp(1).toString.startsWith("2024-01-02"))
+  }
+
   test("checkpoint save/load round-trips the model bit-exactly") {
     val model = new graft.nn.Made(2, Seq(8), Array(3, 4),
       inputEncoding = "one_hot", columnMasking = true, seed = 17)

@@ -20,7 +20,16 @@ object SparkEntry {
       .select(lit("psample").as("estimator"), col("est_card"))
     val msample = Queries.queries("q_model_sample_card")(spark, dir)
       .select(lit("msample").as("estimator"), col("est_card"))
+    val transformer = Queries.queries("q_psample_transformer")(spark, dir)
+      .select(lit("psample_transformer").as("estimator"), col("est_card"))
+    val bn = Queries.queries("q_bn_card")(spark, dir)
+      .select(lit("bayesnet").as("estimator"), col("est_card"))
+    val maxdiff = Queries.queries("q_maxdiff_card")(spark, dir)
+      .select(lit("maxdiff").as("estimator"), col("est_card"))
+    val cbo = Queries.queries("q_cbo_card")(spark, dir)
+      .select(lit("cbo").as("estimator"), col("est_card"))
     oracle.union(heur).union(samp).union(psample).union(msample)
+      .union(transformer).union(bn).union(maxdiff).union(cbo)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

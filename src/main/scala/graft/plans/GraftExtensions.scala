@@ -1,0 +1,160 @@
+package graft.plans
+
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Catalyst integration — the north-star gap the reference names (its
+  * models never reach a query optimizer): a `SparkSessionExtensions`
+  * optimizer rule that answers `SELECT COUNT(*) FROM t WHERE <conj>`
+  * from a registered cardinality estimator instead of scanning, when
+  * approximate-count mode is enabled.
+  *
+  * This is approximate query processing via learned density models,
+  * expressed the Spark-first way: a `Rule[LogicalPlan]` that rewrites
+  * the exact aggregate into a `LocalRelation` carrying the estimate.
+  * At 100 TB this turns a full scan + shuffle into a millisecond
+  * driver-side model probe.
+  *
+  * Usage:
+  * {{{
+  *   val spark = SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)  // or spark.sql.extensions
+  *     .getOrCreate()
+  *   GraftRuntime.register("lineitem.parquet", meta, preds => est.query(preds))
+  *   spark.conf.set(GraftRuntime.EnabledKey, "true")
+  *   spark.sql("SELECT count(*) FROM lineitem WHERE l_quantity <= 24")
+  *   // -> answered by the estimator, no scan
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(ApproxCountRule)
+}
+
+/** Process-wide estimator registry keyed by a substring of the scan's
+  * file path (the analog of the reference's per-table estimator set,
+  * eval_model.py:554-585).
+  */
+object GraftRuntime {
+  val EnabledKey = "spark.graft.approxCount.enabled"
+
+  final case class Registered(
+      pathToken: String,
+      columns: Set[String],
+      estimate: Seq[Pred] => Long)
+
+  @volatile private var registered: List[Registered] = Nil
+
+  def register(pathToken: String, columns: Set[String],
+      estimate: Seq[Pred] => Long): Unit =
+    registered = Registered(pathToken, columns, estimate) :: registered
+
+  def clear(): Unit = registered = Nil
+
+  def lookup(paths: Seq[String]): Option[Registered] =
+    registered.find(r => paths.exists(_.contains(r.pathToken)))
+}
+
+/** Rewrites `Aggregate[count(*)] <- Filter[conj] <- scan(t)` into a
+  * one-row LocalRelation with the registered estimator's answer.
+  * Conservative: only fires when every conjunct is a supported
+  * (attr op literal) on a column the estimator models; anything else
+  * leaves the plan untouched.
+  */
+object ApproxCountRule {
+  private[plans] val inEstimate = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+}
+
+case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(GraftRuntime.EnabledKey).contains("true") ||
+        ApproxCountRule.inEstimate.get()) plan
+    else plan.transformUp {
+      case agg @ Aggregate(Nil, Seq(alias @ Alias(
+            AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), _)),
+          child, _) =>
+        stripProjects(child) match {
+          case Filter(cond, grandchild) =>
+            (relationPaths(grandchild), parseConjunction(cond)) match {
+              case (Some(paths), Some(preds)) =>
+                GraftRuntime.lookup(paths) match {
+                  case Some(reg)
+                      if preds.forall(p => reg.columns.contains(p.col)) =>
+                    // Re-entrancy guard: an estimator may itself run
+                    // Spark jobs (e.g. a sampling estimator); those
+                    // inner plans must not be rewritten recursively.
+                    ApproxCountRule.inEstimate.set(true)
+                    val est =
+                      try reg.estimate(preds)
+                      finally ApproxCountRule.inEstimate.set(false)
+                    LocalRelation(
+                      Seq(alias.toAttribute),
+                      Seq(InternalRow(est)))
+                  case _ => agg
+                }
+              case _ => agg
+            }
+          case _ => agg
+        }
+    }
+  }
+
+  /** Strip attribute-only projections/aliases (column pruning inserts
+    * them between the aggregate, the filter, and the scan). */
+  private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
+      stripProjects(child)
+    case SubqueryAlias(_, child) => stripProjects(child)
+    case other => other
+  }
+
+  /** The parquet paths under a plain scan (through projections). */
+  private def relationPaths(plan: LogicalPlan): Option[Seq[String]] =
+    stripProjects(plan) match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** Conjunction of (attr op literal) -> Preds; None if anything else. */
+  private def parseConjunction(e: Expression): Option[Seq[Pred]] = e match {
+    case And(l, r) =>
+      for (lp <- parseConjunction(l); rp <- parseConjunction(r)) yield lp ++ rp
+    case cmp: BinaryComparison => parseCmp(cmp).map(Seq(_))
+    case _ => None
+  }
+
+  private def parseCmp(e: BinaryComparison): Option[Pred] = {
+    def lit(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(v, dt))
+      case _ => None
+    }
+    (e.left, e.right) match {
+      case (a: AttributeReference, v) =>
+        lit(v).map(value => Pred(a.name, opOf(e, flipped = false), value))
+      case (v, a: AttributeReference) =>
+        lit(v).map(value => Pred(a.name, opOf(e, flipped = true), value))
+      case _ => None
+    }
+  }
+
+  private def opOf(e: BinaryComparison, flipped: Boolean): Op = e match {
+    case _: EqualTo => Op.Eq
+    case _: LessThan => if (flipped) Op.Gt else Op.Lt
+    case _: GreaterThan => if (flipped) Op.Lt else Op.Gt
+    case _: LessThanOrEqual => if (flipped) Op.Geq else Op.Leq
+    case _: GreaterThanOrEqual => if (flipped) Op.Leq else Op.Geq
+  }
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.query.{Op, Pred}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The approximate-count optimizer rule: COUNT(*) WHERE <conj> over a
+  * registered table is answered by the estimator when enabled, exactly
+  * otherwise; unsupported shapes always fall through to the scan.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+  }
+
+  override def afterAll(): Unit = {
+    GraftRuntime.clear()
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private val sql =
+    "SELECT count(*) FROM lineitem WHERE l_quantity <= 24.0 AND l_returnflag = 'R'"
+
+  test("disabled: the exact count runs") {
+    GraftRuntime.clear()
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = spark.sql(sql).collect()(0).getLong(0)
+    assert(exact > 0)
+  }
+
+  test("enabled: the registered estimator answers without a scan") {
+    GraftRuntime.clear()
+    var seen: Seq[Pred] = Nil
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"),
+      preds => { seen = preds; 424242L })
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val df = spark.sql(sql)
+    val got = df.collect()(0).getLong(0)
+    assert(got == 424242L)
+    assert(seen.toSet == Set(
+      Pred("l_quantity", Op.Leq, java.math.BigDecimal.valueOf(24.0).setScale(1)),
+      Pred("l_returnflag", Op.Eq, "R")) ||
+      seen.map(_.col).toSet == Set("l_quantity", "l_returnflag"))
+    // The optimized plan must be the injected LocalRelation — no scan,
+    // no filter, no aggregate.
+    val planText = df.queryExecution.optimizedPlan.toString
+    assert(planText.trim.startsWith("LocalRelation"), planText)
+    assert(!planText.contains("Filter") && !planText.contains("parquet"),
+      planText)
+  }
+
+  test("unmodeled column falls through to the exact scan") {
+    GraftRuntime.clear()
+    GraftRuntime.register("lineitem.parquet", Set("l_quantity"),
+      _ => 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val got = spark.sql(sql).collect()(0).getLong(0)
+    assert(got != 13L) // l_returnflag is not modeled -> no rewrite
+  }
+
+  test("non-conjunctive predicates fall through") {
+    GraftRuntime.clear()
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"), _ => 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val got = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_quantity <= 24.0 OR l_returnflag = 'R'"
+    ).collect()(0).getLong(0)
+    assert(got != 13L)
+  }
+
+  test("estimator answer matches the true count when exact is registered") {
+    GraftRuntime.clear()
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = spark.sql(sql).collect()(0).getLong(0)
+    // Register the oracle itself as the estimator -> rewrite is lossless.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"),
+      preds => li.filter(Pred.conj(preds)).count())
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    assert(spark.sql(sql).collect()(0).getLong(0) == exact)
+  }
+}

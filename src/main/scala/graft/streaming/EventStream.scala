@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream (the `events`
+  * table's schema: event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY §2.9); these are the
+  * stream-native re-expressions of its aggregation patterns plus the
+  * standard training-data-pipeline stream ops: watermarked windowed
+  * aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`. Both transforms are written against
+  * unbounded inputs — at scale, state is partitioned by key across
+  * executors and bounded by the watermark.
+  */
+object EventStream {
+
+  /** Field names match the events parquet schema so Dataset[Event]
+    * columns line up with the DataFrame ops. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(userId: Long, nEvents: Long,
+      totalValue: Double, startMs: Long, endMs: Long)
+
+  /** Public: the state encoder's generated code must construct it. */
+  final case class SessionState(nEvents: Long, totalValue: Double,
+      startMs: Long, lastMs: Long)
+
+  /** Watermarked hourly windowed aggregation — the streaming analog of
+    * the batch `q_events_hourly` entry. Works on both batch and
+    * streaming DataFrames (identical code path; Spark picks the
+    * stateful implementation for streams).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("cnt"), col("total_value"), col("approx_users"))
+  }
+
+  /** Stateful sessionization: per user, events closer than `gapMs`
+    * belong to one session; a session is emitted when the group sees a
+    * later event past the gap, or (with `useTimeout`) when the
+    * processing-time timeout fires with no new events. State per key is
+    * O(1) — the canonical `flatMapGroupsWithState` shape.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      useTimeout: Boolean = true): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(),
+        if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    s.startMs, t))
+                case Some(s) =>
+                  out += SessionSummary(userId, s.nEvents, s.totalValue,
+                    s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Read the events parquet directory as a bounded stream (for tests
+    * and replays): same schema, one file per trigger. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir")
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+  }
+}

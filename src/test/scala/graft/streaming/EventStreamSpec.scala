@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.streaming.EventStream.{Event, SessionSummary}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked hourly windowed aggregation over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStream.hourlyCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt1").toString)
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(65), 10, "view", 5.0))
+    query.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+    assert(rows.length >= 2)
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("cnt") == 2)
+    assert(click.getAs[Double]("total_value") == 3.0)
+    query.stop()
+  }
+
+  test("batch and streaming hourlyCounts agree on the same input") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(65), 10, "view", 5.0)).toDF()
+    val out = EventStream.hourlyCounts(batch).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("cnt")).sum == 3)
+  }
+
+  test("sessionize groups events by gap per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // No processing-time timeout in the test: with timeouts enabled the
+    // query re-triggers on a wall-clock cadence, which
+    // processAllAvailable cannot quiesce deterministically.
+    val sessions = EventStream.sessionize(mem.toDS(), gapMs = 10 * 60000L,
+      useTimeout = false)
+    val query = sessions.writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt2").toString)
+      .outputMode(OutputMode.Append()).start()
+    // User 10: two events 5 min apart (one session), then one 30 min
+    // later (new session -> emits the first).
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0))
+    query.processAllAvailable()
+    mem.addData(Event(3, ts(35), 10, "view", 4.0))
+    query.processAllAvailable()
+    val out = spark.table("sessions").as[SessionSummary].collect()
+    assert(out.length == 1)
+    assert(out(0).userId == 10 && out(0).nEvents == 2)
+    assert(out(0).totalValue == 3.0)
+    assert(out(0).endMs - out(0).startMs == 5 * 60000L)
+    query.stop()
+  }
+}

@@ -156,6 +156,25 @@ final class ProgressiveSampling(
     math.ceil(selectivity(preds) * meta.cardinality).toLong
 }
 
+/** Multi-ordering ensemble (reference estimators.py:409-418 +
+  * train_model.py:210-228): average the progressive-sampling estimate
+  * over models trained with different autoregressive orderings, each
+  * getting numSamples/k sample paths. Variance reduction — orderings
+  * disagree most exactly where a single ordering extrapolates badly.
+  */
+final class EnsembleProgressiveSampling(
+    val samplers: Seq[ProgressiveSampling]) extends CardEst {
+
+  require(samplers.nonEmpty)
+  def name: String = s"psample_ensemble_${samplers.length}"
+
+  def selectivity(preds: Seq[Pred]): Double =
+    samplers.map(_.selectivity(preds)).sum / samplers.length
+
+  def query(preds: Seq[Pred]): Long =
+    math.ceil(selectivity(preds) * samplers.head.meta.cardinality).toLong
+}
+
 /** SampleFromModel (reference estimators.py:421-477): ancestral-sample
   * `num` tuples from the model, count the fraction satisfying the
   * predicate via per-column domain masks, scale by cardinality.

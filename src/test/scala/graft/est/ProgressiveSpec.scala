@@ -113,6 +113,40 @@ class ProgressiveSpec extends AnyFunSuite {
     assert(math.abs(sc - exact) <= 0.05 * exact + 0.005, s"sc=$sc exact=$exact")
   }
 
+  test("multi-ordering ensemble averages per-ordering estimates") {
+    val meta = mkMeta(100000L)
+    val preds = Seq(Pred("a", Op.Leq, 1), Pred("c", Op.Geq, 2))
+    // Two models over different orderings, same training data.
+    val rng = new java.util.Random(5)
+    val data = Array.fill(256) {
+      val a = rng.nextInt(3)
+      val b = (a + rng.nextInt(2)) % 4
+      val c = (b + rng.nextInt(3)) % 5
+      Array(a, b, c)
+    }
+    val samplers = Seq(null, Array(2, 1, 0)).map { ord =>
+      val m = new Made(3, Seq(16), bins, inputEncoding = "one_hot",
+        seed = 3, fixedOrdering = ord)
+      val opt = new graft.nn.Adam(m.params, lr = 5e-3f)
+      for (_ <- 0 until 30) {
+        opt.zeroGrad()
+        val logits = m.forward(data, train = true)
+        val (_, grad) = m.nllWithGrad(logits, data, data.length)
+        m.backward(grad, data.length)
+        opt.step()
+      }
+      new ProgressiveSampling(m, meta, numSamples = 2000)
+    }
+    val ens = new EnsembleProgressiveSampling(samplers)
+    val est = ens.selectivity(preds)
+    // Each selectivity() call draws fresh sample paths, so compare
+    // statistically: the ensemble must sit near the mean of independent
+    // per-ordering runs (2000 paths each -> sub-1% noise here).
+    val parts = samplers.map(_.selectivity(preds))
+    assert(math.abs(est - parts.sum / 2) < 0.01,
+      s"est=$est parts=${parts.mkString(",")}")
+  }
+
   test("vanished paths do not poison the estimate") {
     val model = trainedModel()
     val meta = mkMeta(100000L)

@@ -46,6 +46,17 @@ final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
   }
 }
 
+private[nn] object Nn {
+  private val cores = Runtime.getRuntime.availableProcessors()
+  /** Parallelism for a [batch] x [work-per-row] dense op: only worth
+    * forking when there's real work (≥ ~1M MACs) to amortize it. */
+  def chunks(batch: Int, workPerRow: Int): Int = {
+    val totalWork = batch.toLong * workPerRow
+    if (totalWork < (1L << 20) || batch < 64) 1
+    else math.min(math.min(cores, 16), batch / 32).max(1)
+  }
+}
+
 /** The train-loop surface shared by both model families (MADE and the
   * Transformer): opaque forward output consumed by the model's own NLL.
   */
@@ -121,12 +132,11 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
     forwardNoCache(x, batch)
   }
 
-  /** Inference-path forward that skips the backprop cache. */
-  def forwardNoCache(x: Array[Float], batch: Int): Array[Float] = {
-    val out = new Array[Float](batch * nOut)
+  private def forwardRange(x: Array[Float], out: Array[Float],
+      r0: Int, r1: Int): Unit = {
     val w = weight.data; val b = bias.data
-    var r = 0
-    while (r < batch) {
+    var r = r0
+    while (r < r1) {
       val xOff = r * nIn
       val oOff = r * nOut
       var o = 0
@@ -140,15 +150,63 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
       }
       r += 1
     }
+  }
+
+  /** Inference-path forward that skips the backprop cache. Large batches
+    * parallelize over disjoint row ranges (training and batch inference
+    * on the driver otherwise leave every other core idle). */
+  def forwardNoCache(x: Array[Float], batch: Int): Array[Float] = {
+    val out = new Array[Float](batch * nOut)
+    val chunks = Nn.chunks(batch, nIn * nOut)
+    if (chunks <= 1) forwardRange(x, out, 0, batch)
+    else java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
+      forwardRange(x, out, batch * c / chunks, batch * (c + 1) / chunks)
+    }
     out
   }
 
   def backward(gradOut: Array[Float], batch: Int): Array[Float] = {
     val x = xCache
-    val w = weight.data; val gw = weight.grad; val gb = bias.grad
     val gradIn = new Array[Float](batch * nIn)
-    var r = 0
-    while (r < batch) {
+    val chunks = Nn.chunks(batch, nIn * nOut)
+    if (chunks <= 1)
+      backwardRange(x, gradOut, gradIn, weight.grad, bias.grad, 0, batch)
+    else {
+      // Disjoint output rows per chunk; weight/bias grads go to
+      // per-chunk local buffers merged sequentially (no atomics).
+      val localGw = Array.fill(chunks)(new Array[Float](weight.grad.length))
+      val localGb = Array.fill(chunks)(new Array[Float](bias.grad.length))
+      java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
+        backwardRange(x, gradOut, gradIn, localGw(c), localGb(c),
+          batch * c / chunks, batch * (c + 1) / chunks)
+      }
+      val gw = weight.grad; val gb = bias.grad
+      var c = 0
+      while (c < chunks) {
+        val lw = localGw(c); val lb = localGb(c)
+        var k = 0
+        while (k < gw.length) { gw(k) += lw(k); k += 1 }
+        k = 0
+        while (k < gb.length) { gb(k) += lb(k); k += 1 }
+        c += 1
+      }
+    }
+    // Mask the weight gradient so Adam's moments never see masked entries
+    // (equivalent to differentiating through W_eff = M ⊙ W).
+    val gw = weight.grad
+    if (mask != null) {
+      var k = 0
+      while (k < gw.length) { if (mask(k) == 0f) gw(k) = 0f; k += 1 }
+    }
+    gradIn
+  }
+
+  private def backwardRange(x: Array[Float], gradOut: Array[Float],
+      gradIn: Array[Float], gw: Array[Float], gb: Array[Float],
+      r0: Int, r1: Int): Unit = {
+    val w = weight.data
+    var r = r0
+    while (r < r1) {
       val xOff = r * nIn
       val oOff = r * nOut
       var o = 0
@@ -168,13 +226,6 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
       }
       r += 1
     }
-    // Mask the weight gradient so Adam's moments never see masked entries
-    // (equivalent to differentiating through W_eff = M ⊙ W).
-    if (mask != null) {
-      var k = 0
-      while (k < gw.length) { if (mask(k) == 0f) gw(k) = 0f; k += 1 }
-    }
-    gradIn
   }
 
   def params: Seq[Param] = Seq(weight, bias)

@@ -55,11 +55,11 @@ final class Transformer(
     val w = new Param(gaussian(dIn * dOut, 0.02))
     val b = new Param(new Array[Float](dOut))
     private var xCache: Array[Float] = null
-    def forward(x: Array[Float], n: Int): Array[Float] = {
-      xCache = x
-      val out = new Array[Float](n * dOut)
-      var r = 0
-      while (r < n) {
+
+    private def forwardRange(x: Array[Float], out: Array[Float],
+        r0: Int, r1: Int): Unit = {
+      var r = r0
+      while (r < r1) {
         val xo = r * dIn; val oo = r * dOut
         var o = 0
         while (o < dOut) { out(oo + o) = b.data(o); o += 1 }
@@ -75,15 +75,26 @@ final class Transformer(
         }
         r += 1
       }
+    }
+
+    def forward(x: Array[Float], n: Int): Array[Float] = {
+      xCache = x
+      val out = new Array[Float](n * dOut)
+      val chunks = Nn.chunks(n, dIn * dOut)
+      if (chunks <= 1) forwardRange(x, out, 0, n)
+      else java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
+        forwardRange(x, out, n * c / chunks, n * (c + 1) / chunks)
+      }
       out
     }
-    def backward(g: Array[Float], n: Int): Array[Float] = {
-      val gx = new Array[Float](n * dIn)
-      var r = 0
-      while (r < n) {
+
+    private def backwardRange(g: Array[Float], gx: Array[Float],
+        gw: Array[Float], gb: Array[Float], r0: Int, r1: Int): Unit = {
+      var r = r0
+      while (r < r1) {
         val xo = r * dIn; val oo = r * dOut
         var o = 0
-        while (o < dOut) { b.grad(o) += g(oo + o); o += 1 }
+        while (o < dOut) { gb(o) += g(oo + o); o += 1 }
         var i = 0
         while (i < dIn) {
           val wo = i * dOut
@@ -92,7 +103,7 @@ final class Transformer(
           o = 0
           while (o < dOut) {
             val gv = g(oo + o)
-            w.grad(wo + o) += gv * xv
+            gw(wo + o) += gv * xv
             acc += gv * w.data(wo + o)
             o += 1
           }
@@ -100,6 +111,30 @@ final class Transformer(
           i += 1
         }
         r += 1
+      }
+    }
+
+    def backward(g: Array[Float], n: Int): Array[Float] = {
+      val gx = new Array[Float](n * dIn)
+      val chunks = Nn.chunks(n, dIn * dOut)
+      if (chunks <= 1) backwardRange(g, gx, w.grad, b.grad, 0, n)
+      else {
+        // Disjoint rows per chunk; local grad buffers merged after.
+        val localGw = Array.fill(chunks)(new Array[Float](w.grad.length))
+        val localGb = Array.fill(chunks)(new Array[Float](b.grad.length))
+        java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
+          backwardRange(g, gx, localGw(c), localGb(c),
+            n * c / chunks, n * (c + 1) / chunks)
+        }
+        var c = 0
+        while (c < chunks) {
+          val lw = localGw(c); val lb = localGb(c)
+          var k = 0
+          while (k < w.grad.length) { w.grad(k) += lw(k); k += 1 }
+          k = 0
+          while (k < b.grad.length) { b.grad(k) += lb(k); k += 1 }
+          c += 1
+        }
       }
       gx
     }
@@ -217,8 +252,12 @@ final class Transformer(
       val attn = new Array[Float](bs * numHeads * seqLen * seqLen)
       val ctx = new Array[Float](n * dModel)
       val scale = (1.0 / math.sqrt(dState)).toFloat
-      var b = 0
-      while (b < bs) {
+      // Per-batch-element state is disjoint -> parallel over b.
+      val fchunks = Nn.chunks(bs, numHeads * seqLen * seqLen * dState)
+      java.util.stream.IntStream.range(0, fchunks).parallel().forEach { fc =>
+      var b = bs * fc / fchunks
+      val bEnd = bs * (fc + 1) / fchunks
+      while (b < bEnd) {
         var h = 0
         while (h < numHeads) {
           val qOff = h * dState
@@ -268,6 +307,7 @@ final class Transformer(
         }
         b += 1
       }
+      }
       attnCache = attn
       out.forward(ctx, n)
     }
@@ -280,8 +320,12 @@ final class Transformer(
       val attn = attnCache
       val gQkv = new Array[Float](n * h3)
       val scale = (1.0 / math.sqrt(dState)).toFloat
-      var b = 0
-      while (b < bs) {
+      // gQkv rows are per-batch-element -> disjoint, parallel over b.
+      val bchunks = Nn.chunks(bs, numHeads * seqLen * seqLen * dState)
+      java.util.stream.IntStream.range(0, bchunks).parallel().forEach { bc =>
+      var b = bs * bc / bchunks
+      val bEnd = bs * (bc + 1) / bchunks
+      while (b < bEnd) {
         var h = 0
         while (h < numHeads) {
           val qOff = h * dState
@@ -328,6 +372,7 @@ final class Transformer(
           h += 1
         }
         b += 1
+      }
       }
       qkv.backward(gQkv, n)
     }

@@ -70,7 +70,12 @@ object Queries {
       Some(Exact.queryRegionSizeSql("lineitem", W1))),
     Entry("q_const",
       (s, d) => Exact.const(li(s, d), 42L),
-      Some("SELECT CAST(42 AS BIGINT) AS est_card"))
+      Some("SELECT CAST(42 AS BIGINT) AS est_card")),
+    // Seeded uniform Bernoulli sampling (the reference's Sampling
+    // proper); Spark's sample RNG is engine-specific -> rows-only.
+    Entry("q_uniform_sample_card",
+      (s, d) => Exact.uniformSampling(li(s, d), 0.01, 1234L, W1),
+      None)
   )
 
   val dictionaryEntries: Seq[Entry] = Seq(
@@ -467,6 +472,36 @@ object Queries {
         val bn = lineitemBn(s, d)
         Seq(new BayesNetEstimator(bn, numSamples = 2000).query(W1))
           .toDF("est_card")
+      },
+      None),
+    // Distributed batch evaluation (the RunNParallel analog,
+    // eval_model.py:303-375): broadcast the trained model, partition the
+    // workload, per-partition estimator replicas. Rows-only (per-
+    // partition RNG streams depend on the partitioning).
+    Entry("q_psample_distributed",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val qs = lineitemWorkload(s, d, meta, 16)
+        val truths = Workload.trueCards(li(s, d), qs)
+        val est: Seq[Pred] => Long = {
+          val ps = new ProgressiveSampling(model, meta, numSamples = 200,
+            shortcircuit = true)
+          ps.query
+        }
+        val rows = Workload.runDistributed(s, est, qs, truths, parallelism = 4)
+        rows.toSeq.toDF("query_id", "est_card", "q_error")
+          .select(col("query_id"), col("est_card"))
+          .orderBy("query_id")
+      },
+      None),
+    // Table entropy computed in the engine (train_model.py:340-343);
+    // float shuffle-sum order varies -> rows-only.
+    Entry("q_table_bits",
+      (s, d) => {
+        import s.implicits._
+        val bits = Trainer.tableBits(li(s, d), modelCols)
+        Seq(math.round(bits * 1000) / 1000.0).toDF("table_bits")
       },
       None),
     // q-error quantile report for every estimator over the seeded

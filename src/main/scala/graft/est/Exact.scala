@@ -75,6 +75,24 @@ object Exact {
       s"sum(CASE WHEN ($keySql) % $modulus = 0 AND (${Pred.whereSql(preds)}) " +
       s"THEN 1 ELSE 0 END) AS m FROM $table)"
 
+  /** Reference `Sampling` proper (estimators.py:584-616): a seeded
+    * uniform Bernoulli sample (`df.sample`), estimate =
+    * ceil(matches/sampleSize × N). Spark's sample is seed-stable for a
+    * fixed plan but its RNG stream is engine-specific, so this variant
+    * is not DuckDB-checkable — [[systematicSampling]] is the
+    * oracle-checked twin.
+    */
+  def uniformSampling(df: DataFrame, fraction: Double, seed: Long,
+      preds: Seq[Pred]): DataFrame = {
+    val sample = df.sample(withReplacement = false, fraction, seed)
+    val n = df.count()
+    sample.agg(
+      count(lit(1)).as("ns"),
+      sum(when(Pred.conj(preds), 1L).otherwise(0L)).as("m"))
+      .select(ceil(col("m") / col("ns") * lit(n))
+        .cast("long").as("est_card"))
+  }
+
   /** Reference `QueryRegionSize` (estimators.py:539-564): product over
     * queried columns of the number of domain values satisfying the
     * predicate. Per-column distinct counts in one pass each (cheap; domain

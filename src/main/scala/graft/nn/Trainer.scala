@@ -136,6 +136,35 @@ object Trainer {
     f"$dir/$dataset-$mb%.1fMB-model$modelBits%.3f-data$dataBits%.3f-made-${epochs}epochs-seed$seed.gmdl"
   }
 
+  final case class CheckpointInfo(path: String, dataset: String, mb: Double,
+      modelBits: Double, dataBits: Double, epochs: Int, seed: Long)
+
+  private val NameRe =
+    """(.+)-([0-9.]+)MB-model([0-9.]+)-data([0-9.]+)-made-(\d+)epochs-seed(\d+)\.gmdl""".r
+
+  /** Parse a metric-encoded checkpoint filename (the reference's regex
+    * parse of globbed checkpoints, eval_model.py:497-508). */
+  def parseCheckpointName(path: String): Option[CheckpointInfo] = {
+    val name = new java.io.File(path).getName
+    name match {
+      case NameRe(ds, mb, mBits, dBits, ep, seed) =>
+        Some(CheckpointInfo(path, ds, mb.toDouble, mBits.toDouble,
+          dBits.toDouble, ep.toInt, seed.toLong))
+      case _ => None
+    }
+  }
+
+  /** Glob a checkpoint dir and return the best (lowest model_bits)
+    * checkpoint per dataset — the reference's selection rule
+    * (eval_model.py:509-543 picks by parsed metrics). */
+  def findBest(dir: String, dataset: String): Option[CheckpointInfo] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+    files.toSeq.flatMap(f => parseCheckpointName(f.getPath))
+      .filter(_.dataset == dataset)
+      .sortBy(_.modelBits)
+      .headOption
+  }
+
   private val MagicV1 = 0x47524654 // "GRFT"
 
   def save(model: Trainable, path: String): Unit = {

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks of the dedup/text/similarity operators on known
+  * inputs (the catalog entries check them against DuckDB end-to-end;
+  * these pin the operator semantics directly).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: (Long, String)*) = {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+  }
+
+  test("shingles: distinct word n-grams in order-independent set form") {
+    val df = docsDf((1L, "a b c b c d"))
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0).toSet
+    assert(sh == Set("a b c", "b c b", "c b c", "b c d"))
+  }
+
+  test("exactKeepFirst keeps the smallest id per identical text") {
+    val df = docsDf((3L, "same text"), (1L, "same text"), (2L, "other"))
+    val kept = Dedup.exactKeepFirst(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("minhash est_jaccard is high for near-identical docs, low for disjoint") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dupPair = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dupPair.isDefined, s"near-dup pair not found in ${pairs.toSeq}")
+    assert(dupPair.get._3 > 0.5)
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      "disjoint doc should not collide")
+  }
+
+  test("simhash is identical for identical docs, differs for disjoint docs") {
+    val df = docsDf((1L, "alpha beta gamma delta"),
+      (8L, "alpha beta gamma delta"), (15L, "zeta eta theta iota"))
+    val fp = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(8L))
+    assert(fp(1L) != fp(15L))
+  }
+
+  test("language ID picks the marker-dominant language") {
+    val df = docsDf(
+      (1L, "the cat and the dog of a house is in the garden"),
+      (2L, "der Hund und die Katze ist nicht ein Tier"),
+      (3L, "xyzzy qwerty plugh"))
+    val out = df.select(col("doc_id"),
+      TextOps.langId(TextOps.langScores(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "unknown")
+  }
+
+  test("ngram Jaccard: exact intersection/union arithmetic") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c x}
+    val df = docsDf((1L, "a b c d"), (2L, "a b c x"))
+    val rows = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("inter") == 1L)
+    assert(r.getAs[Long]("union_sz") == 3L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-12)
+  }
+
+  test("checkpoint filename round-trips through the metric parser") {
+    import graft.nn.{Made, Trainer}
+    val model = new Made(2, Seq(4), Array(3, 4), inputEncoding = "one_hot")
+    val path = Trainer.checkpointPath("/tmp/gmdl_test", "lineitem", model,
+      modelBits = 13.123, dataBits = 12.337, epochs = 12, seed = 11123L)
+    val info = Trainer.parseCheckpointName(path)
+    assert(info.isDefined, path)
+    assert(info.get.dataset.endsWith("lineitem"))
+    assert(math.abs(info.get.modelBits - 13.123) < 1e-9)
+    assert(math.abs(info.get.dataBits - 12.337) < 1e-9)
+    assert(info.get.epochs == 12 && info.get.seed == 11123L)
+    // findBest picks the lowest model_bits.
+    Trainer.save(model, path)
+    val worse = Trainer.checkpointPath("/tmp/gmdl_test", "lineitem", model,
+      modelBits = 14.5, dataBits = 12.337, epochs = 5, seed = 1L)
+    Trainer.save(model, worse)
+    val best = Trainer.findBest("/tmp/gmdl_test", info.get.dataset)
+    assert(best.isDefined && math.abs(best.get.modelBits - 13.123) < 1e-9)
+  }
+
+  test("cosine top-k column agrees with a driver-side dot product") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map(v => Row(v._1, v._2.toSeq)), 2), schema)
+    val q = Array(1f, 0f, 0f)
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L))
+  }
+}

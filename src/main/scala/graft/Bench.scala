@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (codegen, parquet footer reads, shuffle infra)
+    // so the alphabetically-first query isn't charged for JVM startup.
+    graft.core.Tables.read(spark, sfDir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") > 0)
+      .groupBy("l_returnflag").count().collect()
     // A failing query must be reported as failed, not counted as ~0 s.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -292,6 +292,16 @@ object Queries {
       (s, d) => Similarity.lshTopK(emb(s, d), "vec_id", "embedding",
         annQueryVec, 10),
       None),
+    // IVF (k-means inverted file) approximate top-k — the second ANN
+    // scale path: probe the 2 nearest of 8 cells (rows-only).
+    Entry("q_ann_ivf_topk",
+      (s, d) => {
+        val df = emb(s, d)
+        val centroids = Similarity.kmeansCentroids(df, "embedding", k = 8)
+        Similarity.ivfTopK(df, "vec_id", "embedding", annQueryVec, 10,
+          centroids, nProbe = 2)
+      },
+      None),
     // Embedding-cosine near-dup pairs via bucketed self-join (rows-only:
     // LSH candidate generation is approximate).
     Entry("q_embed_neardup",

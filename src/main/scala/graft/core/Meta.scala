@@ -43,9 +43,28 @@ final case class ColumnMeta(
 }
 
 object ColumnMeta {
+  /** Spark (and DuckDB) order strings by UTF-8 binary collation; Java's
+    * natural String order is UTF-16 code-unit order. They diverge on
+    * supplementary-plane characters, so driver-side domain sorts must
+    * compare UTF-8 bytes unsigned. */
+  private val utf8Ordering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = {
+      val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Ordering consistent with Spark's `orderBy(asc)` for supported types. */
   def orderingFor(dt: DataType): Ordering[Any] = dt match {
-    case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+    case StringType => utf8Ordering
     case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
     case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
     case DoubleType =>

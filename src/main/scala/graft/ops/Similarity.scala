@@ -128,6 +128,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer: Lloyd's k-means on a bounded
+    * driver-side sample (seeded, deterministic), centroids broadcast as
+    * literal expression trees. At 100 TB the cells become the partition/
+    * bucket layout and a query reads only `nProbe`/`k` of the data.
+    */
+  def kmeansCentroids(df: DataFrame, embCol: String, k: Int, iters: Int = 10,
+      sampleRows: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = df.select(col(embCol))
+      .limit(sampleRows).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    val rng = new java.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rng.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      for (v <- sample) {
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) sample(rng.nextInt(sample.length)).clone()
+        else sums(c).map(s => (s / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cs(c)(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell id of the embedding column: argmin over centroids of squared
+    * L2 distance, as a codegen'd expression (no UDF). */
+  def ivfCellCol(embCol: String, centroids: Array[Array[Float]]): Column = {
+    val dists = centroids.map { ctr =>
+      ctr.zipWithIndex.map { case (w, i) =>
+        val d = element_at(col(embCol), i + 1).cast("double") - lit(w.toDouble)
+        d * d
+      }.reduceLeft(_ + _)
+    }
+    // argmin as a when-chain: cell c wins if its distance is <= all others
+    // (ties break to the lowest id, matching nearestCentroid's `<`).
+    dists.indices.foldRight(lit(0): Column) { (c, els) =>
+      val isMin = dists.indices.filter(_ != c)
+        .map(o => dists(c) <= dists(o))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(isMin, lit(c)).otherwise(els)
+    }
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` cells nearest to the
+    * query, exact cosine within the probed cells. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, centroids: Array[Array[Float]],
+      nProbe: Int = 2): DataFrame = {
+    val byDist = centroids.zipWithIndex.sortBy { case (c, _) =>
+      c.zip(query).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    }
+    val probeCells = byDist.take(nProbe).map(_._2)
+    df.withColumn("__cell", ivfCellCol(embCol, centroids))
+      .filter(col("__cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol), cosineCol(embCol, query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs sharing
     * a bucket with cosine ≥ threshold. The self-join is per-bucket (the
     * join key), so the candidate set is bucket-bounded rather than n².

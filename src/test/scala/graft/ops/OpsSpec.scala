@@ -115,6 +115,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(best.isDefined && math.abs(best.get.modelBits - 13.123) < 1e-9)
   }
 
+  test("IVF with all cells probed equals brute force; fewer probes prune") {
+    val rng = new java.util.Random(4)
+    val vecs = (0L until 60L).map { i =>
+      val center = if (i % 2 == 0) 1f else -1f
+      (i, Array.fill(8)(center + rng.nextGaussian().toFloat * 0.1f))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map(v => Row(v._1, v._2.toSeq)), 2), schema)
+    val q = Array.fill(8)(1f)
+    val cs = Similarity.kmeansCentroids(df, "embedding", k = 2, sampleRows = 60)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivfAll = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5, cs,
+      nProbe = 2).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)
+    // Probing only the nearest cell must return the near cluster (even ids).
+    val ivf1 = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5, cs,
+      nProbe = 1).collect().map(_.getLong(0)).toSeq
+    assert(ivf1.forall(_ % 2 == 0), s"far-cluster ids leaked: $ivf1")
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -382,6 +382,19 @@ object Queries {
       })
     }
 
+  private val maxdiffCache =
+    scala.collection.mutable.Map.empty[String, graft.est.MaxDiffHistogram]
+
+  def lineitemMaxdiff(s: SparkSession, d: String): graft.est.MaxDiffHistogram =
+    maxdiffCache.synchronized {
+      maxdiffCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 50000)
+        graft.est.MaxDiffHistogram.build(meta, data, limit = 200)
+      })
+    }
+
   private val bnCache = scala.collection.mutable.Map.empty[String, BayesNet]
 
   /** Chow–Liu BN over the same lineitem subset (fit once per sfDir). */
@@ -444,11 +457,7 @@ object Queries {
     Entry("q_maxdiff_card",
       (s, d) => {
         import s.implicits._
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 50000)
-        val h = graft.est.MaxDiffHistogram.build(meta, data, limit = 200)
-        Seq(h.query(W1)).toDF("est_card")
+        Seq(lineitemMaxdiff(s, d).query(W1)).toDF("est_card")
       },
       None),
     // Transformer-backed progressive sampling on W1 (the second model
@@ -525,28 +534,42 @@ object Queries {
         val df = li(s, d)
         val truths = Workload.trueCards(df, qs)
         val n = meta.cardinality
-        // Heuristic (AVI) for all queries in ONE scan: per-pred count-ifs.
+        // Heuristic (AVI) per-pred count-ifs AND systematic-sampling
+        // match counts for all queries in ONE scan.
+        val inSample = pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+          lit(97)) === 0
         val flat = qs.zipWithIndex.flatMap { case (q, qi) =>
           q.zipWithIndex.map { case (p, pi) =>
             sum(when(p.toColumn, 1L).otherwise(0L)).as(s"q${qi}_p$pi")
-          }
-        }
+          } :+ sum(when(inSample && Pred.conj(q), 1L).otherwise(0L))
+            .as(s"q${qi}_m")
+        } :+ sum(when(inSample, 1L).otherwise(0L)).as("ns")
         val selRow = df.agg(flat.head, flat.tail: _*).collect()(0)
+        val ns = selRow.getAs[Long]("ns").toDouble
         val heurEsts = qs.zipWithIndex.map { case (q, qi) =>
           val sel = q.indices.map(pi =>
             selRow.getAs[Long](s"q${qi}_p$pi").toDouble / n).product
           math.ceil(sel * n)
         }
+        val sampEsts = qs.indices.map(qi =>
+          math.ceil(selRow.getAs[Long](s"q${qi}_m") / ns * n))
         val ps = new ProgressiveSampling(model, meta, numSamples = 500,
           shortcircuit = true)
         val psEsts = qs.map(q => ps.query(q).toDouble)
+        val (tModel, tMeta) = lineitemTransformer(s, d)
+        val tps = new ProgressiveSampling(tModel, tMeta, numSamples = 500,
+          shortcircuit = true)
+        val tpsEsts = qs.map(q => tps.query(q).toDouble)
         val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 1000)
         val smEsts = qs.map(q => sm.query(q).toDouble)
         val bnEst = new BayesNetEstimator(lineitemBn(s, d), numSamples = 500)
         val bnEsts = qs.map(q => bnEst.query(q).toDouble)
+        val md = lineitemMaxdiff(s, d)
+        val mdEsts = qs.map(q => md.query(q).toDouble)
         val rows = Seq(
-          ("heuristic", heurEsts), ("psample", psEsts), ("msample", smEsts),
-          ("bayesnet", bnEsts)
+          ("heuristic", heurEsts), ("sampling", sampEsts),
+          ("psample", psEsts), ("psample_transformer", tpsEsts),
+          ("msample", smEsts), ("bayesnet", bnEsts), ("maxdiff", mdEsts)
         ).map { case (name, ests) =>
           val errs = ests.zip(truths).map { case (e, t) =>
             Workload.qError(e, t.toDouble)

@@ -126,6 +126,49 @@ object Trainer {
     total / math.max(1, data.length)
   }
 
+  /** Multi-ordering test-time NLL (reference train_model.py:210-228):
+    * p(x) = (1/K) Σ_k p_k(x), so per-tuple
+    * nll = -[logsumexp_k(-nll_k) + log(1/K)]; averaged over the data.
+    * Each model is the same architecture trained under a different
+    * autoregressive ordering.
+    */
+  def evalNllEnsemble(models: Seq[Trainable], data: Array[Array[Int]]): Double = {
+    require(models.nonEmpty)
+    totalEnsembleNll(models, data) / data.length
+  }
+
+  /** Sum over tuples of the ensemble NLL (row-level logsumexp). */
+  private def totalEnsembleNll(models: Seq[Trainable],
+      data: Array[Array[Int]]): Double = {
+    val k = models.length
+    var total = 0.0
+    val logits = models.map(_.forward(data, train = false))
+    for (r <- data.indices) {
+      val logps = models.zip(logits).map { case (m, lg) =>
+        -rowNll(m, lg, data(r), r)
+      }
+      val mx = logps.max
+      val lse = mx + math.log(logps.map(lp => math.exp(lp - mx)).sum)
+      total += -(lse + math.log(1.0 / k))
+    }
+    total
+  }
+
+  /** NLL of one row given a full-batch forward output. */
+  private def rowNll(m: Trainable, logits: Array[Float], row: Array[Int],
+      r: Int): Double = m match {
+    case made: Made =>
+      val w = made.totalOutputSize
+      made.nll(java.util.Arrays.copyOfRange(logits, r * w, (r + 1) * w),
+        Array(row), 1)
+    case t: Transformer =>
+      val w = t.seqLen * t.dModel
+      t.nll(java.util.Arrays.copyOfRange(logits, r * w, (r + 1) * w),
+        Array(row), 1)
+    case other =>
+      throw new IllegalArgumentException(other.getClass.getName)
+  }
+
   // ---- checkpoint I/O (reference train_model.py:427-447 saves to a
   // metric-encoded filename; eval_model.py:497-508 regex-parses it) ----
 

@@ -190,6 +190,35 @@ class MadeSpec extends AnyFunSuite {
     assert(model.unkEmbeddings.exists(_.data.exists(_ != 0f)))
   }
 
+  test("multi-ordering logsumexp NLL is no worse than the best single model") {
+    val rng = new java.util.Random(21)
+    val bins = Array(4, 3)
+    val data = Array.fill(256) {
+      val a = rng.nextInt(4)
+      Array(a, (a + rng.nextInt(2)) % 3)
+    }
+    val models = Seq(null, Array(1, 0)).map { ord =>
+      val m = new Made(2, Seq(16), bins, inputEncoding = "one_hot",
+        seed = 4, fixedOrdering = ord)
+      val opt = new Adam(m.params, lr = 5e-3f)
+      for (_ <- 0 until 40) {
+        opt.zeroGrad()
+        val logits = m.forward(data, train = true)
+        val (_, grad) = m.nllWithGrad(logits, data, data.length)
+        m.backward(grad, data.length)
+        opt.step()
+      }
+      m
+    }
+    val singles = models.map(m => Trainer.evalNll(m, data))
+    val ens = Trainer.evalNllEnsemble(models, data)
+    // Mixture of K models can cost at most log(K) extra nats vs the best
+    // component, and typically sits at or below the mean of the singles.
+    assert(ens <= singles.min + math.log(2) + 1e-9,
+      s"ensemble $ens vs singles $singles")
+    assert(ens <= singles.sum / 2 + 0.05, s"ensemble $ens vs mean of $singles")
+  }
+
   test("training reduces NLL on a learnable synthetic table") {
     // Two strongly correlated columns: x2 = x1 with prob .9.
     val rng = new java.util.Random(42)

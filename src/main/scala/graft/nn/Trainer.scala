@@ -111,6 +111,48 @@ object Trainer {
     logs.toSeq
   }
 
+  /** The 100 TB training path: each epoch trains on a FRESH seeded
+    * `df.sample` draw of the encoded table (collected bounded), so no
+    * more than `rowsPerEpoch` rows ever exist on the driver and the
+    * model still sees new data every epoch. This is the posture the
+    * bounded-collect path approximates when the table fits.
+    */
+  def trainSampled(model: Trainable, df: DataFrame,
+      metas: Seq[ColumnMeta], epochs: Int, rowsPerEpoch: Int,
+      batchSize: Int = 2048, schedule: LrSchedule = ConstantLr(2e-4f),
+      tableBits: Double = Double.NaN, seed: Long = 0L): Seq[EpochLog] = {
+    val enc = Dictionary.encodedMatrix(df, metas)
+    val n = df.count()
+    val fraction = math.min(1.0, rowsPerEpoch.toDouble / n)
+    val opt = new Adam(model.params)
+    var globalStep = 0
+    val logs = scala.collection.mutable.ArrayBuffer[EpochLog]()
+    for (epoch <- 0 until epochs) {
+      val data = enc.sample(withReplacement = false, fraction, seed + epoch)
+        .collect().map(_.getSeq[Int](0).toArray)
+      var losses = 0.0
+      var steps = 0
+      var off = 0
+      while (off < data.length) {
+        val bs = math.min(batchSize, data.length - off)
+        val batch = java.util.Arrays.copyOfRange(data, off, off + bs)
+        globalStep += 1
+        opt.lr = schedule.lr(globalStep)
+        opt.zeroGrad()
+        val logits = model.forward(batch, train = true)
+        val (loss, grad) = model.nllWithGrad(logits, batch, bs)
+        model.backward(grad, bs)
+        opt.step()
+        losses += loss
+        steps += 1
+        off += bs
+      }
+      val mean = losses / math.max(1, steps)
+      logs += EpochLog(epoch, mean, mean / math.log(2) - tableBits)
+    }
+    logs.toSeq
+  }
+
   /** Full-data NLL in eval mode (no column-mask dropout), batched. */
   def evalNll(model: Trainable, data: Array[Array[Int]],
       batchSize: Int = 4096): Double = {

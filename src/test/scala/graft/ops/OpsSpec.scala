@@ -137,6 +137,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivf1 = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5, cs,
       nProbe = 1).collect().map(_.getLong(0)).toSeq
     assert(ivf1.forall(_ % 2 == 0), s"far-cluster ids leaked: $ivf1")
+    // The expression-tree cell assignment agrees with the JVM argmin.
+    val exprCells = df.select(col("vec_id"),
+      Similarity.ivfCellCol("embedding", cs).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, v) <- vecs) {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cs.indices) {
+        val d = cs(c).zip(v).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        if (d < bestD) { bestD = d; best = c }
+      }
+      assert(exprCells(id) == best, s"cell mismatch for vec $id")
+    }
   }
 
   test("cosine top-k column agrees with a driver-side dot product") {

@@ -172,6 +172,14 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // Batch sessionization via identical window SQL on both engines —
+    // the verifiable batch twin of streaming EventStream.sessionize.
+    Entry("q_sessionize_batch",
+      (s, d) => {
+        Tables.read(s, d, "events").createOrReplaceTempView("events")
+        s.sql(Queries.sessionizeSql)
+      },
+      Some(sessionizeSql)),
     // Time-bucketed aggregation over the event stream table.
     Entry("q_events_hourly",
       (s, d) => Tables.read(s, d, "events")
@@ -582,6 +590,27 @@ object Queries {
       },
       None)
   )
+
+  /** Batch sessionization, runs verbatim in Spark SQL and DuckDB: a
+    * session boundary opens when the gap to the previous event of the
+    * same user exceeds 30 minutes; session ids are running sums of
+    * boundaries. The batch twin of streaming EventStream.sessionize.
+    * lazy: referenced from entry vals declared earlier in this object. */
+  lazy val sessionizeSql: String =
+    "WITH marked AS (" +
+      "SELECT user_id, ts, event_id, value, CASE WHEN ts - lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE " +
+      "THEN 0 ELSE 1 END AS boundary " +
+      "FROM events), " +
+      "sess AS (SELECT user_id, value, sum(boundary) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+      "FROM marked) " +
+      // min/max are selections (float-order-safe); a float sum is not.
+      "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+      "count(*) AS n_events, min(value) AS min_value, max(value) AS max_value " +
+      "FROM sess GROUP BY user_id, session_id " +
+      "ORDER BY user_id, session_id"
 
   /** Runs verbatim in Spark SQL and DuckDB (ANSI window functions).
     * lazy: referenced from entry vals declared earlier in this object. */

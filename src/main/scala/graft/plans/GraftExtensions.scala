@@ -34,8 +34,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(ApproxCountRule)
+    ext.injectFunction(CosineSimilarity.registration)
+  }
 }
 
 /** Process-wide estimator registry keyed by a substring of the scan's

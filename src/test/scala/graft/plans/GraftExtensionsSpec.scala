@@ -87,6 +87,32 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got != 13L)
   }
 
+  test("graft_cosine expression matches the literal-chain cosine bit-for-bit") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rng = new java.util.Random(9)
+    val q = Array.fill(64)(rng.nextGaussian().toFloat)
+    // Same accumulation order -> identical doubles, not just close ones.
+    val rows = emb.select(
+      Similarity.cosineCol("embedding", q).as("chain"),
+      graft.plans.CosineSimilarity(col("embedding"), q).as("kernel"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+    // And it works from SQL.
+    emb.createOrReplaceTempView("emb")
+    val sqlVal = spark.sql(
+      "SELECT graft_cosine(embedding, array(" +
+        q.map(v => s"CAST(${v.toDouble} AS DOUBLE)").mkString(",") +
+        ")) AS c FROM emb LIMIT 1").collect()(0).getDouble(0)
+    assert(!sqlVal.isNaN)
+  }
+
   test("estimator answer matches the true count when exact is registered") {
     GraftRuntime.clear()
     spark.conf.set(GraftRuntime.EnabledKey, "false")

@@ -87,6 +87,36 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got != 13L)
   }
 
+  test("learned model answers SQL COUNT(*) through the optimizer (AQP end-to-end)") {
+    import graft.core.Dictionary
+    import graft.est.ProgressiveSampling
+    import graft.nn.{Made, Trainer}
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_discount", "l_tax")
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(cols.map(col): _*)
+    val meta = Dictionary.tableMeta(df, "lineitem", cols)
+    val data = Trainer.collectEncoded(df, meta.columns)
+    val model = new Made(cols.length, Seq(64, 64),
+      meta.columns.map(_.distributionSize).toArray,
+      inputEncoding = "one_hot", residual = true, doDirectIo = true,
+      columnMasking = true, seed = 11123L)
+    Trainer.train(model, data, epochs = 6, batchSize = 512,
+      schedule = Trainer.ConstantLr(2e-3f))
+    val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+      shortcircuit = true)
+    GraftRuntime.clear()
+    GraftRuntime.register("lineitem.parquet", cols.toSet, ps.query)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val est = spark.sql(sql).collect()(0).getLong(0)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = spark.sql(sql).collect()(0).getLong(0)
+    val q = math.max(est.toDouble / exact, exact.toDouble / est)
+    assert(q < 1.3, s"learned AQP q-error $q (est=$est exact=$exact)")
+    GraftRuntime.clear()
+  }
+
   test("graft_cosine expression matches the literal-chain cosine bit-for-bit") {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions.col

@@ -172,6 +172,30 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // Probabilistic sketches over the fact table (Spark-native: HLL++,
+    // count-min, Bloom filter). Deterministic for fixed data/seed but
+    // engine-specific -> rows-only check.
+    Entry("q_sketches",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d)
+        val approxDistinct = df
+          .agg(approx_count_distinct(col("l_orderkey")).as("ad"))
+          .head().getLong(0)
+        val cms = df.stat.countMinSketch(col("l_returnflag"),
+          eps = 0.001, confidence = 0.99, seed = 42)
+        val bloom = df.stat.bloomFilter(col("l_orderkey"),
+          expectedNumItems = 100000L, fpp = 0.01)
+        Seq(
+          ("hll_orderkeys", approxDistinct),
+          ("cms_returnflag_A", cms.estimateCount("A")),
+          ("cms_returnflag_N", cms.estimateCount("N")),
+          ("cms_returnflag_R", cms.estimateCount("R")),
+          ("bloom_has_1", if (bloom.mightContain(1L)) 1L else 0L),
+          ("bloom_has_neg", if (bloom.mightContain(-12345L)) 1L else 0L)
+        ).toDF("sketch", "value").orderBy("sketch")
+      },
+      None),
     // Batch sessionization via identical window SQL on both engines —
     // the verifiable batch twin of streaming EventStream.sessionize.
     Entry("q_sessionize_batch",
@@ -529,6 +553,20 @@ object Queries {
         import s.implicits._
         val bits = Trainer.tableBits(li(s, d), modelCols)
         Seq(math.round(bits * 1000) / 1000.0).toDF("table_bits")
+      },
+      None),
+    // BN over a wide-domain column set (l_shipdate has ~2400 distinct
+    // values, equal-freq rebinned to 64 cells; estimators.py:683-740).
+    // Estimates W3, which filters the rebinned column (rows-only).
+    Entry("q_bn_card_wide",
+      (s, d) => {
+        import s.implicits._
+        val wideCols = modelCols :+ "l_shipdate"
+        val df = li(s, d).select(wideCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", wideCols)
+        val bn = graft.est.BayesNet.fit(df, meta, maxBins = 64)
+        Seq(new graft.est.BayesNetEstimator(bn, numSamples = 2000).query(W3))
+          .toDF("est_card")
       },
       None),
     // q-error quantile report for every estimator over the seeded

@@ -73,6 +73,18 @@ object ColumnMeta {
       Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
     case TimestampType =>
       Ordering.Long.on[Any](_.asInstanceOf[java.sql.Timestamp].getTime)
+    // Parquet TIMESTAMP with isAdjustedToUTC=false reads as NTZ, whose
+    // external type is LocalDateTime; predicate literals may still be
+    // java.sql.Timestamp (Pred.ts builds UTC instants, and the session
+    // timezone is UTC), so normalize both to epoch millis.
+    case TimestampNTZType =>
+      Ordering.Long.on[Any] {
+        case t: java.time.LocalDateTime =>
+          t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case t: java.sql.Timestamp => t.getTime
+        case other => throw new IllegalArgumentException(
+          s"not a timestamp: $other")
+      }
     case DateType =>
       Ordering.Long.on[Any](_.asInstanceOf[java.sql.Date].getTime)
     case other => throw new IllegalArgumentException(s"unsupported: $other")

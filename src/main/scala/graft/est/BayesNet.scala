@@ -18,20 +18,52 @@ import org.apache.spark.sql.functions._
   * CPTs, like the reference's per-worker estimator replicas
   * (eval_model.py:303-375).
   *
+  * Large domains can be re-discretized into <= maxBins equal-frequency
+  * cells (reference estimators.py:683-740); distributions then live in
+  * cell space while predicates are resolved against the ORIGINAL domain
+  * via per-cell pass fractions weighted by the original marginals.
+  *
   * @param parent   parent(i) = parent column index in the tree, -1 = root
   * @param order    topological sampling order (root first), analog of
   *                 estimators.py:802-812
-  * @param marginals marginals(i)(b) = p(x_i = b), used for roots
-  * @param cpts     cpts(i)(parentBin)(b) = p(x_i = b | parent = parentBin)
+  * @param marginals marginals(i)(c) = p(x_i in cell c), used for roots
+  * @param cpts     cpts(i)(parentCell)(c) = p(x_i = c | parent = parentCell)
+  * @param binMap   binMap(i)(origBin) = cell id; null = identity
+  * @param origMarginals per-original-bin marginals (for pass fractions);
+  *                 null = same as marginals
   */
 final class BayesNet(
     val meta: TableMeta,
     val parent: Array[Int],
     val order: Array[Int],
     val marginals: Array[Array[Double]],
-    val cpts: Array[Map[Int, Array[Double]]]) extends Serializable {
+    val cpts: Array[Map[Int, Array[Double]]],
+    val binMap: Array[Array[Int]] = null,
+    val origMarginals: Array[Array[Double]] = null) extends Serializable {
 
   val nin: Int = meta.columns.length
+
+  /** Cell-space mass fractions passing a mask over the ORIGINAL domain:
+    * frac(c) = mass of passing original bins in c / total mass in c. */
+  def cellPassFractions(i: Int, mask: Array[Boolean]): Array[Double] = {
+    val cells = marginals(i).length
+    if (binMap == null || binMap(i) == null)
+      Array.tabulate(cells)(c => if (mask(c)) 1.0 else 0.0)
+    else {
+      val om = if (origMarginals != null && origMarginals(i) != null)
+        origMarginals(i) else marginals(i)
+      val pass = new Array[Double](cells)
+      val tot = new Array[Double](cells)
+      var b = 0
+      while (b < mask.length) {
+        val c = binMap(i)(b)
+        tot(c) += om(b)
+        if (mask(b)) pass(c) += om(b)
+        b += 1
+      }
+      Array.tabulate(cells)(c => if (tot(c) > 0) pass(c) / tot(c) else 0.0)
+    }
+  }
 
   /** Exact joint probability of a full bin assignment under the tree. */
   def jointProb(bins: Array[Int]): Double = {
@@ -53,7 +85,7 @@ object BayesNet {
     * spanning tree on the driver (column count is metadata-sized), CPTs
     * from the same pairwise counts.
     */
-  def fit(df: DataFrame, meta: TableMeta): BayesNet = {
+  def fit(df: DataFrame, meta: TableMeta, maxBins: Int = 0): BayesNet = {
     val cols = meta.columns.map(_.name)
     val nin = cols.length
     val enc = Dictionary.discretize(df, meta.columns)
@@ -88,12 +120,62 @@ object BayesNet {
       }
     }
 
+    // Optional equal-frequency re-discretization of large domains
+    // (estimators.py:694-740): original bins in sorted-value order are
+    // grouped into <= maxBins cells of roughly equal mass.
+    val needsRebin = maxBins > 0 &&
+      (0 until nin).exists(i => meta.columns(i).distributionSize > maxBins)
+    val binMap: Array[Array[Int]] =
+      if (!needsRebin) null
+      else Array.tabulate(nin) { i =>
+        val dom = meta.columns(i).distributionSize
+        if (dom <= maxBins) null
+        else {
+          val perBin = 1.0 / maxBins
+          val map = new Array[Int](dom)
+          var cell = 0
+          var size = 0.0
+          var b = 0
+          while (b < dom) {
+            val cnt = marginals(i)(b)
+            if (size > 0 && size + cnt >= perBin && cell < maxBins - 1) {
+              cell += 1; size = 0.0
+            }
+            map(b) = cell
+            size += cnt
+            b += 1
+          }
+          map
+        }
+      }
+    def cellOf(i: Int, b: Int): Int =
+      if (binMap == null || binMap(i) == null) b else binMap(i)(b)
+    def cellsOf(i: Int): Int =
+      if (binMap == null || binMap(i) == null) meta.columns(i).distributionSize
+      else binMap(i).max + 1
+    val origMarginals = marginals.map(_.clone())
+    val cellMarginals: Array[Array[Double]] = Array.tabulate(nin) { i =>
+      val m = new Array[Double](cellsOf(i))
+      marginals(i).zipWithIndex.foreach { case (v, b) => m(cellOf(i, b)) += v }
+      m
+    }
+    val cellPairCounts = scala.collection.mutable.Map
+      .empty[(Int, Int), scala.collection.mutable.Map[(Int, Int), Double]]
+    pairCounts.foreach { case ((i, j), m) =>
+      val t = cellPairCounts.getOrElseUpdate((i, j),
+        scala.collection.mutable.Map.empty)
+      m.foreach { case ((bi, bj), v) =>
+        val k = (cellOf(i, bi), cellOf(j, bj))
+        t(k) = t.getOrElse(k, 0.0) + v
+      }
+    }
+
     val mi = Array.ofDim[Double](nin, nin)
     for (i <- 0 until nin; j <- i + 1 until nin) {
       var m = 0.0
-      pairCounts.getOrElse((i, j), Map.empty).foreach { case ((bi, bj), pij) =>
-        val pi = marginals(i)(bi)
-        val pj = marginals(j)(bj)
+      cellPairCounts.getOrElse((i, j), Map.empty).foreach { case ((bi, bj), pij) =>
+        val pi = cellMarginals(i)(bi)
+        val pj = cellMarginals(j)(bj)
         if (pij > 0) m += pij * math.log(pij / (pi * pj))
       }
       mi(i)(j) = m
@@ -120,23 +202,24 @@ object BayesNet {
         order += i
     }
 
-    // CPTs p(child | parent) from the pairwise joints.
+    // CPTs p(child | parent) from the (cell-space) pairwise joints.
     val cpts: Array[Map[Int, Array[Double]]] = Array.tabulate(nin) { i =>
       if (parent(i) < 0) Map.empty[Int, Array[Double]]
       else {
         val p = parent(i)
         val joint: Map[(Int, Int), Double] =
-          if (p < i) pairCounts((p, i)).toMap
-          else pairCounts((i, p)).toMap.map { case ((a, b), v) => (b, a) -> v }
+          if (p < i) cellPairCounts((p, i)).toMap
+          else cellPairCounts((i, p)).toMap.map { case ((a, b), v) => (b, a) -> v }
         joint.groupBy(_._1._1).map { case (pb, entries) =>
-          val dist = new Array[Double](meta.columns(i).distributionSize)
+          val dist = new Array[Double](cellsOf(i))
           val tot = entries.values.sum
           entries.foreach { case ((_, cb), v) => dist(cb) = v / tot }
           pb -> dist
         }
       }
     }
-    new BayesNet(meta, parent, order.toArray, marginals, cpts)
+    new BayesNet(meta, parent, order.toArray, cellMarginals, cpts,
+      binMap, if (needsRebin) origMarginals else null)
   }
 }
 
@@ -156,19 +239,22 @@ final class BayesNetEstimator(
 
   def selectivity(preds: Seq[Pred]): Double = {
     val byCol = Pred.fillWildcards(bn.meta, preds)
-    val valid: Array[Array[Boolean]] = Array.tabulate(bn.nin) { i =>
+    // Per-column cell-space pass fractions in [0,1] (1-or-0 when the
+    // column is not rebinned); null = wildcard.
+    val frac: Array[Array[Double]] = Array.tabulate(bn.nin) { i =>
       val ps = byCol(i)
       if (ps.isEmpty) null
       else {
         val masks = ps.map(_.domainMask(bn.meta.columns(i)))
-        Array.tabulate(bn.meta.columns(i).distributionSize)(j =>
+        val mask = Array.tabulate(bn.meta.columns(i).distributionSize)(j =>
           masks.forall(_(j)))
+        bn.cellPassFractions(i, mask)
       }
     }
     val masses = Array.fill(numSamples)(1.0)
     val sampled = Array.fill(numSamples, bn.nin)(-1)
     for (i <- bn.order) {
-      val dom = bn.meta.columns(i).distributionSize
+      val dom = bn.marginals(i).length
       var r = 0
       while (r < numSamples) {
         val dist =
@@ -178,19 +264,19 @@ final class BayesNetEstimator(
         var mass = 0.0
         var j = 0
         while (j < dom) {
-          if (valid(i) == null || valid(i)(j)) mass += dist(j)
+          mass += dist(j) * (if (frac(i) == null) 1.0 else frac(i)(j))
           j += 1
         }
-        if (valid(i) != null) masses(r) *= mass
-        // Sample forward from the (masked) conditional; vanished paths
-        // fall back to uniform so the walk can continue (its recorded
-        // mass is already ~0) — estimators.py:938-944.
+        if (frac(i) != null) masses(r) *= mass
+        // Sample forward from the fraction-weighted conditional; vanished
+        // paths fall back to uniform so the walk can continue (their
+        // recorded mass is already ~0) — estimators.py:938-944.
         var u = rng.nextDouble() * (if (mass > 0) mass else 1.0)
         var pick = -1
         j = 0
         while (j < dom && pick < 0) {
           val pj =
-            if (mass > 0) (if (valid(i) == null || valid(i)(j)) dist(j) else 0.0)
+            if (mass > 0) dist(j) * (if (frac(i) == null) 1.0 else frac(i)(j))
             else 1.0 / dom
           u -= pj
           if (u <= 0) pick = j

@@ -82,4 +82,42 @@ class BayesNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val preds = Seq(Pred("b", Op.Eq, 3), Pred("b", Op.Eq, 0))
     assert(new BayesNetEstimator(bn, 500).query(preds) == 0L)
   }
+
+  test("maxBins >= all domains leaves estimates unchanged") {
+    val bnWide = BayesNet.fit(df, meta, maxBins = 10) // all doms <= 5
+    val preds = Seq(Pred("a", Op.Leq, 1), Pred("c", Op.Geq, 2))
+    val e1 = new BayesNetEstimator(bn, 2000, seed = 7).selectivity(preds)
+    val e2 = new BayesNetEstimator(bnWide, 2000, seed = 7).selectivity(preds)
+    assert(math.abs(e1 - e2) < 1e-12)
+  }
+
+  test("equal-freq rebinning keeps range estimates accurate on wide domains") {
+    // A 200-value column correlated with a small one.
+    val rng = new java.util.Random(3)
+    val rs = Seq.fill(4000) {
+      val w = rng.nextInt(200)
+      Row(w, (w / 50 + (if (rng.nextDouble() < 0.2) 1 else 0)) % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("w", IntegerType), StructField("s", IntegerType)))
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs, 2), schema)
+    val wMeta = Dictionary.tableMeta(wide, "wide")
+    val bnR = BayesNet.fit(wide, wMeta, maxBins = 16)
+    assert(bnR.binMap != null && bnR.binMap(0) != null)
+    assert(bnR.marginals(0).length <= 16)
+    for ((lo, hi) <- Seq((0, 49), (50, 149), (120, 199))) {
+      val preds = Seq(Pred("w", Op.Geq, lo), Pred("w", Op.Leq, hi))
+      val truth = rs.count(r => r.getInt(0) >= lo && r.getInt(0) <= hi).toLong
+      val est = new BayesNetEstimator(bnR, 2000).query(preds)
+      val q = math.max(est.toDouble / truth, truth.toDouble / est)
+      assert(q < 1.5, s"[$lo,$hi] est=$est truth=$truth q=$q")
+    }
+    // Correlated predicate across the rebinned and small columns.
+    val preds = Seq(Pred("w", Op.Leq, 49), Pred("s", Op.Eq, 0))
+    val truth = rs.count(r => r.getInt(0) <= 49 && r.getInt(1) == 0).toLong
+    val est = new BayesNetEstimator(bnR, 4000).query(preds)
+    val q = math.max(est.toDouble / truth, truth.toDouble / est)
+    assert(q < 2.0, s"est=$est truth=$truth q=$q")
+  }
 }

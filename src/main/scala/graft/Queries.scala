@@ -281,6 +281,16 @@ object Queries {
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
       None),
+    // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
+    // and MinHashLSH candidates. Deterministic but engine-specific
+    // hashing -> rows-only checks.
+    Entry("q_tfidf_stats",
+      (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
+      None),
+    Entry("q_minhash_lsh_ml",
+      (s, d) => graft.ops.MlPipeline.minhashLshCandidates(
+        docs(s, d), "doc_id", "text", maxJaccardDist = 0.5),
+      None),
     // Multimodal binary-column stats (documents lifted into the
     // binary-asset schema; oracle via DuckDB BLOB functions).
     Entry("q_multimodal_stats",

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, RegexTokenizer}
+import org.apache.spark.ml.linalg.SparseVector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed text-pipeline operators (the north star's named
+  * "MLlib pipeline" surface): TF-IDF featurization via a fitted
+  * `Pipeline(RegexTokenizer → HashingTF → IDF)` and MLlib `MinHashLSH`
+  * dedup candidates over the hashed term sets — the library counterparts
+  * of the hand-built ops in [[Dedup]]/[[TextOps]].
+  *
+  * Scale shape: tokenize/hash are map-side; IDF fit is one aggregation
+  * over document frequencies; the LSH join shuffles only hash buckets.
+  * Estimators (IDF, LSH hash functions) are fitted once and broadcast
+  * inside the transform, exactly like the custom operators' vocabs.
+  */
+object MlPipeline {
+
+  /** Fit TF-IDF over `textCol` and return the transformed frame with a
+    * `features` sparse vector column. */
+  def tfidf(df: DataFrame, textCol: String,
+      numFeatures: Int = 1 << 14): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+        .setPattern("\\s+"),
+      new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
+        .setNumFeatures(numFeatures),
+      new IDF().setInputCol("__tf").setOutputCol("features")))
+    pipeline.fit(df).transform(df).drop("__tokens", "__tf")
+  }
+
+  /** Per-doc TF-IDF summary (deterministic: hashing + idf are seedless
+    * deterministic functions of the corpus). */
+  def tfidfStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val featured = tfidf(df, textCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    featured.select(col(idCol).cast("long"), col("features"))
+      .as[(Long, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, v) =>
+        val sv = v.asInstanceOf[SparseVector]
+        val norm = math.sqrt(sv.values.map(x => x * x).sum)
+        (id, sv.indices.length.toLong,
+          math.round(norm * 1e6) / 1e6)
+      }
+      .toDF(idCol, "n_terms", "l2_norm")
+      .orderBy(idCol)
+  }
+
+  /** MLlib MinHashLSH near-dup candidates over binarized term vectors —
+    * the library twin of [[Dedup.minhashCandidates]]. Returns
+    * (id_a, id_b, jaccard_dist) pairs under the distance threshold.
+    */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashTables: Int = 8, maxJaccardDist: Double = 0.6,
+      numFeatures: Int = 1 << 14): DataFrame = {
+    val hashed = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+        .setPattern("\\s+"),
+      new HashingTF().setInputCol("__tokens").setOutputCol("features")
+        .setNumFeatures(numFeatures).setBinary(true)))
+      .fit(df).transform(df)
+      .select(col(idCol).as("id"), col("features"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(hashed)
+    model.approxSimilarityJoin(hashed, hashed, maxJaccardDist, "jaccard_dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+}

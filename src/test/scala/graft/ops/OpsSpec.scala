@@ -151,6 +151,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MLlib TF-IDF pipeline: rarer terms score higher, stats are stable") {
+    val df = docsDf(
+      (1L, "common common rare1"), (2L, "common common rare2"),
+      (3L, "common common common"))
+    val stats = MlPipeline.tfidfStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Docs 1 and 2 contain a unique term each -> higher-norm features
+    // than doc 3 (all common terms, idf ~ 0 contribution dominated).
+    assert(stats(1L)._1 == 2 && stats(2L)._1 == 2) // {common, rareX}
+    assert(stats(3L)._1 == 1)
+    assert(stats(1L)._2 > stats(3L)._2)
+  }
+
+  test("MLlib MinHashLSH finds the same near-dup pair as the custom MinHash") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, nearDup), (3L, other))
+    val pairs = MlPipeline.minhashLshCandidates(df, "doc_id", "text",
+      maxJaccardDist = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"pairs=${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -287,9 +287,13 @@ object Queries {
     Entry("q_tfidf_stats",
       (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
       None),
+    // Bounded to a 1/3 doc slice: MLlib's approxSimilarityJoin
+    // materializes per-hash-table bucket joins and is ~5x the cost of
+    // the custom banded MinHash (which remains the scale path).
     Entry("q_minhash_lsh_ml",
       (s, d) => graft.ops.MlPipeline.minhashLshCandidates(
-        docs(s, d), "doc_id", "text", maxJaccardDist = 0.5),
+        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", numHashTables = 5, maxJaccardDist = 0.5),
       None),
     // Multimodal binary-column stats (documents lifted into the
     // binary-asset schema; oracle via DuckDB BLOB functions).

@@ -281,6 +281,25 @@ object Queries {
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
       None),
+    // Quality scoring (length/punct/stopword ratios) + BPE-ish token
+    // counts: integer counts and single divisions, identical both
+    // engines -> oracle-checked.
+    Entry("q_quality_scores",
+      (s, d) => {
+        val scores = TextOps.qualityScores(col("text"))
+          .map { case (n, c) => c.as(n) }
+        docs(s, d).select(
+          (col("doc_id") +: scores :+
+            TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = TextOps.qualityScoresSql("text")
+          .map { case (n, sql) => s"$sql AS $n" }
+        "SELECT doc_id, " + scores.mkString(", ") + ", " +
+          TextOps.bpeTokenCountSql("text") +
+          " AS n_bpe_tokens FROM documents ORDER BY doc_id"
+      }),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.

@@ -41,6 +41,61 @@ object TextOps {
   def matchCountSql(text: String, pattern: String): String =
     s"len(regexp_extract_all($text, '$pattern'))"
 
+  /** BPE-ish token count: alphabetic runs, digit runs, and single
+    * non-space symbols — the pre-tokenization shape BPE vocabularies
+    * split on (letters|digits|punctuation), as opposed to whitespace
+    * tokens. RE2-safe, identical in Spark and DuckDB.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
+  def bpeTokenCountSql(text: String): String =
+    s"len(regexp_extract_all($text, '$bpeTokenPattern'))"
+
+  /** Document quality signals: mean word length, punctuation ratio,
+    * alphabetic ratio, stopword ratio — each an integer-count pair
+    * divided ONCE (identical arithmetic both engines). Rows with zero
+    * tokens yield nulls (0/0 -> engine-consistent via NULLIF guard).
+    */
+  private val punctPattern = "[^A-Za-z0-9\\s]"
+  private val alphaPattern = "[A-Za-z]"
+  private val stopwordPattern = "\\b(the|a|an|and|of|to|is|in|it|that)\\b"
+
+  def qualityScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokenCount(text)
+    val chars = length(text)
+    Seq(
+      "n_tokens" -> toks,
+      "mean_word_len" ->
+        (length(regexp_replace(text, "\\s+", "")).cast("double") /
+          nullif(toks, lit(0))),
+      "punct_ratio" ->
+        (regexp_count(text, lit(punctPattern)).cast("double") /
+          nullif(chars, lit(0))),
+      "alpha_ratio" ->
+        (regexp_count(text, lit(alphaPattern)).cast("double") /
+          nullif(chars, lit(0))),
+      "stopword_ratio" ->
+        (regexp_count(text, lit(stopwordPattern)).cast("double") /
+          nullif(toks, lit(0))))
+  }
+
+  def qualityScoresSql(text: String): Seq[(String, String)] = {
+    val toks = tokenCountSql(text)
+    Seq(
+      "n_tokens" -> toks,
+      "mean_word_len" ->
+        s"CAST(len(regexp_replace($text, '\\s+', '', 'g')) AS DOUBLE) / nullif($toks, 0)",
+      "punct_ratio" ->
+        s"CAST(len(regexp_extract_all($text, '$punctPattern')) AS DOUBLE) / nullif(len($text), 0)",
+      "alpha_ratio" ->
+        s"CAST(len(regexp_extract_all($text, '$alphaPattern')) AS DOUBLE) / nullif(len($text), 0)",
+      "stopword_ratio" ->
+        s"CAST(len(regexp_extract_all($text, '$stopwordPattern')) AS DOUBLE) / nullif($toks, 0)")
+  }
+
   /** Stopword marker sets per language for the n-gram/stopword language
     * heuristic. Deterministic and tiny by design.
     */

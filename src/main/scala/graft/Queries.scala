@@ -281,6 +281,14 @@ object Queries {
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
       None),
+    // Winnowing (rolling-hash) document fingerprints: per-doc count +
+    // min fingerprint (rows-only: JVM-hash-specific values).
+    Entry("q_winnow_fp",
+      (s, d) => TextOps.winnowingFingerprints(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+          array_min(col("fingerprints")).as("min_fp"))
+        .orderBy("doc_id"),
+      None),
     // Quality scoring (length/punct/stopword ratios) + BPE-ish token
     // counts: integer counts and single divisions, identical both
     // engines -> oracle-checked.

@@ -96,6 +96,74 @@ object TextOps {
         s"CAST(len(regexp_extract_all($text, '$stopwordPattern')) AS DOUBLE) / nullif($toks, 0)")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): a
+    * Rabin–Karp rolling hash over byte k-grams, keeping the minimum hash
+    * of every `window` consecutive k-grams (rightmost on ties). The
+    * selected minima are a locality-preserving fingerprint set — edits
+    * perturb only nearby fingerprints, so near-dup docs share most of
+    * theirs. Runs as a batched mapPartitions (genuine per-row imperative
+    * logic), no shuffle.
+    *
+    * Returns (id, fingerprints: sorted distinct array<long>).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(textCol))
+      .rdd.mapPartitions { rows =>
+        val B = 257L
+        val M = (1L << 61) - 1 // Mersenne prime modulus
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getString(1)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length - k + 1
+          val fps = scala.collection.mutable.SortedSet[Long]()
+          if (n > 0) {
+            // rolling k-gram hashes
+            val hs = new Array[Long](n)
+            var h = 0L
+            var pow = 1L
+            var i = 0
+            while (i < k) {
+              h = (h * B + (bytes(i) & 0xff)) % M
+              if (i < k - 1) pow = (pow * B) % M
+              i += 1
+            }
+            hs(0) = h
+            i = 1
+            while (i < n) {
+              h = ((h - ((bytes(i - 1) & 0xff) * pow) % M + M * 257) % M * B +
+                (bytes(i + k - 1) & 0xff)) % M
+              hs(i) = h
+              i += 1
+            }
+            // winnow: min of each window, rightmost on ties
+            var w0 = 0
+            while (w0 <= n - window) {
+              var mn = Long.MaxValue
+              var pick = w0
+              var j = w0
+              while (j < w0 + window) {
+                if (hs(j) <= mn) { mn = hs(j); pick = j }
+                j += 1
+              }
+              fps += hs(pick)
+              w0 += 1
+            }
+            if (n < window && n > 0) fps += hs.take(n).min
+          }
+          Row(id, fps.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fingerprints", ArrayType(LongType, containsNull = false),
+        nullable = false))))
+  }
+
   /** Stopword marker sets per language for the n-gram/stopword language
     * heuristic. Deterministic and tiny by design.
     */

@@ -151,6 +151,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing fingerprints are deterministic and locality-preserving") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val edited = base + " tail edit only"
+    val other = (200 to 260).map(i => s"w$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, base), (3L, edited), (4L, other))
+    val fp = TextOps.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) == fp(2L), "identical docs must fingerprint identically")
+    // A tail edit preserves most fingerprints (locality).
+    val shared = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).size
+    assert(shared > 0.8, s"tail edit kept only ${shared * 100}%")
+    // Disjoint content shares (nearly) nothing.
+    assert(fp(1L).intersect(fp(4L)).size <= fp(1L).size / 10)
+    assert(fp(1L).nonEmpty)
+  }
+
   test("MLlib TF-IDF pipeline: rarer terms score higher, stats are stable") {
     val df = docsDf(
       (1L, "common common rare1"), (2L, "common common rare2"),

@@ -94,6 +94,61 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event ids within the watermark
+    * horizon (`dropDuplicates` keeps per-key state; the watermark bounds
+    * it — the streaming twin of [[graft.ops.Dedup.exactKeepFirst]]). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Event-time sessionization: like [[sessionize]], but sessions close
+    * when the WATERMARK (not the wall clock) passes the gap — state and
+    * emission are driven purely by the data, which also makes it exactly
+    * replayable. The canonical flatMapGroupsWithState +
+    * EventTimeTimeout shape.
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    s.startMs, t))
+                case Some(s) =>
+                  out += SessionSummary(userId, s.nEvents, s.totalValue,
+                    s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close when the watermark passes the session's gap edge.
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Read the events parquet directory as a bounded stream (for tests
     * and replays): same schema, one file per trigger. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -66,6 +66,56 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[Long]("cnt")).sum == 3)
   }
 
+  test("streaming dedup drops repeated event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt3").toString)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(1, ts(0), 10, "click", 1.0), // duplicate id
+      Event(2, ts(1), 11, "view", 2.0))
+    query.processAllAvailable()
+    mem.addData(Event(2, ts(2), 11, "view", 2.0)) // dup across batches
+    query.processAllAvailable()
+    assert(spark.table("deduped").count() == 2)
+    query.stop()
+  }
+
+  test("event-time sessionize closes sessions when the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventStream.sessionizeEventTime(mem.toDS(),
+      gapMs = 10 * 60000L, watermark = "5 minutes")
+    val query = sessions.writeStream.format("memory").queryName("et_sessions")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt4").toString)
+      .outputMode(OutputMode.Append()).start()
+    // User 10's session: two events. Then much later events from OTHER
+    // users advance the watermark past 10:05 + gap -> session times out
+    // and is emitted with no further user-10 input.
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0))
+    query.processAllAvailable()
+    mem.addData(Event(3, ts(60), 99, "view", 9.0))
+    query.processAllAvailable()
+    mem.addData(Event(4, ts(120), 98, "view", 9.0))
+    query.processAllAvailable()
+    val out = spark.table("et_sessions").as[SessionSummary].collect()
+      .filter(_.userId == 10L)
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out(0).nEvents == 2 && out(0).totalValue == 3.0)
+    query.stop()
+  }
+
   test("sessionize groups events by gap per user") {
     val s = spark
     import s.implicits._

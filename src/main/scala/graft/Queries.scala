@@ -375,12 +375,26 @@ object Queries {
           centroids, nProbe = 2)
       },
       None),
-    // Embedding-cosine near-dup pairs via bucketed self-join (rows-only:
-    // LSH candidate generation is approximate).
+    // Embedding-cosine near-dup pairs via bucketed self-join. The
+    // synthetic embeddings are near-orthogonal (max real pair cosine
+    // ~0.6), so we plant exact duplicates of a 1-in-20 id slice: exact
+    // dups share every sign-LSH bucket deterministically and score
+    // cosine 1.0, while no non-planted pair clears 0.9 -- making the
+    // approximate operator's output exact and oracle-checkable.
     Entry("q_embed_neardup",
-      (s, d) => Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding",
-        threshold = 0.9),
-      None),
+      (s, d) => {
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val planted = base.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            col("embedding"))
+        Similarity.nearDupPairs(base.unionByName(planted),
+            "vec_id", "embedding", threshold = 0.9)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("id_a", "id_b")
+      },
+      Some("SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, " +
+        "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY id_a, id_b")),
     // Source sanity over the embeddings table (oracle-checked).
     Entry("q_embed_stats",
       (s, d) => emb(s, d)
@@ -490,21 +504,30 @@ object Queries {
       minFilters = 2, maxFilters = 4, seed = 1234L)
   }
 
+  /** SF-invariant lineitem domains (fixed by the TPC-H spec), so the
+    * seeded workload below is a pure function — its oracle SQL exists
+    * before any query runs (no runtime side-channel). Domain sizes match
+    * the data: 3 / 2 / 50 / 11 / 9.
+    */
+  private val fixedDomains: Seq[(String, IndexedSeq[Any])] = Seq(
+    "l_returnflag" -> IndexedSeq[Any]("A", "N", "R"),
+    "l_linestatus" -> IndexedSeq[Any]("O", "F"),
+    "l_quantity" -> (1 to 50).map(q => (q.toDouble: Any)),
+    "l_discount" -> (0 to 10).map(i => ((i / 100.0): Any)),
+    "l_tax" -> (0 to 8).map(i => ((i / 100.0): Any)))
+
+  /** The oracle-checked evaluation workload (pure; see [[fixedDomains]]). */
+  lazy val fixedWorkload: Seq[Seq[Pred]] =
+    Workload.generateFixed(fixedDomains, 20,
+      minFilters = 2, maxFilters = 4, seed = 1234L)
+
   val neuralEntries: Seq[Entry] = Seq(
     // Seeded-workload true cardinalities: generator determinism + the
-    // one-pass count-if oracle, DuckDB-checked per query.
+    // one-pass count-if oracle, DuckDB-checked per query. The workload
+    // is the pure fixed-domain one so the oracle SQL is a constant.
     Entry("q_workload_truths",
-      (s, d) => {
-        val meta = Dictionary.tableMeta(
-          li(s, d).select(modelCols.map(col): _*), "lineitem", modelCols)
-        val qs = lineitemWorkload(s, d, meta, 20)
-        // The oracle SQL embeds the generated literals, which depend on
-        // the sfDir's data — publish it now so oracleSql (read after the
-        // queries run in Verify) carries the matching text.
-        workloadTruthsSql = Some(Workload.trueCardsSql("lineitem", qs))
-        Workload.trueCardsDf(s, li(s, d), qs)
-      },
-      None),
+      (s, d) => Workload.trueCardsDf(s, li(s, d), fixedWorkload),
+      Some(Workload.trueCardsSql("lineitem", fixedWorkload))),
     // ProgressiveSampling flagship estimate on W1 (model-based; seeded
     // deterministic but not SQL-expressible -> rows-only check).
     Entry("q_psample_card",
@@ -704,22 +727,7 @@ object Queries {
 
   def all: Seq[Entry] =
     estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
-      embeddingEntries ++
-      neuralEntries.map { e =>
-        // q_workload_truths needs its oracle SQL generated from the same
-        // seeded workload the query runs (literals embedded in SQL).
-        if (e.name == "q_workload_truths") e.copy(oracle = workloadTruthsSql)
-        else e
-      }
-
-  /** Oracle SQL for q_workload_truths: regenerate the seeded workload
-    * from sf0.01 metadata-free info. The generator only needs domains
-    * for the dom<10 '=' rule and anchor rows — both derived from the
-    * data, so the driver's DuckDB run at sf0.01 must see the same
-    * queries the Spark run generated there. We keep a cache filled by
-    * the query fn at runtime.
-    */
-  @volatile private[graft] var workloadTruthsSql: Option[String] = None
+      embeddingEntries ++ neuralEntries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

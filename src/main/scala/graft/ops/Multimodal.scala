@@ -47,7 +47,7 @@ object Multimodal {
   // exactly Spark's md5(encode(text,'UTF-8'))); octet_length takes BLOB.
   def statsSql(table: String, id: String, text: String): String =
     s"SELECT 'text/plain' AS mime, count(*) AS n_assets, " +
-      s"sum(octet_length(encode($text))) AS total_bytes, " +
+      s"CAST(sum(octet_length(encode($text))) AS BIGINT) AS total_bytes, " +
       s"CAST(max(octet_length(encode($text))) AS INTEGER) AS max_bytes, " +
       s"count(DISTINCT md5($text)) AS n_distinct FROM $table"
 

@@ -115,6 +115,16 @@ object TextOps {
       .rdd.mapPartitions { rows =>
         val B = 257L
         val M = (1L << 61) - 1 // Mersenne prime modulus
+        // (a*b) mod M without overflow: the 128-bit product is hi*2^64+lo
+        // and 2^64 = 8 (mod 2^61-1), so a*b = hi*8 + top3(lo) + low61(lo).
+        // All operands < M < 2^61, so hi < 2^58 and the sum stays < 2^63.
+        def mulmod(a: Long, b: Long): Long = {
+          val hi = Math.multiplyHigh(a, b)
+          val lo = a * b
+          var r = hi * 8 + (lo >>> 61) + (lo & M)
+          while (r >= M) r -= M
+          r
+        }
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = Option(r.getString(1)).getOrElse("")
@@ -128,15 +138,15 @@ object TextOps {
             var pow = 1L
             var i = 0
             while (i < k) {
-              h = (h * B + (bytes(i) & 0xff)) % M
-              if (i < k - 1) pow = (pow * B) % M
+              h = (mulmod(h, B) + (bytes(i) & 0xff)) % M
+              if (i < k - 1) pow = mulmod(pow, B)
               i += 1
             }
             hs(0) = h
             i = 1
             while (i < n) {
-              h = ((h - ((bytes(i - 1) & 0xff) * pow) % M + M * 257) % M * B +
-                (bytes(i + k - 1) & 0xff)) % M
+              val drop = mulmod(bytes(i - 1) & 0xff, pow)
+              h = (mulmod(h - drop + M, B) + (bytes(i + k - 1) & 0xff)) % M
               hs(i) = h
               i += 1
             }

@@ -67,6 +67,33 @@ object Workload {
     }.filter(_.nonEmpty)
   }
 
+  /** Data-independent seeded workload over fixed, SF-invariant column
+    * domains (TPC-H lineitem's small-domain columns carry the same value
+    * sets at every scale factor). Pure function of (domains, seed) — so
+    * the oracle SQL for its true cardinalities can be built before any
+    * query runs, unlike [[generate]] whose anchors come from the table.
+    * Keeps the reference's dom<10 forced-equality rule.
+    */
+  def generateFixed(domains: Seq[(String, IndexedSeq[Any])],
+      numQueries: Int, minFilters: Int, maxFilters: Int,
+      seed: Long = 1234L): Seq[Seq[Pred]] = {
+    val rng = new java.util.Random(seed)
+    val eligibleOps = Array[Op](Op.Leq, Op.Geq, Op.Eq)
+    (0 until numQueries).map { _ =>
+      val nf = math.min(domains.length,
+        minFilters + rng.nextInt(maxFilters - minFilters + 1))
+      val idxs = rng.ints(0, domains.length).distinct().limit(nf).toArray
+      idxs.toSeq.map { ci =>
+        val (cname, dom) = domains(ci)
+        val v = dom(rng.nextInt(dom.length))
+        val op =
+          if (dom.length < 10) Op.Eq
+          else eligibleOps(rng.nextInt(eligibleOps.length))
+        Pred(cname, op, v)
+      }
+    }
+  }
+
   /** True cardinalities for a workload in ONE distributed pass: a single
     * aggregation of count-if columns instead of one job per query —
     * exactly the plan you want when the workload is large and the table

@@ -167,6 +167,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(1L).nonEmpty)
   }
 
+  test("winnowing fingerprints are shift-invariant under prefix insertion") {
+    // A prefix edit shifts every shared k-gram to a different byte
+    // offset; the rolling hash must assign the same value to the same
+    // k-gram regardless of position, so most fingerprints survive.
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val shifted = "inserted prefix " + base
+    val df = docsDf((1L, base), (2L, shifted))
+    val fp = TextOps.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val shared = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).size
+    assert(shared > 0.8, s"prefix insertion kept only ${shared * 100}%")
+  }
+
   test("MLlib TF-IDF pipeline: rarer terms score higher, stats are stable") {
     val df = docsDf(
       (1L, "common common rare1"), (2L, "common common rare2"),

@@ -11,17 +11,23 @@ import org.apache.spark.sql.functions._
   * learning from pairwise mutual information, CPTs from co-occurrence
   * counts, and progressive sampling over the tree).
   *
-  * Distributed shape: structure learning needs one `groupBy(ci, cj)`
-  * aggregation per column pair (each a single shuffle over the encoded
-  * table, collected only as bounded (bin, bin, count) triples); CPTs
-  * reuse the same counts. Inference is driver-side over broadcast-able
-  * CPTs, like the reference's per-worker estimator replicas
-  * (eval_model.py:303-375).
+  * Distributed shape: structure learning needs ONE grouping-sets
+  * aggregation over the encoded table (all singleton + pair counts in a
+  * single shuffle, collected only as bounded (bin, bin, count) triples);
+  * CPTs reuse the same counts. Inference is driver-side over
+  * broadcast-able CPTs, like the reference's per-worker estimator
+  * replicas (eval_model.py:303-375).
   *
   * Large domains can be re-discretized into <= maxBins equal-frequency
   * cells (reference estimators.py:683-740); distributions then live in
   * cell space while predicates are resolved against the ORIGINAL domain
   * via per-cell pass fractions weighted by the original marginals.
+  * Rebinning is applied IN-ENGINE before the pairwise aggregation (a
+  * cheap marginal-only pass builds the cell map, which is then an
+  * array-literal lookup inside the pair pass), so the rows collected to
+  * the driver stay <= maxBins² per column pair no matter how wide the
+  * original domains are — two 100k-value columns collect at most
+  * maxBins² pair triples, not 10^10.
   *
   * @param parent   parent(i) = parent column index in the tree, -1 = root
   * @param order    topological sampling order (root first), analog of
@@ -79,40 +85,34 @@ final class BayesNet(
 
 object BayesNet {
 
-  /** Chow–Liu fit: ALL pairwise + marginal counts in ONE grouping-sets
-    * aggregation (one shuffle over the encoded table instead of
-    * ncols + C(ncols,2) separate jobs — 5× faster at sf0.1), max-weight
-    * spanning tree on the driver (column count is metadata-sized), CPTs
-    * from the same pairwise counts.
-    */
-  def fit(df: DataFrame, meta: TableMeta, maxBins: Int = 0): BayesNet = {
-    val cols = meta.columns.map(_.name)
-    val nin = cols.length
-    val enc = Dictionary.discretize(df, meta.columns)
-      .select(cols.map(c => col(s"${c}_bin").as(c)): _*)
-    val n = meta.cardinality.toDouble
+  private type PairCounts =
+    scala.collection.mutable.Map[(Int, Int),
+      scala.collection.mutable.Map[(Int, Int), Double]]
 
-    // One pass: grouping sets = all singletons + all pairs. grouping_id
-    // bit b set = column b aggregated away (not part of this set).
-    val singles = (0 until nin).map(i => Seq(col(cols(i))))
-    val pairs = for (i <- 0 until nin; j <- i + 1 until nin)
-      yield Seq(col(cols(i)), col(cols(j)))
-    val grouped = enc.groupingSets((singles ++ pairs).map(_.toSeq),
-        cols.map(col): _*)
+  private def encode(df: DataFrame, meta: TableMeta): DataFrame = {
+    val cols = meta.columns.map(_.name)
+    Dictionary.discretize(df, meta.columns)
+      .select(cols.map(c => col(s"${c}_bin").as(c)): _*)
+  }
+
+  /** Grouping-sets count aggregation over `sets`; one shuffle for all
+    * sets. grouping_id bit b set = column b aggregated away. */
+  private def groupedCounts(enc: DataFrame, cols: Seq[String],
+      sets: Seq[Seq[org.apache.spark.sql.Column]]): Array[org.apache.spark.sql.Row] =
+    enc.groupingSets(sets, cols.map(col): _*)
       .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
       .collect()
 
-    val marginals: Array[Array[Double]] = Array.tabulate(nin)(i =>
-      new Array[Double](meta.columns(i).distributionSize))
-    val pairCounts = scala.collection.mutable.Map
-      .empty[(Int, Int), scala.collection.mutable.Map[(Int, Int), Double]]
-    for (r <- grouped) {
+  private def decodeRows(rows: Array[org.apache.spark.sql.Row], nin: Int,
+      n: Double, marginals: Array[Array[Double]],
+      pairCounts: PairCounts): Unit =
+    for (r <- rows) {
       val gid = r.getAs[Long]("__gid")
       val present = (0 until nin).filter(b => (gid & (1L << (nin - 1 - b))) == 0)
       val c = r.getAs[Long]("__c")
       present match {
-        case Seq(i) => marginals(i)(r.getInt(i)) = c / n
-        case Seq(i, j) =>
+        case Seq(i) if marginals != null => marginals(i)(r.getInt(i)) = c / n
+        case Seq(i, j) if pairCounts != null =>
           pairCounts.getOrElseUpdate((i, j),
               scala.collection.mutable.Map.empty)
             .update((r.getInt(i), r.getInt(j)), c / n)
@@ -120,55 +120,127 @@ object BayesNet {
       }
     }
 
-    // Optional equal-frequency re-discretization of large domains
-    // (estimators.py:694-740): original bins in sorted-value order are
-    // grouped into <= maxBins cells of roughly equal mass.
+  /** Equal-frequency cell map per column (estimators.py:694-740):
+    * original bins in sorted-value order grouped into <= maxBins cells of
+    * roughly equal mass; null entry = column not rebinned. */
+  private def buildBinMap(meta: TableMeta, marginals: Array[Array[Double]],
+      maxBins: Int): Array[Array[Int]] =
+    Array.tabulate(meta.columns.length) { i =>
+      val dom = meta.columns(i).distributionSize
+      if (dom <= maxBins) null
+      else {
+        val perBin = 1.0 / maxBins
+        val map = new Array[Int](dom)
+        var cell = 0
+        var size = 0.0
+        var b = 0
+        while (b < dom) {
+          val cnt = marginals(i)(b)
+          if (size > 0 && size + cnt >= perBin && cell < maxBins - 1) {
+            cell += 1; size = 0.0
+          }
+          map(b) = cell
+          size += cnt
+          b += 1
+        }
+        map
+      }
+    }
+
+  /** Pass-1 marginals + driver-built cell map + the pass-2 pairwise
+    * aggregation with the cell map applied IN-ENGINE (bin -> cell is an
+    * array-literal lookup, codegen'd, no shuffle of its own), so the
+    * pairs job groups in cell space and its result is <= maxBins² rows
+    * per pair. Exposed for the boundedness unit test. */
+  private[est] final case class RebinPass(
+      origMarginals: Array[Array[Double]],
+      binMap: Array[Array[Int]],
+      pairsDf: DataFrame)
+
+  private[est] def rebinPass(df: DataFrame, meta: TableMeta,
+      maxBins: Int): RebinPass = {
+    val cols = meta.columns.map(_.name)
+    val nin = cols.length
+    val enc = encode(df, meta)
+    val n = meta.cardinality.toDouble
+    // Pass 1 (cheap, linear): per-column marginal counts at original
+    // resolution — needed anyway for the per-cell predicate pass
+    // fractions; collected rows = sum of domain sizes.
+    val singles = (0 until nin).map(i => Seq(col(cols(i))))
+    val marginals: Array[Array[Double]] = Array.tabulate(nin)(i =>
+      new Array[Double](meta.columns(i).distributionSize))
+    decodeRows(groupedCounts(enc, cols, singles), nin, n, marginals, null)
+    val binMap = buildBinMap(meta, marginals, maxBins)
+    // Apply the cell map in-engine; non-rebinned columns pass through.
+    val cellEnc = enc.select(cols.zipWithIndex.map { case (c, i) =>
+      if (binMap(i) == null) col(c)
+      else element_at(typedlit(binMap(i).toIndexedSeq), col(c) + lit(1)).as(c)
+    }: _*)
+    val pairs = for (i <- 0 until nin; j <- i + 1 until nin)
+      yield Seq(col(cols(i)), col(cols(j)))
+    val pairsDf = cellEnc.groupingSets(pairs, cols.map(col): _*)
+      .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
+    RebinPass(marginals, binMap, pairsDf)
+  }
+
+  /** Chow–Liu fit. Without rebinning: ALL pairwise + marginal counts in
+    * ONE grouping-sets aggregation (one shuffle over the encoded table
+    * instead of ncols + C(ncols,2) separate jobs — 5× faster at sf0.1).
+    * With maxBins rebinning: a cheap marginal pass, then the pairwise
+    * pass in cell space (see [[rebinPass]]). Max-weight spanning tree on
+    * the driver (column count is metadata-sized), CPTs from the same
+    * pairwise counts.
+    */
+  def fit(df: DataFrame, meta: TableMeta, maxBins: Int = 0): BayesNet = {
+    val cols = meta.columns.map(_.name)
+    val nin = cols.length
+    val n = meta.cardinality.toDouble
     val needsRebin = maxBins > 0 &&
       (0 until nin).exists(i => meta.columns(i).distributionSize > maxBins)
-    val binMap: Array[Array[Int]] =
-      if (!needsRebin) null
-      else Array.tabulate(nin) { i =>
-        val dom = meta.columns(i).distributionSize
-        if (dom <= maxBins) null
+
+    if (!needsRebin) {
+      val enc = encode(df, meta)
+      val singles = (0 until nin).map(i => Seq(col(cols(i))))
+      val pairs = for (i <- 0 until nin; j <- i + 1 until nin)
+        yield Seq(col(cols(i)), col(cols(j)))
+      val marginals: Array[Array[Double]] = Array.tabulate(nin)(i =>
+        new Array[Double](meta.columns(i).distributionSize))
+      val pairCounts: PairCounts = scala.collection.mutable.Map.empty
+      decodeRows(groupedCounts(enc, cols, singles ++ pairs), nin, n,
+        marginals, pairCounts)
+      assemble(meta, marginals, pairCounts, null, null)
+    } else {
+      val pass = rebinPass(df, meta, maxBins)
+      val cellPairCounts: PairCounts = scala.collection.mutable.Map.empty
+      decodeRows(pass.pairsDf.collect(), nin, n, null, cellPairCounts)
+      // Cell marginals derived on the driver from the original-resolution
+      // marginals (no second singles job needed).
+      val cellMarginals: Array[Array[Double]] = Array.tabulate(nin) { i =>
+        val bm = pass.binMap(i)
+        if (bm == null) pass.origMarginals(i).clone()
         else {
-          val perBin = 1.0 / maxBins
-          val map = new Array[Int](dom)
-          var cell = 0
-          var size = 0.0
-          var b = 0
-          while (b < dom) {
-            val cnt = marginals(i)(b)
-            if (size > 0 && size + cnt >= perBin && cell < maxBins - 1) {
-              cell += 1; size = 0.0
-            }
-            map(b) = cell
-            size += cnt
-            b += 1
+          val m = new Array[Double](bm.max + 1)
+          pass.origMarginals(i).zipWithIndex.foreach {
+            case (v, b) => m(bm(b)) += v
           }
-          map
+          m
         }
       }
-    def cellOf(i: Int, b: Int): Int =
-      if (binMap == null || binMap(i) == null) b else binMap(i)(b)
-    def cellsOf(i: Int): Int =
-      if (binMap == null || binMap(i) == null) meta.columns(i).distributionSize
-      else binMap(i).max + 1
-    val origMarginals = marginals.map(_.clone())
-    val cellMarginals: Array[Array[Double]] = Array.tabulate(nin) { i =>
-      val m = new Array[Double](cellsOf(i))
-      marginals(i).zipWithIndex.foreach { case (v, b) => m(cellOf(i, b)) += v }
-      m
+      assemble(meta, cellMarginals, cellPairCounts, pass.binMap,
+        pass.origMarginals)
     }
-    val cellPairCounts = scala.collection.mutable.Map
-      .empty[(Int, Int), scala.collection.mutable.Map[(Int, Int), Double]]
-    pairCounts.foreach { case ((i, j), m) =>
-      val t = cellPairCounts.getOrElseUpdate((i, j),
-        scala.collection.mutable.Map.empty)
-      m.foreach { case ((bi, bj), v) =>
-        val k = (cellOf(i, bi), cellOf(j, bj))
-        t(k) = t.getOrElse(k, 0.0) + v
-      }
-    }
+  }
+
+  /** Tree construction from (cell-space) marginals and pairwise counts:
+    * mutual information, max-weight spanning tree, topological order,
+    * CPTs. */
+  private def assemble(meta: TableMeta,
+      cellMarginals: Array[Array[Double]],
+      cellPairCounts: PairCounts,
+      binMap: Array[Array[Int]],
+      origMarginals: Array[Array[Double]]): BayesNet = {
+    val nin = meta.columns.length
+    def cellsOf(i: Int): Int = cellMarginals(i).length
 
     val mi = Array.ofDim[Double](nin, nin)
     for (i <- 0 until nin; j <- i + 1 until nin) {
@@ -219,7 +291,7 @@ object BayesNet {
       }
     }
     new BayesNet(meta, parent, order.toArray, cellMarginals, cpts,
-      binMap, if (needsRebin) origMarginals else null)
+      binMap, origMarginals)
   }
 }
 

@@ -120,4 +120,30 @@ class BayesNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = math.max(est.toDouble / truth, truth.toDouble / est)
     assert(q < 2.0, s"est=$est truth=$truth q=$q")
   }
+
+  test("pairwise collect is cell-bounded in-engine for a 100k-domain column") {
+    // Two wide columns (100k and 1k distinct values) whose full-resolution
+    // pairwise count would be up to 10^8 rows; the in-engine cell map must
+    // bound the collected pair aggregation to <= maxBins² per pair.
+    val m = 100000
+    val wide = spark.range(m).selectExpr(
+      "CAST(id AS INT) AS u",
+      "CAST(id % 1000 AS INT) AS v",
+      "CAST(id % 4 AS INT) AS s")
+    val wMeta = Dictionary.tableMeta(wide, "huge")
+    val maxBins = 32
+    val pass = BayesNet.rebinPass(wide, wMeta, maxBins)
+    assert(pass.binMap(0) != null && pass.binMap(1) != null &&
+      pass.binMap(2) == null)
+    // 3 pairs: (u,v) <= 32², (u,s) <= 32*4, (v,s) <= 32*4.
+    val collected = pass.pairsDf.count()
+    assert(collected <= maxBins * maxBins + 2 * maxBins * 4,
+      s"pairwise aggregation not cell-bounded: $collected rows")
+    // And the full fit on the same data still estimates ranges sanely.
+    val bnW = BayesNet.fit(wide, wMeta, maxBins = maxBins)
+    val preds = Seq(Pred("u", Op.Leq, 24999))
+    val est = new BayesNetEstimator(bnW, 2000).query(preds)
+    val qe = math.max(est / 25000.0, 25000.0 / est)
+    assert(qe < 1.3, s"est=$est truth=25000 q=$qe")
+  }
 }

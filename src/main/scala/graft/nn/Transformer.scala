@@ -8,14 +8,20 @@ package graft.nn
   * (transformer.py:211-264), final LayerNorm, tied-embedding output
   * logits (transformer.py:587-598), per-column cross-entropy NLL.
   *
-  * Scope: the reference's MASK_SCHEME=0 (causal mask, natural ordering,
-  * transformer.py:20-28) — the arbitrary-ordering scheme-1 masks are out
-  * of scope; MADE covers non-natural orderings in this rebuild.
+  * Arbitrary autoregressive orderings (reference transformer.py:44-102,
+  * checked by transformer.py:601-651 across natural/reversed/random) are
+  * realized by permuting the column -> sequence-position mapping under
+  * the unchanged causal mask: the column at order position p feeds
+  * sequence position p+1, and the hidden at order position p decodes
+  * that column. This is semantically the reference's `fixed_ordering`
+  * path — its scheme-1 masks exist to express the same permutation
+  * without moving rows; here moving the rows is free since encoding is
+  * explicit.
   *
   * Layout: sequences are flat row-major `Array[Float]` with index
-  * `((b * seq + s) * d + k)`; seq = nin (position 0 is SOS, position p
-  * holds x_{p-1}); the output at position i is the hidden for
-  * `p(x_i | x_<i)`.
+  * `((b * seq + s) * d + k)`; seq = nin (position 0 is SOS, position p+1
+  * holds the column at order position p); the output at order position i
+  * is the hidden for `p(x_ord(i) | x_ord(<i))`.
   */
 final class Transformer(
     val nin: Int,
@@ -25,14 +31,27 @@ final class Transformer(
     val numHeads: Int = 4,
     val numBlocks: Int = 2,
     val columnMasking: Boolean = false,
+    val fixedOrdering: Array[Int] = null,
     val seed: Long = 11123L) extends graft.est.ArModel with Trainable {
 
   require(dModel % numHeads == 0)
+  require(fixedOrdering == null ||
+    fixedOrdering.sorted.sameElements(Array.tabulate(nin)(identity)),
+    "fixedOrdering must be a permutation of 0 until nin")
   private val rng = new java.util.Random(seed)
   private val dState = dModel / numHeads
   val seqLen: Int = nin
 
-  def ordering: Array[Int] = Array.tabulate(nin)(identity)
+  /** ordering(naturalIdx) = position in the autoregressive order. */
+  val ordering: Array[Int] =
+    if (fixedOrdering != null) fixedOrdering.clone()
+    else Array.tabulate(nin)(identity)
+  /** position -> natural column index. */
+  private val invOrder: Array[Int] = {
+    val inv = new Array[Int](nin)
+    for (nat <- 0 until nin) inv(ordering(nat)) = nat
+    inv
+  }
   def totalInputSize: Int = seqLen * dModel
 
   // ---- parameters ----
@@ -428,12 +447,13 @@ final class Transformer(
   // ---- input encoding (transformer.py:410-530) ----
 
   /** Write column `nat`'s embedding (+pos emb) into sequence position
-    * nat+1; the last column is never an input (right shift). Values null
-    * = [MASK]. Position 0 (SOS + pos emb 0) is owned by forwardEncoded.
+    * ordering(nat)+1; the column LAST in the ordering is never an input
+    * (right shift). Values null = [MASK]. Position 0 (SOS + pos emb 0)
+    * is owned by forwardEncoded.
     */
   def encodeColumn(naturalIdx: Int, values: Array[Int], out: Array[Float],
       batch: Int): Unit = {
-    val pos = naturalIdx + 1
+    val pos = ordering(naturalIdx) + 1
     if (pos >= seqLen) return // right-shifted out (transformer.py:440-444)
     var r = 0
     while (r < batch) {
@@ -476,14 +496,15 @@ final class Transformer(
       r += 1
     }
     val colBuf = new Array[Int](bs)
-    for (nat <- 0 until nin - 1) {
+    for (ordPos <- 0 until nin - 1) {
+      val nat = invOrder(ordPos)
       var i = 0
       while (i < bs) { colBuf(i) = data(i)(nat); i += 1 }
       encodeColumn(nat, colBuf, out, bs)
       if (dropMask != null) {
         val p = rng.nextInt(nin).toDouble / nin
         val drops = new Array[Boolean](bs)
-        val pos = nat + 1
+        val pos = ordPos + 1
         val unk = unkEmbeddings(nat).data
         i = 0
         while (i < bs) {
@@ -537,9 +558,10 @@ final class Transformer(
         posEmbeddings.grad(k) += g(r * seqLen * dModel + k)
         k += 1
       }
-      var nat = 0
-      while (nat < nin - 1) {
-        val pos = nat + 1
+      var ordPos = 0
+      while (ordPos < nin - 1) {
+        val nat = invOrder(ordPos)
+        val pos = ordPos + 1
         val o = (r * seqLen + pos) * dModel
         val dropped = dropMask != null && dropMask(nat)(r)
         k = 0
@@ -550,21 +572,23 @@ final class Transformer(
           else embeddings(nat).grad(dataCache(r)(nat) * dModel + k) += gv
           k += 1
         }
-        nat += 1
+        ordPos += 1
       }
       r += 1
     }
   }
 
   /** Tied-embedding logits for column idx (transformer.py:587-598):
-    * hidden at position idx dotted with the column's embedding matrix. */
+    * hidden at the column's ORDER position dotted with its embedding
+    * matrix. */
   def logitsForCol(idx: Int, hidden: Array[Float], batch: Int): Array[Float] = {
     val dom = inputBins(idx)
     val e = embeddings(idx).data
     val out = new Array[Float](batch * dom)
+    val pos = ordering(idx)
     var r = 0
     while (r < batch) {
-      val hOff = (r * seqLen + idx) * dModel
+      val hOff = (r * seqLen + pos) * dModel
       var v = 0
       while (v < dom) {
         var s = 0f
@@ -589,6 +613,7 @@ final class Transformer(
       val dom = inputBins(c)
       val e = embeddings(c)
       val logits = logitsForCol(c, hidden, batch)
+      val pos = ordering(c)
       var r = 0
       while (r < batch) {
         val base = r * dom
@@ -601,7 +626,7 @@ final class Transformer(
         val logZ = mx + math.log(sum)
         val t = data(r)(c)
         total += logZ - logits(base + t)
-        val hOff = (r * seqLen + c) * dModel
+        val hOff = (r * seqLen + pos) * dModel
         j = 0
         while (j < dom) {
           val gl = ((math.exp(logits(base + j) - logZ)).toFloat -

@@ -10,33 +10,42 @@ class TransformerSpec extends AnyFunSuite {
 
   private val bins = Array(3, 4, 2, 5)
 
-  test("autoregressiveness: output col i has no gradient into embeddings >= i") {
-    val model = new Transformer(4, bins, dModel = 16, dFf = 32,
-      numHeads = 4, numBlocks = 2, seed = 14)
-    val rng = new java.util.Random(2)
-    val data = Array(bins.map(b => rng.nextInt(b)))
-    for (i <- 0 until 4; k <- Seq(0, model.dModel - 1)) {
-      model.params.foreach(_.zeroGrad())
-      val hidden = model.forward(data, train = false)
-      val grad = new Array[Float](hidden.length)
-      grad((0 * model.seqLen + i) * model.dModel + k) = 1f
-      model.backward(grad, 1)
-      // (transformer.py:636-649): embeddings of columns j >= i must have
-      // zero gradient — output i conditions only on x_<i.
-      for (j <- i until 4)
-        assert(model.embeddings(j).grad.forall(_ == 0f),
-          s"output col $i depends on embedding $j")
-      // And embeddings of some earlier column should receive gradient
-      // (sanity that the check is not vacuous).
-      if (i > 0)
-        assert((0 until i).exists(j => model.embeddings(j).grad.exists(_ != 0f)),
-          s"no gradient reached any earlier embedding for output $i")
+  test("autoregressiveness across natural/reversed/random orderings") {
+    // Mirrors the reference's ordering test matrix (transformer.py:601-651).
+    val orderings = Seq(null, Array(3, 2, 1, 0), Array(2, 0, 3, 1))
+    for (ord <- orderings) {
+      val model = new Transformer(4, bins, dModel = 16, dFf = 32,
+        numHeads = 4, numBlocks = 2, fixedOrdering = ord, seed = 14)
+      val ordering = model.ordering
+      val rng = new java.util.Random(2)
+      val data = Array(bins.map(b => rng.nextInt(b)))
+      for (i <- 0 until 4; k <- Seq(0, model.dModel - 1)) {
+        model.params.foreach(_.zeroGrad())
+        val hidden = model.forward(data, train = false)
+        val grad = new Array[Float](hidden.length)
+        // Output for column i lives at its ORDER position.
+        grad((0 * model.seqLen + ordering(i)) * model.dModel + k) = 1f
+        model.backward(grad, 1)
+        // (transformer.py:636-649): embeddings of columns at order
+        // position >= ordering(i) must have zero gradient — output i
+        // conditions only on columns earlier in the ordering.
+        for (j <- 0 until 4 if ordering(j) >= ordering(i))
+          assert(model.embeddings(j).grad.forall(_ == 0f),
+            s"ord=${ordering.mkString(",")}: output col $i depends on embedding $j")
+        // And some earlier-in-ordering embedding should receive gradient
+        // (sanity that the check is not vacuous).
+        if (ordering(i) > 0)
+          assert((0 until 4).exists(j => ordering(j) < ordering(i) &&
+            model.embeddings(j).grad.exists(_ != 0f)),
+            s"ord=${ordering.mkString(",")}: no gradient reached any " +
+              s"earlier embedding for output $i")
+      }
     }
   }
 
   test("backprop matches finite differences") {
     val model = new Transformer(3, Array(3, 4, 2), dModel = 8, dFf = 16,
-      numHeads = 2, numBlocks = 2, seed = 5)
+      numHeads = 2, numBlocks = 2, fixedOrdering = Array(2, 0, 1), seed = 5)
     val rng = new java.util.Random(3)
     val data = Array.fill(4)(Array(3, 4, 2).map(b => rng.nextInt(b)))
 
@@ -100,6 +109,10 @@ class TransformerSpec extends AnyFunSuite {
   }
 
   test("ProgressiveSampling drives the Transformer via ArModel") {
+    for (ord <- Seq(null, Array(2, 1, 0))) psampleMatchesExact(ord)
+  }
+
+  private def psampleMatchesExact(ord: Array[Int]): Unit = {
     import graft.core.{ColumnMeta, TableMeta}
     import graft.est.ProgressiveSampling
     import graft.query.{Op, Pred}
@@ -114,7 +127,7 @@ class TransformerSpec extends AnyFunSuite {
       Array(a, b, c)
     }
     val model = new Transformer(3, tBins, dModel = 16, dFf = 32,
-      numHeads = 2, numBlocks = 2, seed = 3)
+      numHeads = 2, numBlocks = 2, fixedOrdering = ord, seed = 3)
     val opt = new Adam(model.params, lr = 5e-3f)
     for (_ <- 0 until 30) {
       opt.zeroGrad()
@@ -154,6 +167,7 @@ class TransformerSpec extends AnyFunSuite {
     val ps = new ProgressiveSampling(model, meta, numSamples = 4000)
     val est = ps.selectivity(preds)
     assert(math.abs(est - exact) <= 0.05 * exact + 0.005,
-      s"est=$est exact=$exact")
+      s"ord=${if (ord == null) "natural" else ord.mkString(",")}: " +
+        s"est=$est exact=$exact")
   }
 }

@@ -23,6 +23,15 @@ package graft.nn
   *                       (made.py:595-612); "embed" uses a learnable
   *                       per-column embedding, falling back to one-hot
   *                       for domains <= embedSize (made.py:177-184)
+  * @param outputEncoding "one_hot" | "embed" (made.py:265-275): "embed"
+  *                       ties the output decoding to the INPUT embedding
+  *                       weights (made.py:645-674) — the network head for
+  *                       an embedded column is embedSize wide and its
+  *                       full-domain logits are the dot products with the
+  *                       column's input embedding rows, shrinking
+  *                       parameter count on wide domains from
+  *                       O(hidden*dom) to O(hidden*embedSize); requires
+  *                       inputEncoding = "embed"
   * @param residual       ResMADE residual blocks (made.py:100)
   * @param doDirectIo     direct input→output connections (made.py:90-91)
   * @param columnMasking  train-time wildcard dropout enabling the
@@ -35,6 +44,7 @@ final class Made(
     val hiddenSizes: Seq[Int],
     val inputBins: Array[Int],
     val inputEncoding: String = null,
+    val outputEncoding: String = "one_hot",
     val residual: Boolean = false,
     val doDirectIo: Boolean = false,
     val columnMasking: Boolean = false,
@@ -45,6 +55,9 @@ final class Made(
     extends graft.est.ArModel with Trainable {
 
   require(inputBins.length == nin)
+  require(outputEncoding == "one_hot" ||
+    (outputEncoding == "embed" && inputEncoding == "embed"),
+    "outputEncoding=embed requires inputEncoding=embed (tied weights)")
   private val rng = new java.util.Random(seed)
 
   /** Encoded width of column i at the input (made.py:249-263). */
@@ -64,8 +77,16 @@ final class Made(
     inputEncoding == "embed" &&
       (inputBins(i) > embedSize || !inputNoEmbIfLeq)
 
-  /** Output head width of column i (one_hot output; made.py:265-275). */
-  def outputEncodedSize(i: Int): Int = inputBins(i)
+  /** Whether column i's output decoding is tied to its input embedding
+    * (made.py:645-674): only with embed output AND an actual embedding
+    * (small domains fall back to one-hot heads on both sides). */
+  def tiedOutput(i: Int): Boolean =
+    outputEncoding == "embed" && usesEmbedding(i)
+
+  /** Output head width of column i (made.py:265-275): full domain for
+    * one-hot heads, embedSize for tied-embedding heads. */
+  def outputEncodedSize(i: Int): Int =
+    if (tiedOutput(i)) inputEncodedSize(i) else inputBins(i)
 
   val inputBinsEncoded: Array[Int] = Array.tabulate(nin)(inputEncodedSize)
   /** cumsum of encoded input widths (made.py:138-139). */
@@ -397,22 +418,49 @@ final class Made(
     g
   }
 
-  /** The logits slice for `log p(x_i | x_<i)` (made.py:645-674). */
+  /** Full-domain logits for `log p(x_i | x_<i)` (made.py:645-674):
+    * a direct slice for one-hot heads; for tied-embedding heads the
+    * embedSize-wide raw head is decoded against the column's input
+    * embedding rows (logit_v = head · E_v). Always [batch, dom_i]. */
   def logitsForCol(idx: Int, logits: Array[Float], batch: Int): Array[Float] = {
     val l = if (idx == 0) 0 else logitIndices(idx - 1)
     val w = encodedOutBins(idx)
-    val out = new Array[Float](batch * w)
-    var r = 0
-    while (r < batch) {
-      System.arraycopy(logits, r * totalOutputSize + l, out, r * w, w)
-      r += 1
+    if (!tiedOutput(idx)) {
+      val out = new Array[Float](batch * w)
+      var r = 0
+      while (r < batch) {
+        System.arraycopy(logits, r * totalOutputSize + l, out, r * w, w)
+        r += 1
+      }
+      out
+    } else {
+      val dom = inputBins(idx)
+      val e = embedWeights(idx).data
+      val out = new Array[Float](batch * dom)
+      var r = 0
+      while (r < batch) {
+        val base = r * totalOutputSize + l
+        var v = 0
+        while (v < dom) {
+          var s = 0f
+          var k = 0
+          while (k < w) { s += logits(base + k) * e(v * w + k); k += 1 }
+          out(r * dom + v) = s
+          v += 1
+        }
+        r += 1
+      }
+      out
     }
-    out
   }
 
-  /** Mean NLL (nats) + dL/dLogits for a batch: per-column softmax
+  /** Mean NLL (nats) + dL/dRawOutputs for a batch: per-column softmax
     * cross-entropy summed over columns (made.py:676-694), gradient scaled
-    * by 1/batch for a mean loss.
+    * by 1/batch for a mean loss. For tied-embedding heads the softmax
+    * runs over the decoded full-domain logits; the returned gradient is
+    * wrt the raw embedSize-wide head (dL/dhead = Σ_v dL/dlogit_v · E_v)
+    * and the shared embedding rows accumulate dL/dE_v = dL/dlogit_v ·
+    * head directly (made.py:660-674 tied backward).
     */
   def nllWithGrad(logits: Array[Float], data: Array[Array[Int]],
       batch: Int): (Double, Array[Float]) = {
@@ -422,26 +470,67 @@ final class Made(
     for (c <- 0 until nin) {
       val l = if (c == 0) 0 else logitIndices(c - 1)
       val w = encodedOutBins(c)
-      var r = 0
-      while (r < batch) {
-        val base = r * totalOutputSize + l
-        var mx = Float.NegativeInfinity
-        var j = 0
-        while (j < w) { if (logits(base + j) > mx) mx = logits(base + j); j += 1 }
-        var sum = 0.0
-        j = 0
-        while (j < w) { sum += math.exp(logits(base + j) - mx); j += 1 }
-        val logZ = mx + math.log(sum)
-        val t = data(r)(c)
-        total += logZ - logits(base + t)
-        j = 0
-        while (j < w) {
-          grad(base + j) =
-            ((math.exp(logits(base + j) - logZ)).toFloat -
-              (if (j == t) 1f else 0f)) * invB
-          j += 1
+      if (!tiedOutput(c)) {
+        var r = 0
+        while (r < batch) {
+          val base = r * totalOutputSize + l
+          var mx = Float.NegativeInfinity
+          var j = 0
+          while (j < w) { if (logits(base + j) > mx) mx = logits(base + j); j += 1 }
+          var sum = 0.0
+          j = 0
+          while (j < w) { sum += math.exp(logits(base + j) - mx); j += 1 }
+          val logZ = mx + math.log(sum)
+          val t = data(r)(c)
+          total += logZ - logits(base + t)
+          j = 0
+          while (j < w) {
+            grad(base + j) =
+              ((math.exp(logits(base + j) - logZ)).toFloat -
+                (if (j == t) 1f else 0f)) * invB
+            j += 1
+          }
+          r += 1
         }
-        r += 1
+      } else {
+        val dom = inputBins(c)
+        val e = embedWeights(c)
+        val lg = new Array[Float](dom)
+        var r = 0
+        while (r < batch) {
+          val base = r * totalOutputSize + l
+          var mx = Float.NegativeInfinity
+          var v = 0
+          while (v < dom) {
+            var s = 0f
+            var k = 0
+            while (k < w) { s += logits(base + k) * e.data(v * w + k); k += 1 }
+            lg(v) = s
+            if (s > mx) mx = s
+            v += 1
+          }
+          var sum = 0.0
+          v = 0
+          while (v < dom) { sum += math.exp(lg(v) - mx); v += 1 }
+          val logZ = mx + math.log(sum)
+          val t = data(r)(c)
+          total += logZ - lg(t)
+          v = 0
+          while (v < dom) {
+            val gl = ((math.exp(lg(v) - logZ)).toFloat -
+              (if (v == t) 1f else 0f)) * invB
+            if (gl != 0f) {
+              var k = 0
+              while (k < w) {
+                grad(base + k) += gl * e.data(v * w + k)
+                e.grad(v * w + k) += gl * logits(base + k)
+                k += 1
+              }
+            }
+            v += 1
+          }
+          r += 1
+        }
       }
     }
     (total / batch, grad)
@@ -451,18 +540,18 @@ final class Made(
   def nll(logits: Array[Float], data: Array[Array[Int]], batch: Int): Double = {
     var total = 0.0
     for (c <- 0 until nin) {
-      val l = if (c == 0) 0 else logitIndices(c - 1)
-      val w = encodedOutBins(c)
+      val colLogits = logitsForCol(c, logits, batch)
+      val dom = inputBins(c)
       var r = 0
       while (r < batch) {
-        val base = r * totalOutputSize + l
+        val base = r * dom
         var mx = Float.NegativeInfinity
         var j = 0
-        while (j < w) { if (logits(base + j) > mx) mx = logits(base + j); j += 1 }
+        while (j < dom) { if (colLogits(base + j) > mx) mx = colLogits(base + j); j += 1 }
         var sum = 0.0
         j = 0
-        while (j < w) { sum += math.exp(logits(base + j) - mx); j += 1 }
-        total += mx + math.log(sum) - logits(base + data(r)(c))
+        while (j < dom) { sum += math.exp(colLogits(base + j) - mx); j += 1 }
+        total += mx + math.log(sum) - colLogits(base + data(r)(c))
         r += 1
       }
     }
@@ -480,8 +569,8 @@ final class Made(
     for (pos <- 0 until nin) {
       val nat = invOrdering(pos)
       val logits = forwardEncoded(inp, num)
-      val colLogits = logitsForCol(nat, logits, num)
-      val w = encodedOutBins(nat)
+      val colLogits = logitsForCol(nat, logits, num) // full-domain logits
+      val w = inputBins(nat)
       val colBuf = new Array[Int](num)
       var r = 0
       while (r < num) {

@@ -55,6 +55,7 @@ class MadeSpec extends AnyFunSuite {
     val orderings = Seq(null, Array(2, 0, 3, 1), Array(3, 2, 1, 0))
     for {
       enc <- Seq("one_hot", "binary", "embed")
+      outEnc <- if (enc == "embed") Seq("one_hot", "embed") else Seq("one_hot")
       res <- Seq(false, true)
       directIo <- Seq(false, true)
       ord <- orderings
@@ -62,7 +63,7 @@ class MadeSpec extends AnyFunSuite {
       // embedSize=3 makes columns with dom>3 use learnable embeddings
       // and the rest fall back to one-hot (made.py:180-184).
       val model = new Made(4, Seq(16, 16), bins, inputEncoding = enc,
-        residual = res, doDirectIo = directIo,
+        outputEncoding = outEnc, residual = res, doDirectIo = directIo,
         fixedOrdering = if (ord == null) null else ord, embedSize = 3)
       val ordering = model.ordering
       val cumOut = model.logitIndices
@@ -162,6 +163,75 @@ class MadeSpec extends AnyFunSuite {
     }
     assert(checked >= 6)
     assert(model.embedWeights.count(_ != null) == 2) // dom 6 and 7 > embedSize 4
+  }
+
+  test("tied-embedding output decoding: backprop matches finite differences") {
+    val bins = Array(6, 4, 7)
+    val model = new Made(3, Seq(8), bins, inputEncoding = "embed",
+      outputEncoding = "embed", embedSize = 4, seed = 8)
+    // dom 6 and 7 > embedSize 4 -> tied embedSize-wide heads; dom 4 keeps
+    // the full one-hot head (no embedding to tie to).
+    assert(model.encodedOutBins.toSeq == Seq(4, 4, 4))
+    assert(model.tiedOutput(0) && !model.tiedOutput(1) && model.tiedOutput(2))
+    val rng = new java.util.Random(4)
+    val data = Array.fill(4)(bins.map(b => rng.nextInt(b)))
+    def loss(): Double = {
+      val logits = model.forward(data, train = false)
+      model.nll(logits, data, data.length)
+    }
+    model.params.foreach(_.zeroGrad())
+    val logits = model.forward(data, train = false)
+    val (nllG, gradLogits) = model.nllWithGrad(logits, data, data.length)
+    model.backward(gradLogits, data.length)
+    // nllWithGrad's decoded loss must equal the nll() evaluation path.
+    assert(math.abs(nllG - loss()) < 1e-6)
+    // The embedding params carry BOTH the encoder and the tied-decoder
+    // gradient; finite differences see the same total derivative.
+    val eps = 1e-3f
+    var checked = 0
+    for (p <- model.embedWeights.filter(_ != null);
+         i <- Seq(0, p.data.length / 3, p.data.length / 2,
+           p.data.length - 1).distinct) {
+      val orig = p.data(i)
+      p.data(i) = orig + eps; val lp = loss()
+      p.data(i) = orig - eps; val lm = loss()
+      p.data(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      assert(math.abs(numeric - p.grad(i)) <= 1e-3 + 0.05 * math.abs(numeric),
+        s"tied embed grad mismatch at $i: analytic=${p.grad(i)} numeric=$numeric")
+      checked += 1
+    }
+    assert(checked >= 8)
+  }
+
+  test("tied-embedding output trains to NLL comparable to one-hot heads") {
+    // Wide-ish correlated domains so the tied decoding is actually used.
+    val rng = new java.util.Random(31)
+    val bins = Array(12, 10)
+    val data = Array.fill(512) {
+      val a = rng.nextInt(12)
+      Array(a, (a + rng.nextInt(3)) % 10)
+    }
+    def train(outEnc: String): Double = {
+      val m = new Made(2, Seq(32), bins, inputEncoding = "embed",
+        outputEncoding = outEnc, embedSize = 6, seed = 6)
+      val opt = new Adam(m.params, lr = 5e-3f)
+      for (_ <- 0 until 150) {
+        opt.zeroGrad()
+        val logits = m.forward(data, train = true)
+        val (_, grad) = m.nllWithGrad(logits, data, data.length)
+        m.backward(grad, data.length)
+        opt.step()
+      }
+      val logits = m.forward(data, train = false)
+      m.nll(logits, data, data.length)
+    }
+    val oneHot = train("one_hot")
+    val tied = train("embed")
+    assert(tied < oneHot + 0.3,
+      s"tied-embedding NLL $tied not comparable to one-hot $oneHot")
+    // And it genuinely learned: well under the ~log(12*10) uniform bound.
+    assert(tied < math.log(12 * 10) - 1.0, s"tied NLL $tied did not learn")
   }
 
   test("column-masking wildcard embedding gets gradients") {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Dictionary, TableMeta, Tables}
-import graft.est.{BayesNet, BayesNetEstimator, Exact, ProgressiveSampling, SampleFromModel}
+import graft.est.{BayesNet, BayesNetEstimator, EnsembleProgressiveSampling, Exact, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{Op, Pred}
@@ -57,6 +57,11 @@ object Queries {
     Entry("q_oracle_card_orders",
       (s, d) => Exact.oracle(Tables.read(s, d, "orders"), W2),
       Some(Exact.oracleSql("orders", W2))),
+    // Oracle over only the first 30000 rows in file order — the
+    // reference's data-shift evaluation mode (estimators.py:512-515).
+    Entry("q_oracle_card_shift",
+      (s, d) => Exact.oracleFirstN(li(s, d), W1, 30000),
+      Some(Exact.oracleFirstNSql("lineitem", W1, 30000))),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),
@@ -377,24 +382,26 @@ object Queries {
       None),
     // Embedding-cosine near-dup pairs via bucketed self-join. The
     // synthetic embeddings are near-orthogonal (max real pair cosine
-    // ~0.6), so we plant exact duplicates of a 1-in-20 id slice: exact
+    // ~0.6), so we plant exact duplicates of a 1-in-50 id slice: exact
     // dups share every sign-LSH bucket deterministically and score
     // cosine 1.0, while no non-planted pair clears 0.9 -- making the
-    // approximate operator's output exact and oracle-checkable.
+    // approximate operator's output exact and oracle-checkable. (The
+    // slice is deliberately thin: exact dups concentrate into identical
+    // buckets and densify the per-bucket join.) Row order comes from
+    // nearDupPairs' own sort; the round() projection preserves it.
     Entry("q_embed_neardup",
       (s, d) => {
         val base = emb(s, d).select(col("vec_id"), col("embedding"))
-        val planted = base.filter(pmod(col("vec_id"), lit(20)) === 0)
+        val planted = base.filter(pmod(col("vec_id"), lit(50)) === 0)
           .select((col("vec_id") + lit(10000000L)).as("vec_id"),
             col("embedding"))
         Similarity.nearDupPairs(base.unionByName(planted),
             "vec_id", "embedding", threshold = 0.9)
           .withColumn("cosine", round(col("cosine"), 6))
-          .orderBy("id_a", "id_b")
       },
       Some("SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY id_a, id_b")),
+        "WHERE vec_id % 50 = 0 ORDER BY id_a, id_b")),
     // Source sanity over the embeddings table (oracle-checked).
     Entry("q_embed_stats",
       (s, d) => emb(s, d)
@@ -444,6 +451,41 @@ object Queries {
         Trainer.train(model, data, epochs = 2, batchSize = 1024,
           schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
         (model, meta)
+      })
+    }
+
+  private val ensembleCache =
+    scala.collection.mutable.Map.empty[String, (Seq[Made], TableMeta)]
+
+  /** Multi-ordering MADE ensemble over the lineitem subset (reference
+    * train_model.py:210-228: one model per ordering; estimators.py:409-418
+    * averages their estimates). Natural ordering reuses [[lineitemModel]];
+    * reversed + one fixed shuffled ordering are trained here with the
+    * same recipe.
+    */
+  def lineitemEnsemble(s: SparkSession, d: String): (Seq[Made], TableMeta) =
+    ensembleCache.synchronized {
+      ensembleCache.getOrElseUpdate(d, {
+        val (natural, meta) = lineitemModel(s, d)
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+        val orderings = Seq(Array(4, 3, 2, 1, 0), Array(2, 0, 4, 1, 3))
+        val others = orderings.zipWithIndex.map { case (ord, i) =>
+          val m = new Made(
+            nin = modelCols.length,
+            hiddenSizes = Seq(64, 64),
+            inputBins = meta.columns.map(_.distributionSize).toArray,
+            inputEncoding = "one_hot",
+            residual = true,
+            doDirectIo = true,
+            columnMasking = true,
+            seed = 11123L + i + 1,
+            fixedOrdering = ord)
+          Trainer.train(m, data, epochs = 2, batchSize = 1024,
+            schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
+          m
+        }
+        (natural +: others, meta)
       })
     }
 
@@ -556,6 +598,19 @@ object Queries {
         Seq(lineitemMaxdiff(s, d).query(W1)).toDF("est_card")
       },
       None),
+    // Multi-ordering ensemble estimate on W1 (estimators.py:409-418):
+    // mean of per-ordering ProgressiveSampling estimates, numSamples
+    // split across the 3 orderings (rows-only: model-based).
+    Entry("q_psample_ensemble",
+      (s, d) => {
+        import s.implicits._
+        val (models, meta) = lineitemEnsemble(s, d)
+        val ens = new EnsembleProgressiveSampling(
+          models.map(m => new ProgressiveSampling(m, meta,
+            numSamples = 1000 / models.length, shortcircuit = true)))
+        Seq(ens.query(W1)).toDF("est_card")
+      },
+      None),
     // Transformer-backed progressive sampling on W1 (the second model
     // family; seeded deterministic, model-based -> rows-only check).
     Entry("q_psample_transformer",
@@ -577,6 +632,46 @@ object Queries {
         graft.est.Cbo.ensureAnalyzed(s,
           li(s, d).select(modelCols.map(col): _*), tbl)
         Seq(graft.est.Cbo.estimate(s, tbl, W1)).toDF("est_card")
+      },
+      None),
+    // The Catalyst AQP rule end-to-end through the driver's session: a
+    // SQL COUNT(*) WHERE <conj> answered by the learned estimator via
+    // the GraftExtensions optimizer rule (plans/GraftExtensions.scala) —
+    // at 100 TB this replaces a full scan + shuffle with a millisecond
+    // driver-side model probe. The rule is attached to the existing
+    // session via experimental.extraOptimizations (the same
+    // Rule[LogicalPlan] the withExtensions path injects); the entry
+    // REQUIRES the rewrite to fire (optimized plan must be the injected
+    // LocalRelation), so a silent fall-through to the exact scan fails
+    // loudly instead of passing vacuously. Rows-only: model-based.
+    Entry("q_approx_count",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.ApproxCountRule]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.ApproxCountRule(s)
+        graft.plans.GraftRuntime.clear()
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          s.read.parquet(s"$d/lineitem.parquet")
+            .createOrReplaceTempView("graft_aqp_lineitem")
+          val df = s.sql(
+            "SELECT count(*) AS est_card FROM graft_aqp_lineitem WHERE " +
+              "l_quantity <= 24.0 AND l_discount >= 0.05 AND l_returnflag = 'R'")
+          val plan = df.queryExecution.optimizedPlan.toString
+          require(plan.trim.startsWith("LocalRelation"),
+            s"AQP rewrite did not fire; optimized plan:\n$plan")
+          Seq(df.collect()(0).getLong(0)).toDF("est_card")
+        } finally {
+          s.conf.set(graft.plans.GraftRuntime.EnabledKey, "false")
+          graft.plans.GraftRuntime.clear()
+        }
       },
       None),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
@@ -676,9 +771,14 @@ object Queries {
         val bnEsts = qs.map(q => bnEst.query(q).toDouble)
         val md = lineitemMaxdiff(s, d)
         val mdEsts = qs.map(q => md.query(q).toDouble)
+        val ens = new EnsembleProgressiveSampling(
+          lineitemEnsemble(s, d)._1.map(m => new ProgressiveSampling(m, meta,
+            numSamples = 167, shortcircuit = true)))
+        val ensEsts = qs.map(q => ens.query(q).toDouble)
         val rows = Seq(
           ("heuristic", heurEsts), ("sampling", sampEsts),
-          ("psample", psEsts), ("psample_transformer", tpsEsts),
+          ("psample", psEsts), ("psample_ensemble", ensEsts),
+          ("psample_transformer", tpsEsts),
           ("msample", smEsts), ("bayesnet", bnEsts), ("maxdiff", mdEsts)
         ).map { case (name, ests) =>
           val errs = ests.zip(truths).map { case (e, t) =>

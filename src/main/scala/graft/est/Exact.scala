@@ -23,6 +23,19 @@ object Exact {
   def oracleSql(table: String, preds: Seq[Pred]): String =
     s"SELECT count(*) AS card FROM $table WHERE ${Pred.whereSql(preds)}"
 
+  /** Reference `Oracle`'s data-shift mode (estimators.py:512-515): count
+    * matches within only the FIRST `firstN` rows in table (file) order —
+    * used to evaluate a model trained on a data prefix against the truth
+    * over that same prefix. Both engines take the positional prefix of
+    * the same parquet file, so the count is deterministic.
+    */
+  def oracleFirstN(df: DataFrame, preds: Seq[Pred], firstN: Int): DataFrame =
+    df.limit(firstN).filter(Pred.conj(preds)).agg(count(lit(1)).as("card"))
+
+  def oracleFirstNSql(table: String, preds: Seq[Pred], firstN: Int): String =
+    s"SELECT count(*) AS card FROM (SELECT * FROM $table LIMIT $firstN) " +
+      s"WHERE ${Pred.whereSql(preds)}"
+
   /** Reference `Heuristic` (estimators.py:480-502): attribute-value-
     * independence — product of per-column selectivities × N, computed in
     * ONE scan via count-if aggregates (no per-predicate passes).

@@ -128,12 +128,36 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Conjunction of (attr op literal) -> Preds; None if anything else. */
-  private def parseConjunction(e: Expression): Option[Seq[Pred]] = e match {
-    case And(l, r) =>
-      for (lp <- parseConjunction(l); rp <- parseConjunction(r)) yield lp ++ rp
-    case cmp: BinaryComparison => parseCmp(cmp).map(Seq(_))
-    case _ => None
+  /** Conjunction of (attr op literal) -> Preds; None if anything else.
+    * `isnotnull(col)` conjuncts are tolerated when `col` also carries a
+    * parsed comparison: the optimizer's InferFiltersFromConstraints adds
+    * them (the rule may run after that batch, e.g. when attached via
+    * experimental.extraOptimizations) and they are implied — a null
+    * never satisfies a comparison, and the estimators' domain masks
+    * exclude the null slot for every predicated column. A standalone
+    * isnotnull on an unpredicated column is not expressible in the 5-op
+    * vocabulary, so the rewrite bails. */
+  private def parseConjunction(e: Expression): Option[Seq[Pred]] = {
+    def flatten(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    val conjuncts = flatten(e)
+    val parsed = conjuncts.map {
+      case cmp: BinaryComparison => parseCmp(cmp).map(Some(_))
+      case IsNotNull(a: AttributeReference) => Some(None) // implied check
+      case _ => None // unsupported conjunct
+    }
+    if (parsed.exists(_.isEmpty)) None
+    else {
+      val preds = parsed.flatten.flatten
+      val notNullCols = conjuncts.collect {
+        case IsNotNull(a: AttributeReference) => a.name
+      }
+      if (notNullCols.forall(n => preds.exists(_.col == n)) && preds.nonEmpty)
+        Some(preds)
+      else None
+    }
   }
 
   private def parseCmp(e: BinaryComparison): Option[Pred] = {

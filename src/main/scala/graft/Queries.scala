@@ -454,6 +454,36 @@ object Queries {
       })
     }
 
+  private val embedModelCache =
+    scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
+
+  /** Tied-embedding ResMADE (inputEncoding=embed + outputEncoding=embed,
+    * made.py:645-674): wide domains (here l_quantity, dom 50 > embedSize
+    * 16) get embedSize-wide tied heads instead of full one-hot heads.
+    */
+  def lineitemEmbedModel(s: SparkSession, d: String): (Made, TableMeta) =
+    embedModelCache.synchronized {
+      embedModelCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+        val model = new Made(
+          nin = modelCols.length,
+          hiddenSizes = Seq(64, 64),
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          inputEncoding = "embed",
+          outputEncoding = "embed",
+          embedSize = 16,
+          residual = true,
+          doDirectIo = true,
+          columnMasking = true,
+          seed = 11123L)
+        Trainer.train(model, data, epochs = 2, batchSize = 1024,
+          schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
+        (model, meta)
+      })
+    }
+
   private val ensembleCache =
     scala.collection.mutable.Map.empty[String, (Seq[Made], TableMeta)]
 
@@ -596,6 +626,18 @@ object Queries {
       (s, d) => {
         import s.implicits._
         Seq(lineitemMaxdiff(s, d).query(W1)).toDF("est_card")
+      },
+      None),
+    // Tied-embedding MADE (embed input + embed output, made.py:645-674)
+    // driving progressive sampling — exercises the wide-domain
+    // head-compression path through the driver (rows-only: model-based).
+    Entry("q_psample_embed",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemEmbedModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        Seq(ps.query(W1)).toDF("est_card")
       },
       None),
     // Multi-ordering ensemble estimate on W1 (estimators.py:409-418):
@@ -775,9 +817,14 @@ object Queries {
           lineitemEnsemble(s, d)._1.map(m => new ProgressiveSampling(m, meta,
             numSamples = 167, shortcircuit = true)))
         val ensEsts = qs.map(q => ens.query(q).toDouble)
+        val (eModel, eMeta) = lineitemEmbedModel(s, d)
+        val eps = new ProgressiveSampling(eModel, eMeta, numSamples = 500,
+          shortcircuit = true)
+        val epsEsts = qs.map(q => eps.query(q).toDouble)
         val rows = Seq(
           ("heuristic", heurEsts), ("sampling", sampEsts),
-          ("psample", psEsts), ("psample_ensemble", ensEsts),
+          ("psample", psEsts), ("psample_embed", epsEsts),
+          ("psample_ensemble", ensEsts),
           ("psample_transformer", tpsEsts),
           ("msample", smEsts), ("bayesnet", bnEsts), ("maxdiff", mdEsts)
         ).map { case (name, ests) =>

@@ -96,4 +96,39 @@ class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.p95 < 10.0, s"p95 q-error ${rep.p95} (median ${rep.median}, max ${rep.max})")
     assert(rep.median < 2.0, s"median q-error ${rep.median}")
   }
+
+  test("q-error bars hold at a second scale factor (sf0.01)") {
+    // Same bars, 10x the rows (60k): guards against the quality story
+    // being an artifact of one tiny sample.
+    val dir01 = "/root/testdata/sf0.01"
+    val df = spark.read.parquet(s"$dir01/lineitem.parquet")
+      .select(cols.map(col): _*)
+    val meta = Dictionary.tableMeta(df, "lineitem", cols)
+    val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+    val model = new Made(cols.length, Seq(64, 64),
+      meta.columns.map(_.distributionSize).toArray,
+      inputEncoding = "one_hot", residual = true, doDirectIo = true,
+      columnMasking = true, seed = 11123L)
+    Trainer.train(model, data, epochs = 4, batchSize = 1024,
+      schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
+    val modelBits = Trainer.evalNll(model, data) / math.log(2)
+    val indepBits = cols.map(c => Trainer.tableBits(df, Seq(c))).sum
+    assert(modelBits < indepBits + 0.2,
+      f"model $modelBits%.3f bits worse than independence bound $indepBits%.3f")
+
+    val full = spark.read.parquet(s"$dir01/lineitem.parquet")
+    val anchors = Workload.anchorRows(full, cols, 30)
+    val queries = Workload.generate(meta, cols, anchors, 30,
+      minFilters = 2, maxFilters = 4, seed = 1234L)
+    val truths = Workload.trueCards(full, queries)
+    val ps = new ProgressiveSampling(model, meta, numSamples = 500,
+      shortcircuit = true)
+    val errs = queries.zip(truths).map { case (q, t) =>
+      Workload.qError(ps.query(q).toDouble, t.toDouble)
+    }
+    val rep = Workload.report("psample_sf001", errs, 0.0)
+    assert(rep.p95 < 10.0,
+      s"p95 q-error ${rep.p95} (median ${rep.median}, max ${rep.max})")
+    assert(rep.median < 2.0, s"median q-error ${rep.median}")
+  }
 }

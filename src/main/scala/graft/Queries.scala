@@ -3,7 +3,7 @@ package graft
 import graft.core.{Dictionary, TableMeta, Tables}
 import graft.est.{BayesNet, BayesNetEstimator, EnsembleProgressiveSampling, Exact, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{Op, Pred}
 import graft.workload.Workload
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -277,6 +277,41 @@ object Queries {
         maxShingleDf = 100),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
         maxShingleDf = 100))),
+    // Dedup cluster formation: connected components (min-label
+    // propagation) over the exact n-gram Jaccard near-dup pairs — the
+    // step that turns candidate pairs into dup clusters with a canonical
+    // (min-id) representative. Oracle: transitive closure via a DuckDB
+    // recursive CTE over the same pair query.
+    Entry("q_dedup_components",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
+          maxShingleDf = 100).select("id_a", "id_b"),
+        "id_a", "id_b"),
+      Some(Dedup.connectedComponentsSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+          maxShingleDf = 100)))),
+    // Balanced source mix: deterministic stratified downsampling via a
+    // systematic per-stratum key slice (moduli chosen coprime to the
+    // testdata's id->source stride of 20 so the slice cuts across every
+    // stratum). Artifact = per-source kept counts.
+    Entry("q_stratified_sample",
+      (s, d) => Corpus.stratifiedSample(docs(s, d), "source", "doc_id",
+          Map("src0" -> 1, "src1" -> 3, "src2" -> 7), defaultModulus = 9)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("source"),
+      Some("SELECT source, count(*) AS n_kept FROM documents WHERE " +
+        Corpus.stratifiedSampleWhereSql("source", "doc_id",
+          Map("src0" -> 1, "src1" -> 3, "src2" -> 7), defaultModulus = 9) +
+        " GROUP BY source ORDER BY source")),
+    // Sequence packing: greedy first-fit by id into <= 2048-token packs
+    // (rows-only: stateful per-partition semantics, not SQL-expressible;
+    // the exact packing is unit-tested on a single range partition).
+    Entry("q_pack_sequences",
+      (s, d) => Corpus.packSequences(
+        docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", maxTokens = 2048),
+      None),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),

@@ -181,6 +181,72 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * cluster-formation step a dedup pipeline runs after candidate
+    * generation (MinHash/Jaccard pairs → dup clusters → keep one
+    * canonical doc per cluster). Returns (id, comp) with comp = the
+    * minimum id reachable in the component.
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round takes the min label over itself and its
+    * neighbors. Rounds = component diameter — near-dup clusters are
+    * shallow (stars/cliques around a shared template), so few rounds —
+    * and each round is ONE join+aggregation shuffling only (id, label)
+    * pairs, never text. The label sum is monotonically non-increasing,
+    * so convergence is an unchanged scalar sum (one cheap action per
+    * round, no diff join); lineage is truncated per round with a local
+    * checkpoint (at cluster scale use reliable `checkpoint` to cheap
+    * storage). `maxIter` caps pathological chains — for adversarial
+    * diameters switch to the alternating large-star/small-star variant
+    * (O(log n) rounds), overkill for dedup graphs.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("id")
+  }
+
+  /** DuckDB oracle for [[connectedComponents]]: transitive closure via a
+    * recursive CTE over the same pair set (fine at oracle scale; the
+    * Spark side is the scalable plan). */
+  def connectedComponentsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+$pairsSql
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
+
   def ngramJaccardPairsSql(table: String, id: String, text: String,
       n: Int, threshold: Double, maxShingleDf: Int = 10000): String = {
     // word n-grams via token position windows; distinct shingles per doc

@@ -205,6 +205,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels chains and cliques with the min id") {
+    // Components: a 6-node chain (multi-round propagation), a triangle,
+    // and an isolated edge.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+    val schema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges.map(e => Row(e._1, e._2)), 2),
+      schema)
+    val comps = Dedup.connectedComponents(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(comps(_) == 1L), s"chain: $comps")
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), s"triangle: $comps")
+    assert(comps(20L) == 20L && comps(21L) == 20L, s"edge: $comps")
+    assert(comps.size == 11)
+  }
+
+  test("stratifiedSample keeps the per-stratum systematic slice") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("src", StringType)))
+    val rows = (0L until 90L).map(i => Row(i, s"s${i % 3}"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // s0 ids are 0,3,6,... (stride 3) — moduli coprime to 3 slice evenly.
+    val kept = Corpus.stratifiedSample(df, "src", "id",
+        Map("s0" -> 1, "s1" -> 2), defaultModulus = 5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s0") == 30, s"$kept") // keep all
+    assert(kept("s1") == 15, s"$kept") // every 2nd (ids 1,4,..,88: 15 even)
+    assert(kept("s2") == 6, s"$kept")  // ids 2,5,..,89 with id%5==0: 6
+  }
+
+  test("packSequences greedy first-fit on a single range partition") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_tokens", IntegerType)))
+    val rows = Seq((1L, 60), (2L, 30), (3L, 20), (4L, 90), (5L, 150),
+      (6L, 10)).map(r => Row(r._1, r._2))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      schema)
+    val packs = Corpus.packSequences(df, "doc_id", "n_tokens",
+        maxTokens = 100, partitions = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // Greedy in id order: [1(60),2(30)]=90; 3(20) overflows -> [3,4]=110?
+    // no: 3(20)+4(90)=110 > 100, so [3(20)] closes when 4 arrives ->
+    // packs: (1: 60+30=90), (3: 20), (4: 90), (5: truncated 100), (6: 10).
+    assert(packs == Seq((1L, 2, 90), (3L, 1, 20), (4L, 1, 90),
+      (5L, 1, 100), (6L, 1, 10)), s"packs=$packs")
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -194,11 +194,16 @@ object Dedup {
     * and each round is ONE join+aggregation shuffling only (id, label)
     * pairs, never text. The label sum is monotonically non-increasing,
     * so convergence is an unchanged scalar sum (one cheap action per
-    * round, no diff join); lineage is truncated per round with a local
-    * checkpoint (at cluster scale use reliable `checkpoint` to cheap
-    * storage). `maxIter` caps pathological chains — for adversarial
-    * diameters switch to the alternating large-star/small-star variant
-    * (O(log n) rounds), overkill for dedup graphs.
+    * round, no diff join). Each round is exactly ONE job — the new
+    * label table is lazily local-checkpointed and materialized by its
+    * own sum aggregation — and the checkpoint truncates the logical
+    * plan, so round N's analysis cost does not grow with N (a
+    * persist-only chain re-analyzes an ever-growing tree; an eager
+    * checkpoint doubles the job count). At cluster scale swap for a
+    * reliable `checkpoint` to cheap storage. `maxIter` caps
+    * pathological chains — for adversarial diameters switch to the
+    * alternating large-star/small-star variant (O(log n) rounds),
+    * overkill for dedup graphs.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -209,7 +214,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var iter = 0
     var converged = false
@@ -219,7 +224,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = next.agg(sum(col("comp"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s

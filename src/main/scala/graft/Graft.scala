@@ -54,29 +54,61 @@ final class Graft private (
   // ---- learned estimators ----
 
   /** Train a ResMADE and wrap it in ProgressiveSampling (the recommended
-    * default, README.md:69-77 analog). */
+    * default, README.md:69-77 analog). `inputEncoding`/`outputEncoding`
+    * "embed"+"embed" ties wide-domain output heads to the input
+    * embeddings (made.py:645-674); `fixedOrdering` trains a non-natural
+    * autoregressive ordering. */
   def trainMade(hidden: Seq[Int] = Seq(64, 64), epochs: Int = 4,
       maxRows: Int = 200000, numSamples: Int = 1000,
+      inputEncoding: String = "one_hot", outputEncoding: String = "one_hot",
+      embedSize: Int = 16, fixedOrdering: Array[Int] = null,
       seed: Long = 11123L): ProgressiveSampling = {
     val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
     val model = new Made(cols.length, hidden,
       meta.columns.map(_.distributionSize).toArray,
-      inputEncoding = "one_hot", residual = true, doDirectIo = true,
-      columnMasking = true, seed = seed)
+      inputEncoding = inputEncoding, outputEncoding = outputEncoding,
+      embedSize = embedSize, residual = true, doDirectIo = true,
+      columnMasking = true, seed = seed, fixedOrdering = fixedOrdering)
     Trainer.train(model, data, epochs, batchSize = 1024,
       schedule = Trainer.ConstantLr(2e-3f), tableBits = tableBits)
     new ProgressiveSampling(model, meta, numSamples, shortcircuit = true)
   }
 
-  /** Train the Transformer family (transformer.py:267-598 analog). */
+  /** Train one ResMADE per ordering and average their estimates — the
+    * multi-ordering variance-reduction ensemble (estimators.py:409-418,
+    * train_model.py:210-228). The sample budget is split across
+    * orderings. Pass `null` in `orderings` for the natural order. */
+  def trainMadeEnsemble(orderings: Seq[Array[Int]],
+      hidden: Seq[Int] = Seq(64, 64), epochs: Int = 4,
+      maxRows: Int = 200000, totalSamples: Int = 1000,
+      seed: Long = 11123L): EnsembleProgressiveSampling = {
+    require(orderings.nonEmpty)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val samplers = orderings.zipWithIndex.map { case (ord, i) =>
+      val model = new Made(cols.length, hidden,
+        meta.columns.map(_.distributionSize).toArray,
+        inputEncoding = "one_hot", residual = true, doDirectIo = true,
+        columnMasking = true, seed = seed + i, fixedOrdering = ord)
+      Trainer.train(model, data, epochs, batchSize = 1024,
+        schedule = Trainer.ConstantLr(2e-3f), tableBits = tableBits)
+      new ProgressiveSampling(model, meta,
+        math.max(1, totalSamples / orderings.length), shortcircuit = true)
+    }
+    new EnsembleProgressiveSampling(samplers)
+  }
+
+  /** Train the Transformer family (transformer.py:267-598 analog);
+    * `fixedOrdering` selects a non-natural autoregressive ordering. */
   def trainTransformer(dModel: Int = 16, numBlocks: Int = 2, epochs: Int = 2,
       maxRows: Int = 50000, numSamples: Int = 1000,
+      fixedOrdering: Array[Int] = null,
       seed: Long = 11123L): ProgressiveSampling = {
     val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
     val model = new Transformer(cols.length,
       meta.columns.map(_.distributionSize).toArray,
       dModel = dModel, dFf = dModel * 2, numHeads = 2,
-      numBlocks = numBlocks, columnMasking = true, seed = seed)
+      numBlocks = numBlocks, columnMasking = true,
+      fixedOrdering = fixedOrdering, seed = seed)
     Trainer.train(model, data, epochs, batchSize = 1024,
       schedule = Trainer.ConstantLr(5e-3f), tableBits = tableBits)
     new ProgressiveSampling(model, meta, numSamples, shortcircuit = true)
@@ -104,9 +136,16 @@ final class Graft private (
   }
 
   /** Enable approximate COUNT(*) answering through the Catalyst rule for
-    * this table's scans (plans/GraftExtensions.scala); the session must
-    * be built `.withExtensions(new GraftExtensions)`. */
+    * this table's scans (plans/GraftExtensions.scala). Works on any
+    * session: if it was not built `.withExtensions(new GraftExtensions)`,
+    * the rule is attached via `experimental.extraOptimizations` (the
+    * rewrite is idempotent, so having both is harmless). */
   def enableApproxCount(pathToken: String, estimator: CardEst): Unit = {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ApproxCountRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxCountRule(spark)
     graft.plans.GraftRuntime.register(pathToken, cols.toSet, estimator.query)
     spark.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
   }

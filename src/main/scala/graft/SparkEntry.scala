@@ -28,8 +28,15 @@ object SparkEntry {
       .select(lit("maxdiff").as("estimator"), col("est_card"))
     val cbo = Queries.queries("q_cbo_card")(spark, dir)
       .select(lit("cbo").as("estimator"), col("est_card"))
+    val ensemble = Queries.queries("q_psample_ensemble")(spark, dir)
+      .select(lit("psample_ensemble").as("estimator"), col("est_card"))
+    val embed = Queries.queries("q_psample_embed")(spark, dir)
+      .select(lit("psample_embed").as("estimator"), col("est_card"))
+    val approx = Queries.queries("q_approx_count")(spark, dir)
+      .select(lit("approx_count_sql").as("estimator"), col("est_card"))
     oracle.union(heur).union(samp).union(psample).union(msample)
       .union(transformer).union(bn).union(maxdiff).union(cbo)
+      .union(ensemble).union(embed).union(approx)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

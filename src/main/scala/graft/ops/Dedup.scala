@@ -212,8 +212,12 @@ object Dedup {
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Round 1 fused into initialization: comp = min(id, min neighbor)
+    // in the same aggregation that enumerates the node set (every node
+    // appears as src of the undirected edge list).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("comp"))
       .localCheckpoint(false)
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var iter = 0

@@ -57,18 +57,26 @@ object Corpus {
         col(nTokensCol).cast("int").as("n"))
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
-    sorted.as[(Long, Int)].mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-      var cur: (Long, Int, Int) = null
-      it.foreach { case (id, n) =>
-        val nn = math.min(n, maxTokens)
-        if (cur == null || cur._3 + nn > maxTokens) {
-          if (cur != null) out += cur
-          cur = (id, 1, nn)
-        } else cur = (cur._1, cur._2 + 1, cur._3 + nn)
-      }
-      if (cur != null) out += cur
-      out.iterator
-    }.toDF("pack_id", "n_docs", "n_tokens").orderBy("pack_id")
+    sorted.as[(Long, Int)].mapPartitions(it => packGreedy(it, maxTokens))
+      .toDF("pack_id", "n_docs", "n_tokens").orderBy("pack_id")
+  }
+
+  /** The pure greedy first-fit kernel over (id, nTokens) in input order:
+    * one (packId = first doc id, nDocs, nTokens) row per pack; docs over
+    * the budget are truncated into their own pack. Property-tested
+    * directly (budget, conservation, greedy maximality). */
+  private[graft] def packGreedy(rows: Iterator[(Long, Int)],
+      maxTokens: Int): Iterator[(Long, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var cur: (Long, Int, Int) = null
+    rows.foreach { case (id, n) =>
+      val nn = math.min(n, maxTokens)
+      if (cur == null || cur._3 + nn > maxTokens) {
+        if (cur != null) out += cur
+        cur = (id, 1, nn)
+      } else cur = (cur._1, cur._2 + 1, cur._3 + nn)
+    }
+    if (cur != null) out += cur
+    out.iterator
   }
 }

@@ -109,4 +109,35 @@ class PropertySpec extends AnyFunSuite {
         assert(pick >= 0 && pick < w)
     }
   }
+
+  test("greedy packing: budget, conservation, and maximality laws") {
+    val gen = Gen.zip(
+      Gen.choose(1, 300),            // maxTokens
+      Gen.listOfN(40, Gen.choose(0, 500))) // token counts in id order
+    forAll(gen, n = 100) { case (maxTokens, toks) =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val packs = graft.ops.Corpus.packGreedy(docs.iterator, maxTokens).toSeq
+      // Conservation: every doc lands in exactly one pack; truncated
+      // token mass accounted exactly.
+      assert(packs.map(_._2).sum == docs.size)
+      assert(packs.map(_._3.toLong).sum ==
+        toks.map(t => math.min(t, maxTokens).toLong).sum)
+      // Budget: no pack exceeds maxTokens.
+      assert(packs.forall(_._3 <= maxTokens), s"budget: $packs")
+      // Structure + greedy maximality: packs partition the docs in
+      // order; each pack starts at its pack_id and could not have
+      // absorbed the next pack's first doc.
+      var idx = 0
+      packs.zipWithIndex.foreach { case ((packId, nDocs, nTok), pi) =>
+        assert(docs(idx)._1 == packId, s"pack $pi start")
+        val slice = docs.slice(idx, idx + nDocs)
+        assert(slice.map(d => math.min(d._2, maxTokens)).sum == nTok)
+        idx += nDocs
+        if (idx < docs.size)
+          assert(nTok + math.min(docs(idx)._2, maxTokens) > maxTokens,
+            s"pack $pi not maximal")
+      }
+      assert(idx == docs.size)
+    }
+  }
 }

@@ -16,7 +16,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_oracle_card", "q1_agg", "q_discretize", "q_dedup_keep_first",
-        "q_ann_topk", "q_token_counts")
+        "q_ann_topk", "q_token_counts", "q_stratified_sample",
+        "q_pack_sequences")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

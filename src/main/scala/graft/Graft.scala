@@ -141,11 +141,7 @@ final class Graft private (
     * the rule is attached via `experimental.extraOptimizations` (the
     * rewrite is idempotent, so having both is harmless). */
   def enableApproxCount(pathToken: String, estimator: CardEst): Unit = {
-    if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.ApproxCountRule]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.ApproxCountRule(spark)
+    graft.plans.ApproxCountRule.attachIfMissing(spark)
     graft.plans.GraftRuntime.register(pathToken, cols.toSet, estimator.query)
     spark.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
   }

@@ -460,6 +460,22 @@ object Queries {
   private val modelCols =
     Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
 
+  /** One scan + driver collect of the encoded lineitem matrix, shared by
+    * every 100k-row model trainer in the session (MADE, tied-embed MADE,
+    * and the two extra ensemble orderings would otherwise each re-scan
+    * and re-collect the identical sample). */
+  private val encodedCache =
+    scala.collection.mutable.Map.empty[String, (Array[Array[Int]], TableMeta)]
+
+  private def lineitemEncoded(s: SparkSession, d: String): (Array[Array[Int]], TableMeta) =
+    encodedCache.synchronized {
+      encodedCache.getOrElseUpdate(d, {
+        val df = li(s, d).select(modelCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
+        (Trainer.collectEncoded(df, meta.columns, maxRows = 100000), meta)
+      })
+    }
+
   /** Train-once-per-sfDir cache so Verify/Bench don't retrain per entry. */
   private val modelCache =
     scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
@@ -471,9 +487,7 @@ object Queries {
   def lineitemModel(s: SparkSession, d: String): (Made, TableMeta) =
     modelCache.synchronized {
       modelCache.getOrElseUpdate(d, {
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+        val (data, meta) = lineitemEncoded(s, d)
         val model = new Made(
           nin = modelCols.length,
           hiddenSizes = Seq(64, 64),
@@ -499,9 +513,7 @@ object Queries {
   def lineitemEmbedModel(s: SparkSession, d: String): (Made, TableMeta) =
     embedModelCache.synchronized {
       embedModelCache.getOrElseUpdate(d, {
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+        val (data, meta) = lineitemEncoded(s, d)
         val model = new Made(
           nin = modelCols.length,
           hiddenSizes = Seq(64, 64),
@@ -532,8 +544,7 @@ object Queries {
     ensembleCache.synchronized {
       ensembleCache.getOrElseUpdate(d, {
         val (natural, meta) = lineitemModel(s, d)
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+        val (data, _) = lineitemEncoded(s, d)
         val orderings = Seq(Array(4, 3, 2, 1, 0), Array(2, 0, 4, 1, 3))
         val others = orderings.zipWithIndex.map { case (ord, i) =>
           val m = new Made(
@@ -727,11 +738,12 @@ object Queries {
         val (model, meta) = lineitemModel(s, d)
         val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
           shortcircuit = true)
-        if (!s.experimental.extraOptimizations
-            .exists(_.isInstanceOf[graft.plans.ApproxCountRule]))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ graft.plans.ApproxCountRule(s)
-        graft.plans.GraftRuntime.clear()
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        // Scoped registration: save and restore the registry + flag so
+        // the entry never clobbers a user's own enableApproxCount state.
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
           modelCols.toSet, ps.query)
         s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
@@ -746,8 +758,11 @@ object Queries {
             s"AQP rewrite did not fire; optimized plan:\n$plan")
           Seq(df.collect()(0).getLong(0)).toDF("est_card")
         } finally {
-          s.conf.set(graft.plans.GraftRuntime.EnabledKey, "false")
-          graft.plans.GraftRuntime.clear()
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
         }
       },
       None),

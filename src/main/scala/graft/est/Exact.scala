@@ -26,11 +26,17 @@ object Exact {
   /** Reference `Oracle`'s data-shift mode (estimators.py:512-515): count
     * matches within only the FIRST `firstN` rows in table (file) order —
     * used to evaluate a model trained on a data prefix against the truth
-    * over that same prefix. Both engines take the positional prefix of
-    * the same parquet file, so the count is deterministic.
+    * over that same prefix. The scan is coalesced to ONE task so `limit`
+    * takes the true file-order prefix: over a multi-partition scan a
+    * non-terminal GlobalLimit picks whichever partitions' rows arrive
+    * first, which is neither file order nor deterministic. "First n
+    * rows" is inherently sequential — the single task reads only ~firstN
+    * rows thanks to the local limit, so this costs O(firstN), not a full
+    * single-threaded scan.
     */
   def oracleFirstN(df: DataFrame, preds: Seq[Pred], firstN: Int): DataFrame =
-    df.limit(firstN).filter(Pred.conj(preds)).agg(count(lit(1)).as("card"))
+    df.coalesce(1).limit(firstN)
+      .filter(Pred.conj(preds)).agg(count(lit(1)).as("card"))
 
   def oracleFirstNSql(table: String, preds: Seq[Pred], firstN: Int): String =
     s"SELECT count(*) AS card FROM (SELECT * FROM $table LIMIT $firstN) " +

@@ -219,7 +219,11 @@ object Dedup {
       .agg(min(col("dst")).as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("comp"))
       .localCheckpoint(false)
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // coalesce: sum over an EMPTY label table (no input pairs) is SQL
+    // NULL — an empty graph must converge immediately, not NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -229,9 +233,12 @@ object Dedup {
         .select(labels("id"),
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
         .localCheckpoint(false)
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // The dropped round's checkpoint blocks are released by the
+      // ContextCleaner once the old Dataset is unreachable; only the
+      // current round stays pinned.
       labels = next
       iter += 1
     }

@@ -60,6 +60,11 @@ object GraftRuntime {
 
   def clear(): Unit = registered = Nil
 
+  /** Save/restore the registry around a scoped use (e.g. a catalog
+    * entry that must not clobber a user's own registrations). */
+  def snapshot(): List[Registered] = registered
+  def restore(s: List[Registered]): Unit = registered = s
+
   def lookup(paths: Seq[String]): Option[Registered] =
     registered.find(r => paths.exists(_.contains(r.pathToken)))
 }
@@ -74,6 +79,16 @@ object ApproxCountRule {
   private[plans] val inEstimate = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
+
+  /** Attach the rule to an existing session via
+    * `experimental.extraOptimizations` (for sessions not built
+    * `.withExtensions`); idempotent, and harmless alongside the injected
+    * path — a second run finds no matching aggregate to rewrite. */
+  def attachIfMissing(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[ApproxCountRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxCountRule(spark)
 }
 
 case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {

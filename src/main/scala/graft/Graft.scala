@@ -97,6 +97,27 @@ final class Graft private (
     new EnsembleProgressiveSampling(samplers)
   }
 
+  /** The cheap multi-ordering ensemble: ONE ResMADE cycling `orderings`
+    * as masks per minibatch (made.py:277-311 update_masks), estimates
+    * averaged over the orderings at query time (estimators.py:372-418).
+    * 1× training and 1× parameters vs [[trainMadeEnsemble]]'s k×. */
+  def trainMadeMultiMask(orderings: Seq[Array[Int]],
+      hidden: Seq[Int] = Seq(64, 64), epochs: Int = 4,
+      maxRows: Int = 200000, totalSamples: Int = 1000,
+      seed: Long = 11123L): MultiMaskProgressiveSampling = {
+    require(orderings.nonEmpty)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val model = new Made(cols.length, hidden,
+      meta.columns.map(_.distributionSize).toArray,
+      inputEncoding = "one_hot", residual = true, doDirectIo = true,
+      columnMasking = true, seed = seed,
+      numMasks = orderings.length, orderings = orderings)
+    Trainer.train(model, data, epochs, batchSize = 1024,
+      schedule = Trainer.ConstantLr(2e-3f), tableBits = tableBits)
+    new MultiMaskProgressiveSampling(model, meta, totalSamples,
+      shortcircuit = true)
+  }
+
   /** Train the Transformer family (transformer.py:267-598 analog);
     * `fixedOrdering` selects a non-natural autoregressive ordering. */
   def trainTransformer(dModel: Int = 16, numBlocks: Int = 2, epochs: Int = 2,

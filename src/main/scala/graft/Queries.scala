@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Dictionary, TableMeta, Tables}
-import graft.est.{BayesNet, BayesNetEstimator, EnsembleProgressiveSampling, Exact, ProgressiveSampling, SampleFromModel}
+import graft.est.{BayesNet, BayesNetEstimator, Exact, MultiMaskProgressiveSampling, ProgressiveSampling, SampleFromModel}
 import graft.nn.{Made, Trainer}
 import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{Op, Pred}
@@ -548,36 +548,34 @@ object Queries {
     }
 
   private val ensembleCache =
-    scala.collection.mutable.Map.empty[String, (Seq[Made], TableMeta)]
+    scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
 
-  /** Multi-ordering MADE ensemble over the lineitem subset (reference
-    * train_model.py:210-228: one model per ordering; estimators.py:409-418
-    * averages their estimates). Natural ordering reuses [[lineitemModel]];
-    * reversed + one fixed shuffled ordering are trained here with the
-    * same recipe.
+  /** Multi-ordering ensemble via ONE multi-mask MADE (made.py:277-311
+    * update_masks cycling; estimators.py:372-418 averages per-ordering
+    * estimates of a single model): three orderings (natural, reversed,
+    * one fixed shuffle) cycled per minibatch during training, so the
+    * ensemble costs 1× training and 1× parameters instead of the 3×
+    * that one-model-per-ordering (train_model.py:210-228) pays.
     */
-  def lineitemEnsemble(s: SparkSession, d: String): (Seq[Made], TableMeta) =
+  def lineitemEnsemble(s: SparkSession, d: String): (Made, TableMeta) =
     ensembleCache.synchronized {
       ensembleCache.getOrElseUpdate(d, {
-        val (natural, meta) = lineitemModel(s, d)
-        val (data, _) = lineitemEncoded(s, d)
-        val orderings = Seq(Array(4, 3, 2, 1, 0), Array(2, 0, 4, 1, 3))
-        val others = orderings.zipWithIndex.map { case (ord, i) =>
-          val m = new Made(
-            nin = modelCols.length,
-            hiddenSizes = Seq(64, 64),
-            inputBins = meta.columns.map(_.distributionSize).toArray,
-            inputEncoding = "one_hot",
-            residual = true,
-            doDirectIo = true,
-            columnMasking = true,
-            seed = 11123L + i + 1,
-            fixedOrdering = ord)
-          Trainer.train(m, data, epochs = 2, batchSize = 1024,
-            schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
-          m
-        }
-        (natural +: others, meta)
+        val (data, meta) = lineitemEncoded(s, d)
+        val model = new Made(
+          nin = modelCols.length,
+          hiddenSizes = Seq(64, 64),
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          inputEncoding = "one_hot",
+          residual = true,
+          doDirectIo = true,
+          columnMasking = true,
+          seed = 11123L,
+          numMasks = 3,
+          orderings = Seq(Array(0, 1, 2, 3, 4), Array(4, 3, 2, 1, 0),
+            Array(2, 0, 4, 1, 3)))
+        Trainer.train(model, data, epochs = 2, batchSize = 1024,
+          schedule = Trainer.ConstantLr(2e-3f), seed = 0L)
+        (model, meta)
       })
     }
 
@@ -703,15 +701,15 @@ object Queries {
       },
       None),
     // Multi-ordering ensemble estimate on W1 (estimators.py:409-418):
-    // mean of per-ordering ProgressiveSampling estimates, numSamples
-    // split across the 3 orderings (rows-only: model-based).
+    // mean of per-ordering ProgressiveSampling estimates of ONE
+    // multi-mask model, numSamples split across the 3 orderings
+    // (rows-only: model-based).
     Entry("q_psample_ensemble",
       (s, d) => {
         import s.implicits._
-        val (models, meta) = lineitemEnsemble(s, d)
-        val ens = new EnsembleProgressiveSampling(
-          models.map(m => new ProgressiveSampling(m, meta,
-            numSamples = 1000 / models.length, shortcircuit = true)))
+        val (model, meta) = lineitemEnsemble(s, d)
+        val ens = new MultiMaskProgressiveSampling(model, meta,
+          numSamples = 1000, shortcircuit = true)
         Seq(ens.query(W1)).toDF("est_card")
       },
       None),
@@ -879,9 +877,8 @@ object Queries {
         val bnEsts = qs.map(q => bnEst.query(q).toDouble)
         val md = lineitemMaxdiff(s, d)
         val mdEsts = qs.map(q => md.query(q).toDouble)
-        val ens = new EnsembleProgressiveSampling(
-          lineitemEnsemble(s, d)._1.map(m => new ProgressiveSampling(m, meta,
-            numSamples = 167, shortcircuit = true)))
+        val ens = new MultiMaskProgressiveSampling(lineitemEnsemble(s, d)._1,
+          meta, numSamples = 500, shortcircuit = true)
         val ensEsts = qs.map(q => ens.query(q).toDouble)
         val (eModel, eMeta) = lineitemEmbedModel(s, d)
         val eps = new ProgressiveSampling(eModel, eMeta, numSamples = 500,

@@ -175,6 +175,39 @@ final class EnsembleProgressiveSampling(
     math.ceil(selectivity(preds) * samplers.head.meta.cardinality).toLong
 }
 
+/** Multi-ordering ensemble over ONE multi-mask MADE (the reference's
+  * estimator-side shape, estimators.py:372-418: `model.orderings` on a
+  * single model, numSamples split across orderings, estimates averaged;
+  * mask activation is update_masks' invoke_order path, made.py:294-305).
+  * Compared to [[EnsembleProgressiveSampling]] over k separately trained
+  * models this costs 1× training and 1× parameters instead of k×.
+  */
+final class MultiMaskProgressiveSampling(
+    val model: Made,
+    val meta: TableMeta,
+    val numSamples: Int,
+    val shortcircuit: Boolean = false,
+    seed: Long = 1234L) extends CardEst {
+
+  require(model.numMasks > 1, "use ProgressiveSampling for single-mask models")
+  def name: String = s"psample_multimask_${model.numMasks}"
+
+  private val perMask = math.max(1, numSamples / model.numMasks)
+
+  def selectivity(preds: Seq[Pred]): Double = {
+    var s = 0.0
+    for (k <- 0 until model.numMasks) {
+      model.setMask(k)
+      s += new ProgressiveSampling(model, meta, perMask, shortcircuit,
+        seed + k).selectivity(preds)
+    }
+    s / model.numMasks
+  }
+
+  def query(preds: Seq[Pred]): Long =
+    math.ceil(selectivity(preds) * meta.cardinality).toLong
+}
+
 /** SampleFromModel (reference estimators.py:421-477): ancestral-sample
   * `num` tuples from the model, count the fraction satisfying the
   * predicate via per-column domain masks, scale by cardinality.

@@ -38,6 +38,26 @@ package graft.nn
   *                       wildcard-skipping inference optimization
   *                       (made.py:101-103, 452-487)
   * @param fixedOrdering  ordering(i) = position of column i (made.py:105-107)
+  * @param numMasks       number of ordering + connectivity configurations
+  *                       to cycle through within this ONE model
+  *                       (made.py:83-84; update_masks made.py:277-311).
+  *                       The trainer calls [[updateMasks]] before every
+  *                       minibatch (train_model.py:183-185), so all
+  *                       configurations share one weight set; mask k is
+  *                       deterministic (rng seeded `seed + k`). Layers of
+  *                       a multi-mask model multiply the mask in at
+  *                       forward time instead of baking it into the
+  *                       weights, so switching masks never destroys
+  *                       weights live under another mask.
+  * @param orderings      explicit ordering list for mask cycling: mask k
+  *                       uses `orderings(k % orderings.length)` — the
+  *                       reference's special-orderings branch
+  *                       (made.py:307-312; it indexes
+  *                       `orderings[seed % 4]` with a hardcoded 4, we use
+  *                       the list length). Takes precedence over
+  *                       fixedOrdering. Without it, a multi-mask model
+  *                       draws a seeded permutation per mask
+  *                       (made.py:314-320, natural_ordering=False).
   */
 final class Made(
     val nin: Int,
@@ -51,13 +71,20 @@ final class Made(
     val seed: Long = 11123L,
     val fixedOrdering: Array[Int] = null,
     val embedSize: Int = 32,
-    val inputNoEmbIfLeq: Boolean = true)
+    val inputNoEmbIfLeq: Boolean = true,
+    val numMasks: Int = 1,
+    val orderings: Seq[Array[Int]] = null)
     extends graft.est.ArModel with Trainable {
 
   require(inputBins.length == nin)
   require(outputEncoding == "one_hot" ||
     (outputEncoding == "embed" && inputEncoding == "embed"),
     "outputEncoding=embed requires inputEncoding=embed (tied weights)")
+  require(numMasks >= 1)
+  require(orderings == null ||
+    (orderings.nonEmpty && orderings.forall(o =>
+      o.length == nin && o.sorted.sameElements(Array.tabulate(nin)(identity)))),
+    "each ordering must be a permutation of 0 until nin")
   private val rng = new java.util.Random(seed)
 
   /** Encoded width of column i at the input (made.py:249-263). */
@@ -97,21 +124,44 @@ final class Made(
   val totalInputSize: Int = inputBinsEncodedCumsum.last
   val totalOutputSize: Int = logitIndices.last
 
-  /** ordering(naturalIdx) = position in the autoregressive order. */
-  val ordering: Array[Int] =
-    if (fixedOrdering != null) fixedOrdering.clone()
-    else Array.tabulate(nin)(identity)
+  /** Ordering of mask k (made.py:296-320 precedence: orderings list >
+    * fixedOrdering > natural / seeded permutation). */
+  private def orderingForMask(k: Int): Array[Int] =
+    if (orderings != null) orderings(k % orderings.length).clone()
+    else if (fixedOrdering != null) fixedOrdering.clone()
+    else if (numMasks == 1) Array.tabulate(nin)(identity)
+    else {
+      // Seeded Fisher-Yates permutation per mask (made.py:316-317).
+      val prng = new java.util.Random(seed + k)
+      val a = Array.tabulate(nin)(identity)
+      var i = nin - 1
+      while (i > 0) {
+        val j = prng.nextInt(i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      a
+    }
+
+  private var _ordering: Array[Int] = orderingForMask(0)
+  private var _maskIndex: Int = 0
+
+  /** ordering(naturalIdx) = position in the autoregressive order (of the
+    * currently active mask). */
+  def ordering: Array[Int] = _ordering
+  def maskIndex: Int = _maskIndex
 
   // ---- network (made.py:143-172) ----
+  private val preserveW = numMasks > 1
   val layers: Array[Layer] = {
     val hs = totalInputSize +: hiddenSizes :+ totalOutputSize
     val buf = scala.collection.mutable.ArrayBuffer[Layer]()
     for (Seq(h0, h1) <- hs.sliding(2)) {
       if (residual) {
-        if (h0 == h1) buf += new MaskedResidualBlock(h0)
-        else buf += new MaskedLinear(h0, h1)
+        if (h0 == h1) buf += new MaskedResidualBlock(h0, preserveW)
+        else buf += new MaskedLinear(h0, h1, preserveW)
       } else {
-        buf += new MaskedLinear(h0, h1)
+        buf += new MaskedLinear(h0, h1, preserveW)
         buf += new ReLU(h1)
       }
     }
@@ -124,7 +174,8 @@ final class Made(
   }
 
   val directIoLayer: MaskedLinear =
-    if (doDirectIo) new MaskedLinear(totalInputSize, totalOutputSize) else null
+    if (doDirectIo) new MaskedLinear(totalInputSize, totalOutputSize, preserveW)
+    else null
 
   /** Learnable [MASK] representation per column (made.py:186-191). */
   val unkEmbeddings: Array[Param] =
@@ -145,8 +196,28 @@ final class Made(
     } else null
   }
 
-  buildMasks()
+  // Single-mask construction keeps the historical rng stream (the
+  // instance rng later also drives column-masking dropout); multi-mask
+  // construction is setMask(0)'s deterministic per-mask rng.
+  if (numMasks == 1) buildMasks(rng)
+  else buildMasks(new java.util.Random(seed))
   initWeights()
+
+  /** Activate mask configuration k (the `invoke_order` path of
+    * update_masks, made.py:294-305): deterministic per k, weights
+    * untouched (they are shared across configurations). */
+  def setMask(k: Int): Unit = {
+    require(k >= 0 && k < numMasks, s"mask $k of $numMasks")
+    _maskIndex = k
+    _ordering = orderingForMask(k)
+    buildMasks(new java.util.Random(seed + k))
+  }
+
+  /** Cycle to the next mask (reference update_masks() cycling,
+    * made.py:277-320; called per minibatch by the trainer). No-op for
+    * single-mask models. */
+  override def updateMasks(): Unit =
+    if (numMasks > 1) setMask((_maskIndex + 1) % numMasks)
 
   def params: Seq[Param] =
     layers.flatMap(_.params).toSeq ++
@@ -156,8 +227,10 @@ final class Made(
 
   def parameterCount: Long = params.map(_.data.length.toLong).sum
 
-  /** Port of update_masks (made.py:277-393), single-mask case. */
-  private def buildMasks(): Unit = {
+  /** Port of update_masks (made.py:277-393); `mrng` drives the hidden-
+    * degree sampling (the instance rng for the single-mask case, a
+    * per-mask seeded rng under cycling). */
+  private def buildMasks(mrng: java.util.Random): Unit = {
     val L = hiddenSizes.length
     // Hidden-unit degrees (made.py:322-337).
     val degrees = new Array[Array[Int]](L)
@@ -169,7 +242,7 @@ final class Made(
             Array.tabulate(hiddenSizes(l))(k => math.floorMod(k - 1, nin - 1))
           else {
             val low = if (l == 0) ordering.min else degrees(l - 1).min
-            Array.fill(hiddenSizes(l))(low + rng.nextInt(nin - 1 - low))
+            Array.fill(hiddenSizes(l))(low + mrng.nextInt(nin - 1 - low))
           }
         } else Array.fill(hiddenSizes(l))(-1)
     }

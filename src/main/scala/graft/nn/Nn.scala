@@ -68,6 +68,10 @@ trait Trainable extends Serializable {
       batch: Int): (Double, Array[Float])
   def nll(logits: Array[Float], data: Array[Array[Int]], batch: Int): Double
   def backward(grad: Array[Float], batch: Int): Unit
+  /** Cycle to the next mask/ordering configuration before a minibatch —
+    * the reference's per-batch `update_masks()` call
+    * (train_model.py:183-185). No-op for single-mask models. */
+  def updateMasks(): Unit = ()
 }
 
 sealed trait Layer extends Serializable {
@@ -80,13 +84,22 @@ sealed trait Layer extends Serializable {
   def nOut: Int
 }
 
-/** `y = (M ⊙ W) x + b` — reference made.py:11-28. The mask is baked into
-  * the weights (applied at init and to every gradient), which is both the
-  * reference's `masked_weight` inference optimization (made.py:24-28) and
-  * the invariant that keeps Adam from moving masked entries.
+/** `y = (M ⊙ W) x + b` — reference made.py:11-28. By default the mask is
+  * baked into the weights (applied at init and to every gradient), which
+  * is both the reference's `masked_weight` inference optimization
+  * (made.py:24-28) and the invariant that keeps Adam from moving masked
+  * entries.
+  *
+  * `preserveWeights = true` switches to the reference's TRAINING
+  * semantics (`F.linear(x, mask * weight)`, made.py:24-28): the mask is
+  * multiplied in at forward/backward time and the underlying weights are
+  * never zeroed — required for multi-mask cycling (made.py:277-311),
+  * where an entry masked under one connectivity pattern is live under
+  * another and its weight must survive the switch.
   * Weight layout: row-major [nOut, nIn].
   */
-final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
+final class MaskedLinear(val nIn: Int, val nOut: Int,
+    val preserveWeights: Boolean = false) extends Layer {
   val weight = new Param(new Array[Float](nOut * nIn))
   val bias = new Param(new Array[Float](nOut))
   /** null = dense. Layout [nOut, nIn], 1f = connected. */
@@ -107,7 +120,9 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
     applyMask()
   }
 
-  def applyMask(): Unit = if (mask != null) {
+  /** Bake the mask into the weights. No-op under `preserveWeights` —
+    * there the mask is applied at forward time instead. */
+  def applyMask(): Unit = if (mask != null && !preserveWeights) {
     var k = 0
     while (k < weight.data.length) {
       if (mask(k) == 0f) weight.data(k) = 0f
@@ -135,6 +150,7 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
   private def forwardRange(x: Array[Float], out: Array[Float],
       r0: Int, r1: Int): Unit = {
     val w = weight.data; val b = bias.data
+    val m = if (preserveWeights) mask else null
     var r = r0
     while (r < r1) {
       val xOff = r * nIn
@@ -144,7 +160,10 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
         var acc = b(o)
         val wOff = o * nIn
         var i = 0
-        while (i < nIn) { acc += w(wOff + i) * x(xOff + i); i += 1 }
+        if (m == null)
+          while (i < nIn) { acc += w(wOff + i) * x(xOff + i); i += 1 }
+        else
+          while (i < nIn) { acc += w(wOff + i) * m(wOff + i) * x(xOff + i); i += 1 }
         out(oOff + o) = acc
         o += 1
       }
@@ -205,6 +224,7 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
       gradIn: Array[Float], gw: Array[Float], gb: Array[Float],
       r0: Int, r1: Int): Unit = {
     val w = weight.data
+    val m = if (preserveWeights) mask else null
     var r = r0
     while (r < r1) {
       val xOff = r * nIn
@@ -216,11 +236,18 @@ final class MaskedLinear(val nIn: Int, val nOut: Int) extends Layer {
           gb(o) += g
           val wOff = o * nIn
           var i = 0
-          while (i < nIn) {
-            gw(wOff + i) += g * x(xOff + i)
-            gradIn(xOff + i) += g * w(wOff + i)
-            i += 1
-          }
+          if (m == null)
+            while (i < nIn) {
+              gw(wOff + i) += g * x(xOff + i)
+              gradIn(xOff + i) += g * w(wOff + i)
+              i += 1
+            }
+          else
+            while (i < nIn) {
+              gw(wOff + i) += g * x(xOff + i)
+              gradIn(xOff + i) += g * w(wOff + i) * m(wOff + i)
+              i += 1
+            }
         }
         o += 1
       }
@@ -253,9 +280,10 @@ final class ReLU(val dim: Int) extends Layer {
 
 /** `x + L2(act(L1(act(x))))`, both linears sharing one mask — reference
   * made.py:31-51. */
-final class MaskedResidualBlock(val dim: Int) extends Layer {
-  val l1 = new MaskedLinear(dim, dim)
-  val l2 = new MaskedLinear(dim, dim)
+final class MaskedResidualBlock(val dim: Int,
+    val preserveWeights: Boolean = false) extends Layer {
+  val l1 = new MaskedLinear(dim, dim, preserveWeights)
+  val l2 = new MaskedLinear(dim, dim, preserveWeights)
   private var xCache: Array[Float] = null
   private var h1Cache: Array[Float] = null
   def nIn: Int = dim

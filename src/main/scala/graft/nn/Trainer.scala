@@ -93,6 +93,9 @@ object Trainer {
         globalStep += 1
         opt.lr = schedule.lr(globalStep)
         opt.zeroGrad()
+        // Per-batch mask/ordering cycling (train_model.py:183-185);
+        // no-op for single-mask models.
+        model.updateMasks()
         val logits = model.forward(batch, train = true)
         val (loss, grad) = model.nllWithGrad(logits, batch, bs)
         model.backward(grad, bs)
@@ -139,6 +142,7 @@ object Trainer {
         globalStep += 1
         opt.lr = schedule.lr(globalStep)
         opt.zeroGrad()
+        model.updateMasks()
         val logits = model.forward(batch, train = true)
         val (loss, grad) = model.nllWithGrad(logits, batch, bs)
         model.backward(grad, bs)

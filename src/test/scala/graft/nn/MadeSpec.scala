@@ -85,6 +85,80 @@ class MadeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-mask cycling: autoregressive under every mask, weights preserved") {
+    val rng = new java.util.Random(21)
+    val bins = Array(3, 4, 2, 5)
+    val orderings = Seq(Array(0, 1, 2, 3), Array(3, 2, 1, 0), Array(2, 0, 3, 1))
+    for (res <- Seq(false, true); directIo <- Seq(false, true)) {
+      val model = new Made(4, Seq(16, 16), bins, inputEncoding = "one_hot",
+        residual = res, doDirectIo = directIo, numMasks = 3,
+        orderings = orderings)
+      val cumOut = model.logitIndices
+      val cumIn = model.inputBinsEncodedCumsum
+      // Every cycled mask must be autoregressive wrt ITS ordering.
+      for (k <- 0 until 3) {
+        model.setMask(k)
+        assert(model.ordering.sameElements(orderings(k)))
+        val ordering = model.ordering
+        for (out <- 0 until model.totalOutputSize) {
+          val inp = Array.fill(model.totalInputSize)(rng.nextFloat())
+          val grad = inputGrad(model, out, inp)
+          val outCol = cumOut.indexWhere(out < _)
+          for (inCol <- 0 until 4 if ordering(inCol) >= ordering(outCol)) {
+            val l = if (inCol == 0) 0 else cumIn(inCol - 1)
+            for (j <- l until cumIn(inCol))
+              assert(grad(j) == 0f,
+                s"res=$res dio=$directIo mask=$k: output $out (col $outCol) " +
+                  s"depends on input col $inCol")
+          }
+        }
+      }
+      // Weight preservation: activating other masks and returning must
+      // reproduce bit-identical logits (masks multiply at forward time,
+      // they never destroy weights shared across configurations).
+      model.setMask(0)
+      val inp = Array.fill(model.totalInputSize)(rng.nextFloat())
+      val before = model.forwardEncoded(inp.clone(), 1).clone()
+      model.setMask(1); model.setMask(2); model.setMask(0)
+      val after = model.forwardEncoded(inp.clone(), 1)
+      assert(before.sameElements(after), s"res=$res dio=$directIo: " +
+        "mask round-trip changed the function")
+    }
+    // Without an explicit orderings list, each mask draws a seeded
+    // permutation (made.py:314-320) — deterministic per (seed, k).
+    val m1 = new Made(4, Seq(8), bins, inputEncoding = "one_hot", numMasks = 2)
+    val m2 = new Made(4, Seq(8), bins, inputEncoding = "one_hot", numMasks = 2)
+    for (k <- 0 until 2) {
+      m1.setMask(k); m2.setMask(k)
+      assert(m1.ordering.sameElements(m2.ordering))
+    }
+  }
+
+  test("multi-mask training cycles masks and still learns") {
+    val bins = Array(4, 3)
+    val rng = new java.util.Random(5)
+    // Correlated columns: c1 = c0 % 3 with noise.
+    val data = Array.fill(512) {
+      val a = rng.nextInt(4)
+      Array(a, if (rng.nextInt(10) == 0) rng.nextInt(3) else a % 3)
+    }
+    val model = new Made(2, Seq(16, 16), bins, inputEncoding = "one_hot",
+      residual = true, numMasks = 2,
+      orderings = Seq(Array(0, 1), Array(1, 0)))
+    val logs = Trainer.train(model, data, epochs = 8, batchSize = 64,
+      schedule = Trainer.ConstantLr(5e-3f), seed = 3L)
+    assert(logs.last.meanNllNats < logs.head.meanNllNats,
+      s"NLL did not improve: ${logs.map(_.meanNllNats)}")
+    // Both masks were visited during training (cycled per batch).
+    assert(model.numMasks == 2)
+    // Each mask's NLL in eval mode is finite and sane.
+    for (k <- 0 until 2) {
+      model.setMask(k)
+      val nll = Trainer.evalNll(model, data.take(128))
+      assert(!nll.isNaN && nll > 0 && nll < 10, s"mask $k nll=$nll")
+    }
+  }
+
   test("backprop matches finite differences") {
     val bins = Array(3, 4, 2)
     val model = new Made(3, Seq(8, 8), bins, inputEncoding = "one_hot",

@@ -320,14 +320,16 @@ object Queries {
           Map("src0" -> 1, "src1" -> 3, "src2" -> 7), defaultModulus = 9) +
         " GROUP BY source ORDER BY source")),
     // Sequence packing: greedy first-fit by id into <= 2048-token packs
-    // (rows-only: stateful per-partition semantics, not SQL-expressible;
-    // the exact packing is unit-tested on a single range partition).
+    // within fixed 128-id ranges — deterministic for any partition
+    // count, so the full packing is oracle-checked against a DuckDB
+    // recursive-CTE fold over the same (rid, id) walk.
     Entry("q_pack_sequences",
-      (s, d) => Corpus.packSequences(
+      (s, d) => Corpus.packSequencesByRange(
         docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", maxTokens = 2048),
-      None),
+        "doc_id", "n_tokens", maxTokens = 2048, rangeWidth = 128L),
+      Some(Corpus.packSequencesByRangeSql("documents", "doc_id",
+        TextOps.tokenCountSql("text"), maxTokens = 2048, rangeWidth = 128L))),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),

@@ -61,6 +61,79 @@ object Corpus {
       .toDF("pack_id", "n_docs", "n_tokens").orderBy("pack_id")
   }
 
+  /** Deterministic sequence packing over FIXED-WIDTH id ranges: docs are
+    * grouped by `rid = id div rangeWidth`, packed greedily in id order
+    * within each range, and every range opens a fresh pack. Unlike
+    * [[packSequences]] (whose range boundaries come from
+    * `repartitionByRange`'s sampling pass), the grouping here is a pure
+    * function of the ids — the output is identical for ANY partition
+    * count or data layout, which makes it SQL-expressible (see
+    * [[packSequencesByRangeSql]]) and reproducible across engines. At
+    * scale it is also cheaper: one hash shuffle on `rid`, no sampling
+    * job. Requires non-negative ids (`div` truncates toward zero;
+    * DuckDB's `//` floors — they agree on non-negatives).
+    */
+  def packSequencesByRange(df: DataFrame, idCol: String, nTokensCol: String,
+      maxTokens: Int, rangeWidth: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("int").as("n"))
+      .withColumn("rid", expr(s"id div $rangeWidth"))
+      .repartition(col("rid"))
+      .sortWithinPartitions("rid", "id")
+    sorted.select("rid", "id", "n").as[(Long, Long, Int)]
+      .mapPartitions(it => packGreedyGrouped(it, maxTokens))
+      .toDF("pack_id", "n_docs", "n_tokens").orderBy("pack_id")
+  }
+
+  /** DuckDB oracle for [[packSequencesByRange]]: the greedy fold is a
+    * recursive CTE stepping one row at a time in (rid, id) order — fine
+    * at oracle scale; the Spark side is the parallel plan. `nTokensSql`
+    * is the SQL twin of the Spark-side token-count column. */
+  def packSequencesByRangeSql(table: String, id: String, nTokensSql: String,
+      maxTokens: Int, rangeWidth: Long): String =
+    s"""WITH RECURSIVE toks AS (
+  SELECT $id AS id, $id // $rangeWidth AS rid,
+         LEAST($nTokensSql, $maxTokens) AS n
+  FROM $table
+), ord AS (
+  SELECT id, rid, n, row_number() OVER (ORDER BY id) AS rn FROM toks
+), walk AS (
+  SELECT rn, rid, id, n, id AS pack_id, n AS acc FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.rid, o.id, o.n,
+    CASE WHEN o.rid = w.rid AND w.acc + o.n <= $maxTokens
+         THEN w.pack_id ELSE o.id END,
+    CASE WHEN o.rid = w.rid AND w.acc + o.n <= $maxTokens
+         THEN w.acc + o.n ELSE o.n END
+  FROM ord o JOIN walk w ON o.rn = w.rn + 1
+)
+SELECT pack_id, CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(n) AS INTEGER) AS n_tokens
+FROM walk GROUP BY pack_id ORDER BY pack_id"""
+
+  /** The grouped greedy kernel: like [[packGreedy]] but a change of
+    * `rid` always closes the current pack (each id range packs
+    * independently). Rows must arrive sorted by (rid, id). */
+  private[graft] def packGreedyGrouped(rows: Iterator[(Long, Long, Int)],
+      maxTokens: Int): Iterator[(Long, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var curRid = Long.MinValue
+    var cur: (Long, Int, Int) = null
+    rows.foreach { case (rid, id, n) =>
+      val nn = math.min(n, maxTokens)
+      if (cur == null || rid != curRid || cur._3 + nn > maxTokens) {
+        if (cur != null) out += cur
+        cur = (id, 1, nn)
+        curRid = rid
+      } else cur = (cur._1, cur._2 + 1, cur._3 + nn)
+    }
+    if (cur != null) out += cur
+    out.iterator
+  }
+
   /** The pure greedy first-fit kernel over (id, nTokens) in input order:
     * one (packId = first doc id, nDocs, nTokens) row per pack; docs over
     * the budget are truncated into their own pack. Property-tested

@@ -303,6 +303,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPairs.subsetOf(planted), s"unexpected pairs: ${gotPairs -- planted}")
   }
 
+  test("packSequencesByRange: range resets, truncation, partition-invariance") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_tokens", IntegerType)))
+    // Ranges of width 4: {0..3}, {4..7}, {8..11}. Doc 5 overflows alone;
+    // doc 9 is truncated to the budget.
+    val rows = Seq((0L, 50), (1L, 40), (2L, 20), (3L, 10),
+      (5L, 90), (6L, 30), (7L, 30),
+      (8L, 10), (9L, 500), (10L, 10)).map(r => Row(r._1, r._2))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      Corpus.packSequencesByRange(df, "doc_id", "n_tokens",
+          maxTokens = 100, rangeWidth = 4L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    }
+    val expected = Seq(
+      (0L, 2, 90),   // 50+40; 20 would overflow
+      (2L, 2, 30),   // 20+10
+      (5L, 1, 90),   // new range opens a fresh pack
+      (6L, 2, 60),   // 30+30
+      (8L, 1, 10),   // 10; 9 (truncated to 100) overflows
+      (9L, 1, 100),  // truncated into its own pack
+      (10L, 1, 10))
+    assert(run(1) == expected, s"parts=1: ${run(1)}")
+    // Identical for any input layout — the grouping is a pure function
+    // of the ids, unlike repartitionByRange's sampled boundaries.
+    assert(run(3) == expected)
+    assert(run(5) == expected)
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -585,13 +585,15 @@ object Queries {
     scala.collection.mutable.Map.empty[String, (graft.nn.Transformer, TableMeta)]
 
   /** Small decoder-only Transformer over the same lineitem subset — the
-    * second model family (transformer.py:267-598). */
+    * second model family (transformer.py:267-598). Reuses the shared
+    * encoded matrix + dictionary ([[lineitemEncoded]]) instead of
+    * re-scanning and re-collecting — the transformer's smaller 30k
+    * training budget is a prefix of the shared 100k sample. */
   def lineitemTransformer(s: SparkSession, d: String): (graft.nn.Transformer, TableMeta) =
     transformerCache.synchronized {
       transformerCache.getOrElseUpdate(d, {
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 30000)
+        val (full, meta) = lineitemEncoded(s, d)
+        val data = full.take(30000)
         val model = new graft.nn.Transformer(
           nin = modelCols.length,
           inputBins = meta.columns.map(_.distributionSize).toArray,
@@ -609,10 +611,9 @@ object Queries {
   def lineitemMaxdiff(s: SparkSession, d: String): graft.est.MaxDiffHistogram =
     maxdiffCache.synchronized {
       maxdiffCache.getOrElseUpdate(d, {
-        val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 50000)
-        graft.est.MaxDiffHistogram.build(meta, data, limit = 200)
+        // Shared encoded matrix; the histogram's 50k budget is a prefix.
+        val (full, meta) = lineitemEncoded(s, d)
+        graft.est.MaxDiffHistogram.build(meta, full.take(50000), limit = 200)
       })
     }
 

@@ -843,23 +843,32 @@ object Queries {
     Entry("q_qerror_report",
       (s, d) => {
         import s.implicits._
+        def trace[T](n: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          if (sys.env.contains("GRAFT_TRACE"))
+            println(f"[qerr] $n%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          r
+        }
         val (model, meta) = lineitemModel(s, d)
-        val qs = lineitemWorkload(s, d, meta, 30)
+        val qs = trace("workload")(lineitemWorkload(s, d, meta, 30))
         val df = li(s, d)
-        val truths = Workload.trueCards(df, qs)
         val n = meta.cardinality
-        // Heuristic (AVI) per-pred count-ifs AND systematic-sampling
-        // match counts for all queries in ONE scan.
+        // ONE scan computes, for every query: the exact truth count, the
+        // heuristic's per-pred count-ifs, and the systematic-sampling
+        // match count (~150 partial-aggregated count-ifs total).
         val inSample = pmod(col("l_orderkey") * 7 + col("l_linenumber"),
           lit(97)) === 0
         val flat = qs.zipWithIndex.flatMap { case (q, qi) =>
           q.zipWithIndex.map { case (p, pi) =>
             sum(when(p.toColumn, 1L).otherwise(0L)).as(s"q${qi}_p$pi")
-          } :+ sum(when(inSample && Pred.conj(q), 1L).otherwise(0L))
-            .as(s"q${qi}_m")
+          } ++ Seq(
+            sum(when(inSample && Pred.conj(q), 1L).otherwise(0L))
+              .as(s"q${qi}_m"),
+            sum(when(Pred.conj(q), 1L).otherwise(0L)).as(s"q${qi}_t"))
         } :+ sum(when(inSample, 1L).otherwise(0L)).as("ns")
-        val selRow = df.agg(flat.head, flat.tail: _*).collect()(0)
+        val selRow = trace("flatAgg")(df.agg(flat.head, flat.tail: _*).collect()(0))
         val ns = selRow.getAs[Long]("ns").toDouble
+        val truths = qs.indices.map(qi => selRow.getAs[Long](s"q${qi}_t"))
         val heurEsts = qs.zipWithIndex.map { case (q, qi) =>
           val sel = q.indices.map(pi =>
             selRow.getAs[Long](s"q${qi}_p$pi").toDouble / n).product
@@ -869,24 +878,40 @@ object Queries {
           math.ceil(selRow.getAs[Long](s"q${qi}_m") / ns * n))
         val ps = new ProgressiveSampling(model, meta, numSamples = 500,
           shortcircuit = true)
-        val psEsts = qs.map(q => ps.query(q).toDouble)
+        val psEsts = trace("psample")(qs.map(q => ps.query(q).toDouble))
+        // The transformer's forward is ~10x a MADE step: a 250-sample
+        // budget keeps its report row at MADE-row cost with quantiles
+        // well inside the estimator's own variance.
         val (tModel, tMeta) = lineitemTransformer(s, d)
-        val tps = new ProgressiveSampling(tModel, tMeta, numSamples = 500,
+        val tps = new ProgressiveSampling(tModel, tMeta, numSamples = 250,
           shortcircuit = true)
-        val tpsEsts = qs.map(q => tps.query(q).toDouble)
-        val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 1000)
-        val smEsts = qs.map(q => sm.query(q).toDouble)
+        val tpsEsts = trace("transformer")(qs.map(q => tps.query(q).toDouble))
+        val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 500)
+        val smEsts = trace("msample")(qs.map(q => sm.query(q).toDouble))
         val bnEst = new BayesNetEstimator(lineitemBn(s, d), numSamples = 500)
-        val bnEsts = qs.map(q => bnEst.query(q).toDouble)
+        val bnEsts = trace("bayesnet")(qs.map(q => bnEst.query(q).toDouble))
         val md = lineitemMaxdiff(s, d)
-        val mdEsts = qs.map(q => md.query(q).toDouble)
-        val ens = new MultiMaskProgressiveSampling(lineitemEnsemble(s, d)._1,
-          meta, numSamples = 500, shortcircuit = true)
-        val ensEsts = qs.map(q => ens.query(q).toDouble)
+        val mdEsts = trace("maxdiff")(qs.map(q => md.query(q).toDouble))
+        // Ensemble row: iterate masks OUTSIDE the query loop (30 mask
+        // activations instead of 30×numMasks) and reuse one sampler per
+        // mask — same estimator semantics as MultiMaskProgressiveSampling
+        // with the mask-switch overhead hoisted out of the hot loop.
+        val ensEsts = trace("ensemble") {
+          val ensModel = lineitemEnsemble(s, d)._1
+          val acc = new Array[Double](qs.length)
+          for (k <- 0 until ensModel.numMasks) {
+            ensModel.setMask(k)
+            val p = new ProgressiveSampling(ensModel, meta,
+              numSamples = 500 / ensModel.numMasks, shortcircuit = true,
+              seed = 1234L + k)
+            for (i <- qs.indices) acc(i) += p.selectivity(qs(i))
+          }
+          acc.toSeq.map(a => math.ceil(a / ensModel.numMasks * n))
+        }
         val (eModel, eMeta) = lineitemEmbedModel(s, d)
         val eps = new ProgressiveSampling(eModel, eMeta, numSamples = 500,
           shortcircuit = true)
-        val epsEsts = qs.map(q => eps.query(q).toDouble)
+        val epsEsts = trace("embed")(qs.map(q => eps.query(q).toDouble))
         val rows = Seq(
           ("heuristic", heurEsts), ("sampling", sampEsts),
           ("psample", psEsts), ("psample_embed", epsEsts),

@@ -225,14 +225,18 @@ object Queries {
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"))
   )
 
-  /** Documents scan, repartitioned: the testdata is a single small file
-    * (one input split = one task), which would serialize the expensive
-    * per-row text ops onto one core. On a real 100 TB corpus the scan
-    * already has thousands of splits and this repartition is a no-op
-    * cost-wise (tiny shuffle of the doc rows).
+  /** Documents scan, repartitioned ONLY when the scan has fewer input
+    * splits than cores (the local-testdata case: one small file = one
+    * task, which would serialize the expensive per-row text ops onto one
+    * core). On a real corpus the scan already has thousands of splits
+    * and the condition is false — the repartition disappears instead of
+    * being dead-weight shuffle.
     */
-  private def docs(s: SparkSession, d: String) =
-    Tables.read(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  private def docs(s: SparkSession, d: String) = {
+    val df = Tables.read(s, d, "documents")
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** LLM-training-data-pipeline operators over the documents table
     * (dedup + text analysis; SURVEY §7.5). Map-side ops are checked

@@ -267,11 +267,17 @@ object BayesNet {
     }
 
     // Topological order: parents before children (estimators.py:802-812).
+    // Set-based membership — the ArrayBuffer.contains formulation was
+    // O(n²·scan); harmless at metadata-sized n but below the codebase's
+    // own bar.
     val order = scala.collection.mutable.ArrayBuffer[Int]()
+    val placed = scala.collection.mutable.Set[Int]()
     while (order.length < nin) {
       for (i <- 0 until nin
-           if !order.contains(i) && (parent(i) < 0 || order.contains(parent(i))))
+           if !placed(i) && (parent(i) < 0 || placed(parent(i)))) {
         order += i
+        placed += i
+      }
     }
 
     // CPTs p(child | parent) from the (cell-space) pairwise joints.

@@ -27,16 +27,32 @@ object Exact {
     * matches within only the FIRST `firstN` rows in table (file) order —
     * used to evaluate a model trained on a data prefix against the truth
     * over that same prefix. The scan is coalesced to ONE task so `limit`
-    * takes the true file-order prefix: over a multi-partition scan a
+    * takes a deterministic prefix: over a multi-partition scan a
     * non-terminal GlobalLimit picks whichever partitions' rows arrive
     * first, which is neither file order nor deterministic. "First n
     * rows" is inherently sequential — the single task reads only ~firstN
     * rows thanks to the local limit, so this costs O(firstN), not a full
     * single-threaded scan.
+    *
+    * VALIDITY: "file order" is well-defined only for a SINGLE-file (or
+    * single-split) table. With several input files Spark packs splits
+    * sorted by size descending — the coalesced prefix is deterministic
+    * but not the files' on-disk order, and a SQL oracle's
+    * `LIMIT n` without ORDER BY is likewise order-unspecified — so the
+    * operator warns and cross-engine prefix comparison should not be
+    * relied on. (A total order would need an explicit row key; the
+    * reference's own mode reads one CSV sequentially.)
     */
-  def oracleFirstN(df: DataFrame, preds: Seq[Pred], firstN: Int): DataFrame =
+  def oracleFirstN(df: DataFrame, preds: Seq[Pred], firstN: Int): DataFrame = {
+    if (df.inputFiles.length > 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"oracleFirstN over ${df.inputFiles.length} input files: the " +
+          "prefix is deterministic but not on-disk file order, and a SQL " +
+          "LIMIT-without-ORDER-BY oracle may disagree. Use a single-file " +
+          "table (or an explicit sort key) for cross-engine comparison.")
     df.coalesce(1).limit(firstN)
       .filter(Pred.conj(preds)).agg(count(lit(1)).as("card"))
+  }
 
   def oracleFirstNSql(table: String, preds: Seq[Pred], firstN: Int): String =
     s"SELECT count(*) AS card FROM (SELECT * FROM $table LIMIT $firstN) " +

@@ -26,13 +26,17 @@ object Corpus {
     df.filter(pmod(col(keyCol), m) === 0)
   }
 
-  /** The WHERE clause twin of [[stratifiedSample]] for SQL oracles. */
+  /** The WHERE clause twin of [[stratifiedSample]] for SQL oracles.
+    * Emits a pmod-equivalent expression — Spark's `pmod` is always
+    * non-negative while SQL `%` keeps the dividend's sign, so a bare
+    * `key % m = 0`-style twin would diverge on negative keys. */
   def stratifiedSampleWhereSql(stratum: String, key: String,
       moduli: Map[String, Int], defaultModulus: Int = 1): String = {
     val cases = moduli.toSeq.sortBy(_._1).map { case (k, v) =>
       s"WHEN $stratum = '$k' THEN $v"
     }.mkString(" ")
-    s"$key % (CASE $cases ELSE $defaultModulus END) = 0"
+    val m = s"(CASE $cases ELSE $defaultModulus END)"
+    s"((($key % $m) + $m) % $m) = 0"
   }
 
   /** Greedy sequence packing: concatenate docs (in id order) into packs

@@ -35,7 +35,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(ApproxCountRule)
+    ext.injectOptimizerRule { session =>
+      // Marker lets attachIfMissing detect the injected instance —
+      // injected rules never appear in experimental.extraOptimizations,
+      // so without it a withExtensions session would get a second
+      // (idempotent but plan-matching) copy attached.
+      session.conf.set(GraftRuntime.AttachedKey, "true")
+      ApproxCountRule(session)
+    }
     ext.injectFunction(CosineSimilarity.registration)
   }
 }
@@ -46,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftRuntime {
   val EnabledKey = "spark.graft.approxCount.enabled"
+  /** Set once an ApproxCountRule instance is active in the session
+    * (either injection path); read by `attachIfMissing`. */
+  val AttachedKey = "spark.graft.approxCount.attached"
 
   final case class Registered(
       pathToken: String,
@@ -82,13 +92,24 @@ object ApproxCountRule {
 
   /** Attach the rule to an existing session via
     * `experimental.extraOptimizations` (for sessions not built
-    * `.withExtensions`); idempotent, and harmless alongside the injected
-    * path — a second run finds no matching aggregate to rewrite. */
-  def attachIfMissing(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[ApproxCountRule]))
+    * `.withExtensions`). Skips when an instance is already present —
+    * either in extraOptimizations or injected by [[GraftExtensions]]
+    * (detected via the [[GraftRuntime.AttachedKey]] marker the injection
+    * builder sets). Residual window: a withExtensions session whose
+    * optimizer has not yet been built has no marker yet; a duplicate
+    * attached then is harmless (the rewrite is idempotent), just
+    * redundant pattern-matching. */
+  def attachIfMissing(spark: SparkSession): Unit = {
+    val present =
+      spark.conf.getOption(GraftRuntime.AttachedKey).contains("true") ||
+        spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[ApproxCountRule])
+    if (!present) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxCountRule(spark)
+      spark.conf.set(GraftRuntime.AttachedKey, "true")
+    }
+  }
 }
 
 case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -633,6 +633,21 @@ object Queries {
       })
     }
 
+  private val bnWideCache = scala.collection.mutable.Map.empty[String, BayesNet]
+
+  /** Wide-domain BN (modelCols + l_shipdate, equal-freq rebinned to 64
+    * cells), fit once per sfDir and shared by `q_bn_card_wide` and the
+    * q-error report's bayesnet_wide row. */
+  def lineitemBnWide(s: SparkSession, d: String): BayesNet =
+    bnWideCache.synchronized {
+      bnWideCache.getOrElseUpdate(d, {
+        val wideCols = modelCols :+ "l_shipdate"
+        val df = li(s, d).select(wideCols.map(col): _*)
+        val meta = Dictionary.tableMeta(df, "lineitem", wideCols)
+        BayesNet.fit(df, meta, maxBins = 64)
+      })
+    }
+
   /** The evaluation workload over the modeled columns (seeded generator,
     * eval_model.py:175-217). */
   def lineitemWorkload(s: SparkSession, d: String,
@@ -833,10 +848,7 @@ object Queries {
     Entry("q_bn_card_wide",
       (s, d) => {
         import s.implicits._
-        val wideCols = modelCols :+ "l_shipdate"
-        val df = li(s, d).select(wideCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", wideCols)
-        val bn = graft.est.BayesNet.fit(df, meta, maxBins = 64)
+        val bn = lineitemBnWide(s, d)
         Seq(new graft.est.BayesNetEstimator(bn, numSamples = 2000).query(W3))
           .toDF("est_card")
       },
@@ -894,6 +906,18 @@ object Queries {
         val smEsts = trace("msample")(qs.map(q => sm.query(q).toDouble))
         val bnEst = new BayesNetEstimator(lineitemBn(s, d), numSamples = 500)
         val bnEsts = trace("bayesnet")(qs.map(q => bnEst.query(q).toDouble))
+        // Wide-domain BN (shared fit with q_bn_card_wide): the workload's
+        // modelCols predicates leave l_shipdate as a wildcard.
+        val bnwEst = new BayesNetEstimator(lineitemBnWide(s, d),
+          numSamples = 500)
+        val bnwEsts = trace("bayesnet_wide")(qs.map(q => bnwEst.query(q).toDouble))
+        // Catalyst-CBO optimizer estimates (the Postgres-EXPLAIN analog);
+        // -1 = optimizer declined, clamped to 1 for a defined q-error.
+        val cboTbl = "graft_cbo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        graft.est.Cbo.ensureAnalyzed(s,
+          li(s, d).select(modelCols.map(col): _*), cboTbl)
+        val cboEsts = trace("cbo")(qs.map(q =>
+          math.max(1.0, graft.est.Cbo.estimate(s, cboTbl, q).toDouble)))
         val md = lineitemMaxdiff(s, d)
         val mdEsts = trace("maxdiff")(qs.map(q => md.query(q).toDouble))
         // Ensemble row: iterate masks OUTSIDE the query loop (30 mask
@@ -921,7 +945,9 @@ object Queries {
           ("psample", psEsts), ("psample_embed", epsEsts),
           ("psample_ensemble", ensEsts),
           ("psample_transformer", tpsEsts),
-          ("msample", smEsts), ("bayesnet", bnEsts), ("maxdiff", mdEsts)
+          ("msample", smEsts), ("bayesnet", bnEsts),
+          ("bayesnet_wide", bnwEsts), ("cbo", cboEsts),
+          ("maxdiff", mdEsts)
         ).map { case (name, ests) =>
           val errs = ests.zip(truths).map { case (e, t) =>
             Workload.qError(e, t.toDouble)

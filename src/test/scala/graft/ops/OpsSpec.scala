@@ -303,6 +303,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPairs.subsetOf(planted), s"unexpected pairs: ${gotPairs -- planted}")
   }
 
+  test("stratifiedSample SQL twin agrees with pmod on NEGATIVE keys") {
+    // Spark pmod is always non-negative; SQL % keeps the dividend's
+    // sign. The emitted twin must be pmod-equivalent, so evaluating the
+    // same WHERE text in Spark SQL (whose % also keeps the sign) over
+    // negative keys must select exactly the operator's rows.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("src", StringType)))
+    val rows = (-40L until 40L).map(i => Row(i, s"s${math.floorMod(i, 2)}"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    df.createOrReplaceTempView("strat_neg")
+    val moduli = Map("s0" -> 3, "s1" -> 7)
+    val viaOp = Corpus.stratifiedSample(df, "src", "id", moduli,
+        defaultModulus = 5)
+      .collect().map(_.getLong(0)).toSet
+    val viaSql = spark.sql("SELECT id FROM strat_neg WHERE " +
+        Corpus.stratifiedSampleWhereSql("src", "id", moduli,
+          defaultModulus = 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaOp == viaSql, s"op=$viaOp sql=$viaSql")
+    assert(viaOp.exists(_ < 0), "test must exercise negative keys")
+  }
+
   test("packSequencesByRange: range resets, truncation, partition-invariance") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("n_tokens", IntegerType)))

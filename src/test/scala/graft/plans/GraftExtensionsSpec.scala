@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sql =
     "SELECT count(*) FROM lineitem WHERE l_quantity <= 24.0 AND l_returnflag = 'R'"
 
+  test("attachIfMissing detects the injected rule via the session marker") {
+    // This session was built withExtensions: after any optimization the
+    // injection builder has set the marker, so attachIfMissing must NOT
+    // add a second (extraOptimizations) instance.
+    spark.sql("SELECT 1").collect() // force optimizer construction
+    assert(spark.conf.getOption(GraftRuntime.AttachedKey).contains("true"))
+    val before = spark.experimental.extraOptimizations.length
+    ApproxCountRule.attachIfMissing(spark)
+    assert(spark.experimental.extraOptimizations.length == before,
+      "attachIfMissing added a duplicate rule to a withExtensions session")
+  }
+
   test("disabled: the exact count runs") {
     GraftRuntime.clear()
     spark.conf.set(GraftRuntime.EnabledKey, "false")

@@ -47,7 +47,8 @@ final class Graft private (
     new BayesNetEstimator(BayesNet.fit(projected, meta, maxBins), numSamples)
 
   def maxDiff(limit: Int = 200, numSamples: Int = 50000): MaxDiffHistogram = {
-    val data = Trainer.collectEncoded(projected, meta.columns, numSamples)
+    val data = Trainer.collectEncoded(projected, meta.columns, numSamples,
+      totalRows = meta.cardinality)
     MaxDiffHistogram.build(meta, data, limit)
   }
 
@@ -63,7 +64,8 @@ final class Graft private (
       inputEncoding: String = "one_hot", outputEncoding: String = "one_hot",
       embedSize: Int = 16, fixedOrdering: Array[Int] = null,
       seed: Long = 11123L): ProgressiveSampling = {
-    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows,
+      totalRows = meta.cardinality)
     val model = new Made(cols.length, hidden,
       meta.columns.map(_.distributionSize).toArray,
       inputEncoding = inputEncoding, outputEncoding = outputEncoding,
@@ -83,7 +85,8 @@ final class Graft private (
       maxRows: Int = 200000, totalSamples: Int = 1000,
       seed: Long = 11123L): EnsembleProgressiveSampling = {
     require(orderings.nonEmpty)
-    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows,
+      totalRows = meta.cardinality)
     val samplers = orderings.zipWithIndex.map { case (ord, i) =>
       val model = new Made(cols.length, hidden,
         meta.columns.map(_.distributionSize).toArray,
@@ -106,7 +109,8 @@ final class Graft private (
       maxRows: Int = 200000, totalSamples: Int = 1000,
       seed: Long = 11123L): MultiMaskProgressiveSampling = {
     require(orderings.nonEmpty)
-    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows,
+      totalRows = meta.cardinality)
     val model = new Made(cols.length, hidden,
       meta.columns.map(_.distributionSize).toArray,
       inputEncoding = "one_hot", residual = true, doDirectIo = true,
@@ -124,7 +128,8 @@ final class Graft private (
       maxRows: Int = 50000, numSamples: Int = 1000,
       fixedOrdering: Array[Int] = null,
       seed: Long = 11123L): ProgressiveSampling = {
-    val data = Trainer.collectEncoded(projected, meta.columns, maxRows)
+    val data = Trainer.collectEncoded(projected, meta.columns, maxRows,
+      totalRows = meta.cardinality)
     val model = new Transformer(cols.length,
       meta.columns.map(_.distributionSize).toArray,
       dModel = dModel, dFf = dModel * 2, numHeads = 2,

@@ -494,7 +494,8 @@ object Queries {
       encodedCache.getOrElseUpdate(d, {
         val df = li(s, d).select(modelCols.map(col): _*)
         val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        (Trainer.collectEncoded(df, meta.columns, maxRows = 100000), meta)
+        (Trainer.collectEncoded(df, meta.columns, maxRows = 100000,
+          totalRows = meta.cardinality), meta)
       })
     }
 

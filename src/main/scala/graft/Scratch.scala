@@ -29,10 +29,19 @@ object Scratch {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
         maxShingleDf = 100, materialize = true))
     println("  pairs=" + pairs.count())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
     val comps = time("components")(
       Dedup.connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
         .count())
-    println("  comps=" + comps)
+    Thread.sleep(500) // let the listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    println("  comps=" + comps + " jobs=" + jobs.get())
     spark.stop()
   }
 }

@@ -49,7 +49,11 @@ final class Adam(params: Seq[Param], var lr: Float = 2e-4f,
 private[nn] object Nn {
   private val cores = Runtime.getRuntime.availableProcessors()
   /** Parallelism for a [batch] x [work-per-row] dense op: only worth
-    * forking when there's real work (≥ ~1M MACs) to amortize it. */
+    * forking when there's real work (≥ ~1M MACs) to amortize it.
+    * (A work-scaled chunk count — one chunk per ~2M MACs — was measured
+    * 25-30% SLOWER on the transformer train loop: the common-pool forks
+    * are cheap enough that core-count chunks win once past the
+    * threshold.) */
   def chunks(batch: Int, workPerRow: Int): Int = {
     val totalWork = batch.toLong * workPerRow
     if (totalWork < (1L << 20) || batch < 64) 1

@@ -37,9 +37,12 @@ object Trainer {
     * the 100 TB posture is per-epoch sampling, never a full collect.
     */
   def collectEncoded(df: DataFrame, metas: Seq[ColumnMeta],
-      maxRows: Int = 5000000, seed: Long = 7L): Array[Array[Int]] = {
+      maxRows: Int = 5000000, seed: Long = 7L,
+      totalRows: Long = -1L): Array[Array[Int]] = {
     val enc = Dictionary.encodedMatrix(df, metas)
-    val n = df.count()
+    // The caller usually has the row count already (TableMeta.cardinality
+    // from the same dictionary pass) — passing it skips a full scan.
+    val n = if (totalRows >= 0) totalRows else df.count()
     val bounded =
       if (n <= maxRows) enc
       else enc.sample(withReplacement = false, maxRows.toDouble / n, seed)

@@ -214,12 +214,13 @@ object Dedup {
     * and each round is ONE join+aggregation shuffling only (id, label)
     * pairs, never text. The label sum is monotonically non-increasing,
     * so convergence is an unchanged scalar sum (one cheap action per
-    * round, no diff join). Each round is exactly ONE job — the new
+    * round, no diff join). Each round is exactly ONE action — the new
     * label table is lazily local-checkpointed and materialized by its
-    * own sum aggregation — and the checkpoint truncates the logical
-    * plan, so round N's analysis cost does not grow with N (a
-    * persist-only chain re-analyzes an ever-growing tree; an eager
-    * checkpoint doubles the job count). At cluster scale swap for a
+    * own sum aggregation (AQE still schedules one job per query stage,
+    * but the round's work executes once) — and the checkpoint truncates
+    * the logical plan, so round N's analysis cost does not grow with N
+    * (a persist-only chain re-analyzes an ever-growing tree; an eager
+    * checkpoint doubles the action count). At cluster scale swap for a
     * reliable `checkpoint` to cheap storage. `maxIter` caps
     * pathological chains — for adversarial diameters switch to the
     * alternating large-star/small-star variant (O(log n) rounds),

@@ -161,28 +161,38 @@ object Dedup {
     // paid two extra shuffles of the full shingle table). A rare
     // shingle's list has ≤ maxShingleDf entries, so the generated pair
     // array is ≤ cap²/2 per shingle — the same skew bound the self-join
-    // had, now explicit in the expression. The posting lists feed two
-    // consumers (pair counts + per-doc shingle counts); persist them.
+    // had, now explicit in the expression.
+    //
+    // Each list emits its ordered pairs (i < j) PLUS one self-pair
+    // (a, a) per member, so a single partial-aggregated pair-count
+    // shuffle yields BOTH statistics: cnt(a, b) = |shared rare
+    // shingles| (the intersection) and cnt(a, a) = |rare shingles of
+    // a| (the per-doc count the union needs) — self-pairs cannot
+    // collide with real pairs because i < j makes those strictly
+    // ordered. The whole pipeline is two shuffles end-to-end (posting
+    // lists, pair stats) plus broadcast joins.
+    //
     // `materialize = true` additionally runs the pipeline eagerly,
-    // persists the (tiny) pair result, and releases the posting-list
+    // persists the (tiny) pair result, and releases the intermediate
     // cache — for callers that feed the pairs to several downstream
     // consumers (e.g. the near-dup report AND cluster formation).
     val byShingle = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("shingle"))
       .groupBy("shingle").agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) <= maxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = byShingle.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // All ordered pairs (i < j) of each posting list, as structs; the
-    // pair-count aggregation is partial (map-side) so only distinct
-    // (id_a, id_b) rows reach the shuffle.
-    val pairArr = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-        struct(a.as("id_a"), b.as("id_b")))))
-    val inter = byShingle.select(explode(pairArr).as("p"))
+    val pairArr = concat(
+      transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
+      flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("id_a"), b.as("id_b"))))))
+    val pairStats = byShingle.select(explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pairStats.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("cnt").as("n_sh"))
+    val inter = pairStats.filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cnt").as("inter"))
     val out = inter
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
@@ -196,7 +206,7 @@ object Dedup {
     else {
       val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       res.count()
-      byShingle.unpersist()
+      pairStats.unpersist()
       res
     }
   }

@@ -17,7 +17,7 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_oracle_card", "q1_agg", "q_discretize", "q_dedup_keep_first",
         "q_ann_topk", "q_token_counts", "q_stratified_sample",
-        "q_pack_sequences")
+        "q_pack_sequences", "q_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

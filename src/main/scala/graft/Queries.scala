@@ -334,6 +334,16 @@ object Queries {
         "doc_id", "n_tokens", maxTokens = 2048, rangeWidth = 128L),
       Some(Corpus.packSequencesByRangeSql("documents", "doc_id",
         TextOps.tokenCountSql("text"), maxTokens = 2048, rangeWidth = 128L))),
+    // Benchmark decontamination: docs sharing >= 5 distinct 3-grams with
+    // the doc_id%101 slice (standing in for an eval set). Broadcast
+    // benchmark shingles, map-side corpus explode, hit-bounded shuffle.
+    Entry("q_decontaminate",
+      (s, d) => Dedup.decontaminate(docs(s, d), "doc_id", "text",
+        docs(s, d).filter(pmod(col("doc_id"), lit(101)) === 0),
+        "text", n = 3, minHits = 5),
+      Some(Dedup.decontaminateSql("documents", "doc_id", "text",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0",
+        "text", n = 3, minHits = 5))),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),

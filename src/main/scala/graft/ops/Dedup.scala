@@ -211,6 +211,64 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination — the training-data step that removes
+    * corpus documents overlapping an evaluation set (train/test
+    * contamination): a doc is contaminated when it shares at least
+    * `minHits` distinct word n-grams with ANY benchmark document.
+    * Returns (id, n_hits) for contaminated docs, ordered by id.
+    *
+    * Scale shape: the benchmark is tiny relative to the corpus (eval
+    * sets are KBs–MBs vs TBs), so its distinct shingle set is
+    * BROADCAST and the corpus side is one map-side shingle explode +
+    * broadcast-hash join; the only shuffle carries the HIT rows (doc
+    * id + count), which are benchmark-bounded, never the corpus. No
+    * UDFs — the shingle expression and joins are codegen'd built-ins.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      minHits: Int): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("shingle"))
+      .distinct()
+    corpusSh
+      .join(org.apache.spark.sql.functions.broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("id").as(idCol), col("n_hits"))
+      .orderBy(idCol)
+  }
+
+  /** Per-doc DISTINCT word n-gram shingles as SQL (DuckDB), the twin of
+    * [[shingles]]: `SELECT id, shingle FROM ...`. */
+  def shinglesSql(table: String, id: String, text: String, n: Int): String =
+    s"""SELECT DISTINCT id, shingle FROM (
+  SELECT $id AS id, tok${(1 until n).map(i => s" || ' ' || lead(tok, $i) OVER w").mkString} AS shingle
+  FROM (
+    SELECT $id, u.tok, u.pos
+    FROM (SELECT $id, regexp_split_to_array(trim($text), '\\s+') AS arr FROM $table),
+    LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+  ) WINDOW w AS (PARTITION BY $id ORDER BY pos)
+  QUALIFY lead(tok, ${n - 1}) OVER w IS NOT NULL
+)"""
+
+  /** DuckDB oracle for [[decontaminate]] where the benchmark is a SQL
+    * selection over a document table. */
+  def decontaminateSql(corpusTable: String, id: String, text: String,
+      benchSql: String, benchText: String, n: Int, minHits: Int): String =
+    s"""WITH corpus_sh AS (
+${shinglesSql(corpusTable, id, text, n)}
+), bench_sh AS (
+  SELECT DISTINCT shingle FROM (
+${shinglesSql(s"($benchSql)", id, benchText, n)}
+  )
+)
+SELECT c.id AS $id, count(*) AS n_hits
+FROM corpus_sh c JOIN bench_sh b USING (shingle)
+GROUP BY c.id HAVING count(*) >= $minHits ORDER BY $id"""
+
   /** Connected components over an undirected near-dup pair list — the
     * cluster-formation step a dedup pipeline runs after candidate
     * generation (MinHash/Jaccard pairs → dup clusters → keep one

@@ -303,6 +303,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPairs.subsetOf(planted), s"unexpected pairs: ${gotPairs -- planted}")
   }
 
+  test("decontaminate flags docs overlapping the benchmark by >= minHits n-grams") {
+    val bench = docsDf((100L, "alpha beta gamma delta epsilon zeta eta"))
+    // doc 1 shares 5 distinct 3-grams with the benchmark; doc 2 shares
+    // 2 (below threshold); doc 3 none.
+    val corpus = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4-gram overlap run
+      (2L, "x alpha beta gamma y"),
+      (3L, "one two three four five"))
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        n = 3, minHits = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shingles: {a b g, b g d, g d e, d e z} -> 4 hits.
+    assert(out == Map(1L -> 4L), s"got $out")
+    // Lower threshold also catches doc 2 (1 shared shingle: "alpha beta gamma").
+    val loose = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        n = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == Map(1L -> 4L, 2L -> 1L), s"got $loose")
+  }
+
   test("stratifiedSample SQL twin agrees with pmod on NEGATIVE keys") {
     // Spark pmod is always non-negative; SQL % keeps the dividend's
     // sign. The emitted twin must be pmod-equivalent, so evaluating the

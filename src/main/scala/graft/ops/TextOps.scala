@@ -79,7 +79,13 @@ object TextOps {
           nullif(chars, lit(0))),
       "stopword_ratio" ->
         (regexp_count(text, lit(stopwordPattern)).cast("double") /
-          nullif(toks, lit(0))))
+          nullif(toks, lit(0))),
+      // Repetition signal (the Gopher-style repeated-content filter):
+      // fraction of tokens that are repeats of an earlier token. 0 for
+      // all-distinct text, ->1 for boilerplate loops.
+      "dup_token_frac" ->
+        ((toks - size(array_distinct(split(trim(text), "\\s+"))))
+          .cast("double") / nullif(toks, lit(0))))
   }
 
   def qualityScoresSql(text: String): Seq[(String, String)] = {
@@ -93,7 +99,10 @@ object TextOps {
       "alpha_ratio" ->
         s"CAST(len(regexp_extract_all($text, '$alphaPattern')) AS DOUBLE) / nullif(len($text), 0)",
       "stopword_ratio" ->
-        s"CAST(len(regexp_extract_all($text, '$stopwordPattern')) AS DOUBLE) / nullif($toks, 0)")
+        s"CAST(len(regexp_extract_all($text, '$stopwordPattern')) AS DOUBLE) / nullif($toks, 0)",
+      "dup_token_frac" ->
+        (s"CAST($toks - len(list_distinct(regexp_split_to_array(trim($text), '\\s+'))) AS DOUBLE)" +
+          s" / nullif($toks, 0)"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): a

@@ -12,26 +12,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, parquet footer reads, shuffle infra)
     // so the alphabetically-first query over each table isn't charged
-    // for JVM/IO startup.
-    graft.core.Tables.read(spark, sfDir, "lineitem")
+    // for JVM/IO startup. Best-effort: a missing table must surface as
+    // that table's per-query failures below, not abort the whole bench.
+    def warm(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    warm(graft.core.Tables.read(spark, sfDir, "lineitem")
       .filter(org.apache.spark.sql.functions.col("l_orderkey") > 0)
-      .groupBy("l_returnflag").count().collect()
-    graft.core.Tables.read(spark, sfDir, "documents")
+      .groupBy("l_returnflag").count().collect())
+    warm(graft.core.Tables.read(spark, sfDir, "documents")
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("text")))).collect()
-    graft.core.Tables.read(spark, sfDir, "embeddings")
+          org.apache.spark.sql.functions.col("text")))).collect())
+    warm(graft.core.Tables.read(spark, sfDir, "embeddings")
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.size(
-          org.apache.spark.sql.functions.col("embedding")))).collect()
+          org.apache.spark.sql.functions.col("embedding")))).collect())
     // A failing query must be reported as failed, not counted as ~0 s.
     var failed = List.empty[String]
     // Dev-only subset filter (comma-separated names); unset for the
     // driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { o =>
+      val unknown = o -- selected.map(_._1).toSet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names match no query: " +
+          unknown.mkString(", "))
+      if (selected.isEmpty)
+        System.err.println("[bench] SPARK_GRAFT_ONLY selected ZERO queries")
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

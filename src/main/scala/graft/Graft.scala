@@ -108,7 +108,10 @@ final class Graft private (
       hidden: Seq[Int] = Seq(64, 64), epochs: Int = 4,
       maxRows: Int = 200000, totalSamples: Int = 1000,
       seed: Long = 11123L): MultiMaskProgressiveSampling = {
-    require(orderings.nonEmpty)
+    // Checked BEFORE training: a 1-ordering "ensemble" would train fully
+    // and then fail MultiMaskProgressiveSampling's numMasks > 1 guard.
+    require(orderings.length >= 2,
+      "multi-mask needs >= 2 orderings; use trainMade(fixedOrdering=...) for one")
     val data = Trainer.collectEncoded(projected, meta.columns, maxRows,
       totalRows = meta.cardinality)
     val model = new Made(cols.length, hidden,

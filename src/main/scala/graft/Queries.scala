@@ -249,12 +249,16 @@ object Queries {
     * expensive part of both entries, and a real dedup pipeline likewise
     * computes the pair set once and feeds every downstream consumer.
     * The materialized pair table is tiny (near-dup pairs, not docs). */
+  // Keyed by (session identity, dir): the cached DF holds PERSISTED
+  // blocks owned by its session — unlike the driver-side model caches,
+  // returning it to a different session would hand out handles into a
+  // possibly-stopped SparkContext.
   private val pairsCache =
-    scala.collection.mutable.Map.empty[String, DataFrame]
+    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.synchronized {
-      pairsCache.getOrElseUpdate(d,
+      pairsCache.getOrElseUpdate((System.identityHashCode(s), d),
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
           maxShingleDf = 100, materialize = true))
     }

@@ -312,11 +312,16 @@ object Similarity {
       StructField("band", IntegerType, nullable = false),
       StructField("bucket", LongType, nullable = false)))
     val withB = spark.createDataFrame(codeRows, codeSchema)
-    val okBuckets = withB.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz"))
+    // Bucket-size cap as a WINDOW over the one (band, bucket) shuffle —
+    // a separate count-aggregation branch plus join would make three
+    // consumers of the (uncached) code computation; with the window
+    // both self-join sides share one exchange subtree, which Spark's
+    // ReuseExchange collapses so the band codes are computed once.
+    val bounded = withB
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("__bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val bounded = withB.join(okBuckets, Seq("band", "bucket"))
+      .drop("__bsz")
     val l = bounded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("emb").as("ea"))
     val r = bounded.select(col("band"), col("bucket"),

@@ -303,6 +303,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotPairs.subsetOf(planted), s"unexpected pairs: ${gotPairs -- planted}")
   }
 
+  test("capped collect_set: exact at the cap, NULL above it, merge-safe") {
+    graft.functions.CappedCollectSetLong.ensureRegistered(spark)
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("id", LongType)))
+    // "hot" has 5 distinct ids, "ok" exactly 3, "small" 1; duplicates
+    // must not count toward the cap. 4 partitions force partial-buffer
+    // merges through serialize/deserialize.
+    val rows = (0L until 5L).map(i => Row("hot", i)) ++
+      Seq(Row("ok", 1L), Row("ok", 2L), Row("ok", 3L), Row("ok", 2L),
+        Row("small", 9L), Row("small", 9L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val out = df.groupBy("k")
+      .agg(expr("graft_capped_collect_set(id, 3)").as("ids"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    assert(out("hot").isEmpty, s"over-cap group must be NULL: $out")
+    assert(out("ok").contains(Seq(1L, 2L, 3L)), s"$out")
+    assert(out("small").contains(Seq(9L)), s"$out")
+  }
+
   test("decontaminate flags docs overlapping the benchmark by >= minHits n-grams") {
     val bench = docsDf((100L, "alpha beta gamma delta epsilon zeta eta"))
     // doc 1 shares 5 distinct 3-grams with the benchmark; doc 2 shares

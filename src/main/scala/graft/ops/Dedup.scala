@@ -100,11 +100,16 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
       }: _*)).as(Seq("band", "bucket")))
-    val bucketSizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz"))
+    // Bucket-size cap as a WINDOW over the one (band, bucket) shuffle:
+    // a separate count-aggregation branch + join would make three
+    // consumers of the signature pipeline; with the window both
+    // self-join sides share a single exchange subtree (ReuseExchange),
+    // so signatures are computed once.
+    val bounded = banded
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
       .filter(col("__bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val bounded = banded.join(bucketSizes, Seq("band", "bucket"))
+      .drop("__bsz")
     val l = bounded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bounded.select(col("band"), col("bucket"),

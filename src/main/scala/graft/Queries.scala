@@ -936,18 +936,28 @@ object Queries {
         val md = lineitemMaxdiff(s, d)
         val mdEsts = trace("maxdiff")(qs.map(q => md.query(q).toDouble))
         // Ensemble row: iterate masks OUTSIDE the query loop (30 mask
-        // activations instead of 30×numMasks) and reuse one sampler per
-        // mask — same estimator semantics as MultiMaskProgressiveSampling
-        // with the mask-switch overhead hoisted out of the hot loop.
+        // activations instead of 30×numMasks — setMask mutates shared
+        // layer masks so masks activate sequentially), but within one
+        // mask the 30 queries are independent: the per-mask sample
+        // batches (500/3 rows) are too small for the layers' row-range
+        // parallelism, so the parallelism goes over queries instead.
+        // Per-(mask, query) seeded samplers keep the result
+        // deterministic under any schedule; concurrent inference on one
+        // model is safe because each sampler owns its buffers and the
+        // layer caches written by forward are read only by backward,
+        // which inference never calls.
         val ensEsts = trace("ensemble") {
           val ensModel = lineitemEnsemble(s, d)._1
           val acc = new Array[Double](qs.length)
           for (k <- 0 until ensModel.numMasks) {
             ensModel.setMask(k)
-            val p = new ProgressiveSampling(ensModel, meta,
-              numSamples = 500 / ensModel.numMasks, shortcircuit = true,
-              seed = 1234L + k)
-            for (i <- qs.indices) acc(i) += p.selectivity(qs(i))
+            java.util.stream.IntStream.range(0, qs.length).parallel()
+              .forEach { i =>
+                val p = new ProgressiveSampling(ensModel, meta,
+                  numSamples = 500 / ensModel.numMasks, shortcircuit = true,
+                  seed = 1234L + k * 997 + i)
+                acc(i) += p.selectivity(qs(i))
+              }
           }
           acc.toSeq.map(a => math.ceil(a / ensModel.numMasks * n))
         }

@@ -109,6 +109,24 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
   /** null = dense. Layout [nOut, nIn], 1f = connected. */
   var mask: Array[Float] = null
   private var xCache: Array[Float] = null
+  // Materialized M ⊙ W for the preserveWeights path: refreshed once per
+  // forward/backward CALL (O(nIn·nOut), amortized over the O(batch·
+  // nIn·nOut) loop it feeds) so the hot inner loops stay dense instead
+  // of paying a per-element mask multiply. Weights only change between
+  // calls (optimizer steps), never during one, so per-call refresh is
+  // always current. Concurrent inference calls may refresh redundantly;
+  // they write identical values, so the benign race cannot corrupt.
+  private var wEff: Array[Float] = null
+
+  private def effectiveW(): Array[Float] =
+    if (!preserveWeights || mask == null) weight.data
+    else {
+      if (wEff == null) wEff = new Array[Float](nOut * nIn)
+      val w = weight.data
+      var k = 0
+      while (k < wEff.length) { wEff(k) = w(k) * mask(k); k += 1 }
+      wEff
+    }
 
   /** Set connectivity from an [nIn, nOut] boolean matrix (the orientation
     * update_masks builds, made.py:19-21 transposes on set). */
@@ -152,9 +170,8 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
   }
 
   private def forwardRange(x: Array[Float], out: Array[Float],
-      r0: Int, r1: Int): Unit = {
-    val w = weight.data; val b = bias.data
-    val m = if (preserveWeights) mask else null
+      w: Array[Float], r0: Int, r1: Int): Unit = {
+    val b = bias.data
     var r = r0
     while (r < r1) {
       val xOff = r * nIn
@@ -164,10 +181,7 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
         var acc = b(o)
         val wOff = o * nIn
         var i = 0
-        if (m == null)
-          while (i < nIn) { acc += w(wOff + i) * x(xOff + i); i += 1 }
-        else
-          while (i < nIn) { acc += w(wOff + i) * m(wOff + i) * x(xOff + i); i += 1 }
+        while (i < nIn) { acc += w(wOff + i) * x(xOff + i); i += 1 }
         out(oOff + o) = acc
         o += 1
       }
@@ -180,10 +194,11 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
     * on the driver otherwise leave every other core idle). */
   def forwardNoCache(x: Array[Float], batch: Int): Array[Float] = {
     val out = new Array[Float](batch * nOut)
+    val w = effectiveW()
     val chunks = Nn.chunks(batch, nIn * nOut)
-    if (chunks <= 1) forwardRange(x, out, 0, batch)
+    if (chunks <= 1) forwardRange(x, out, w, 0, batch)
     else java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
-      forwardRange(x, out, batch * c / chunks, batch * (c + 1) / chunks)
+      forwardRange(x, out, w, batch * c / chunks, batch * (c + 1) / chunks)
     }
     out
   }
@@ -191,16 +206,17 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
   def backward(gradOut: Array[Float], batch: Int): Array[Float] = {
     val x = xCache
     val gradIn = new Array[Float](batch * nIn)
+    val w = effectiveW()
     val chunks = Nn.chunks(batch, nIn * nOut)
     if (chunks <= 1)
-      backwardRange(x, gradOut, gradIn, weight.grad, bias.grad, 0, batch)
+      backwardRange(x, gradOut, gradIn, w, weight.grad, bias.grad, 0, batch)
     else {
       // Disjoint output rows per chunk; weight/bias grads go to
       // per-chunk local buffers merged sequentially (no atomics).
       val localGw = Array.fill(chunks)(new Array[Float](weight.grad.length))
       val localGb = Array.fill(chunks)(new Array[Float](bias.grad.length))
       java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
-        backwardRange(x, gradOut, gradIn, localGw(c), localGb(c),
+        backwardRange(x, gradOut, gradIn, w, localGw(c), localGb(c),
           batch * c / chunks, batch * (c + 1) / chunks)
       }
       val gw = weight.grad; val gb = bias.grad
@@ -225,10 +241,8 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
   }
 
   private def backwardRange(x: Array[Float], gradOut: Array[Float],
-      gradIn: Array[Float], gw: Array[Float], gb: Array[Float],
-      r0: Int, r1: Int): Unit = {
-    val w = weight.data
-    val m = if (preserveWeights) mask else null
+      gradIn: Array[Float], w: Array[Float], gw: Array[Float],
+      gb: Array[Float], r0: Int, r1: Int): Unit = {
     var r = r0
     while (r < r1) {
       val xOff = r * nIn
@@ -240,18 +254,11 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
           gb(o) += g
           val wOff = o * nIn
           var i = 0
-          if (m == null)
-            while (i < nIn) {
-              gw(wOff + i) += g * x(xOff + i)
-              gradIn(xOff + i) += g * w(wOff + i)
-              i += 1
-            }
-          else
-            while (i < nIn) {
-              gw(wOff + i) += g * x(xOff + i)
-              gradIn(xOff + i) += g * w(wOff + i) * m(wOff + i)
-              i += 1
-            }
+          while (i < nIn) {
+            gw(wOff + i) += g * x(xOff + i)
+            gradIn(xOff + i) += g * w(wOff + i)
+            i += 1
+          }
         }
         o += 1
       }

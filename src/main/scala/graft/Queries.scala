@@ -222,7 +222,50 @@ object Queries {
       Some("SELECT date_trunc('hour', ts) AS hour, event_type, " +
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"))
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // Semi-structured extraction: pull a typed field out of a JSON
+    // payload column and aggregate it — the log-enrichment shape every
+    // event pipeline runs. get_json_object is a codegen'd map-side
+    // expression; the whole plan is one scan + one partial-agg shuffle.
+    Entry("q_json_extract",
+      (s, d) => Tables.read(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+    // PII scrubbing over the JSON payload (emails / IPv4s / digit runs
+    // -> placeholders): per-type redaction-candidate counts plus the
+    // distinct-payload count after scrubbing (scrub collapses the
+    // numeric payloads into one shape). Pure map-side regexp chain.
+    Entry("q_pii_scrub",
+      (s, d) => {
+        val aggCols = TextOps.piiCounts(col("props")).map { case (n, c) =>
+          sum(c).as(n)
+        } ++ Seq(
+          countDistinct(md5(TextOps.piiScrub(col("props"))))
+            .as("n_scrubbed_shapes"),
+          count(lit(1)).as("n"))
+        Tables.read(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy("event_type")
+      },
+      Some {
+        val counts = TextOps.piiCountsSql("props").map { case (n, e) =>
+          s"sum($e) AS $n"
+        }.mkString(", ")
+        s"SELECT event_type, $counts, " +
+          s"count(DISTINCT md5(${TextOps.piiScrubSql("props")})) " +
+          "AS n_scrubbed_shapes, count(*) AS n " +
+          "FROM events GROUP BY event_type ORDER BY event_type"
+      })
   )
 
   /** Documents scan, repartitioned ONLY when the scan has fewer input
@@ -348,6 +391,33 @@ object Queries {
       Some(Dedup.decontaminateSql("documents", "doc_id", "text",
         "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0",
         "text", n = 3, minHits = 5))),
+    // Line-level boilerplate dedup (CCNet/C4 shape): drop lines whose
+    // corpus-wide count exceeds the cap, reassemble docs in order. On
+    // this corpus every doc is a single line, so the hot "lines" are the
+    // exactly-duplicated texts — the unit test covers the multi-line
+    // case; the oracle checks the full pipeline end-to-end.
+    Entry("q_line_dedup",
+      (s, d) => Dedup.lineDedup(docs(s, d), "doc_id", "text", maxDf = 2),
+      Some(Dedup.lineDedupSql("documents", "doc_id", "text", maxDf = 2))),
+    // Frozen train/val/test assignment by key hash (map-side, no
+    // shuffle, stable under reruns and appends). Artifact: per
+    // (split, lang) counts.
+    Entry("q_hash_split",
+      (s, d) => docs(s, d)
+        .groupBy(Corpus.hashSplit(col("doc_id")).as("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang"),
+      Some("SELECT " + Corpus.hashSplitSql("doc_id") + " AS split, lang, " +
+        "count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY split, lang")),
+    // Deterministic pre-training shuffle: reproducible total order by
+    // key hash; the checked artifact is the first 20 rows, which runs
+    // as TakeOrdered (no global sort materialization).
+    Entry("q_corpus_shuffle",
+      (s, d) => Corpus.deterministicShuffle(docs(s, d), "doc_id")
+        .select(col("shuffle_key"), col("doc_id"))
+        .limit(20),
+      Some("SELECT md5(CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id " +
+        "FROM documents ORDER BY shuffle_key, doc_id LIMIT 20")),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),

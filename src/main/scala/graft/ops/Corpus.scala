@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators for training-data pipelines: balanced
@@ -137,6 +137,46 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
     if (cur != null) out += cur
     out.iterator
   }
+
+  /** Deterministic train/val/test assignment by content-free key hash:
+    * the first hex digit of md5(key) buckets every row into 16 equal
+    * slices, and `bounds` carves those into named splits — ("train","c")
+    * ++ ("val","e") gives train = digits 0-b (12/16), val = c-d (2/16),
+    * test = the rest. The assignment is a pure row-local function of the
+    * key: map-side only, no shuffle, stable under repartitioning,
+    * engine-reproducible (md5 hex is identical everywhere), and new data
+    * never moves old rows between splits — the properties a 100 TB
+    * pipeline needs so the eval split stays frozen across reruns.
+    */
+  def hashSplit(key: Column,
+      bounds: Seq[(String, String)] = Seq("train" -> "c", "val" -> "e"),
+      last: String = "test"): Column = {
+    val h = substring(md5(key.cast("string")), 1, 1)
+    bounds.foldRight(lit(last)) { case ((name, upper), els) =>
+      when(h < upper, lit(name)).otherwise(els)
+    }
+  }
+
+  def hashSplitSql(key: String,
+      bounds: Seq[(String, String)] = Seq("train" -> "c", "val" -> "e"),
+      last: String = "test"): String = {
+    val h = s"substr(md5(CAST($key AS VARCHAR)), 1, 1)"
+    val whens = bounds.map { case (name, upper) =>
+      s"WHEN $h < '$upper' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '$last' END"
+  }
+
+  /** Deterministic global shuffle: order by md5(key) (key as the
+    * tiebreak) — the "shuffle the corpus before training" step, as a
+    * reproducible total order instead of an RNG permutation. At scale
+    * this is one range-partitioned sort (Spark samples hash boundaries,
+    * then sorts partitions independently); a prefix (`LIMIT n`) instead
+    * runs as TakeOrdered without the global sort.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("shuffle_key", md5(col(keyCol).cast("string")))
+      .orderBy("shuffle_key", keyCol)
 
   /** The pure greedy first-fit kernel over (id, nTokens) in input order:
     * one (packId = first doc id, nDocs, nTokens) row per pack; docs over

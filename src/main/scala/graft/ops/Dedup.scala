@@ -385,6 +385,59 @@ $pairsSql
 )
 SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
 
+  /** Line-level dedup (the CCNet/C4 boilerplate filter): drop every line
+    * whose corpus-wide occurrence count exceeds `maxDf` (headers,
+    * cookie banners, nav text), keep the rest in original order, and
+    * return one row per surviving doc: (id, n_kept, md5 of the
+    * reassembled text). Docs whose lines are all boilerplate disappear
+    * (an empty doc is not worth keeping).
+    *
+    * Scale shape: three shuffles, all linear — (1) the hot-line count is
+    * a partial-aggregated groupBy on the 16-byte line hash (not the line
+    * text); (2) the anti-join keys lines by the same hash, and AQE
+    * broadcasts the hot side when it is small (with a df cap of k the
+    * hot set is at most total_lines/k entries); (3) reassembly groups by
+    * doc id, collecting only each doc's own lines (bounded by doc size).
+    * No all-pairs step anywhere.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val hot = lines.groupBy(md5(trim(col("line"))).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxDf)
+      .select(col("h"))
+    val kept = lines.join(hot, md5(trim(col("line"))) === col("h"), "left_anti")
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n")).as("cleaned_fp"))
+      .select(col("id").as(idCol), col("n_kept"), col("cleaned_fp"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[lineDedup]]: same split (trailing empties kept on
+    * both engines), same md5(trim(line)) key, same NOT IN anti-join,
+    * same in-order reassembly. */
+  def lineDedupSql(table: String, id: String, text: String,
+      maxDf: Int): String =
+    s"""WITH parts AS (
+  SELECT $id AS id, string_split($text, chr(10)) AS ls FROM $table
+), lines AS (
+  SELECT id, i AS pos, ls[i] AS line
+  FROM parts, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) t
+), kept AS (
+  SELECT * FROM lines WHERE md5(trim(line)) NOT IN (
+    SELECT md5(trim(line)) FROM lines
+    GROUP BY 1 HAVING count(*) > $maxDf)
+)
+SELECT id AS $id, CAST(count(*) AS INTEGER) AS n_kept,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_fp
+FROM kept GROUP BY id ORDER BY id"""
+
   def ngramJaccardPairsSql(table: String, id: String, text: String,
       n: Int, threshold: Double, maxShingleDf: Int = 10000): String = {
     // word n-grams via token position windows; distinct shingles per doc

@@ -105,6 +105,42 @@ object TextOps {
           s" / nullif($toks, 0)"))
   }
 
+  /** PII scrubbing patterns, applied in order (emails and IPs first so
+    * the generic digit-run rule cannot eat their digits). RE2-safe (no
+    * backreferences or lookaround), so Spark's Java regex and DuckDB's
+    * RE2 match the same spans. The digit-run rule stands in for the
+    * id/phone/account-number class of scrub a real pipeline runs.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("digits", "[0-9]{2,}", "<NUM>"))
+
+  /** Redact every PII pattern (map-side, codegen'd regexp_replace chain —
+    * at 100 TB this is a pure scan-side rewrite, no shuffle). */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  def piiScrubSql(text: String): String =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+
+  /** Per-pattern match counts over the ORIGINAL text (counted before any
+    * replacement so the counts are order-independent; the scrub itself
+    * applies patterns in sequence). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, p, _) =>
+      s"n_$name" -> matchCount(text, p)
+    }
+
+  def piiCountsSql(text: String): Seq[(String, String)] =
+    piiPatterns.map { case (name, p, _) =>
+      s"n_$name" -> matchCountSql(text, p)
+    }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): a
     * Rabin–Karp rolling hash over byte k-grams, keeping the minimum hash
     * of every `window` consecutive k-grams (rightmost on ties). The

@@ -397,6 +397,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == expected)
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps order, drops empty docs") {
+    // "boiler" appears in 3 docs (> maxDf 2) -> removed everywhere;
+    // doc 4 is all-boilerplate -> disappears.
+    val df = docsDf(
+      (1L, "boiler\nalpha\nbeta"),
+      (2L, "gamma\nboiler"),
+      (3L, "delta\nboiler\nepsilon"),
+      (4L, "boiler"))
+    val out = Dedup.lineDedup(df, "doc_id", "text", maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 2), (2L, 1), (3L, 2)))
+    // Reassembly preserves original line order.
+    def fp(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out(0)._3 == fp("alpha\nbeta"))
+    assert(out(2)._3 == fp("delta\nepsilon"))
+  }
+
+  test("piiScrub redacts emails/IPs before the digit-run rule") {
+    val df = docsDf((1L, "mail a.user+x@test-host.org from 10.0.0.1 port 8080 ok"))
+    val got = df.select(TextOps.piiScrub(col("text"))).head().getString(0)
+    assert(got == "mail <EMAIL> from <IP> port <NUM> ok")
+    val counts = df.select(
+      TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(counts.getInt(0) == 1) // email
+    assert(counts.getInt(1) == 1) // ipv4
+    // digit runs counted on the ORIGINAL text: 10, 0.0.1's "0"s are
+    // single digits (<2), 8080 -> one run; "10" from the IP counts too.
+    assert(counts.getInt(2) == 2)
+  }
+
+  test("hashSplit is exhaustive, deterministic, and repartition-stable") {
+    val df = docsDf((0L to 199L).map(i => (i, s"t$i")): _*)
+    val a = Corpus.hashSplit(col("doc_id"))
+    val got = df.select(col("doc_id"), a.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~12/16 train on a uniform hash; loose bounds, deterministic data.
+    val nTrain = got.values.count(_ == "train")
+    assert(nTrain > 120 && nTrain < 180, s"train=$nTrain")
+    val again = df.repartition(7).select(col("doc_id"), a.as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
+  test("deterministicShuffle is a stable total order under any layout") {
+    val df = docsDf((0L to 99L).map(i => (i, s"t$i")): _*)
+    val a = Corpus.deterministicShuffle(df, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Corpus.deterministicShuffle(df.repartition(9), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.sorted == (0L to 99L))
+    assert(a != (0L to 99L).toSeq, "hash order should differ from id order")
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -391,6 +391,32 @@ object Queries {
       Some(Dedup.decontaminateSql("documents", "doc_id", "text",
         "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0",
         "text", n = 3, minHits = 5))),
+    // Gopher-style composite quality filter: thresholds over the
+    // per-row quality signals (token count, stopword ratio, repetition)
+    // decide keep/drop; artifact = per-language kept/total counts. The
+    // signals are single-division doubles with identical arithmetic in
+    // both engines, so threshold comparisons are engine-stable. At
+    // scale: one codegen'd scan + one partial-agg shuffle on lang.
+    Entry("q_quality_filter",
+      (s, d) => {
+        val scoreCols = TextOps.qualityScores(col("text"))
+          .map { case (n, c) => c.as(n) }
+        docs(s, d).select(col("lang") +: scoreCols: _*)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tokens") >= 30 &&
+              col("stopword_ratio") > 0 &&
+              col("dup_token_frac") < 0.6, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some {
+        val sql = TextOps.qualityScoresSql("text").toMap
+        s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(CASE WHEN ${sql("n_tokens")} >= 30 " +
+          s"AND ${sql("stopword_ratio")} > 0 " +
+          s"AND ${sql("dup_token_frac")} < 0.6 THEN 1 ELSE 0 END) AS n_kept " +
+          "FROM documents GROUP BY lang ORDER BY lang"
+      }),
     // Line-level boilerplate dedup (CCNet/C4 shape): drop lines whose
     // corpus-wide count exceeds the cap, reassemble docs in order. On
     // this corpus every doc is a single line, so the hot "lines" are the
@@ -460,12 +486,15 @@ object Queries {
     Entry("q_tfidf_stats",
       (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
       None),
-    // Bounded to a 1/3 doc slice: MLlib's approxSimilarityJoin
-    // materializes per-hash-table bucket joins and is ~5x the cost of
-    // the custom banded MinHash (which remains the scale path).
+    // Bounded to a 1/5 doc slice: MLlib's approxSimilarityJoin
+    // materializes per-hash-table bucket joins with NO bucket cap, and
+    // this corpus's tiny vocabulary makes the buckets near-all-pairs —
+    // measured 4-18 s at a 1/3 slice (GC-sensitive). The entry is an
+    // interop cross-check only; the custom banded MinHash with its
+    // windowed bucket cap remains the scale path.
     Entry("q_minhash_lsh_ml",
       (s, d) => graft.ops.MlPipeline.minhashLshCandidates(
-        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", numHashTables = 5, maxJaccardDist = 0.5),
       None),
     // Multimodal binary-column stats (documents lifted into the

@@ -235,10 +235,13 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
+      // TRY_CAST, not CAST: Spark's cast('long') yields null on a
+      // non-integral/malformed payload and the aggregate proceeds;
+      // DuckDB CAST would throw instead of matching that.
       Some("SELECT event_type, count(*) AS n, " +
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
-        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
-        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        "min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+        "max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
     // PII scrubbing over the JSON payload (emails / IPv4s / digit runs
     // -> placeholders): per-type redaction-candidate counts plus the
@@ -442,8 +445,7 @@ object Queries {
       (s, d) => Corpus.deterministicShuffle(docs(s, d), "doc_id")
         .select(col("shuffle_key"), col("doc_id"))
         .limit(20),
-      Some("SELECT md5(CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id " +
-        "FROM documents ORDER BY shuffle_key, doc_id LIMIT 20")),
+      Some(Corpus.deterministicShuffleSql("documents", "doc_id", 20))),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),

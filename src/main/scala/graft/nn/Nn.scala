@@ -114,18 +114,23 @@ final class MaskedLinear(val nIn: Int, val nOut: Int,
   // nIn·nOut) loop it feeds) so the hot inner loops stay dense instead
   // of paying a per-element mask multiply. Weights only change between
   // calls (optimizer steps), never during one, so per-call refresh is
-  // always current. Concurrent inference calls may refresh redundantly;
-  // they write identical values, so the benign race cannot corrupt.
-  private var wEff: Array[Float] = null
+  // always current. Derived scratch, so @transient (a broadcast model
+  // must not ship a second copy of every weight matrix). Thread safety:
+  // each call writes through a LOCAL reference and returns it, so the
+  // caller always sees an array it fully wrote itself; concurrent calls
+  // at most allocate redundantly or overwrite with identical values.
+  @transient private var wEff: Array[Float] = null
 
   private def effectiveW(): Array[Float] =
     if (!preserveWeights || mask == null) weight.data
     else {
-      if (wEff == null) wEff = new Array[Float](nOut * nIn)
       val w = weight.data
+      var e = wEff
+      if (e == null || e.length != w.length) e = new Array[Float](w.length)
       var k = 0
-      while (k < wEff.length) { wEff(k) = w(k) * mask(k); k += 1 }
-      wEff
+      while (k < e.length) { e(k) = w(k) * mask(k); k += 1 }
+      wEff = e
+      e
     }
 
   /** Set connectivity from an [nIn, nOut] boolean matrix (the orientation

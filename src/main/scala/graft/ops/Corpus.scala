@@ -178,6 +178,14 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
     df.withColumn("shuffle_key", md5(col(keyCol).cast("string")))
       .orderBy("shuffle_key", keyCol)
 
+  /** DuckDB twin of [[deterministicShuffle]] (+ LIMIT prefix): same
+    * hash, same tiebreak — kept next to the op so a semantics change
+    * updates both sides in one place. */
+  def deterministicShuffleSql(table: String, key: String,
+      limit: Int): String =
+    s"SELECT md5(CAST($key AS VARCHAR)) AS shuffle_key, $key " +
+      s"FROM $table ORDER BY shuffle_key, $key LIMIT $limit"
+
   /** The pure greedy first-fit kernel over (id, nTokens) in input order:
     * one (packId = first doc id, nDocs, nTokens) row per pack; docs over
     * the budget are truncated into their own pack. Property-tested

@@ -386,26 +386,27 @@ $pairsSql
 SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
 
   /** Line-level dedup (the CCNet/C4 boilerplate filter): drop every line
-    * whose corpus-wide occurrence count exceeds `maxDf` (headers,
-    * cookie banners, nav text), keep the rest in original order, and
-    * return one row per surviving doc: (id, n_kept, md5 of the
-    * reassembled text). Docs whose lines are all boilerplate disappear
-    * (an empty doc is not worth keeping).
+    * whose DOCUMENT frequency — the number of distinct docs containing
+    * it, so within-doc repetition alone can never mark a line hot —
+    * exceeds `maxDf` (headers, cookie banners, nav text), keep the rest
+    * in original order, and return one row per surviving doc: (id,
+    * n_kept, md5 of the reassembled text). Docs whose lines are all
+    * boilerplate disappear (an empty doc is not worth keeping).
     *
     * Scale shape: three shuffles, all linear — (1) the hot-line count is
-    * a partial-aggregated groupBy on the 16-byte line hash (not the line
-    * text); (2) the anti-join keys lines by the same hash, and AQE
-    * broadcasts the hot side when it is small (with a df cap of k the
-    * hot set is at most total_lines/k entries); (3) reassembly groups by
-    * doc id, collecting only each doc's own lines (bounded by doc size).
-    * No all-pairs step anywhere.
+    * a partial-aggregated distinct-doc count keyed by the 16-byte line
+    * hash (not the line text); (2) the anti-join keys lines by the same
+    * hash, and AQE broadcasts the hot side when it is small (with a df
+    * cap of k the hot set is at most total_distinct_(line,doc)/k
+    * entries); (3) reassembly groups by doc id, collecting only each
+    * doc's own lines (bounded by doc size). No all-pairs step anywhere.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
     val hot = lines.groupBy(md5(trim(col("line"))).as("h"))
-      .agg(count(lit(1)).as("c"))
+      .agg(countDistinct(col("id")).as("c"))
       .filter(col("c") > maxDf)
       .select(col("h"))
     val kept = lines.join(hot, md5(trim(col("line"))) === col("h"), "left_anti")
@@ -432,7 +433,7 @@ SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
 ), kept AS (
   SELECT * FROM lines WHERE md5(trim(line)) NOT IN (
     SELECT md5(trim(line)) FROM lines
-    GROUP BY 1 HAVING count(*) > $maxDf)
+    GROUP BY 1 HAVING count(DISTINCT id) > $maxDf)
 )
 SELECT id AS $id, CAST(count(*) AS INTEGER) AS n_kept,
        md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_fp

@@ -404,10 +404,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "boiler\nalpha\nbeta"),
       (2L, "gamma\nboiler"),
       (3L, "delta\nboiler\nepsilon"),
-      (4L, "boiler"))
+      (4L, "boiler"),
+      // Within-doc repetition must NOT count toward the df cap: "echo"
+      // has document frequency 1, so all three copies survive.
+      (5L, "echo\necho\necho"))
     val out = Dedup.lineDedup(df, "doc_id", "text", maxDf = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 2), (2L, 1), (3L, 2)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 2), (2L, 1), (3L, 2), (5L, 3)))
     // Reassembly preserves original line order.
     def fp(s: String) = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -7,6 +7,7 @@ import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{Op, Pred}
 import graft.workload.Workload
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The operator catalog: every implemented operator from SURVEY.md §2 is
@@ -223,6 +224,69 @@ object Queries {
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // Star-schema join: fact -> orders -> customer -> nation -> region
+    // with hash-safe aggregates per region/nation. The three dimension
+    // joins broadcast (nation/region always; customer is MBs at any SF
+    // — and past the threshold it degrades to one shuffled join, still
+    // linear); only the fact->orders join shuffles on the key. The
+    // plan to look for: three BroadcastHashJoins inside one
+    // whole-stage-codegen span over the lineitem scan.
+    Entry("q_star_join",
+      (s, d) => li(s, d)
+        .join(Tables.read(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.read(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("r_name", "n_name"),
+      Some("SELECT r_name, n_name, count(*) AS n_items, " +
+        "sum(l_quantity) AS sum_qty, " +
+        "count(DISTINCT o_custkey) AS n_customers " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+    // As-of join (point-in-time): each purchase matched to the user's
+    // most recent PRIOR click via a running window max — the standard
+    // Spark-first formulation (one shuffle on user_id, per-partition
+    // sort, no range join explosion). Ordering ties break on event_id;
+    // the artifact is count-based plus a ms-truncated max timestamp so
+    // the nanos-vs-micros parquet difference cannot leak in.
+    Entry("q_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.read(s, d, "events")
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("last_click_ts")).as("n_with_prior"),
+            date_trunc("millisecond", max(col("last_click_ts")))
+              .as("latest_prior_click"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM events)
+SELECT user_id, count(*) AS n_purchases,
+       count(last_click_ts) AS n_with_prior,
+       date_trunc('millisecond', max(last_click_ts)) AS latest_prior_click
+FROM e WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id""")),
     // Semi-structured extraction: pull a typed field out of a JSON
     // payload column and aggregate it — the log-enrichment shape every
     // event pipeline runs. get_json_object is a codegen'd map-side

@@ -178,6 +178,14 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // Ranked top-k per group — the remaining classic window shape
+    // (row_number + filter), identical SQL on both engines.
+    Entry("q_topk_per_group",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql(Queries.topkPerGroupSql)
+      },
+      Some(topkPerGroupSql)),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but
     // engine-specific -> rows-only check.
@@ -1174,6 +1182,20 @@ GROUP BY user_id ORDER BY user_id""")),
 
   /** Runs verbatim in Spark SQL and DuckDB (ANSI window functions).
     * lazy: referenced from entry vals declared earlier in this object. */
+  /** Ranked top-k per group (row_number window), identical SQL on both
+    * engines; ties broken by the full key so the winner set is unique.
+    * Plan shape: one shuffle on the (small-cardinality) group key, then
+    * a per-partition sort — at scale prefer a partial top-k
+    * (aggregate min-heap / window after a per-partition LIMIT-ish
+    * prune); row_number is the semantics reference. */
+  lazy val topkPerGroupSql: String =
+    "SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM (" +
+      "SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, " +
+      "row_number() OVER (PARTITION BY l_returnflag " +
+      "ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn " +
+      "FROM lineitem) WHERE rn <= 3 " +
+      "ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber"
+
   lazy val quantilesSql: String =
     "WITH s AS (SELECT l_quantity AS v, " +
       "row_number() OVER (ORDER BY l_quantity) AS rn, " +

@@ -178,6 +178,17 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // Multi-level aggregation (ROLLUP) with grouping() markers —
+    // subtotal + grand-total rows in one pass (Spark plans it as a
+    // single Expand + hash aggregate, still one shuffle). Identical SQL
+    // on both engines; explicit NULLS FIRST because the engines'
+    // default null sort order differs.
+    Entry("q_rollup_agg",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql(Queries.rollupSql)
+      },
+      Some(rollupSql)),
     // Ranked top-k per group — the remaining classic window shape
     // (row_number + filter), identical SQL on both engines.
     Entry("q_topk_per_group",
@@ -1182,6 +1193,19 @@ GROUP BY user_id ORDER BY user_id""")),
 
   /** Runs verbatim in Spark SQL and DuckDB (ANSI window functions).
     * lazy: referenced from entry vals declared earlier in this object. */
+  /** ROLLUP with grouping() markers, identical SQL on both engines.
+    * grouping() is cast to INTEGER (Spark emits TINYINT/BYTE natively);
+    * NULLS FIRST is explicit because Spark defaults ASC NULLS FIRST
+    * while DuckDB defaults NULLS LAST. */
+  lazy val rollupSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(grouping(l_returnflag) AS INTEGER) AS g_rf, " +
+      "CAST(grouping(l_linestatus) AS INTEGER) AS g_ls " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, " +
+      "l_linestatus NULLS FIRST"
+
   /** Ranked top-k per group (row_number window), identical SQL on both
     * engines; ties broken by the full key so the winner set is unique.
     * Plan shape: one shuffle on the (small-cardinality) group key, then

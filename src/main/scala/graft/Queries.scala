@@ -1220,13 +1220,22 @@ GROUP BY user_id ORDER BY user_id""")),
       "FROM lineitem) WHERE rn <= 3 " +
       "ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber"
 
+  /** Exact percentile_disc (value at 0-based index floor(p·(n-1)) of
+    * the sorted multiset) via the DISTINCT-VALUE histogram: the rank
+    * walk runs over one row per distinct value, so the unpartitioned
+    * cumulative window moves |domain| rows (50 for l_quantity), never
+    * the table — the earlier row_number-over-all-rows formulation
+    * single-partitioned the whole table, the exact anti-pattern this
+    * repo bans. The groupBy histogram is one partial-agg shuffle. */
   lazy val quantilesSql: String =
-    "WITH s AS (SELECT l_quantity AS v, " +
-      "row_number() OVER (ORDER BY l_quantity) AS rn, " +
-      "count(*) OVER () AS n FROM lineitem) " +
+    "WITH f AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem " +
+      "GROUP BY 1), " +
+      "cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED " +
+      "PRECEDING) AS cum FROM f), " +
+      "tot AS (SELECT sum(c) AS n FROM f) " +
       Seq(0.25, 0.5, 0.75, 0.95).map { p =>
-        s"SELECT CAST($p AS DOUBLE) AS p, max(CASE WHEN rn = " +
-          s"CAST(floor($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS value FROM s"
+        s"SELECT CAST($p AS DOUBLE) AS p, (SELECT min(v) FROM cum, tot " +
+          s"WHERE cum >= CAST(floor($p * (n - 1)) AS BIGINT) + 1) AS value"
       }.mkString("", " UNION ALL ", " ORDER BY p")
 
   def all: Seq[Entry] =

@@ -189,13 +189,17 @@ object Queries {
         s.sql(Queries.rollupSql)
       },
       Some(rollupSql)),
-    // Ranked top-k per group — the remaining classic window shape
-    // (row_number + filter), identical SQL on both engines.
+    // Ranked top-k per group. The Spark side is the two-phase operator
+    // (per-input-partition bounded heaps, then a rank window over the
+    // k·partitions-bounded pruned set) because the group key has 3
+    // values — a plain PARTITION BY window would sort 3 data-sized
+    // partitions. The oracle is the declarative row_number twin.
     Entry("q_topk_per_group",
-      (s, d) => {
-        li(s, d).createOrReplaceTempView("lineitem")
-        s.sql(Queries.topkPerGroupSql)
-      },
+      (s, d) => graft.ops.Relational.topKPerGroup(li(s, d),
+        "l_returnflag", "l_quantity",
+        Seq("l_orderkey", "l_linenumber"), k = 3)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
       Some(topkPerGroupSql)),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but

@@ -460,6 +460,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a != (0L to 99L).toSeq, "hash order should differ from id order")
   }
 
+  test("two-phase topKPerGroup matches the plain window for any layout") {
+    import org.apache.spark.sql.expressions.Window
+    // Deterministic data with heavy ties: value = i % 5 forces the
+    // tie-break path; group = i % 3.
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", LongType), StructField("id", LongType)))
+    val rows = (0L until 200L).map(i => Row(s"g${i % 3}", i % 5, i))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      Relational.topKPerGroup(df, "g", "v", Seq("id"), k = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val df1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val expected = df1.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).drop("rn")
+      .orderBy(col("g"), col("v").desc, col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) == expected)
+    assert(run(7) == expected, "result must not depend on partitioning")
+  }
+
   test("cosine top-k column agrees with a driver-side dot product") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),

@@ -28,6 +28,15 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col("embedding")))).collect())
+    // Shingle-explode codegen warmup on a 32-doc slice, so the
+    // alphabetically-first documents entry (q_decontaminate) is not
+    // charged the one-time pipeline compilation (~2-5 s of measured
+    // run-to-run variance at sf0.1).
+    warm(graft.core.Tables.read(spark, sfDir, "documents").limit(32)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.Dedup.shingles(
+          org.apache.spark.sql.functions.col("text"), 3)).as("s"))
+      .groupBy("s").count().count())
     // A failing query must be reported as failed, not counted as ~0 s.
     var failed = List.empty[String]
     // Dev-only subset filter (comma-separated names); unset for the

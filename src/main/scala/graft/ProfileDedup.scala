@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * driver contract). Times the shared n-gram Jaccard pair pipeline and
   * cluster formation in isolation; `GRAFT_CC_TRACE=1` additionally
   * prints per-round convergence of connectedComponents. */
-object Scratch {
+object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()

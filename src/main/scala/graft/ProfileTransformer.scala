@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only micro-profiler for the transformer entry (not part of the
   * driver contract). */
-object ScratchT {
+object ProfileTransformer {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()

@@ -248,17 +248,19 @@ object Queries {
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
     // Star-schema join: fact -> orders -> customer -> nation -> region
-    // with hash-safe aggregates per region/nation. The three dimension
-    // joins broadcast (nation/region always; customer is MBs at any SF
-    // — and past the threshold it degrades to one shuffled join, still
-    // linear); only the fact->orders join shuffles on the key. The
-    // plan to look for: three BroadcastHashJoins inside one
-    // whole-stage-codegen span over the lineitem scan.
+    // with hash-safe aggregates per region/nation. nation/region are
+    // broadcast-hinted (bounded at 25/5 rows by the schema); customer
+    // is left to the planner — under the auto-broadcast threshold it
+    // broadcasts, past it Spark falls back to a shuffled join (an
+    // explicit hint would instead force the broadcast at any size and
+    // crash at large SF). Only the fact->orders join shuffles on the
+    // key. The plan to look for: the dimension joins as
+    // BroadcastHashJoins inside one whole-stage-codegen span.
     Entry("q_star_join",
       (s, d) => li(s, d)
         .join(Tables.read(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.read(s, d, "customer")),
+        .join(Tables.read(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.read(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -382,16 +384,22 @@ GROUP BY user_id ORDER BY user_id""")),
     * expensive part of both entries, and a real dedup pipeline likewise
     * computes the pair set once and feeds every downstream consumer.
     * The materialized pair table is tiny (near-dup pairs, not docs). */
-  // Keyed by (session identity, dir): the cached DF holds PERSISTED
-  // blocks owned by its session — unlike the driver-side model caches,
-  // returning it to a different session would hand out handles into a
-  // possibly-stopped SparkContext.
+  // Keyed by the session OBJECT (reference equality — an identity
+  // hash could collide with a new session after GC) plus dir: the
+  // cached DF holds PERSISTED blocks owned by its session, so unlike
+  // the driver-side model caches it must never cross sessions. Entries
+  // whose context has stopped are evicted on the next access, which
+  // both prevents handing out a handle into a dead SparkContext and
+  // bounds the cache across sequential test-suite sessions.
   private val pairsCache =
-    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((System.identityHashCode(s), d),
+      pairsCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      pairsCache.getOrElseUpdate((s, d),
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5,
           maxShingleDf = 100, materialize = true))
     }
@@ -696,8 +704,20 @@ GROUP BY user_id ORDER BY user_id""")),
       encodedCache.getOrElseUpdate(d, {
         val df = li(s, d).select(modelCols.map(col): _*)
         val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        (Trainer.collectEncoded(df, meta.columns, maxRows = 100000,
-          totalRows = meta.cardinality), meta)
+        val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000,
+          totalRows = meta.cardinality)
+        // Seeded in-place shuffle: collectEncoded returns rows in scan
+        // order, so a PREFIX of it (the transformer's 30k / maxdiff's
+        // 50k budget) would be a file-position-biased subset, not a
+        // uniform subsample. After the shuffle any prefix is uniform.
+        val rng = new java.util.Random(987654321L)
+        var i = data.length - 1
+        while (i > 0) {
+          val j = rng.nextInt(i + 1)
+          val t = data(i); data(i) = data(j); data(j) = t
+          i -= 1
+        }
+        (data, meta)
       })
     }
 

@@ -302,13 +302,16 @@ object Similarity {
               if (dot > 0) code |= 1L << j
               j += 1
             }
-            Row(id, vArr.toSeq, b, code)
+            // Skinny (id, band, code) rows ONLY — carrying the vector
+            // here would ship numBands copies of every embedding
+            // through the window shuffle and both self-join sides;
+            // embeddings are attached once, after candidate dedup.
+            Row(id, b, code)
           }
         }
       }
     val codeSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("emb", ArrayType(FloatType), nullable = false),
       StructField("band", IntegerType, nullable = false),
       StructField("bucket", LongType, nullable = false)))
     val withB = spark.createDataFrame(codeRows, codeSchema)
@@ -322,15 +325,20 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
-    val l = bounded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("emb").as("ea"))
-    val r = bounded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("emb").as("eb"))
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // Dedup candidates across bands BEFORE the exact cosine — a pair
-    // colliding in k bands must be scored once, not k times.
+    // colliding in k bands must be scored once, not k times — then
+    // attach each side's embedding with one join against the original
+    // table: the (bucket-capped, tiny) candidate set broadcasts, so
+    // each embedding is read and moved once instead of numBands times.
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(df.select(col(idCol).cast("long").as("id_a"),
+        col(embCol).as("ea")), Seq("id_a"))
+      .join(df.select(col(idCol).cast("long").as("id_b"),
+        col(embCol).as("eb")), Seq("id_b"))
     val dot = aggregate(zip_with(col("ea"), col("eb"),
       (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)

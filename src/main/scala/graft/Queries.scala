@@ -327,8 +327,11 @@ GROUP BY user_id ORDER BY user_id""")),
       // TRY_CAST, not CAST: Spark's cast('long') yields null on a
       // non-integral/malformed payload and the aggregate proceeds;
       // DuckDB CAST would throw instead of matching that.
+      // CAST(sum(..) AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT,
+      // which hash-mismatches the driver's canonicalization even though
+      // the values are equal (round-5 red row).
       Some("SELECT event_type, count(*) AS n, " +
-        "sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        "CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
         "max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
@@ -350,8 +353,9 @@ GROUP BY user_id ORDER BY user_id""")),
           .orderBy("event_type")
       },
       Some {
+        // CAST: DuckDB sum(int) -> HUGEINT would hash-mismatch the driver.
         val counts = TextOps.piiCountsSql("props").map { case (n, e) =>
-          s"sum($e) AS $n"
+          s"CAST(sum($e) AS BIGINT) AS $n"
         }.mkString(", ")
         s"SELECT event_type, $counts, " +
           s"count(DISTINCT md5(${TextOps.piiScrubSql("props")})) " +
@@ -510,9 +514,9 @@ GROUP BY user_id ORDER BY user_id""")),
       Some {
         val sql = TextOps.qualityScoresSql("text").toMap
         s"SELECT lang, count(*) AS n_docs, " +
-          s"sum(CASE WHEN ${sql("n_tokens")} >= 30 " +
+          s"CAST(sum(CASE WHEN ${sql("n_tokens")} >= 30 " +
           s"AND ${sql("stopword_ratio")} > 0 " +
-          s"AND ${sql("dup_token_frac")} < 0.6 THEN 1 ELSE 0 END) AS n_kept " +
+          s"AND ${sql("dup_token_frac")} < 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
           "FROM documents GROUP BY lang ORDER BY lang"
       }),
     // Line-level boilerplate dedup (CCNet/C4 shape): drop lines whose

@@ -29,8 +29,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # Types the driver's hash canonicalization represents differently from
+    # Spark's output (DuckDB widens sum(int) to HUGEINT, for example) —
+    # rows/values compare equal here after pandas coercion, but the driver
+    # hashes the raw representation and fails. Ban them outright so the
+    # local gate catches what the driver would (round-5 red-row class).
+    BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
     for name, sql in sorted(oracle.items()):
         try:
+            bad = [f"{c}:{t}" for c, t in con.execute(
+                f"DESCRIBE {sql}").df()[["column_name", "column_type"]]
+                .itertuples(index=False)
+                if any(b in str(t).upper() for b in BANNED_TYPES)]
+            if bad:
+                print(f"FAIL {name}: oracle output type(s) the driver "
+                      f"hashes differently: {bad} — CAST to BIGINT/DOUBLE")
+                failures += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.execute(sql).df()

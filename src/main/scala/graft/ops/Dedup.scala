@@ -156,9 +156,29 @@ object Dedup {
     * removal like this is the standard fix; near-dup pairs whose overlap
     * is exclusively ultra-common shingles are not near-dups of interest.
     */
+  /** The exploded per-doc distinct-shingle table `(id, shingle)` — the
+    * shared input of the near-dup pair pipeline AND benchmark
+    * decontamination. A production pipeline computes (and checkpoints)
+    * this once per corpus snapshot and feeds every consumer, rather
+    * than re-running the tokenize+shingle scan per operator.
+    */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int = 10000,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false): DataFrame =
+    ngramJaccardPairsFromShingles(
+      explodeShingles(df, idCol, textCol, n), threshold, maxShingleDf,
+      materialize)
+
+  /** [[ngramJaccardPairs]] over a pre-exploded `(id, shingle)` table
+    * (see [[explodeShingles]]) so several consumers can share one
+    * shingle materialization. */
+  def ngramJaccardPairsFromShingles(exploded: DataFrame, threshold: Double,
+      maxShingleDf: Int, materialize: Boolean = false): DataFrame = {
     // ONE groupBy(shingle) shuffle builds the per-shingle posting list
     // (sorted doc-id set); the DF cap is a size filter on the list, and
     // candidate pairs are generated MAP-SIDE from each list (no
@@ -190,9 +210,8 @@ object Dedup {
     // collect_set + size filter has the right semantics but buffers the
     // whole hot group first; a count-prepass + anti-join stays bounded
     // but pays an extra full shuffle (measured +3 s at sf0.1).
-    graft.functions.CappedCollectSetLong.ensureRegistered(df.sparkSession)
-    val byShingle = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
+    val byShingle = exploded
       .groupBy("shingle")
       .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
         .as("ids"))
@@ -243,12 +262,20 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int,
-      minHits: Int): DataFrame = {
-    val corpusSh = corpus.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
-    val benchSh = benchmark
-      .select(explode(shingles(col(benchTextCol), n)).as("shingle"))
-      .distinct()
+      minHits: Int): DataFrame =
+    decontaminateShingles(
+      explodeShingles(corpus, idCol, textCol, n),
+      benchmark
+        .select(explode(shingles(col(benchTextCol), n)).as("shingle"))
+        .distinct(),
+      idCol, minHits)
+
+  /** [[decontaminate]] over pre-exploded shingle tables: `corpusSh` is
+    * `(id, shingle)` (see [[explodeShingles]]), `benchSh` a distinct
+    * `(shingle)` set. Lets the corpus shingle materialization be shared
+    * with the near-dup pair pipeline. */
+  def decontaminateShingles(corpusSh: DataFrame, benchSh: DataFrame,
+      idCol: String, minHits: Int): DataFrame =
     corpusSh
       .join(org.apache.spark.sql.functions.broadcast(benchSh), Seq("shingle"))
       .groupBy(col("id"))
@@ -256,7 +283,6 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
       .select(col("id").as(idCol), col("n_hits"))
       .orderBy(idCol)
-  }
 
   /** Per-doc DISTINCT word n-gram shingles as SQL (DuckDB), the twin of
     * [[shingles]]: `SELECT id, shingle FROM ...`. */

@@ -201,6 +201,112 @@ object Queries {
         .select(col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"), col("l_quantity")),
       Some(topkPerGroupSql)),
+    // Full CUBE over two dimensions (all 2² grouping sets in one Expand
+    // + hash aggregate — one shuffle, like ROLLUP but with the
+    // column-marginal rows too). DataFrame-API side (.cube + grouping())
+    // against a verbatim GROUP BY CUBE oracle.
+    Entry("q_cube_agg",
+      (s, d) => li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "sum(l_quantity) AS sum_qty, " +
+        "CAST(grouping(l_returnflag) AS INTEGER) AS g_rf, " +
+        "CAST(grouping(l_linestatus) AS INTEGER) AS g_ls " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, " +
+        "l_linestatus NULLS FIRST")),
+    // Wide-to-long pivot with explicit value list (required at scale:
+    // without it Spark runs a distinct-values job first AND the output
+    // schema becomes data-dependent). Plans as one hash aggregate with
+    // conditional sums — the same CASE-sum shape as the portable oracle.
+    Entry("q_pivot",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\", " +
+        "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS \"O\" " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+    // Window-function suite (lag/lead/row_number/running sum) over a
+    // deterministic customer slice. The running sum is over exact
+    // integer cents (round(price·100) is integral) so accumulation
+    // order — sequential in Spark, segment-tree in DuckDB — cannot
+    // change the value; the timestamp only orders (never surfaces), with
+    // the order key as tiebreak.
+    Entry("q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.read(s, d, "orders")
+          .filter(pmod(col("o_custkey"), lit(199)) === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("rn"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .over(w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow))
+              .as("run_spend_cents"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  lag(o_orderkey, 1) OVER w AS prev_order,
+  lead(o_orderkey, 1) OVER w AS next_order,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS run_spend_cents
+FROM orders WHERE o_custkey % 199 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn""")),
+    // Existence joins: LEFT SEMI (customers with ≥1 order) and LEFT
+    // ANTI (without) — each shuffles only the join keys and never
+    // duplicates the left side the way an inner-join + distinct would.
+    Entry("q_semi_anti_join",
+      (s, d) => {
+        val cust = Tables.read(s, d, "customer")
+        val ord = Tables.read(s, d, "orders").select(col("o_custkey"))
+        val semi = cust.join(ord, cust("c_custkey") === ord("o_custkey"),
+            "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
+        val anti = cust.join(ord, cust("c_custkey") === ord("o_custkey"),
+            "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+        semi.join(anti, Seq("c_nationkey"), "full_outer")
+          .na.fill(0L, Seq("n_active", "n_inactive"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH actives AS (
+  SELECT c_nationkey, count(*) AS n_active FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+), inactives AS (
+  SELECT c_nationkey, count(*) AS n_inactive FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+)
+SELECT c_nationkey, coalesce(n_active, 0) AS n_active,
+       coalesce(n_inactive, 0) AS n_inactive
+FROM actives FULL JOIN inactives USING (c_nationkey)
+ORDER BY c_nationkey""")),
+    // Skew-salted two-stage distinct aggregation: the oracle is the
+    // UNsalted declarative form — the check is precisely that the
+    // physical salting rewrite preserves semantics.
+    Entry("q_salted_agg",
+      (s, d) => graft.ops.Relational.saltedDistinctAgg(li(s, d),
+        "l_returnflag", "l_orderkey", "l_quantity", buckets = 64),
+      Some(graft.ops.Relational.saltedDistinctAggSql("lineitem",
+        "l_returnflag", "l_orderkey", "l_quantity"))),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but
     // engine-specific -> rows-only check.
@@ -577,6 +683,15 @@ GROUP BY user_id ORDER BY user_id""")),
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
       None),
+    // The same MinHash+LSH machinery with md5 (engine-portable) hashes,
+    // so signatures, band buckets, the capped self-join, and the
+    // candidate pairs are ORACLE-checked end-to-end (the xxhash64 path
+    // above stays the production default; its check is rows-only
+    // because no other engine reproduces Spark's xxhash64 seeds).
+    // Shares the persisted corpus shingle table.
+    Entry("q_minhash_lsh_md5",
+      (s, d) => Dedup.minhashLshPortable(docShingles(s, d)),
+      Some(Dedup.minhashLshPortableSql("documents", "doc_id", "text", 3))),
     // Winnowing (rolling-hash) document fingerprints: per-doc count +
     // min fingerprint (rows-only: JVM-hash-specific values).
     Entry("q_winnow_fp",
@@ -610,6 +725,13 @@ GROUP BY user_id ORDER BY user_id""")),
     Entry("q_tfidf_stats",
       (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
       None),
+    // Exact TF-IDF over real whitespace terms — the declarative,
+    // engine-portable twin of the hashed MLlib pipeline above, so the
+    // TF-IDF family has a hash-checked row (the MLlib entry is rows-only
+    // by nature of HashingTF's engine-specific buckets).
+    Entry("q_tfidf_exact",
+      (s, d) => TextOps.tfidfExact(docs(s, d), "doc_id", "text"),
+      Some(TextOps.tfidfExactSql("documents", "doc_id", "text"))),
     // Bounded to a 1/5 doc slice: MLlib's approxSimilarityJoin
     // materializes per-hash-table bucket joins with NO bucket cap, and
     // this corpus's tiny vocabulary makes the buckets near-all-pairs —

@@ -122,6 +122,78 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH with ENGINE-PORTABLE hashes: identical pipeline shape
+    * to [[minhashCandidates]] but every hash is md5 (which DuckDB also
+    * implements bit-for-bit), so the full pipeline — signatures, band
+    * buckets, capped self-join, candidate pairs — is oracle-checkable
+    * end-to-end rather than rows-only. The xxhash64 path stays the
+    * production default (one 64-bit mix vs a 128-bit cryptographic hash
+    * per shingle·seed); this twin exists so the LSH MACHINERY itself is
+    * under the hash-equality gate.
+    *
+    * Input is a pre-exploded `(id, shingle)` table (share the corpus
+    * shingle materialization). Per-band bucket key = md5 over the
+    * band's signature slice; buckets over `maxBucketSize` are dropped
+    * INSIDE the aggregation buffer (capped collect — over-cap ⇒ NULL),
+    * and candidate pairs are generated map-side from each bucket's
+    * sorted member array, the same posting-list shape as the exact
+    * Jaccard pipeline. Output: (id_a, id_b, n_bands) candidate pairs
+    * with the number of colliding bands.
+    */
+  def minhashLshPortable(exploded: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, maxBucketSize: Int = 50): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val bands = numHashes / rowsPerBand
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"__h$k")
+    }
+    val sigs = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band", "bk")))
+    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
+    val buckets = banded.groupBy("band", "bk")
+      .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxBucketSize)")
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val pairArr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b2 =>
+        struct(a.as("id_a"), b2.as("id_b")))))
+    buckets.select(explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[minhashLshPortable]] over the same shingle set. */
+  def minhashLshPortableSql(table: String, id: String, text: String,
+      n: Int, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 50): String = {
+    val bands = numHashes / rowsPerBand
+    val mins = (0 until numHashes)
+      .map(k => s"min(md5('$k:' || shingle)) AS h$k").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($key) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+${shinglesSql(table, id, text, n)}
+), sig AS (
+  SELECT id, $mins FROM sh GROUP BY id
+), banded AS (
+  $bandRows
+), bounded AS (
+  SELECT id, band, bk FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, bk) <= $maxBucketSize
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+FROM bounded a JOIN bounded b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+GROUP BY a.id, b.id ORDER BY id_a, id_b"""
+  }
+
   /** SimHash-64: per token, xxhash64; per bit, sum of ±1 weighted by the
     * bit; fingerprint = OR of (1<<i) where the sum is positive. Bitwise
     * assembly avoids ANSI-mode long-overflow on the sign bit.

@@ -64,4 +64,42 @@ object Relational {
       .orderBy(col(groupCol) +: (col(orderCol).desc +:
         tieCols.map(col(_).asc)): _*)
   }
+
+  /** Skew-salted distinct-count aggregation: `count(DISTINCT d)`, `sum`,
+    * and `count(*)` per group key, computed as TWO cascaded partial
+    * aggregations instead of one.
+    *
+    * The plain `groupBy(key).agg(countDistinct(d))` plan shuffles every
+    * (key, d) pair to the one reducer owning `key` — with a handful of
+    * hot keys over a fact table that is a single-task straggler (partial
+    * map-side aggregation cannot help a distinct). Stage 1 here groups by
+    * (key, salt) where salt = hash(d) % buckets: each distinct `d` value
+    * lands in exactly one salt bucket, so per-bucket distinct counts are
+    * disjoint and stage 2's plain sum over the `buckets`-bounded rows is
+    * exact — not an approximation. Additive aggregates (sum/count)
+    * cascade trivially. This is the generic two-stage skew pattern:
+    * AQE's skew handling covers joins, not single-key aggregation
+    * hotspots, so the salt must be in the plan.
+    */
+  def saltedDistinctAgg(df: DataFrame, keyCol: String, distinctCol: String,
+      sumCol: String, buckets: Int = 64): DataFrame =
+    df.groupBy(col(keyCol),
+        pmod(hash(col(distinctCol)), lit(buckets)).as("__salt"))
+      .agg(countDistinct(col(distinctCol)).as("__nd"),
+        sum(col(sumCol)).as("__sum"),
+        count(lit(1)).as("__cnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__nd")).as(s"n_distinct"),
+        sum(col("__sum")).as(s"sum_val"),
+        sum(col("__cnt")).as("cnt"))
+      .orderBy(keyCol)
+
+  /** DuckDB twin of [[saltedDistinctAgg]] — the UNsalted declarative
+    * form, because the salting is a physical rewrite with identical
+    * semantics (that equality is exactly what the oracle checks). */
+  def saltedDistinctAggSql(table: String, key: String, distinct: String,
+      sumCol: String): String =
+    s"SELECT $key, count(DISTINCT $distinct) AS n_distinct, " +
+      s"sum($sumCol) AS sum_val, count(*) AS cnt " +
+      s"FROM $table GROUP BY $key ORDER BY $key"
 }

@@ -264,4 +264,58 @@ object TextOps {
     }.mkString(" ")
     s"CASE $whens ELSE 'unknown' END"
   }
+
+  /** Exact TF-IDF over whitespace tokens — the declarative twin of the
+    * MLlib hashing pipeline ([[MlPipeline.tfidf]]), with real terms
+    * instead of hash buckets so the result is engine-portable.
+    * Per-term output: document frequency, total term frequency, and the
+    * max per-doc tf-idf weight with smoothed idf
+    * `ln((1 + N) / (1 + df))`.
+    *
+    * Scale shape: tokenize + explode run map-side; `tf` is one partial-
+    * aggregated shuffle on (doc, term); `df` another on term. The
+    * df-side of the join is vocabulary-sized and left UN-hinted — under
+    * the broadcast threshold it broadcasts, past it (an open-web-scale
+    * vocabulary) Spark degrades to a shuffled join on term, still
+    * linear. The corpus size N is a broadcast one-row cross join, not a
+    * driver-side collect, so the whole operator is one lazy plan.
+    *
+    * Float discipline: tf·idf is one IEEE multiply per row and the
+    * per-term aggregates are `max` (order-independent) and integer sums
+    * — no float summation order to diverge on. The one engine-unstable
+    * step is `ln` itself (JVM Math.log and DuckDB's libm differ by
+    * 1 ulp on some inputs — measured on this corpus), so the surfaced
+    * score is rounded to 6 decimals on BOTH sides: each engine then
+    * emits the nearest double to the same 6-decimal literal.
+    */
+  def tfidfExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDf = df.agg(count(lit(1)).as("n"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(nDf))
+      .groupBy(col("term"), col("df"))
+      .agg(sum(col("tf")).as("total_tf"),
+        round(max(col("tf") *
+          log((lit(1.0) + col("n")) / (lit(1.0) + col("df")))), 6)
+          .as("max_tfidf"))
+      .orderBy("term")
+  }
+
+  /** DuckDB twin of [[tfidfExact]]. */
+  def tfidfExactSql(table: String, id: String, text: String): String =
+    s"""WITH toks AS (
+  SELECT $id AS id, unnest(regexp_split_to_array(trim($text), '\\s+')) AS term
+  FROM $table
+), tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, term
+), dfx AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table)
+SELECT term, df, CAST(sum(tf) AS BIGINT) AS total_tf,
+  round(max(tf * ln((1.0 + n) / (1.0 + df))), 6) AS max_tfidf
+FROM tf JOIN dfx USING (term) CROSS JOIN n
+GROUP BY term, df ORDER BY term"""
 }

@@ -61,6 +61,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "disjoint doc should not collide")
   }
 
+  test("portable minhash LSH: near-dups collide, disjoint docs don't, " +
+      "over-cap buckets drop") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, nearDup), (3L, other))
+    val exploded = Dedup.explodeShingles(df, "doc_id", "text", 3)
+    val pairs = Dedup.minhashLshPortable(exploded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"near-dup pair missing in ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not collide")
+    // cap = 1: every ≥2-member bucket is over-cap and dropped ⇒ no pairs.
+    assert(Dedup.minhashLshPortable(exploded, maxBucketSize = 1).count() == 0)
+  }
+
+  test("tfidfExact: df / total_tf / smoothed-idf arithmetic on a known corpus") {
+    // 3 docs: 'a' in all (df=3), 'b' in two (df=2, tf 1+2), 'c' once.
+    val df = docsDf((1L, "a b"), (2L, "a b b"), (3L, "a c"))
+    val out = TextOps.tfidfExact(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((3L, 3L, 0.0)))  // idf = ln(4/4) = 0
+    val idfB = math.log(4.0 / 3.0)
+    assert(out("b")._1 == 2L && out("b")._2 == 3L)
+    assert(math.abs(out("b")._3 - math.round(2 * idfB * 1e6) / 1e6) < 1e-9)
+    assert(out("c") == ((1L, 1L, math.round(math.log(2.0) * 1e6) / 1e6)))
+  }
+
+  test("saltedDistinctAgg equals the plain aggregation for any bucket count") {
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("d", LongType), StructField("v", DoubleType)))
+    val rows = (1 to 200).map(i =>
+      Row(if (i % 10 == 0) "cold" else "hot", (i % 37).toLong, (i % 5).toDouble))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val expected = df.groupBy("k")
+      .agg(countDistinct("d").as("n_distinct"), sum("v").as("sum_val"),
+        count(lit(1)).as("cnt"))
+      .orderBy("k").collect().toSeq
+    for (b <- Seq(1, 7, 64)) {
+      val got = Relational.saltedDistinctAgg(df, "k", "d", "v", buckets = b)
+        .collect().toSeq
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
   test("simhash is identical for identical docs, differs for disjoint docs") {
     val df = docsDf((1L, "alpha beta gamma delta"),
       (8L, "alpha beta gamma delta"), (15L, "zeta eta theta iota"))

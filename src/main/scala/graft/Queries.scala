@@ -299,6 +299,18 @@ SELECT c_nationkey, coalesce(n_active, 0) AS n_active,
        coalesce(n_inactive, 0) AS n_inactive
 FROM actives FULL JOIN inactives USING (c_nationkey)
 ORDER BY c_nationkey""")),
+    // Event range join (right events in [leftTs − 1h, leftTs) per key):
+    // the Spark side is the BUCKETED equi-join rewrite — the naive
+    // range-predicate join has no equi-key and degenerates to a per-key
+    // cartesian; the oracle is that naive declarative form, which is
+    // exactly the semantics-preservation claim under check.
+    Entry("q_range_join",
+      (s, d) => graft.ops.Relational.rangeJoinBucketed(
+        Tables.read(s, d, "events"), "user_id", "ts",
+        leftType = "purchase", rightType = "click",
+        typeCol = "event_type", idCol = "event_id", windowSec = 3600L),
+      Some(graft.ops.Relational.rangeJoinBucketedSql("events", "user_id",
+        "ts", "purchase", "click", "event_type", "event_id", 3600L))),
     // Skew-salted two-stage distinct aggregation: the oracle is the
     // UNsalted declarative form — the check is precisely that the
     // physical salting rewrite preserves semantics.
@@ -732,6 +744,41 @@ GROUP BY user_id ORDER BY user_id""")),
     Entry("q_tfidf_exact",
       (s, d) => TextOps.tfidfExact(docs(s, d), "doc_id", "text"),
       Some(TextOps.tfidfExactSql("documents", "doc_id", "text"))),
+    // N-gram language-model counts: top-50 bigrams by OCCURRENCE (not
+    // the dedup pipeline's distinct-shingle sets). Map-side explode +
+    // one partial-agg shuffle; the ranked prefix runs as TakeOrdered.
+    // Ties broken by the bigram itself so the top-50 set is unique.
+    Entry("q_bigram_counts",
+      (s, d) => docs(s, d)
+        .select(explode(TextOps.ngramArray(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50),
+      Some("""WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents),
+  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+), grams AS (
+  SELECT tok || ' ' || lead(tok) OVER w AS bigram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok) OVER w IS NOT NULL
+)
+SELECT bigram, count(*) AS cnt FROM grams
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
+    // BPE-ish tokenizer vocabulary build: top-50 pre-tokens (letter
+    // runs / digit runs / single symbols) by corpus frequency — the
+    // vocabulary-candidate scan a tokenizer-training pipeline starts
+    // from. Same RE2-safe pattern as the per-doc count entry.
+    Entry("q_bpe_vocab",
+      (s, d) => docs(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextOps.bpeTokenPattern), lit(0))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50),
+      Some("SELECT token, count(*) AS cnt FROM (SELECT " +
+        s"unnest(regexp_extract_all(text, '${TextOps.bpeTokenPattern}')) " +
+        "AS token FROM documents) GROUP BY token " +
+        "ORDER BY cnt DESC, token LIMIT 50")),
     // Bounded to a 1/5 doc slice: MLlib's approxSimilarityJoin
     // materializes per-hash-table bucket joins with NO bucket cap, and
     // this corpus's tiny vocabulary makes the buckets near-all-pairs —

@@ -102,4 +102,63 @@ object Relational {
     s"SELECT $key, count(DISTINCT $distinct) AS n_distinct, " +
       s"sum($sumCol) AS sum_val, count(*) AS cnt " +
       s"FROM $table GROUP BY $key ORDER BY $key"
+
+  /** Bucketed interval join ("how many right-events in the window
+    * [leftTs − window, leftTs) per left-event, same key"), the scale-safe
+    * formulation of an event range join.
+    *
+    * The naive `ON l.key = r.key AND r.ts BETWEEN ...` plan degenerates
+    * to a per-key cartesian (BroadcastNestedLoopJoin or a sort-merge
+    * over every key pair) because Catalyst has no equi-bucket for the
+    * range predicate. Bucketing time into `window`-sized cells restores
+    * an EQUI-join: a right row in [leftTs − window, leftTs) necessarily
+    * lives in the left row's cell or the one before it, so the left side
+    * explodes to exactly 2 (key, cell) probes, the join runs hash-
+    * partitioned on (key, cell), and the range check is a residual
+    * filter — candidate multiplicity is bounded by per-cell density, not
+    * per-key history. A LEFT join keeps zero-match left events (`count`
+    * over the right timestamp ignores the null rows; a right row can
+    * match only the probe equal to its own cell, so nothing double-
+    * counts).
+    *
+    * Returns per-key totals: n_left events, n_matches in-window.
+    */
+  def rangeJoinBucketed(events: DataFrame, keyCol: String, tsCol: String,
+      leftType: String, rightType: String, typeCol: String,
+      idCol: String, windowSec: Long): DataFrame = {
+    val cellUs = windowSec * 1000000L
+    val left = events.filter(col(typeCol) === leftType)
+      .select(col(keyCol).as("k"), col(idCol).as("lid"), col(tsCol).as("lts"),
+        floor(unix_micros(col(tsCol)) / cellUs).as("cell"))
+      .withColumn("probe", explode(array(col("cell"), col("cell") - 1)))
+    val right = events.filter(col(typeCol) === rightType)
+      .select(col(keyCol).as("rk"), col(tsCol).as("rts"),
+        floor(unix_micros(col(tsCol)) / cellUs).as("rcell"))
+    left.join(right,
+        col("k") === col("rk") && col("probe") === col("rcell") &&
+          col("rts") >= col("lts") - expr(s"INTERVAL $windowSec SECOND") &&
+          col("rts") < col("lts"),
+        "left")
+      .groupBy(col("k").as(keyCol))
+      .agg(countDistinct(col("lid")).as("n_left"),
+        count(col("rts")).as("n_matches"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB twin of [[rangeJoinBucketed]] — the declarative range join
+    * (the engine is free to nested-loop it at oracle scale). */
+  def rangeJoinBucketedSql(table: String, key: String, ts: String,
+      leftType: String, rightType: String, typeCol: String,
+      idCol: String, windowSec: Long): String =
+    s"""WITH l AS (
+  SELECT $key AS k, $idCol AS lid, $ts AS lts FROM $table
+  WHERE $typeCol = '$leftType'
+), r AS (
+  SELECT $key AS k, $ts AS rts FROM $table WHERE $typeCol = '$rightType'
+)
+SELECT l.k AS $key, count(DISTINCT l.lid) AS n_left,
+       count(r.rts) AS n_matches
+FROM l LEFT JOIN r ON r.k = l.k
+  AND r.rts >= l.lts - INTERVAL $windowSec SECOND AND r.rts < l.lts
+GROUP BY l.k ORDER BY $key"""
 }

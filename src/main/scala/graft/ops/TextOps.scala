@@ -24,6 +24,18 @@ object TextOps {
     s"CASE WHEN trim($text) = '' THEN 0 ELSE " +
       s"CAST(len(regexp_split_to_array(trim($text), '\\s+')) AS INTEGER) END"
 
+  /** Word n-gram OCCURRENCES (non-distinct, in text order) — the
+    * language-model counting shape, vs [[Dedup.shingles]]' distinct-set
+    * shape for dedup. Same O(1)-per-position `get` assembly. */
+  def ngramArray(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))),
+      x => x.isNotNull)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the canonical near-dup-resistant exact-dedup key.
     */

@@ -109,6 +109,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed range join equals the naive range predicate incl. boundaries") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // clicks at −3600 (in: >= lts−1h), −3599, −1, 0 (out: < lts), +10 (out)
+    // across a cell boundary; second user isolated; purchase with no clicks.
+    val rows = Seq(
+      Row(1L, 10L, "purchase", at(0)),
+      Row(1L, 1L, "click", at(-3600)), Row(1L, 2L, "click", at(-3599)),
+      Row(1L, 3L, "click", at(-1)), Row(1L, 4L, "click", at(0)),
+      Row(1L, 5L, "click", at(10)),
+      Row(2L, 20L, "purchase", at(500)), Row(2L, 6L, "click", at(-3000)),
+      Row(3L, 30L, "purchase", at(100)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val got = Relational.rangeJoinBucketed(df, "user_id", "ts",
+        "purchase", "click", "event_type", "event_id", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1: clicks at −3600, −3599, −1 in-window (0 and +10 excluded);
+    // user 2: −3000 is within [500−3600, 500) and lands a cell earlier
+    // than the purchase; user 3: zero matches kept via the left join.
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 1L), (3L, 1L, 0L)))
+  }
+
   test("simhash is identical for identical docs, differs for disjoint docs") {
     val df = docsDf((1L, "alpha beta gamma delta"),
       (8L, "alpha beta gamma delta"), (15L, "zeta eta theta iota"))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive a larger benchmark dataset by replicating an
+  * existing sf directory `factor`× with DISJOINT key spaces (each copy's
+  * keys are shifted by copy·stride), so joins keep their multiplicity
+  * and dedup operators see realistic exact-duplicate skew (copies share
+  * text/embedding payloads — which is precisely what a crawl corpus
+  * looks like, and what the pipeline's skew caps must absorb).
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> <factor>
+  * Dimension tables (region, nation) are copied unchanged; every other
+  * table shifts its entity keys consistently (l_orderkey ↔ o_orderkey,
+  * o_custkey ↔ c_custkey, …) so referential joins still resolve.
+  */
+object ScaleData {
+
+  private val stride = 1000000000000L // > any testdata key
+
+  /** Key columns to shift, per table. */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+    val copies = (0 until factor).map { c =>
+      keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, col(k) + lit(c * stride))
+      }
+    }
+    copies.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df0 = graft.core.Tables.read(spark, src, t)
+      // Tables.read expects events.ts as long nanos (the driver layout);
+      // write it back in that shape so the derived dir reads identically.
+      val df = if (t == "events")
+        df0.withColumn("ts", unix_micros(col("ts")) * lit(1000L)) else df0
+      val outDf = shiftCols.get(t) match {
+        case Some(keys) => replicate(df, keys, factor)
+        case None => df
+      }
+      // One file per table mirrors the driver-generated layout (the
+      // documents repartition guard in Queries keys off input splits).
+      outDf.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/__tmp_$t")
+      val dir = new java.io.File(s"$out/__tmp_$t")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      println(s"[scale] $t -> $out/$t.parquet")
+    }
+    spark.stop()
+  }
+}

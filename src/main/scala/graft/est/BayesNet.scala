@@ -155,13 +155,19 @@ object BayesNet {
   private[est] final case class RebinPass(
       origMarginals: Array[Array[Double]],
       binMap: Array[Array[Int]],
-      pairsDf: DataFrame)
+      pairsDf: DataFrame,
+      encCache: Option[DataFrame] = None)
 
   private[est] def rebinPass(df: DataFrame, meta: TableMeta,
       maxBins: Int): RebinPass = {
     val cols = meta.columns.map(_.name)
     val nin = cols.length
+    // Both passes read the encoded table; persisting it means the
+    // scan + per-column broadcast-join encode chain runs once (the
+    // singles action materializes the cache, the pairwise pass reads
+    // it). The caller unpersists after collecting the pairs.
     val enc = encode(df, meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = meta.cardinality.toDouble
     // Pass 1 (cheap, linear): per-column marginal counts at original
     // resolution — needed anyway for the per-cell predicate pass
@@ -180,7 +186,7 @@ object BayesNet {
       yield Seq(col(cols(i)), col(cols(j)))
     val pairsDf = cellEnc.groupingSets(pairs, cols.map(col): _*)
       .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
-    RebinPass(marginals, binMap, pairsDf)
+    RebinPass(marginals, binMap, pairsDf, Some(enc))
   }
 
   /** Chow–Liu fit. Without rebinning: ALL pairwise + marginal counts in
@@ -213,6 +219,7 @@ object BayesNet {
       val pass = rebinPass(df, meta, maxBins)
       val cellPairCounts: PairCounts = scala.collection.mutable.Map.empty
       decodeRows(pass.pairsDf.collect(), nin, n, null, cellPairCounts)
+      pass.encCache.foreach(_.unpersist(false))
       // Cell marginals derived on the driver from the original-resolution
       // marginals (no second singles job needed).
       val cellMarginals: Array[Array[Double]] = Array.tabulate(nin) { i =>

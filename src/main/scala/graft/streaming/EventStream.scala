@@ -149,6 +149,19 @@ object EventStream {
       }
   }
 
+  /** Stream–static enrichment join: attach a dimension table to a live
+    * event stream. The static side is broadcast-hinted — per micro-batch
+    * Spark re-plans the join against the dimension's CURRENT snapshot
+    * (so slowly-changing dims refresh on table update, the standard
+    * production shape), and the stream side is never shuffled. An inner
+    * join keeps the result append-mode compatible with any downstream
+    * watermark aggregation.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "inner")
+      .drop(dimKey)
+
   /** Read the events parquet directory as a bounded stream (for tests
     * and replays): same schema, one file per trigger. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -25,11 +25,22 @@ object Workload {
     */
   def anchorRows(df: DataFrame, cols: Seq[String], n: Int): Array[Array[Any]] = {
     val total = df.count()
-    val k = math.max(1L, total / math.max(1, n * 2))
-    val sel = df.select(cols.map(col): _*)
+    // The slice hashes the projected VALUES, so its density scales with
+    // the table's distinct value-tuple count, not its row count: on a
+    // low-cardinality (or heavily duplicated) table a row-count-derived
+    // modulus can select nothing. Widen deterministically until the
+    // slice is non-empty — still a pure function of the data, never a
+    // full collect (each attempt stays limit-bounded).
+    var k = math.max(1L, total / math.max(1, n * 2))
+    def slice(k: Long) = df.select(cols.map(col): _*)
       .filter(pmod(hash(cols.map(col): _*), lit(k)) === 0)
       .limit(n * 4)
       .collect()
+    var sel = slice(k)
+    while (sel.isEmpty && k > 1) {
+      k = math.max(1L, k / 8)
+      sel = slice(k)
+    }
     sel.map(r => Array.tabulate(cols.length)(r.get)).toArray
   }
 

@@ -87,6 +87,29 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("stream-static enrichment joins the dimension without losing rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "bronze")).toDF("uid", "segment")
+    val mem = MemoryStream[Event]
+    val query = EventStream.enrichWithDim(mem.toDF(), dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt5").toString)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(1), 11, "view", 2.0),
+      Event(3, ts(2), 99, "view", 3.0)) // no dim row -> dropped (inner)
+    query.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "gold", 2L -> "bronze"))
+    query.stop()
+  }
+
   test("event-time sessionize closes sessions when the watermark passes") {
     val s = spark
     import s.implicits._

@@ -236,6 +236,16 @@ object Queries {
         "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\", " +
         "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS \"O\" " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+    // Arbitrary GROUPING SETS — the marginals-only set list
+    // ((l_returnflag), (l_linestatus)), which neither ROLLUP nor CUBE
+    // expresses. Plans as one Expand + hash aggregate (one shuffle for
+    // both marginals); identical SQL on both engines.
+    Entry("q_grouping_sets",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
     // Window-function suite (lag/lead/row_number/running sum) over a
     // deterministic customer slice. The running sum is over exact
     // integer cents (round(price·100) is integral) so accumulation
@@ -311,6 +321,47 @@ ORDER BY c_nationkey""")),
         typeCol = "event_type", idCol = "event_id", windowSec = 3600L),
       Some(graft.ops.Relational.rangeJoinBucketedSql("events", "user_id",
         "ts", "purchase", "click", "event_type", "event_id", 3600L))),
+    // Set operators over yearly active-customer sets: INTERSECT
+    // (retained 1995→1996) and EXCEPT (churned). Both plan as
+    // existence joins over distinct keys — the shuffle carries only
+    // o_custkey and neither side can duplicate rows.
+    Entry("q_intersect_except",
+      (s, d) => {
+        val ord = Tables.read(s, d, "orders")
+        def custsIn(y: Int) = ord
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val retained = custsIn(1995).intersect(custsIn(1996))
+          .agg(count(lit(1)).as("n_cust"))
+          .withColumn("set_op", lit("intersect_95_96"))
+        val churned = custsIn(1995).except(custsIn(1996))
+          .agg(count(lit(1)).as("n_cust"))
+          .withColumn("set_op", lit("except_95_not_96"))
+        retained.unionByName(churned)
+          .select(col("set_op"), col("n_cust"))
+          .orderBy("set_op")
+      },
+      Some("""SELECT 'intersect_95_96' AS set_op, count(*) AS n_cust FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+UNION ALL
+SELECT 'except_95_not_96' AS set_op, count(*) AS n_cust FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+ORDER BY set_op""")),
+    // Three-stage event funnel (view → first click after the first
+    // view → first purchase after that click) — the product-analytics
+    // staple. Each stage's min-timestamp is conditioned on the PREVIOUS
+    // stage's, which one-pass groupBy aggregation cannot express; the
+    // three conditional-min windows share one exchange on user_id (same
+    // partitioning, no extra shuffle), and the per-user collapse plus
+    // the single-row rollup move only user-count rows.
+    Entry("q_event_funnel",
+      (s, d) => graft.ops.Relational.funnel(Tables.read(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some(funnelSql)),
     // Skew-salted two-stage distinct aggregation: the oracle is the
     // UNsalted declarative form — the check is precisely that the
     // physical salting rewrite preserves semantics.
@@ -494,6 +545,21 @@ GROUP BY user_id ORDER BY user_id""")),
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Shared DuckDB CTE: whitespace tokens → per-doc positional bigram
+    * occurrences — the oracle twin of TextOps.ngramArray(_, 2). lazy:
+    * referenced from entry vals declared around it. */
+  private lazy val bigramCte: String =
+    """WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents),
+  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+), grams AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bigram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok) OVER w IS NOT NULL
+)"""
 
   /** LLM-training-data-pipeline operators over the documents table
     * (dedup + text analysis; SURVEY §7.5). Map-side ops are checked
@@ -686,6 +752,24 @@ GROUP BY user_id ORDER BY user_id""")),
         .select(col("shuffle_key"), col("doc_id"))
         .limit(20),
       Some(Corpus.deterministicShuffleSql("documents", "doc_id", 20))),
+    // Per-source document cap (crawl curation: at most k docs per
+    // domain), drawn deterministically as the k LARGEST md5(doc_id) per
+    // source — an unbiased frozen sample, append-stable like
+    // q_hash_split. Runs on the two-phase top-k operator (bounded
+    // per-input-partition heaps, then a window over the pruned set)
+    // because source cardinality can be tiny relative to data; the
+    // oracle is the declarative row_number twin.
+    Entry("q_source_cap",
+      (s, d) => graft.ops.Relational.topKPerGroup(
+        docs(s, d).withColumn("pick", md5(col("doc_id").cast("string"))),
+        "source", "pick", Seq("doc_id"), k = 10)
+        .select(col("source"), col("doc_id"), col("pick")),
+      Some("SELECT source, doc_id, pick FROM (" +
+        "SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pick, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 10 " +
+        "ORDER BY source, pick DESC, doc_id")),
     Entry("q_simhash",
       (s, d) => Dedup.simhash64(
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
@@ -753,18 +837,34 @@ GROUP BY user_id ORDER BY user_id""")),
         .select(explode(TextOps.ngramArray(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(50),
-      Some("""WITH toks AS (
-  SELECT doc_id, u.tok, u.pos
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        FROM documents),
-  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
-), grams AS (
-  SELECT tok || ' ' || lead(tok) OVER w AS bigram
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  QUALIFY lead(tok) OVER w IS NOT NULL
-)
+      Some(bigramCte + """
 SELECT bigram, count(*) AS cnt FROM grams
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
+    // Bigram language-model familiarity: each document scored by the
+    // summed corpus frequency of its bigram occurrences — the
+    // integer-exact analog of KenLM-style perplexity filtering
+    // (log-prob sums would float-diverge across engines; counts
+    // cannot). Two shuffles (bigram counts, then the grams⋈counts
+    // join) plus the per-doc aggregation; all partial-aggregate
+    // map-side. Single-token docs have no bigrams and drop out of both
+    // sides identically.
+    Entry("q_lm_familiarity",
+      (s, d) => {
+        val grams = docs(s, d).select(col("doc_id"),
+          explode(TextOps.ngramArray(col("text"), 2)).as("bigram"))
+        val counts = grams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        grams.join(counts, "bigram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("cnt")).as("familiarity"))
+          .orderBy("doc_id")
+      },
+      Some(bigramCte + """
+, cnts AS (SELECT bigram, count(*) AS cnt FROM grams GROUP BY bigram)
+SELECT doc_id, count(*) AS n_bigrams,
+  CAST(sum(cnt) AS BIGINT) AS familiarity
+FROM grams JOIN cnts USING (bigram)
+GROUP BY doc_id ORDER BY doc_id""")),
     // BPE-ish tokenizer vocabulary build: top-50 pre-tokens (letter
     // runs / digit runs / single symbols) by corpus frequency — the
     // vocabulary-candidate scan a tokenizer-training pipeline starts
@@ -1425,6 +1525,37 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, " +
       "l_linestatus NULLS FIRST"
+
+  /** Marginals-only GROUPING SETS, identical SQL on both engines (same
+    * grouping()/NULLS FIRST conventions as rollupSql). */
+  lazy val groupingSetsSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+      "sum(l_quantity) AS sum_qty, " +
+      "CAST(grouping(l_returnflag) AS INTEGER) AS g_rf, " +
+      "CAST(grouping(l_linestatus) AS INTEGER) AS g_ls " +
+      "FROM lineitem " +
+      "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+      "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, " +
+      "l_linestatus NULLS FIRST"
+
+  /** Chained conditional-min funnel windows; engine-portable ANSI SQL.
+    * Counts only — timestamps never surface in the output, so the
+    * engines' parquet ns/µs timestamp affinity cannot leak into the
+    * compared values. */
+  lazy val funnelSql: String =
+    "WITH s1 AS (SELECT user_id, ts, event_type, " +
+      "min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view " +
+      "FROM events WINDOW w AS (PARTITION BY user_id)), " +
+      "s2 AS (SELECT user_id, ts, event_type, t_view, " +
+      "min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) " +
+      "OVER w AS t_click FROM s1 WINDOW w AS (PARTITION BY user_id)), " +
+      "s3 AS (SELECT user_id, t_view, t_click, " +
+      "min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) " +
+      "OVER w AS t_purchase FROM s2 WINDOW w AS (PARTITION BY user_id)), " +
+      "pu AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3) " +
+      "SELECT count(*) AS n_users, count(t_view) AS n_view, " +
+      "count(t_click) AS n_view_click, " +
+      "count(t_purchase) AS n_view_click_purchase FROM pu"
 
   /** Ranked top-k per group (row_number window), identical SQL on both
     * engines; ties broken by the full key so the winner set is unique.

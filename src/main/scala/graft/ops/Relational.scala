@@ -161,4 +161,34 @@ SELECT l.k AS $key, count(DISTINCT l.lid) AS n_left,
 FROM l LEFT JOIN r ON r.k = l.k
   AND r.rts >= l.lts - INTERVAL $windowSec SECOND AND r.rts < l.lts
 GROUP BY l.k ORDER BY $key"""
+
+  /** N-stage event funnel: per entity, stage i's timestamp is the
+    * earliest `stages(i)` event STRICTLY AFTER stage i−1's timestamp
+    * (stage 0 is the plain earliest). Output is one row of entity
+    * counts — `n_users`, then one cumulative-entry count per stage
+    * named by the joined stage prefix (n_view, n_view_click, …).
+    *
+    * The chained condition is what one-pass groupBy aggregation cannot
+    * express: each min is conditioned on the previous stage's result.
+    * All stage windows share one exchange on the entity key (same
+    * partitioning, no ORDER BY → no per-partition sort), the per-entity
+    * collapse and final rollup move only entity-count rows.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    val tCols = stages.indices.map(i => s"__t_$i")
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) > col(tCols(i - 1))
+      acc.withColumn(tCols(i), min(when(cond, col(tsCol))).over(w))
+    }
+    val countCols = stages.indices.map { i =>
+      count(col(tCols(i))).as("n_" + stages.take(i + 1).mkString("_"))
+    }
+    staged.select((userCol +: tCols).map(col): _*).distinct()
+      .agg(count(lit(1)).as("n_users"), countCols: _*)
+  }
 }

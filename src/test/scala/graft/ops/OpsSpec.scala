@@ -572,4 +572,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(top == Seq(0L, 1L))
   }
+
+  test("funnel: each stage requires a strictly-later event than the last") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    val events = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "view"), // click BEFORE the view: no stage 2
+      (3L, 1L, "view"), (3L, 1L, "click"), // same ts, not strictly after
+      (4L, 5L, "purchase"), // no view at all
+      (5L, 1L, "view"), (5L, 3L, "click"), (5L, 2L, "purchase"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        events.map(e => Row(e._1, e._2, e._3)), 3), schema)
+    val r = Relational.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).head()
+    assert(r.getAs[Long]("n_users") == 5L)
+    assert(r.getAs[Long]("n_view") == 4L)
+    assert(r.getAs[Long]("n_view_click") == 2L)
+    assert(r.getAs[Long]("n_view_click_purchase") == 1L)
+  }
 }

@@ -844,19 +844,22 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
     // summed corpus frequency of its bigram occurrences — the
     // integer-exact analog of KenLM-style perplexity filtering
     // (log-prob sums would float-diverge across engines; counts
-    // cannot). Two shuffles (bigram counts, then the grams⋈counts
-    // join) plus the per-doc aggregation; all partial-aggregate
-    // map-side. Single-token docs have no bigrams and drop out of both
-    // sides identically.
+    // cannot). The expensive explode feeds ONE (doc, bigram)
+    // term-frequency aggregation; the global counts and the join both
+    // derive from that shuffle, so exchange reuse runs the explode once
+    // (joining raw occurrences against counts instead ran it twice —
+    // measured 2× the time at sf0.3). Single-token docs have no bigrams
+    // and drop out of both sides identically.
     Entry("q_lm_familiarity",
       (s, d) => {
-        val grams = docs(s, d).select(col("doc_id"),
+        val tf = docs(s, d).select(col("doc_id"),
           explode(TextOps.ngramArray(col("text"), 2)).as("bigram"))
-        val counts = grams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-        grams.join(counts, "bigram")
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+        val global = tf.groupBy("bigram").agg(sum(col("tf")).as("cnt"))
+        tf.join(global, "bigram")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("cnt")).as("familiarity"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf") * col("cnt")).as("familiarity"))
           .orderBy("doc_id")
       },
       Some(bigramCte + """
@@ -942,6 +945,18 @@ GROUP BY doc_id ORDER BY doc_id""")),
         Similarity.ivfTopK(df, "vec_id", "embedding", annQueryVec, 10,
           centroids, nProbe = 2)
       },
+      None),
+    // ANN quality harness: recall@10 of the LSH and IVF paths vs the
+    // brute-force truth over an 8-query batch — the tuning measurement
+    // a production ANN deployment runs, as a queryable entry (the
+    // 'brute' row is the 1.0 self-check). Deterministic for fixed
+    // data/seed but engine-specific → rows-only. Expect LOW absolute
+    // recall here: the synthetic embeddings are near-orthogonal (no
+    // cluster structure), the ANN worst case — the harness exists to
+    // measure exactly that; on clustered data (OpsSpec) recall is high.
+    Entry("q_ann_recall",
+      (s, d) => Similarity.annRecall(emb(s, d), "vec_id", "embedding",
+        k = 10, numQueries = 8),
       None),
     // Embedding-cosine near-dup pairs via bucketed self-join. The
     // synthetic embeddings are near-orthogonal (max real pair cosine

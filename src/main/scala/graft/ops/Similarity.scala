@@ -351,4 +351,121 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** ANN quality harness: recall@k of the sign-LSH multi-probe and IVF
+    * paths against the brute-force ground truth, over a batch of
+    * `numQueries` query vectors drawn deterministically from the data
+    * (lowest ids). This is the measurement a production ANN deployment
+    * tunes against — recall traded off against the candidate fraction
+    * scanned — surfaced as a first-class operator so the trade-off is a
+    * queryable number, not a code comment.
+    *
+    * Shape: ONE JVM pass over the table (broadcast planes, centroids,
+    * and the metadata-sized query batch) emits per-(query, row) cosine
+    * plus each path's candidate flag; ground truth and both candidate
+    * sets then run through the two-phase bounded top-k. Everything
+    * after the scan is k·numQueries-bounded, and the summary is
+    * computed eagerly so the scored table's cache can be dropped before
+    * returning (q_sketches precedent: the result is driver-sized by
+    * construction).
+    */
+  def annRecall(df: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, numQueries: Int = 8, numBits: Int = 8,
+      ivfCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val qs = df.select(col(idCol).cast("long"), col(embCol))
+      .orderBy(col(idCol)).limit(numQueries).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(qs.nonEmpty, "annRecall needs at least one query vector")
+    val dim = qs(0).length
+    val planes = hyperplanes(dim, numBits, seed)
+    val centroids = kmeansCentroids(df, embCol, ivfCells, seed = seed)
+    def bucketOf(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, b) =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += p(i).toDouble * v(i); i += 1 }
+        if (dot > 0) 1L << b else 0L
+      }.foldLeft(0L)(_ | _)
+    val lshProbes: Array[Set[Long]] = qs.map { q =>
+      val b = bucketOf(q)
+      (b +: Array.tabulate(numBits)(i => b ^ (1L << i))).toSet
+    }
+    val ivfProbes: Array[Set[Int]] = qs.map { q =>
+      centroids.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(q).map { case (a, x) => (a - x).toDouble * (a - x) }.sum
+      }.take(nProbe).map(_._2).toSet
+    }
+    val qNorms = qs.map(q => math.sqrt(q.map(x => x.toDouble * x).sum))
+    val bc = spark.sparkContext.broadcast(
+      (qs, planes, centroids, lshProbes, ivfProbes, qNorms))
+    val scored = df.select(col(idCol).cast("long"), col(embCol))
+      .rdd.mapPartitions { rows =>
+        val (qv, pl, cs, lp, ip, qn) = bc.value
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Float](1).toArray
+          var bucket = 0L
+          var j = 0
+          while (j < pl.length) {
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += pl(j)(i).toDouble * v(i); i += 1 }
+            if (dot > 0) bucket |= 1L << j
+            j += 1
+          }
+          val cell = nearestCentroid(v, cs)
+          var vn = 0.0
+          var i = 0
+          while (i < v.length) { vn += v(i).toDouble * v(i); i += 1 }
+          val vnorm = math.sqrt(vn)
+          qv.indices.iterator.map { qi =>
+            var dot = 0.0
+            var x = 0
+            while (x < v.length) { dot += qv(qi)(x).toDouble * v(x); x += 1 }
+            Row(qi, id, dot / (vnorm * qn(qi)),
+              lp(qi).contains(bucket), ip(qi).contains(cell))
+          }
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("qid", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false),
+      StructField("lsh_hit", BooleanType, nullable = false),
+      StructField("ivf_hit", BooleanType, nullable = false)))
+    val all = spark.createDataFrame(scored, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = Relational.topKPerGroup(all, "qid", "sim", Seq("id"), k)
+        .select(col("qid"), col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def recallOf(cand: DataFrame, name: String): Row = {
+        val approx = Relational.topKPerGroup(cand, "qid", "sim", Seq("id"), k)
+          .select(col("qid"), col("id"), lit(1).as("__hit"))
+        val r = truth.join(approx, Seq("qid", "id"), "left")
+          .groupBy(col("qid"))
+          .agg((sum(coalesce(col("__hit"), lit(0))) / lit(k.toDouble))
+            .as("recall"))
+          .agg(count(lit(1)).as("n_queries"),
+            avg(col("recall")).as("mean_recall"),
+            min(col("recall")).as("min_recall"))
+          .head()
+        Row(name, r.getLong(0), r.getDouble(1), r.getDouble(2))
+      }
+      val rows = Seq(recallOf(all, "brute"),
+        recallOf(all.filter(col("lsh_hit")), "lsh"),
+        recallOf(all.filter(col("ivf_hit")), "ivf"))
+      truth.unpersist(false)
+      val outSchema = StructType(Seq(
+        StructField("method", StringType, nullable = false),
+        StructField("n_queries", LongType, nullable = false),
+        StructField("mean_recall", DoubleType, nullable = false),
+        StructField("min_recall", DoubleType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), outSchema)
+    } finally all.unpersist(false)
+  }
 }

@@ -573,6 +573,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq(0L, 1L))
   }
 
+  test("annRecall: brute row is exactly 1.0, approx rows are in (0, 1]") {
+    // 4 well-separated clusters of 10: IVF with 4 cells/2 probes and
+    // 6-bit LSH multi-probe both recover most neighbors; brute is the
+    // self-check that the harness's truth join is sound.
+    val rng = new java.util.Random(7)
+    val base = Array(
+      Array.fill(16)(0f).updated(0, 10f), Array.fill(16)(0f).updated(4, 10f),
+      Array.fill(16)(0f).updated(8, 10f), Array.fill(16)(0f).updated(12, 10f))
+    val vecs = (0 until 40).map { i =>
+      val v = base(i % 4).clone()
+      (i.toLong, v.map(x => x + rng.nextGaussian().toFloat * 0.1f).toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(v => Row(v._1, v._2)), 3),
+      schema)
+    val rows = Similarity.annRecall(df, "vec_id", "embedding", k = 5,
+      numQueries = 4, numBits = 6, ivfCells = 4, nProbe = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("brute", "lsh", "ivf"))
+    assert(rows("brute") == ((4L, 1.0, 1.0)))
+    Seq("lsh", "ivf").foreach { m =>
+      val (n, mean, mn) = rows(m)
+      assert(n == 4L)
+      assert(mean > 0.0 && mean <= 1.0, s"$m mean=$mean")
+      assert(mn >= 0.0 && mn <= mean, s"$m min=$mn")
+    }
+  }
+
   test("funnel: each stage requires a strictly-later event than the last") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", LongType), StructField("event_type", StringType)))

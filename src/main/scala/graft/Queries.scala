@@ -448,6 +448,17 @@ ORDER BY set_op""")),
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+    // Bucketed-storage co-located join: both sides materialized ONCE as
+    // bucketBy+sortBy parquet tables on the join key (session-cached),
+    // after which the join itself is exchange-free and sort-free — the
+    // layout that amortizes repeated fact⋈dim joins at 100 TB. The
+    // oracle is the plain declarative join over the original parquet:
+    // the check is that the storage-layout rewrite preserves join
+    // semantics exactly. (OpsSpec separately asserts the no-shuffle
+    // plan shape.)
+    Entry("q_bucketed_join",
+      (s, d) => graft.ops.Bucketing.ordersPerNationBucketed(s, d),
+      Some(graft.ops.Bucketing.ordersPerNationSql("orders", "customer"))),
     // As-of join (point-in-time): each purchase matched to the user's
     // most recent PRIOR click via a running window max — the standard
     // Spark-first formulation (one shuffle on user_id, per-partition

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-storage co-located joins — the 100 TB technique the ad-hoc
+  * entries can't show: pay the shuffle ONCE at write time (bucketBy +
+  * sortBy on the join key), then every subsequent join on that key is
+  * exchange-free (and with sorted buckets, sort-free): a SortMergeJoin
+  * whose both sides stream straight from the scan.
+  *
+  * At real scale this is how fact↔dim and fact↔fact joins on a stable
+  * key (user_id, custkey, doc_id) amortize: one layout job, unbounded
+  * downstream joins/aggregations reading co-located partitions. The
+  * OpsSpec plan test asserts the exchange-free shape; the catalog entry
+  * (`q_bucketed_join`) oracle-checks that the layout rewrite preserves
+  * join semantics exactly.
+  */
+object Bucketing {
+
+  /** Materializes `df` as a bucketed+sorted parquet table (external, at
+    * `baseDir/name`) if this session hasn't already, and returns the
+    * catalog-backed DataFrame. Bucket metadata lives in the session
+    * catalog — reads resolve bucket files without a metastore service.
+    * Callers key `name` by the source dir so different SF inputs never
+    * alias.
+    */
+  def bucketedTable(spark: SparkSession, name: String, df: => DataFrame,
+      keyCol: String, numBuckets: Int, baseDir: String): DataFrame = {
+    if (!spark.catalog.tableExists(name)) {
+      df.write
+        .bucketBy(numBuckets, keyCol)
+        .sortBy(keyCol)
+        .option("path", s"$baseDir/$name")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  /** Orders⋈customer per-nation rollup over bucketed tables: the join
+    * reads co-located buckets (no exchange, no per-query sort on the
+    * join side); the only shuffle left is the small nation-key
+    * aggregation. Semantically identical to the plain declarative join
+    * — which is exactly what the oracle checks.
+    */
+  def ordersPerNationBucketed(spark: SparkSession, sfDir: String,
+      numBuckets: Int = 8): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val ord = bucketedTable(spark, s"graft_b_${tag}_orders",
+      graft.core.Tables.read(spark, sfDir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", numBuckets, base)
+    val cust = bucketedTable(spark, s"graft_b_${tag}_customer",
+      graft.core.Tables.read(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+      "c_custkey", numBuckets, base)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("revenue_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  def ordersPerNationSql(ordersTable: String, customerTable: String): String =
+    s"SELECT c_nationkey, count(*) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+      "AS revenue_cents " +
+      s"FROM $ordersTable JOIN $customerTable ON o_custkey = c_custkey " +
+      "GROUP BY c_nationkey ORDER BY c_nationkey"
+}

@@ -573,6 +573,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq(0L, 1L))
   }
 
+  test("bucketed join: no shuffle exchange, same result as the plain join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bucket_test").toString
+      val a = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      val b = spark.range(0, 100)
+        .select(col("id").as("k2"), (col("id") % 3).as("w"))
+      val ta = Bucketing.bucketedTable(spark, "t_bucket_a", a, "k", 4, dir)
+      val tb = Bucketing.bucketedTable(spark, "t_bucket_b", b, "k2", 4, dir)
+      val j = ta.join(tb, ta("k") === tb("k2"))
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle:\n${j.queryExecution.executedPlan}")
+      val plain = a.join(b, a("k") === b("k2"))
+      val plainExchanges = plain.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(plainExchanges.nonEmpty,
+        "control: the un-bucketed join should shuffle under these confs")
+      assert(j.count() == plain.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+    }
+  }
+
   test("annRecall: brute row is exactly 1.0, approx rows are in (0, 1]") {
     // 4 well-separated clusters of 10: IVF with 4 cells/2 probes and
     // 6-bit LSH multi-probe both recover most neighbors; brute is the

@@ -459,6 +459,22 @@ ORDER BY set_op""")),
     Entry("q_bucketed_join",
       (s, d) => graft.ops.Bucketing.ordersPerNationBucketed(s, d),
       Some(graft.ops.Bucketing.ordersPerNationSql("orders", "customer"))),
+    // Partition pruning over the date-partitioned events layout: the
+    // week filter hits the scan as PartitionFilters (directory skip,
+    // verified by the OpsSpec plan test), not a row filter. The oracle
+    // runs the same predicate over the unpartitioned original — the
+    // check is that the ingest-time layout changes I/O, not answers.
+    Entry("q_partition_prune",
+      (s, d) => graft.ops.Bucketing.datePartitionedEvents(s, d)
+        .filter(col("dt").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' " +
+        "AND DATE '2024-01-14' GROUP BY event_type ORDER BY event_type")),
     // As-of join (point-in-time): each purchase matched to the user's
     // most recent PRIOR click via a running window max — the standard
     // Spark-first formulation (one shuffle on user_id, per-partition

@@ -72,4 +72,25 @@ object Bucketing {
       "AS revenue_cents " +
       s"FROM $ordersTable JOIN $customerTable ON o_custkey = c_custkey " +
       "GROUP BY c_nationkey ORDER BY c_nationkey"
+
+  /** The partner layout technique: Hive-style date partitioning, so a
+    * filter on the partition column reaches the scan as
+    * PartitionFilters and skips whole directories — at 100 TB a
+    * one-week query over a year of events reads ~2% of the files
+    * instead of filtering 100% of the rows. Materialized once per
+    * session (the write is the honest ingest-time cost); the returned
+    * DataFrame is path-backed, so pruning needs no catalog.
+    */
+  def datePartitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_part/events_$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.core.Tables.read(spark, sfDir, "events")
+        .withColumn("dt", to_date(col("ts")))
+        .write.partitionBy("dt").mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 }

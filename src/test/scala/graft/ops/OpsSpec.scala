@@ -606,6 +606,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partitioned scan: the partition filter prunes directories") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_part_test").toString + "/t"
+      spark.range(0, 100)
+        .select(col("id"), (col("id") % 5).as("p"))
+        .write.partitionBy("p").parquet(dir)
+      val pruned = spark.read.parquet(dir).filter(col("p") === 2)
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        s"partition filter must reach the scan:\n${pruned.queryExecution}")
+      // Directory skip, not row filter: only 1-of-5 partitions' files read.
+      val allFiles = spark.read.parquet(dir)
+        .select(input_file_name()).distinct().count()
+      val readFiles = pruned.select(input_file_name()).distinct().count()
+      assert(readFiles < allFiles && pruned.count() == 20)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("annRecall: brute row is exactly 1.0, approx rows are in (0, 1]") {
     // 4 well-separated clusters of 10: IVF with 4 cells/2 probes and
     // 6-bit LSH multi-probe both recover most neighbors; brute is the

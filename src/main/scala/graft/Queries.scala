@@ -802,6 +802,15 @@ GROUP BY user_id ORDER BY user_id""")),
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text"),
       None),
+    // Engine-portable SimHash twin (md5 halves, BIGINT-safe): the ±1
+    // bit-vote aggregation is hash-checked end-to-end; the xxhash64
+    // entry above stays the production default.
+    Entry("q_simhash_md5",
+      (s, d) => Dedup.simhashMd5(
+        docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text"),
+      Some(Dedup.simhashMd5Sql("documents", "doc_id", "text",
+        "WHERE doc_id % 7 = 0"))),
     Entry("q_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),

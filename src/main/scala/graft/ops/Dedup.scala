@@ -199,6 +199,64 @@ GROUP BY a.id, b.id ORDER BY id_a, id_b"""
     * assembly avoids ANSI-mode long-overflow on the sign bit.
     * One shuffle on doc id after the token explode.
     */
+  /** Engine-portable SimHash twin: md5 per token instead of xxhash64,
+    * split into two 32-bit halves so every value stays BIGINT-safe on
+    * both engines (a 64-bit unsigned md5 prefix would overflow DuckDB's
+    * BIGINT and Spark's conv() round-trip alike). Same per-bit ±1 vote
+    * aggregation as [[simhash64]] — 64 conditional sums in ONE hash
+    * aggregate, no bit-explosion row multiplier. The xxhash64 path
+    * stays the production default (one 64-bit mix vs a cryptographic
+    * hash per token); this twin puts the SimHash VOTE MACHINERY under
+    * the hash-equality gate.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+      .withColumn("hi", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
+    def bitSums(c: String, p: String) = (0 until 32).map { i =>
+      sum(when(col(c).bitwiseAND(shiftleft(lit(1L), i)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"$p$i")
+    }
+    def assemble(p: String) = (0 until 32).map { i =>
+      when(col(s"$p$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val aggs = bitSums("hi", "hb") ++ bitSums("lo", "lb")
+    toks.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), assemble("hb").as("sim_hi"),
+        assemble("lb").as("sim_lo"))
+      .orderBy("id")
+  }
+
+  /** DuckDB twin of [[simhashMd5]] (hex-prefix casts are bit-identical
+    * across the engines; every sum is CAST to BIGINT). */
+  def simhashMd5Sql(table: String, idCol: String, textCol: String,
+      where: String = ""): String = {
+    def half(c: String, lo: Int) =
+      s"('0x'||substr(md5(tok),$lo,8))::BIGINT AS $c"
+    def bitSums(c: String, p: String) = (0 until 32).map { i =>
+      s"CAST(sum(CASE WHEN ($c >> $i) & 1 = 1 THEN 1 ELSE -1 END) " +
+        s"AS BIGINT) AS $p$i"
+    }
+    def assemble(p: String) = (0 until 32).map { i =>
+      s"CASE WHEN $p$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS tok
+  FROM $table $where
+), h AS (
+  SELECT id, ${half("hi", 1)}, ${half("lo", 9)} FROM toks
+), bits AS (
+  SELECT id, ${(bitSums("hi", "hb") ++ bitSums("lo", "lb")).mkString(", ")}
+  FROM h GROUP BY id
+)
+SELECT id, CAST(${assemble("hb")} AS BIGINT) AS sim_hi,
+       CAST(${assemble("lb")} AS BIGINT) AS sim_lo
+FROM bits ORDER BY id"""
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))

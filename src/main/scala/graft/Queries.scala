@@ -786,6 +786,12 @@ GROUP BY user_id ORDER BY user_id""")),
     // per-input-partition heaps, then a window over the pruned set)
     // because source cardinality can be tiny relative to data; the
     // oracle is the declarative row_number twin.
+    // Temperature-based language rebalancing (α=0.5): the head
+    // language downsamples toward sqrt-flattened proportions with an
+    // append-stable md5 membership; smallest language keeps all rows.
+    Entry("q_temperature_mix",
+      (s, d) => Corpus.temperatureMix(docs(s, d), "lang", "doc_id"),
+      Some(Corpus.temperatureMixSql("documents", "lang", "doc_id"))),
     Entry("q_source_cap",
       (s, d) => graft.ops.Relational.topKPerGroup(
         docs(s, d).withColumn("pick", md5(col("doc_id").cast("string"))),

@@ -39,6 +39,51 @@ object Corpus {
     s"((($key % $m) + $m) % $m) = 0"
   }
 
+  /** Temperature-based group rebalancing at α = 0.5 — the multilingual
+    * LLM mixing rule (sampling weight ∝ p^α with α < 1 flattens the
+    * head language/source): each group is DOWNsampled with
+    * rate_g = sqrt(min_n / n_g), so the smallest group keeps everything
+    * and the head shrinks toward balance. Membership is frozen by an
+    * md5 threshold on the row id (append-stable, like the hash split).
+    *
+    * α is fixed at 0.5 ON PURPOSE: the rate enters an integer threshold
+    * compare, and sqrt + division are IEEE-correctly-rounded in both
+    * engines while a general pow(x, α) is only faithfully rounded —
+    * libm differences could flip a boundary row. One count aggregation
+    * (group-cardinality-sized), rates broadcast back, map-side filter;
+    * the scan never shuffles.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_orig"))
+    val minN = counts.agg(min(col("n_orig")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("thresh",
+        floor(sqrt(col("min_n").cast("double") / col("n_orig")) *
+          lit(1000000L)).cast("long"))
+      .select(col(groupCol), col("n_orig"), col("thresh"))
+    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    df.join(broadcast(rates), groupCol)
+      .filter(pmod(hash32, lit(1000000L)) < col("thresh"))
+      .groupBy(col(groupCol), col("n_orig"), col("thresh"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB twin of [[temperatureMix]]. */
+  def temperatureMixSql(table: String, group: String, id: String): String =
+    s"""WITH counts AS (SELECT $group, count(*) AS n_orig FROM $table GROUP BY $group),
+mn AS (SELECT min(n_orig) AS min_n FROM counts),
+rates AS (SELECT $group, n_orig,
+  CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_orig) * 1000000) AS BIGINT)
+    AS thresh FROM counts, mn)
+SELECT d.$group, r.n_orig, r.thresh, count(*) AS n_kept
+FROM $table d JOIN rates r USING ($group)
+WHERE ('0x'||substr(md5(CAST(d.$id AS VARCHAR)),1,8))::BIGINT % 1000000
+  < r.thresh
+GROUP BY d.$group, r.n_orig, r.thresh ORDER BY d.$group"""
+
   /** Greedy sequence packing: concatenate docs (in id order) into packs
     * of at most `maxTokens` tokens — the step that turns a deduped
     * corpus into fixed-budget training sequences. Docs longer than

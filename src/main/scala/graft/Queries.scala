@@ -808,6 +808,14 @@ GROUP BY user_id ORDER BY user_id""")),
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text"),
       None),
+    // MinHash signature accuracy vs the exact-Jaccard ground truth
+    // (shares the corpus shingle table and the materialized pair DF):
+    // the k-hash sizing measurement, queryable. rows-only (the exact
+    // side is already oracle-checked via q_ngram_jaccard).
+    Entry("q_minhash_accuracy",
+      (s, d) => Dedup.minhashAccuracy(docShingles(s, d),
+        jaccardPairs(s, d), numHashes = 16),
+      None),
     // Engine-portable SimHash twin (md5 halves, BIGINT-safe): the ±1
     // bit-vote aggregation is hash-checked end-to-end; the xxhash64
     // entry above stays the production default.

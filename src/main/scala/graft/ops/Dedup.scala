@@ -80,6 +80,43 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
+  /** MinHash estimator accuracy harness (the dedup-family analog of
+    * Similarity.annRecall): over the exact near-dup ground-truth pairs,
+    * compare the signature estimate — matching-minima fraction over
+    * `numHashes` seeded hashes — against the exact Jaccard, and report
+    * the error distribution. This is the number that sizes a production
+    * signature (k hashes ⇒ ±1/k estimate granularity): queryable, not
+    * a code comment. Signatures are one partial-aggregated groupBy over
+    * the shared shingle table; the ground-truth pair set is bounded, so
+    * the two signature joins broadcast.
+    *
+    * Caveat (documented, inherent): the exact pipeline computes Jaccard
+    * over DF-capped rare shingles while signatures hash all shingles —
+    * on a boilerplate-heavy corpus the two universes differ; here the
+    * cap only drops boilerplate shared by >maxShingleDf docs.
+    */
+  def minhashAccuracy(exploded: DataFrame, exactPairs: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    val aggs = (0 until numHashes).map { seed =>
+      min(xxhash64(lit(seed), col("shingle"))).as(s"__h$seed")
+    }
+    val sigs = exploded.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    val withSigs = exactPairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val matches = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    withSigs
+      .select(col("jaccard"),
+        (matches.cast("double") / numHashes).as("est"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(abs(col("est") - col("jaccard"))).as("mean_abs_err"),
+        max(abs(col("est") - col("jaccard"))).as("max_abs_err"))
+  }
+
   /** MinHash+LSH banding: split the signature into `bands` bands of
     * `rowsPerBand`, bucket by (band, hash(band slice)), emit candidate
     * pairs that collide in ≥1 band with their signature-estimated

@@ -659,6 +659,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhashAccuracy: identical docs estimate jaccard 1.0 with zero error") {
+    val df = docsDf((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "x y z w v u"))
+    val exploded = Dedup.explodeShingles(df, "doc_id", "text", 3)
+    val exact = Dedup.ngramJaccardPairsFromShingles(exploded, 0.5, 100)
+    val r = Dedup.minhashAccuracy(exploded, exact, numHashes = 8).head()
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Double]("mean_abs_err") == 0.0)
+    assert(r.getAs[Double]("max_abs_err") == 0.0)
+  }
+
   test("funnel: each stage requires a strictly-later event than the last") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", LongType), StructField("event_type", StringType)))

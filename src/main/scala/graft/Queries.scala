@@ -394,6 +394,45 @@ ORDER BY set_op""")),
         ).toDF("sketch", "value").orderBy("sketch")
       },
       None),
+    // Sketch accuracy harness — the third of the measured-approximation
+    // trio (with q_ann_recall and q_minhash_accuracy): HLL++ distinct
+    // counts at two precisions and percentile_approx at two accuracies,
+    // each against its exact answer, reported as relative error. This
+    // is the number that sizes a sketch budget at 100 TB (rsd/accuracy
+    // trade against executor memory), queryable instead of assumed.
+    // One pass per aggregate set; driver assembly is scalar-bounded
+    // (q_sketches precedent). rows-only: sketches are engine-specific.
+    Entry("q_sketch_accuracy",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d)
+        val h = df.agg(
+          countDistinct(col("l_orderkey")).as("exact"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("a05"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a01"))
+          .head()
+        val probs = "array(0.25, 0.5, 0.75, 0.95)"
+        val q = df.agg(
+          expr(s"percentile(l_quantity, $probs)").as("qe"),
+          expr(s"percentile_approx(l_quantity, $probs, 100)").as("q100"),
+          expr(s"percentile_approx(l_quantity, $probs, 10000)").as("qk"))
+          .head()
+        def relErr(exact: Double, approx: Double): Double =
+          if (exact == 0.0) math.abs(approx) else math.abs(approx - exact) / exact
+        val hllRows = Seq(
+          ("hll_rsd_0.05", h.getLong(0).toDouble, h.getLong(1).toDouble),
+          ("hll_rsd_0.01", h.getLong(0).toDouble, h.getLong(2).toDouble))
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        def qRows(name: String, idx: Int) = ps.indices.map { i =>
+          (f"$name%s_p${(ps(i) * 100).toInt}%d",
+            q.getSeq[Double](0)(i), q.getSeq[Double](idx)(i))
+        }
+        (hllRows ++ qRows("pctl_acc_100", 1) ++ qRows("pctl_acc_10k", 2))
+          .map { case (m, e, a) => (m, e, a, relErr(e, a)) }
+          .toDF("metric", "exact", "approx", "rel_err")
+          .orderBy("metric")
+      },
+      None),
     // Batch sessionization via identical window SQL on both engines —
     // the verifiable batch twin of streaming EventStream.sessionize.
     Entry("q_sessionize_batch",

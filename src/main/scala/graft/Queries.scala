@@ -847,6 +847,32 @@ GROUP BY user_id ORDER BY user_id""")),
         docs(s, d).filter(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text"),
       None),
+    // Document chunking for embedding/RAG pipelines: fixed 64-token
+    // windows at stride 48 (16-token overlap), as one map-side
+    // explode — no shuffle; the ordered output is the only sort. The
+    // checked artifact keeps rows slim (chunk md5, not chunk text).
+    // 1/13 doc slice bounds the dumped row count.
+    Entry("q_doc_chunks",
+      (s, d) => docs(s, d)
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(48))).as("st"))
+        .select(col("doc_id"),
+          floor((col("st") - 1) / 48.0).cast("int").as("chunk_id"),
+          size(slice(col("toks"), col("st"), lit(64))).as("n_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("st"), lit(64))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 13 = 0),
+s AS (SELECT doc_id, toks,
+  unnest(generate_series(1, len(toks), 48)) AS st FROM t)
+SELECT doc_id, CAST(floor((st - 1) / 48.0) AS INTEGER) AS chunk_id,
+  CAST(len(list_slice(toks, st, st + 63)) AS INTEGER) AS n_tokens,
+  md5(array_to_string(list_slice(toks, st, st + 63), ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_id""")),
     // MinHash signature accuracy vs the exact-Jaccard ground truth
     // (shares the corpus shingle table and the materialized pair DF):
     // the k-hash sizing measurement, queryable. rows-only (the exact

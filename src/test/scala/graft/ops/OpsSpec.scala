@@ -659,6 +659,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("temperatureMix: smallest group keeps all, head keeps ~sqrt share") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    // 400 'en' docs vs 25 'fr': rate_en = sqrt(25/400) = 0.25 exactly.
+    val rows = (0L until 400L).map(i => Row(i, "en")) ++
+      (1000L until 1025L).map(i => Row(i, "fr"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val r = Corpus.temperatureMix(df, "lang", "doc_id")
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n_orig"), x.getAs[Long]("thresh"),
+          x.getAs[Long]("n_kept"))).toMap
+    assert(r("fr") == ((25L, 1000000L, 25L)), "smallest group keeps all")
+    val (nOrig, thresh, nKept) = r("en")
+    assert(nOrig == 400L && thresh == 250000L)
+    // md5 thresholding is uniform: kept fraction within ±40% of the rate.
+    assert(nKept > 60 && nKept < 140, s"en kept $nKept of 400 at rate 0.25")
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // 10 shuffle partitions, not the suite's 2: with 2, the hot
+    // partition IS the median and can never exceed factor × median.
+    Seq("spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, lit, concat}
+      // 50k rows of key 0 (one hot reducer) vs 5k spread over 50 keys.
+      val left = spark.range(0, 55000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id") % 50).as("k"),
+        // Incompressible payload: shuffle skew sizing is on COMPRESSED
+        // bytes, and a constant string compresses to nothing.
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string"))).as("payload"))
+      val right = spark.range(0, 50).select(col("id").as("k"),
+        col("id").as("w"))
+      val j = left.join(right, "k")
+      // Execute j ITSELF (count() builds a separate query execution and
+      // the adaptive plan only finalizes on the executed one).
+      assert(j.collect().length == 55000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the skewed side:\n$plan")
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .foreach(spark.conf.unset)
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    }
+  }
+
   test("minhashAccuracy: identical docs estimate jaccard 1.0 with zero error") {
     val df = docsDf((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "x y z w v u"))

@@ -149,6 +149,50 @@ object EventStream {
       }
   }
 
+  /** Public: the state encoder's generated code must construct it.
+    * `-1` = stage not reached (event times are epoch ms ≥ 0). */
+  final case class FunnelProgress(userId: Long, stageReached: Int)
+
+  /** Streaming N-stage funnel tracker — the per-key monotone state
+    * machine (distinct from sessionization's gap state): per user,
+    * stage i's time is the earliest `stages(i)` event STRICTLY AFTER
+    * stage i−1's, the same rule as the batch `Relational.funnel`. Each
+    * update emits the user's deepest stage reached (Update mode).
+    *
+    * Exactness contract (inherent to single-pass streaming state, and
+    * the reason the batch twin is the oracle-checked truth): within a
+    * micro-batch, events apply in event-time order, so any prefix whose
+    * stage-enabling events arrive in watermark order matches the batch
+    * funnel exactly. An out-of-order LATE stage-0 event still lowers
+    * t0, but stage-1 events from EARLIER batches it would retroactively
+    * enable were already discarded — streaming can only under-count
+    * those, never over-count (every credited transition did satisfy the
+    * strictly-after rule). State is stages.length longs per user —
+    * watermark-independent and constant-size, so 10⁹ users is GBs
+    * across a cluster's state stores.
+    */
+  def funnelStages(events: Dataset[Event],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty)
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Array[Long], FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val t = state.getOption.getOrElse(Array.fill(stages.length)(-1L))
+          for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+            val i = stages.indexOf(e.event_type)
+            if (i == 0) {
+              if (t(0) == -1L || e.ts.getTime < t(0)) t(0) = e.ts.getTime
+            } else if (i > 0 && t(i - 1) != -1L && e.ts.getTime > t(i - 1)) {
+              if (t(i) == -1L || e.ts.getTime < t(i)) t(i) = e.ts.getTime
+            }
+          }
+          state.update(t)
+          FunnelProgress(userId, t.lastIndexWhere(_ != -1L) + 1)
+      }
+  }
+
   /** Stream–static enrichment join: attach a dimension table to a live
     * event stream. The static side is broadcast-hinted — per micro-batch
     * Spark re-plans the join against the dimension's CURRENT snapshot

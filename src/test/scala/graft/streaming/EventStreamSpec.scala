@@ -168,4 +168,49 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).endMs - out(0).startMs == 5 * 60000L)
     query.stop()
   }
+
+  test("streaming funnel matches the batch funnel on ordered arrivals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    // user 10 completes all stages across two batches; user 11's click
+    // precedes its view (stage 2 never fires); user 12 views only;
+    // user 13's purchase skips the click stage.
+    val batch1 = Seq(
+      Event(1, ts(0), 10, "view", 0.0), Event(2, ts(1), 10, "click", 0.0),
+      Event(3, ts(0), 11, "click", 0.0), Event(4, ts(2), 11, "view", 0.0),
+      Event(5, ts(0), 12, "view", 0.0))
+    val batch2 = Seq(
+      Event(6, ts(3), 10, "purchase", 0.0),
+      Event(7, ts(5), 13, "purchase", 0.0))
+    val mem = MemoryStream[Event]
+    val query = EventStream.funnelStages(mem.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt3").toString)
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*)
+    query.processAllAvailable()
+    mem.addData(batch2: _*)
+    query.processAllAvailable()
+    // Last update per user is the final stage depth.
+    val finalStages = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .zipWithIndex.groupBy(_._1._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+    assert(finalStages == Map(10L -> 3, 11L -> 1, 12L -> 1, 13L -> 0))
+    query.stop()
+    // Batch twin agrees: funnel counts derived from the same events.
+    val allEvents = (batch1 ++ batch2).toDF()
+    val b = graft.ops.Relational.funnel(allEvents, "user_id", "ts",
+      "event_type", stages).head()
+    assert(b.getAs[Long]("n_users") == 4L)
+    assert(b.getAs[Long]("n_view") ==
+      finalStages.values.count(_ >= 1).toLong)
+    assert(b.getAs[Long]("n_view_click") ==
+      finalStages.values.count(_ >= 2).toLong)
+    assert(b.getAs[Long]("n_view_click_purchase") ==
+      finalStages.values.count(_ >= 3).toLong)
+  }
 }

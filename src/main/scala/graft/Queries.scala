@@ -424,7 +424,7 @@ ORDER BY set_op""")),
         df.createOrReplaceTempView("lineitem")
         val exactQ = s.sql(Queries.quantilesSql).collect()
           .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-        val probs = "array(0.25, 0.5, 0.75, 0.95)"
+        val probs = quantileProbs.mkString("array(", ", ", ")")
         val q = df.agg(
           expr(s"percentile_approx(l_quantity, $probs, 100)").as("q100"),
           expr(s"percentile_approx(l_quantity, $probs, 10000)").as("qk"))
@@ -434,7 +434,7 @@ ORDER BY set_op""")),
         val hllRows = Seq(
           ("hll_rsd_0.05", exactD.toDouble, h.getLong(0).toDouble),
           ("hll_rsd_0.01", exactD.toDouble, h.getLong(1).toDouble))
-        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        val ps = quantileProbs
         def qRows(name: String, idx: Int) = ps.indices.map { i =>
           (f"$name%s_p${(ps(i) * 100).toInt}%d",
             exactQ(ps(i)), q.getSeq[Double](idx)(i))
@@ -1720,13 +1720,20 @@ GROUP BY doc_id ORDER BY doc_id""")),
     * the table — the earlier row_number-over-all-rows formulation
     * single-partitioned the whole table, the exact anti-pattern this
     * repo bans. The groupBy histogram is one partial-agg shuffle. */
+  /** Shared by quantilesSql and q_sketch_accuracy — the sketch entry
+    * indexes its exact references by these probabilities, so the two
+    * lists must not drift apart. lazy: forced from entry vals declared
+    * earlier in this object (the init-order trap the verify skill
+    * documents). */
+  lazy val quantileProbs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
   lazy val quantilesSql: String =
     "WITH f AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem " +
       "GROUP BY 1), " +
       "cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED " +
       "PRECEDING) AS cum FROM f), " +
       "tot AS (SELECT sum(c) AS n FROM f) " +
-      Seq(0.25, 0.5, 0.75, 0.95).map { p =>
+      quantileProbs.map { p =>
         s"SELECT CAST($p AS DOUBLE) AS p, (SELECT min(v) FROM cum, tot " +
           s"WHERE cum >= CAST(floor($p * (n - 1)) AS BIGINT) + 1) AS value"
       }.mkString("", " UNION ALL ", " ORDER BY p")

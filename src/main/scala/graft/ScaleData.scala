@@ -53,11 +53,11 @@ object ScaleData {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
-      val df0 = graft.core.Tables.read(spark, src, t)
-      // Tables.read expects events.ts as long nanos (the driver layout);
-      // write it back in that shape so the derived dir reads identically.
-      val df = if (t == "events")
-        df0.withColumn("ts", unix_micros(col("ts")) * lit(1000L)) else df0
+      // events.ts is written as a plain µs TIMESTAMP (not the driver's
+      // TIMESTAMP(NANOS)): Tables.read passes non-long ts through, and
+      // DuckDB reads µs timestamps natively — so timestamp oracles also
+      // hold on derived dirs.
+      val df = graft.core.Tables.read(spark, src, t)
       val outDf = shiftCols.get(t) match {
         case Some(keys) => replicate(df, keys, factor)
         case None => df

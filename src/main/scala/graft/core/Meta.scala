@@ -149,9 +149,14 @@ object Tables {
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // Driver layout: TIMESTAMP(NANOS), surfaced as long under the
+    // legacy conf → truncate to µs. Derived dirs (ScaleData) write a
+    // plain µs TIMESTAMP that DuckDB can also read — pass it through.
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    else df
   }
 
   /** Load a table projected to its modeled columns (column pruning reaches

@@ -218,8 +218,11 @@ object BayesNet {
     } else {
       val pass = rebinPass(df, meta, maxBins)
       val cellPairCounts: PairCounts = scala.collection.mutable.Map.empty
-      decodeRows(pass.pairsDf.collect(), nin, n, null, cellPairCounts)
-      pass.encCache.foreach(_.unpersist(false))
+      // finally: the encode cache must not outlive a failed collect
+      // (executor OOM on a wide fit would otherwise leak the persisted
+      // table for the session's lifetime).
+      try decodeRows(pass.pairsDf.collect(), nin, n, null, cellPairCounts)
+      finally pass.encCache.foreach(_.unpersist(false))
       // Cell marginals derived on the driver from the original-resolution
       // marginals (no second singles job needed).
       val cellMarginals: Array[Array[Double]] = Array.tabulate(nin) { i =>

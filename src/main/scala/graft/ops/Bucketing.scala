@@ -45,10 +45,20 @@ object Bucketing {
     * aggregation. Semantically identical to the plain declarative join
     * — which is exactly what the oracle checks.
     */
+  /** Cache key for materialized layouts: the source dir PLUS the
+    * source file's (mtime, length) fingerprint, so a regenerated
+    * source parquet at the same path invalidates stale cross-JVM
+    * copies instead of being silently reused. */
+  private def dirTag(sfDir: String, table: String): String = {
+    val f = new java.io.File(s"$sfDir/$table.parquet")
+    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def ordersPerNationBucketed(spark: SparkSession, sfDir: String,
       numBuckets: Int = 8): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tag = dirTag(sfDir, "orders") + dirTag(sfDir, "customer")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
     val ord = bucketedTable(spark, s"graft_b_${tag}_orders",
       graft.core.Tables.read(spark, sfDir, "orders")
@@ -82,8 +92,7 @@ object Bucketing {
     * DataFrame is path-backed, so pruning needs no catalog.
     */
   def datePartitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tag = dirTag(sfDir, "events")
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_part/events_$tag"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {

@@ -438,10 +438,13 @@ object Similarity {
       StructField("ivf_hit", BooleanType, nullable = false)))
     val all = spark.createDataFrame(scored, schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // finally: all three per-invocation resources (scored cache, truth
+    // cache, the planes/centroids/query broadcast) are session-lived
+    // otherwise — repeated invocations would accumulate storage memory.
+    val truth = Relational.topKPerGroup(all, "qid", "sim", Seq("id"), k)
+      .select(col("qid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val truth = Relational.topKPerGroup(all, "qid", "sim", Seq("id"), k)
-        .select(col("qid"), col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def recallOf(cand: DataFrame, name: String): Row = {
         val approx = Relational.topKPerGroup(cand, "qid", "sim", Seq("id"), k)
           .select(col("qid"), col("id"), lit(1).as("__hit"))
@@ -458,7 +461,6 @@ object Similarity {
       val rows = Seq(recallOf(all, "brute"),
         recallOf(all.filter(col("lsh_hit")), "lsh"),
         recallOf(all.filter(col("ivf_hit")), "ivf"))
-      truth.unpersist(false)
       val outSchema = StructType(Seq(
         StructField("method", StringType, nullable = false),
         StructField("n_queries", LongType, nullable = false),
@@ -466,6 +468,10 @@ object Similarity {
         StructField("min_recall", DoubleType, nullable = false)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), outSchema)
-    } finally all.unpersist(false)
+    } finally {
+      truth.unpersist(false)
+      all.unpersist(false)
+      bc.destroy()
+    }
   }
 }

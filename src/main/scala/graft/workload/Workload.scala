@@ -24,14 +24,18 @@ object Workload {
     * `hash % k == 0` subset, ordered, bounded — never a full collect.
     */
   def anchorRows(df: DataFrame, cols: Seq[String], n: Int): Array[Array[Any]] = {
-    val total = df.count()
     // The slice hashes the projected VALUES, so its density scales with
-    // the table's distinct value-tuple count, not its row count: on a
-    // low-cardinality (or heavily duplicated) table a row-count-derived
-    // modulus can select nothing. Widen deterministically until the
-    // slice is non-empty — still a pure function of the data, never a
-    // full collect (each attempt stays limit-bounded).
-    var k = math.max(1L, total / math.max(1, n * 2))
+    // the table's distinct value-tuple count, not its row count — derive
+    // the modulus from an approximate distinct count (one pass) instead
+    // of a row-count guess, which on heavily duplicated tables selected
+    // nothing and paid a rescan per widening retry. The widening loop
+    // stays as the guaranteed-termination fallback (k = 1 selects
+    // every tuple); approx_count_distinct is deterministic for fixed
+    // data, so the workload stays reproducible.
+    val distinctEst = df
+      .agg(approx_count_distinct(hash(cols.map(col): _*)).as("d"))
+      .head().getLong(0)
+    var k = math.max(1L, distinctEst / math.max(1, n * 2))
     def slice(k: Long) = df.select(cols.map(col): _*)
       .filter(pmod(hash(cols.map(col): _*), lit(k)) === 0)
       .limit(n * 4)

@@ -137,6 +137,7 @@ class BayesNetSpec extends AnyFunSuite with BeforeAndAfterAll {
       pass.binMap(2) == null)
     // 3 pairs: (u,v) <= 32², (u,s) <= 32*4, (v,s) <= 32*4.
     val collected = pass.pairsDf.count()
+    pass.encCache.foreach(_.unpersist(false))
     assert(collected <= maxBins * maxBins + 2 * maxBins * 4,
       s"pairwise aggregation not cell-bounded: $collected rows")
     // And the full fit on the same data still estimates ranges sanely.

@@ -942,6 +942,25 @@ FROM s ORDER BY doc_id, chunk_id""")),
           TextOps.bpeTokenCountSql("text") +
           " AS n_bpe_tokens FROM documents ORDER BY doc_id"
       }),
+    // Incremental (continuous-ingestion) dedup: the doc_id%5==0 slice
+    // arrives as a new batch; the rest is the frozen corpus whose
+    // fingerprint index the batch anti-joins. Batch-vs-corpus overlap
+    // and within-batch dups both exercised (this corpus has exact
+    // duplicate texts across the split).
+    Entry("q_incremental_dedup",
+      (s, d) => Dedup.incrementalDedup(
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text"),
+      Some(Dedup.incrementalDedupSql(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0",
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+        "doc_id", "text"))),
+    // Gopher repetition filters (top-2-gram / duplicate-5-gram char
+    // fractions) per document — integer-count divisions, hash-checked.
+    Entry("q_repetition",
+      (s, d) => TextOps.repetitionSignals(docs(s, d), "doc_id", "text"),
+      Some(TextOps.repetitionSignalsSql("documents", "doc_id", "text"))),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.

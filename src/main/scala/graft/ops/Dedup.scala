@@ -35,6 +35,39 @@ object Dedup {
       s"(PARTITION BY md5($text) ORDER BY $id) AS rn FROM $table) " +
       s"WHERE rn = 1 ORDER BY $id"
 
+  /** Incremental dedup against a frozen corpus — the continuous-crawl
+    * ingestion shape: the already-ingested corpus contributes only its
+    * fingerprint set (at 100 TB that index is a checkpointed table,
+    * re-read per batch, never recomputed); the new batch keeps one row
+    * per novel fingerprint (smallest id) and drops anything the corpus
+    * already has.
+    *
+    * Scale shape: within-batch keep-first is one partial-aggregated
+    * shuffle on the fingerprint; the corpus check is a LEFT ANTI join
+    * keyed on the same fingerprint — batch-sized, not corpus-sized,
+    * rows move, and Spark reuses the hash partitioning between the two.
+    * No broadcast hint: the index side IS the big side at scale, and a
+    * shuffled anti join on a hash key is the stable plan.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val index = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+    batch.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(index, Seq("__fp"), "left_anti")
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
+  def incrementalDedupSql(batchSql: String, corpusSql: String,
+      id: String, text: String): String =
+    s"""WITH batch AS ($batchSql), corpus AS ($corpusSql),
+kept AS (
+  SELECT min($id) AS $id, md5($text) AS fp FROM batch GROUP BY md5($text))
+SELECT $id FROM kept
+WHERE fp NOT IN (SELECT md5($text) FROM corpus)
+ORDER BY $id"""
+
   /** Corpus-level dup stats in one aggregation. */
   def stats(df: DataFrame, textCol: String): DataFrame =
     df.agg(

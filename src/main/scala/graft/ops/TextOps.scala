@@ -117,6 +117,98 @@ object TextOps {
           s" / nullif($toks, 0)"))
   }
 
+  /** Canonical text cleanup: NFC-normalize (custom codegen'd
+    * [[graft.functions.NfcNormalize]] — Spark has no built-in), strip
+    * non-whitespace control characters, collapse whitespace runs, trim.
+    * Run before any hashing/dedup so byte-different but char-identical
+    * crawl copies converge. Pure map-side, whole-stage-codegen.
+    */
+  private val ctrlPattern = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
+
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc(text),
+        ctrlPattern, ""),
+      "\\s+", " "))
+
+  def cleanTextSql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($text), " +
+      s"'$ctrlPattern', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * §A1.1 repetition filters) over word n-grams:
+    *
+    *  - `top{N}_frac`: fraction of n-gram characters covered by the
+    *    single most frequent N-gram (`max(c·l) / sum(c·l)`),
+    *  - `dup{M}_frac`: fraction of n-gram characters inside M-grams
+    *    occurring more than once (`sum(c·l | c>1) / sum(c·l)`).
+    *
+    * This corpus is single-line (so the line/paragraph variants
+    * degenerate); the n-gram variants are the discriminating ones.
+    * All inputs to the two divisions are integer counts, so the
+    * doubles are engine-exact.
+    *
+    * Scale shape: n-gram assembly + explode are map-side; the
+    * (id, n, ngram) count is one partial-aggregated shuffle, the
+    * per-doc rollup a second on the already doc-sized rows. No joins,
+    * no windows — survives any corpus size.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN != dupN, "use distinct n for the top- and dup- signals")
+    val base = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), col(textCol))
+    val grams = Seq(topN, dupN).map { n =>
+      base.select(col(idCol), lit(n).as("n"),
+        explode(ngramArray(col(textCol), n)).as("ngram"))
+    }.reduce(_ unionAll _)
+    val counts = grams
+      .groupBy(col(idCol), col("n"), col("ngram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cl", col("c") * length(col("ngram")))
+    counts.groupBy(col(idCol))
+      .agg(
+        (max(when(col("n") === topN, col("cl"))).cast("double") /
+          nullif(sum(when(col("n") === topN, col("cl"))), lit(0L)))
+          .as(s"top${topN}_frac"),
+        (coalesce(sum(when(col("n") === dupN && col("c") > 1, col("cl"))),
+          lit(0L)).cast("double") /
+          nullif(sum(when(col("n") === dupN, col("cl"))), lit(0L)))
+          .as(s"dup${dupN}_frac"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB list-comprehension n-gram twin of [[ngramArray]]. */
+  private def ngramListSql(toks: String, n: Int): String =
+    s"list_transform(generate_series(1, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))"
+
+  /** DuckDB twin of [[repetitionSignals]]. */
+  def repetitionSignalsSql(table: String, id: String, text: String,
+      topN: Int = 2, dupN: Int = 5): String =
+    s"""WITH base AS (
+  SELECT $id AS id, regexp_split_to_array(trim($text), '\\s+') AS toks
+  FROM $table WHERE trim($text) <> ''),
+g AS (
+  SELECT id, $topN AS n, unnest(${ngramListSql("toks", topN)}) AS ngram
+  FROM base
+  UNION ALL
+  SELECT id, $dupN AS n, unnest(${ngramListSql("toks", dupN)}) AS ngram
+  FROM base),
+c AS (
+  SELECT id, n, ngram, CAST(count(*) AS BIGINT) AS c,
+    CAST(count(*) AS BIGINT) * len(ngram) AS cl
+  FROM g GROUP BY id, n, ngram)
+SELECT id AS $id,
+  CAST(max(CASE WHEN n = $topN THEN cl END) AS DOUBLE) /
+    nullif(CAST(sum(CASE WHEN n = $topN THEN cl END) AS BIGINT), 0)
+    AS top${topN}_frac,
+  CAST(coalesce(CAST(sum(CASE WHEN n = $dupN AND c > 1 THEN cl END)
+      AS BIGINT), 0) AS DOUBLE) /
+    nullif(CAST(sum(CASE WHEN n = $dupN THEN cl END) AS BIGINT), 0)
+    AS dup${dupN}_frac
+FROM c GROUP BY id ORDER BY id"""
+
   /** PII scrubbing patterns, applied in order (emails and IPs first so
     * the generic digit-run rule cannot eat their digits). RE2-safe (no
     * backreferences or lookaround), so Spark's Java regex and DuckDB's

@@ -495,6 +495,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2)._3 == fp("delta\nepsilon"))
   }
 
+  test("incrementalDedup keeps only batch-novel texts, first id wins") {
+    val corpus = docsDf((1L, "seen before"), (2L, "also seen"))
+    val batch = docsDf(
+      (10L, "seen before"),   // exists in corpus -> dropped
+      (11L, "brand new"),
+      (13L, "brand new"),     // within-batch dup -> 11 kept
+      (12L, "also new"))
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L, 12L))
+  }
+
+  test("repetitionSignals: hand-computed top-2-gram and dup-5-gram fractions") {
+    // 12 tokens; 2-grams: "u1 u2","u2 u3","u3 u4","u4 u5" twice each,
+    // "u5 u6","u6 u7","u7 u1" once -> 11 grams of 5 chars; top = 2*5.
+    // 5-grams: 8 positions, only "u1 u2 u3 u4 u5" repeats (c=2, l=14)
+    // -> dup chars 28 of 112.
+    val df = docsDf(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u1 u2 u3 u4 u5"),
+      (2L, "w1 w2 w3"),  // no 5-gram: dup5 null; all 2-grams distinct
+      (3L, ""))          // blank -> excluded entirely
+    val out = TextOps.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.length == 2)
+    assert(out(0) == ((1L, Some(10.0 / 55), Some(28.0 / 112))))
+    assert(out(1)._1 == 2L)
+    assert(out(1)._2 == Some(5.0 / 10))  // "w1 w2","w2 w3": top 5 of 10
+    assert(out(1)._3 == None)            // no 5-grams at all
+  }
+
   test("piiScrub redacts emails/IPs before the digit-run rule") {
     val df = docsDf((1L, "mail a.user+x@test-host.org from 10.0.0.1 port 8080 ok"))
     val got = df.select(TextOps.piiScrub(col("text"))).head().getString(0)

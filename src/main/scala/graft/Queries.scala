@@ -961,6 +961,34 @@ FROM s ORDER BY doc_id, chunk_id""")),
     Entry("q_repetition",
       (s, d) => TextOps.repetitionSignals(docs(s, d), "doc_id", "text"),
       Some(TextOps.repetitionSignalsSql("documents", "doc_id", "text"))),
+    // Unicode canonicalization (codegen'd NFC Expression — Spark has no
+    // built-in — plus control-strip + whitespace collapse). The text is
+    // decorated IDENTICALLY on both sides with decomposed sequences
+    // (e+U+0301, A+U+030A), a control char, and double spaces, so the
+    // oracle checks real normalization work, not an ASCII no-op:
+    // len_clean < len_raw iff NFC actually composed characters.
+    Entry("q_text_normalize",
+      (s, d) => {
+        graft.functions.NfcNormalize.ensureRegistered(s)
+        docs(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" cafe\u0301  A\u030Arhus \u0007 x ")).as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("len_raw"),
+          TextOps.cleanText(col("raw")).as("cleaned"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("cleaned")).as("len_clean"),
+          md5(col("cleaned")).as("md5_clean"))
+        .orderBy("doc_id")
+      },
+      Some {
+        val raw = "substring(text, 1, 40) || ' cafe' || chr(769) || " +
+          "'  A' || chr(778) || 'rhus ' || chr(7) || ' x '"
+        val cleaned = TextOps.cleanTextSql(raw)
+        s"SELECT doc_id, CAST(length($raw) AS INTEGER) AS len_raw, " +
+          s"CAST(length($cleaned) AS INTEGER) AS len_clean, " +
+          s"md5($cleaned) AS md5_clean FROM documents ORDER BY doc_id"
+      }),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.

@@ -127,7 +127,8 @@ object TextOps {
 
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(graft.functions.NfcNormalize.nfc(text),
+      regexp_replace(
+        call_function(graft.functions.NfcNormalize.name, text),
         ctrlPattern, ""),
       "\\s+", " "))
 

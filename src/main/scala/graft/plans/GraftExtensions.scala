@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ApproxCountRule(session)
     }
     ext.injectFunction(CosineSimilarity.registration)
+    ext.injectFunction(graft.functions.NfcNormalize.registration)
   }
 }
 

@@ -527,6 +527,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("cleanText: NFC composes, strips controls, collapses whitespace") {
+    graft.functions.NfcNormalize.ensureRegistered(spark)
+    // decomposed e+combining-acute and A+combining-ring, a BEL, runs of
+    // spaces -> precomposed single chars, control gone, single spaces.
+    val df = docsDf((1L, "cafe\u0301  A\u030Arhus \u0007 x"))
+    val got = df.select(TextOps.cleanText(col("text"))).head().getString(0)
+    assert(got == "caf\u00e9 \u00c5rhus x")
+    assert(got.length == 12)
+    // already-NFC input passes through unchanged (the fast path)
+    val same = df.select(TextOps.cleanText(lit("plain ascii")))
+      .head().getString(0)
+    assert(same == "plain ascii")
+  }
+
   test("piiScrub redacts emails/IPs before the digit-run rule") {
     val df = docsDf((1L, "mail a.user+x@test-host.org from 10.0.0.1 port 8080 ok"))
     val got = df.select(TextOps.piiScrub(col("text"))).head().getString(0)

@@ -526,6 +526,27 @@ ORDER BY set_op""")),
         "count(DISTINCT user_id) AS n_users FROM events " +
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' " +
         "AND DATE '2024-01-14' GROUP BY event_type ORDER BY event_type")),
+    // Z-order (Morton) clustering key over (custkey, order-day): the
+    // multi-dimensional layout sort that single-column sorting can't
+    // replace — LayoutSpec measures the file-level stats-pruning win;
+    // this entry hash-checks the interleave arithmetic itself (pure
+    // integer bit-spreading, identical in both engines) on a key slice.
+    Entry("q_zorder",
+      (s, d) => Tables.read(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"),
+          graft.ops.Bucketing.zorder2(
+            col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date"))).as("zval"))
+        .withColumn("zbucket", shiftright(col("zval"), 20))
+        .orderBy("o_orderkey"),
+      Some {
+        val z = graft.ops.Bucketing.zorder2Sql("o_custkey",
+          "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")
+        s"SELECT o_orderkey, $z AS zval, ($z >> 20) AS zbucket " +
+          "FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"
+      }),
     // As-of join (point-in-time): each purchase matched to the user's
     // most recent PRIOR click via a running window max — the standard
     // Spark-first formulation (one shuffle on user_id, per-partition

@@ -527,6 +527,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("zorder2 layout: file stats prune a y-slice that a linear x-sort cannot") {
+    // 20k rows, two 10-bit dimensions, 16 files per layout. A file is
+    // "touched" by a predicate iff its [min,max] stats overlap — the
+    // same math parquet row-group / data-skipping readers run.
+    val df = spark.range(20000).select(
+      (col("id") * 48271 % 1024).as("x"),
+      (col("id") * 16807 % 1024).as("y"))
+    def fileRanges(data: org.apache.spark.sql.DataFrame,
+        sortCol: org.apache.spark.sql.Column) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder_test").toString
+      data.repartitionByRange(16, sortCol).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("y").as("ylo"), max("y").as("yhi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    }
+    val linear = fileRanges(df, col("x"))
+    val zed = fileRanges(
+      df.withColumn("z", Bucketing.zorder2(col("x"), col("y"), bits = 10)),
+      col("z"))
+    assert(linear.length == 16 && zed.length == 16)
+    def touched(rs: Array[(Long, Long)], lo: Long, hi: Long) =
+      rs.count(r => r._1 <= hi && r._2 >= lo)
+    // y in [256, 319]: x-sorted files each span ~all of y -> no skipping;
+    // z-sorted files are spatial tiles -> most files' y-range misses.
+    assert(touched(linear, 256, 319) >= 15,
+      s"x-sort unexpectedly pruned: ${linear.toSeq}")
+    assert(touched(zed, 256, 319) <= 8,
+      s"z-order pruned too little: ${zed.toSeq}")
+  }
+
   test("cleanText: NFC composes, strips controls, collapses whitespace") {
     graft.functions.NfcNormalize.ensureRegistered(spark)
     // decomposed e+combining-acute and A+combining-ring, a BEL, runs of

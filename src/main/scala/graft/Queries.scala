@@ -178,6 +178,16 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // Per-group exact quantiles: the same rank-walk over the
+    // distinct-value histogram as q_quantiles, partitioned by group —
+    // the windows and joins all move |group|·|domain| rows, never the
+    // table. Verbatim-identical SQL on both engines.
+    Entry("q_group_quantiles",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql(Queries.groupQuantilesSql)
+      },
+      Some(groupQuantilesSql)),
     // Multi-level aggregation (ROLLUP) with grouping() markers —
     // subtotal + grand-total rows in one pass (Spark plans it as a
     // single Expand + hash aggregate, still one shuffle). Identical SQL
@@ -453,6 +463,25 @@ ORDER BY set_op""")),
         s.sql(Queries.sessionizeSql)
       },
       Some(sessionizeSql)),
+    // Event debounce (burst collapse): per (user, type), an event
+    // within 60 s of its predecessor is a retry/double-fire, not a new
+    // action. Kept/total per type; interval arithmetic (not epoch
+    // casts) so µs-vs-ns reader precision cannot diverge.
+    Entry("q_debounce",
+      (s, d) => graft.ops.Relational.debounce(Tables.read(s, d, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id", gapSeconds = 60)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("debounce_keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("event_type"),
+      Some("""WITH lagged AS (
+  SELECT event_type, ts - lag(ts) OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN gap IS NULL OR gap > INTERVAL 60 SECOND
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lagged GROUP BY event_type ORDER BY event_type""")),
     // Time-bucketed aggregation over the event stream table.
     Entry("q_events_hourly",
       (s, d) => Tables.read(s, d, "events")
@@ -709,6 +738,23 @@ GROUP BY user_id ORDER BY user_id""")),
           maxShingleDf = 100, materialize = true))
     }
 
+  // Cluster labels over the near-dup pairs, shared by
+  // q_dedup_components and q_leakage_split (label propagation runs
+  // once per (session, dir); the result is clusters-sized, tiny).
+  private val ccCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
+    ccCache.synchronized {
+      ccCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      ccCache.getOrElseUpdate((s, d),
+        Dedup.connectedComponents(
+          jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val docEntries: Seq[Entry] = Seq(
     Entry("q_dedup_stats",
       (s, d) => Dedup.stats(docs(s, d), "text"),
@@ -754,9 +800,7 @@ GROUP BY user_id ORDER BY user_id""")),
     // transitive closure via a DuckDB recursive CTE over the same pair
     // query.
     Entry("q_dedup_components",
-      (s, d) => Dedup.connectedComponents(
-        jaccardPairs(s, d).select("id_a", "id_b"),
-        "id_a", "id_b"),
+      (s, d) => dedupComponents(s, d),
       Some(Dedup.connectedComponentsSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
           maxShingleDf = 100)))),
@@ -962,6 +1006,38 @@ FROM s ORDER BY doc_id, chunk_id""")),
         "SELECT doc_id, " + scores.mkString(", ") + ", " +
           TextOps.bpeTokenCountSql("text") +
           " AS n_bpe_tokens FROM documents ORDER BY doc_id"
+      }),
+    // Leakage-safe train/val/test split: every near-dup CLUSTER lands
+    // in exactly one split (split = hash of the cluster's canonical
+    // min-id representative, singletons keep their own id) — the
+    // eval-contamination guard a per-document hash split cannot give.
+    // No cluster can span splits BY CONSTRUCTION; the artifact's
+    // per-split doc and group counts hash-check the composition of
+    // components + hash-split against the recursive-CTE closure.
+    // Cluster labels are shared with q_dedup_components (computed once
+    // per dir); the label table is clusters-sized, so the left join
+    // broadcasts.
+    Entry("q_leakage_split",
+      (s, d) => docs(s, d)
+        .join(dedupComponents(s, d).withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("rep"))
+        .select(Corpus.hashSplit(col("rep")).as("split"), col("rep"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .orderBy("split"),
+      Some {
+        val cc = Dedup.connectedComponentsSql(
+          Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+            maxShingleDf = 100))
+        val rep = "coalesce(c.comp, d.doc_id)"
+        s"""SELECT split, count(*) AS n_docs,
+  count(DISTINCT rep) AS n_groups
+FROM (
+  SELECT $rep AS rep, ${Corpus.hashSplitSql(rep)} AS split
+  FROM documents d LEFT JOIN ($cc) c ON c.id = d.doc_id)
+GROUP BY split ORDER BY split"""
       }),
     // Incremental (continuous-ingestion) dedup: the doc_id%5==0 slice
     // arrives as a new batch; the rest is the frozen corpus whose
@@ -1805,6 +1881,24 @@ GROUP BY doc_id ORDER BY doc_id""")),
         s"SELECT CAST($p AS DOUBLE) AS p, (SELECT min(v) FROM cum, tot " +
           s"WHERE cum >= CAST(floor($p * (n - 1)) AS BIGINT) + 1) AS value"
       }.mkString("", " UNION ALL ", " ORDER BY p")
+
+  /** Per-group twin of [[quantilesSql]]: one (g,v) histogram shuffle, a
+    * per-group cumulative window over distinct values, and a
+    * probs × groups sized join — runs verbatim in Spark SQL and DuckDB.
+    */
+  lazy val groupQuantilesSql: String =
+    "WITH f AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c " +
+      "FROM lineitem GROUP BY 1, 2), " +
+      "cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM f), " +
+      "tot AS (SELECT g, sum(c) AS n FROM f GROUP BY g), " +
+      "probs AS (" +
+      quantileProbs.map(p => s"SELECT CAST($p AS DOUBLE) AS p")
+        .mkString(" UNION ALL ") + ") " +
+      "SELECT g AS l_returnflag, p, min(v) AS value " +
+      "FROM cum JOIN tot USING (g) CROSS JOIN probs " +
+      "WHERE cum >= CAST(floor(p * (n - 1)) AS BIGINT) + 1 " +
+      "GROUP BY g, p ORDER BY l_returnflag, p"
 
   def all: Seq[Entry] =
     estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++

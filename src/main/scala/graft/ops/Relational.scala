@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Event debounce (telemetry burst collapse): flag each row as kept
+    * iff it is the first in its (keys) group or arrived more than
+    * `gapSeconds` after its predecessor — the standard batch dedup for
+    * retry storms / double-fires before sessionization or counting.
+    * Marks rather than filters so callers can audit drop rates; filter
+    * on `debounce_keep` to apply.
+    *
+    * Scale shape: one shuffle on the (typically high-cardinality) key
+    * tuple + per-partition sort — identical cost profile to
+    * sessionization, no self-join. The gap compares timestamp
+    * DIFFERENCES to an interval (engine-portable; avoids epoch-cast
+    * truncation mismatches between µs and ns readers).
+    */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val gap = col(tsCol) - lag(col(tsCol), 1).over(w)
+    df.withColumn("debounce_keep",
+      gap.isNull || gap > expr(s"INTERVAL $gapSeconds SECOND"))
+  }
+
   /** Exact top-k rows per group, safe for LOW-cardinality (or skewed)
     * group keys where the plain `row_number() OVER (PARTITION BY g)`
     * window would sort data-sized partitions (3 groups over a fact

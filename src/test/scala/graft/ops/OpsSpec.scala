@@ -527,6 +527,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("debounce: keeps first and gap-separated events, flags bursts") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val rows = Seq(
+      Row(1L, "click", 1L, at(0)),    // first -> keep
+      Row(1L, "click", 2L, at(30)),   // 30s after prev -> drop
+      Row(1L, "click", 3L, at(95)),   // 65s after PREV ROW (not prev kept) -> keep
+      Row(1L, "view", 4L, at(10)),    // other type: independent -> keep
+      Row(2L, "click", 5L, at(20)))   // other user -> keep
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val kept = Relational.debounce(df, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSeconds = 60)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true))
+  }
+
   test("zorder2 layout: file stats prune a y-slice that a linear x-sort cannot") {
     // 20k rows, two 10-bit dimensions, 16 files per layout. A file is
     // "touched" by a predicate iff its [min,max] stats overlap — the

@@ -178,6 +178,18 @@ object Queries {
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // One-pass dataset profile (rows/nulls/distincts/min-max per
+    // column): the ingest-time quality report. One Expand-fused shuffle
+    // for all exact distincts; numeric min/max as DOUBLE so no
+    // engine-specific string formatting enters the hash.
+    Entry("q_profile",
+      (s, d) => graft.ops.Profile.profile(li(s, d),
+        Seq("l_orderkey", "l_quantity", "l_discount",
+          "l_returnflag", "l_linestatus", "l_shipdate")),
+      Some(graft.ops.Profile.profileSql("lineitem",
+        Seq("l_orderkey" -> true, "l_quantity" -> true,
+          "l_discount" -> true, "l_returnflag" -> false,
+          "l_linestatus" -> false, "l_shipdate" -> false)))),
     // Per-group exact quantiles: the same rank-walk over the
     // distinct-value histogram as q_quantiles, partitioned by group —
     // the windows and joins all move |group|·|domain| rows, never the

@@ -149,20 +149,22 @@ object TextOps {
     * All inputs to the two divisions are integer counts, so the
     * doubles are engine-exact.
     *
-    * Scale shape: n-gram assembly + explode are map-side; the
-    * (id, n, ngram) count is one partial-aggregated shuffle, the
-    * per-doc rollup a second on the already doc-sized rows. No joins,
-    * no windows — survives any corpus size.
+    * Scale shape: BOTH n-gram sizes are assembled and exploded from ONE
+    * scan (a tagged (n, ngram) struct array — a union of two selects
+    * would scan and repartition the corpus twice); the (id, n, ngram)
+    * count is one partial-aggregated shuffle, the per-doc rollup a
+    * second on the already doc-sized rows. No joins, no windows —
+    * survives any corpus size.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 5): DataFrame = {
     require(topN != dupN, "use distinct n for the top- and dup- signals")
-    val base = df.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), col(textCol))
-    val grams = Seq(topN, dupN).map { n =>
-      base.select(col(idCol), lit(n).as("n"),
-        explode(ngramArray(col(textCol), n)).as("ngram"))
-    }.reduce(_ unionAll _)
+    def tag(n: Int): Column =
+      transform(ngramArray(col(textCol), n),
+        g => struct(lit(n).as("n"), g.as("ngram")))
+    val grams = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(concat(tag(topN), tag(dupN))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.ngram").as("ngram"))
     val counts = grams
       .groupBy(col(idCol), col("n"), col("ngram"))
       .agg(count(lit(1)).as("c"))

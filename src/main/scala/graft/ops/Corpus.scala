@@ -141,6 +141,14 @@ GROUP BY d.$group, r.n_orig, r.thresh ORDER BY d.$group"""
     * recursive CTE stepping one row at a time in (rid, id) order — fine
     * at oracle scale; the Spark side is the parallel plan. `nTokensSql`
     * is the SQL twin of the Spark-side token-count column. */
+  /** The recursion walks each id-range INDEPENDENTLY (rn partitioned by
+    * rid): every range advances one doc per iteration in parallel, so
+    * recursion depth is bounded by docs-per-range (≤ rangeWidth for
+    * unique ids) no matter the corpus size. The previous global
+    * `rn = w.rn + 1` walk recursed once per document — 15k iterations
+    * at 3× testdata scale ran for CPU-hours in DuckDB; this form is
+    * equivalent because a rid change always closes the pack (each
+    * range folds independently by construction). */
   def packSequencesByRangeSql(table: String, id: String, nTokensSql: String,
       maxTokens: Int, rangeWidth: Long): String =
     s"""WITH RECURSIVE toks AS (
@@ -148,16 +156,15 @@ GROUP BY d.$group, r.n_orig, r.thresh ORDER BY d.$group"""
          LEAST($nTokensSql, $maxTokens) AS n
   FROM $table
 ), ord AS (
-  SELECT id, rid, n, row_number() OVER (ORDER BY id) AS rn FROM toks
+  SELECT id, rid, n,
+         row_number() OVER (PARTITION BY rid ORDER BY id) AS rn FROM toks
 ), walk AS (
   SELECT rn, rid, id, n, id AS pack_id, n AS acc FROM ord WHERE rn = 1
   UNION ALL
   SELECT o.rn, o.rid, o.id, o.n,
-    CASE WHEN o.rid = w.rid AND w.acc + o.n <= $maxTokens
-         THEN w.pack_id ELSE o.id END,
-    CASE WHEN o.rid = w.rid AND w.acc + o.n <= $maxTokens
-         THEN w.acc + o.n ELSE o.n END
-  FROM ord o JOIN walk w ON o.rn = w.rn + 1
+    CASE WHEN w.acc + o.n <= $maxTokens THEN w.pack_id ELSE o.id END,
+    CASE WHEN w.acc + o.n <= $maxTokens THEN w.acc + o.n ELSE o.n END
+  FROM ord o JOIN walk w ON o.rid = w.rid AND o.rn = w.rn + 1
 )
 SELECT pack_id, CAST(count(*) AS INTEGER) AS n_docs,
        CAST(sum(n) AS INTEGER) AS n_tokens

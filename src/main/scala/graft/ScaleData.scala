@@ -30,14 +30,34 @@ object ScaleData {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+  def replicate(df: DataFrame, keys: Seq[String], factor: Int,
+      perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
     val copies = (0 until factor).map { c =>
-      keys.foldLeft(df) { (d, k) =>
+      keys.foldLeft(perCopy(df, c)) { (d, k) =>
         d.withColumn(k, col(k) + lit(c * stride))
       }
     }
     copies.reduce(_ unionByName _)
   }
+
+  /** Embedding copies > 0 are DECORRELATED by alternate-sign flips
+    * (parity keyed by copy number): shared text payloads are wanted for
+    * dedup realism, but byte-identical vectors would violate
+    * q_embed_neardup's planted-ground-truth contract (the oracle lists
+    * the planted pairs as the ONLY cosine ≥ 0.9 pairs — a 3× dir full
+    * of exact vector copies makes every replica a real near-dup). Sign
+    * flips are IEEE-exact: norms, dimensions, and value distributions
+    * are untouched, so every other embeddings entry is unaffected.
+    */
+  private def decorrelate(df: DataFrame, c: Int): DataFrame =
+    if (c == 0) df
+    else df.withColumn("embedding",
+      // Walsh sign pattern per copy: flip element i iff bit (c-1) of i
+      // is set. Distinct copies get orthogonal patterns, so EVERY pair
+      // of replicas decorrelates, at any factor.
+      transform(col("embedding"), (x, i) =>
+        when(shiftright(i, c - 1).bitwiseAND(lit(1)) === 0, x)
+          .otherwise(negate(x))))
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
@@ -59,6 +79,8 @@ object ScaleData {
       // hold on derived dirs.
       val df = graft.core.Tables.read(spark, src, t)
       val outDf = shiftCols.get(t) match {
+        case Some(keys) if t == "embeddings" =>
+          replicate(df, keys, factor, decorrelate)
         case Some(keys) => replicate(df, keys, factor)
         case None => df
       }

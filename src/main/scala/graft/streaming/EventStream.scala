@@ -101,6 +101,54 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Streaming twin of [[graft.ops.Relational.debounce]]: emit an event
+    * iff it arrives more than `gapMs` after the last emitted one for its
+    * (user, type) key — burst/retry collapse on a live stream. State is
+    * ONE timestamp per key (constant size), dropped once the watermark
+    * passes the gap edge, so total state is bounded by the active key
+    * set — the same watermark discipline as sessionization.
+    *
+    * Note the semantics difference from the batch lag-window form: the
+    * stream compares against the last KEPT event (state is the kept
+    * frontier); the batch form compares against the previous event
+    * kept-or-not. StreamingSpec pins the streaming semantics on a burst
+    * that distinguishes the two.
+    */
+  final case class DebounceState(lastKeptMs: Long)
+
+  def debounceEvents(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, String), rows: Iterator[Event],
+            state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.map(_.lastKeptMs)
+            val out = scala.collection.mutable.ArrayBuffer[Event]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (last.forall(t - _ > gapMs)) {
+                out += e
+                last = Some(t)
+              }
+            }
+            last.foreach { m =>
+              state.update(DebounceState(m))
+              state.setTimeoutTimestamp(m + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Event-time sessionization: like [[sessionize]], but sessions close
     * when the WATERMARK (not the wall clock) passes the gap — state and
     * emission are driven purely by the data, which also makes it exactly

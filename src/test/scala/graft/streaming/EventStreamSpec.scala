@@ -87,6 +87,36 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("streaming debounce keeps the burst's first event and gap-separated ones") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStream.debounceEvents(mem.toDS(), gapMs = 60L * 60000L)
+      .writeStream.format("memory").queryName("debounced")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_db").toString)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),   // keep (first)
+      Event(2, ts(30), 10, "click", 1.0),  // 30 min after kept -> drop
+      Event(3, ts(95), 10, "click", 1.0),  // 95 min after last KEPT -> keep
+      Event(4, ts(120), 10, "click", 1.0), // 25 min after kept #3 -> drop
+      Event(5, ts(40), 11, "click", 1.0))  // other user -> keep
+    query.processAllAvailable()
+    // cross-batch state: 50 min after kept #3 -> drop in a later batch.
+    // (The batch lag-window form would differ here only if the PREVIOUS
+    // ROW were dropped; 6 trails dropped #4 by 25 min, so both forms
+    // drop it — the streaming form for the kept-frontier distance, the
+    // batch form for the row distance.)
+    mem.addData(Event(6, ts(145), 10, "click", 1.0))
+    query.processAllAvailable()
+    val kept = spark.table("debounced")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    query.stop()
+  }
+
   test("stream-static enrichment joins the dimension without losing rows") {
     val s = spark
     import s.implicits._

@@ -527,6 +527,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("profile: null/distinct counts and numeric-only min/max") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val rows = Seq(
+      Row(1L, "a", 2.0), Row(2L, "a", null), Row(3L, null, -1.5),
+      Row(4L, "b", 2.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      schema)
+    val out = Profile.profile(df, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out("k") == ((4L, 0L, 4L, Some(1.0), Some(4.0))))
+    assert(out("s") == ((4L, 1L, 2L, None, None)))  // strings: no min/max
+    assert(out("v") == ((4L, 1L, 2L, Some(-1.5), Some(2.0))))
+  }
+
   test("debounce: keeps first and gap-separated events, flags bursts") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("event_type", StringType),

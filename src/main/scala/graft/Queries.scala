@@ -1098,6 +1098,31 @@ GROUP BY split ORDER BY split"""
           s"CAST(length($cleaned) AS INTEGER) AS len_clean, " +
           s"md5($cleaned) AS md5_clean FROM documents ORDER BY doc_id"
       }),
+    // Heavy hitters via the Misra–Gries custom aggregate: O(k) state
+    // per buffer, k-entry summaries are the only shuffled bytes — the
+    // frequent-token scan that works against an open-web vocabulary
+    // where groupBy(term).count shuffles a row per distinct term. The
+    // exact counts are joined alongside as the measured-accuracy
+    // harness (underestimate ≤ N/(k+1), asserted in OpsSpec across
+    // partition layouts); the surviving tail-term set is
+    // partitioning-dependent by design -> rows-only.
+    Entry("q_heavy_hitters",
+      (s, d) => {
+        graft.functions.MisraGriesTopK.ensureRegistered(s)
+        val toks = docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val mg = toks
+          .agg(expr(s"${graft.functions.MisraGriesTopK.name}(tok, 64)")
+            .as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.term").as("term"), col("h.est").as("est"))
+        val exact = toks.groupBy(col("tok").as("term"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        mg.join(exact, "term")
+          .withColumn("underestimate", col("exact_cnt") - col("est"))
+          .orderBy(desc("exact_cnt"), col("term"))
+      },
+      None),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.

@@ -527,6 +527,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("misra-gries guarantee holds across partition layouts") {
+    graft.functions.MisraGriesTopK.ensureRegistered(spark)
+    // 3 heavy terms (600/300/150 of N=1300) + 250 distinct tail terms.
+    val stream = new scala.util.Random(42).shuffle(
+      (Seq.fill(600)("hot1") ++ Seq.fill(300)("hot2") ++
+        Seq.fill(150)("hot3") ++
+        (0 until 250).map(i => s"tail$i")).toList)
+    val n = stream.length
+    val k = 16
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(stream.map(Tuple1(_)), parts)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        StructType(Seq(StructField("tok", StringType))))
+      val got = df
+        .agg(expr(s"${graft.functions.MisraGriesTopK.name}(tok, $k)")
+          .as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.term"), col("h.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n.toDouble / (k + 1)
+      // every term with true count > N/(k+1) must be present
+      for ((t, c) <- exact if c > bound)
+        assert(got.contains(t), s"parts=$parts: heavy term $t missing")
+      // estimates only undercount, by at most N/(k+1)
+      for ((t, e) <- got) {
+        assert(e <= exact(t), s"parts=$parts: $t overcounted $e > ${exact(t)}")
+        assert(exact(t) - e <= bound,
+          s"parts=$parts: $t undercounted by ${exact(t) - e} > $bound")
+      }
+      assert(got.size <= k)
+    }
+  }
+
   test("profile: null/distinct counts and numeric-only min/max") {
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("s", StringType), StructField("v", DoubleType)))

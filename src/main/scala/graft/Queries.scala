@@ -588,6 +588,33 @@ FROM lagged GROUP BY event_type ORDER BY event_type""")),
         s"SELECT o_orderkey, $z AS zval, ($z >> 20) AS zbucket " +
           "FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"
       }),
+    // Two-TABLE as-of join on the custom Catalyst operator (logical
+    // node + strategy + exec — the whole-operator extension rung):
+    // purchases against the latest prior-or-equal click per user. The
+    // right side is deduped to one row per (user, ts) first so the
+    // as-of match is deterministic on both engines; the oracle is
+    // DuckDB's native ASOF LEFT JOIN (same inclusive >= semantics).
+    Entry("q_asof_join_exec",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+          .agg(max(col("event_id")).as("q_id"))
+        graft.ops.Relational.asofJoinTables(purchases, clicks,
+            "user_id", "q_user", "ts", "q_ts")
+          .select(col("event_id"), col("user_id"), col("q_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, c.q_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts
+ORDER BY p.event_id""")),
     // As-of join (point-in-time): each purchase matched to the user's
     // most recent PRIOR click via a running window max — the standard
     // Spark-first formulation (one shuffle on user_id, per-partition

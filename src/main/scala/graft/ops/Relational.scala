@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Two-table point-in-time join on the custom Catalyst operator
+    * ([[org.apache.spark.sql.graft.AsofJoinExec]]): each left row gets
+    * the right row with the same key and the largest right ts ≤ its ts
+    * (nulls if none) — pandas merge_asof / DuckDB ASOF LEFT JOIN.
+    * One exchange + sort per side (sort-merge-join cost), O(1) merge
+    * state per partition. Column names must be disjoint across sides.
+    */
+  def asofJoinTables(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame =
+    org.apache.spark.sql.graft.AsofJoin.asofJoin(
+      left, right, leftKey, rightKey, leftTs, rightTs)
+
   /** Event debounce (telemetry burst collapse): flag each row as kept
     * iff it is the first in its (keys) group or arrived more than
     * `gapSeconds` after its predecessor — the standard batch dedup for

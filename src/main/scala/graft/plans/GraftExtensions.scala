@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectFunction(CosineSimilarity.registration)
     ext.injectFunction(graft.functions.NfcNormalize.registration)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.AsofJoinStrategy)
   }
 }
 

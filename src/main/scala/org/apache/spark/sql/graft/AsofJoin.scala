@@ -1,0 +1,205 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Point-in-time (as-of) join as a first-class Catalyst operator — the
+  * whole-operator extension rung: a custom `LogicalPlan` node, a
+  * `SparkStrategy`, and a `SparkPlan` with declared distribution /
+  * ordering requirements, registered via `SparkSessionExtensions`
+  * (`injectPlannerStrategy`) or `experimental.extraStrategies`.
+  *
+  * Semantics (pandas `merge_asof` backward / DuckDB `ASOF LEFT JOIN`):
+  * every left row pairs with the right row sharing its key that has the
+  * LARGEST right timestamp ≤ the left timestamp, or nulls if none.
+  *
+  * Why an operator and not a formulation: the declarative routes are a
+  * range join (quadratic blowup without interval bucketing) or a
+  * union + conditional running-max window (what `q_asof_join` ships for
+  * the single-table case — it works, but materializes both inputs
+  * through one window and cannot preserve either side's column set
+  * cleanly for two distinct tables). This node instead REQUIRES
+  * hash-clustering on the key and (key, ts) ordering from each child —
+  * Catalyst's EnsureRequirements then plans one exchange + sort per
+  * side, exactly a sort-merge join's cost — and streams both sorted
+  * iterators per partition with O(1) state (current right row + last
+  * match). At 100 TB: no state blowup, no skew amplification beyond the
+  * key's own distribution, and the output preserves the left ordering
+  * so downstream per-key windows reuse the sort.
+  *
+  * Lives under `org.apache.spark.sql.graft` because `Dataset.ofRows` —
+  * the only way to wrap a custom logical node as a DataFrame — is
+  * `private[sql]`; the same shim-package pattern Spark extension
+  * libraries use. Callers use [[graft.ops.Relational.asofJoinTables]].
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lts, rts) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // One hash exchange per side on the join key — the SMJ cost shape.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // (key, ts) ascending per side: the merge is then a single forward
+  // scan of both iterators with O(1) state.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // Left rows pass through in order; downstream reuses both.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val fullOutput = output
+    val (lk, lt) = (leftKey, leftTs)
+    val (rk, rt) = (rightKey, rightTs)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKey = BindReferences.bindReference(lk, leftOutput)
+      val lTs = BindReferences.bindReference(lt, leftOutput)
+      val rKey = BindReferences.bindReference(rk, rightOutput)
+      val rTs = BindReferences.bindReference(rt, rightOutput)
+      val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(lt.dataType)
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.length)
+      val outProj = UnsafeProjection.create(fullOutput, fullOutput)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHeadKey: Any = _
+        private var rHeadTs: Any = _
+        private var lastMatch: InternalRow = _ // copied; survives rHead
+        private var lastMatchKey: Any = _
+        private var primed = false
+
+        private def advanceRight(): Unit = {
+          rHead = null
+          // Skip right rows with null key or null ts — they can never
+          // be an as-of match.
+          while (rHead == null && rIt.hasNext) {
+            val r = rIt.next()
+            val k = rKey.eval(r)
+            val t = rTs.eval(r)
+            if (k != null && t != null) {
+              rHead = r; rHeadKey = k; rHeadTs = t
+            }
+          }
+        }
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          if (!primed) { advanceRight(); primed = true }
+          val l = lIt.next()
+          val k = lKey.eval(l)
+          val t = lTs.eval(l)
+          if (k == null || t == null) return outProj(joiner(l, nullRight))
+          // Consume right rows up to and including (k, t): the last one
+          // with the same key is the as-of match (inclusive ≤).
+          while (rHead != null && {
+            val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+              k.asInstanceOf[AnyRef])
+            c < 0 || (c == 0 && tsOrd.compare(rHeadTs.asInstanceOf[AnyRef],
+              t.asInstanceOf[AnyRef]) <= 0)
+          }) {
+            if (keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+                k.asInstanceOf[AnyRef]) == 0) {
+              lastMatch = rHead.copy()
+              lastMatchKey = rKey.eval(lastMatch)
+            }
+            advanceRight()
+          }
+          if (lastMatch != null && keyOrd.compare(
+              lastMatchKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0)
+            outProj(joiner(l, lastMatch))
+          else
+            outProj(joiner(l, nullRight))
+        }
+      }
+    }
+  }
+}
+
+object AsofJoin {
+  /** Idempotently make the strategy available to `spark` (for sessions
+    * not built `.withExtensions(new GraftExtensions)`). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** Build the DataFrame. Column names must be disjoint across sides
+    * (alias the right side first); the right side's attributes are
+    * re-aliased defensively so a self-join of one source cannot carry
+    * duplicate expression IDs into the node's output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column names must be disjoint, shared: $dup")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    // Fresh exprIds on the right via aliases (Alias always re-mints).
+    val rightFresh = right.select(right.columns.map(c =>
+      org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rightFresh.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' on $side side"))
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      AsofJoin(lp, rp,
+        attr(lp, leftKeyCol, "left"), attr(rp, rightKeyCol, "right"),
+        attr(lp, leftTsCol, "left"), attr(rp, rightTsCol, "right")))
+  }
+}

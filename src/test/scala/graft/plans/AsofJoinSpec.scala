@@ -1,0 +1,90 @@
+package graft.plans
+
+import graft.ops.Relational
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom as-of join operator: semantics on known inputs (boundary
+  * inclusivity, no-match nulls, null keys, multi-partition merge) and
+  * the physical plan shape (AsofJoinExec fed by one exchange + sort per
+  * side, inserted by EnsureRequirements from the declared requirements).
+  */
+class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "5")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(min: Int) =
+    new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+
+  private def leftDf(parts: Int) = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, ts(10), 100L),  // quote at 5 -> matched
+      Row(1L, ts(20), 101L),  // quote at 20 -> INCLUSIVE boundary match
+      Row(2L, ts(10), 102L),  // only later quotes -> null
+      Row(3L, ts(10), 103L),  // no quotes at all -> null
+      Row(null, ts(10), 104L) // null key -> null
+    ), parts),
+    StructType(Seq(StructField("k", LongType), StructField("t", TimestampType),
+      StructField("lid", LongType))))
+
+  private def rightDf(parts: Int) = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, ts(5), 200L),
+      Row(1L, ts(20), 201L),  // equal-ts: inclusive
+      Row(1L, ts(30), 202L),  // future: never matches these lefts
+      Row(2L, ts(15), 203L),  // after left's ts -> no match
+      Row(null, ts(1), 204L)  // null key on right: skipped
+    ), parts),
+    StructType(Seq(StructField("q", LongType), StructField("qt", TimestampType),
+      StructField("rid", LongType))))
+
+  private def run(lp: Int, rp: Int): Map[Long, Option[Long]] =
+    Relational.asofJoinTables(leftDf(lp), rightDf(rp), "k", "q", "t", "qt")
+      .select(col("lid"), col("rid"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("as-of semantics: inclusive boundary, no-match nulls, null keys") {
+    val expected = Map(
+      100L -> Some(200L), 101L -> Some(201L),
+      102L -> None, 103L -> None, 104L -> None)
+    assert(run(1, 1) == expected)
+    // merge logic is partition-layout-invariant (exchange re-clusters)
+    assert(run(3, 2) == expected)
+    assert(run(2, 4) == expected)
+  }
+
+  test("plan: AsofJoinExec with one exchange + sort per side") {
+    val df = Relational.asofJoinTables(leftDf(2), rightDf(2),
+      "k", "q", "t", "qt")
+    df.collect() // finalize the adaptive plan before asserting on it
+    val plan = df.queryExecution.executedPlan
+    val execs = collect(plan) {
+      case e: org.apache.spark.sql.graft.AsofJoinExec => e }
+    assert(execs.length == 1, s"AsofJoinExec missing in:\n$plan")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.length == 2, s"expected 2 exchanges in:\n$plan")
+    val sorts = collect(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.length == 2, s"expected 2 sorts in:\n$plan")
+  }
+}

@@ -190,6 +190,24 @@ object Queries {
         Seq("l_orderkey" -> true, "l_quantity" -> true,
           "l_discount" -> true, "l_returnflag" -> false,
           "l_linestatus" -> false, "l_shipdate" -> false)))),
+    // Custom DataSource V2 read (`graft-synth`): deterministic
+    // synthetic corpus metadata generated in parallel InputPartitions
+    // with column pruning pushed into the reader. The generator step is
+    // portable integer arithmetic, so the DuckDB generate_series twin
+    // reproduces every field and the whole connector is hash-checked.
+    Entry("q_synth_source",
+      (s, d) => s.read.format("graft-synth")
+        .option("rows", 100000).option("partitions", 8).load()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "count(DISTINCT source) AS n_sources FROM (" +
+        graft.sources.SynthSource.synthSql(100000) +
+        ") GROUP BY lang ORDER BY lang")),
     // Per-group exact quantiles: the same rank-walk over the
     // distinct-value histogram as q_quantiles, partitioned by group —
     // the windows and joins all move |group|·|domain| rows, never the

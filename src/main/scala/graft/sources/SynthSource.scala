@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-synth` — a DataSource V2 batch source generating a
+  * deterministic synthetic corpus-metadata table, no files involved:
+  *
+  * {{{
+  *   spark.read.format("graft-synth")
+  *     .option("rows", 100000).option("partitions", 8).load()
+  * }}}
+  *
+  * Schema: (doc_id bigint, lang string, source string, n_tokens int),
+  * every field a pure function of doc_id via a Lehmer step
+  * (`x = doc_id * 48271 mod 2^31-1`) — portable integer arithmetic, so
+  * a DuckDB `generate_series` twin reproduces it EXACTLY and the source
+  * is oracle-checked end-to-end (`q_synth_source`), unlike
+  * `spark.range` twins which stop at the ids.
+  *
+  * Why a custom source and not `spark.range(...).select(...)`: this is
+  * the load-generator / external-system shape — demonstrating the
+  * connector surface the engine offers at 100 TB: the row range splits
+  * into `partitions` independent `InputPartition`s (parallel, no
+  * driver-side data), and column pruning is pushed INTO the reader
+  * (`SupportsPushDownRequiredColumns` — a `select(lang)` never computes
+  * the other fields; the plan's ReadSchema shows the pruned struct).
+  */
+class SynthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SynthSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  val langs: Array[String] = Array("en", "de", "fr", "es")
+
+  /** The shared generator step — mirrored verbatim in the DuckDB twin. */
+  def mix(docId: Long): Long = (docId * 48271L) % 2147483647L
+
+  /** DuckDB twin of a full `graft-synth` read with `rows` rows. */
+  def synthSql(rows: Long): String =
+    s"""SELECT i AS doc_id,
+  CASE ((i * 48271) % 2147483647) % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+       WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+  'src' || CAST(((i * 48271) % 2147483647) % 5 AS VARCHAR) AS source,
+  CAST(((i * 48271) % 2147483647) % 501 AS INTEGER) AS n_tokens
+FROM generate_series(0, ${rows - 1}) s(i)"""
+}
+
+class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-synth($rows)"
+  override def schema(): StructType = SynthSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, partitions)
+}
+
+class SynthScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthSource.fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthScan(rows, partitions, required)
+}
+
+class SynthScan(rows: Long, partitions: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per)
+      .map(start => SynthPartition(start, math.min(start + per, rows)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthPartition]
+    // Resolve the pruned projection ONCE per partition: the reader
+    // computes only the requested fields, in the requested order.
+    val fieldGen: Array[Long => Any] = required.fields.map { f =>
+      f.name match {
+        case "doc_id" => (i: Long) => i
+        case "lang" => (i: Long) =>
+          UTF8String.fromString(
+            SynthSource.langs((SynthSource.mix(i) % 4).toInt)
+)
+        case "source" => (i: Long) =>
+          UTF8String.fromString("src" + (SynthSource.mix(i) % 5))
+        case "n_tokens" => (i: Long) => (SynthSource.mix(i) % 501).toInt
+        case other => throw new IllegalArgumentException(
+          s"unknown column $other")
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var i = sp.start - 1
+      override def next(): Boolean = { i += 1; i < sp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fieldGen.map(g => g(i)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

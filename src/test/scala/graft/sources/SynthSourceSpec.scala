@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def read(rows: Long, parts: Int) =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("generator is deterministic and partition-count-invariant") {
+    val a = read(1000, 1).collect().map(_.toSeq).toSet
+    val b = read(1000, 7).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.size == 1000)
+    // spot-check the Lehmer fields against the shared step
+    val row = read(1000, 3).filter(col("doc_id") === 17).head()
+    val x = SynthSource.mix(17)
+    assert(row.getString(1) == SynthSource.langs((x % 4).toInt))
+    assert(row.getString(2) == "src" + (x % 5))
+    assert(row.getInt(3) == (x % 501).toInt)
+  }
+
+  test("read parallelism matches the partitions option") {
+    assert(read(1000, 7).rdd.getNumPartitions == 7)
+  }
+
+  test("column pruning reaches the reader (ReadSchema is the pruned set)") {
+    val df = read(1000, 2).select(col("lang"))
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.length == 1)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("lang"),
+      s"pruned schema: ${scans.head.scan.readSchema()}")
+  }
+}

@@ -197,6 +197,33 @@ object EventStream {
       }
   }
 
+  /** Stream–stream interval join: purchases enriched with every click
+    * by the same user in the preceding `windowSeconds` — the two-stream
+    * attribution join. Both sides carry watermarks and the join
+    * condition bounds click time to [purchase − window, purchase], so
+    * Spark's state store evicts each side as the watermark passes:
+    * state is bounded by (active users × window), never stream length.
+    * Inner join (unmatched purchases drop): watermark-bounded OUTER
+    * stream-stream joins emit nulls only on watermark advance, which a
+    * test cannot drive deterministically without synthetic clock
+    * control, and the batch twin (`q_range_join`) is the oracle-checked
+    * truth for the semantics.
+    */
+  def streamStreamWindowJoin(purchases: DataFrame, clicks: DataFrame,
+      windowSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("c_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+          c_ts >= p_ts - INTERVAL $windowSeconds SECOND AND
+          c_ts < p_ts"""))
+  }
+
   /** Public: the state encoder's generated code must construct it.
     * `-1` = stage not reached (event times are epoch ms ≥ 0). */
   final case class FunnelProgress(userId: Long, stageReached: Int)

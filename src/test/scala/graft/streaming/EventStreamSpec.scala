@@ -117,6 +117,36 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("stream-stream window join matches the batch interval predicate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Event]
+    val cm = MemoryStream[Event]
+    val query = EventStream.streamStreamWindowJoin(
+        pm.toDF(), cm.toDF(), windowSeconds = 3600L)
+      .writeStream.format("memory").queryName("ssjoin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_ss").toString)
+      .outputMode(OutputMode.Append()).start()
+    // clicks at -60, -59, -1 min (in window [-60, 0)); 0 excluded
+    // (c_ts < p_ts strict); +5 excluded; other user isolated.
+    cm.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(1), 10, "click", 1.0),
+      Event(3, ts(59), 10, "click", 1.0),
+      Event(4, ts(60), 10, "click", 1.0),  // == p_ts -> excluded
+      Event(5, ts(65), 10, "click", 1.0),  // after -> excluded
+      Event(6, ts(30), 11, "click", 1.0))  // other user
+    pm.addData(Event(10, ts(60), 10, "purchase", 9.0))
+    query.processAllAvailable()
+    val got = spark.table("ssjoin")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (10L, 3L)))
+    query.stop()
+  }
+
   test("stream-static enrichment joins the dimension without losing rows") {
     val s = spark
     import s.implicits._

@@ -20,6 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   val est    = naru.query(preds)
   *   val report = g.evaluate(Seq(naru, g.bayesNet()), numQueries = 100)
   * }}}
+  *
+  * The training-data pipeline operators live beside this facade as
+  * plain objects over DataFrames: `ops.Dedup` (exact / MinHash+LSH /
+  * Jaccard / line-level / incremental), `ops.TextOps` (quality,
+  * repetition, PII, NFC cleanup), `ops.Corpus` (splits, packing,
+  * mixing), `ops.Similarity` (ANN), `ops.Relational` (as-of join,
+  * top-k, debounce), `ops.Profile`, `ops.Bucketing` (layouts,
+  * Z-order), `functions.MisraGriesTopK`, `sources.SynthSource`, and
+  * `streaming.EventStream`.
   */
 final class Graft private (
     val spark: SparkSession,

@@ -1174,6 +1174,15 @@ GROUP BY split ORDER BY split"""
     Entry("q_tfidf_stats",
       (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
       None),
+    // Model-based quality filter (LR over the quality signals, weak
+    // labels from the Gopher thresholds): the classifier step of a
+    // GPT-3/CCNet-style pipeline. rows-only (LBFGS float accumulation
+    // is not engine-portable); the signal columns and the threshold
+    // labels ARE hash-checked via q_quality_scores/q_quality_filter.
+    Entry("q_quality_classifier",
+      (s, d) => graft.ops.MlPipeline.qualityClassifier(
+        docs(s, d), "doc_id", "text"),
+      None),
     // Exact TF-IDF over real whitespace terms — the declarative,
     // engine-portable twin of the hashed MLlib pipeline above, so the
     // TF-IDF family has a hash-checked row (the MLlib entry is rows-only

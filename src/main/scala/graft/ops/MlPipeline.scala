@@ -50,6 +50,47 @@ object MlPipeline {
       .orderBy(idCol)
   }
 
+  /** Model-based quality filter (the GPT-3/CCNet-style classifier step:
+    * score documents with a trained model instead of fixed thresholds):
+    * logistic regression over the [[TextOps.qualityScores]] signals,
+    * trained on weak labels from the Gopher threshold filter, then
+    * applied corpus-wide. The returned frame carries the signals, the
+    * weak label, the model probability, and the model keep/drop.
+    *
+    * Scale shape: featurization is the map-side quality-scores scan; the
+    * LR fit is a handful of treeAggregate passes over (bounded-dim)
+    * feature rows; scoring is one broadcast-coefficients map. In a real
+    * pipeline the labels come from a curated sample (wiki-vs-crawl);
+    * the weak-label wiring here keeps the operator self-contained while
+    * exercising the identical fit/score plumbing.
+    */
+  def qualityClassifier(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val signals = TextOps.qualityScores(col(textCol))
+      .map { case (n, c) => c.as(n) }
+    val featured = df.select(col(idCol) +: signals: _*)
+      .na.fill(0.0)
+      .withColumn("weak_label",
+        when(col("n_tokens") >= 30 && col("stopword_ratio") > 0 &&
+          col("dup_token_frac") < 0.6, 1.0).otherwise(0.0))
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("n_tokens", "mean_word_len", "punct_ratio",
+        "alpha_ratio", "stopword_ratio", "dup_token_frac"))
+      .setOutputCol("__features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("weak_label")
+      .setMaxIter(25).setRegParam(0.01)
+    val prepared = assembler.transform(featured)
+    val model = lr.fit(prepared)
+    model.transform(prepared)
+      .withColumn("p_keep", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .select(col(idCol), col("weak_label"),
+        round(col("p_keep"), 4).as("p_keep"),
+        col("prediction").as("model_keep"))
+      .orderBy(idCol)
+  }
+
   /** MLlib MinHashLSH near-dup candidates over binarized term vectors —
     * the library twin of [[Dedup.minhashCandidates]]. Returns
     * (id_a, id_b, jaccard_dist) pairs under the distance threshold.

@@ -527,6 +527,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("quality classifier separates clean text from junk") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the house of a friend in the garden where it is safe from " +
+      "rain and wind while birds sing softly above the quiet green field"
+    val junk = "$$$ 111 !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___"
+    val df = docsDf((0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) clean + s" extra$i" else junk + s" $i")
+    }: _*)
+    val out = MlPipeline.qualityClassifier(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    // weak labels: clean docs pass every Gopher threshold, junk fails
+    assert(out.forall { case (id, weak, _) => weak == (1 - id % 2).toDouble })
+    // and the fitted model reproduces the separation
+    val agree = out.count { case (_, w, m) => w == m }
+    assert(agree >= 38, s"model agreed on only $agree/40")
+  }
+
   test("misra-gries guarantee holds across partition layouts") {
     graft.functions.MisraGriesTopK.ensureRegistered(spark)
     // 3 heavy terms (600/300/150 of N=1300) + 250 distinct tail terms.

@@ -962,6 +962,26 @@ GROUP BY user_id ORDER BY user_id""")),
     // Temperature-based language rebalancing (α=0.5): the head
     // language downsamples toward sqrt-flattened proportions with an
     // append-stable md5 membership; smallest language keeps all rows.
+    // Exact token-budget mixing ("N tokens of each source"): frozen
+    // md5 order, inclusive running-sum cut. Spark runs the two-level
+    // bucketed prefix sum (no source-sized window partitions); the
+    // oracle is the naive single window — checking that the scalable
+    // plan preserves the semantics exactly.
+    Entry("q_token_budget_mix",
+      (s, d) => Corpus.tokenBudgetMix(
+          docs(s, d).withColumn("n_tokens",
+            TextOps.tokenCount(col("text"))),
+          "source", "doc_id", "n_tokens",
+          budgets = Map("src0" -> 9000L, "src1" -> 4000L),
+          defaultBudget = 6000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens").cast("long")).as("tokens_kept"))
+        .orderBy("source"),
+      Some(Corpus.tokenBudgetMixSql("documents", "source", "doc_id",
+        TextOps.tokenCountSql("text"),
+        budgets = Map("src0" -> 9000L, "src1" -> 4000L),
+        defaultBudget = 6000L))),
     Entry("q_temperature_mix",
       (s, d) => Corpus.temperatureMix(docs(s, d), "lang", "doc_id"),
       Some(Corpus.temperatureMixSql("documents", "lang", "doc_id"))),

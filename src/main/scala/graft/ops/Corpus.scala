@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators for training-data pipelines: balanced
@@ -37,6 +38,84 @@ object Corpus {
     }.mkString(" ")
     val m = s"(CASE $cases ELSE $defaultModulus END)"
     s"((($key % $m) + $m) % $m) = 0"
+  }
+
+  /** Exact token-budget source mixing: per source, keep documents in a
+    * FROZEN order (md5 of the id — append-stable, reproducible) while
+    * the running token sum stays within the source's budget — the
+    * "2B tokens of wiki, 500M of forums" mixture spec, cut exactly, not
+    * by sampling rate.
+    *
+    * Scale shape — a distributed prefix sum, NOT the naive
+    * `sum() OVER (PARTITION BY source ORDER BY ord)` (whose window
+    * partitions are source-sized: one dominant source = one
+    * executor-crushing sorted partition). The order key's first hex
+    * byte splits each source into 256 buckets; per-(source, bucket)
+    * subtotals (sources×256 rows, driver-bounded) produce exclusive
+    * bucket offsets that broadcast back, and the cumulative window then
+    * runs per (source, bucket) — partitions 1/256th the size, same
+    * exact semantics, which is what the single-window DuckDB oracle
+    * checks.
+    *
+    * Returns the kept rows plus `run_tokens` (the inclusive running
+    * total that admitted the row).
+    */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val t = df
+      .withColumn("__n", col(tokensCol).cast("long"))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__ord"), 1, 2))
+    val subtotals = t.groupBy(col(sourceCol).as("__src"), col("__bkt"))
+      .agg(sum(col("__n")).as("__bn"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets = subtotals.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.toList.sortBy(_._2)
+        .scanLeft((src, "", 0L)) { case ((_, _, acc), (s, b, n)) =>
+          (s, b, acc + n)
+        }
+        .sliding(2).map { case Seq((_, _, prev), (s, b, _)) =>
+          (s, b, prev)
+        }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__osrc", "__obkt", "__off")
+    val w = Window.partitionBy(col(sourceCol), col("__bkt"))
+      .orderBy(col("__ord"), col(idCol))
+    val budgetCol = budgets.foldRight(lit(defaultBudget)) {
+      case ((s, b), els) => when(col(sourceCol) === s, lit(b)).otherwise(els)
+    }
+    t.join(broadcast(offsetsDf),
+        col(sourceCol) === col("__osrc") && col("__bkt") === col("__obkt"))
+      .withColumn("run_tokens", sum(col("__n")).over(w) + col("__off"))
+      .filter(col("run_tokens") <= budgetCol)
+      .drop("__n", "__ord", "__bkt", "__osrc", "__obkt", "__off")
+  }
+
+  /** DuckDB twin of [[tokenBudgetMix]] (the naive single window — the
+    * SEMANTICS; the Spark side is the scalable two-level plan),
+    * aggregated per source. */
+  def tokenBudgetMixSql(table: String, source: String, id: String,
+      tokensSql: String, budgets: Map[String, Long],
+      defaultBudget: Long): String = {
+    val budgetCase = "CASE " + budgets.map { case (s, b) =>
+      s"WHEN src = '$s' THEN $b"
+    }.mkString(" ") + s" ELSE $defaultBudget END"
+    s"""WITH t AS (
+  SELECT $source AS src, $id AS id, CAST($tokensSql AS BIGINT) AS n,
+         md5(CAST($id AS VARCHAR)) AS ord
+  FROM $table),
+c AS (
+  SELECT src, n, sum(n) OVER (PARTITION BY src ORDER BY ord, id
+    ROWS UNBOUNDED PRECEDING) AS run
+  FROM t)
+SELECT src AS $source, count(*) AS n_kept,
+  CAST(sum(n) AS BIGINT) AS tokens_kept
+FROM c WHERE run <= $budgetCase
+GROUP BY src ORDER BY $source"""
   }
 
   /** Temperature-based group rebalancing at α = 0.5 — the multilingual

@@ -527,6 +527,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("tokenBudgetMix: two-level prefix sum equals the naive window") {
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("doc_id", LongType), StructField("n_tokens", LongType)))
+    val rows = (0 until 300).map(i =>
+      Row(s"s${i % 3}", i.toLong, (i * 7 % 40 + 1).toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Corpus.tokenBudgetMix(df, "source", "doc_id", "n_tokens",
+        budgets = Map("s0" -> 500L), defaultBudget = 300L)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // naive single-window reference on the same session
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val expected = df
+      .withColumn("run", sum(col("n_tokens")).over(w))
+      .filter(col("run") <= when(col("source") === "s0", 500L).otherwise(300L))
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 300) // the budget actually cuts
+  }
+
   test("quality classifier separates clean text from junk") {
     val clean = "the quick brown fox jumps over the lazy dog and runs " +
       "to the house of a friend in the garden where it is safe from " +

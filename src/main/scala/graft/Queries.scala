@@ -1084,6 +1084,23 @@ FROM s ORDER BY doc_id, chunk_id""")),
           TextOps.bpeTokenCountSql("text") +
           " AS n_bpe_tokens FROM documents ORDER BY doc_id"
       }),
+    // Near-dup cluster size histogram (how much of the corpus sits in
+    // 2-doc pairs vs mega-clusters — the dedup report a curation run
+    // reads first). Reuses the cached component labels; two
+    // label-sized aggregations.
+    Entry("q_dedup_cluster_sizes",
+      (s, d) => dedupComponents(s, d)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz"),
+      Some {
+        val cc = Dedup.connectedComponentsSql(
+          Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+            maxShingleDf = 100))
+        s"""SELECT sz, count(*) AS n_clusters FROM (
+  SELECT comp, count(*) AS sz FROM ($cc) GROUP BY comp)
+GROUP BY sz ORDER BY sz"""
+      }),
     // Leakage-safe train/val/test split: every near-dup CLUSTER lands
     // in exactly one split (split = hash of the cluster's canonical
     // min-id representative, singletons keep their own id) — the

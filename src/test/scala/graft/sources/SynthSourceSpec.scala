@@ -43,6 +43,22 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(read(1000, 7).rdd.getNumPartitions == 7)
   }
 
+  test("audit sink: committed totals are partition- and order-invariant") {
+    val df = read(5000, 4)
+    df.write.format("graft-audit").option("id", "a1").mode("append").save()
+    val Some((rows1, sum1)) = AuditSink.result("a1")
+    assert(rows1 == 5000)
+    // same data through a different plan -> identical audit result
+    read(5000, 9).orderBy(col("n_tokens"))
+      .write.format("graft-audit").option("id", "a2").mode("append").save()
+    assert(AuditSink.result("a2").contains((rows1, sum1)))
+    // different data -> different checksum
+    read(4999, 4)
+      .write.format("graft-audit").option("id", "a3").mode("append").save()
+    assert(AuditSink.result("a3").exists(_ != ((rows1, sum1))))
+    Seq("a1", "a2", "a3").foreach(AuditSink.clear)
+  }
+
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {
     val df = read(1000, 2).select(col("lang"))
     df.collect()

@@ -44,7 +44,8 @@ class SynthSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
 object SynthSource {
@@ -69,40 +70,89 @@ object SynthSource {
 FROM generate_series(0, ${rows - 1}) s(i)"""
 }
 
-class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-synth($rows)"
   override def schema(): StructType = SynthSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions)
+    new SynthScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-class SynthScanBuilder(rows: Long, partitions: Int)
+class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = SynthSource.fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(rows, partitions, required)
+  override def build(): Scan =
+    new SynthScan(rows, partitions, rowsPerBatch, required)
 }
 
-class SynthScan(rows: Long, partitions: Int, required: StructType)
-    extends Scan with Batch {
+class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
+    required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per)
-      .map(start => SynthPartition(start, math.min(start + per, rows)))
-      .toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthScan.splitRange(0L, rows, partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
+
+  /** Streaming twin of the batch read: the same generator advances an
+    * Offset of `rowsPerBatch` row indices per trigger until `rows` is
+    * reached — each micro-batch plans the SAME InputPartition/reader
+    * machinery over its index range, so batch and streaming reads of
+    * equal ranges are row-identical (asserted in SynthSourceSpec). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : streaming.MicroBatchStream =
+    new SynthMicroBatchStream(rows, partitions, rowsPerBatch, required)
+}
+
+object SynthScan {
+  def splitRange(from: Long, until: Long, parts: Int): Array[InputPartition] = {
+    val n = until - from
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (from until until by per)
+      .map(s => SynthPartition(s, math.min(s + per, until)))
+      .toArray[InputPartition]
+  }
+}
+
+case class SynthOffset(index: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = index.toString
+}
+
+class SynthMicroBatchStream(rows: Long, partitions: Int, rowsPerBatch: Long,
+    required: StructType) extends streaming.MicroBatchStream {
+  private var highWater = 0L
+
+  override def initialOffset(): streaming.Offset = SynthOffset(0L)
+
+  override def latestOffset(): streaming.Offset = {
+    highWater = math.min(rows, highWater + rowsPerBatch)
+    SynthOffset(highWater)
+  }
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    SynthOffset(json.toLong)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] =
+    SynthScan.splitRange(start.asInstanceOf[SynthOffset].index,
+      end.asInstanceOf[SynthOffset].index, partitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition

@@ -43,6 +43,23 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(read(1000, 7).rdd.getNumPartitions == 7)
   }
 
+  test("micro-batch stream replays the exact batch rows across triggers") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000).option("partitions", 3)
+      .option("rowsPerBatch", 299).load()
+      .writeStream.format("memory").queryName("synth_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_synth").toString)
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.table("synth_stream")
+      .collect().map(_.toSeq).toSet
+    val batch = read(1000, 3).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 1000)
+    q.stop()
+  }
+
   test("audit sink: committed totals are partition- and order-invariant") {
     val df = read(5000, 4)
     df.write.format("graft-audit").option("id", "a1").mode("append").save()

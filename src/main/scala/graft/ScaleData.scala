@@ -52,11 +52,14 @@ object ScaleData {
   private def decorrelate(df: DataFrame, c: Int): DataFrame =
     if (c == 0) df
     else df.withColumn("embedding",
-      // Walsh sign pattern per copy: flip element i iff bit (c-1) of i
-      // is set. Distinct copies get orthogonal patterns, so EVERY pair
-      // of replicas decorrelates, at any factor.
+      // Walsh sign pattern per copy: flip element i iff popcount(i & c)
+      // is odd — the c-th Walsh-Hadamard function. Distinct copies in
+      // [1, dim) get pairwise-orthogonal patterns (a single-bit mask
+      // like `bit (c-1) of i` would alias once c-1 exceeded the
+      // dimension's bit width — copies 1 and 1+log2(dim) would be
+      // byte-identical again).
       transform(col("embedding"), (x, i) =>
-        when(shiftright(i, c - 1).bitwiseAND(lit(1)) === 0, x)
+        when(pmod(bit_count(i.bitwiseAND(lit(c))), lit(2)) === 0, x)
           .otherwise(negate(x))))
 
   def main(args: Array[String]): Unit = {

@@ -138,20 +138,28 @@ case class MisraGriesTopK(
 
   override def serialize(buf: java.util.HashMap[String, java.lang.Long])
       : Array[Byte] = {
+    // Encode each key once; this runs per buffer on the partial-agg
+    // shuffle path.
+    val keys = new Array[Array[Byte]](buf.size)
+    val counts = new Array[Long](buf.size)
     var size = 4
+    var i = 0
     val it0 = buf.entrySet().iterator()
     while (it0.hasNext) {
-      size += 4 + it0.next().getKey.getBytes("UTF-8").length + 8
+      val e = it0.next()
+      keys(i) = e.getKey.getBytes("UTF-8")
+      counts(i) = e.getValue
+      size += 4 + keys(i).length + 8
+      i += 1
     }
     val bb = java.nio.ByteBuffer.allocate(size)
     bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val bytes = e.getKey.getBytes("UTF-8")
-      bb.putInt(bytes.length)
-      bb.put(bytes)
-      bb.putLong(e.getValue)
+    i = 0
+    while (i < keys.length) {
+      bb.putInt(keys(i).length)
+      bb.put(keys(i))
+      bb.putLong(counts(i))
+      i += 1
     }
     bb.array()
   }

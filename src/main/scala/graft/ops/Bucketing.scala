@@ -83,14 +83,6 @@ object Bucketing {
       s"FROM $ordersTable JOIN $customerTable ON o_custkey = c_custkey " +
       "GROUP BY c_nationkey ORDER BY c_nationkey"
 
-  /** The partner layout technique: Hive-style date partitioning, so a
-    * filter on the partition column reaches the scan as
-    * PartitionFilters and skips whole directories — at 100 TB a
-    * one-week query over a year of events reads ~2% of the files
-    * instead of filtering 100% of the rows. Materialized once per
-    * session (the write is the honest ingest-time cost); the returned
-    * DataFrame is path-backed, so pruning needs no catalog.
-    */
   /** Z-order (Morton) interleave of the low `bits` bits of two
     * non-negative dimensions — the multi-dimensional clustering key for
     * data layouts: sorting by `z` places rows close in BOTH dimensions
@@ -105,6 +97,14 @@ object Bucketing {
     * Pure integer bit-arithmetic (the parallel-prefix spread), identical
     * in Spark and DuckDB — no UDF, whole-stage-codegen'd, and
     * oracle-checkable.
+    *
+    * CONTRACT: inputs are TRUNCATED to their low `bits` bits — values
+    * ≥ 2^bits alias onto the same cell (customer 1 and 65537 share
+    * x-bits at the default 16), which silently degrades the pruning
+    * win. Size `bits` to the dimension's range, or pre-bucket wide
+    * dimensions (e.g. `key % 2^bits`-style coarsening is fine for
+    * clustering: aliasing distant keys costs locality, never
+    * correctness, since the layout only orders rows).
     */
   def zorder2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 16, "bits in [1,16]")
@@ -133,6 +133,14 @@ object Bucketing {
     s"(${spread(x)} | (${spread(y)} << 1))"
   }
 
+  /** The partner layout technique: Hive-style date partitioning, so a
+    * filter on the partition column reaches the scan as
+    * PartitionFilters and skips whole directories — at 100 TB a
+    * one-week query over a year of events reads ~2% of the files
+    * instead of filtering 100% of the rows. Materialized once per
+    * session (the write is the honest ingest-time cost); the returned
+    * DataFrame is path-backed, so pruning needs no catalog.
+    */
   def datePartitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = dirTag(sfDir, "events")
     val path =

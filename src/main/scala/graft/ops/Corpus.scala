@@ -88,8 +88,10 @@ object Corpus {
     val budgetCol = budgets.foldRight(lit(defaultBudget)) {
       case ((s, b), els) => when(col(sourceCol) === s, lit(b)).otherwise(els)
     }
+    // Null-safe equality: a NULL source is a legitimate partition in
+    // the single-window oracle; a plain === would silently drop it.
     t.join(broadcast(offsetsDf),
-        col(sourceCol) === col("__osrc") && col("__bkt") === col("__obkt"))
+        col(sourceCol) <=> col("__osrc") && col("__bkt") <=> col("__obkt"))
       .withColumn("run_tokens", sum(col("__n")).over(w) + col("__off"))
       .filter(col("run_tokens") <= budgetCol)
       .drop("__n", "__ord", "__bkt", "__osrc", "__obkt", "__off")

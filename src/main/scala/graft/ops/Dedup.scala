@@ -61,11 +61,14 @@ object Dedup {
 
   def incrementalDedupSql(batchSql: String, corpusSql: String,
       id: String, text: String): String =
+    // NOT EXISTS, not NOT IN: a NULL corpus text would make NOT IN
+    // return zero rows (three-valued logic) while Spark's left_anti
+    // keeps every novel batch row.
     s"""WITH batch AS ($batchSql), corpus AS ($corpusSql),
 kept AS (
   SELECT min($id) AS $id, md5($text) AS fp FROM batch GROUP BY md5($text))
 SELECT $id FROM kept
-WHERE fp NOT IN (SELECT md5($text) FROM corpus)
+WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE md5(corpus.$text) = kept.fp)
 ORDER BY $id"""
 
   /** Corpus-level dup stats in one aggregation. */

@@ -62,7 +62,12 @@ class AuditTable(writeSchema: StructType, id: String)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // The sink is stateless between writes (commit overwrites the
+      // audit slot), so truncate-then-write IS a plain write — but the
+      // interface must say so or overwrite mode fails at write
+      // planning despite the TRUNCATE capability.
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new AuditBatchWrite(id, info.schema())
       }

@@ -130,23 +130,46 @@ case class SynthOffset(index: Long)
 }
 
 class SynthMicroBatchStream(rows: Long, partitions: Int, rowsPerBatch: Long,
-    required: StructType) extends streaming.MicroBatchStream {
-  private var highWater = 0L
+    required: StructType) extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
+
+  private def idx(o: streaming.Offset): Long = o match {
+    case SynthOffset(i) => i
+    case other => other.json.toLong // SerializedOffset from the log
+  }
 
   override def initialOffset(): streaming.Offset = SynthOffset(0L)
 
-  override def latestOffset(): streaming.Offset = {
-    highWater = math.min(rows, highWater + rowsPerBatch)
-    SynthOffset(highWater)
+  // STATELESS offset advance via SupportsAdmissionControl: the engine
+  // hands us the last committed offset, so a restarted instance
+  // continues exactly where the checkpoint ends. (The no-arg
+  // latestOffset() poll-counter formulation is restart-UNSAFE: the
+  // engine's first poll happens before any deserializeOffset call, a
+  // fresh instance answers below the checkpoint, and the offset log
+  // runs backwards — committed rows then re-emit. Caught by the
+  // restart spec; the probe showed offsets 900 -> 400 -> 900.)
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val step = limit match {
+      case m: streaming.ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SynthOffset(math.min(rows, idx(start) + step))
   }
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl.latestOffset(start, limit) is used")
 
   override def deserializeOffset(json: String): streaming.Offset =
     SynthOffset(json.toLong)
 
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] =
-    SynthScan.splitRange(start.asInstanceOf[SynthOffset].index,
-      end.asInstanceOf[SynthOffset].index, partitions)
+    SynthScan.splitRange(idx(start), idx(end), partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)

@@ -186,6 +186,15 @@ object AsofJoin {
       leftTsCol: String, rightTsCol: String): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, shared: $dup")
+    // Fail fast on type mismatches: the exec's interpreted orderings
+    // come from the LEFT side's types and the two sides must hash-
+    // partition identically — a Long-vs-Int key would otherwise
+    // mis-cluster or ClassCastException mid-merge.
+    def dt(df: DataFrame, n: String) = df.schema.find(_.name == n).map(_.dataType)
+    require(dt(left, leftKeyCol) == dt(right, rightKeyCol),
+      s"key types differ: ${dt(left, leftKeyCol)} vs ${dt(right, rightKeyCol)}")
+    require(dt(left, leftTsCol) == dt(right, rightTsCol),
+      s"ts types differ: ${dt(left, leftTsCol)} vs ${dt(right, rightTsCol)}")
     val spark = left.sparkSession
     ensureStrategy(spark)
     // Fresh exprIds on the right via aliases (Alias always re-mints).

@@ -83,23 +83,58 @@ class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
 }
 
 class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = SynthSource.fullSchema
+  private var lo = 0L          // inclusive
+  private var hi = rows        // exclusive
+  private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** doc_id range predicates narrow the GENERATED range — pushdown here
+    * doesn't just skip I/O, it removes the work entirely (the ids are
+    * the iteration space). Everything else stays a post-scan filter. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", _: java.lang.Long) => true
+      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThan("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: java.lang.Long) => lo = math.max(lo, v.longValue())
+      case LessThan(_, v: java.lang.Long) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual(_, v: java.lang.Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan =
-    new SynthScan(rows, partitions, rowsPerBatch, required)
+    new SynthScan(math.min(lo, hi), hi, partitions, rowsPerBatch, required)
 }
 
-class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
+class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
     required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    SynthScan.splitRange(0L, rows, partitions)
+    SynthScan.splitRange(from, until, partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
@@ -111,7 +146,7 @@ class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
     * equal ranges are row-identical (asserted in SynthSourceSpec). */
   override def toMicroBatchStream(checkpointLocation: String)
       : streaming.MicroBatchStream =
-    new SynthMicroBatchStream(rows, partitions, rowsPerBatch, required)
+    new SynthMicroBatchStream(from, until, partitions, rowsPerBatch, required)
 }
 
 object SynthScan {
@@ -129,8 +164,9 @@ case class SynthOffset(index: Long)
   override def json: String = index.toString
 }
 
-class SynthMicroBatchStream(rows: Long, partitions: Int, rowsPerBatch: Long,
-    required: StructType) extends streaming.MicroBatchStream
+class SynthMicroBatchStream(from: Long, until: Long, partitions: Int,
+    rowsPerBatch: Long, required: StructType)
+    extends streaming.MicroBatchStream
     with streaming.SupportsAdmissionControl {
 
   private def idx(o: streaming.Offset): Long = o match {
@@ -138,7 +174,7 @@ class SynthMicroBatchStream(rows: Long, partitions: Int, rowsPerBatch: Long,
     case other => other.json.toLong // SerializedOffset from the log
   }
 
-  override def initialOffset(): streaming.Offset = SynthOffset(0L)
+  override def initialOffset(): streaming.Offset = SynthOffset(from)
 
   // STATELESS offset advance via SupportsAdmissionControl: the engine
   // hands us the last committed offset, so a restarted instance
@@ -157,7 +193,7 @@ class SynthMicroBatchStream(rows: Long, partitions: Int, rowsPerBatch: Long,
       case m: streaming.ReadMaxRows => m.maxRows()
       case _ => rowsPerBatch
     }
-    SynthOffset(math.min(rows, idx(start) + step))
+    SynthOffset(math.min(until, idx(start) + step))
   }
 
   override def latestOffset(): streaming.Offset =

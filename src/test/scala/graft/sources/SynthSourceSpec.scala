@@ -103,6 +103,21 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     Seq("a1", "a2", "a3").foreach(AuditSink.clear)
   }
 
+  test("doc_id range filters push into the generator and shrink the scan") {
+    val df = read(100000, 4)
+      .filter(col("doc_id") >= 60000L && col("doc_id") < 60500L)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(0)).min == 60000L)
+    val scans = collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    // the scan's input partitions cover ONLY the filtered range: work
+    // was eliminated at planning, not filtered after generation
+    val parts = scans.head.partitions.flatten.map(_.asInstanceOf[SynthPartition])
+    assert(parts.map(p => p.end - p.start).sum == 500,
+      s"generator did not narrow: $parts")
+  }
+
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {
     val df = read(1000, 2).select(col("lang"))
     df.collect()

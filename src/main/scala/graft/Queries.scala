@@ -190,6 +190,24 @@ object Queries {
         Seq("l_orderkey" -> true, "l_quantity" -> true,
           "l_discount" -> true, "l_returnflag" -> false,
           "l_linestatus" -> false, "l_shipdate" -> false)))),
+    // Write path through the custom DataSource V2 sink: the committed
+    // row count comes from the driver-side aggregation of the task
+    // writers' commit messages (the two-phase protocol), checked
+    // against DuckDB's count over the same table — the SINK is in the
+    // oracle gate, not just spec-covered. (The checksum is JVM-hash
+    // specific, so only the count is surfaced.)
+    Entry("q_audit_write",
+      (s, d) => {
+        val id = s"gate-${d.hashCode}"
+        graft.sources.AuditSink.clear(id)
+        docs(s, d).select(col("doc_id"), col("lang"), col("source"))
+          .write.format("graft-audit").option("id", id)
+          .mode("append").save()
+        val (n, _) = graft.sources.AuditSink.result(id).get
+        import s.implicits._
+        Seq(n).toDF("n_rows")
+      },
+      Some("SELECT count(*) AS n_rows FROM documents")),
     // Custom DataSource V2 read (`graft-synth`): deterministic
     // synthetic corpus metadata generated in parallel InputPartitions
     // with column pruning pushed into the reader. The generator step is

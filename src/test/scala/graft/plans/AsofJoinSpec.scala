@@ -72,6 +72,34 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(run(2, 4) == expected)
   }
 
+  test("as-of join works with string keys (interpreted UTF8String ordering)") {
+    import org.apache.spark.sql.Row
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("alice", ts(10), 1L), Row("bob", ts(10), 2L)), 2),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", TimestampType), StructField("lid", LongType))))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("alice", ts(5), 10L), Row("alice", ts(9), 11L),
+        Row("carol", ts(1), 12L)), 2),
+      StructType(Seq(StructField("q", StringType),
+        StructField("qt", TimestampType), StructField("rid", LongType))))
+    val got = Relational.asofJoinTables(l, r, "k", "q", "t", "qt")
+      .select(col("lid"), col("rid")).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(11L), 2L -> None))
+  }
+
+  test("as-of join rejects mismatched key types up front") {
+    val bad = rightDf(1).withColumn("q", col("q").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoinTables(leftDf(1), bad, "k", "q", "t", "qt")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("plan: AsofJoinExec with one exchange + sort per side") {
     val df = Relational.asofJoinTables(leftDf(2), rightDf(2),
       "k", "q", "t", "qt")

@@ -218,6 +218,74 @@ case class SynthPartition(start: Long, end: Long) extends InputPartition
 
 class SynthReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  /** Vectorized read path: the generator fills `OnHeapColumnVector`s in
+    * 4K-row batches — the same columnar hand-off the built-in parquet
+    * reader uses, so the scan feeds ColumnarToRow/whole-stage codegen
+    * without per-row object churn. The row-based createReader stays as
+    * the contract fallback; SynthSourceSpec asserts both paths emit
+    * identical rows and that the plan actually goes columnar.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val sp = p.asInstanceOf[SynthPartition]
+    val batchSize = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var pos = sp.start
+      private var batch: ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (pos >= sp.end) false
+        else {
+          val n = math.min(batchSize.toLong, sp.end - pos).toInt
+          val vectors = OnHeapColumnVector.allocateColumns(n, required)
+          var f = 0
+          while (f < required.fields.length) {
+            val v = vectors(f)
+            required.fields(f).name match {
+              case "doc_id" =>
+                var i = 0
+                while (i < n) { v.putLong(i, pos + i); i += 1 }
+              case "lang" =>
+                var i = 0
+                while (i < n) {
+                  val b = SynthSource.langs(
+                    (SynthSource.mix(pos + i) % 4).toInt).getBytes("UTF-8")
+                  v.putByteArray(i, b, 0, b.length); i += 1
+                }
+              case "source" =>
+                var i = 0
+                while (i < n) {
+                  val b = ("src" + (SynthSource.mix(pos + i) % 5))
+                    .getBytes("UTF-8")
+                  v.putByteArray(i, b, 0, b.length); i += 1
+                }
+              case "n_tokens" =>
+                var i = 0
+                while (i < n) {
+                  v.putInt(i, (SynthSource.mix(pos + i) % 501).toInt); i += 1
+                }
+              case other => throw new IllegalArgumentException(
+                s"unknown column $other")
+            }
+            f += 1
+          }
+          batch = new ColumnarBatch(
+            vectors.asInstanceOf[Array[ColumnVector]], n)
+          pos += n
+          true
+        }
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SynthPartition]
     // Resolve the pruned projection ONCE per partition: the reader

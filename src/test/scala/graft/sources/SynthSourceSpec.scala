@@ -103,6 +103,32 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     Seq("a1", "a2", "a3").foreach(AuditSink.clear)
   }
 
+  test("scan is columnar and the vectorized batches match the row reader") {
+    val df = read(10000, 3)
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.head.supportsColumnar, "scan did not go columnar")
+    // vectorized output == the row-based reader's rows (same factory,
+    // forced through createReader)
+    val factory = new SynthReaderFactory(SynthSource.fullSchema)
+    val rowReader = factory.createReader(SynthPartition(100, 140))
+    val viaRows = Iterator.continually(rowReader)
+      .takeWhile(_.next()).map(_.get().copy()).toList
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(SynthSource.fullSchema)
+    val toRow = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+      .resolveAndBind().createDeserializer()
+    val viaBatch = {
+      val r = factory.createColumnarReader(SynthPartition(100, 140))
+      assert(r.next())
+      val b = r.get()
+      (0 until b.numRows()).map(i => toRow(b.getRow(i).copy())).toList
+    }
+    assert(viaRows.map(toRow(_)) == viaBatch)
+    assert(viaBatch.size == 40)
+  }
+
   test("doc_id range filters push into the generator and shrink the scan") {
     val df = read(100000, 4)
       .filter(col("doc_id") >= 60000L && col("doc_id") < 60500L)

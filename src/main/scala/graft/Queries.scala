@@ -962,6 +962,28 @@ GROUP BY user_id ORDER BY user_id""")),
         .orderBy("split", "lang"),
       Some("SELECT " + Corpus.hashSplitSql("doc_id") + " AS split, lang, " +
         "count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY split, lang")),
+    // Final shard materialization: write the corpus as 8 shard files
+    // whose concatenation IS the deterministic shuffle order (shard =
+    // leading hash bits folded to contiguous ranges, not sampled
+    // repartitionByRange boundaries). The checked artifact is the
+    // manifest: per-shard counts + hash-range endpoints, reproduced by
+    // DuckDB from the same arithmetic over the source table — so the
+    // WRITTEN LAYOUT, not just a query result, is oracle-gated.
+    Entry("q_write_shards",
+      (s, d) => Corpus.writeShards(docs(s, d).select("doc_id"), "doc_id",
+        numShards = 8,
+        s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+          Integer.toHexString(d.hashCode)),
+      Some("""WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+s AS (
+  SELECT doc_id, sk,
+    CAST(CAST(('0x' || substr(sk, 1, 3)) AS BIGINT) * 8 // 4096
+      AS INTEGER) AS shard
+  FROM t)
+SELECT shard, count(*) AS n_rows, min(sk) AS first_key,
+  max(sk) AS last_key
+FROM s GROUP BY shard ORDER BY shard""")),
     // Deterministic pre-training shuffle: reproducible total order by
     // key hash; the checked artifact is the first 20 rows, which runs
     // as TakeOrdered (no global sort materialization).

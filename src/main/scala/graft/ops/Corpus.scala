@@ -311,6 +311,40 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
     df.withColumn("shuffle_key", md5(col(keyCol).cast("string")))
       .orderBy("shuffle_key", keyCol)
 
+  /** Final corpus materialization: write `numShards` shard files whose
+    * CONCATENATION in shard order is exactly the [[deterministicShuffle]]
+    * order — the training-data layout step (each shard internally
+    * ordered, shard boundaries deterministic). Shard assignment is a
+    * pure function of the key hash's leading bits (not
+    * `repartitionByRange`, whose sampled boundaries vary run to run):
+    * md5 keys are uniform, so shards balance to the law of large
+    * numbers, append-stable and reproducible. One hash-bucket exchange
+    * + per-shard sort, each 1/numShards of the data. Returns a manifest
+    * (shard, n_rows, first/last shuffle_key).
+    */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+      path: String): DataFrame = {
+    require(numShards >= 1 && numShards <= 4096)
+    val keyed = df
+      .withColumn("shuffle_key", md5(col(keyCol).cast("string")))
+      // leading 3 hex chars = 4096 cells, folded onto shards: contiguous
+      // hash ranges per shard, so concatenating shards 0..n in order
+      // reproduces the global shuffle_key order.
+      .withColumn("shard",
+        floor(conv(substring(col("shuffle_key"), 1, 3), 16, 10)
+          .cast("long") * numShards / 4096).cast("int"))
+    keyed
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(keyCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    keyed.sparkSession.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("shuffle_key")).as("first_key"),
+        max(col("shuffle_key")).as("last_key"))
+      .orderBy("shard")
+  }
+
   /** DuckDB twin of [[deterministicShuffle]] (+ LIMIT prefix): same
     * hash, same tiebreak — kept next to the op so a semantics change
     * updates both sides in one place. */

@@ -527,6 +527,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == None)            // no 5-grams at all
   }
 
+  test("writeShards: concatenated shards reproduce the deterministic shuffle") {
+    val df = docsDf((0L until 500L).map(i => (i, s"doc $i")): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_t").toString
+    val manifest = Corpus.writeShards(df.select("doc_id"), "doc_id", 8, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(manifest.map(_._2).sum == 500)
+    // shard hash-ranges are contiguous and non-overlapping in order
+    manifest.sliding(2).foreach {
+      case Array((_, _, _, lastA), (_, _, firstB, _)) =>
+        assert(lastA <= firstB)
+      case _ =>
+    }
+    // reading back in (shard, shuffle_key) order == the global shuffle
+    val back = spark.read.parquet(dir)
+      .orderBy("shard", "shuffle_key", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = Corpus.deterministicShuffle(df.select("doc_id"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(back == expected)
+  }
+
   test("tokenBudgetMix: two-level prefix sum equals the naive window") {
     val schema = StructType(Seq(StructField("source", StringType),
       StructField("doc_id", LongType), StructField("n_tokens", LongType)))

@@ -318,9 +318,11 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
     * pure function of the key hash's leading bits (not
     * `repartitionByRange`, whose sampled boundaries vary run to run):
     * md5 keys are uniform, so shards balance to the law of large
-    * numbers, append-stable and reproducible. One hash-bucket exchange
-    * + per-shard sort, each 1/numShards of the data. Returns a manifest
-    * (shard, n_rows, first/last shuffle_key).
+    * numbers, append-stable and reproducible. One exchange hashed on
+    * the shard id (4× over-bucketed so shard-id hash collisions rarely
+    * stack two shards on one task) + per-shard sort; every row of a
+    * shard colocates in one task, so each shard is exactly ONE file.
+    * Returns a manifest (shard, n_rows, first/last shuffle_key).
     */
   def writeShards(df: DataFrame, keyCol: String, numShards: Int,
       path: String): DataFrame = {
@@ -334,7 +336,7 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
         floor(conv(substring(col("shuffle_key"), 1, 3), 16, 10)
           .cast("long") * numShards / 4096).cast("int"))
     keyed
-      .repartition(numShards, col("shard"))
+      .repartition(numShards * 4, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_key"), col(keyCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
     keyed.sparkSession.read.parquet(path)

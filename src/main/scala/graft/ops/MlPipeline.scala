@@ -93,9 +93,13 @@ object MlPipeline {
         round(col("p_keep"), 4).as("p_keep"),
         col("prediction").as("model_keep"))
       .orderBy(idCol)
-    val result = out.localCheckpoint(true)
-    prepared.unpersist()
-    result
+    // `prepared` stays persisted under the returned (lazy) frame: the
+    // result remains recomputable after executor loss — an eager
+    // localCheckpoint would truncate lineage onto non-replicated
+    // executor-local blocks. The cache is dropped when the blocks age
+    // out or the session ends; callers needing tighter control can
+    // materialize and unpersist themselves.
+    out
   }
 
   /** MLlib MinHashLSH near-dup candidates over binarized term vectors —

@@ -100,12 +100,16 @@ class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
+    // Long.MaxValue bounds are rejected (left to Spark's post-scan
+    // filter) rather than accepted: the half-open conversion's `v + 1`
+    // would overflow and, because accepted filters are CONSUMED, the
+    // wrong bound would be the only filtering that ever happens.
     val (accepted, rejected) = filters.partition {
-      case EqualTo("doc_id", _: java.lang.Long) => true
-      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case EqualTo("doc_id", v: java.lang.Long) => v < Long.MaxValue
+      case GreaterThan("doc_id", v: java.lang.Long) => v < Long.MaxValue
       case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
       case LessThan("doc_id", _: java.lang.Long) => true
-      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", v: java.lang.Long) => v < Long.MaxValue
       case _ => false
     }
     accepted.foreach {
@@ -236,17 +240,25 @@ class SynthReaderFactory(required: StructType)
     val batchSize = 4096
     new PartitionReader[ColumnarBatch] {
       private var pos = sp.start
-      private var batch: ColumnarBatch = _
+      // Vectors and batch are allocated ONCE and reset per fill (the
+      // parquet reader's reuse pattern); the 4 lang / 5 source values
+      // are pre-encoded so the hot loop does no String/byte[] churn.
+      private val vectors =
+        OnHeapColumnVector.allocateColumns(batchSize, required)
+      private val batch =
+        new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+      private val langBytes = SynthSource.langs.map(_.getBytes("UTF-8"))
+      private val srcBytes =
+        (0 until 5).map(i => s"src$i".getBytes("UTF-8")).toArray
 
       override def next(): Boolean = {
-        if (batch != null) { batch.close(); batch = null }
         if (pos >= sp.end) false
         else {
           val n = math.min(batchSize.toLong, sp.end - pos).toInt
-          val vectors = OnHeapColumnVector.allocateColumns(n, required)
           var f = 0
           while (f < required.fields.length) {
             val v = vectors(f)
+            v.reset()
             required.fields(f).name match {
               case "doc_id" =>
                 var i = 0
@@ -254,15 +266,13 @@ class SynthReaderFactory(required: StructType)
               case "lang" =>
                 var i = 0
                 while (i < n) {
-                  val b = SynthSource.langs(
-                    (SynthSource.mix(pos + i) % 4).toInt).getBytes("UTF-8")
+                  val b = langBytes((SynthSource.mix(pos + i) % 4).toInt)
                   v.putByteArray(i, b, 0, b.length); i += 1
                 }
               case "source" =>
                 var i = 0
                 while (i < n) {
-                  val b = ("src" + (SynthSource.mix(pos + i) % 5))
-                    .getBytes("UTF-8")
+                  val b = srcBytes((SynthSource.mix(pos + i) % 5).toInt)
                   v.putByteArray(i, b, 0, b.length); i += 1
                 }
               case "n_tokens" =>
@@ -275,15 +285,14 @@ class SynthReaderFactory(required: StructType)
             }
             f += 1
           }
-          batch = new ColumnarBatch(
-            vectors.asInstanceOf[Array[ColumnVector]], n)
+          batch.setNumRows(n)
           pos += n
           true
         }
       }
 
       override def get(): ColumnarBatch = batch
-      override def close(): Unit = if (batch != null) batch.close()
+      override def close(): Unit = batch.close()
     }
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

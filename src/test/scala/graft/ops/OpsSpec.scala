@@ -662,6 +662,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> true, 5L -> true))
   }
 
+  test("zorder2 interleave round-trips: de-interleaving recovers (x, y)") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      var i = 0
+      while (i < 16) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map(p => Row(p._1, p._2)), 2),
+      StructType(Seq(StructField("x", LongType), StructField("y", LongType))))
+    val out = df.select(col("x"), col("y"),
+        Bucketing.zorder2(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(deinterleave(z) == ((x, y)), s"z=$z")
+    }
+    // interleaving is monotone in each dimension when the other is fixed
+    val zs = (0L until 100L).map(x =>
+      df.sparkSession.range(1).select(
+        Bucketing.zorder2(lit(x), lit(7L))).head().getLong(0))
+    assert(zs == zs.sorted)
+  }
+
+  test("misra-gries buffers survive serialize/deserialize round-trip") {
+    val agg = graft.functions.MisraGriesTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 4)
+    val buf = agg.createAggregationBuffer()
+    buf.put("alpha", 5L); buf.put("beta", 2L); buf.put("", 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
   test("zorder2 layout: file stats prune a y-slice that a linear x-sort cannot") {
     // 20k rows, two 10-bit dimensions, 16 files per layout. A file is
     // "touched" by a predicate iff its [min,max] stats overlap — the

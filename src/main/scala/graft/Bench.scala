@@ -57,16 +57,33 @@ object Bench {
       if (selected.isEmpty)
         System.err.println("[bench] SPARK_GRAFT_ONLY selected ZERO queries")
     }
+    // Optional min-of-N mode (SPARK_GRAFT_BENCH_REPEATS=N, default 1 so
+    // the driver's single-shot invocation is unchanged): a single-run
+    // bench makes round-over-round grading hostage to machine weather —
+    // r6's driver artifact was ~2-3× uniformly inflated by contention
+    // while two independent same-config runs agreed. min-of-N reports
+    // the least-contended run per entry. Caveat (deliberate): entries
+    // that train session-cached models are charged the training on the
+    // FIRST repeat only, so their min reflects the cached path — the
+    // single-shot default stays the attribution-faithful mode.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .map(_.trim.toInt).getOrElse(1).max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune computed
-      // columns on map-only entries, under-charging their real work.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < repeats && !failed.contains(name)) {
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune computed
+        // columns on map-only entries, under-charging their real work.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> best
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1105,6 +1105,14 @@ FROM s ORDER BY doc_id, chunk_id""")),
           array_min(col("fingerprints")).as("min_fp"))
         .orderBy("doc_id"),
       None),
+    // Winnowing portable twin (md5 gram hashes, per the simhash_md5 /
+    // minhash_lsh_md5 precedent): the gram-extraction / window-min /
+    // fingerprint-set machinery of q_winnow_fp, hash-checked
+    // cross-engine. The rolling-hash production path above stays
+    // rows-only (JVM-specific Karp–Rabin values).
+    Entry("q_winnow_md5",
+      (s, d) => TextOps.winnowMd5(docs(s, d), "doc_id", "text"),
+      Some(TextOps.winnowMd5Sql("documents", "doc_id", "text"))),
     // Quality scoring (length/punct/stopword ratios) + BPE-ish token
     // counts: integer counts and single divisions, identical both
     // engines -> oracle-checked.
@@ -1245,6 +1253,39 @@ GROUP BY split ORDER BY split"""
           .orderBy(desc("exact_cnt"), col("term"))
       },
       None),
+    // The Misra–Gries GUARANTEE itself, oracle-ized: any term whose
+    // exact count exceeds N/(k+1) MUST survive the k-counter summary,
+    // so the guaranteed head — MG output ∩ {exact_cnt > N/(k+1)}, exact
+    // counts joined — is a deterministic, partitioning-independent set
+    // that DuckDB reproduces from exact counts alone. If the aggregate
+    // ever dropped a guaranteed term, the inner join would lose its row
+    // and the hash check would fail: the oracle gate IS the containment
+    // proof (complementing OpsSpec's cross-layout property test).
+    Entry("q_heavy_hitters_head",
+      (s, d) => {
+        graft.functions.MisraGriesTopK.ensureRegistered(s)
+        val toks = docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val mg = toks
+          .agg(expr(s"${graft.functions.MisraGriesTopK.name}(tok, 64)")
+            .as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.term").as("term"))
+        val exact = toks.groupBy(col("tok").as("term"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        val total = toks.agg(count(lit(1)).as("n_tok"))
+        mg.join(exact, "term")
+          .crossJoin(broadcast(total))
+          .filter(col("exact_cnt") > col("n_tok") / 65.0)
+          .select(col("term"), col("exact_cnt"))
+          .orderBy("term")
+      },
+      Some("""WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tot AS (SELECT count(*) AS n_tok FROM toks)
+SELECT term, count(*) AS exact_cnt FROM toks, tot
+GROUP BY term, n_tok HAVING count(*) > n_tok / 65.0 ORDER BY term""")),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.
@@ -1346,7 +1387,16 @@ GROUP BY doc_id ORDER BY doc_id""")),
         .select(col("asset_id"), col("byte_entropy"),
           element_at(col("features"), 1).as("f0"))
         .orderBy("asset_id"),
-      None)
+      None),
+    // The byte-histogram feature arithmetic hash-checked: bins=16 makes
+    // a bin the byte's high nibble (= one hex char of the payload's hex
+    // dump), so DuckDB can tally bins without blob indexing. Runs the
+    // same mapPartitions plumbing + histEntropy core as the feature
+    // entry above; only the final Float normalization stays rows-only.
+    Entry("q_multimodal_bytes",
+      (s, d) => Multimodal.byteHistogramOracle(
+        Multimodal.fromText(docs(s, d), "doc_id", "text")),
+      Some(Multimodal.byteHistogramOracleSql("documents", "doc_id", "text")))
   )
 
   // ---- similarity search over embeddings (north star; SURVEY §7.5) ----
@@ -1806,15 +1856,21 @@ GROUP BY doc_id ORDER BY doc_id""")),
           .orderBy("query_id")
       },
       None),
-    // Table entropy computed in the engine (train_model.py:340-343);
-    // float shuffle-sum order varies -> rows-only.
+    // Table entropy computed in the engine (train_model.py:340-343).
+    // Pure SQL (groupBy-all counts → log2(n) − Σc·log2(c)/n); the float
+    // shuffle-sum order difference between engines is ~1e-12 bits, so
+    // the 6-decimal rounding q_tfidf_exact proved out makes this
+    // hash-checkable.
     Entry("q_table_bits",
       (s, d) => {
         import s.implicits._
         val bits = Trainer.tableBits(li(s, d), modelCols)
-        Seq(math.round(bits * 1000) / 1000.0).toDF("table_bits")
+        Seq(math.round(bits * 1e6) / 1e6).toDF("table_bits")
       },
-      None),
+      Some(s"""SELECT ROUND(LOG2(n) - clogc / n, 6) AS table_bits FROM (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, sum(c * LOG2(c)) AS clogc FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS c FROM lineitem
+    GROUP BY ${modelCols.mkString(", ")}))""")),
     // BN over a wide-domain column set (l_shipdate has ~2400 distinct
     // values, equal-freq rebinned to 64 cells; estimators.py:683-740).
     // Estimates W3, which filters the rebinned column (rows-only).

@@ -48,17 +48,22 @@ object Bucketing {
   /** Cache key for materialized layouts: the source dir PLUS the
     * source file's (mtime, length) fingerprint, so a regenerated
     * source parquet at the same path invalidates stale cross-JVM
-    * copies instead of being silently reused. */
-  private def dirTag(sfDir: String, table: String): String = {
+    * copies instead of being silently reused. The session timezone is
+    * part of the key too: a date-partitioned layout's `to_date(ts)`
+    * partition values depend on it, so a layout written by a non-UTC
+    * session must never alias a UTC run's (and vice versa). */
+  private def dirTag(spark: SparkSession, sfDir: String,
+      table: String): String = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     val f = new java.io.File(s"$sfDir/$table.parquet")
-    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    val key = s"$sfDir:${f.lastModified}:${f.length}:$tz"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 
   def ordersPerNationBucketed(spark: SparkSession, sfDir: String,
       numBuckets: Int = 8): DataFrame = {
-    val tag = dirTag(sfDir, "orders") + dirTag(sfDir, "customer")
+    val tag = dirTag(spark, sfDir, "orders") + dirTag(spark, sfDir, "customer")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
     val ord = bucketedTable(spark, s"graft_b_${tag}_orders",
       graft.core.Tables.read(spark, sfDir, "orders")
@@ -142,7 +147,7 @@ object Bucketing {
     * DataFrame is path-backed, so pruning needs no catalog.
     */
   def datePartitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = dirTag(sfDir, "events")
+    val tag = dirTag(spark, sfDir, "events")
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_part/events_$tag"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {

@@ -62,6 +62,24 @@ object Multimodal {
     * mapPartitions plumbing a decode pipeline uses — one row in, one
     * fixed-shape vector out, no shuffle.
     */
+  /** Shared per-blob histogram+entropy core — the exact arithmetic both
+    * the feature path and the oracle projection run, factored so the
+    * hash-checked entry exercises the same code the extractor uses. */
+  private[ops] def histEntropy(bytes: Array[Byte], bins: Int): (Array[Int], Double) = {
+    val hist = new Array[Int](bins)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) * bins / 256) += 1
+      i += 1
+    }
+    val n = math.max(1, bytes.length).toDouble
+    var ent = 0.0
+    hist.foreach { h =>
+      if (h > 0) { val p = h / n; ent -= p * math.log(p) / math.log(2) }
+    }
+    (hist, ent)
+  }
+
   def byteHistogramFeatures(assets: DataFrame, bins: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select(col("asset_id").cast("long"), col("content"))
@@ -69,23 +87,69 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val hist = new Array[Int](bins)
-          var i = 0
-          while (i < bytes.length) {
-            hist((bytes(i) & 0xff) * bins / 256) += 1
-            i += 1
-          }
+          val (hist, ent) = histEntropy(bytes, bins)
           val n = math.max(1, bytes.length).toDouble
-          val feat = hist.map(h => (h / n).toFloat)
-          var ent = 0.0
-          hist.foreach { h =>
-            if (h > 0) { val p = h / n; ent -= p * math.log(p) / math.log(2) }
-          }
-          Row(id, feat.toSeq, ent)
+          Row(id, hist.map(h => (h / n).toFloat).toSeq, ent)
         }
       }
     spark.createDataFrame(rdd, featureSchema(bins))
   }
+
+  /** Oracle-izable projection of [[byteHistogramFeatures]]: bins=16 so
+    * a bin is exactly a byte's HIGH NIBBLE — one hex character of the
+    * payload's hex dump, which DuckDB can tally without blob indexing.
+    * Emits integer bin-0 count + payload size + 6-decimal-rounded
+    * entropy; runs the SAME mapPartitions plumbing and [[histEntropy]]
+    * core as the feature path. The float normalization step stays out
+    * of the checked surface (rounding a Float to decimals is the one
+    * non-portable operation); everything upstream of it is hash-gated.
+    */
+  def byteHistogramOracle(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select(col("asset_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (hist, ent) = histEntropy(bytes, 16)
+          Row(id, hist(0).toLong, bytes.length.toLong,
+            math.round(ent * 1e6) / 1e6)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("c0", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("byte_entropy", DoubleType, nullable = false))))
+      .orderBy("asset_id")
+  }
+
+  /** DuckDB oracle for [[byteHistogramOracle]]: hex() the UTF-8 payload,
+    * count high-nibble characters per 16-bucket bin, entropy over the
+    * bin distribution. Empty payloads (no hex rows) left-join back in
+    * with (0, 0, 0.0) — matching the n=max(1,len) guard in
+    * [[histEntropy]]. */
+  def byteHistogramOracleSql(table: String, id: String, text: String): String =
+    s"""WITH b AS (
+  SELECT $id AS asset_id, octet_length(encode($text)) AS len,
+    hex(encode($text)) AS hx
+  FROM $table
+), nib AS (
+  SELECT asset_id, len,
+    strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1 AS bin
+  FROM b, unnest(range(1, len + 1)) u(i)
+), cnt AS (
+  SELECT asset_id, len, bin, count(*) AS c FROM nib GROUP BY asset_id, len, bin
+), agg AS (
+  SELECT asset_id, len,
+    COALESCE(sum(CASE WHEN bin = 0 THEN c END), 0) AS c0,
+    ROUND(sum(-(c / CAST(len AS DOUBLE)) * LOG2(c / CAST(len AS DOUBLE))), 6) AS ent
+  FROM cnt GROUP BY asset_id, len
+)
+SELECT b.asset_id, CAST(COALESCE(agg.c0, 0) AS BIGINT) AS c0,
+  CAST(b.len AS BIGINT) AS n_bytes, COALESCE(agg.ent, 0.0) AS byte_entropy
+FROM b LEFT JOIN agg ON b.asset_id = agg.asset_id
+ORDER BY b.asset_id"""
 
   /** STUBBED media decode: a real pipeline would decode the payload
     * (JPEG→pixels, audio→PCM frames) with native libs and emit a

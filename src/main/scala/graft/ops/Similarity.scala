@@ -134,9 +134,14 @@ object Similarity {
     * bucket layout and a query reads only `nProbe`/`k` of the data.
     */
   def kmeansCentroids(df: DataFrame, embCol: String, k: Int, iters: Int = 10,
-      sampleRows: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = df.select(col(embCol))
-      .limit(sampleRows).collect()
+      sampleRows: Int = 10000, seed: Long = 42L,
+      idCol: String = "vec_id"): Array[Array[Float]] = {
+    // Pinned sample: limit() over an unordered frame is not stable
+    // across partition layouts/AQE, which would silently break the
+    // "deterministic seeded" contract downstream results rely on —
+    // order by id first, like annRecall's query batch.
+    val sample = df.select(col(embCol), col(idCol))
+      .orderBy(col(idCol)).limit(sampleRows).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty)
     val dim = sample(0).length
@@ -381,7 +386,8 @@ object Similarity {
     require(qs.nonEmpty, "annRecall needs at least one query vector")
     val dim = qs(0).length
     val planes = hyperplanes(dim, numBits, seed)
-    val centroids = kmeansCentroids(df, embCol, ivfCells, seed = seed)
+    val centroids = kmeansCentroids(df, embCol, ivfCells, seed = seed,
+      idCol = idCol)
     def bucketOf(v: Array[Float]): Long =
       planes.zipWithIndex.map { case (p, b) =>
         var dot = 0.0

@@ -326,6 +326,68 @@ FROM c GROUP BY id ORDER BY id"""
         nullable = false))))
   }
 
+  /** Engine-portable winnowing twin (the md5-twin precedent of
+    * [[Dedup.simhashMd5]] / minhashLshPortable): character k-grams over
+    * the ASCII projection of the text, md5-prefix (32-bit, BIGINT-safe
+    * on both engines) gram hashes, per-window minima, per-doc distinct
+    * fingerprint set. The production path ([[winnowingFingerprints]])
+    * stays byte-based with the rolling Karp–Rabin hash (one modular
+    * multiply per position vs a cryptographic hash per gram) and
+    * rows-only; this twin puts the WINNOWING machinery — gram
+    * extraction, window-min selection, set semantics — under the
+    * cross-engine hash gate. Tie-breaking (production picks the
+    * rightmost minimum) cannot diverge here: tied positions share the
+    * same hash VALUE, and the fingerprint set stores values, so the
+    * selected set is tie-order-independent by construction.
+    * Shape mirrors the q_winnow_fp projection: (id, n_fp, min_fp).
+    */
+  def winnowMd5(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+        regexp_replace(col(textCol), "[^\\x20-\\x7e]", "").as("t"))
+      .filter(length(col("t")) >= k)
+    val grams = base.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(1, length(t) - ${k - 1}), i -> substring(t, i, $k))"))
+        .as(Seq("pos", "g")))
+    val perDoc = Window.partitionBy("id")
+    val wmin = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    grams
+      .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("mn", min(col("h")).over(wmin))
+      // full windows only — except a doc with fewer grams than the
+      // window, whose LAST row's trailing frame covers every gram
+      // (the production n<window fallback: min of all hashes).
+      .filter(col("pos") >= window - 1 || col("pos") === col("n") - 1)
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("mn")).as("n_fp"), min(col("mn")).as("min_fp"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB oracle for [[winnowMd5]] — identical gram/hash/window-min
+    * pipeline in SQL. */
+  def winnowMd5Sql(table: String, id: String, text: String,
+      k: Int = 8, window: Int = 4): String =
+    s"""WITH base AS (
+  SELECT $id AS id, regexp_replace($text, '[^\\x20-\\x7e]', '', 'g') AS t
+  FROM $table
+), g AS (
+  SELECT id, i - 1 AS pos, length(t) - ${k - 1} AS n,
+    CAST('0x' || substr(md5(substring(t, CAST(i AS INTEGER), $k)), 1, 8) AS BIGINT) AS h
+  FROM base, unnest(range(1, length(t) - ${k - 2})) u(i)
+  WHERE length(t) >= $k
+), w AS (
+  SELECT id, pos, n, min(h) OVER (PARTITION BY id ORDER BY pos
+    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS mn
+  FROM g
+)
+SELECT id AS $id, count(DISTINCT mn) AS n_fp, min(mn) AS min_fp
+FROM w WHERE pos >= ${window - 1} OR pos = n - 1
+GROUP BY id ORDER BY $id"""
+
   /** Stopword marker sets per language for the n-gram/stopword language
     * heuristic. Deterministic and tiny by design.
     */

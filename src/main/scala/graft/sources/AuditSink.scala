@@ -19,9 +19,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * messages, which is exactly the exactly-once contract a real sink
   * (file commit protocol, transactional table) builds on.
   *
-  * The checksum is an XOR of per-row Murmur3 hashes: commutative, so it
-  * is independent of partitioning and row order — two writes of the
-  * same data through any plan agree (asserted in SynthSourceSpec).
+  * The checksum is a wrapping SUM of per-row Murmur3 hashes:
+  * commutative, so it is independent of partitioning and row order —
+  * two writes of the same data through any plan agree (asserted in
+  * SynthSourceSpec). Addition (not XOR) on purpose: an XOR fold
+  * cancels any row appearing an even number of times, so two datasets
+  * differing by duplicate-pair multiplicity would collide; the sum is
+  * multiplicity-sensitive.
+  *
+  * Deployment scope: the committed result lands in a driver-JVM
+  * singleton map — correct for local mode and for this repo's oracle
+  * gate, but a REAL deployment of this protocol would commit the
+  * aggregated message to durable coordination state (a metastore
+  * table, a transaction log, a commit service) in `commit()`, not a
+  * process-local map. The task-message/visible-only-on-commit protocol
+  * is the part that carries over unchanged.
   *
   * {{{
   *   df.write.format("graft-audit").option("id", "run1")
@@ -84,7 +96,7 @@ class AuditBatchWrite(id: String, schema: StructType) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     var rows = 0L
     var checksum = 0L
-    messages.foreach { case AuditMessage(r, c) => rows += r; checksum ^= c }
+    messages.foreach { case AuditMessage(r, c) => rows += r; checksum += c }
     AuditSink.put(id, rows, checksum)
   }
 
@@ -98,14 +110,16 @@ class AuditWriterFactory(schema: StructType) extends DataWriterFactory {
       private var rows = 0L
       private var checksum = 0L
       // Row hash via the unsafe row's bytes — schema-agnostic and
-      // stable; XOR-folded so the total is order/partition-invariant.
+      // stable; sum-folded (wrapping) so the total is order/partition-
+      // invariant yet still sensitive to row multiplicity (XOR would
+      // cancel even-count duplicates).
       private val toUnsafe =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection
           .create(schema)
 
       override def write(record: InternalRow): Unit = {
         val u = toUnsafe(record)
-        checksum ^= org.apache.spark.unsafe.hash.Murmur3_x86_32
+        checksum += org.apache.spark.unsafe.hash.Murmur3_x86_32
           .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
             u.getSizeInBytes, 42).toLong
         rows += 1

@@ -41,11 +41,16 @@ class SynthSource extends TableProvider with DataSourceRegister {
     SynthSource.fullSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2's option contract is case-insensitive; the raw properties
+    // map is not — wrap it so .option("ROWS", ...) doesn't silently
+    // fall back to the default.
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerBatch", "1000").toLong)
+      opts.getLong("rows", 1000L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsPerBatch", 1000L))
+  }
 }
 
 object SynthSource {
@@ -195,6 +200,8 @@ class SynthMicroBatchStream(from: Long, until: Long, partitions: Int,
       limit: streaming.ReadLimit): streaming.Offset = {
     val step = limit match {
       case m: streaming.ReadMaxRows => m.maxRows()
+      // Trigger.AvailableNow asks for everything that exists right now.
+      case _: streaming.ReadAllAvailable => until - idx(start)
       case _ => rowsPerBatch
     }
     SynthOffset(math.min(until, idx(start) + step))
@@ -203,6 +210,11 @@ class SynthMicroBatchStream(from: Long, until: Long, partitions: Int,
   override def latestOffset(): streaming.Offset =
     throw new UnsupportedOperationException(
       "SupportsAdmissionControl.latestOffset(start, limit) is used")
+
+  // Trigger.AvailableNow snapshots this before the run to decide when
+  // the stream has drained; the default null would read as "no data"
+  // and terminate the wrapper without emitting a single batch.
+  override def reportLatestOffset(): streaming.Offset = SynthOffset(until)
 
   override def deserializeOffset(json: String): streaming.Offset =
     SynthOffset(json.toLong)

@@ -87,6 +87,30 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
       s"restarted stream re-emitted ${emitted.get - 900} committed rows")
   }
 
+  test("options are case-insensitive per the DSv2 contract") {
+    val df = spark.read.format("graft-synth")
+      .option("ROWS", 123).option("Partitions", 3)
+      .option("rowsperbatch", 50).load()
+    assert(df.count() == 123)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("Trigger.AvailableNow drains the source in one run and stops") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 700).option("partitions", 2)
+      .option("rowsPerBatch", 300).load()
+      .writeStream.format("memory").queryName("synth_avail_now")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_synth_an").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once reportLatestOffset() is
+    // reached; a null reportLatestOffset would end the run with ZERO
+    // rows emitted.
+    assert(q.awaitTermination(60000), "AvailableNow run did not terminate")
+    assert(spark.table("synth_avail_now").count() == 700)
+  }
+
   test("audit sink: committed totals are partition- and order-invariant") {
     val df = read(5000, 4)
     df.write.format("graft-audit").option("id", "a1").mode("append").save()
@@ -100,7 +124,15 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     read(4999, 4)
       .write.format("graft-audit").option("id", "a3").mode("append").save()
     assert(AuditSink.result("a3").exists(_ != ((rows1, sum1))))
-    Seq("a1", "a2", "a3").foreach(AuditSink.clear)
+    // multiplicity-sensitive: every row duplicated (even count) must NOT
+    // collide with the original — the XOR-fold failure mode.
+    val doubled = read(5000, 4).union(read(5000, 4))
+    doubled.write.format("graft-audit").option("id", "a4")
+      .mode("append").save()
+    val Some((rows4, sum4)) = AuditSink.result("a4")
+    assert(rows4 == 10000)
+    assert(sum4 != sum1, "doubled dataset collided with original checksum")
+    Seq("a1", "a2", "a3", "a4").foreach(AuditSink.clear)
   }
 
   test("scan is columnar and the vectorized batches match the row reader") {

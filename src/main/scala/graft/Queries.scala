@@ -1825,6 +1825,85 @@ GROUP BY doc_id ORDER BY doc_id""")),
         }
       },
       None),
+    // Estimator-driven JOIN PLANNING — the second half of the
+    // optimizer-integration north star (the COUNT(*) rewrite above
+    // ANSWERS from the model; this lets the model STEER the planner):
+    // the same lineitem⋈orders join planned twice, once from file-size
+    // statistics and once with the learned sampler's cardinality
+    // injected as Statistics via EstimatedStatsRule, returning the join
+    // operator Catalyst itself chose in each mode plus the (identical)
+    // result count. The model knows the conjunct keeps a few hundred
+    // rows, so its plan broadcasts what file-size stats shuffle — the
+    // entry hard-fails unless BOTH modes pick the expected operator.
+    // rows-only: plan node names are Spark-specific (both flip
+    // directions are additionally spec-asserted in JoinPlanSpec).
+    Entry("q_join_plan_inject",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        def joined() = {
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
+              col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_quantity"))
+          val ord = Tables.read(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+          liF.join(ord, liF("l_orderkey") === ord("o_orderkey"))
+        }
+        def chosenJoin(df: org.apache.spark.sql.DataFrame): String = {
+          var name = "unknown"
+          df.queryExecution.executedPlan.foreach {
+            case _: BroadcastHashJoinExec => name = "BroadcastHashJoin"
+            case _: SortMergeJoinExec => name = "SortMergeJoin"
+            case _ => ()
+          }
+          name
+        }
+        try {
+          // static plans (AQE would re-decide from runtime sizes —
+          // which is the complementary mechanism, not the one under
+          // test) and a threshold both tables' files exceed
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val base = joined()
+          val basePlan = chosenJoin(base)
+          val baseRows = base.count()
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val injected = joined()
+          val injPlan = chosenJoin(injected)
+          val injRows = injected.count()
+          require(basePlan == "SortMergeJoin" &&
+              injPlan == "BroadcastHashJoin" && baseRows == injRows,
+            s"stats injection did not flip the join: base=$basePlan/" +
+              s"$baseRows injected=$injPlan/$injRows")
+          Seq(("file_size_stats", basePlan, baseRows),
+            ("model_stats", injPlan, injRows))
+            .toDF("mode", "join_exec", "n_rows").orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      None),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

@@ -47,6 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.NfcNormalize.registration)
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graft.AsofJoinStrategy)
+    // Stats injection runs AFTER the main optimization batches (pre-CBO
+    // slot), so predicate pushdown and column pruning act on the plain
+    // Filter before it gets wrapped in the stats barrier.
+    ext.injectPreCBORule { session =>
+      session.conf.set(EstimatedStatsRule.AttachedKey, "true")
+      EstimatedStatsRule(session)
+    }
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.StatsAnnotatedStrategy)
   }
 }
 
@@ -150,9 +159,94 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  private def stripProjects(plan: LogicalPlan) = PredExtract.stripProjects(plan)
+  private def relationPaths(plan: LogicalPlan) = PredExtract.relationPaths(plan)
+  private def parseConjunction(e: Expression) = PredExtract.parseConjunction(e)
+}
+
+object EstimatedStatsRule {
+  val EnabledKey = "spark.graft.statsInject.enabled"
+  val AttachedKey = "spark.graft.statsInject.attached"
+
+  /** Attach rule + erasing strategy to an existing session (the
+    * non-`withExtensions` path, same shape as
+    * [[ApproxCountRule.attachIfMissing]]). extraOptimizations run as
+    * the optimizer's LAST batch — also after pushdown/pruning, so the
+    * placement contract holds on this path too. */
+  def attachIfMissing(spark: SparkSession): Unit = {
+    val present =
+      spark.conf.getOption(AttachedKey).contains("true") ||
+        spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[EstimatedStatsRule])
+    if (!present) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ EstimatedStatsRule(spark)
+      spark.conf.set(AttachedKey, "true")
+    }
+    org.apache.spark.sql.graft.StatsAnnotated.ensureStrategy(spark)
+  }
+}
+
+/** The other half of the optimizer-integration north star (the COUNT(*)
+  * rewrite above ANSWERS queries from the model; this rule lets the
+  * model STEER the planner): wraps `Filter[conj] <- scan(t)` in a
+  * [[org.apache.spark.sql.graft.StatsAnnotated]] barrier carrying the
+  * registered estimator's cardinality as `Statistics`, so Catalyst's
+  * own `JoinSelection` flips broadcast-vs-shuffle on the learned
+  * estimate instead of the scan's file size. Spark's size-only visitor
+  * propagates the RELATION's size through a Filter unchanged — a
+  * 0.01%-selective predicate over a terabyte table "looks like" a
+  * terabyte and pays a shuffle join; and a small compressed file
+  * under-reports its in-memory build size and gets broadcast at OOM
+  * risk. A model estimate fixes both directions (both flips asserted
+  * in JoinPlanSpec).
+  *
+  * Conservative like the count rewrite: fires only on all-supported
+  * conjuncts over modeled columns of a registered scan; estimator
+  * failures leave the plan untouched. Size = rows × (8 + Σ attr
+  * defaultSize), Spark's own row-width convention.
+  */
+case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.graft.StatsAnnotated
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(EstimatedStatsRule.EnabledKey).contains("true") ||
+        ApproxCountRule.inEstimate.get()) plan
+    else plan.transformUp {
+      // Collapse a stale annotation around a freshly re-wrapped filter
+      // (fixed-point batches re-run the rule): keep the inner, newer
+      // one. Makes the rewrite converge on the second pass.
+      case StatsAnnotated(inner: StatsAnnotated, _, _) => inner
+      case f @ Filter(cond, child) =>
+        (PredExtract.relationPaths(child),
+            PredExtract.parseConjunction(cond, strictNotNull = false)) match {
+          case (Some(paths), Some(preds)) =>
+            GraftRuntime.lookup(paths) match {
+              case Some(reg)
+                  if preds.forall(p => reg.columns.contains(p.col)) =>
+                ApproxCountRule.inEstimate.set(true)
+                val est =
+                  try reg.estimate(preds)
+                  finally ApproxCountRule.inEstimate.set(false)
+                val rowBytes =
+                  8L + f.output.map(_.dataType.defaultSize.toLong).sum
+                StatsAnnotated(f, BigInt(est), BigInt(est) * rowBytes)
+              case _ => f
+            }
+          case _ => f
+        }
+    }
+  }
+}
+
+/** Catalyst-expression → 5-op-Pred extraction shared by the two
+  * optimizer-integration rules ([[ApproxCountRule]],
+  * [[EstimatedStatsRule]]). */
+private[plans] object PredExtract {
+
   /** Strip attribute-only projections/aliases (column pruning inserts
     * them between the aggregate, the filter, and the scan). */
-  private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
+  def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
     case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
       stripProjects(child)
     case SubqueryAlias(_, child) => stripProjects(child)
@@ -160,7 +254,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The parquet paths under a plain scan (through projections). */
-  private def relationPaths(plan: LogicalPlan): Option[Seq[String]] =
+  def relationPaths(plan: LogicalPlan): Option[Seq[String]] =
     stripProjects(plan) match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some(fs.location.rootPaths.map(_.toString))
@@ -176,7 +270,16 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * exclude the null slot for every predicated column. A standalone
     * isnotnull on an unpredicated column is not expressible in the 5-op
     * vocabulary, so the rewrite bails. */
-  private def parseConjunction(e: Expression): Option[Seq[Pred]] = {
+  /** `strictNotNull = true` (the COUNT(*) rewrite): a standalone
+    * `isnotnull` on an unpredicated column changes the count and is not
+    * expressible in the 5-op vocabulary, so the parse bails.
+    * `strictNotNull = false` (stats injection): bare `isnotnull`
+    * conjuncts (the optimizer infers one per join key) are IGNORED —
+    * they only shrink the true cardinality, so the model estimate over
+    * the remaining comparisons stays a sound upper bound, which is the
+    * right direction for a broadcast-safety decision. */
+  def parseConjunction(e: Expression,
+      strictNotNull: Boolean = true): Option[Seq[Pred]] = {
     def flatten(x: Expression): Seq[Expression] = x match {
       case And(l, r) => flatten(l) ++ flatten(r)
       case other => Seq(other)
@@ -193,8 +296,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val notNullCols = conjuncts.collect {
         case IsNotNull(a: AttributeReference) => a.name
       }
-      if (notNullCols.forall(n => preds.exists(_.col == n)) && preds.nonEmpty)
-        Some(preds)
+      val notNullOk = !strictNotNull ||
+        notNullCols.forall(n => preds.exists(_.col == n))
+      if (notNullOk && preds.nonEmpty) Some(preds)
       else None
     }
   }

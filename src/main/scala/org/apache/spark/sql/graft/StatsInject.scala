@@ -1,0 +1,73 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Learned-cardinality statistics injection — the second half of the
+  * optimizer-integration north star (the first is the COUNT(*) rewrite
+  * in `graft.plans.ApproxCountRule`). The reference's estimators never
+  * reach a real optimizer; here a registered model's estimate becomes
+  * the `Statistics` Catalyst's OWN join planning reads, so the
+  * broadcast-vs-shuffle decision flips on the model, with no forced
+  * hints and no bypassed planner.
+  *
+  * [[StatsAnnotated]] is a stats-bearing pass-through: a `UnaryNode`
+  * whose overridden `stats` replaces the size-only estimate (for a
+  * `Filter`, Spark's `SizeInBytesOnlyStatsPlanVisitor` just propagates
+  * the child relation's file size — a selective predicate over a big
+  * table still "looks big" and gets a shuffle join; conversely a small
+  * compressed file under-reports its in-memory width and gets a
+  * broadcast that can OOM the build side). `graft.plans
+  * .EstimatedStatsRule` wraps qualifying filters after the main
+  * optimization batches (so pushdown/pruning see the plain `Filter`);
+  * [[StatsAnnotatedStrategy]] erases the wrapper at physical planning
+  * by planning its child — by then `JoinSelection` has already read
+  * the injected numbers.
+  *
+  * At 100 TB the payoff is the reference's own motivating case
+  * (BASELINE: "integration into query optimizer"): a learned estimate
+  * that is orders of magnitude closer than file-size heuristics
+  * decides whether a dimension-side subquery ships to every executor
+  * or pays a full shuffle — the single most expensive binary choice in
+  * a distributed join.
+  *
+  * Shim package: `SparkStrategy` is `private[sql]`, same pattern as
+  * [[AsofJoinStrategy]].
+  */
+case class StatsAnnotated(
+    child: LogicalPlan,
+    estRows: BigInt,
+    estSizeInBytes: BigInt) extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // Replaces (not merges) the visitor-computed statistics: sizeInBytes
+  // drives broadcast selection in every stats mode; rowCount feeds the
+  // CBO visitors when spark.sql.cbo.enabled is on.
+  override def stats: Statistics =
+    Statistics(sizeInBytes = estSizeInBytes.max(1), rowCount = Some(estRows))
+
+  override def maxRows: Option[Long] = child.maxRows
+
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): StatsAnnotated = copy(child = newChild)
+}
+
+object StatsAnnotatedStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case StatsAnnotated(child, _, _) => planLater(child) :: Nil
+    case _ => Nil
+  }
+}
+
+object StatsAnnotated {
+  /** Idempotently make the erasing strategy available to `spark` (for
+    * sessions not built `.withExtensions(new GraftExtensions)`). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(StatsAnnotatedStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ StatsAnnotatedStrategy
+  }
+}

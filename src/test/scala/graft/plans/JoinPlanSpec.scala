@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Estimator-driven join planning: a registered model's cardinality,
+  * injected as `Statistics` by EstimatedStatsRule, must flip Catalyst's
+  * own broadcast-vs-shuffle decision in BOTH directions — and never
+  * change results.
+  */
+class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var factsPath: String = _
+  private var dimsPath: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      // assert on the statically planned join — AQE would wrap it in an
+      // adaptive placeholder and re-decide from runtime sizes
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_statsinj").toString
+    factsPath = s"$base/statsinj_facts"
+    dimsPath = s"$base/statsinj_dims"
+    // incompressible-ish payloads so the parquet files have real size
+    spark.range(20000)
+      .select(col("id"), (col("id") % 50).as("k"), (col("id") % 1000).as("a"),
+        md5(col("id").cast("string")).as("payload"))
+      .write.mode("overwrite").parquet(factsPath)
+    spark.range(100000)
+      .select((col("id") % 50).as("dk"),
+        md5((col("id") + 7).cast("string")).as("dim_payload"))
+      .write.mode("overwrite").parquet(dimsPath)
+    EstimatedStatsRule.attachIfMissing(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def joinPlan(): org.apache.spark.sql.DataFrame = {
+    val facts = spark.read.parquet(factsPath).filter(col("a") <= 1)
+    val dims = spark.read.parquet(dimsPath)
+    facts.join(dims, facts("k") === dims("dk"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+  }
+
+  private def joinNodes(p: SparkPlan): (Boolean, Boolean) = {
+    var bhj = false; var smj = false
+    p.foreach {
+      case _: BroadcastHashJoinExec => bhj = true
+      case _: SortMergeJoinExec => smj = true
+      case _ => ()
+    }
+    (bhj, smj)
+  }
+
+  private def withEstimate[T](rows: Long)(body: => T): T = {
+    val saved = GraftRuntime.snapshot()
+    GraftRuntime.register("statsinj_facts", Set("a"), _ => rows)
+    spark.conf.set(EstimatedStatsRule.EnabledKey, "true")
+    try body
+    finally {
+      spark.conf.set(EstimatedStatsRule.EnabledKey, "false")
+      GraftRuntime.restore(saved)
+    }
+  }
+
+  test("low model estimate flips a shuffle join to broadcast") {
+    // file-size stats: the filtered side "is" the whole 20k-row file,
+    // above a 10 KB threshold -> sort-merge join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    val (bhj0, smj0) = joinNodes(joinPlan().queryExecution.executedPlan)
+    assert(smj0 && !bhj0, "baseline should shuffle (file-size stats)")
+    val baseline = joinPlan().collect().map(_.toSeq).toSet
+
+    // model knows a<=1 keeps ~40 rows -> build side fits -> broadcast
+    withEstimate(40L) {
+      val df = joinPlan()
+      val (bhj1, smj1) = joinNodes(df.queryExecution.executedPlan)
+      assert(bhj1 && !smj1, "model estimate should broadcast the filter")
+      assert(df.collect().map(_.toSeq).toSet == baseline,
+        "stats injection changed query results")
+    }
+  }
+
+  test("high model estimate flips a broadcast join to shuffle") {
+    // raw file ~hundreds of KB, under a al 512 KB threshold -> Catalyst
+    // would broadcast the filtered side from file size alone
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    val (bhj0, smj0) = joinNodes(joinPlan().queryExecution.executedPlan)
+    assert(bhj0 && !smj0, "baseline should broadcast (small file)")
+
+    // model says the predicate keeps ~19M rows (wide in memory) ->
+    // broadcasting would OOM the build side -> demote to shuffle
+    withEstimate(19000000L) {
+      val (bhj1, smj1) = joinNodes(joinPlan().queryExecution.executedPlan)
+      assert(smj1 && !bhj1, "model estimate should demote to shuffle")
+    }
+  }
+
+  test("injection leaves non-registered filters and disabled mode alone") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    // enabled but nothing registered for this path -> baseline plan
+    spark.conf.set(EstimatedStatsRule.EnabledKey, "true")
+    try {
+      val (bhj, smj) = joinNodes(joinPlan().queryExecution.executedPlan)
+      assert(smj && !bhj)
+    } finally spark.conf.set(EstimatedStatsRule.EnabledKey, "false")
+  }
+}

@@ -1666,8 +1666,10 @@ GROUP BY doc_id ORDER BY doc_id""")),
       bnWideCache.getOrElseUpdate(d, {
         val wideCols = modelCols :+ "l_shipdate"
         val df = li(s, d).select(wideCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", wideCols)
-        BayesNet.fit(df, meta, maxBins = 64)
+        // fused fast path: dictionary + marginals from one grouping-sets
+        // job (see BayesNet.fitRebinned) — the tableMeta aggregation,
+        // the encode persist, and the singles job collapse into it
+        BayesNet.fitRebinned(df, "lineitem", wideCols, maxBins = 64)
       })
     }
 

@@ -121,6 +121,54 @@ class BayesNetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q < 2.0, s"est=$est truth=$truth q=$q")
   }
 
+  test("fitRebinned (fused single-pass metadata) equals tableMeta + fit") {
+    def assertSame(x: BayesNet, y: BayesNet): Unit = {
+      assert(x.parent.toSeq == y.parent.toSeq)
+      assert(x.order.toSeq == y.order.toSeq)
+      assert(x.meta.cardinality == y.meta.cardinality)
+      x.meta.columns.zip(y.meta.columns).foreach { case (a, b) =>
+        assert(a.name == b.name && a.hasNull == b.hasNull)
+        assert(a.domain.toSeq == b.domain.toSeq, s"domain of ${a.name}")
+      }
+      x.marginals.zip(y.marginals).foreach { case (a, b) =>
+        a.zip(b).foreach { case (p, q) => assert(math.abs(p - q) < 1e-12) }
+      }
+      (0 until x.nin).foreach { i =>
+        assert(x.cpts(i).keySet == y.cpts(i).keySet, s"cpt keys col $i")
+        x.cpts(i).foreach { case (k, a) =>
+          a.zip(y.cpts(i)(k)).foreach { case (p, q) =>
+            assert(math.abs(p - q) < 1e-12) }
+        }
+      }
+      val bmX = Option(x.binMap).map(_.map(Option(_).map(_.toSeq)).toSeq)
+      val bmY = Option(y.binMap).map(_.map(Option(_).map(_.toSeq)).toSeq)
+      assert(bmX == bmY, "binMap")
+    }
+    // narrow (nothing rebinned) and wide (200-value column rebinned)
+    assertSame(BayesNet.fitRebinned(df, "t", Seq("a", "b", "c"), 10),
+      BayesNet.fit(df, meta, maxBins = 10))
+    val rng = new java.util.Random(3)
+    val rs = Seq.fill(4000) {
+      val w = rng.nextInt(200)
+      Row(w, (w / 50 + (if (rng.nextDouble() < 0.2) 1 else 0)) % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("w", IntegerType), StructField("s", IntegerType)))
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs, 2), schema)
+    val wMeta = Dictionary.tableMeta(wide, "wide")
+    assertSame(BayesNet.fitRebinned(wide, "wide", Seq("w", "s"), 16),
+      BayesNet.fit(wide, wMeta, maxBins = 16))
+    // null handling: values with nulls land in bin 0 identically
+    val rsN = rs.map(r => if (r.getInt(0) % 7 == 0) Row(null, r.get(1)) else r)
+    val nl = spark.createDataFrame(spark.sparkContext.parallelize(rsN, 2),
+      StructType(Seq(StructField("w", IntegerType, nullable = true),
+        StructField("s", IntegerType))))
+    val nMeta = Dictionary.tableMeta(nl, "nl")
+    assertSame(BayesNet.fitRebinned(nl, "nl", Seq("w", "s"), 16),
+      BayesNet.fit(nl, nMeta, maxBins = 16))
+  }
+
   test("pairwise collect is cell-bounded in-engine for a 100k-domain column") {
     // Two wide columns (100k and 1k distinct values) whose full-resolution
     // pairwise count would be up to 10^8 rows; the in-engine cell map must

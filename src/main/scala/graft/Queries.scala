@@ -420,6 +420,66 @@ ORDER BY set_op""")),
       (s, d) => graft.ops.Relational.funnel(Tables.read(s, d, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
       Some(funnelSql)),
+    // STREAMING debounce as catalog-grade evidence (round-6 ask #7):
+    // the events table replayed through a real file-source micro-batch
+    // stream (watermark + flatMapGroupsWithState + checkpoint +
+    // foreachBatch→parquet), final table hash-checked against a
+    // recursive-CTE oracle implementing the same LAST-KEPT semantics
+    // (throttle debounce: keep iff > gap after the last KEPT event —
+    // sequential per group, hence recursion bounded by the max group
+    // size, ~30 events; distinct from q_debounce's lag-based quiet-
+    // period variant). µs-precise on both sides.
+    Entry("q_debounce_stream",
+      (s, d) => graft.streaming.Replay.debounceReplay(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type"),
+      Some("""WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, event_type
+      ORDER BY ts, event_id) AS rn
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, rn, ts AS kept_ts, TRUE AS is_kept, event_id
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.rn,
+    CASE WHEN e.ts > k.kept_ts + INTERVAL 60 SECOND
+         THEN e.ts ELSE k.kept_ts END,
+    e.ts > k.kept_ts + INTERVAL 60 SECOND,
+    e.event_id
+  FROM keep k JOIN ev e ON e.user_id = k.user_id
+    AND e.event_type = k.event_type AND e.rn = k.rn + 1
+)
+SELECT event_type, count(*) AS n_kept,
+  CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
+    // STREAMING funnel, same harness: per-user monotone state machine
+    // (mapGroupsWithState, update mode), final per-user stage = the
+    // last emission across batches; in-order replay makes it exactly
+    // equal to the batch funnel chain, which IS the oracle (funnelSql's
+    // conditional-min windows, histogrammed by deepest stage).
+    Entry("q_funnel_stream",
+      (s, d) => graft.streaming.Replay.funnelReplay(s, d,
+          Seq("view", "click", "purchase"))
+        .select(col("userId").as("user_id"),
+          col("stageReached").as("stage_reached"))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+  min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
+  FROM events WINDOW w AS (PARTITION BY user_id)),
+s2 AS (SELECT user_id, ts, event_type, t_view,
+  min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+  OVER w AS t_click FROM s1 WINDOW w AS (PARTITION BY user_id)),
+s3 AS (SELECT user_id, t_view, t_click,
+  min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+  OVER w AS t_purchase FROM s2 WINDOW w AS (PARTITION BY user_id)),
+pu AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3)
+SELECT user_id, CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+  AS stage_reached
+FROM pu ORDER BY user_id""")),
     // Skew-salted two-stage distinct aggregation: the oracle is the
     // UNsalted declarative form — the check is precisely that the
     // physical salting rewrite preserves semantics.

@@ -114,11 +114,19 @@ object EventStream {
     * kept-or-not. StreamingSpec pins the streaming semantics on a burst
     * that distinguishes the two.
     */
-  final case class DebounceState(lastKeptMs: Long)
+  final case class DebounceState(lastKeptUs: Long)
+
+  /** Timestamp → µs since epoch. `getTime` alone is ms-truncated, but
+    * the events carry µs precision and the batch twins (and the DuckDB
+    * oracle) compare at full precision — ms rounding here would flip
+    * keep/drop decisions on sub-ms gap boundaries. */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def debounceEvents(events: Dataset[Event], gapMs: Long,
       watermark: String = "10 minutes"): Dataset[Event] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.user_id, e.event_type))
@@ -130,19 +138,21 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var last = state.getOption.map(_.lastKeptMs)
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption.map(_.lastKeptUs)
             val out = scala.collection.mutable.ArrayBuffer[Event]()
             for (e <- sorted) {
-              val t = e.ts.getTime
-              if (last.forall(t - _ > gapMs)) {
+              val t = micros(e.ts)
+              if (last.forall(t - _ > gapUs)) {
                 out += e
                 last = Some(t)
               }
             }
             last.foreach { m =>
               state.update(DebounceState(m))
-              state.setTimeoutTimestamp(m + gapMs)
+              // timeout is ms-grained: round UP so state never expires
+              // before the µs-exact gap has truly passed
+              state.setTimeoutTimestamp(Math.floorDiv(m + gapUs + 999L, 1000L))
             }
             out.iterator
           }
@@ -255,12 +265,13 @@ object EventStream {
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
           val t = state.getOption.getOrElse(Array.fill(stages.length)(-1L))
-          for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+          for (e <- rows.toSeq.sortBy(e => micros(e.ts))) {
+            val us = micros(e.ts)
             val i = stages.indexOf(e.event_type)
             if (i == 0) {
-              if (t(0) == -1L || e.ts.getTime < t(0)) t(0) = e.ts.getTime
-            } else if (i > 0 && t(i - 1) != -1L && e.ts.getTime > t(i - 1)) {
-              if (t(i) == -1L || e.ts.getTime < t(i)) t(i) = e.ts.getTime
+              if (t(0) == -1L || us < t(0)) t(0) = us
+            } else if (i > 0 && t(i - 1) != -1L && us > t(i - 1)) {
+              if (t(i) == -1L || us < t(i)) t(i) = us
             }
           }
           state.update(t)

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-time-ordered file replay: feed the events table through a REAL
+  * file-source micro-batch stream (one file per trigger, like a log
+  * shipper landing segments) into a `foreachBatch`→parquet sink, then
+  * read back the materialized table. This upgrades the stateful
+  * streaming operators from spec-only evidence to catalog-grade: the
+  * final parquet table — produced by watermarks, state stores,
+  * checkpoints, and restart-safe sinks — is hash-compared against a
+  * DuckDB oracle over the SAME input (`q_debounce_stream`,
+  * `q_funnel_stream`).
+  *
+  * Slices are contiguous (ts, event_id) ranges written in ascending
+  * order, so files ARRIVE in event-time order and the stream's
+  * watermark — always one micro-batch behind — can never drop a row as
+  * late. That makes the streaming result provably equal to the batch
+  * semantics, which is exactly the property the oracle check enforces.
+  * (The global sort in the slicer is harness-only scaffolding over the
+  * bounded test table; a production replay reads naturally time-ordered
+  * log segments.)
+  *
+  * Layouts and outputs are fingerprint-keyed in tmpdir and reused
+  * across JVMs (Verify and Bench runs), marker-file-guarded against
+  * partial writes; timestamps are instants throughout, so no session
+  * timezone leaks into the key.
+  */
+object Replay {
+
+  import EventStream.Event
+
+  private def base = s"${System.getProperty("java.io.tmpdir")}/graft_replay"
+
+  /** Bump when operator semantics change: cached replay outputs are
+    * shared across JVMs, and a stale table from an older code version
+    * must never satisfy a newer oracle. */
+  private val Version = 2
+
+  private def fingerprint(sfDir: String): String = {
+    val f = new File(s"$sfDir/events.parquet")
+    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Materialize the events table as `slices` single-file parquet
+    * segments covering contiguous (ts, event_id) ranges, written in
+    * ascending order (file mtimes = arrival order for the stream). */
+  private def ensureSlices(spark: SparkSession, sfDir: String,
+      slices: Int): String = synchronized {
+    val dir = s"$base/in_${fingerprint(sfDir)}_$slices"
+    val ready = new File(s"$dir/_READY")
+    if (!ready.exists()) {
+      deleteRecursively(new File(dir))
+      val src = graft.core.Tables.read(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val n = src.count()
+      val sliced = src.withColumn("__rn",
+        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      for (i <- 0 until slices) {
+        sliced
+          .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
+          .drop("__rn").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      new java.io.FileOutputStream(ready).close()
+    }
+    dir
+  }
+
+  /** Run `build` over the sliced file stream with Trigger.AvailableNow,
+    * appending every micro-batch (tagged with its batch id) to a
+    * parquet table; returns the table re-read. Keyed+skipped when a
+    * completed replay already exists. */
+  private def replayTable(spark: SparkSession, sfDir: String, slices: Int,
+      outTag: String, outputMode: String)(
+      build: DataFrame => DataFrame): DataFrame = synchronized {
+    val inDir = ensureSlices(spark, sfDir, slices)
+    val outDir =
+      s"$base/out_v${Version}_${outTag}_${fingerprint(sfDir)}_$slices"
+    val done = new File(s"$outDir/_REPLAYED")
+    if (!done.exists()) {
+      deleteRecursively(new File(outDir))
+      val ckpt = s"$outDir.ckpt"
+      deleteRecursively(new File(ckpt))
+      val schema = spark.read.parquet(inDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = build(stream).writeStream
+        .outputMode(outputMode)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("__batch", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "replay stream did not terminate")
+      new java.io.FileOutputStream(done).close()
+    }
+    spark.read.parquet(outDir)
+  }
+
+  /** Kept events of the stateful µs-precise debounce, replayed through
+    * the real stream (append mode: the table IS the kept set). */
+  def debounceReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6, gapSeconds: Long = 60): DataFrame = {
+    import spark.implicits._
+    replayTable(spark, sfDir, slices, s"debounce_$gapSeconds", "append") {
+      df => EventStream.debounceEvents(df.as[Event], gapSeconds * 1000L).toDF
+    }
+  }
+
+  /** Final per-user funnel progress: last emission per user across the
+    * update-mode replay (row_number over descending batch id). */
+  def funnelReplay(spark: SparkSession, sfDir: String,
+      stages: Seq[String], slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    val raw = replayTable(spark, sfDir, slices,
+      s"funnel_${stages.mkString("_")}", "update") { df =>
+      EventStream.funnelStages(df.as[Event], stages).toDF
+    }
+    raw.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("userId")).orderBy(col("__batch").desc)))
+      .filter(col("__rk") === 1)
+      .select(col("userId"), col("stageReached"))
+  }
+}

@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Parquet is splittable, but the single-file-per-table local
+      // layout under the 128 MB default packs a whole derived 10x
+      // table into ONE scan task (a 109 MB lineitem = one core doing
+      // all the decode). 4 MB splits restore scan parallelism locally;
+      // a real deployment reads thousands of files and never hits this.
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       // UTC like Verify: entries that materialize date-derived layouts
       // (q_partition_prune) must not bake a local zone into to_date()
       // partitions that a later UTC Verify run would then reuse.

@@ -1430,7 +1430,15 @@ GROUP BY doc_id ORDER BY doc_id""")),
     // windowed bucket cap remains the scale path.
     Entry("q_minhash_lsh_ml",
       (s, d) => graft.ops.MlPipeline.minhashLshCandidates(
-        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+        // Interop cross-check, not a scale path: approxSimilarityJoin
+        // has no bucket cap (the documented weak library path; the
+        // banded custom twin is the production plan), so the slice is
+        // BOUNDED — 1/5 of the FIRST key-space copy only (< ScaleData's
+        // key stride), constant-size across derived scale factors
+        // (98 s of uncapped bucket join at 10x otherwise; base dirs
+        // are unaffected, all their ids sit below the stride).
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0 &&
+          col("doc_id") < lit(1000000000000L)),
         "doc_id", "text", numHashTables = 5, maxJaccardDist = 0.5),
       None),
     // Multimodal binary-column stats (documents lifted into the
@@ -1711,8 +1719,12 @@ GROUP BY doc_id ORDER BY doc_id""")),
     bnCache.synchronized {
       bnCache.getOrElseUpdate(d, {
         val df = li(s, d).select(modelCols.map(col): _*)
-        val meta = Dictionary.tableMeta(df, "lineitem", modelCols)
-        BayesNet.fit(df, meta)
+        // dense-pair fast path; all narrow domains are <= 64 so no
+        // column is rebinned and the result is exactly fit()'s
+        // (equivalence asserted in BayesNetSpec) — but the C(n,2)-way
+        // grouping-sets Expand over the encoded table is replaced by
+        // one raw-value frequency pass + per-partition dense arrays
+        BayesNet.fitRebinned(df, "lineitem", modelCols, maxBins = 64)
       })
     }
 
@@ -1935,9 +1947,22 @@ GROUP BY doc_id ORDER BY doc_id""")),
         try {
           // static plans (AQE would re-decide from runtime sizes —
           // which is the complementary mechanism, not the one under
-          // test) and a threshold both tables' files exceed
+          // test). Scale-free threshold: the geometric mean of the
+          // scan's file size and the model's estimated output size
+          // sits strictly between them at ANY scale factor, so the
+          // file-size plan shuffles and the model plan broadcasts
+          // from sf0.01 to a 10x derived dir alike.
           s.conf.set("spark.sql.adaptive.enabled", "false")
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+          val fileBytes = new java.io.File(s"$d/lineitem.parquet")
+            .length.toDouble
+          val estBytes = ps.query(Seq(
+            graft.query.Pred("l_quantity", graft.query.Op.Leq, 1.0),
+            graft.query.Pred("l_discount", graft.query.Op.Leq, 0.0),
+            graft.query.Pred("l_returnflag", graft.query.Op.Eq, "R")))
+            .toDouble * 52
+          val thresh = math.sqrt(fileBytes * math.max(estBytes, 1.0)).toLong
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            thresh.toString)
           s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
           val base = joined()
           val basePlan = chosenJoin(base)

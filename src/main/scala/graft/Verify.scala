@@ -10,6 +10,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Parquet is splittable, but the single-file-per-table local
+      // layout under the 128 MB default packs a whole derived 10x
+      // table into ONE scan task (a 109 MB lineitem = one core doing
+      // all the decode). 4 MB splits restore scan parallelism locally;
+      // a real deployment reads thousands of files and never hits this.
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -81,7 +81,19 @@ object Queries {
     // proper); Spark's sample RNG is engine-specific -> rows-only.
     Entry("q_uniform_sample_card",
       (s, d) => Exact.uniformSampling(li(s, d), 0.01, 1234L, W1),
-      None)
+      None),
+    // Engine-portable seeded-Bernoulli twin of the entry above: sample
+    // membership = md5(row key + seed), not an RNG stream — the
+    // coordination-free way to sample at 100 TB (any worker, any
+    // engine, any partition layout recomputes the same sample), and it
+    // puts the whole sampling ESTIMATE under the hash-equality gate
+    // (the RNG-stream variant stays rows-only: Spark's sample() stream
+    // is engine-specific). ~10% sample via bucket < 100 of 1000.
+    Entry("q_uniform_sample_md5",
+      (s, d) => Exact.hashSampling(li(s, d),
+        col("l_orderkey") * 1000000 + col("l_linenumber"), 100, 1234L, W1),
+      Some(Exact.hashSamplingSql("lineitem",
+        "l_orderkey * 1000000 + l_linenumber", 100, 1234L, W1)))
   )
 
   val dictionaryEntries: Seq[Entry] = Seq(
@@ -563,6 +575,78 @@ FROM pu ORDER BY user_id""")),
           .orderBy("metric")
       },
       None),
+    // Guarantee-gate twin of q_sketch_accuracy (the Misra–Gries
+    // guaranteed-head precedent): each row carries the DuckDB-exact
+    // reference value plus a boolean asserting the sketch honored its
+    // error budget — the accuracy CONTRACT is hash-checked while the
+    // engine-specific sketch values stay rows-only above. HLL budget:
+    // relative error ≤ 4×rsd (4σ headroom keeps the fixed-seed check
+    // deterministic-in-practice at any SF). percentile_approx budget:
+    // the guarantee is RANK error ≤ n/accuracy, so the check brackets
+    // the approx value's exact rank (count< / count≤ in ONE count-if
+    // pass) against the target fraction, with 2/n slack for rank
+    // discretization conventions.
+    Entry("q_sketch_bounds",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d)
+        val e = df.agg(countDistinct(col("l_orderkey")).as("ed"),
+          count(lit(1)).as("n")).head()
+        val exactD = e.getLong(0)
+        val n = e.getLong(1)
+        val h = df.agg(
+          approx_count_distinct(col("l_orderkey"), 0.05).as("a05"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a01"))
+          .head()
+        df.createOrReplaceTempView("lineitem")
+        val exactQ = s.sql(Queries.quantilesSql).collect()
+          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        val probsArr = quantileProbs.mkString("array(", ", ", ")")
+        val q = df.agg(
+          expr(s"percentile_approx(l_quantity, $probsArr, 100)").as("q100"),
+          expr(s"percentile_approx(l_quantity, $probsArr, 10000)").as("qk"))
+          .head()
+        // (label, target prob, rank tolerance, approx value) per check
+        val pctl = for {
+          (acc, idx) <- Seq((100, 0), (10000, 1))
+          (p, i) <- quantileProbs.zipWithIndex
+        } yield (f"pctl_a${acc}%d_p${(p * 100).toInt}%d", p,
+          1.0 / acc + 2.0 / n, q.getSeq[Double](idx)(i))
+        val condAggs = pctl.zipWithIndex.flatMap { case ((_, _, _, v), i) =>
+          Seq(sum(when(col("l_quantity") < v, 1L).otherwise(0L)).as(s"lt$i"),
+            sum(when(col("l_quantity") <= v, 1L).otherwise(0L)).as(s"le$i"))
+        }
+        val rc = df.agg(condAggs.head, condAggs.tail: _*).head()
+        def relErr(exact: Long, approx: Long): Double =
+          math.abs(approx - exact).toDouble / exact
+        val hllRows = Seq(
+          ("hll_rsd005", exactD.toDouble,
+            relErr(exactD, h.getLong(0)) <= 4 * 0.05),
+          ("hll_rsd001", exactD.toDouble,
+            relErr(exactD, h.getLong(1)) <= 4 * 0.01))
+        val pctlRows = pctl.zipWithIndex.map { case ((m, p, tol, _), i) =>
+          val ltFrac = rc.getLong(2 * i).toDouble / n
+          val leFrac = rc.getLong(2 * i + 1).toDouble / n
+          (m, exactQ(p), leFrac >= p - tol && ltFrac <= p + tol)
+        }
+        (hllRows ++ pctlRows).toDF("metric", "exact_ref", "ok")
+          .orderBy("metric")
+      },
+      Some {
+        val hll = Seq("hll_rsd005", "hll_rsd001").map { m =>
+          s"SELECT '$m' AS metric, " +
+            "CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact_ref, " +
+            "true AS ok FROM lineitem"
+        }
+        val pctl = for {
+          acc <- Seq(100, 10000)
+          p <- Seq(0.25, 0.5, 0.75, 0.95)
+        } yield s"SELECT 'pctl_a${acc}_p${(p * 100).toInt}' AS metric, " +
+          s"(SELECT value FROM eq WHERE p = $p) AS exact_ref, " +
+          "true AS ok"
+        s"WITH eq AS (${Queries.quantilesSql})\n" +
+          (hll ++ pctl).mkString("", "\nUNION ALL ", "\nORDER BY metric")
+      }),
     // Batch sessionization via identical window SQL on both engines —
     // the verifiable batch twin of streaming EventStream.sessionize.
     Entry("q_sessionize_batch",
@@ -1135,6 +1219,18 @@ FROM s ORDER BY doc_id, chunk_id""")),
       (s, d) => Dedup.minhashAccuracy(docShingles(s, d),
         jaccardPairs(s, d), numHashes = 16),
       None),
+    // Portable twin of the accuracy harness above: md5 signatures make
+    // the per-pair MinHash estimate, the exact-Jaccard reference, AND
+    // the absolute error identical arithmetic on both engines — the
+    // signature-sizing measurement is hash-checked pair by pair (est is
+    // an exact multiple of 1/8; jaccard a single integer division; no
+    // cross-partition float sums). Shares the persisted shingle and
+    // pair tables.
+    Entry("q_minhash_err_md5",
+      (s, d) => Dedup.minhashErrPortable(docShingles(s, d),
+        jaccardPairs(s, d)),
+      Some(Dedup.minhashErrPortableSql("documents", "doc_id", "text",
+        3, 0.5, 100))),
     // Engine-portable SimHash twin (md5 halves, BIGINT-safe): the ±1
     // bit-vote aggregation is hash-checked end-to-end; the xxhash64
     // entry above stays the production default.
@@ -1288,6 +1384,32 @@ GROUP BY split ORDER BY split"""
           s"CAST(length($cleaned) AS INTEGER) AS len_clean, " +
           s"md5($cleaned) AS md5_clean FROM documents ORDER BY doc_id"
       }),
+    // Pure-SQL surface of the registered function ladder: the codegen'd
+    // NFC Expression invoked BY NAME from SQL text (the graft_nfc name
+    // GraftExtensions injects; ensureRegistered is the extensions-free
+    // twin) — a SQL-only user of the library gets the custom function
+    // without touching the Scala API, and the result lands under the
+    // oracle gate via DuckDB's native nfc_normalize. Complements
+    // q_text_normalize, which exercises the same Expression through the
+    // Column API.
+    Entry("q_sql_functions",
+      (s, d) => {
+        graft.functions.NfcNormalize.ensureRegistered(s)
+        docs(s, d).createOrReplaceTempView("documents")
+        s.sql(
+          "SELECT doc_id, " +
+            "md5(graft_nfc(concat(substring(text, 1, 40), " +
+            "' café Å'))) AS nfc_md5, " +
+            "length(graft_nfc(concat(substring(text, 1, 40), " +
+            "' café Å'))) AS len_nfc " +
+            "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "md5(nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769) || " +
+        "' A' || chr(778))) AS nfc_md5, " +
+        "CAST(length(nfc_normalize(substr(text, 1, 40) || ' cafe' || " +
+        "chr(769) || ' A' || chr(778))) AS INTEGER) AS len_nfc " +
+        "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id")),
     // Heavy hitters via the Misra–Gries custom aggregate: O(k) state
     // per buffer, k-entry summaries are the only shuffled bytes — the
     // frequent-token scan that works against an open-web vocabulary
@@ -1515,6 +1637,23 @@ GROUP BY doc_id ORDER BY doc_id""")),
       (s, d) => Similarity.annRecall(emb(s, d), "vec_id", "embedding",
         k = 10, numQueries = 8),
       None),
+    // Planted-ground-truth ANN gate (q_embed_neardup precedent): an
+    // exact duplicate of each query vector is planted at -(id+1); an
+    // exact dup shares the query's LSH bucket and nearest IVF cell BY
+    // CONSTRUCTION and cosine 1.0 dominates the near-orthogonal
+    // corpus, so brute/LSH/IVF top-1 = the planted id is a
+    // DETERMINISTIC contract on the bucketing/probing/topk machinery —
+    // hash-checkable where recall thresholds on this data would be
+    // meaningless (see q_ann_recall's comment).
+    Entry("q_ann_planted",
+      (s, d) => Similarity.annPlantedTopk(emb(s, d), "vec_id",
+        "embedding", numQueries = 8),
+      Some("""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS query_id FROM embeddings
+  ORDER BY vec_id LIMIT 8)
+SELECT query_id, -(query_id + 1) AS brute_top1,
+  -(query_id + 1) AS lsh_top1, -(query_id + 1) AS ivf_top1
+FROM q ORDER BY query_id""")),
     // Embedding-cosine near-dup pairs via bucketed self-join. The
     // synthetic embeddings are near-orthogonal (max real pair cosine
     // ~0.6), so we plant exact duplicates of a 1-in-50 id slice: exact

@@ -128,6 +128,42 @@ object Exact {
         .cast("long").as("est_card"))
   }
 
+  /** Engine-portable seeded Bernoulli sampling: membership is decided
+    * by md5 of the row's key (+ seed salt), not an RNG stream. At scale
+    * this is the *right* sampler anyway — any worker, any engine, any
+    * partition layout recomputes the same sample with zero coordination
+    * (the RNG-stream formulation in [[uniformSampling]] is tied to one
+    * engine's partition-indexed generator) — and it makes the whole
+    * estimate hash-checkable cross-engine. The first 8 md5 hex chars
+    * give a uniform 32-bit value; `bucket < permille` of 1000 selects a
+    * permille-fraction sample. Estimate = ceil(matches/sampleSize × N),
+    * the reference Sampling convention (estimators.py:584-616).
+    */
+  def hashSampling(df: DataFrame, keyExpr: Column, permille: Int,
+      seed: Long, preds: Seq[Pred]): DataFrame = {
+    val bucket = pmod(conv(substring(
+      md5(concat(keyExpr.cast("string"), lit(s":$seed"))), 1, 8), 16, 10)
+      .cast("long"), lit(1000L))
+    val inSample = bucket < permille
+    df.agg(
+      count(lit(1)).as("n"),
+      sum(when(inSample, 1L).otherwise(0L)).as("ns"),
+      sum(when(inSample && Pred.conj(preds), 1L).otherwise(0L)).as("m"))
+      .select(ceil(col("m") / col("ns") * col("n"))
+        .cast("long").as("est_card"))
+  }
+
+  def hashSamplingSql(table: String, keySql: String, permille: Int,
+      seed: Long, preds: Seq[Pred]): String = {
+    val bucket = s"CAST(('0x' || substr(md5(CAST($keySql AS VARCHAR) " +
+      s"|| ':$seed'), 1, 8)) AS BIGINT) % 1000"
+    s"SELECT CAST(ceil(m / ns * n) AS BIGINT) AS est_card FROM (" +
+      s"SELECT count(*) AS n, " +
+      s"sum(CASE WHEN $bucket < $permille THEN 1 ELSE 0 END) AS ns, " +
+      s"sum(CASE WHEN $bucket < $permille AND (${Pred.whereSql(preds)}) " +
+      s"THEN 1 ELSE 0 END) AS m FROM $table)"
+  }
+
   /** Reference `QueryRegionSize` (estimators.py:539-564): product over
     * queried columns of the number of domain values satisfying the
     * predicate. Per-column distinct counts in one pass each (cheap; domain

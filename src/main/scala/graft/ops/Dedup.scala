@@ -153,6 +153,72 @@ ORDER BY $id"""
         max(abs(col("est") - col("jaccard"))).as("max_abs_err"))
   }
 
+  /** Engine-portable twin of [[minhashAccuracy]]: md5 signatures (the
+    * [[minhashLshPortable]] hash family) so the per-pair MinHash
+    * estimate, its exact-Jaccard reference, and the absolute error are
+    * identical arithmetic on both engines — the signature-sizing
+    * measurement itself lands under the hash-equality gate, per pair,
+    * not just as a rows-only aggregate. `est` is an exact multiple of
+    * 1/numHashes and `jaccard` a single integer division, so no
+    * cross-partition float summation is involved anywhere.
+    */
+  def minhashErrPortable(exploded: DataFrame, exactPairs: DataFrame,
+      numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"__h$k")
+    }
+    val sigs = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    val withSigs = exactPairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val matches = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    withSigs
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (matches.cast("double") / numHashes).as("est"))
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[minhashErrPortable]] over the same shingle set
+    * (uncapped signatures, DF-capped exact pairs — matching the Spark
+    * side's inputs). */
+  def minhashErrPortableSql(table: String, id: String, text: String,
+      n: Int, threshold: Double, maxShingleDf: Int,
+      numHashes: Int = 8): String = {
+    val mins = (0 until numHashes)
+      .map(k => s"min(md5('$k:' || shingle)) AS h$k").mkString(", ")
+    val matchSum = (0 until numHashes)
+      .map(k => s"(CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH allsh AS (
+${shinglesSql(table, id, text, n)}
+), sig AS (
+  SELECT id, $mins FROM allsh GROUP BY id
+), sh AS (
+  SELECT id, shingle FROM allsh
+  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle
+                    HAVING count(*) <= $maxShingleDf)
+), cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+  FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $threshold
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+  CAST($matchSum AS DOUBLE) / $numHashes AS est,
+  abs(CAST($matchSum AS DOUBLE) / $numHashes - p.jaccard) AS abs_err
+FROM pairs p JOIN sig a ON a.id = p.id_a JOIN sig b ON b.id = p.id_b
+ORDER BY id_a, id_b"""
+  }
+
   /** MinHash+LSH banding: split the signature into `bands` bands of
     * `rowsPerBand`, bucket by (band, hash(band slice)), emit candidate
     * pairs that collide in ≥1 band with their signature-estimated

@@ -480,4 +480,113 @@ object Similarity {
       bc.destroy()
     }
   }
+
+  /** Planted-ground-truth ANN gate: the first `numQueries` vectors (by
+    * id) become queries, each gets an exact duplicate planted at id
+    * `-(qid+1)` (collision-free against any non-negative id space at
+    * any scale factor), and every path — brute-force, sign-LSH with
+    * Hamming-1 probing, IVF with nProbe cells — must return the
+    * planted duplicate as top-1 (self excluded). An exact duplicate
+    * lands in the query's own LSH bucket (identical hyperplane signs)
+    * and its own nearest IVF cell by construction, and cosine 1.0
+    * strictly dominates the near-orthogonal corpus, so the result is
+    * DETERMINISTIC: the bucketing / probing / top-k machinery becomes
+    * an oracle-checkable contract (the q_embed_neardup planted-truth
+    * precedent) where recall thresholds on synthetic near-orthogonal
+    * data would be meaningless (see annRecall's scaladoc).
+    *
+    * One pass over corpus+planted scoring all queries (broadcast
+    * planes/centroids/queries), one partial-agg `max_by` shuffle of
+    * (qid, id, sim, hit-flags) — no per-query jobs.
+    */
+  def annPlantedTopk(df: DataFrame, idCol: String, embCol: String,
+      numQueries: Int = 8, numBits: Int = 8, ivfCells: Int = 16,
+      nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long"), col(embCol))
+    val qRows = base.orderBy(col(idCol)).limit(numQueries).collect()
+    require(qRows.nonEmpty, "annPlantedTopk needs at least one query")
+    val qIds = qRows.map(_.getLong(0))
+    val qs = qRows.map(_.getSeq[Float](1).toArray)
+    val dim = qs(0).length
+    val planes = hyperplanes(dim, numBits, seed)
+    val centroids = kmeansCentroids(df, embCol, ivfCells, seed = seed,
+      idCol = idCol)
+    def bucketOf(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, b) =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += p(i).toDouble * v(i); i += 1 }
+        if (dot > 0) 1L << b else 0L
+      }.foldLeft(0L)(_ | _)
+    val lshProbes: Array[Set[Long]] = qs.map { q =>
+      val b = bucketOf(q)
+      (b +: Array.tabulate(numBits)(i => b ^ (1L << i))).toSet
+    }
+    val ivfProbes: Array[Set[Int]] = qs.map { q =>
+      centroids.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(q).map { case (a, x) => (a - x).toDouble * (a - x) }.sum
+      }.take(nProbe).map(_._2).toSet
+    }
+    val qNorms = qs.map(q => math.sqrt(q.map(x => x.toDouble * x).sum))
+    val plantedSchema = StructType(base.schema.fields.map(f =>
+      f.copy(nullable = f.nullable)))
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.toSeq.map(r => Row(-(r.getLong(0) + 1L), r.get(1))), 1),
+      plantedSchema)
+    val corpus = base.unionByName(planted)
+    val bc = spark.sparkContext.broadcast(
+      (qs, qIds, planes, centroids, lshProbes, ivfProbes, qNorms))
+    val scored = corpus.rdd.mapPartitions { rows =>
+      val (qv, qid, pl, cs, lp, ip, qn) = bc.value
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        var bucket = 0L
+        var j = 0
+        while (j < pl.length) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += pl(j)(i).toDouble * v(i); i += 1 }
+          if (dot > 0) bucket |= 1L << j
+          j += 1
+        }
+        val cell = nearestCentroid(v, cs)
+        var vn = 0.0
+        var i = 0
+        while (i < v.length) { vn += v(i).toDouble * v(i); i += 1 }
+        val vnorm = math.sqrt(vn)
+        qv.indices.iterator
+          .filter(qi => id != qid(qi)) // self never competes
+          .map { qi =>
+            var dot = 0.0
+            var x = 0
+            while (x < v.length) { dot += qv(qi)(x).toDouble * v(x); x += 1 }
+            Row(qid(qi), id, dot / (vnorm * qn(qi)),
+              lp(qi).contains(bucket), ip(qi).contains(cell))
+          }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false),
+      StructField("lsh_hit", BooleanType, nullable = false),
+      StructField("ivf_hit", BooleanType, nullable = false)))
+    // NOTE: the returned DataFrame is lazy — the broadcast must stay
+    // alive until the caller executes it, so it is session-lived here
+    // (small: queries + planes + centroids).
+    spark.createDataFrame(scored, schema)
+      .groupBy(col("query_id"))
+      .agg(
+        max_by(col("id"), col("sim")).as("brute_top1"),
+        max_by(when(col("lsh_hit"), col("id")),
+          when(col("lsh_hit"), col("sim"))).as("lsh_top1"),
+        max_by(when(col("ivf_hit"), col("id")),
+          when(col("ivf_hit"), col("sim"))).as("ivf_top1"))
+      .orderBy("query_id")
+  }
 }

@@ -466,6 +466,21 @@ ORDER BY set_op""")),
 SELECT event_type, count(*) AS n_kept,
   CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
+    // STREAMING windowed aggregation, same harness: watermarked 1-hour
+    // tumbling counts in APPEND mode — the materialized table holds
+    // exactly the windows the final watermark (max event time − 2 h
+    // delay) closed, so the state-store EVICTION boundary itself is
+    // under the hash gate: the oracle computes the same counts over
+    // the whole table and applies the same cutoff.
+    Entry("q_events_hourly_stream",
+      (s, d) => graft.streaming.Replay.hourlyReplay(s, d),
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS cnt
+FROM events, m
+GROUP BY 1, 2, m.mx
+HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+ORDER BY hour, event_type""")),
     // STREAMING funnel, same harness: per-user monotone state machine
     // (mapGroupsWithState, update mode), final per-user stage = the
     // last emission across batches; in-order replay makes it exactly
@@ -500,6 +515,30 @@ FROM pu ORDER BY user_id""")),
         "l_returnflag", "l_orderkey", "l_quantity", buckets = 64),
       Some(graft.ops.Relational.saltedDistinctAggSql("lineitem",
         "l_returnflag", "l_orderkey", "l_quantity"))),
+    // Incremental aggregate-view maintenance: the per-key aggregate is
+    // kept current by merging the base's mergeable state with the
+    // delta batch's (an O(|delta|) scan + a state-sized merge shuffle)
+    // instead of re-scanning the base — the warehouse materialized-view
+    // pattern that turns a nightly O(corpus) job into O(batch) at
+    // 100 TB. Base = 90% of lineitem, delta = the "appended" 10%; the
+    // oracle is the full recompute over ALL rows on DuckDB, so the
+    // gate checks merge(state(base), state(delta)) == state(all)
+    // value-by-value (integral l_quantity sums are order-exact in
+    // double). Merge associativity across arbitrary batch splits is
+    // property-tested in OpsSpec.
+    Entry("q_incremental_agg",
+      (s, d) => {
+        val all = li(s, d)
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val base = all.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+        val delta = all.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        graft.ops.Incremental.report(graft.ops.Incremental.merge(Seq(
+          graft.ops.Incremental.aggState(base, keys, "l_quantity"),
+          graft.ops.Incremental.aggState(delta, keys, "l_quantity")),
+          keys), keys)
+      },
+      Some(graft.ops.Incremental.reportSql("lineitem",
+        Seq("l_returnflag", "l_linestatus"), "l_quantity"))),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but
     // engine-specific -> rows-only check.
@@ -535,41 +574,17 @@ FROM pu ORDER BY user_id""")),
     Entry("q_sketch_accuracy",
       (s, d) => {
         import s.implicits._
-        val df = li(s, d)
-        // Two jobs ON PURPOSE: countDistinct plans through a distinct
-        // Expand, and mixing it into one aggregate with the HLL
-        // sketches pushes every expanded row through the (large,
-        // rsd-0.01) HLL buffers — measured 6.1 s combined vs ~2.5 s
-        // split at sf0.1.
-        val exactD = df.agg(countDistinct(col("l_orderkey")).as("exact"))
-          .head().getLong(0)
-        val h = df.agg(
-          approx_count_distinct(col("l_orderkey"), 0.05).as("a05"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("a01"))
-          .head()
-        // Exact reference via the distinct-value-histogram rank walk —
-        // the whole-column percentile() aggregate buffers every value
-        // per partition, the exact anti-pattern q_quantiles avoids
-        // (and it benched 7 s of this entry's first formulation).
-        df.createOrReplaceTempView("lineitem")
-        val exactQ = s.sql(Queries.quantilesSql).collect()
-          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-        val probs = quantileProbs.mkString("array(", ", ", ")")
-        val q = df.agg(
-          expr(s"percentile_approx(l_quantity, $probs, 100)").as("q100"),
-          expr(s"percentile_approx(l_quantity, $probs, 10000)").as("qk"))
-          .head()
+        val r = sketchRefs(s, d)
         def relErr(exact: Double, approx: Double): Double =
           if (exact == 0.0) math.abs(approx) else math.abs(approx - exact) / exact
         val hllRows = Seq(
-          ("hll_rsd_0.05", exactD.toDouble, h.getLong(0).toDouble),
-          ("hll_rsd_0.01", exactD.toDouble, h.getLong(1).toDouble))
+          ("hll_rsd_0.05", r.exactD.toDouble, r.h05.toDouble),
+          ("hll_rsd_0.01", r.exactD.toDouble, r.h01.toDouble))
         val ps = quantileProbs
-        def qRows(name: String, idx: Int) = ps.indices.map { i =>
-          (f"$name%s_p${(ps(i) * 100).toInt}%d",
-            exactQ(ps(i)), q.getSeq[Double](idx)(i))
+        def qRows(name: String, qv: Seq[Double]) = ps.indices.map { i =>
+          (f"$name%s_p${(ps(i) * 100).toInt}%d", r.exactQ(ps(i)), qv(i))
         }
-        (hllRows ++ qRows("pctl_acc_100", 0) ++ qRows("pctl_acc_10k", 1))
+        (hllRows ++ qRows("pctl_acc_100", r.q100) ++ qRows("pctl_acc_10k", r.q10k))
           .map { case (m, e, a) => (m, e, a, relErr(e, a)) }
           .toDF("metric", "exact", "approx", "rel_err")
           .orderBy("metric")
@@ -590,28 +605,13 @@ FROM pu ORDER BY user_id""")),
       (s, d) => {
         import s.implicits._
         val df = li(s, d)
-        val e = df.agg(countDistinct(col("l_orderkey")).as("ed"),
-          count(lit(1)).as("n")).head()
-        val exactD = e.getLong(0)
-        val n = e.getLong(1)
-        val h = df.agg(
-          approx_count_distinct(col("l_orderkey"), 0.05).as("a05"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("a01"))
-          .head()
-        df.createOrReplaceTempView("lineitem")
-        val exactQ = s.sql(Queries.quantilesSql).collect()
-          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-        val probsArr = quantileProbs.mkString("array(", ", ", ")")
-        val q = df.agg(
-          expr(s"percentile_approx(l_quantity, $probsArr, 100)").as("q100"),
-          expr(s"percentile_approx(l_quantity, $probsArr, 10000)").as("qk"))
-          .head()
+        val r = sketchRefs(s, d)
         // (label, target prob, rank tolerance, approx value) per check
         val pctl = for {
-          (acc, idx) <- Seq((100, 0), (10000, 1))
+          (acc, qv) <- Seq((100, r.q100), (10000, r.q10k))
           (p, i) <- quantileProbs.zipWithIndex
         } yield (f"pctl_a${acc}%d_p${(p * 100).toInt}%d", p,
-          1.0 / acc + 2.0 / n, q.getSeq[Double](idx)(i))
+          1.0 / acc + 2.0 / r.n, qv(i))
         val condAggs = pctl.zipWithIndex.flatMap { case ((_, _, _, v), i) =>
           Seq(sum(when(col("l_quantity") < v, 1L).otherwise(0L)).as(s"lt$i"),
             sum(when(col("l_quantity") <= v, 1L).otherwise(0L)).as(s"le$i"))
@@ -620,14 +620,14 @@ FROM pu ORDER BY user_id""")),
         def relErr(exact: Long, approx: Long): Double =
           math.abs(approx - exact).toDouble / exact
         val hllRows = Seq(
-          ("hll_rsd005", exactD.toDouble,
-            relErr(exactD, h.getLong(0)) <= 4 * 0.05),
-          ("hll_rsd001", exactD.toDouble,
-            relErr(exactD, h.getLong(1)) <= 4 * 0.01))
+          ("hll_rsd005", r.exactD.toDouble,
+            relErr(r.exactD, r.h05) <= 4 * 0.05),
+          ("hll_rsd001", r.exactD.toDouble,
+            relErr(r.exactD, r.h01) <= 4 * 0.01))
         val pctlRows = pctl.zipWithIndex.map { case ((m, p, tol, _), i) =>
-          val ltFrac = rc.getLong(2 * i).toDouble / n
-          val leFrac = rc.getLong(2 * i + 1).toDouble / n
-          (m, exactQ(p), leFrac >= p - tol && ltFrac <= p + tol)
+          val ltFrac = rc.getLong(2 * i).toDouble / r.n
+          val leFrac = rc.getLong(2 * i + 1).toDouble / r.n
+          (m, r.exactQ(p), leFrac >= p - tol && ltFrac <= p + tol)
         }
         (hllRows ++ pctlRows).toDF("metric", "exact_ref", "ok")
           .orderBy("metric")
@@ -929,6 +929,51 @@ GROUP BY user_id ORDER BY user_id""")),
   private val pairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // Shared sketch references for q_sketch_accuracy / q_sketch_bounds:
+  // the exact distinct count, exact rank-walk quantiles, and both
+  // sketch passes are identical in the two entries, so they are
+  // computed once per (session, dir) — all scalar/driver-sized. The
+  // countDistinct stays a separate job from the HLL aggregate ON
+  // PURPOSE: mixing them pushes every distinct-Expand row through the
+  // large rsd-0.01 HLL buffers (measured 6.1 s combined vs ~2.5 s
+  // split at sf0.1).
+  private case class SketchRefs(exactD: Long, n: Long, h05: Long,
+    h01: Long, exactQ: Map[Double, Double], q100: Seq[Double],
+    q10k: Seq[Double])
+
+  private val sketchCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), SketchRefs]
+
+  private def sketchRefs(s: SparkSession, d: String): SketchRefs =
+    sketchCache.synchronized {
+      sketchCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      sketchCache.getOrElseUpdate((s, d), {
+        val df = li(s, d)
+        val e = df.agg(countDistinct(col("l_orderkey")).as("ed"),
+          count(lit(1)).as("n")).head()
+        val h = df.agg(
+          approx_count_distinct(col("l_orderkey"), 0.05).as("a05"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a01"))
+          .head()
+        // Exact quantile reference via the distinct-value-histogram
+        // rank walk — the whole-column percentile() aggregate buffers
+        // every value per partition, the exact anti-pattern
+        // q_quantiles avoids (7 s in this entry's first formulation).
+        df.createOrReplaceTempView("lineitem")
+        val exactQ = s.sql(Queries.quantilesSql).collect()
+          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        val probs = quantileProbs.mkString("array(", ", ", ")")
+        val q = df.agg(
+          expr(s"percentile_approx(l_quantity, $probs, 100)").as("q100"),
+          expr(s"percentile_approx(l_quantity, $probs, 10000)").as("qk"))
+          .head()
+        SketchRefs(e.getLong(0), e.getLong(1), h.getLong(0), h.getLong(1),
+          exactQ, q.getSeq[Double](0), q.getSeq[Double](1))
+      })
+    }
+
   // The exploded (id, shingle) table feeding BOTH the near-dup pair
   // pipeline and q_decontaminate — computed and persisted once per
   // (session, dir), exactly as a production pipeline checkpoints the
@@ -1128,6 +1173,27 @@ s AS (
 SELECT shard, count(*) AS n_rows, min(sk) AS first_key,
   max(sk) AS last_key
 FROM s GROUP BY shard ORDER BY shard""")),
+    // File-level Bloom data-skipping index: documents materialized as
+    // a 16-file hash layout (source-fingerprint-cached under tmpdir,
+    // the many-file shape real tables have), a one-pass sidecar build,
+    // then a 5-key point lookup that scans ONLY Bloom-candidate files.
+    // The Bloom no-false-negative contract makes pruned == full-scan
+    // an equality, so the oracle is the plain full-table lookup on
+    // DuckDB; the pruning win itself (candidates < total files, true
+    // file always included) is asserted in IndexSpec.
+    Entry("q_bloom_skip",
+      (s, d) => {
+        val layout = graft.ops.SkippingIndex.materializeLayout(
+          s, d, "documents", "doc_id")
+        val index = graft.ops.SkippingIndex.build(
+          s.read.parquet(layout), "doc_id")
+        graft.ops.SkippingIndex.lookup(s, layout, index, "doc_id",
+          Seq(3L, 17L, 29L, 41L, 97L),
+          Seq(col("doc_id"), md5(col("text")).as("text_md5")))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5 FROM documents " +
+        "WHERE doc_id IN (3, 17, 29, 41, 97) ORDER BY doc_id")),
     // Deterministic pre-training shuffle: reproducible total order by
     // key hash; the checked artifact is the first 20 rows, which runs
     // as TakeOrdered (no global sort materialization).

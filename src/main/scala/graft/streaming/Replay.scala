@@ -124,6 +124,22 @@ object Replay {
     }
   }
 
+  /** Watermark-finalized hourly counts replayed through the file
+    * stream (append mode): the materialized table holds exactly the
+    * windows the final watermark (max event time − delay) closed;
+    * trailing windows stay open and unemitted, and the oracle
+    * reproduces that cutoff from the same input. Count-only artifact —
+    * the interactive analog's float sum and HLL columns are
+    * engine-specific, the window/watermark/eviction machinery is what
+    * this entry gates.
+    */
+  def hourlyReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame =
+    replayTable(spark, sfDir, slices, "hourly", "append") { df =>
+      EventStream.hourlyCounts(df)
+    }.select(col("hour"), col("event_type"), col("cnt"))
+      .orderBy("hour", "event_type")
+
   /** Final per-user funnel progress: last emission per user across the
     * update-mode replay (row_number over descending batch id). */
   def funnelReplay(spark: SparkSession, sfDir: String,

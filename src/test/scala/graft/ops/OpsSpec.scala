@@ -1002,4 +1002,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_view_click") == 2L)
     assert(r.getAs[Long]("n_view_click_purchase") == 1L)
   }
+
+  test("Incremental: merged batch states equal a full recompute, any split, any order") {
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType)))
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(_ =>
+      Row(s"k${rnd.nextInt(5)}", rnd.nextInt(100).toDouble))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val keys = Seq("k")
+    val full = Incremental.report(
+      Incremental.aggState(df, keys, "v"), keys).collect().toSeq
+    // three arbitrary batches (one may even be key-incomplete or empty)
+    val parts = (0 until 3).map(i =>
+      df.filter(pmod(xxhash64(col("k"), col("v")), lit(3)) === i))
+    val states = parts.map(p => Incremental.aggState(p, keys, "v"))
+    val merged = Incremental.report(
+      Incremental.merge(states, keys), keys).collect().toSeq
+    val mergedRev = Incremental.report(
+      Incremental.merge(states.reverse, keys), keys).collect().toSeq
+    assert(merged == full)
+    assert(mergedRev == full)
+  }
 }

@@ -1534,6 +1534,37 @@ GROUP BY split ORDER BY split"""
 ), tot AS (SELECT count(*) AS n_tok FROM toks)
 SELECT term, count(*) AS exact_cnt FROM toks, tot
 GROUP BY term, n_tok HAVING count(*) > n_tok / 65.0 ORDER BY term""")),
+    // Exact per-group top-k via the bounded-buffer NATIVE aggregate
+    // (functions/BoundedTopK.scala) — the single-pass successor of
+    // q_topk_per_group's two-phase mapPartitions prune: one
+    // ObjectHashAggregate whose buffers hold <= k (score, id) pairs, so
+    // only k-entry summaries cross the exchange, group skew collapses
+    // at the mappers, and no second window pass runs at all. The
+    // tie-break (score DESC, id ASC) is total, so the result is
+    // deterministic and the ORACLE IS the window form — the equality
+    // gate proves the two plans compute the same relation while the
+    // spec pins the plan shape (partial ObjectHashAggregate, no
+    // data-sized sort).
+    Entry("q_topk_agg",
+      (s, d) => {
+        graft.functions.BoundedTopK.ensureRegistered(s)
+        Tables.read(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(expr(s"${graft.functions.BoundedTopK.name}" +
+            "(c_acctbal, c_custkey, 3)").as("top"))
+          .select(col("c_nationkey"), posexplode(col("top")))
+          .select(col("c_nationkey"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("c_custkey"),
+            col("col.score").as("c_acctbal"))
+          .orderBy("c_nationkey", "rank")
+      },
+      Some("""SELECT c_nationkey, CAST(rn AS INTEGER) AS rank, c_custkey, c_acctbal
+FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
     // MLlib Pipeline ops (the north star's named surface): TF-IDF stats
     // and MinHashLSH candidates. Deterministic but engine-specific
     // hashing -> rows-only checks.

@@ -691,6 +691,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zs == zs.sorted)
   }
 
+  test("bounded top-k equals the window formulation across partition layouts") {
+    graft.functions.BoundedTopK.ensureRegistered(spark)
+    // Scores with heavy ties (only 5 distinct values over 400 rows) so
+    // the (score DESC, id ASC) tie-break is actually exercised, plus a
+    // skewed group (group 0 holds half the rows).
+    val rows = (0L until 400L).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + i % 3
+      Row(g, (i * 7 % 5).toDouble, i)
+    }
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("score", DoubleType), StructField("id", LongType)))
+    val expected = rows.groupBy(_.getLong(0)).flatMap { case (g, rs) =>
+      rs.map(r => (r.getDouble(1), r.getLong(2)))
+        .sortBy { case (s, i) => (-s, i) }.take(3)
+        .zipWithIndex.map { case ((s, i), rk) => (g, rk + 1, i, s) }
+    }.toSet
+    for (parts <- Seq(1, 2, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      val got = df.groupBy(col("g"))
+        .agg(expr(s"${graft.functions.BoundedTopK.name}(score, id, 3)")
+          .as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rank"),
+          col("col.id"), col("col.score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1) + 0, r.getLong(2),
+          r.getDouble(3)))
+        .toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("bounded top-k plan partial-aggregates; buffer survives serde") {
+    graft.functions.BoundedTopK.ensureRegistered(spark)
+    val df = spark.range(1000).select((col("id") % 10).as("g"),
+      (col("id") % 97).cast("double").as("score"), col("id"))
+    val agged = df.groupBy(col("g"))
+      .agg(expr(s"${graft.functions.BoundedTopK.name}(score, id, 5)"))
+    val plan = agged.queryExecution.executedPlan.toString
+    // partial + final ObjectHashAggregate: only k-entry summaries cross
+    // the exchange, and no sort of the input ever runs
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Sort "), plan)
+
+    val agg = graft.functions.BoundedTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((2.0, 5L), (2.0, 3L), (7.5, 9L), (1.0, 1L), (8.0, 2L))
+      .foreach { case (s, i) => buf.offer(s, i) }
+    val back = agg.deserialize(agg.serialize(buf))
+    // same kept set after round-trip: (8.0,2), (7.5,9), (2.0,3)
+    val kept = (0 until back.size).map(j => (back.scores(j), back.ids(j))).toSet
+    assert(kept == Set((8.0, 2L), (7.5, 9L), (2.0, 3L)))
+  }
+
   test("misra-gries buffers survive serialize/deserialize round-trip") {
     val agg = graft.functions.MisraGriesTopK(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 4)

@@ -466,6 +466,17 @@ ORDER BY set_op""")),
 SELECT event_type, count(*) AS n_kept,
   CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
+    // STREAMING exact dedup, same harness: dropDuplicates over the
+    // (user_id, event_type) key through the file-source replay — the
+    // streaming twin of the corpus keep-first dedup. Append mode makes
+    // the materialized table the emitted key set, so one row per key
+    // iff the dedup state store neither lost nor re-emitted a key
+    // across micro-batches and checkpoints; the oracle is the batch
+    // SELECT DISTINCT over the same input.
+    Entry("q_dedup_stream",
+      (s, d) => graft.streaming.Replay.dedupReplay(s, d),
+      Some("SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type")),
     // STREAMING windowed aggregation, same harness: watermarked 1-hour
     // tumbling counts in APPEND mode — the materialized table holds
     // exactly the windows the final watermark (max event time − 2 h
@@ -674,6 +685,43 @@ SELECT event_type, count(*) AS n_events,
   CAST(sum(CASE WHEN gap IS NULL OR gap > INTERVAL 60 SECOND
     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM lagged GROUP BY event_type ORDER BY event_type""")),
+    // Changelog/CDC compaction: latest event per user via a
+    // partial-aggregable max_by(struct(payload), struct(ts, id)) — one
+    // candidate row per key per map task crosses the exchange, vs the
+    // window formulation (the oracle) which shuffles and sorts the
+    // whole log. The (ts_us, event_id) order tuple is total (no
+    // per-user µs ties in the data, and event_id breaks any), so the
+    // winner is deterministic and engine-portable.
+    Entry("q_changelog_compact",
+      (s, d) => graft.ops.Relational.latestByKey(
+          Tables.read(s, d, "events")
+            .withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", Seq("ts_us", "event_id"),
+          Seq("ts_us", "event_id", "event_type", "value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id""")),
+    // Skew-salted equi-join: customer fanned over 8 salt buckets joined
+    // to the 8x-replicated nation dim on (key, salt) — the rewrite for
+    // hot-key joins where neither side broadcasts and hash partitioning
+    // would single-task the head key. Semantics identical to the plain
+    // join BY CONSTRUCTION, and that identity is the oracle (the
+    // unsalted declarative join, like q_salted_agg's unsalted form).
+    Entry("q_salted_join",
+      (s, d) => graft.ops.Relational.saltedJoin(
+          Tables.read(s, d, "customer"),
+          Tables.read(s, d, "nation")
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+          "c_nationkey", col("c_custkey"), buckets = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_custkey")).as("key_sum"))
+        .orderBy("n_name"),
+      Some("SELECT n_name, count(*) AS n_cust, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS key_sum " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
     // Time-bucketed aggregation over the event stream table.
     Entry("q_events_hourly",
       (s, d) => Tables.read(s, d, "events")

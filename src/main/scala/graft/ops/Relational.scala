@@ -100,6 +100,52 @@ object Relational {
         tieCols.map(col(_).asc)): _*)
   }
 
+  /** Changelog/CDC compaction: keep the LATEST record per key, ordered
+    * by `orderCols` lexicographically (make the tuple total — e.g.
+    * (ts, event_id) — so the winner is deterministic). The upsert-log →
+    * current-state step every incremental pipeline runs before joining
+    * dimension state.
+    *
+    * Scale shape: `max_by(struct(payload), struct(order))` is a plain
+    * partial-aggregable agg — each map task keeps ONE candidate row per
+    * key, so the exchange carries keys × partitions rows, group skew
+    * (one hot entity with millions of updates) collapses at the
+    * mappers, and nothing sorts. The window formulation
+    * (`row_number() OVER (PARTITION BY key ORDER BY ...) = 1` — the
+    * oracle) shuffles and sorts the full log instead.
+    */
+  def latestByKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__last"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__last.$c").as(c)): _*)
+
+  /** Skew-salted equi-join: spread each (possibly hot) join key of the
+    * big side over `buckets` sub-keys via a deterministic per-row salt,
+    * replicate the dim side to every bucket, and join on (key, salt) —
+    * semantically identical to the plain join (the oracle checks
+    * exactly that), but the shuffle hash-partitions on the WIDENED key,
+    * so one hot key's rows land on `buckets` reducers instead of one.
+    *
+    * When to reach for it at 100 TB: both sides too big to broadcast
+    * and the key histogram has a head (a celebrity user, a default
+    * value) — the case AQE's skew-join handling covers only for
+    * sort-merge joins it can split, and plain hash partitioning turns
+    * into a single-task straggler. The salt must come from a column
+    * that varies WITHIN the hot key (a row id), never from the key
+    * itself. Dim replication is `buckets`× — keep buckets small (8-64)
+    * and the dim narrow.
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      rowKey: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val salted = big.withColumn("__salt", pmod(hash(rowKey), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-salted distinct-count aggregation: `count(DISTINCT d)`, `sum`,
     * and `count(*)` per group key, computed as TWO cascaded partial
     * aggregations instead of one.

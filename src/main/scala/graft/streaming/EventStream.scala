@@ -101,6 +101,21 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Streaming first-occurrence-per-key: emit each distinct key tuple
+    * once, on first sight — the streaming twin of the corpus exact
+    * dedup ([[graft.ops.Dedup]] keep-first) for a live ingest feed.
+    * `dropDuplicates` over NON-event-time keys keeps one state row per
+    * distinct key for the stream's lifetime (exact global dedup; state
+    * is key-cardinality-sized, the same bound the batch dedup's shuffle
+    * has). When the key space is unbounded and business rules allow it,
+    * `dropDuplicatesWithinWatermark` trades exactness for eviction —
+    * but its output then depends on arrival timing, which is exactly
+    * why THIS form is the oracle-checkable one.
+    */
+  def firstPerKey(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .dropDuplicates(keys)
+
   /** Streaming twin of [[graft.ops.Relational.debounce]]: emit an event
     * iff it arrives more than `gapMs` after the last emitted one for its
     * (user, type) key — burst/retry collapse on a live stream. State is

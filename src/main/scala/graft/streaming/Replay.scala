@@ -140,6 +140,19 @@ object Replay {
     }.select(col("hour"), col("event_type"), col("cnt"))
       .orderBy("hour", "event_type")
 
+  /** Distinct (user_id, event_type) keys emitted by the streaming
+    * keep-first dedup, replayed through the real stream (append mode:
+    * the table IS the emitted key set — one row per key iff the state
+    * store neither lost nor re-emitted a key across micro-batches,
+    * checkpoints, and shuffles; the DuckDB oracle is SELECT DISTINCT).
+    */
+  def dedupReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame =
+    replayTable(spark, sfDir, slices, "dedup_user_type", "append") { df =>
+      EventStream.firstPerKey(df, Seq("user_id", "event_type"))
+    }.select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+
   /** Final per-user funnel progress: last emission per user across the
     * update-mode replay (row_number over descending batch id). */
   def funnelReplay(spark: SparkSession, sfDir: String,

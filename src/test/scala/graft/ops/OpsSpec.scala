@@ -589,6 +589,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= 38, s"model agreed on only $agree/40")
   }
 
+  test("latestByKey keeps the max-(order) row per key, partial-aggregated") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("o1", LongType), StructField("o2", LongType),
+      StructField("v", StringType)))
+    val rows = Seq(
+      Row(1L, 10L, 1L, "a"), Row(1L, 10L, 2L, "b"), Row(1L, 9L, 99L, "c"),
+      Row(2L, 5L, 1L, "d"),
+      Row(3L, 7L, 7L, "e"), Row(3L, 7L, 6L, "f"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      schema)
+    val got = Relational.latestByKey(df, "k", Seq("o1", "o2"),
+        Seq("o1", "o2", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // key 1: (10,2) beats (10,1) and (9,99); key 3: (7,7) beats (7,6)
+    assert(got == Map(1L -> "b", 2L -> "d", 3L -> "e"))
+    val plan = Relational.latestByKey(df, "k", Seq("o1", "o2"),
+      Seq("v")).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("HashAggregate"),
+      plan)
+  }
+
+  test("saltedJoin equals the plain join and widens the shuffle key") {
+    val big = spark.range(2000).select(
+      (when(col("id") % 10 === 0, 1L).otherwise(col("id") % 50)).as("k"),
+      col("id"))
+    val dim = spark.range(50).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("attr"))
+    val plainRows = big.join(dim, "k")
+      .select("k", "id", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Relational.saltedJoin(big, dim, "k", col("id"), buckets = 8)
+    val saltedRows = salted.select("k", "id", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(saltedRows == plainRows)
+    // the join runs on the widened (k, __salt) key: the salt reaches
+    // the physical join keys, spreading a hot k over 8 reducers
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("misra-gries guarantee holds across partition layouts") {
     graft.functions.MisraGriesTopK.ensureRegistered(spark)
     // 3 heavy terms (600/300/150 of N=1300) + 250 distinct tail terms.

@@ -238,6 +238,35 @@ object Queries {
         "count(DISTINCT source) AS n_sources FROM (" +
         graft.sources.SynthSource.synthSql(100000) +
         ") GROUP BY lang ORDER BY lang")),
+    // Aggregate pushdown INTO the DSv2 source: count/min/max over a
+    // doc_id range are closed-form for a generative source (count =
+    // hi−lo, min = lo, max = hi−1), so the pushed scan emits ONE
+    // precomputed row and zero generator work runs — the 100 TB analog
+    // of answering aggregates from catalog stats / parquet footers /
+    // Iceberg manifests instead of data. The entry HARD-FAILS unless
+    // the optimized plan's scan is the closed-form one-row scan, so
+    // the oracle gate checks both the plan shape and (via DuckDB's
+    // actually-generated twin) that the closed form tells the truth.
+    Entry("q_synth_agg_pushdown",
+      (s, d) => {
+        val df = s.read.format("graft-synth")
+          .option("rows", 100000).option("partitions", 8).load()
+          .filter(col("doc_id") >= 25000L && col("doc_id") < 75000L)
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+        val pushed = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+        }.exists(_.isInstanceOf[graft.sources.SynthAggScan])
+        require(pushed, "q_synth_agg_pushdown: aggregate pushdown did " +
+          "not reach the source (expected SynthAggScan)")
+        df
+      },
+      Some("SELECT count(*) AS n_docs, min(doc_id) AS first_id, " +
+        "max(doc_id) AS last_id FROM (" +
+        graft.sources.SynthSource.synthSql(100000) +
+        ") WHERE doc_id >= 25000 AND doc_id < 75000")),
     // Per-group exact quantiles: the same rank-walk over the
     // distinct-value histogram as q_quantiles, partitioned by group —
     // the windows and joins all move |group|·|domain| rows, never the

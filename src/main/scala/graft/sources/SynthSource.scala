@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -89,11 +89,13 @@ class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
 
 class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = SynthSource.fullSchema
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
+  private var aggTags: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -133,17 +135,174 @@ class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  override def build(): Scan =
-    new SynthScan(math.min(lo, hi), hi, partitions, rowsPerBatch, required)
+  /** Aggregate pushdown, the last leg of the pushdown story (columns,
+    * filters, limits are above): COUNT(*), MIN(doc_id), MAX(doc_id)
+    * over the (already filter-narrowed) id range are CLOSED FORM for a
+    * generative source — count = hi − lo, min = lo, max = hi − 1 — so
+    * the "scan" emits one precomputed row and zero generator work runs.
+    * The 100 TB analog: a source that answers aggregates from catalog
+    * stats / file footers instead of data (what parquet footer counts
+    * and Iceberg/Delta manifests enable); DSv2 gives it a first-class
+    * seat via `SupportsPushDownAggregates`. Complete pushdown (Spark
+    * plans no aggregate at all) — only claimed for the ungrouped,
+    * fully-closed-form shapes; anything else is declined and Spark
+    * aggregates the generated rows as usual. Spark only attempts this
+    * when every filter was consumed by `pushFilters`, so `lo`/`hi`
+    * already reflect the full predicate set.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tagsFor(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    tagsFor(agg) match {
+      case some @ Some(_) => aggTags = some; true
+      case None => false
+    }
+
+  private def tagsFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference =>
+          f.fieldNames.length == 1 && f.fieldNames()(0) == "doc_id"
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val tags = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case m: Min if isDocId(m.column) => Some("min")
+        case m: Max if isDocId(m.column) => Some("max")
+        case _ => None
+      }
+      if (tags.forall(_.isDefined)) Some(tags.flatten) else None
+    }
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new SynthAggScan(math.min(lo, hi), hi, tags)
+    case None =>
+      new SynthScan(math.min(lo, hi), hi, partitions, rowsPerBatch, required)
+  }
+}
+
+/** One-row scan answering a completely-pushed-down aggregation over the
+  * id range [from, until) in closed form. Empty range: count 0, null
+  * min/max (SQL aggregate semantics on empty input). */
+class SynthAggScan(from: Long, until: Long, tags: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(tags.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth pushed aggregates [${tags.mkString(", ")}] over [$from, $until)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory(from, until, tags)
+}
+
+class SynthAggReaderFactory(from: Long, until: Long, tags: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else {
+        emitted = true; true
+      }
+      override def get(): InternalRow = {
+        val n = until - from
+        val vals: Seq[Any] = tags.map {
+          case "count" => n
+          case "min" => if (n > 0) from else null
+          case "max" => if (n > 0) until - 1 else null
+        }
+        InternalRow.fromSeq(vals)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // Runtime-filtered range envelope. Spark narrows it on the DRIVER at
+  // execution time (BatchScanExec.filteredPartitions calls filter()
+  // then re-plans input partitions), after the static [from, until)
+  // range was already fixed by compile-time filter pushdown.
+  private var rtFrom = from
+  private var rtUntil = until
+  private[sources] def currentRange: (Long, Long) = (rtFrom, rtUntil)
+
+  /** Honest post-pushdown statistics. Without this, a DSv2 scan falls
+    * back to `spark.sql.defaultSizeInBytes` (Long.MaxValue) and can
+    * NEVER be chosen as a broadcast side — the planner is flying blind.
+    * With it, join strategy (broadcast vs shuffle) and DPP's
+    * cost-benefit heuristic key off the filter-narrowed range, exactly
+    * the role parquet footers / catalog stats play at 100 TB. Reported
+    * size is rows × the pruned row width, so column pruning shrinks the
+    * estimate too. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, rtUntil - rtFrom)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * SynthScan.rowBytes(required))
+  }
+
+  /** Runtime (join-time) filtering — the DSv2 analog of dynamic
+    * partition pruning: when this scan sits under a join whose other
+    * side is small and selective, Spark evaluates the build side
+    * FIRST, translates the observed join keys into an IN predicate,
+    * and hands it here before input partitions are planned. We fold
+    * the keys' [min, max] envelope into the generated range — work is
+    * eliminated at task-planning time, not filtered after generation.
+    * (An envelope, not the exact set, because the reader generates
+    * contiguous ranges; the join above re-applies the exact predicate,
+    * and runtime filters are best-effort by contract.) */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("doc_id"))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      val kids = p.children()
+      val onDocId = kids.nonEmpty && (kids(0) match {
+        case f: NamedReference =>
+          f.fieldNames.length == 1 && f.fieldNames()(0) == "doc_id"
+        case _ => false
+      })
+      if (p.name() == "IN" && onDocId) {
+        val ids = kids.drop(1).toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case x: java.lang.Long => x.longValue()
+              case x: java.lang.Integer => x.longValue()
+            }
+        }
+        if (ids.isEmpty) rtUntil = rtFrom // empty build side: no matches
+        else {
+          rtFrom = math.max(rtFrom, ids.min)
+          rtUntil = math.min(rtUntil, ids.max + 1L)
+        }
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    SynthScan.splitRange(from, until, partitions)
+    SynthScan.splitRange(rtFrom, math.max(rtFrom, rtUntil), partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
@@ -159,6 +318,15 @@ class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
 }
 
 object SynthScan {
+  /** Estimated in-memory bytes per generated row for the pruned schema:
+    * 8 per fixed-width column, 16 per string — deliberately simple; the
+    * planner needs the right order of magnitude, not precision. */
+  def rowBytes(schema: StructType): Long =
+    math.max(8L, schema.fields.map {
+      case f if f.dataType == StringType => 16L
+      case _ => 8L
+    }.sum)
+
   def splitRange(from: Long, until: Long, parts: Int): Array[InputPartition] = {
     val n = until - from
     val per = math.max(1L, (n + parts - 1) / parts)

@@ -176,6 +176,99 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
       s"generator did not narrow: $parts")
   }
 
+  test("count/min/max push into the source as a closed-form one-row scan") {
+    val df = read(100000, 4)
+      .filter(col("doc_id") >= 60000L && col("doc_id") < 60500L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    val row = df.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((500L, 60000L, 60499L)))
+    val scans = collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.head.scan.isInstanceOf[SynthAggScan],
+      s"aggregate did not push: ${scans.head.scan}")
+    // the entire job is ONE task reading ONE synthetic row — no
+    // generator work ran at all
+    assert(scans.head.partitions.flatten.size == 1)
+    // empty range: count 0, SQL-null min/max
+    val empty = read(1000, 2).filter(col("doc_id") < 0L)
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
+  test("non-closed-form aggregates decline pushdown and stay correct") {
+    val df = read(10000, 3)
+      .agg(sum(col("n_tokens")).as("s"), count(lit(1)).as("n"))
+    val scans = collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(!scans.head.scan.isInstanceOf[SynthAggScan],
+      "sum(n_tokens) has no closed form and must not claim pushdown")
+    val viaScan = df.head().getLong(0)
+    val expected = read(10000, 3).collect().map(_.getInt(3).toLong).sum
+    assert(viaScan == expected)
+    // grouped aggregates likewise decline (group-by columns not handled)
+    val grouped = read(10000, 3).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val gScans = collect(grouped.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(!gScans.head.scan.isInstanceOf[SynthAggScan])
+    assert(grouped.collect().map(_.getLong(1)).sum == 10000L)
+  }
+
+  test("reported statistics drive the broadcast decision both ways") {
+    // Small (filter-narrowed) synth scan joined to a big range: the
+    // scan's honest post-pushdown stats put it under the broadcast
+    // threshold, so the planner broadcasts it. Without
+    // SupportsReportStatistics a DSv2 scan reports defaultSizeInBytes
+    // (Long.MaxValue) and can never be the build side.
+    val big = spark.range(0, 5000000L).toDF("id") // ~40 MB by range stats
+    val small = read(100000, 4)
+      .filter(col("doc_id") >= 60000L && col("doc_id") < 61000L)
+    val joined = big.join(small, col("id") === col("doc_id"))
+    joined.collect()
+    val bhj = collect(joined.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "small synth side was not broadcast:\n" +
+      joined.queryExecution.executedPlan)
+    // the reported size is the narrowed range × row width
+    val rel = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation if r.scan.isInstanceOf[SynthScan] => r }
+    assert(rel.head.stats.sizeInBytes ==
+      BigInt(1000 * SynthScan.rowBytes(SynthSource.fullSchema)))
+    // Huge synth scan: stats put it far over the threshold — no
+    // broadcast of the synth side (sort-merge or shuffled-hash).
+    val huge = read(50000000L, 8)
+    val j2 = big.join(huge, col("id") === col("doc_id"))
+    val bhj2 = collect(j2.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj2.isEmpty, "2.4 GB synth side must not broadcast:\n" +
+      j2.queryExecution.executedPlan)
+  }
+
+  test("runtime join-key filtering narrows the generated range at execution") {
+    // DSv2 dynamic filtering: the selective dim side is evaluated
+    // first, its observed join keys arrive as an IN predicate via
+    // SupportsRuntimeV2Filtering.filter, and input partitions are
+    // planned over the keys' envelope — 10 rows of generator work
+    // instead of 1,000,000.
+    val dim = spark.range(0, 1000000L).toDF("id")
+      .filter(col("id") >= 777000L && col("id") < 777010L)
+    val fact = read(1000000L, 8)
+    val joined = fact.join(dim, col("doc_id") === col("id"))
+    assert(joined.count() == 10)
+    val scans = collect(joined.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[SynthScan] => b }
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "no runtime filter was planted on the synth scan:\n" +
+        joined.queryExecution.executedPlan)
+    val (lo, hi) = scans.head.scan.asInstanceOf[SynthScan].currentRange
+    assert((lo, hi) == ((777000L, 777010L)),
+      s"runtime filter did not narrow the range: [$lo, $hi)")
+  }
+
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {
     val df = read(1000, 2).select(col("lang"))
     df.collect()

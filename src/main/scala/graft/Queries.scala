@@ -824,6 +824,45 @@ WHERE rn = 1 ORDER BY user_id""")),
         "count(DISTINCT user_id) AS n_users FROM events " +
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' " +
         "AND DATE '2024-01-14' GROUP BY event_type ORDER BY event_type")),
+    // DYNAMIC partition pruning — the partition filter isn't known
+    // until runtime: the selective dim side (active days for a rare
+    // cohort) is evaluated first and its observed join keys prune the
+    // fact scan's dt directories before fact tasks are planned. At
+    // 100 TB this is the fact⋈dim shape (events ⋈ dim_date, sales ⋈
+    // active_users) where static pruning can't help because the date
+    // set lives in data, not in the query text. The entry HARD-FAILS
+    // unless the optimizer planted the DynamicPruningSubquery on the
+    // fact side; the oracle computes the same join over the
+    // unpartitioned original, checking the runtime-pruned layout read
+    // changes I/O, never answers.
+    Entry("q_dpp_join",
+      (s, d) => {
+        val fact = graft.ops.Bucketing.datePartitionedEvents(s, d)
+        val dim = Tables.read(s, d, "events")
+          .filter(col("event_type") === "signup" &&
+            pmod(col("user_id"), lit(199)) === 0)
+          .select(to_date(col("ts")).as("active_dt")).distinct()
+        val joined = fact.join(dim, col("dt") === col("active_dt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy("event_type")
+        val planted = joined.queryExecution.optimizedPlan.exists(
+          _.expressions.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions
+                .DynamicPruningSubquery => true
+            case _ => false
+          }))
+        require(planted, "q_dpp_join: no DynamicPruningSubquery on the " +
+          "fact scan — dynamic partition pruning did not plant")
+        joined
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS value_cents FROM events WHERE CAST(ts AS DATE) IN (" +
+        "SELECT DISTINCT CAST(ts AS DATE) FROM events " +
+        "WHERE event_type = 'signup' AND user_id % 199 = 0) " +
+        "GROUP BY event_type ORDER BY event_type")),
     // Z-order (Morton) clustering key over (custkey, order-day): the
     // multi-dimensional layout sort that single-column sorting can't
     // replace — LayoutSpec measures the file-level stats-pruning win;

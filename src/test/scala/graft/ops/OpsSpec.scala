@@ -977,6 +977,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("dynamic partition pruning: runtime dim keys prune fact directories") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dpp_test").toString + "/fact"
+      spark.range(0, 1000)
+        .select(col("id"), (col("id") % 10).as("p"))
+        .write.partitionBy("p").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // the date-dim shape: join keys only knowable at runtime, behind
+      // a selective non-join-key predicate
+      val dim = spark.range(0, 10).toDF("k")
+        .withColumn("tag", col("k") % 3).filter(col("tag") === 1)
+      val joined = fact.join(dim, col("p") === col("k"))
+      // execute THIS queryExecution (count() would build its own plan
+      // and leave these metrics untouched)
+      assert(joined.collect().length == 300) // p in {1, 4, 7}
+      val scans = joined.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.partitionFilters.nonEmpty => f
+      }
+      assert(scans.nonEmpty, "no partition filters on the fact scan:\n" +
+        joined.queryExecution.executedPlan)
+      val dpp = scans.head.partitionFilters.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions
+            .DynamicPruningExpression => true
+        case _ => false
+      })
+      assert(dpp, "partition filter is not dynamic:\n" +
+        scans.head.partitionFilters.mkString("; "))
+      // the scan metrics record the actual skip: partitions read after
+      // runtime pruning < partition directories on disk
+      val dirsOnDisk = new java.io.File(dir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("p="))
+      val m = scans.head.metrics
+      assert(dirsOnDisk == 10 && m("numPartitions").value == 3,
+        s"expected 3-of-10 directory skip: " +
+          s"read=${m("numPartitions").value} of $dirsOnDisk")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("annRecall: brute row is exactly 1.0, approx rows are in (0, 1]") {
     // 4 well-separated clusters of 10: IVF with 4 cells/2 probes and
     // 6-bit LSH multi-probe both recover most neighbors; brute is the

@@ -267,6 +267,42 @@ object Queries {
         "max(doc_id) AS last_id FROM (" +
         graft.sources.SynthSource.synthSql(100000) +
         ") WHERE doc_id >= 25000 AND doc_id < 75000")),
+    // Runtime (join-key) filtering into the DSv2 source — dynamic
+    // pruning for a NON-partitioned scan: the selective dim side
+    // (documents matching a predicate no optimizer can transfer
+    // statically) is evaluated first, its observed doc_ids arrive at
+    // the scan as an IN predicate, and input partitions are planned
+    // over exact id runs — ~2 rows generated instead of 1,000,000.
+    // Hard-fails unless the DynamicPruningSubquery was planted; the
+    // oracle joins DuckDB's fully-generated twin against the same dim,
+    // checking runtime pruning changes work done, never answers.
+    Entry("q_runtime_filter_join",
+      (s, d) => {
+        val fact = s.read.format("graft-synth")
+          .option("rows", 1000000).option("partitions", 8).load()
+        val dim = docs(s, d)
+          .filter(col("lang") === "en" &&
+            pmod(length(col("text")), lit(101)) === 0)
+          .select(col("doc_id").as("dim_id"))
+        val joined = fact.join(dim, col("doc_id") === col("dim_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+        val planted = joined.queryExecution.optimizedPlan.exists(
+          _.expressions.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions
+                .DynamicPruningSubquery => true
+            case _ => false
+          }))
+        require(planted, "q_runtime_filter_join: no runtime filter " +
+          "planted on the DSv2 scan")
+        joined
+      },
+      Some("SELECT s.doc_id, s.lang, s.source, s.n_tokens FROM (" +
+        graft.sources.SynthSource.synthSql(1000000) + ") s JOIN " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en' " +
+        "AND length(text) % 101 = 0) d ON s.doc_id = d.doc_id " +
+        "ORDER BY s.doc_id")),
     // Per-group exact quantiles: the same rank-walk over the
     // distinct-value histogram as q_quantiles, partitioned by group —
     // the windows and joins all move |group|·|domain| rows, never the

@@ -238,13 +238,20 @@ class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // Runtime-filtered range envelope. Spark narrows it on the DRIVER at
+  // Runtime-filtered state. Spark narrows it on the DRIVER at
   // execution time (BatchScanExec.filteredPartitions calls filter()
   // then re-plans input partitions), after the static [from, until)
-  // range was already fixed by compile-time filter pushdown.
+  // range was already fixed by compile-time filter pushdown. `rtIds`
+  // keeps the exact observed join keys (sorted) so partition planning
+  // covers only matched ids even when they're scattered across the
+  // range; the [rtFrom, rtUntil) envelope is both a fast path and the
+  // fallback when the key set is too large to plan per-run.
   private var rtFrom = from
   private var rtUntil = until
+  private var rtIds: Option[Array[Long]] = None
   private[sources] def currentRange: (Long, Long) = (rtFrom, rtUntil)
+  private[sources] def currentCoverage: Long =
+    rtIds.map(_.length.toLong).getOrElse(math.max(0L, rtUntil - rtFrom))
 
   /** Honest post-pushdown statistics. Without this, a DSv2 scan falls
     * back to `spark.sql.defaultSizeInBytes` (Long.MaxValue) and can
@@ -293,16 +300,39 @@ class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
               case x: java.lang.Integer => x.longValue()
             }
         }
-        if (ids.isEmpty) rtUntil = rtFrom // empty build side: no matches
+        if (ids.isEmpty) { rtUntil = rtFrom; rtIds = Some(Array.empty) }
         else {
           rtFrom = math.max(rtFrom, ids.min)
           rtUntil = math.min(rtUntil, ids.max + 1L)
+          val inRange = ids.distinct.sorted
+            .filter(i => i >= rtFrom && i < rtUntil).toArray
+          rtIds = Some(rtIds.fold(inRange)(prev =>
+            prev.toSet.intersect(inRange.toSet).toArray.sorted))
         }
       }
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    SynthScan.splitRange(rtFrom, math.max(rtFrom, rtUntil), partitions)
+  override def planInputPartitions(): Array[InputPartition] = rtIds match {
+    // Exact-key planning: contiguous id runs become input partitions,
+    // so only matched rows are ever generated — the scattered-key case
+    // an envelope can't prune (point-lookup scheduling, like file
+    // skipping off a Bloom sidecar). Keys arriving here are already
+    // bounded by Spark's in-subquery broadcast threshold; past a task
+    // overhead cap we fall back to the envelope, which the join above
+    // re-filters.
+    case Some(ids) if ids.length <= 64 * math.max(1, partitions) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[SynthPartition]
+      var i = 0
+      while (i < ids.length) {
+        var j = i
+        while (j + 1 < ids.length && ids(j + 1) == ids(j) + 1) j += 1
+        runs += SynthPartition(ids(i), ids(j) + 1)
+        i = j + 1
+      }
+      runs.toArray[InputPartition]
+    case _ =>
+      SynthScan.splitRange(rtFrom, math.max(rtFrom, rtUntil), partitions)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)

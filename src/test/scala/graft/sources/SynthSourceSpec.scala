@@ -267,6 +267,32 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     val (lo, hi) = scans.head.scan.asInstanceOf[SynthScan].currentRange
     assert((lo, hi) == ((777000L, 777010L)),
       s"runtime filter did not narrow the range: [$lo, $hi)")
+    assert(scans.head.scan.asInstanceOf[SynthScan].currentCoverage == 10)
+  }
+
+  test("runtime filtering with scattered keys plans exact id runs") {
+    // keys 100, 333433, 666766 span nearly the whole range — a
+    // [min, max] envelope would still generate ~667k rows; exact-run
+    // planning generates 3.
+    val dim = spark.range(0, 1000000L).toDF("id")
+      .filter(col("id") % 333333 === 100)
+    val fact = read(1000000L, 8)
+    val joined = fact.join(dim, col("doc_id") === col("id"))
+    assert(joined.collect().length == 3)
+    val scans = collect(joined.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[SynthScan] => b }
+    assert(scans.head.runtimeFilters.nonEmpty)
+    val scan = scans.head.scan.asInstanceOf[SynthScan]
+    assert(scan.currentCoverage == 3,
+      s"expected 3 generated rows, planned ${scan.currentCoverage}")
+    // re-planning after filter() emits one run per scattered key
+    // (BatchScanExec.partitions is the cached PRE-filter layout; the
+    // engine uses the post-filter planning at execution)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[SynthPartition])
+    assert(parts.toSeq == Seq(SynthPartition(100, 101),
+      SynthPartition(333433, 333434), SynthPartition(666766, 666767)),
+      s"planned: ${parts.toSeq}")
   }
 
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {

@@ -303,6 +303,37 @@ object Queries {
         "(SELECT doc_id FROM documents WHERE lang = 'en' " +
         "AND length(text) % 101 = 0) d ON s.doc_id = d.doc_id " +
         "ORDER BY s.doc_id")),
+    // Storage-partitioned execution (SPARK-37375): the source reports
+    // KeyGroupedPartitioning(lang) with per-partition keys, so the
+    // lang aggregation runs with ZERO shuffles — the layout IS the
+    // exchange, the contract Iceberg/Delta bucket layouts use at
+    // 100 TB to skip the exchange in every query after ingest. The
+    // entry executes the aggregation and HARD-FAILS if any
+    // ShuffleExchange appears in the executed plan; the oracle
+    // recomputes the same rollup over DuckDB's generated twin.
+    Entry("q_spj_agg",
+      (s, d) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val agg = s.read.format("graft-synth")
+          .option("rows", 200000).option("partitionBy", "lang").load()
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+        agg.collect() // finalize the (possibly adaptive) plan
+        val helper = new org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanHelper {}
+        val shuffles = helper.collect(agg.queryExecution.executedPlan) {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e
+        }
+        require(shuffles.isEmpty, "q_spj_agg: key-grouped aggregation " +
+          s"planned ${shuffles.length} shuffle(s)")
+        agg.orderBy("lang")
+      },
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM (" +
+        graft.sources.SynthSource.synthSql(200000) +
+        ") GROUP BY lang ORDER BY lang")),
     // Per-group exact quantiles: the same rank-walk over the
     // distinct-value histogram as q_quantiles, partitioned by group —
     // the windows and joins all move |group|·|domain| rows, never the

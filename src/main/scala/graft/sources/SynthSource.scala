@@ -46,10 +46,14 @@ class SynthSource extends TableProvider with DataSourceRegister {
     // map is not — wrap it so .option("ROWS", ...) doesn't silently
     // fall back to the default.
     val opts = new CaseInsensitiveStringMap(properties)
+    val partBy = opts.get("partitionBy")
+    require(partBy == null || partBy == "lang",
+      s"unsupported partitionBy=$partBy (only 'lang')")
     new SynthTable(
       opts.getLong("rows", 1000L),
       opts.getInt("partitions", 4),
-      opts.getLong("rowsPerBatch", 1000L))
+      opts.getLong("rowsPerBatch", 1000L),
+      partitionByLang = partBy == "lang")
   }
 }
 
@@ -75,7 +79,8 @@ object SynthSource {
 FROM generate_series(0, ${rows - 1}) s(i)"""
 }
 
-class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long,
+    partitionByLang: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-synth($rows)"
   override def schema(): StructType = SynthSource.fullSchema
@@ -84,10 +89,11 @@ class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions, rowsPerBatch)
+    new SynthScanBuilder(rows, partitions, rowsPerBatch, partitionByLang)
 }
 
-class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
+class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long,
+    partitionByLang: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -186,8 +192,83 @@ class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
 
   override def build(): Scan = aggTags match {
     case Some(tags) => new SynthAggScan(math.min(lo, hi), hi, tags)
+    case None if partitionByLang =>
+      new SynthLangScan(math.min(lo, hi), hi, required)
     case None =>
       new SynthScan(math.min(lo, hi), hi, partitions, rowsPerBatch, required)
+  }
+}
+
+/** Key-grouped read: one input partition per `lang` value, each
+  * carrying its key (`HasPartitionKey`) and the whole scan reporting
+  * `KeyGroupedPartitioning(identity(lang))` — the DSv2 contract behind
+  * storage-partitioned execution (SPARK-37375), the same one Iceberg/
+  * Delta bucket layouts use. With
+  * `spark.sql.sources.v2.bucketing.enabled`, a `groupBy(lang)`
+  * aggregates with NO shuffle and a lang⋈lang join of two such scans
+  * is exchange-free on both sides — at 100 TB this is the "the storage
+  * layout IS the exchange" move: pay partitioning once at ingest, skip
+  * it in every query after.
+  *
+  * Each partition generates the full id range and emits only its
+  * lang's subsequence — the honest cost model of any key-partitioned
+  * external system (a Kafka topic, a sharded table): selectivity at
+  * the source, clustering for free downstream. */
+class SynthLangScan(from: Long, until: Long, required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth key-grouped by lang over [$from, $until)"
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("lang")),
+        SynthSource.langs.length)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthSource.langs.indices
+      .map(i => SynthLangPartition(i, from, until))
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthLangReaderFactory(required)
+}
+
+case class SynthLangPartition(langIdx: Int, start: Long, end: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(SynthSource.langs(langIdx)))
+}
+
+class SynthLangReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val lp = p.asInstanceOf[SynthLangPartition]
+    val inner = new SynthReaderFactory(required)
+      .createReader(SynthPartition(lp.start, lp.end))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      // the generator position is tracked here, in lockstep with the
+      // inner reader (one id per inner.next()), because membership is
+      // a function of the id and the pruned schema may not carry it
+      private var id = lp.start - 1
+      override def next(): Boolean = {
+        while (inner.next()) {
+          id += 1
+          cur = inner.get()
+          if ((SynthSource.mix(id) % 4).toInt == lp.langIdx) return true
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

@@ -295,6 +295,52 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
       s"planned: ${parts.toSeq}")
   }
 
+  test("key-grouped read: same rows, and groupBy(lang) plans no shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def partitioned = spark.read.format("graft-synth")
+        .option("rows", 20000).option("partitionBy", "lang").load()
+      // content identical to the range-partitioned read
+      assert(partitioned.collect().map(_.toSeq).toSet ==
+        read(20000, 4).collect().map(_.toSeq).toSet)
+      // the reported KeyGroupedPartitioning satisfies the aggregation's
+      // required distribution: zero exchanges in the whole plan
+      val agg = partitioned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+      agg.collect()
+      val exchanges = collect(agg.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, "key-grouped aggregation must not " +
+        s"shuffle:\n${agg.queryExecution.executedPlan}")
+      // control: the same aggregation over the range-partitioned read
+      // must shuffle
+      val ctrl = read(20000, 4).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      ctrl.collect()
+      assert(collect(ctrl.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        .nonEmpty, "control aggregation should shuffle")
+      // storage-partitioned join: two key-grouped scans join on lang
+      // with no exchange on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = partitioned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = partitioned.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("toks_b"))
+      val j = a.join(b, "lang")
+      assert(j.collect().length == 4)
+      assert(collect(j.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        .isEmpty, "storage-partitioned join must not shuffle:\n" +
+        j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {
     val df = read(1000, 2).select(col("lang"))
     df.collect()

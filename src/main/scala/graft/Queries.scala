@@ -220,6 +220,37 @@ object Queries {
         Seq(n).toDF("n_rows")
       },
       Some("SELECT count(*) AS n_rows FROM documents")),
+    // Pipeline observability for FREE: `observe()` attaches aggregate
+    // metrics to the SAME execution as the main job (here the corpus
+    // write) — no second scan, no extra job; at 100 TB a data-quality
+    // gate (row counts, null/lang ratios, size extrema) rides along on
+    // the ingest pass instead of re-reading the corpus. The Observation
+    // API blocks until the action completes and hands back the exact
+    // metric row, which the oracle recomputes declaratively — the
+    // check is that piggybacked metrics equal a dedicated pass's.
+    Entry("q_observe_metrics",
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation("ingest_quality")
+        docs(s, d).observe(obs,
+          count(lit(1)).as("n_rows"),
+          count_if(col("lang") === "en").as("n_en"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("n_en").asInstanceOf[Long],
+          m("total_chars").asInstanceOf[Long],
+          m("min_chars").asInstanceOf[Long],
+          m("max_chars").asInstanceOf[Long]))
+          .toDF("n_rows", "n_en", "total_chars", "min_chars", "max_chars")
+      },
+      Some("SELECT count(*) AS n_rows, " +
+        "count(*) FILTER (WHERE lang = 'en') AS n_en, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+        "FROM documents")),
     // Custom DataSource V2 read (`graft-synth`): deterministic
     // synthetic corpus metadata generated in parallel InputPartitions
     // with column pruning pushed into the reader. The generator step is

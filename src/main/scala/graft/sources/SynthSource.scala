@@ -315,9 +315,24 @@ class SynthAggReaderFactory(from: Long, until: Long, tags: Seq[String])
 
 class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
     required: StructType) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The generator emits doc_id strictly ascending within every input
+    * partition (ranges and runtime-filtered runs alike), and saying so
+    * lets the planner ELIDE sorts that are already satisfied — the
+    * parquet-sorted-files / Iceberg sorted-layout contract. Only
+    * reported when the pruned schema still carries doc_id. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("doc_id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   // Runtime-filtered state. Spark narrows it on the DRIVER at
   // execution time (BatchScanExec.filteredPartitions calls filter()

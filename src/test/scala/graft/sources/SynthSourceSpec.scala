@@ -341,6 +341,20 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("reported doc_id ordering elides already-satisfied sorts") {
+    val df = read(10000, 4).sortWithinPartitions("doc_id")
+    df.collect()
+    val sorts = collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, "sort on the reported ordering must be " +
+      s"elided:\n${df.queryExecution.executedPlan}")
+    // control: a sort the scan does NOT provide stays in the plan
+    val ctrl = read(10000, 4).sortWithinPartitions("n_tokens")
+    ctrl.collect()
+    assert(collect(ctrl.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty)
+  }
+
   test("column pruning reaches the reader (ReadSchema is the pruned set)") {
     val df = read(1000, 2).select(col("lang"))
     df.collect()

@@ -604,6 +604,29 @@ FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
       (s, d) => graft.streaming.Replay.dedupReplay(s, d),
       Some("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")),
+    // STREAMING gap-episode detection via transformWithState (Spark
+    // 4's arbitrary-state API: typed ValueState handles on RocksDB +
+    // first-class event-time timers), same replay harness. An event
+    // starts an episode iff it arrives > 120 s after the previous
+    // event of its (user, type) key; the eviction timer drops key
+    // state once the watermark passes the gap edge — provably lossless
+    // (see EpisodeProcessor), so bounded state is INSIDE the hash
+    // gate: the oracle is the plain batch lag() comparison over the
+    // same input.
+    Entry("q_episode_stream",
+      (s, d) => graft.streaming.Replay.episodeReplay(s, d)
+        .groupBy(col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n_episodes"),
+          sum(col("eventId")).cast("long").as("id_sum"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_episodes,
+  CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM (SELECT event_type, event_id, ts,
+        lag(ts) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR ts > prev + INTERVAL 120 SECOND
+GROUP BY event_type ORDER BY event_type""")),
     // STREAMING windowed aggregation, same harness: watermarked 1-hour
     // tumbling counts in APPEND mode — the materialized table holds
     // exactly the windows the final watermark (max event time − 2 h

@@ -222,6 +222,83 @@ object EventStream {
       }
   }
 
+  /** Episode-start row for [[episodeStarts]]. */
+  final case class EpisodeStart(eventType: String, eventId: Long)
+
+  /** Gap-episode detection via `transformWithState` (Spark 4's
+    * arbitrary-state API): emit an event iff it arrives more than
+    * `gapUs` after the PREVIOUS event of its (user, type) key — kept or
+    * not, i.e. the lag-window semantics, so the batch twin is a plain
+    * `lag()` comparison (alert-dedup / "new incident" detection).
+    *
+    * What the new API adds over flatMapGroupsWithState and why it's
+    * the 100 TB shape:
+    *  - typed per-key state handles (`ValueState[Long]`: one µs
+    *    timestamp per active key, RocksDB-backed — state lives off-heap
+    *    and spills to disk instead of sizing the executor heap);
+    *  - first-class event-time TIMERS: each batch (re-)arms a timer at
+    *    the key's gap edge, and when the WATERMARK passes it the state
+    *    row is dropped. Expiry is provably lossless here: a later event
+    *    at t sees watermark ≤ t, and state is only cleared once
+    *    watermark > lastSeen + gap, so t − lastSeen > gap — the event
+    *    starts a new episode with or without the state row. Total state
+    *    is bounded by keys active within the gap horizon, not by
+    *    stream lifetime — the property that keeps an unbounded ingest
+    *    feed's state store flat.
+    */
+  class EpisodeProcessor(gapUs: Long) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), Event, EpisodeStart] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+
+    @transient private var lastSeenUs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeenUs = getHandle.getValueState[Long]("lastSeenUs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[Event], timers: TimerValues): Iterator[EpisodeStart] = {
+      val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[EpisodeStart]()
+      var last = if (lastSeenUs.exists()) Some(lastSeenUs.get()) else None
+      for (e <- sorted) {
+        val t = micros(e.ts)
+        if (last.forall(t - _ > gapUs)) out += EpisodeStart(key._2, e.event_id)
+        last = Some(last.fold(t)(math.max(_, t)))
+      }
+      last.foreach { m =>
+        lastSeenUs.update(m)
+        // arm the eviction timer at the gap edge (event-time ms,
+        // rounded UP so the µs-exact gap has truly passed when it fires)
+        getHandle.registerTimer(Math.floorDiv(m + gapUs + 999L, 1000L))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        timers: TimerValues, info: ExpiredTimerInfo): Iterator[EpisodeStart] = {
+      // a stale timer from an earlier batch may fire before the CURRENT
+      // gap edge — only clear once the horizon has really passed
+      if (lastSeenUs.exists() &&
+          info.getExpiryTimeInMs * 1000L > lastSeenUs.get() + gapUs)
+        lastSeenUs.clear()
+      Iterator.empty
+    }
+  }
+
+  def episodeStarts(events: Dataset[Event], gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[EpisodeStart] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new EpisodeProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream–stream interval join: purchases enriched with every click
     * by the same user in the preceding `windowSeconds` — the two-stream
     * attribution join. Both sides carry watermarks and the join

@@ -153,6 +153,29 @@ object Replay {
     }.select(col("user_id"), col("event_type"))
       .orderBy("user_id", "event_type")
 
+  /** Episode starts from the `transformWithState` gap detector,
+    * replayed through the real stream (append mode: the table IS the
+    * episode-start set). TWS requires the RocksDB state store — set for
+    * this query's start and restored after (entries run sequentially;
+    * the provider is captured per query at start). */
+  def episodeReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6, gapSeconds: Long = 120): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      replayTable(spark, sfDir, slices, s"episode_$gapSeconds", "append") {
+        df => EventStream.episodeStarts(df.as[Event],
+          gapSeconds * 1000000L).toDF
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Final per-user funnel progress: last emission per user across the
     * update-mode replay (row_number over descending batch id). */
   def funnelReplay(spark: SparkSession, sfDir: String,

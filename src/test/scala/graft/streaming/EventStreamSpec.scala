@@ -87,6 +87,45 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("transformWithState episodes: lag semantics, state survives batches, eviction lossless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val query = EventStream
+        .episodeStarts(mem.toDS(), gapUs = 5L * 60 * 1000000L,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("episodes")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_tws").toString)
+        .outputMode(OutputMode.Append()).start()
+      // batch 1: burst within the 5 min gap -> one episode per key
+      mem.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 10, "click", 1.0), // 1 min after e1: suppressed
+        Event(3, ts(0), 11, "view", 1.0))
+      query.processAllAvailable()
+      // batch 2: cross-batch suppression (state persisted), plus a
+      // watermark-advancing event that expires (10, click)'s timer
+      mem.addData(
+        Event(4, ts(3), 11, "view", 1.0), // 3 min after e3: suppressed
+        Event(5, ts(60), 12, "error", 1.0))
+      query.processAllAvailable()
+      // batch 3: (10, click) long after its (evicted) state -> episode
+      mem.addData(Event(6, ts(62), 10, "click", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("episodes").as[EventStream.EpisodeStart]
+        .collect().map(_.eventId).toSet
+      assert(got == Set(1L, 3L, 5L, 6L),
+        s"episodes were ${got.toSeq.sorted}")
+      query.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("streaming debounce keeps the burst's first event and gap-separated ones") {
     val s = spark
     import s.implicits._

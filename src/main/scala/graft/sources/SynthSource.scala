@@ -363,6 +363,50 @@ class SynthScan(from: Long, until: Long, partitions: Int, rowsPerBatch: Long,
       java.util.OptionalLong.of(n)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * SynthScan.rowBytes(required))
+
+    /** Closed-form per-column stats (distinct counts, min/max, null
+      * counts) — with CBO on, Catalyst's selectivity and join-reorder
+      * estimates run off these instead of guessing, the role ANALYZE
+      * TABLE output plays for warehouse tables. All exact for the
+      * generator except n_tokens' min/max, which report the codomain
+      * bounds (a legal over-approximation for an estimate). */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      import java.util.{Optional, OptionalLong}
+      def stat(distinct: Long, mn: Option[Any], mx: Option[Any],
+          len: Long): ColumnStatistics = new ColumnStatistics {
+        override def distinctCount(): OptionalLong = OptionalLong.of(distinct)
+        override def min(): Optional[Object] =
+          mn.fold(Optional.empty[Object]())(v =>
+            Optional.of(v.asInstanceOf[Object]))
+        override def max(): Optional[Object] =
+          mx.fold(Optional.empty[Object]())(v =>
+            Optional.of(v.asInstanceOf[Object]))
+        override def nullCount(): OptionalLong = OptionalLong.of(0L)
+        override def avgLen(): OptionalLong = OptionalLong.of(len)
+        override def maxLen(): OptionalLong = OptionalLong.of(len)
+      }
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+      required.fieldNames.foreach {
+        case "doc_id" => m.put(Expressions.column("doc_id"),
+          stat(n, Some(rtFrom).filter(_ => n > 0),
+            Some(rtUntil - 1).filter(_ => n > 0), 8))
+        case "lang" => m.put(Expressions.column("lang"),
+          stat(math.min(n, SynthSource.langs.length.toLong), None, None, 2))
+        case "source" => m.put(Expressions.column("source"),
+          stat(math.min(n, 5L), None, None, 4))
+        case "n_tokens" => m.put(Expressions.column("n_tokens"),
+          stat(math.min(n, 501L), Some(0).filter(_ => n > 0),
+            Some(500).filter(_ => n > 0), 4))
+        case _ => ()
+      }
+      m
+    }
   }
 
   /** Runtime (join-time) filtering — the DSv2 analog of dynamic

@@ -341,6 +341,22 @@ class SynthSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("closed-form column stats reach Catalyst's attribute statistics") {
+    val df = read(100000, 4)
+      .filter(col("doc_id") >= 60000L && col("doc_id") < 60500L)
+    val stats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.stats }.head
+    assert(stats.rowCount.contains(BigInt(500)))
+    val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+    val id = byName("doc_id")
+    assert(id.distinctCount.contains(BigInt(500)))
+    assert(id.min.contains(60000L) && id.max.contains(60499L))
+    assert(id.nullCount.contains(BigInt(0)))
+    assert(byName("lang").distinctCount.contains(BigInt(4)))
+    assert(byName("n_tokens").distinctCount.contains(BigInt(500)))
+  }
+
   test("reported doc_id ordering elides already-satisfied sorts") {
     val df = read(10000, 4).sortWithinPartitions("doc_id")
     df.collect()

@@ -816,6 +816,19 @@ FROM pu ORDER BY user_id""")),
         s.sql(Queries.sessionizeSql)
       },
       Some(sessionizeSql)),
+    // SCD2 temporal-dimension build from the event log: per user,
+    // consecutive repeats of a state open no new version; each version
+    // gets [valid_from, valid_to) closed by the next CHANGE, the live
+    // one flagged is_current. One exchange + one sort total — the lag
+    // collapse, the change filter, and the lead close share a single
+    // (key, ts, tie) window ordering, and Filter preserves it, so
+    // EnsureRequirements inserts nothing between the window operators.
+    Entry("q_scd2",
+      (s, d) => graft.ops.Relational.scd2(Tables.read(s, d, "events"),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "valid_from"),
+      Some(graft.ops.Relational.scd2Sql("events",
+        "user_id", "event_type", "ts", "event_id"))),
     // Event debounce (burst collapse): per (user, type), an event
     // within 60 s of its predecessor is a retry/double-fire, not a new
     // action. Kept/total per type; interval arithmetic (not epoch
@@ -1318,6 +1331,18 @@ GROUP BY user_id ORDER BY user_id""")),
         Corpus.stratifiedSampleWhereSql("source", "doc_id",
           Map("src0" -> 1, "src1" -> 3, "src2" -> 7), defaultModulus = 9) +
         " GROUP BY source ORDER BY source")),
+    // Quality-weighted corpus sampling (Efraimidis–Spirakis A-ES):
+    // top-k by md5-uniform^(1/weight) IS a weighted sample without
+    // replacement — coordination-free (any worker/engine recomputes the
+    // same sample), append-stable, and entirely map-side + TakeOrdered.
+    // n_chars stands in for the quality weight; the hash-derived
+    // uniform is exact in double on both engines, so the whole sampler
+    // — membership AND priorities — sits under the hash-equality gate.
+    Entry("q_weighted_sample",
+      (s, d) => Corpus.weightedSample(docs(s, d), "doc_id", "n_chars",
+        k = 25, seed = 7L),
+      Some(Corpus.weightedSampleSql("documents", "doc_id", "n_chars",
+        k = 25, seed = 7L))),
     // Sequence packing: greedy first-fit by id into <= 2048-token packs
     // within fixed 128-id ranges — deterministic for any partition
     // count, so the full packing is oracle-checked against a DuckDB
@@ -1824,6 +1849,14 @@ WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
     Entry("q_tfidf_exact",
       (s, d) => TextOps.tfidfExact(docs(s, d), "doc_id", "text"),
       Some(TextOps.tfidfExactSql("documents", "doc_id", "text"))),
+    // Zipf power-law fit over the term-frequency distribution: the
+    // closed-form log-log least-squares slope/intercept over the top-N
+    // ranks — a one-row "does this corpus look like natural language"
+    // gate (slope ≈ −1 is Zipfian). One term-keyed shuffle +
+    // TakeOrdered; the regression folds N rows inside the plan.
+    Entry("q_zipf_fit",
+      (s, d) => TextOps.zipfFit(docs(s, d), "text", topN = 30),
+      Some(TextOps.zipfFitSql("documents", "text", topN = 30))),
     // N-gram language-model counts: top-50 bigrams by OCCURRENCE (not
     // the dedup pipeline's distinct-shingle sets). Map-side explode +
     // one partial-agg shuffle; the ranked prefix runs as TakeOrdered.

@@ -355,6 +355,58 @@ FROM walk GROUP BY pack_id ORDER BY pack_id"""
     s"SELECT md5(CAST($key AS VARCHAR)) AS shuffle_key, $key " +
       s"FROM $table ORDER BY shuffle_key, $key LIMIT $limit"
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis "A-ES"): each row draws priority `u^(1/w)` from a
+    * md5-derived uniform `u` and its weight `w`; the k largest
+    * priorities are a weighted sample without replacement — the
+    * "sample documents proportional to quality score" step of a
+    * training-data mix, as a pure row-local function instead of an RNG
+    * stream. Any worker (or engine) recomputes the same sample with
+    * zero coordination, and membership is append-stable: adding rows
+    * never reshuffles the priorities of existing ones.
+    *
+    * `u = (h + 0.5) / 2^32` with `h` the first 8 md5 hex digits is
+    * EXACT in double (h < 2^32 integral, +0.5 exact, the divisor a
+    * power of two), so both engines feed bit-identical uniforms into
+    * `pow`; the surfaced priority is rounded to 6 decimals because
+    * `pow` itself is only ≤1-ulp reproducible across libms (the
+    * q_tfidf_exact precedent). Top-k selection keys on the raw double
+    * — rank-neighbor priority gaps on real data are ~1e-6, ten orders
+    * above the ulp noise.
+    *
+    * Scale shape: the scoring is map-side (one md5 + one pow per row);
+    * the top-k plans as TakeOrderedAndProject — per-partition bounded
+    * heaps, then a k-row driver merge. No shuffle, no global sort, no
+    * RNG state.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":$seed"))), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        key.as("__k"))
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), round(col("__k"), 6).as("priority"))
+  }
+
+  /** DuckDB twin of [[weightedSample]] — same hash, same uniform, same
+    * priority arithmetic. */
+  def weightedSampleSql(table: String, id: String, weight: String,
+      k: Int, seed: Long): String =
+    s"""WITH t AS (
+  SELECT $id, $weight,
+    (CAST(('0x' || substr(md5(CAST($id AS VARCHAR) || ':$seed'), 1, 8))
+      AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM $table WHERE $weight > 0
+)
+SELECT $id, CAST($weight AS BIGINT) AS weight,
+  round(pow(u, 1.0 / $weight), 6) AS priority
+FROM t ORDER BY pow(u, 1.0 / $weight) DESC, $id LIMIT $k"""
+
   /** The pure greedy first-fit kernel over (id, nTokens) in input order:
     * one (packId = first doc id, nDocs, nTokens) row per pack; docs over
     * the budget are truncated into their own pack. Property-tested

@@ -272,4 +272,49 @@ GROUP BY l.k ORDER BY $key"""
     staged.select((userCol +: tCols).map(col): _*).distinct()
       .agg(count(lit(1)).as("n_users"), countCols: _*)
   }
+
+  /** Slowly-changing-dimension type-2 build from a change log: collapse
+    * each key's event stream to its state-CHANGE rows (consecutive
+    * repeats of the same state open no new version), then close every
+    * version with the next change's timestamp — `[valid_from,
+    * valid_to)` intervals with `valid_to IS NULL` (flagged
+    * `is_current`) on the live version. The standard way a warehouse
+    * derives a temporal dimension from an append-only CDC/event feed.
+    *
+    * Scale shape: ONE exchange on the key and ONE per-partition sort —
+    * the change-collapse `lag`, the filter, and the interval-closing
+    * `lead` all use the same (key, ts, tie) window, and a Filter
+    * preserves child ordering/partitioning, so EnsureRequirements
+    * inserts nothing between the two window operators. No self-join
+    * (the naive formulation joins the log to itself on "next change"),
+    * no data-sized window frames — each frame advances one row.
+    */
+  def scd2(df: DataFrame, key: String, state: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(state))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(key), col(state), col(tsCol).as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  /** DuckDB twin of [[scd2]] (ANSI window functions, runs on both
+    * engines verbatim). */
+  def scd2Sql(table: String, key: String, state: String, ts: String,
+      tie: String): String =
+    s"""WITH ordered AS (
+  SELECT $key, $ts, $tie, $state,
+    lag($state) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS prev
+  FROM $table
+), changes AS (
+  SELECT $key, $ts, $tie, $state FROM ordered
+  WHERE prev IS NULL OR prev <> $state
+)
+SELECT $key, $state, $ts AS valid_from,
+  lead($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS valid_to,
+  CASE WHEN lead($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie)
+    IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes ORDER BY $key, valid_from"""
 }

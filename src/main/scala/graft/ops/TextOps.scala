@@ -473,6 +473,72 @@ GROUP BY id ORDER BY $id"""
       .orderBy("term")
   }
 
+  /** Zipf power-law fit over the corpus term-frequency distribution:
+    * closed-form least squares of log₁₀(count) on log₁₀(rank) over the
+    * top-N terms — slope ≈ −1 is Zipfian; a much flatter slope flags a
+    * synthetic/templated corpus, a steeper one a degenerate vocabulary.
+    * One number summarizing "does this corpus look like natural
+    * language", computed without collecting anything.
+    *
+    * Scale shape: tokenize+explode map-side, ONE partial-aggregated
+    * shuffle on term, then TakeOrdered for the top-N — the rank window
+    * and the Σx/Σy/Σxy/Σx² fold run on N rows, never the vocabulary.
+    * The regression is closed-form inside the plan (no driver math, no
+    * iterative solver).
+    *
+    * Float discipline: the only engine-unstable steps are log₁₀
+    * (≤1 ulp across libms) and the N-term float sums (order differs
+    * across engines), both absorbed by 6-decimal rounding of the two
+    * surfaced coefficients — the q_tfidf_exact precedent.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    // unpartitioned window over ≤ topN (post-limit) rows — benign
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val x = log10(col("rank").cast("double"))
+    val y = log10(col("cnt").cast("double"))
+    ranked
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"))
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("m"), 6).as("slope"),
+        round((col("sy") - col("m") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  /** DuckDB twin of [[zipfFit]] — same tokenization, ranking, and
+    * closed-form arithmetic. */
+  def zipfFitSql(table: String, text: String, topN: Int): String =
+    s"""WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim($text), '\\s+')) AS term
+  FROM $table
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+), top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM c ORDER BY cnt DESC, term LIMIT $topN
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    sum(log10(rank)) AS sx, sum(log10(cnt)) AS sy,
+    sum(log10(rank) * log10(rank)) AS sxx,
+    sum(log10(rank) * log10(cnt)) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept
+FROM s"""
+
   /** DuckDB twin of [[tfidfExact]]. */
   def tfidfExactSql(table: String, id: String, text: String): String =
     s"""WITH toks AS (

@@ -1163,4 +1163,77 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == full)
     assert(mergedRev == full)
   }
+
+  private def eventsDf(rows: (Long, String, String, Long)*) = {
+    // (user_id, ts string, state, event_id)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_s", StringType), StructField("event_type", StringType),
+      StructField("event_id", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)), 2), schema)
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+  }
+
+  test("scd2: repeats open no version, versions close at the next change") {
+    val df = eventsDf(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-01 00:10:00", "a", 2L), // repeat: no new version
+      (1L, "2024-01-01 00:20:00", "b", 3L),
+      (1L, "2024-01-01 00:30:00", "a", 4L), // back to a: NEW version
+      (2L, "2024-01-01 01:00:00", "x", 5L))
+    val out = Relational.scd2(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+    assert(out.length == 4)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("a", "b", "a"))
+    // version i closes exactly where version i+1 opens
+    assert(u1(0).getAs[java.sql.Timestamp]("valid_to") ==
+      u1(1).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u1(1).getAs[java.sql.Timestamp]("valid_to") ==
+      u1(2).getAs[java.sql.Timestamp]("valid_from"))
+    // only the last version per key is open/current
+    assert(u1.map(_.getAs[Int]("is_current")).toSeq == Seq(0, 0, 1))
+    assert(out.filter(_.getLong(0) == 2L).head.getAs[Int]("is_current") == 1)
+  }
+
+  test("weightedSample: deterministic across layouts, k rows, weight-biased") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("w", LongType)))
+    // 50 light rows (w=10) + 10 heavy rows (w=10000)
+    val rows = (1L to 50L).map(Row(_, 10L)) ++
+      (101L to 110L).map(Row(_, 10000L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val a = Corpus.weightedSample(df, "id", "w", k = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Corpus.weightedSample(df.repartition(7), "id", "w",
+      k = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b, "sample must not depend on partition layout")
+    assert(a.length == 10)
+    // priorities sorted descending, all in (0, 1)
+    assert(a.map(_._2).toSeq == a.map(_._2).sorted.reverse)
+    assert(a.forall(p => p._2 > 0.0 && p._2 < 1.0))
+    // the 10 heavy rows have u^(1/10000) ~ 1; all should dominate the
+    // light rows' u^(1/10) with overwhelming margin
+    assert(a.count(_._1 >= 101L) == 10,
+      s"heavy-weight rows should fill the sample, got $a")
+  }
+
+  test("zipfFit recovers slope -1 exactly on a harmonic corpus") {
+    // term i occurs 60/i times for i=1..6 : log10(cnt) =
+    // log10(60) - log10(rank), an EXACT line with slope -1.
+    val counts = Seq(60, 30, 20, 15, 12, 10)
+    val text = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(s"t$i")
+    }.mkString(" ")
+    val r = TextOps.zipfFit(docsDf((1L, text)), "text", topN = 6).head()
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6,
+      s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log10(60.0)) < 1e-6,
+      s"intercept ${r.getDouble(2)}")
+  }
 }

@@ -1045,6 +1045,76 @@ c AS (
 SELECT p.event_id, p.user_id, c.q_id
 FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts
 ORDER BY p.event_id""")),
+    // Toleranced as-of on the same operator: matches staler than
+    // 10 minutes are nulled — the "max staleness" contract every
+    // point-in-time feature join carries in production (a quote from
+    // last week must not price today's trade). Tolerance filtering
+    // happens INSIDE the O(1) merge; the oracle applies the same
+    // window to DuckDB's native ASOF result.
+    Entry("q_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+          .agg(max(col("event_id")).as("q_id"))
+        graft.ops.Relational.asofJoinTables(purchases, clicks,
+            "user_id", "q_user", "ts", "q_ts",
+            direction = "backward", toleranceUs = 10L * 60 * 1000000)
+          .select(col("event_id"), col("user_id"), col("q_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id,
+  CASE WHEN p.ts - c.q_ts <= INTERVAL 10 MINUTE THEN c.q_id END AS q_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts
+ORDER BY p.event_id""")),
+    // Nearest-direction as-of (pandas merge_asof nearest): closer of
+    // the backward/forward candidates, ties backward. The merge still
+    // holds O(1) state — the forward candidate is simply the
+    // not-yet-consumed right head, never copied. DuckDB has no native
+    // nearest, so the oracle composes it from two ASOFs: the natural
+    // backward one plus a forward one via negated epoch (ASOF's >= on
+    // -ts IS the smallest ts >= t), then picks the closer per row —
+    // structurally independent arithmetic agreeing with the custom
+    // operator's single-pass merge.
+    Entry("q_asof_nearest",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+          .agg(max(col("event_id")).as("q_id"))
+        graft.ops.Relational.asofJoinTables(purchases, clicks,
+            "user_id", "q_user", "ts", "q_ts", direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("q_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+b AS (
+  SELECT p.event_id, c.q_id AS b_id, c.q_ts AS b_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts),
+cn AS (SELECT q_user, -epoch_us(q_ts) AS nts, q_id, q_ts FROM c),
+pn AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM p),
+f AS (
+  SELECT pn.event_id, cn.q_id AS f_id, cn.q_ts AS f_ts
+  FROM pn ASOF LEFT JOIN cn ON pn.user_id = cn.q_user AND pn.nts >= cn.nts)
+SELECT p.event_id, p.user_id,
+  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+    epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))
+    THEN b_id ELSE f_id END AS q_id
+FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+ORDER BY p.event_id""")),
     // As-of join (point-in-time): each purchase matched to the user's
     // most recent PRIOR click via a running window max — the standard
     // Spark-first formulation (one shuffle on user_id, per-partition

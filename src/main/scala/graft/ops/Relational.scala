@@ -18,9 +18,12 @@ object Relational {
     */
   def asofJoinTables(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame =
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame =
     org.apache.spark.sql.graft.AsofJoin.asofJoin(
-      left, right, leftKey, rightKey, leftTs, rightTs)
+      left, right, leftKey, rightKey, leftTs, rightTs,
+      direction, toleranceUs)
 
   /** Event debounce (telemetry burst collapse): flag each row as kept
     * iff it is the first in its (keys) group or arrived more than

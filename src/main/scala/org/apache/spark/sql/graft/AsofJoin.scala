@@ -45,7 +45,9 @@ case class AsofJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    direction: String = "backward",
+    tolerance: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,19 +59,38 @@ case class AsofJoin(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lts, rts) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsofJoin(l, r, lk, rk, lts, rts, dir, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+        dir, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** Physical as-of merge. `direction`:
+  *  - "backward" (default): largest right ts ≤ left ts — any ordered
+  *    ts type (the original operator).
+  *  - "forward": smallest right ts ≥ left ts. As both sides arrive
+  *    (key, ts)-sorted, the first not-yet-consumed right row IS the
+  *    forward candidate — matches are monotone in left ts, so the
+  *    single forward scan still suffices and the candidate is never
+  *    copied (O(1) state, zero allocation).
+  *  - "nearest": whichever of the backward/forward candidates is
+  *    closer (tie → backward), pandas merge_asof semantics.
+  * `tolerance` (ts units, −1 = none) bounds the match distance; for
+  * "nearest" it filters BEFORE choosing, so a backward match inside
+  * the window beats a nearer forward match outside it. forward /
+  * nearest / tolerance need ts arithmetic and so an integral or
+  * timestamp ts column; plain backward stays type-generic.
+  */
 case class AsofJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression,
+    direction: String = "backward",
+    tolerance: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -111,12 +132,27 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rightOutput.length)
       val outProj = UnsafeProjection.create(fullOutput, fullOutput)
 
+      val dir = direction
+      val tol = tolerance
+      // forward/nearest/tolerance need ts differences; ts evals to a
+      // Long for TimestampType (micros) and integral types.
+      def tsNum(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => throw new UnsupportedOperationException(
+          "forward/nearest/tolerance as-of needs an integral or " +
+            s"timestamp ts column, got ${other.getClass.getSimpleName}")
+      }
+
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHeadKey: Any = _
         private var rHeadTs: Any = _
         private var lastMatch: InternalRow = _ // copied; survives rHead
         private var lastMatchKey: Any = _
+        private var lastMatchTs: Any = _
         private var primed = false
 
         private def advanceRight(): Unit = {
@@ -141,26 +177,48 @@ case class AsofJoinExec(
           val k = lKey.eval(l)
           val t = lTs.eval(l)
           if (k == null || t == null) return outProj(joiner(l, nullRight))
-          // Consume right rows up to and including (k, t): the last one
-          // with the same key is the as-of match (inclusive ≤).
+          // Consume right rows before the boundary: backward takes
+          // rt ≤ t inclusively into the backward candidate; forward/
+          // nearest stop at rt == t so the head stays the (inclusive ≥)
+          // forward candidate. Matches are monotone in left ts either
+          // way, so one forward scan serves every direction.
+          val inclusive = dir == "backward"
           while (rHead != null && {
             val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
               k.asInstanceOf[AnyRef])
-            c < 0 || (c == 0 && tsOrd.compare(rHeadTs.asInstanceOf[AnyRef],
-              t.asInstanceOf[AnyRef]) <= 0)
+            c < 0 || (c == 0 && {
+              val ct = tsOrd.compare(rHeadTs.asInstanceOf[AnyRef],
+                t.asInstanceOf[AnyRef])
+              if (inclusive) ct <= 0 else ct < 0
+            })
           }) {
-            if (keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
-                k.asInstanceOf[AnyRef]) == 0) {
+            // forward never looks back — skip the copy entirely.
+            if (dir != "forward" && keyOrd.compare(
+                rHeadKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0) {
               lastMatch = rHead.copy()
               lastMatchKey = rKey.eval(lastMatch)
+              lastMatchTs = rTs.eval(lastMatch)
             }
             advanceRight()
           }
-          if (lastMatch != null && keyOrd.compare(
-              lastMatchKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0)
-            outProj(joiner(l, lastMatch))
-          else
-            outProj(joiner(l, nullRight))
+          val backOk = dir != "forward" && lastMatch != null &&
+            keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef],
+              k.asInstanceOf[AnyRef]) == 0 &&
+            (tol < 0 || tsNum(t) - tsNum(lastMatchTs) <= tol)
+          val fwdOk = dir != "backward" && rHead != null &&
+            keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+              k.asInstanceOf[AnyRef]) == 0 &&
+            (tol < 0 || tsNum(rHeadTs) - tsNum(t) <= tol)
+          val m =
+            if (backOk && fwdOk) {
+              // nearest: tie goes backward (pandas merge_asof).
+              if (tsNum(t) - tsNum(lastMatchTs) <= tsNum(rHeadTs) - tsNum(t))
+                lastMatch
+              else rHead
+            } else if (backOk) lastMatch
+            else if (fwdOk) rHead
+            else nullRight
+          outProj(joiner(l, m))
         }
       }
     }
@@ -180,12 +238,33 @@ object AsofJoin {
     * (alias the right side first); the right side's attributes are
     * re-aliased defensively so a self-join of one source cannot carry
     * duplicate expression IDs into the node's output.
+    * `direction` ∈ backward | forward | nearest; `toleranceUs` bounds
+    * the match distance in the ts column's own units (µs for
+    * timestamps), −1 = unbounded.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction '$direction'")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, shared: $dup")
+    if (direction != "backward" || toleranceUs >= 0) {
+      val tsType = left.schema.find(_.name == leftTsCol).map(_.dataType)
+      val ok = tsType.exists {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      require(ok, "forward/nearest/tolerance as-of needs an integral " +
+        s"or timestamp ts column, got $tsType")
+    }
     // Fail fast on type mismatches: the exec's interpreted orderings
     // come from the LEFT side's types and the two sides must hash-
     // partition identically — a Long-vs-Int key would otherwise
@@ -209,6 +288,7 @@ object AsofJoin {
       spark.asInstanceOf[classic.SparkSession],
       AsofJoin(lp, rp,
         attr(lp, leftKeyCol, "left"), attr(rp, rightKeyCol, "right"),
-        attr(lp, leftTsCol, "left"), attr(rp, rightTsCol, "right")))
+        attr(lp, leftTsCol, "left"), attr(rp, rightTsCol, "right"),
+        direction, toleranceUs))
   }
 }

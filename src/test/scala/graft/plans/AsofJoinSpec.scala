@@ -92,6 +92,58 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(got == Map(1L -> Some(11L), 2L -> None))
   }
 
+  private def runDir(lp: Int, rp: Int, dir: String,
+      tolUs: Long): Map[Long, Option[Long]] =
+    Relational.asofJoinTables(leftDf(lp), rightDf(rp), "k", "q", "t", "qt",
+        direction = dir, toleranceUs = tolUs)
+      .select(col("lid"), col("rid"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("forward as-of: smallest right ts >= left ts, inclusive") {
+    val expected = Map(
+      100L -> Some(201L), // quotes at 20, 30 after t=10 -> 20 wins
+      101L -> Some(201L), // equal ts is an inclusive forward match
+      102L -> Some(203L), // quote at 15 >= 10
+      103L -> None, 104L -> None)
+    assert(runDir(1, 1, "forward", -1L) == expected)
+    assert(runDir(3, 2, "forward", -1L) == expected)
+  }
+
+  test("nearest as-of: closer of the two candidates, tie backward") {
+    val expected = Map(
+      100L -> Some(200L), // back diff 5 min < fwd diff 10 min
+      101L -> Some(201L), // exact-ts match, diff 0
+      102L -> Some(203L), // only a forward candidate exists
+      103L -> None, 104L -> None)
+    assert(runDir(1, 1, "nearest", -1L) == expected)
+    assert(runDir(2, 3, "nearest", -1L) == expected)
+  }
+
+  test("tolerance bounds the match distance in every direction") {
+    val min6 = 6L * 60 * 1000000
+    // backward within 6 min: 100's quote at t-5min stays, 102 has no
+    // backward candidate at all
+    assert(runDir(1, 1, "backward", min6) == Map(
+      100L -> Some(200L), 101L -> Some(201L),
+      102L -> None, 103L -> None, 104L -> None))
+    // backward within 3 min: 100's 5-min-old quote now out of range
+    assert(runDir(1, 1, "backward", 3L * 60 * 1000000) == Map(
+      100L -> None, 101L -> Some(201L),
+      102L -> None, 103L -> None, 104L -> None))
+    // forward within 5 min: 100's fwd candidate is 10 min away -> null;
+    // 102's is exactly 5 min -> inclusive match
+    assert(runDir(1, 1, "forward", 5L * 60 * 1000000) == Map(
+      100L -> None, 101L -> Some(201L),
+      102L -> Some(203L), 103L -> None, 104L -> None))
+    // nearest within 6 min: out-of-window candidates (100's forward
+    // quote, 10 min away) are filtered before the choice
+    assert(runDir(1, 1, "nearest", min6) == Map(
+      100L -> Some(200L), 101L -> Some(201L),
+      102L -> Some(203L), 103L -> None, 104L -> None))
+  }
+
   test("as-of join rejects mismatched key types up front") {
     val bad = rightDf(1).withColumn("q", col("q").cast("int"))
     val e = intercept[IllegalArgumentException] {

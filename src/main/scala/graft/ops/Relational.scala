@@ -14,16 +14,20 @@ object Relational {
     * the right row with the same key and the largest right ts ≤ its ts
     * (nulls if none) — pandas merge_asof / DuckDB ASOF LEFT JOIN.
     * One exchange + sort per side (sort-merge-join cost), O(1) merge
-    * state per partition. Column names must be disjoint across sides.
+    * state per partition — or, when the right side's stats fit under
+    * autoBroadcastJoinThreshold (or `broadcast = Some(true)`), a
+    * broadcast exec that leaves the left side entirely unshuffled and
+    * unsorted. Column names must be disjoint across sides.
     */
   def asofJoinTables(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       direction: String = "backward",
-      toleranceUs: Long = -1L): DataFrame =
+      toleranceUs: Long = -1L,
+      broadcast: Option[Boolean] = None): DataFrame =
     org.apache.spark.sql.graft.AsofJoin.asofJoin(
       left, right, leftKey, rightKey, leftTs, rightTs,
-      direction, toleranceUs)
+      direction, toleranceUs, broadcast)
 
   /** Event debounce (telemetry burst collapse): flag each row as kept
     * iff it is the first in its (keys) group or arrived more than

@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Point-in-time (as-of) join as a first-class Catalyst operator — the
   * whole-operator extension rung: a custom `LogicalPlan` node, a
@@ -47,7 +48,8 @@ case class AsofJoin(
     leftTs: Expression,
     rightTs: Expression,
     direction: String = "backward",
-    tolerance: Long = -1L) extends BinaryNode {
+    tolerance: Long = -1L,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,11 +59,26 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Physical selection mirrors Spark's own `JoinSelection`: if the
+  * right side's logical-plan statistics fit under
+  * `spark.sql.autoBroadcastJoinThreshold` (or the caller forced it),
+  * plan the broadcast exec — the big side then needs NO exchange and
+  * NO sort. Otherwise the sort-merge-shaped exec. Because the decision
+  * reads `right.stats`, an injected learned-estimator cardinality
+  * (`EstimatedStatsRule`) flips this choice exactly as it flips
+  * Catalyst's own equi-join strategy.
+  */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lts, rts, dir, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
-        dir, tol) :: Nil
+    case AsofJoin(l, r, lk, rk, lts, rts, dir, tol, hint) =>
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val auto = threshold > 0 && r.stats.sizeInBytes <= threshold
+      if (hint.getOrElse(auto))
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+          dir, tol) :: Nil
+      else
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+          dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -225,6 +242,135 @@ case class AsofJoinExec(
   }
 }
 
+/** Broadcast as-of join: the small right side is broadcast whole
+  * (`IdentityBroadcastMode` — EnsureRequirements/AQE insert the
+  * standard `BroadcastExchangeExec`), grouped per key and ts-sorted
+  * once per partition, and every left row resolves its match with a
+  * binary search. The left child has NO distribution or ordering
+  * requirement: at 100 TB the fact side streams straight from the
+  * scan through this map-side operator — zero shuffle, zero sort —
+  * which is the same asymptotic win broadcast-hash has over
+  * sort-merge for equi-joins. Matches the merge exec bit-for-bit on
+  * every direction/tolerance combination (asserted in AsofJoinSpec).
+  */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    direction: String = "backward",
+    tolerance: Long = -1L) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // Pure map-side: whatever layout the left arrives in survives.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val fullOutput = output
+    val (lk, lt) = (leftKey, leftTs)
+    val (rk, rt) = (rightKey, rightTs)
+    val dir = direction
+    val tol = tolerance
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIt =>
+      val lKey = BindReferences.bindReference(lk, leftOutput)
+      val lTs = BindReferences.bindReference(lt, leftOutput)
+      val rKey = BindReferences.bindReference(rk, rightOutput)
+      val rTs = BindReferences.bindReference(rt, rightOutput)
+      val tsOrd = TypeUtils.getInterpretedOrdering(lt.dataType)
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.length)
+      val outProj = UnsafeProjection.create(fullOutput, fullOutput)
+
+      def tsNum(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => throw new UnsupportedOperationException(
+          "forward/nearest/tolerance as-of needs an integral or " +
+            s"timestamp ts column, got ${other.getClass.getSimpleName}")
+      }
+
+      // Index the broadcast side once per partition: key → ts-sorted
+      // parallel arrays. Small by the strategy's size gate, and the
+      // evaluated key/ts values (UTF8String, Long, …) hash and compare
+      // correctly as JVM objects. Equal-ts runs keep input order via
+      // stable sort, mirroring the merge exec's scan.
+      val index = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]
+      locally {
+        val buf = new java.util.HashMap[
+          Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+        bcast.value.foreach { r =>
+          val k = rKey.eval(r)
+          val t = rTs.eval(r)
+          if (k != null && t != null)
+            buf.computeIfAbsent(k,
+              _ => scala.collection.mutable.ArrayBuffer.empty).append((t, r))
+        }
+        buf.forEach { (k, entries) =>
+          val sorted = entries.sortBy(_._1.asInstanceOf[AnyRef])(
+            tsOrd.asInstanceOf[Ordering[AnyRef]])
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+
+      lIt.map { l =>
+        val k = lKey.eval(l)
+        val t = lTs.eval(l)
+        val hit = if (k == null || t == null) null else index.get(k)
+        if (hit == null) outProj(joiner(l, nullRight))
+        else {
+          val (ts, rows) = hit
+          // upper bound: first idx with ts > t → back candidate before it;
+          // lower bound: first idx with ts ≥ t → forward candidate.
+          var lo = 0; var hi = ts.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsOrd.compare(ts(mid).asInstanceOf[AnyRef],
+                t.asInstanceOf[AnyRef]) <= 0) lo = mid + 1 else hi = mid
+          }
+          val ub = lo
+          lo = 0; hi = ts.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsOrd.compare(ts(mid).asInstanceOf[AnyRef],
+                t.asInstanceOf[AnyRef]) < 0) lo = mid + 1 else hi = mid
+          }
+          val lb = lo
+          val backOk = dir != "forward" && ub > 0 &&
+            (tol < 0 || tsNum(t) - tsNum(ts(ub - 1)) <= tol)
+          val fwdOk = dir != "backward" && lb < ts.length &&
+            (tol < 0 || tsNum(ts(lb)) - tsNum(t) <= tol)
+          val m =
+            if (backOk && fwdOk) {
+              if (tsNum(t) - tsNum(ts(ub - 1)) <= tsNum(ts(lb)) - tsNum(t))
+                rows(ub - 1)
+              else rows(lb)
+            } else if (backOk) rows(ub - 1)
+            else if (fwdOk) rows(lb)
+            else nullRight
+          outProj(joiner(l, m))
+        }
+      }
+    }
+  }
+}
+
 object AsofJoin {
   /** Idempotently make the strategy available to `spark` (for sessions
     * not built `.withExtensions(new GraftExtensions)`). */
@@ -240,13 +386,16 @@ object AsofJoin {
     * duplicate expression IDs into the node's output.
     * `direction` ∈ backward | forward | nearest; `toleranceUs` bounds
     * the match distance in the ts column's own units (µs for
-    * timestamps), −1 = unbounded.
+    * timestamps), −1 = unbounded. `broadcast`: Some(true)/Some(false)
+    * force the broadcast/merge exec; None (default) lets the strategy
+    * decide from the right side's stats vs autoBroadcastJoinThreshold.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTsCol: String, rightTsCol: String,
       direction: String = "backward",
-      toleranceUs: Long = -1L): DataFrame = {
+      toleranceUs: Long = -1L,
+      broadcast: Option[Boolean] = None): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
@@ -289,6 +438,6 @@ object AsofJoin {
       AsofJoin(lp, rp,
         attr(lp, leftKeyCol, "left"), attr(rp, rightKeyCol, "right"),
         attr(lp, leftTsCol, "left"), attr(rp, rightTsCol, "right"),
-        direction, toleranceUs))
+        direction, toleranceUs, broadcast))
   }
 }

@@ -18,6 +18,8 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
   private var factsPath: String = _
   private var dimsPath: String = _
+  private var asofTradesPath: String = _
+  private var asofQuotesPath: String = _
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -42,6 +44,19 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("id") % 50).as("dk"),
         md5((col("id") + 7).cast("string")).as("dim_payload"))
       .write.mode("overwrite").parquet(dimsPath)
+    // as-of inputs: trades (left, big) and quotes (right, filterable)
+    asofTradesPath = s"$base/asof_trades"
+    asofQuotesPath = s"$base/asof_quotes"
+    spark.range(20000)
+      .select((col("id") % 50).as("k"), col("id").cast("timestamp").as("t"),
+        col("id").as("lid"), md5(col("id").cast("string")).as("tpayload"))
+      .write.mode("overwrite").parquet(asofTradesPath)
+    spark.range(20000)
+      .select((col("id") % 50).as("q"),
+        (col("id") - 1).cast("timestamp").as("qt"), col("id").as("rid"),
+        (col("id") % 1000).as("b"),
+        md5((col("id") + 3).cast("string")).as("qpayload"))
+      .write.mode("overwrite").parquet(asofQuotesPath)
     EstimatedStatsRule.attachIfMissing(spark)
   }
 
@@ -64,9 +79,10 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     (bhj, smj)
   }
 
-  private def withEstimate[T](rows: Long)(body: => T): T = {
+  private def withEstimate[T](rows: Long, path: String = "statsinj_facts",
+      cols: Set[String] = Set("a"))(body: => T): T = {
     val saved = GraftRuntime.snapshot()
-    GraftRuntime.register("statsinj_facts", Set("a"), _ => rows)
+    GraftRuntime.register(path, cols, _ => rows)
     spark.conf.set(EstimatedStatsRule.EnabledKey, "true")
     try body
     finally {
@@ -105,6 +121,52 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     withEstimate(19000000L) {
       val (bhj1, smj1) = joinNodes(joinPlan().queryExecution.executedPlan)
       assert(smj1 && !bhj1, "model estimate should demote to shuffle")
+    }
+  }
+
+  private def asofDf(): org.apache.spark.sql.DataFrame = {
+    val trades = spark.read.parquet(asofTradesPath)
+    val quotes = spark.read.parquet(asofQuotesPath)
+      .filter(col("b") <= 1).select(col("q"), col("qt"), col("rid"))
+    graft.ops.Relational.asofJoinTables(trades, quotes, "k", "q", "t", "qt")
+  }
+
+  private def asofNodes(p: SparkPlan): (Boolean, Boolean) = {
+    var bcast = false; var merge = false
+    p.foreach {
+      case _: org.apache.spark.sql.graft.BroadcastAsofJoinExec => bcast = true
+      case _: org.apache.spark.sql.graft.AsofJoinExec => merge = true
+      case _ => ()
+    }
+    (bcast, merge)
+  }
+
+  test("model estimate flips the custom as-of join in both directions") {
+    // AsofJoinStrategy reads the right side's logical stats, so the
+    // injected learned cardinality steers the custom operator exactly
+    // as it steers Catalyst's own JoinSelection.
+    // Direction 1: file-size stats (whole quotes file) exceed a 10 KB
+    // threshold -> merge; the model knows b<=1 keeps ~40 rows -> bcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    val (b0, m0) = asofNodes(asofDf().queryExecution.executedPlan)
+    assert(m0 && !b0, "baseline should sort-merge (file-size stats)")
+    val baseline = asofDf().collect().map(_.toSeq).toSet
+    withEstimate(40L, "asof_quotes", Set("b")) {
+      val df = asofDf()
+      val (b1, m1) = asofNodes(df.queryExecution.executedPlan)
+      assert(b1 && !m1, "low model estimate should broadcast the quotes")
+      assert(df.collect().map(_.toSeq).toSet == baseline,
+        "as-of stats injection changed results")
+    }
+    // Direction 2: under a generous threshold the raw file broadcasts;
+    // a huge model estimate demotes the as-of back to the merge exec.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (8 * 1024 * 1024).toString)
+    val (b2, m2) = asofNodes(asofDf().queryExecution.executedPlan)
+    assert(b2 && !m2, "baseline should broadcast (small file)")
+    withEstimate(19000000L, "asof_quotes", Set("b")) {
+      val (b3, m3) = asofNodes(asofDf().queryExecution.executedPlan)
+      assert(m3 && !b3, "high model estimate should demote to merge")
     }
   }
 

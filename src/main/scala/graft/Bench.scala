@@ -83,7 +83,12 @@ object Bench {
         // columns on map-only entries, under-charging their real work.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
           case e: Throwable =>
+            // Full cause chain, not getMessage: Spark wraps execution
+            // failures ("Boxed Exception" ExecutionExceptions from
+            // broadcast/codegen futures) and the root cause is what a
+            // reader of the driver's log needs to act on.
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            e.printStackTrace(System.err)
             failed ::= name
         }
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

@@ -156,7 +156,14 @@ object Tables {
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else df
+    else
+      // Driver may also write µs TIMESTAMP with isAdjustedToUTC=false,
+      // which Spark reads as TIMESTAMP_NTZ — a type `unix_micros()` and
+      // streaming watermarks reject. Cast to TIMESTAMP: exact under the
+      // UTC session timezone Bench/Verify pin, identical to DuckDB's
+      // read, and a no-op when the column is already LTZ.
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Load a table projected to its modeled columns (column pruning reaches

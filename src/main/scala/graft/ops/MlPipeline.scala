@@ -86,12 +86,28 @@ object MlPipeline {
     val prepared = assembler.transform(featured)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = lr.fit(prepared)
-    val out = model.transform(prepared)
-      .withColumn("p_keep", element_at(
-        org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+    // Score with plain column arithmetic from the fitted coefficients,
+    // NOT model.transform: the model's ScalaUDF closure drags the whole
+    // LogisticRegressionModel into the task — including trainingSummary,
+    // which references the SparkSession. That serializes only while the
+    // session's lazily-created observationManager is still null; after
+    // any Observation has run on the session (q_observe_metrics in the
+    // bench), the task fails "Task not serializable". The margin below
+    // reproduces MLlib's scoring exactly (BLAS dot in index order, then
+    // + intercept; p = sigmoid(margin); predict 1 iff p > 0.5 at the
+    // default threshold) as codegen'd expressions — also the right
+    // shape for the corpus-wide pass at scale (no black-box UDF).
+    val coef = model.coefficients.toArray
+    val featNames = assembler.getInputCols
+    val dotProd = featNames.zip(coef)
+      .map { case (c, w) => col(c) * lit(w) }
+      .reduce(_ + _)
+    val pKeep = lit(1.0) / (lit(1.0) + exp(-(dotProd + lit(model.intercept))))
+    val out = prepared
+      .withColumn("p_keep", pKeep)
       .select(col(idCol), col("weak_label"),
         round(col("p_keep"), 4).as("p_keep"),
-        col("prediction").as("model_keep"))
+        when(col("p_keep") > 0.5, 1.0).otherwise(0.0).as("model_keep"))
       .orderBy(idCol)
     // `prepared` stays persisted under the returned (lazy) frame: the
     // result remains recomputable after executor loss — an eager

@@ -40,7 +40,7 @@ object Replay {
   /** Bump when operator semantics change: cached replay outputs are
     * shared across JVMs, and a stale table from an older code version
     * must never satisfy a newer oracle. */
-  private val Version = 2
+  private val Version = 3
 
   private def fingerprint(sfDir: String): String = {
     val f = new File(s"$sfDir/events.parquet")
@@ -59,7 +59,10 @@ object Replay {
     * ascending order (file mtimes = arrival order for the stream). */
   private def ensureSlices(spark: SparkSession, sfDir: String,
       slices: Int): String = synchronized {
-    val dir = s"$base/in_${fingerprint(sfDir)}_$slices"
+    // Version-keyed like the outputs: the slice files bake in the ts
+    // TYPE the reader produced (v2 dirs hold TIMESTAMP_NTZ from the
+    // pre-cast reader, which watermarks reject), not just its values.
+    val dir = s"$base/in_v${Version}_${fingerprint(sfDir)}_$slices"
     val ready = new File(s"$dir/_READY")
     if (!ready.exists()) {
       deleteRecursively(new File(dir))

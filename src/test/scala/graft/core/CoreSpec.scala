@@ -189,6 +189,45 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2(0).getTimestamp(1).toString.startsWith("2024-01-02"))
   }
 
+  test("readEvents casts µs TIMESTAMP_NTZ parquet to TIMESTAMP") {
+    // Regression for the r7/r8 bench breakage: the driver regenerated
+    // events.parquet with ts as µs TIMESTAMP isAdjustedToUTC=false,
+    // which Spark reads as TIMESTAMP_NTZ — a type unix_micros() and
+    // streaming watermarks reject. Tables.read must surface TIMESTAMP
+    // whatever physical flavor the fixture carries (NANOS-as-long,
+    // µs NTZ, µs LTZ). Values are exact under the pinned UTC session
+    // zone (what DuckDB reads from the same file).
+    val dir = java.nio.file.Files.createTempDirectory("gevt").toString
+    val ntz = java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15, 123456000)
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, ntz, 7L, "click", 0.5)), 1), sch)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t = Tables.read(spark, dir, "events")
+    assert(t.schema("ts").dataType == TimestampType)
+    val got = t.select("ts").head.getTimestamp(0)
+    assert(got.toInstant == java.time.Instant.parse("2024-03-01T12:30:15.123456Z"))
+    // LTZ fixtures (ScaleData derived dirs) must pass through unchanged.
+    val ltz = sch.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampType)
+      case f => f
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(2L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-01T12:30:15.123456Z")),
+          7L, "click", 0.5)), 1), StructType(ltz))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t2 = Tables.read(spark, dir, "events")
+    assert(t2.schema("ts").dataType == TimestampType)
+    assert(t2.select("ts").head.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-03-01T12:30:15.123456Z"))
+  }
+
   test("checkpoint save/load round-trips the model bit-exactly") {
     val model = new graft.nn.Made(2, Seq(8), Array(3, 4),
       inputEncoding = "one_hot", columnMasking = true, seed = 17)

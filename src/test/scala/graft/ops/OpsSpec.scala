@@ -589,6 +589,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= 38, s"model agreed on only $agree/40")
   }
 
+  test("quality classifier survives prior Observation session state") {
+    // Regression for the r7/r8 full-bench-only "Task not serializable":
+    // an Observation lazily instantiates the session's (non-serializable)
+    // observationManager; scoring via model.transform then dragged
+    // model.trainingSummary -> SparkSession into the task closure. The
+    // classifier must not capture the model object, so it must keep
+    // working after an Observation has run on the same session.
+    val obs = new org.apache.spark.sql.Observation("opsspec_obs")
+    val probe = docsDf((0L, "warm up the observation manager"))
+    probe.observe(obs, count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    assert(obs.get("n").asInstanceOf[Long] == 1L)
+    val clean = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the house of a friend in the garden where it is safe"
+    val junk = "$$$ 111 !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___"
+    val df = docsDf((0 until 20).map { i =>
+      (i.toLong, if (i % 2 == 0) clean + s" extra$i" else junk + s" $i")
+    }: _*)
+    val out = MlPipeline.qualityClassifier(df, "doc_id", "text").collect()
+    assert(out.length == 20)
+  }
+
   test("latestByKey keeps the max-(order) row per key, partial-aggregated") {
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("o1", LongType), StructField("o2", LongType),

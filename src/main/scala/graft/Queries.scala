@@ -93,7 +93,29 @@ object Queries {
       (s, d) => Exact.hashSampling(li(s, d),
         col("l_orderkey") * 1000000 + col("l_linenumber"), 100, 1234L, W1),
       Some(Exact.hashSamplingSql("lineitem",
-        "l_orderkey * 1000000 + l_linenumber", 100, 1234L, W1)))
+        "l_orderkey * 1000000 + l_linenumber", 100, 1234L, W1))),
+    // Guarantee-gate twin of q_uniform_sample_card (the q_sketch_bounds
+    // precedent): the RNG-stream estimate itself stays rows-only, but
+    // its STATISTICAL CONTRACT — |est − exact| within 6σ of the
+    // Bernoulli-sampling error (σ ≈ √(exact·(1−f)/f)), plus a small
+    // absolute slack for the ceil and the ns-denominator variance — is
+    // deterministic for the fixed seed and hash-checked against the
+    // DuckDB-exact count. This is the number that says a 1% sample is
+    // trustworthy before anyone scales it to 100 TB.
+    Entry("q_uniform_sample_bounds",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d)
+        val f = 0.01
+        val exact = df.filter(Pred.conj(W1)).count()
+        val est = Exact.uniformSampling(df, f, 1234L, W1).head().getLong(0)
+        val slack = 6.0 * math.sqrt(exact.toDouble * (1 - f) / f) + 50
+        Seq(("uniform_f001_w1", exact, math.abs(est - exact) <= slack))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("SELECT 'uniform_f001_w1' AS metric, " +
+        "count(*) AS exact_ref, true AS ok FROM lineitem " +
+        s"WHERE ${Pred.whereSql(W1)}"))
   )
 
   val dictionaryEntries: Seq[Entry] = Seq(
@@ -808,6 +830,50 @@ FROM pu ORDER BY user_id""")),
         s"WITH eq AS (${Queries.quantilesSql})\n" +
           (hll ++ pctl).mkString("", "\nUNION ALL ", "\nORDER BY metric")
       }),
+    // Guarantee-gate twin of q_sketches (the q_sketch_bounds precedent,
+    // extended to the CMS/Bloom members of the trio): count-min NEVER
+    // undercounts and overcounts by at most ⌈eps·N⌉ with confidence
+    // 1−δ (deterministic for the fixed seed); a Bloom filter has NO
+    // false negatives, so a key known present (the min orderkey) must
+    // test positive. The engine-specific sketch VALUES stay rows-only
+    // in q_sketches; the CONTRACTS are hash-checked against DuckDB's
+    // exact per-flag counts.
+    Entry("q_sketches_bounds",
+      (s, d) => {
+        import s.implicits._
+        val df = li(s, d)
+        val a = df.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"),
+          min(col("l_orderkey")).as("mink")).head()
+        val n = a.getLong(0)
+        val exact = Map("A" -> a.getLong(1), "N" -> a.getLong(2),
+          "R" -> a.getLong(3))
+        val minKey = a.getLong(4)
+        val eps = 0.001
+        val cms = df.stat.countMinSketch(col("l_returnflag"),
+          eps = eps, confidence = 0.99, seed = 42)
+        val bloom = df.stat.bloomFilter(col("l_orderkey"),
+          expectedNumItems = 100000L, fpp = 0.01)
+        val rows = Seq("A", "N", "R").map { v =>
+          val e = exact(v)
+          val est = cms.estimateCount(v)
+          (s"cms_$v", e,
+            est >= e && est <= e + math.ceil(eps * n).toLong)
+        } :+ (("bloom_min_orderkey", minKey, bloom.mightContain(minKey)))
+        rows.toDF("metric", "exact_ref", "ok").orderBy("metric")
+      },
+      Some("""SELECT 'bloom_min_orderkey' AS metric,
+  min(l_orderkey) AS exact_ref, true AS ok FROM lineitem
+UNION ALL SELECT 'cms_A', CAST(sum(CASE WHEN l_returnflag = 'A'
+  THEN 1 ELSE 0 END) AS BIGINT), true FROM lineitem
+UNION ALL SELECT 'cms_N', CAST(sum(CASE WHEN l_returnflag = 'N'
+  THEN 1 ELSE 0 END) AS BIGINT), true FROM lineitem
+UNION ALL SELECT 'cms_R', CAST(sum(CASE WHEN l_returnflag = 'R'
+  THEN 1 ELSE 0 END) AS BIGINT), true FROM lineitem
+ORDER BY metric""")),
     // Batch sessionization via identical window SQL on both engines —
     // the verifiable batch twin of streaming EventStream.sessionize.
     Entry("q_sessionize_batch",
@@ -1667,6 +1733,36 @@ FROM s ORDER BY doc_id, chunk_id""")),
     Entry("q_winnow_md5",
       (s, d) => TextOps.winnowMd5(docs(s, d), "doc_id", "text"),
       Some(TextOps.winnowMd5Sql("documents", "doc_id", "text"))),
+    // Guarantee-gate twin of q_winnow_fp (the q_sketch_bounds
+    // precedent): the Karp–Rabin fingerprint VALUES are JVM-specific
+    // (rows-only above), but winnowing's structural contract is not —
+    // with k=8-byte grams and window w=4 over n = max(0, bytes−7) gram
+    // positions, a doc selects ≥1 fingerprint iff n ≥ 1, and at most
+    // one distinct value per window start: n_fp ≤ max(1, n−w+1). The
+    // gram count is pure byte arithmetic both engines compute from the
+    // same UTF-8 payload, so the contract is hash-checked per doc.
+    Entry("q_winnow_bounds",
+      (s, d) => {
+        val k = 8
+        val w = 4
+        val nFp = TextOps.winnowingFingerprints(docs(s, d), "doc_id", "text",
+          k = k, window = w)
+          .select(col("doc_id"), size(col("fingerprints")).as("n_fp"))
+        val grams = docs(s, d).select(col("doc_id"),
+          greatest(octet_length(coalesce(col("text"), lit(""))) - (k - 1),
+            lit(0)).cast("long").as("n_grams"))
+        nFp.join(grams, "doc_id")
+          .select(col("doc_id"), col("n_grams"),
+            when(col("n_grams") === 0, col("n_fp") === 0)
+              .otherwise(col("n_fp") >= 1 &&
+                col("n_fp") <= greatest(col("n_grams") - (w - 1), lit(1L)))
+              .as("ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+  CAST(greatest(octet_length(encode(coalesce(text, ''))) - 7, 0)
+    AS BIGINT) AS n_grams,
+  true AS ok FROM documents ORDER BY doc_id""")),
     // Quality scoring (length/punct/stopword ratios) + BPE-ish token
     // counts: integer counts and single divisions, identical both
     // engines -> oracle-checked.
@@ -1912,6 +2008,43 @@ WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
       (s, d) => graft.ops.MlPipeline.qualityClassifier(
         docs(s, d), "doc_id", "text"),
       None),
+    // Guarantee-gate twin of q_quality_classifier: the LBFGS
+    // probabilities stay rows-only, but (a) the weak-label count is
+    // exact threshold arithmetic DuckDB reproduces from the same
+    // signals, and (b) the fitted model must have LEARNED the signal —
+    // mean p_keep strictly higher on weak-positives than on
+    // weak-negatives, and ≥60% label agreement (the weak labels are a
+    // CONJUNCTION of thresholds, which a linear model can only
+    // approximate — measured 69% at sf0.01 — so the bar gates
+    // direction + majority recovery, not separability the model class
+    // cannot deliver). Deterministic for fixed data: LBFGS over a
+    // fixed frame converges to the same optimum.
+    Entry("q_classifier_gate",
+      (s, d) => {
+        import s.implicits._
+        val out = graft.ops.MlPipeline.qualityClassifier(
+          docs(s, d), "doc_id", "text")
+        val a = out.agg(count(lit(1)).as("n"),
+          sum(col("weak_label")).cast("long").as("pos"),
+          sum(when(col("model_keep") === col("weak_label"), 1L)
+            .otherwise(0L)).as("agree"),
+          avg(when(col("weak_label") === 1.0, col("p_keep"))).as("p_pos"),
+          avg(when(col("weak_label") === 0.0, col("p_keep"))).as("p_neg"))
+          .head()
+        Seq(("classifier_weak_agreement", a.getLong(1),
+          a.getLong(2).toDouble / a.getLong(0) >= 0.6 &&
+            a.getDouble(3) > a.getDouble(4)))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some {
+        val qs = TextOps.qualityScoresSql("text").toMap
+        "SELECT 'classifier_weak_agreement' AS metric, " +
+          s"CAST(sum(CASE WHEN (${qs("n_tokens")}) >= 30 " +
+          s"AND COALESCE(${qs("stopword_ratio")}, 0) > 0 " +
+          s"AND COALESCE(${qs("dup_token_frac")}, 0) < 0.6 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS exact_ref, " +
+          "true AS ok FROM documents"
+      }),
     // Exact TF-IDF over real whitespace terms — the declarative,
     // engine-portable twin of the hashed MLlib pipeline above, so the
     // TF-IDF family has a hash-checked row (the MLlib entry is rows-only
@@ -2007,14 +2140,20 @@ GROUP BY doc_id ORDER BY doc_id""")),
         Multimodal.fromText(docs(s, d), "doc_id", "text")),
       Some(Multimodal.statsSql("documents", "doc_id", "text"))),
     // Batched per-partition byte-histogram features over binary payloads
-    // (real mapPartitions decode plumbing; rows-only check).
+    // (real mapPartitions decode plumbing). Oracle-checked since r9:
+    // rounding entropy AND the Float-normalized bin (whose float cast
+    // the DuckDB SQL mirrors with a REAL round-trip) to 6 decimals
+    // makes the full feature arithmetic engine-portable — the
+    // math.round(x·1e6)/1e6 convention q_multimodal_bytes proved green.
     Entry("q_multimodal_features",
       (s, d) => Multimodal.byteHistogramFeatures(
         Multimodal.fromText(docs(s, d), "doc_id", "text"), bins = 16)
-        .select(col("asset_id"), col("byte_entropy"),
-          element_at(col("features"), 1).as("f0"))
+        .select(col("asset_id"),
+          (floor(col("byte_entropy") * 1e6 + 0.5) / 1e6).as("byte_entropy"),
+          (floor(element_at(col("features"), 1).cast("double") * 1e6 + 0.5)
+            / 1e6).as("f0"))
         .orderBy("asset_id"),
-      None),
+      Some(Multimodal.featureProjectionSql("documents", "doc_id", "text"))),
     // The byte-histogram feature arithmetic hash-checked: bins=16 makes
     // a bin the byte's high nibble (= one hex char of the payload's hex
     // dump), so DuckDB can tally bins without blob indexing. Runs the

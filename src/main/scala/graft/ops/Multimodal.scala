@@ -151,6 +151,36 @@ SELECT b.asset_id, CAST(COALESCE(agg.c0, 0) AS BIGINT) AS c0,
 FROM b LEFT JOIN agg ON b.asset_id = agg.asset_id
 ORDER BY b.asset_id"""
 
+  /** DuckDB oracle for the rounded bins=16 FEATURE projection (entropy
+    * + first normalized histogram bin): same CTE skeleton as
+    * [[byteHistogramOracleSql]], with f0 reproducing the Float
+    * normalization exactly — divide as DOUBLE, round to REAL (the
+    * `(h / n).toFloat` step), widen back (exact), round to 6 decimals.
+    * With that cast chain mirrored, the "non-portable" Float step
+    * becomes portable and the feature path itself is hash-checked. */
+  def featureProjectionSql(table: String, id: String, text: String): String =
+    s"""WITH b AS (
+  SELECT $id AS asset_id, octet_length(encode($text)) AS len,
+    hex(encode($text)) AS hx
+  FROM $table
+), nib AS (
+  SELECT asset_id, len,
+    strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1 AS bin
+  FROM b, unnest(range(1, len + 1)) u(i)
+), cnt AS (
+  SELECT asset_id, len, bin, count(*) AS c FROM nib GROUP BY asset_id, len, bin
+), agg AS (
+  SELECT asset_id, len,
+    COALESCE(sum(CASE WHEN bin = 0 THEN c END), 0) AS c0,
+    ROUND(sum(-(c / CAST(len AS DOUBLE)) * LOG2(c / CAST(len AS DOUBLE))), 6) AS ent
+  FROM cnt GROUP BY asset_id, len
+)
+SELECT b.asset_id, COALESCE(agg.ent, 0.0) AS byte_entropy,
+  ROUND(CAST(CAST(CAST(COALESCE(agg.c0, 0) AS DOUBLE)
+    / greatest(b.len, 1) AS REAL) AS DOUBLE), 6) AS f0
+FROM b LEFT JOIN agg ON b.asset_id = agg.asset_id
+ORDER BY b.asset_id"""
+
   /** STUBBED media decode: a real pipeline would decode the payload
     * (JPEG→pixels, audio→PCM frames) with native libs and emit a
     * fixed-shape tensor (e.g. a thumbnail or mel spectrogram). Those

@@ -43,6 +43,44 @@ object Queries {
 
   private def li(s: SparkSession, dir: String) = Tables.read(s, dir, "lineitem")
 
+  /** Shared body of the forced-strategy as-of bench twins: purchases
+    * probe clicks-per-(user,ts) backward, with the requested exec
+    * FORCED and plan-asserted, reduced to an integer aggregate both
+    * strategies (and DuckDB's native ASOF) must agree on exactly. */
+  private def asofStrategyAgg(s: SparkSession, d: String,
+      broadcast: Boolean): DataFrame = {
+    val ev = Tables.read(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+      .agg(max(col("event_id")).as("q_id"))
+    val joined = graft.ops.Relational.asofJoinTables(purchases, clicks,
+      "user_id", "q_user", "ts", "q_ts", broadcast = Some(broadcast))
+    val plan = joined.queryExecution.executedPlan.toString
+    // nodeName strips "Exec"; "BroadcastAsofJoin" contains "AsofJoin"
+    // as a substring, so assert the broadcast marker's presence/absence.
+    val isBcast = plan.contains("BroadcastAsofJoin")
+    require(plan.contains("AsofJoin"),
+      s"no as-of exec planted; plan:\n$plan")
+    require(isBcast == broadcast,
+      s"forced broadcast=$broadcast but planned isBcast=$isBcast; plan:\n$plan")
+    joined.agg(count(lit(1)).as("n_left"),
+      sum(col("q_id").isNotNull.cast("long")).as("n_matched"),
+      sum(coalesce(col("q_id"), lit(0L))).cast("long").as("sum_qid"))
+  }
+
+  private val asofStrategyAggSql: String = """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT count(*) AS n_left,
+  CAST(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_matched,
+  CAST(sum(COALESCE(c.q_id, 0)) AS BIGINT) AS sum_qid
+FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
+
   /** Columns whose domains the dictionary queries exercise. */
   private val dictCols =
     Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount",
@@ -1111,6 +1149,21 @@ c AS (
 SELECT p.event_id, p.user_id, c.q_id
 FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts
 ORDER BY p.event_id""")),
+    // Both as-of physical strategies, FORCED, over the identical join,
+    // as separate bench entries — so BENCH_r*.json carries a measured
+    // broadcast-vs-merge number (the r7 stats-driven strategy choice
+    // was spec-asserted but never timed side by side). Each entry
+    // hard-fails if its forced exec didn't plant (DPP-entry precedent:
+    // no vacuous pass), and both reduce to the same integer aggregate
+    // the DuckDB ASOF oracle checks — strategy choice must not change
+    // results. Broadcast: the big probe side stays shuffle-free (the
+    // 100 TB win); merge: both sides hash-exchange + sort.
+    Entry("q_asof_bcast_bench",
+      (s, d) => asofStrategyAgg(s, d, broadcast = true),
+      Some(asofStrategyAggSql)),
+    Entry("q_asof_merge_bench",
+      (s, d) => asofStrategyAgg(s, d, broadcast = false),
+      Some(asofStrategyAggSql)),
     // Toleranced as-of on the same operator: matches staler than
     // 10 minutes are nulled — the "max staleness" contract every
     // point-in-time feature join carries in production (a quote from

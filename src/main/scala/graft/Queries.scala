@@ -1413,6 +1413,23 @@ GROUP BY user_id ORDER BY user_id""")),
       })
     }
 
+  // The scored classifier frame feeding BOTH q_quality_classifier and
+  // q_classifier_gate — one LBFGS fit per (session, dir) (the
+  // production shape: train once, score once, every consumer reads the
+  // scored table). Rows are (id, 4 scalars): corpus-count-sized.
+  private val classifierCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def classifierScores(s: SparkSession, d: String): DataFrame =
+    classifierCache.synchronized {
+      classifierCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      classifierCache.getOrElseUpdate((s, d),
+        graft.ops.MlPipeline.qualityClassifier(docs(s, d), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   // The exploded (id, shingle) table feeding BOTH the near-dup pair
   // pipeline and q_decontaminate — computed and persisted once per
   // (session, dir), exactly as a production pipeline checkpoints the
@@ -2052,14 +2069,42 @@ WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
     Entry("q_tfidf_stats",
       (s, d) => graft.ops.MlPipeline.tfidfStats(docs(s, d), "doc_id", "text"),
       None),
+    // Guarantee-gate twin of q_tfidf_stats: HashingTF bucket counts are
+    // engine-specific (murmur3 mod 2^14), but hashing can only MERGE
+    // terms, never split them — per doc, the occupied-bucket count is
+    // ≤ min(exact distinct tokens, numFeatures) and ≥ 1 iff the doc has
+    // any token. The exact distinct-token count (raw bytes, no
+    // lowercasing — a superset bound of the tokenizer's lowercased
+    // vocabulary, so the inequality is locale-proof) is byte-identical
+    // arithmetic both engines compute, so the contract is hash-checked
+    // for every doc.
+    Entry("q_tfidf_gate",
+      (s, d) => {
+        val stats = graft.ops.MlPipeline.tfidfStats(
+          docs(s, d), "doc_id", "text")
+        val exact = docs(s, d).select(col("doc_id"),
+          coalesce(size(array_distinct(filter(
+            split(col("text"), "\\s+"), x => length(x) > 0))), lit(0))
+            .cast("long").as("n_exact_terms"))
+        stats.join(exact, "doc_id")
+          .select(col("doc_id"), col("n_exact_terms"),
+            ((col("n_terms") <= least(col("n_exact_terms"), lit(16384L))) &&
+              ((col("n_terms") >= 1) === (col("n_exact_terms") >= 1)))
+              .as("ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+  CAST(len(list_filter(list_distinct(
+    regexp_split_to_array(coalesce(text, ''), '\s+')), x -> x <> ''))
+    AS BIGINT) AS n_exact_terms,
+  true AS ok FROM documents ORDER BY doc_id""")),
     // Model-based quality filter (LR over the quality signals, weak
     // labels from the Gopher thresholds): the classifier step of a
     // GPT-3/CCNet-style pipeline. rows-only (LBFGS float accumulation
     // is not engine-portable); the signal columns and the threshold
     // labels ARE hash-checked via q_quality_scores/q_quality_filter.
     Entry("q_quality_classifier",
-      (s, d) => graft.ops.MlPipeline.qualityClassifier(
-        docs(s, d), "doc_id", "text"),
+      (s, d) => classifierScores(s, d),
       None),
     // Guarantee-gate twin of q_quality_classifier: the LBFGS
     // probabilities stay rows-only, but (a) the weak-label count is
@@ -2075,8 +2120,7 @@ WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
     Entry("q_classifier_gate",
       (s, d) => {
         import s.implicits._
-        val out = graft.ops.MlPipeline.qualityClassifier(
-          docs(s, d), "doc_id", "text")
+        val out = classifierScores(s, d)
         val a = out.agg(count(lit(1)).as("n"),
           sum(col("weak_label")).cast("long").as("pos"),
           sum(when(col("model_keep") === col("weak_label"), 1L)

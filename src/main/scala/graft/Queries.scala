@@ -1869,6 +1869,47 @@ FROM s ORDER BY doc_id, chunk_id""")),
   SELECT comp, count(*) AS sz FROM ($cc) GROUP BY comp)
 GROUP BY sz ORDER BY sz"""
       }),
+    // Cluster-representative selection — the curation step after
+    // clustering: each near-dup cluster keeps its highest-quality
+    // member (longest by token count, smallest id on ties), everything
+    // else is the drop list. One max(struct) aggregation over the
+    // cluster-sized label table (shared, computed once per dir) joined
+    // to a map-side token count — partial-aggregable, no sort, no
+    // window; at 100 TB the labels side is clusters-sized and the scan
+    // side is the one corpus pass. Oracle: the same selection via a
+    // window over the recursive-CTE closure + identical token SQL.
+    Entry("q_dedup_keep_best",
+      (s, d) => {
+        val labeled = dedupComponents(s, d)
+          .withColumnRenamed("id", "doc_id")
+          .join(docs(s, d).select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+            "doc_id")
+        labeled.groupBy(col("comp"))
+          .agg(count(lit(1)).as("sz"),
+            max(struct(col("n_tokens"), (-col("doc_id")).as("negid")))
+              .as("m"))
+          .select(col("comp"), col("sz"),
+            col("m.n_tokens").as("n_tokens"),
+            (-col("m.negid")).as("keep_id"))
+          .orderBy("comp")
+      },
+      Some {
+        val cc = Dedup.connectedComponentsSql(
+          Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+            maxShingleDf = 100))
+        s"""WITH cc AS ($cc),
+t AS (SELECT doc_id, CAST(${TextOps.tokenCountSql("text")} AS BIGINT)
+  AS n_tokens FROM documents),
+j AS (SELECT cc.id AS doc_id, cc.comp, t.n_tokens
+  FROM cc JOIN t ON t.doc_id = cc.id),
+r AS (SELECT comp, doc_id, n_tokens,
+  row_number() OVER (PARTITION BY comp
+    ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+  count(*) OVER (PARTITION BY comp) AS sz FROM j)
+SELECT comp, CAST(sz AS BIGINT) AS sz, n_tokens, doc_id AS keep_id
+FROM r WHERE rn = 1 ORDER BY comp"""
+      }),
     // Leakage-safe train/val/test split: every near-dup CLUSTER lands
     // in exactly one split (split = hash of the cluster's canonical
     // min-id representative, singletons keep their own id) — the

@@ -2762,8 +2762,13 @@ FROM q ORDER BY query_id""")),
     // result count. The model knows the conjunct keeps a few hundred
     // rows, so its plan broadcasts what file-size stats shuffle — the
     // entry hard-fails unless BOTH modes pick the expected operator.
-    // rows-only: plan node names are Spark-specific (both flip
-    // directions are additionally spec-asserted in JoinPlanSpec).
+    // Oracle-checked since r9: the require() pins the two plan-name
+    // strings (a failed flip throws → red row, never a wrong-but-
+    // matching output), so the full output — including n_rows, the
+    // answer BOTH steered plans must produce — is engine-portable:
+    // DuckDB computes the same join count and the literal mode/exec
+    // labels the contract guarantees. Both flip directions are
+    // additionally spec-asserted in JoinPlanSpec.
     Entry("q_join_plan_inject",
       (s, d) => {
         import s.implicits._
@@ -2843,7 +2848,14 @@ FROM q ORDER BY query_id""")),
           graft.plans.GraftRuntime.restore(savedRegistry)
         }
       },
-      None),
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity <= 1.0 AND l.l_discount <= 0.0
+    AND l.l_returnflag = 'R')
+SELECT 'file_size_stats' AS mode, 'SortMergeJoin' AS join_exec, n_rows FROM n
+UNION ALL
+SELECT 'model_stats', 'BroadcastHashJoin', n_rows FROM n
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

@@ -2292,6 +2292,16 @@ GROUP BY doc_id ORDER BY doc_id""")),
             / 1e6).as("f0"))
         .orderBy("asset_id"),
       Some(Multimodal.featureProjectionSql("documents", "doc_id", "text"))),
+    // Frame sampling over binary payloads (every 4th 64-byte frame as
+    // its own row) — the keyframe-extraction stage of a video pipeline
+    // with the decode replaced by a byte-exact slice, so the whole
+    // explode/sample/emit plumbing is hash-checked against DuckDB's
+    // hex-dump substring arithmetic. Map-side only; no shuffle.
+    Entry("q_multimodal_frames",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.fromText(docs(s, d), "doc_id", "text"))
+        .orderBy("asset_id", "frame_idx"),
+      Some(Multimodal.frameSampleSql("documents", "doc_id", "text"))),
     // The byte-histogram feature arithmetic hash-checked: bins=16 makes
     // a bin the byte's high nibble (= one hex char of the payload's hex
     // dump), so DuckDB can tally bins without blob indexing. Runs the

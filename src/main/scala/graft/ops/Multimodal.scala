@@ -181,6 +181,62 @@ SELECT b.asset_id, COALESCE(agg.ent, 0.0) AS byte_entropy,
 FROM b LEFT JOIN agg ON b.asset_id = agg.asset_id
 ORDER BY b.asset_id"""
 
+  /** Frame sampling over binary payloads — the video keyframe-sampling
+    * plumbing: the payload is read as a sequence of fixed-size
+    * `frameBytes` frames and every `stride`-th FULL frame becomes its
+    * own row (a trailing partial frame is dropped, as a decoder drops a
+    * truncated frame). Pure map-side: one asset row in, ≤ len/frameBytes
+    * rows out, no shuffle — at 100 TB this parallelizes per input split
+    * exactly like the feature extractor, and downstream per-frame
+    * decode/embed stages start from an already-exploded, evenly-sized
+    * row stream. Frames are emitted as lowercase hex so the artifact is
+    * engine-portable (DuckDB: substring over lower(hex(payload))). */
+  def frameSample(assets: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select(col("asset_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = bytes.length / frameBytes
+          (0 until n).iterator.filter(_ % stride == 0).map { f =>
+            val sb = new java.lang.StringBuilder(frameBytes * 2)
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) {
+              val b = bytes(i) & 0xff
+              sb.append(Character.forDigit(b >> 4, 16))
+              sb.append(Character.forDigit(b & 0xf, 16))
+              i += 1
+            }
+            Row(id, f, sb.toString)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_hex", StringType, nullable = false))))
+  }
+
+  /** DuckDB oracle for [[frameSample]]: the i-th frame's bytes are the
+    * substring of the payload's hex dump at [2·i·frameBytes+1,
+    * 2·frameBytes] — `//` (integer division) for the full-frame count
+    * and lower() to match the Scala side's lowercase digits. */
+  def frameSampleSql(table: String, id: String, text: String,
+      frameBytes: Int = 64, stride: Int = 4): String =
+    s"""WITH b AS (
+  SELECT $id AS asset_id, octet_length(encode($text)) AS len,
+    lower(hex(encode($text))) AS hx FROM $table
+)
+SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+  substring(hx, CAST(i * ${2 * frameBytes} + 1 AS BIGINT),
+    ${2 * frameBytes}) AS frame_hex
+FROM b, unnest(range(0, len // $frameBytes)) u(i)
+WHERE i % $stride = 0
+ORDER BY asset_id, frame_idx"""
+
   /** STUBBED media decode: a real pipeline would decode the payload
     * (JPEG→pixels, audio→PCM frames) with native libs and emit a
     * fixed-shape tensor (e.g. a thumbnail or mel spectrogram). Those

@@ -1258,4 +1258,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(2) - math.log10(60.0)) < 1e-6,
       s"intercept ${r.getDouble(2)}")
   }
+
+  test("frameSample: every stride-th full frame, byte-exact, partial dropped") {
+    // 10 bytes at frameBytes=3 → frames 012|345|678, byte 9 dropped;
+    // stride=2 keeps frames 0 and 2.
+    val text = "0123456789" // ASCII: byte i is 0x30+i
+    val out = Multimodal.frameSample(
+        Multimodal.fromText(docsDf((7L, text)), "doc_id", "text"),
+        frameBytes = 3, stride = 2)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq((0, "303132"), (2, "363738")), s"got $out")
+    // an asset shorter than one frame emits nothing
+    val empty = Multimodal.frameSample(
+      Multimodal.fromText(docsDf((8L, "ab")), "doc_id", "text"),
+      frameBytes = 3, stride = 1)
+    assert(empty.count() == 0L)
+  }
 }

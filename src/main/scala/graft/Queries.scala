@@ -2866,6 +2866,120 @@ SELECT 'file_size_stats' AS mode, 'SortMergeJoin' AS join_exec, n_rows FROM n
 UNION ALL
 SELECT 'model_stats', 'BroadcastHashJoin', n_rows FROM n
 ORDER BY mode""")),
+    // The DEMOTE direction of estimator-driven join planning — at
+    // 100 TB the more important one: file-size stats after column
+    // pruning make a filtered fact side look broadcastable, but the
+    // model knows the predicate keeps ~everything, so injecting its
+    // estimate demotes the broadcast to a shuffle join BEFORE the
+    // build side OOMs every executor. Threshold calibration is
+    // self-adapting: both sides' size-only statistics and the
+    // injected statistic are read off the optimized plans at runtime
+    // and the threshold set to their geometric mean (margin-checked),
+    // so the entry holds from sf0.01 to derived 10x dirs without
+    // baked-in width arithmetic. Same contract shape as
+    // q_join_plan_inject: require() pins both plan names and answer
+    // equality, making the output engine-portable and hash-gated.
+    Entry("q_join_plan_demote",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        // The shapes the planner will actually see after column
+        // pruning: build = join key only below the wide filter; probe
+        // = key + the two flag columns the aggregate reads.
+        def buildSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_quantity") <= 50.0).select(col("l_orderkey"))
+        def probeSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_linestatus"))
+        def joined() = {
+          val build = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 50.0)
+            .select(col("l_orderkey").as("bk"))
+          val probe = probeSide()
+          probe.join(build, probe("l_orderkey") === build("bk"))
+            .agg(count(lit(1)).as("n_rows"),
+              max(col("l_returnflag")).as("max_flag"),
+              max(col("l_linestatus")).as("max_status"))
+        }
+        def chosenJoin(df: org.apache.spark.sql.DataFrame): String = {
+          var name = "unknown"
+          df.queryExecution.executedPlan.foreach {
+            case _: BroadcastHashJoinExec => name = "BroadcastHashJoin"
+            case _: SortMergeJoinExec => name = "SortMergeJoin"
+            case _ => ()
+          }
+          name
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val b0 = buildSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          val p0 = probeSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val b1 = buildSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          val cap = b1.min(p0)
+          require(cap * 10 > b0 * 14,
+            s"demote margin too thin: build=$b0 probe=$p0 injected=$b1")
+          val thresh =
+            math.sqrt(b0.toDouble * cap.toDouble).toLong
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            thresh.toString)
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val base = joined()
+          val basePlan = chosenJoin(base)
+          val Array(baseRow) = base.collect()
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val injected = joined()
+          val injPlan = chosenJoin(injected)
+          val Array(injRow) = injected.collect()
+          require(basePlan == "BroadcastHashJoin" &&
+              injPlan == "SortMergeJoin" && baseRow == injRow,
+            s"stats injection did not demote the broadcast: " +
+              s"base=$basePlan/$baseRow injected=$injPlan/$injRow " +
+              s"(thresh=$thresh build=$b0 probe=$p0 injected=$b1)")
+          Seq(
+            ("file_size_stats", basePlan, baseRow.getLong(0),
+              baseRow.getString(1), baseRow.getString(2)),
+            ("model_stats", injPlan, injRow.getLong(0),
+              injRow.getString(1), injRow.getString(2)))
+            .toDF("mode", "join_exec", "n_rows", "max_flag", "max_status")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH j AS (
+  SELECT count(*) AS n_rows, max(p.l_returnflag) AS max_flag,
+    max(p.l_linestatus) AS max_status
+  FROM lineitem p JOIN lineitem b ON p.l_orderkey = b.l_orderkey
+  WHERE b.l_quantity <= 50.0)
+SELECT 'file_size_stats' AS mode, 'BroadcastHashJoin' AS join_exec,
+  n_rows, max_flag, max_status FROM j
+UNION ALL
+SELECT 'model_stats', 'SortMergeJoin', n_rows, max_flag, max_status FROM j
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

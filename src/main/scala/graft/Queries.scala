@@ -2292,6 +2292,21 @@ GROUP BY doc_id ORDER BY doc_id""")),
             / 1e6).as("f0"))
         .orderBy("asset_id"),
       Some(Multimodal.featureProjectionSql("documents", "doc_id", "text"))),
+    // The STUBBED media decode as a catalog entry (rows-only by
+    // design: the per-cell rolling-hash fake stands in for a native
+    // JPEG/audio decoder absent from this container, so its values are
+    // engine-specific JVM arithmetic — OpsSpec pins shape, range,
+    // layout-independence and payload sensitivity instead). What IS
+    // real and exercised here: the binary-asset schema, the batched
+    // mapPartitions plumbing, and the fixed-shape tensor contract a
+    // real decoder would honor. Map-side, no shuffle.
+    Entry("q_multimodal_decode",
+      (s, d) => Multimodal.decodeStubFeatures(
+        Multimodal.fromText(docs(s, d), "doc_id", "text"), edge = 8)
+        .select(col("asset_id"), size(col("features")).as("n_cells"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("asset_id"),
+      None),
     // Frame sampling over binary payloads (every 4th 64-byte frame as
     // its own row) — the keyframe-extraction stage of a video pipeline
     // with the decode replaced by a byte-exact slice, so the whole
@@ -2400,6 +2415,17 @@ FROM q ORDER BY query_id""")),
       Some("SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings " +
         "WHERE vec_id % 50 = 0 ORDER BY id_a, id_b")),
+    // Int8 embedding quantization checksums (the 4× ANN memory lever
+    // at 100 TB): per-vector symmetric scale, floor(+0.5) codes, and
+    // a sum/min/max checksum that any single-element error breaks —
+    // hash-gated against DuckDB running the identical double
+    // arithmetic. Map-side only; the q_vec payload itself ships as
+    // tinyint, 1/4 the float width.
+    Entry("q_embed_quantize",
+      (s, d) => Similarity.quantizeChecksums(emb(s, d), "vec_id",
+        "embedding"),
+      Some(Similarity.quantizeChecksumsSql("embeddings", "vec_id",
+        "embedding"))),
     // Source sanity over the embeddings table (oracle-checked).
     Entry("q_embed_stats",
       (s, d) => emb(s, d)

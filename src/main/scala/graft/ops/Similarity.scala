@@ -589,4 +589,64 @@ object Similarity {
           when(col("ivf_hit"), col("sim"))).as("ivf_top1"))
       .orderBy("query_id")
   }
+
+  /** Symmetric per-vector int8 quantization — the standard 4× memory /
+    * bandwidth lever for ANN at scale (a 100 TB float corpus becomes
+    * 25 TB of int8 + one float scale per vector; int8 dot products
+    * then rerank against the float originals only for the top
+    * candidates). scale = max|x|/127 so the extreme element maps to
+    * ±127 exactly; q_i = floor(x_i/scale + 0.5), written as the
+    * explicit floor(+0.5) form because Spark's round() half-up and
+    * DuckDB's round() half-away-from-zero disagree on negative .5
+    * boundaries — floor(+0.5) is bit-identical on both engines for
+    * the exact same double operands (float→double widening is exact,
+    * and / on identical doubles is IEEE-deterministic). Zero vectors
+    * quantize to all-zero via the 1e-30 scale guard. Fully
+    * codegen'd: transform/aggregate higher-order functions, map-side
+    * only, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val maxAbs = aggregate(col(embCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.select(col(idCol),
+        col(embCol),
+        (greatest(maxAbs, lit(1e-30)) / 127.0).as("q_scale"))
+      .select(col(idCol), col("q_scale"),
+        transform(col(embCol),
+          x => floor(x.cast("double") / col("q_scale") + 0.5)
+            .cast("tinyint")).as("q_vec"))
+  }
+
+  /** Engine-portable checksum projection of [[quantizeInt8]] (the
+    * oracle-gated surface: per-vector dimension count and the
+    * sum/min/max of the quantized codes — any off-by-one in a single
+    * element breaks q_sum). */
+  def quantizeChecksums(df: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    quantizeInt8(df, idCol, embCol)
+      .select(col(idCol), col("q_vec"))
+      .select(col(idCol),
+        size(col("q_vec")).cast("long").as("n_dims"),
+        aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("q_vec")).cast("long").as("q_min"),
+        array_max(col("q_vec")).cast("long").as("q_max"))
+      .orderBy(idCol)
+
+  /** DuckDB twin of [[quantizeChecksums]] — same floor(+0.5) form over
+    * the same double operands. */
+  def quantizeChecksumsSql(table: String, idCol: String,
+      embCol: String): String =
+    s"""WITH x AS (
+  SELECT $idCol, CAST(u.x AS DOUBLE) AS x
+  FROM $table, LATERAL (SELECT unnest($embCol) AS x) u
+), m AS (
+  SELECT $idCol, greatest(max(abs(x)), 1e-30) / 127.0 AS scale
+  FROM x GROUP BY $idCol
+)
+SELECT x.$idCol, CAST(count(*) AS BIGINT) AS n_dims,
+  CAST(sum(floor(x / scale + 0.5)) AS BIGINT) AS q_sum,
+  CAST(min(floor(x / scale + 0.5)) AS BIGINT) AS q_min,
+  CAST(max(floor(x / scale + 0.5)) AS BIGINT) AS q_max
+FROM x JOIN m ON x.$idCol = m.$idCol
+GROUP BY x.$idCol ORDER BY x.$idCol"""
 }

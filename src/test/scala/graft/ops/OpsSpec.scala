@@ -1259,6 +1259,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"intercept ${r.getDouble(2)}")
   }
 
+  test("quantizeInt8: codes in [-127,127], extreme maps to ±127, roundtrip within scale/2") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)), // extreme is negative
+      (2L, Seq(2.0f, 1.0f, -0.5f, 1.99f)), // extreme is positive
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map(v => Row(v._1, v._2)), 2), schema)
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2))).sortBy(_._1)
+    out.zip(vecs).foreach { case ((_, scale, q), (_, orig)) =>
+      assert(q.length == orig.length)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes $q")
+      q.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"roundtrip |$c*$scale - $x| > scale/2")
+      }
+    }
+    assert(out(0)._3.min == -127, "negative extreme must map to -127")
+    assert(out(1)._3.max == 127, "positive extreme must map to 127")
+    assert(out(2)._3.forall(_ == 0), "zero vector quantizes to zeros")
+  }
+
+  test("decodeStubFeatures: fixed shape, [0,1] range, layout-independent, payload-sensitive") {
+    val df = Multimodal.fromText(
+      docsDf((1L, "first payload text"), (2L, "a different payload")),
+      "doc_id", "text")
+    val rows = Multimodal.decodeStubFeatures(df, edge = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    rows.values.foreach { f =>
+      assert(f.length == 16)
+      assert(f.forall(v => v >= 0f && v <= 1f))
+    }
+    // distinct payloads must decode to distinct tensors
+    assert(rows(1L) != rows(2L))
+    // repartitioning must not change any value (pure per-row map)
+    val again = Multimodal.decodeStubFeatures(df.repartition(5), edge = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == rows)
+  }
+
   test("frameSample: every stride-th full frame, byte-exact, partial dropped") {
     // 10 bytes at frameBytes=3 → frames 012|345|678, byte 9 dropped;
     // stride=2 keeps frames 0 and 2.

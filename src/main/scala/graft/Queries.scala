@@ -2426,6 +2426,16 @@ FROM q ORDER BY query_id""")),
         "embedding"),
       Some(Similarity.quantizeChecksumsSql("embeddings", "vec_id",
         "embedding"))),
+    // Quantized ANN end-to-end: int8 integer-dot prefilter over the
+    // 4×-smaller codes, exact float-cosine rerank of the top 3k — the
+    // memory-bound scale path, hash-gated (the integer prefilter is
+    // exactly reproducible cross-engine, so unlike LSH/IVF this
+    // approximate path has a full oracle, not just a planted gate).
+    Entry("q_ann_int8_topk",
+      (s, d) => Similarity.int8TopKIds(emb(s, d), "vec_id", "embedding",
+        annQueryVec, 10),
+      Some(Similarity.int8TopKIdsSql("embeddings", "vec_id", "embedding",
+        annQueryVec, 10))),
     // Source sanity over the embeddings table (oracle-checked).
     Entry("q_embed_stats",
       (s, d) => emb(s, d)

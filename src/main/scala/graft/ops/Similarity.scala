@@ -590,6 +590,65 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Quantized ANN search — the int8 scale path end-to-end: rank the
+    * corpus by the INTEGER dot product of int8 codes (the cheap wide
+    * scan a 100 TB deployment runs over the 4×-smaller quantized
+    * corpus), keep the top rerankFactor·k, then rerank only those by
+    * exact float cosine. The artifact is (rank, id) like
+    * [[bruteForceTopKIds]]; the integer prefilter scores are exact in
+    * both engines (products of ≤127-magnitude ints, summed — no float
+    * rounding), so candidate selection is deterministic, and the
+    * rerank reuses the proven ±1-ulp-safe ranked-id convention. */
+  def int8TopKIds(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, rerankFactor: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qScale =
+      math.max(query.map(q => math.abs(q.toDouble)).max, 1e-30) / 127.0
+    val qInt = query.map(q => math.floor(q.toDouble / qScale + 0.5).toLong)
+    val maxAbs = aggregate(col(embCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val withScale = df.select(col(idCol), col(embCol),
+      (greatest(maxAbs, lit(1e-30)) / 127.0).as("q_scale"))
+    val idot = qInt.zipWithIndex.map { case (qi, i) =>
+      lit(qi) * floor(element_at(col(embCol), i + 1).cast("double") /
+        col("q_scale") + 0.5)
+    }.reduceLeft(_ + _)
+    withScale.select(col(idCol), col(embCol), idot.as("idot"))
+      .orderBy(col("idot").desc, col(idCol)).limit(k * rerankFactor)
+      .select(col(idCol), cosineCol(embCol, query).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol))
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin of [[int8TopKIds]]: identical per-vector scale, the
+    * same integer dot (floor terms are integer-valued doubles — exact),
+    * same tie-breaks, same rerank. */
+  def int8TopKIdsSql(table: String, idCol: String, embCol: String,
+      query: Array[Float], k: Int, rerankFactor: Int = 3): String = {
+    val qScale =
+      math.max(query.map(q => math.abs(q.toDouble)).max, 1e-30) / 127.0
+    val qInt = query.map(q => math.floor(q.toDouble / qScale + 0.5).toLong)
+    val idot = qInt.zipWithIndex.map { case (qi, i) =>
+      s"($qi * floor(CAST($embCol[${i + 1}] AS DOUBLE) / scale + 0.5))"
+    }.mkString(" + ")
+    s"""WITH s AS (
+  SELECT $idCol, $embCol,
+    greatest(list_max(list_transform($embCol,
+      y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS scale
+  FROM $table
+), c AS (
+  SELECT $idCol, $embCol, CAST($idot AS BIGINT) AS idot
+  FROM s ORDER BY idot DESC, $idCol LIMIT ${k * rerankFactor}
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, $idCol) AS INTEGER)
+  AS rank, $idCol
+FROM (SELECT $idCol, ${cosineSql(embCol, query)} AS sim FROM c)
+QUALIFY rank <= $k ORDER BY rank"""
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× memory /
     * bandwidth lever for ANN at scale (a 100 TB float corpus becomes
     * 25 TB of int8 + one float scale per vector; int8 dot products

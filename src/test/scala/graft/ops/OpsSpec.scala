@@ -1285,6 +1285,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2)._3.forall(_ == 0), "zero vector quantizes to zeros")
   }
 
+  test("int8TopKIds: planted exact duplicate of the query ranks first") {
+    val rng = new java.util.Random(7L)
+    val dim = 16
+    val query = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (1L to 200L).map { i =>
+      Row(i, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    } :+ Row(0L, query.toSeq) // the planted duplicate
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val top = Similarity.int8TopKIds(df, "vec_id", "embedding", query, 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(top.length == 5)
+    assert(top.head == (1, 0L),
+      s"planted duplicate must survive the int8 prefilter and rank 1: " +
+        s"${top.toSeq}")
+  }
+
   test("decodeStubFeatures: fixed shape, [0,1] range, layout-independent, payload-sensitive") {
     val df = Multimodal.fromText(
       docsDf((1L, "first payload text"), (2L, "a different payload")),

@@ -1601,6 +1601,64 @@ GROUP BY user_id ORDER BY user_id""")),
           s"AND ${sql("dup_token_frac")} < 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
           "FROM documents GROUP BY lang ORDER BY lang"
       }),
+    // The composed curation pipeline END-TO-END — exact dedup →
+    // benchmark decontamination → quality filter → frozen hash-split —
+    // as ONE DataFrame program, proving the stages compose (a user runs
+    // a pipeline, not 146 isolated operators) and hash-gating the final
+    // corpus manifest against DuckDB running the identical CTE chain.
+    // The decontamination stage here is the EXACT-match variant
+    // (md5-fingerprint anti-join against the benchmark slice) — the
+    // shingle-overlap variant stays q_decontaminate's own entry; on
+    // this tiny-vocabulary corpus a 10×-grown benchmark's 3-gram
+    // shingles contaminate every document and the composed manifest
+    // would be vacuously empty. Scale shape: one md5-groupBy shuffle
+    // (dedup), one broadcast fingerprint anti-join (decontam), one
+    // codegen'd scan for the quality signals, one partial-agg shuffle
+    // for the (split, lang) manifest. Text is never shuffled except by
+    // the dedup fingerprint groupBy.
+    Entry("q_pipeline_e2e",
+      (s, d) => {
+        val raw = docs(s, d)
+        val kept = Dedup.exactKeepFirst(raw, "doc_id", "text")
+        val deduped = raw.join(kept, "doc_id")
+        val benchFp = raw.filter(pmod(col("doc_id"), lit(101)) === 0)
+          .select(md5(col("text")).as("__fp")).distinct()
+        val clean = deduped.join(
+          broadcast(benchFp),
+          md5(deduped("text")) === benchFp("__fp"), "left_anti")
+        val qm = TextOps.qualityScores(col("text")).toMap
+        clean
+          .select(col("doc_id"), col("lang"),
+            qm("n_tokens").as("n_tokens"),
+            qm("stopword_ratio").as("stopword_ratio"),
+            qm("dup_token_frac").as("dup_token_frac"))
+          .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0 &&
+            col("dup_token_frac") < 0.6)
+          .groupBy(Corpus.hashSplit(col("doc_id")).as("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("token_sum"))
+          .orderBy("split", "lang")
+      },
+      Some {
+        val q = TextOps.qualityScoresSql("text").toMap
+        s"""WITH kept AS (
+${Dedup.exactKeepFirstSql("documents", "doc_id", "text")}
+), dd AS (
+  SELECT d.* FROM documents d JOIN kept USING (doc_id)
+), bench_fp AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 101 = 0
+), scored AS (
+  SELECT doc_id, lang, ${q("n_tokens")} AS n_tokens,
+    ${q("stopword_ratio")} AS stopword_ratio,
+    ${q("dup_token_frac")} AS dup_token_frac
+  FROM dd WHERE md5(text) NOT IN (SELECT fp FROM bench_fp)
+)
+SELECT ${Corpus.hashSplitSql("doc_id")} AS split, lang,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS token_sum
+FROM scored
+WHERE n_tokens >= 30 AND stopword_ratio > 0 AND dup_token_frac < 0.6
+GROUP BY 1, 2 ORDER BY split, lang"""
+      }),
     // Line-level boilerplate dedup (CCNet/C4 shape): drop lines whose
     // corpus-wide count exceeds the cap, reassemble docs in order. On
     // this corpus every doc is a single line, so the hot "lines" are the

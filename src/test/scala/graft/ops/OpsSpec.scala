@@ -1285,6 +1285,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2)._3.forall(_ == 0), "zero vector quantizes to zeros")
   }
 
+  test("pipeline_e2e: every drop reason fires; only clean docs reach the manifest") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val good1 = "the " + (1 to 39).map(i => s"t$i").mkString(" ")
+    val bench = "the " + (1 to 39).map(i => s"b$i").mkString(" ")
+    val nostop = (1 to 40).map(i => s"x$i").mkString(" ")
+    val repet = "the " + Seq.fill(39)("w").mkString(" ")
+    val good7 = "the " + (1 to 39).map(i => s"d$i").mkString(" ")
+    Seq(
+      (1L, good1, "en"), // survives
+      (2L, good1, "en"), // exact duplicate → dedup drop
+      (101L, bench, "en"), // benchmark member → decontam drop (self)
+      (3L, bench, "en"), // copy of a benchmark text → decontam drop
+      (4L, "the s1 s2", "en"), // < 30 tokens → quality drop
+      (5L, nostop, "en"), // zero stopwords → quality drop
+      (6L, repet, "en"), // dup_token_frac 0.95 → quality drop
+      (7L, good7, "de")) // survives, second language
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("unit"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.Queries.queries("q_pipeline_e2e")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // expected split per the frozen hash-split definition
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head
+      if (h < 'c') "train" else if (h < 'e') "val" else "test"
+    }
+    assert(out.toSet == Set(
+      (split(1L), "en", 1L, 40L), (split(7L), "de", 1L, 40L)),
+      s"got ${out.toSeq}")
+  }
+
   test("int8TopKIds: planted exact duplicate of the query ranks first") {
     val rng = new java.util.Random(7L)
     val dim = 16

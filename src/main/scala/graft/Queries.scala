@@ -2993,7 +2993,19 @@ ORDER BY mode""")),
         // = key + the two flag columns the aggregate reads.
         def buildSide() = s.read.parquet(s"$d/lineitem.parquet")
           .filter(col("l_quantity") <= 50.0).select(col("l_orderkey"))
+        // The l_linenumber slice bounds EXECUTION cost (the
+        // deliberately-bad broadcast plan still runs, over a fraction
+        // of the probe rows) without touching the planning contract: a
+        // Filter leaves size-only statistics unchanged, so the
+        // calibration and both plan choices are identical with or
+        // without it; l_linenumber is unregistered so the stats rule
+        // never wraps the probe, and — unlike a slice on the join key
+        // — the predicate cannot constraint-propagate onto the build
+        // side's Filter (a pmod-on-key slice did exactly that, pushed
+        // an unparseable conjunct into the build filter, and silently
+        // disabled the injection).
         def probeSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linenumber") <= 2)
           .select(col("l_orderkey"), col("l_returnflag"),
             col("l_linestatus"))
         def joined() = {
@@ -3068,7 +3080,7 @@ ORDER BY mode""")),
   SELECT count(*) AS n_rows, max(p.l_returnflag) AS max_flag,
     max(p.l_linestatus) AS max_status
   FROM lineitem p JOIN lineitem b ON p.l_orderkey = b.l_orderkey
-  WHERE b.l_quantity <= 50.0)
+  WHERE b.l_quantity <= 50.0 AND p.l_linenumber <= 2)
 SELECT 'file_size_stats' AS mode, 'BroadcastHashJoin' AS join_exec,
   n_rows, max_flag, max_status FROM j
 UNION ALL

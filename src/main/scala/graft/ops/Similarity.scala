@@ -345,15 +345,35 @@ object Similarity {
         col(embCol).as("ea")), Seq("id_a"))
       .join(df.select(col(idCol).cast("long").as("id_b"),
         col(embCol).as("eb")), Seq("id_b"))
-    val dot = aggregate(zip_with(col("ea"), col("eb"),
-      (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("ea"),
-      a => a.cast("double") * a.cast("double")), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("eb"),
-      b => b.cast("double") * b.cast("double")), lit(0.0), (acc, x) => acc + x))
-    candidates
-      .select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cosine"))
+    // Candidate cosine in a mapPartitions loop, not
+    // aggregate()/zip_with() lambdas: on a near-orthogonal 10× corpus
+    // the 12-bit buckets still emit ~200k collision candidates, and
+    // interpreted per-element lambdas made their scoring the entry's
+    // dominant cost (same measured HOF-interpreter tax as
+    // quantizeInt8, see PLANS.md). The loop accumulates in the
+    // identical left-assoc IEEE order, so the 6-decimal-rounded oracle
+    // values are unchanged.
+    val scoredRows = candidates
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val ea = r.getSeq[Float](2)
+          val eb = r.getSeq[Float](3)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < ea.length) {
+            val a = ea(i).toDouble; val b = eb(i).toDouble
+            dot += a * b; na += a * a; nb += b * b
+            i += 1
+          }
+          Row(r.getLong(0), r.getLong(1),
+            dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+      }
+    spark.createDataFrame(scoredRows, StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false))))
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }

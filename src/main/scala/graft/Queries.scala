@@ -127,11 +127,17 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
     // puts the whole sampling ESTIMATE under the hash-equality gate
     // (the RNG-stream variant stays rows-only: Spark's sample() stream
     // is engine-specific). ~10% sample via bucket < 100 of 1000.
+    // Row key as a string concat, NOT orderkey*1e6+linenumber: the key
+    // only feeds md5, and the arithmetic form overflows Long once
+    // derived-dir key shifts push orderkeys past ~9e12 (ANSI mode
+    // fails the whole entry — caught by the 30× audit).
     Entry("q_uniform_sample_md5",
       (s, d) => Exact.hashSampling(li(s, d),
-        col("l_orderkey") * 1000000 + col("l_linenumber"), 100, 1234L, W1),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        100, 1234L, W1),
       Some(Exact.hashSamplingSql("lineitem",
-        "l_orderkey * 1000000 + l_linenumber", 100, 1234L, W1))),
+        "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)",
+        100, 1234L, W1))),
     // Guarantee-gate twin of q_uniform_sample_card (the q_sketch_bounds
     // precedent): the RNG-stream estimate itself stays rows-only, but
     // its STATISTICAL CONTRACT — |est − exact| within 6σ of the

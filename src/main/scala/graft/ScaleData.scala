@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
-  private val stride = 1000000000000L // > any testdata key
+  // Base stride for deriving from driver-generated dirs. CHAINED
+  // derivation (deriving from an already-derived dir, e.g. 10× → 30×)
+  // needs a larger stride — copy 1's shift of the source's copy-0 keys
+  // would land exactly on the source's own copy-1 keys and collide
+  // (caught by the 30× audit: 60k embedding rows, 24k distinct ids).
+  // main() therefore computes the stride from the source dir's actual
+  // max key; this constant is the floor that keeps single-derivation
+  // dirs bit-identical to the ones every prior audit used.
+  private val baseStride = 1000000000000L // > any testdata key
+  private var stride = baseStride
 
   /** Key columns to shift, per table. */
   private val shiftCols: Map[String, Seq[String]] = Map(
@@ -75,6 +84,22 @@ object ScaleData {
     new java.io.File(out).mkdirs()
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // Stride past the source dir's largest shifted key (rounded up to a
+    // power of 10), so chained derivations keep key spaces disjoint and
+    // every key column across tables shifts by the SAME stride
+    // (referential joins must stay aligned).
+    val maxKey = shiftCols.toSeq.flatMap { case (t, keys) =>
+      val df = graft.core.Tables.read(spark, src, t)
+      val top = if (keys.size == 1) max(col(keys.head))
+        else greatest(keys.map(k => max(col(k))): _*)
+      df.agg(top.cast("long")).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+    }.max
+    stride = baseStride
+    while (stride <= maxKey) stride *= 10
+    println(s"[scale] stride=$stride (source max key $maxKey)")
     tables.foreach { t =>
       // events.ts is written as a plain µs TIMESTAMP (not the driver's
       // TIMESTAMP(NANOS)): Tables.read passes non-long ts through, and

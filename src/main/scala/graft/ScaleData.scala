@@ -73,7 +73,6 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
-    val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,6 +80,14 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, out, factorS.toInt)
+    spark.stop()
+  }
+
+  /** The whole derivation, session-injected (testable without the
+    * main's session lifecycle). */
+  def derive(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
     new java.io.File(out).mkdirs()
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
@@ -124,6 +131,5 @@ object ScaleData {
       dir.listFiles().foreach(_.delete()); dir.delete()
       println(s"[scale] $t -> $out/$t.parquet")
     }
-    spark.stop()
   }
 }

@@ -1009,6 +1009,15 @@ WHERE rn = 1 ORDER BY user_id""")),
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // Native session_window sessionization (30-min gap) — the batch
+    // declarative twin of the transformWithState episode replay. Oracle
+    // is the classic lag-gap + running-sum formulation; boundary (event
+    // at exactly the gap) spec-pinned in OpsSpec.
+    Entry("q_session_window",
+      (s, d) => graft.ops.Relational.sessionize(
+        Tables.read(s, d, "events"), "user_id", "ts", gapMinutes = 30),
+      Some(graft.ops.Relational.sessionizeSql(
+        "events", "user_id", "ts", gapMinutes = 30))),
     // Star-schema join: fact -> orders -> customer -> nation -> region
     // with hash-safe aggregates per region/nation. nation/region are
     // broadcast-hinted (bounded at 25/5 rows by the schema); customer
@@ -1444,6 +1453,23 @@ GROUP BY user_id ORDER BY user_id""")),
   private val shingleCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // Positional 8-token span hashes feeding both ExactSubstr entries
+  // (q_span_dup_stats, q_span_dedup): the per-span md5 is the dominant
+  // cost of both, computed once per (session, dir). Skinny
+  // (long, int, 32-char) rows, corpus-token-count bounded.
+  private val spanCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def docSpans(s: SparkSession, d: String): DataFrame =
+    spanCache.synchronized {
+      spanCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      spanCache.getOrElseUpdate((s, d),
+        Dedup.spanOccurrences(docs(s, d), "doc_id", "text", 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.synchronized {
       shingleCache.filterInPlace { case ((sess, _), _) =>
@@ -1673,6 +1699,23 @@ GROUP BY 1, 2 ORDER BY split, lang"""
     Entry("q_line_dedup",
       (s, d) => Dedup.lineDedup(docs(s, d), "doc_id", "text", maxDf = 2),
       Some(Dedup.lineDedupSql("documents", "doc_id", "text", maxDf = 2))),
+    // Corpus-wide duplicated-span audit (ExactSubstr measurement pass,
+    // Lee et al.): per-doc fraction of 8-token span occurrences that
+    // also appear in another document. ~10% of span mass is cross-doc
+    // duplicated in this corpus — real signal, not a vacuous oracle.
+    Entry("q_span_dup_stats",
+      (s, d) => Dedup.spanDupStats(docs(s, d), "doc_id", "text", n = 8,
+        spans = Some(docSpans(s, d))),
+      Some(Dedup.spanDupStatsSql("documents", "doc_id", "text", n = 8))),
+    // ExactSubstr-lite remediation: any 8-token span occurring more than
+    // once in the corpus keeps only its globally-first occurrence; tokens
+    // covered by later occurrences are excised. Manifest: per-doc
+    // surviving token count + md5 of the surviving stream (docs fully
+    // excised disappear — 14 do at sf0.001).
+    Entry("q_span_dedup",
+      (s, d) => Dedup.spanDedup(docs(s, d), "doc_id", "text", n = 8,
+        spansIn = Some(docSpans(s, d))),
+      Some(Dedup.spanDedupSql("documents", "doc_id", "text", n = 8))),
     // Frozen train/val/test assignment by key hash (map-side, no
     // shuffle, stable under reruns and appends). Artifact: per
     // (split, lang) counts.

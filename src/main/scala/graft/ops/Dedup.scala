@@ -761,4 +761,150 @@ FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $threshold
 ORDER BY id_a, id_b"""
   }
+
+  /** Corpus-wide duplicated-span measurement (the ExactSubstr audit pass
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): per doc, the fraction of token n-gram span OCCURRENCES
+    * whose span also appears in at least one OTHER document. Cross-doc
+    * only — within-doc repetition is [[graft.ops.TextOps.repetitionSignals]]'
+    * axis; this measures inter-document contamination, the thing span
+    * removal would excise.
+    *
+    * Scale shape: span hashing is map-side (array transform + md5, no
+    * window); then two partial-aggregated shuffles — (id, hash) counts,
+    * then hash→distinct-doc counts on already-distinct rows — and one
+    * hash-keyed join back. Only 16-byte hashes shuffle, never span text.
+    * `dup_frac` is a double division of two exact longs — bit-identical
+    * on any IEEE engine, so the oracle checks it without rounding.
+    */
+  /** Positional span-hash occurrences (id, pos, h) — the shared input of
+    * [[spanDupStats]] and [[spanDedup]]; the md5-per-span hashing is the
+    * dominant cost of both, so the catalog computes it once per
+    * (session, dir) and persists. ngramArray drops only tail positions
+    * (i > size-n), so the filtered array's index IS the span's start
+    * token position. */
+  def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.ngramArray(col(textCol), n)).as(Seq("pos", "span")))
+      .select(col("id"), col("pos"), md5(col("span")).as("h"))
+
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, spans: Option[DataFrame] = None): DataFrame = {
+    val sp = spans.getOrElse(spanOccurrences(df, idCol, textCol, n))
+    val perDoc = sp.groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val hot = perDoc.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"), lit(1).as("dup"))
+    perDoc.join(hot, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_spans"),
+        coalesce(sum(when(col("dup") === 1, col("c"))), lit(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup_spans"),
+        col("dup_frac"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[spanDupStats]]: same whitespace tokens, same
+    * positional n-gram list, same cross-doc criterion. */
+  def spanDupStatsSql(table: String, id: String, text: String,
+      n: Int): String =
+    s"""WITH base AS (
+  SELECT $id AS id, regexp_split_to_array(trim($text), '\\s+') AS toks
+  FROM $table WHERE trim($text) <> ''),
+sp AS (
+  SELECT id, md5(unnest(list_transform(
+    generate_series(1, len(toks) - ${n - 1}),
+    i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))) AS h
+  FROM base),
+c AS (SELECT id, h, count(*) AS c FROM sp GROUP BY 1, 2),
+d AS (SELECT h FROM c GROUP BY h HAVING count(*) > 1)
+SELECT c.id AS $id, CAST(sum(c.c) AS BIGINT) AS n_spans,
+  CAST(coalesce(sum(CASE WHEN d.h IS NOT NULL THEN c.c END), 0) AS BIGINT)
+    AS n_dup_spans,
+  CAST(coalesce(sum(CASE WHEN d.h IS NOT NULL THEN c.c END), 0) AS DOUBLE)
+    / CAST(sum(c.c) AS DOUBLE) AS dup_frac
+FROM c LEFT JOIN d ON c.h = d.h
+GROUP BY c.id ORDER BY c.id"""
+
+  /** ExactSubstr-lite span removal (the remediation half of
+    * [[spanDupStats]]): every token n-gram span that occurs more than
+    * once in the corpus — cross-doc OR within-doc, matching ExactSubstr's
+    * any-repeat criterion — keeps only its globally-first occurrence
+    * (smallest (doc, position)); every token covered by a later
+    * occurrence is excised. Output is the per-doc manifest: surviving
+    * token count and the md5 of the re-joined surviving token stream.
+    * Docs whose tokens are all excised disappear (same convention as
+    * [[lineDedup]]).
+    *
+    * Scale shape: span hashing is map-side; the first-occurrence winner
+    * is one partial-aggregated shuffle on the 16-byte hash
+    * (min(struct(id, pos)) — no window sort); non-first occurrences
+    * explode into exactly n (id, covered-pos) rows — LINEAR in the
+    * number of duplicated occurrences, never the tokens×spans range
+    * join the naive coverage test would cost — and the excision is a
+    * doc-keyed anti join. Reassembly groups each doc's own tokens.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int, spansIn: Option[DataFrame] = None): DataFrame = {
+    val base = df.filter(trim(col(textCol)) =!= "")
+    val toks = base.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val spans = spansIn.getOrElse(spanOccurrences(df, idCol, textCol, n))
+    val winners = spans.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("pos"))).as("w"))
+      .filter(col("occ") > 1)
+    val nonfirst = spans.join(winners, Seq("h"))
+      .filter(!(col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .select(col("id"), col("pos"))
+    val removed = nonfirst
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    toks.join(removed, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("kept_fp"))
+      .select(col("id").as(idCol), col("n_kept"), col("kept_fp"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[spanDedup]]: same 0-based positions (i - 1), same
+    * (id, pos)-lexicographic winner, same n-position coverage excision. */
+  def spanDedupSql(table: String, id: String, text: String,
+      n: Int): String =
+    s"""WITH base AS (
+  SELECT $id AS id, regexp_split_to_array(trim($text), '\\s+') AS toks
+  FROM $table WHERE trim($text) <> ''),
+tok AS (
+  SELECT id, i - 1 AS pos, toks[i] AS tok
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t),
+sp AS (
+  SELECT id, i - 1 AS pos,
+    md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) AS h
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) t),
+ranked AS (
+  SELECT id, pos, count(*) OVER (PARTITION BY h) AS occ,
+    row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+  FROM sp),
+removed AS (
+  SELECT DISTINCT id, pos + j AS pos
+  FROM (SELECT id, pos FROM ranked WHERE occ > 1 AND rn > 1) nf,
+  LATERAL (SELECT unnest(generate_series(0, ${n - 1})) AS j) t),
+kept AS (
+  SELECT t.id, t.pos, t.tok FROM tok t
+  LEFT JOIN removed r ON r.id = t.id AND r.pos = t.pos
+  WHERE r.id IS NULL)
+SELECT id AS $id, count(*) AS n_kept,
+  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_fp
+FROM kept GROUP BY id ORDER BY id"""
 }

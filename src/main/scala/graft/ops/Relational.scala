@@ -324,4 +324,50 @@ SELECT $key, $state, $ts AS valid_from,
   CASE WHEN lead($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie)
     IS NULL THEN 1 ELSE 0 END AS is_current
 FROM changes ORDER BY $key, valid_from"""
+
+  /** Batch sessionization on Spark's NATIVE `session_window` — the
+    * declarative twin of the transformWithState episode operator
+    * ([[graft.streaming.EventStream]]): events of one key merge into a
+    * session while each is within `gapMinutes` of the previous; per
+    * session emit (key, first ts, last ts, count).
+    *
+    * Boundary semantics (spec-pinned in OpsSpec): an event exactly
+    * `gapMinutes` after its predecessor still MERGES — Spark's session
+    * window end is inclusive (`ts + gap` itself belongs to the
+    * session), so the oracle's new-session test is strict `>`.
+    *
+    * Scale shape: one exchange on the key; session merging happens
+    * inside Spark's native UpdatingSessionsExec + partial aggregation —
+    * no self-join, no data-sized window frame. Output is session-sized,
+    * not event-sized.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), s"$gapMinutes minutes"))
+      .agg(min(col(tsCol)).as("s_start"), max(col(tsCol)).as("s_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("s_start"), col("s_end"), col("n_events"))
+      .orderBy(col(keyCol), col("s_start"))
+
+  /** DuckDB twin of [[sessionize]]: classic lag-gap flag + running-sum
+    * session ids. New-session test is strict `>` (see boundary note). */
+  def sessionizeSql(table: String, key: String, ts: String,
+      gapMinutes: Int): String =
+    s"""WITH m AS (
+  SELECT $key, $ts,
+    CASE WHEN lag($ts) OVER w IS NULL
+      OR $ts - lag($ts) OVER w > INTERVAL '$gapMinutes minutes'
+    THEN 1 ELSE 0 END AS new_s
+  FROM $table WINDOW w AS (PARTITION BY $key ORDER BY $ts)
+), s AS (
+  -- RANGE (not ROWS): a tie group at a session start has exactly one
+  -- new_s=1 row, and RANGE's peer-inclusive frame gives every tied row
+  -- the same running sum regardless of tie order — ROWS would let sid
+  -- depend on the engine's sort order among equal timestamps.
+  SELECT $key, $ts, sum(new_s) OVER
+    (PARTITION BY $key ORDER BY $ts RANGE UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT $key, min($ts) AS s_start, max($ts) AS s_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY $key, sid ORDER BY $key, s_start"""
 }

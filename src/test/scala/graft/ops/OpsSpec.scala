@@ -1375,4 +1375,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       frameBytes = 3, stride = 1)
     assert(empty.count() == 0L)
   }
+
+  test("spanDedup: global-first wins, covered tokens excised, short docs untouched") {
+    // n=3. Doc 1 holds the first occurrence of "a b c" (pos 0) and a
+    // WITHIN-doc repeat at pos 3 (tokens 3-5 excised: any-repeat
+    // criterion, not just cross-doc). Doc 2 repeats it cross-doc →
+    // tokens 0-2 excised, its unique tail survives. Doc 3 is shorter
+    // than n → no spans, fully kept. Doc 4 duplicates doc 2's tail
+    // span but has the LARGER id → loses, fully excised, disappears.
+    val df = docsDf(
+      (1L, "a b c a b c x"),
+      (2L, "a b c q r s"),
+      (3L, "t u"),
+      (4L, "q r s"))
+    val out = Dedup.spanDedup(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: "a b c a b c x": spans at 0..4; span(3)="a b c" repeat →
+    // excise 3,4,5. But spans 1 ("b c a") and 2 ("c a b") are unique,
+    // span 4 ("b c x") unique — only occurrence-level repeats excise.
+    assert(out == Map(1L -> 4L, 2L -> 3L, 3L -> 2L),
+      s"got $out")
+  }
+
+  test("spanDupStats: cross-doc criterion only, exact occurrence counts") {
+    // "a b c" appears in docs 1 and 2 (cross-doc dup); doc 1 also has a
+    // within-doc-only repeated span "x y z" (twice in doc 1, nowhere
+    // else) — spanDupStats must NOT count it (cross-doc criterion).
+    val df = docsDf(
+      (1L, "a b c k x y z m x y z"),
+      (2L, "a b c p q"))
+    val rows = Dedup.spanDupStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 == 9L && byId(2L)._1 == 3L)
+    assert(byId(1L)._2 == 1L, s"only the cross-doc span counts: $rows")
+    assert(byId(2L)._2 == 1L)
+  }
+
+  test("sessionize: exact-gap event merges (inclusive end); over-gap splits") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def t(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec.toLong))
+    val gapS = 30 * 60
+    val rows = Seq(
+      Row(1L, t(0)), Row(1L, t(gapS)),     // exactly the gap → MERGES
+      Row(1L, t(2 * gapS + 1)),            // gap + 1 s later → NEW session
+      Row(2L, t(0)), Row(2L, t(0))         // duplicate ts → one session of 2
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Relational.sessionize(df, "user_id", "ts", gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L), (2L, 2L)), s"got $out")
+  }
 }

@@ -670,6 +670,17 @@ FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
       (s, d) => graft.streaming.Replay.dedupReplay(s, d),
       Some("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")),
+    // STREAMING near-dup: an online MinHash/LSH banded index in
+    // flatMapGroupsWithState — docs arrive in id-ordered segments,
+    // band keys are computed map-side, and a candidate pair is emitted
+    // the moment a doc lands in a non-empty bucket. First-K-by-id
+    // bucket cap makes the streamed pair set EQUAL to the rank-capped
+    // batch formulation, so the full state machinery sits inside the
+    // hash gate (oracle = DuckDB over the same md5 signatures).
+    Entry("q_neardup_stream",
+      (s, d) => graft.streaming.Replay.neardupReplay(s, d),
+      Some(graft.streaming.DocStream.neardupStreamSql(
+        "documents", "doc_id", "text"))),
     // STREAMING gap-episode detection via transformWithState (Spark
     // 4's arbitrary-state API: typed ValueState handles on RocksDB +
     // first-class event-time timers), same replay harness. An event

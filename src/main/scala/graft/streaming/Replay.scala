@@ -83,14 +83,53 @@ object Replay {
     dir
   }
 
+  /** Documents sliced into ascending doc_id ranges — the crawler-
+    * segment analog of [[ensureSlices]]' time-ordered event log. The
+    * id ordering is load-bearing for `q_neardup_stream`: the online
+    * LSH index's first-K bucket cap equals the oracle's smallest-K
+    * only when ids arrive ascending across micro-batches. */
+  private def docFingerprint(sfDir: String): String = {
+    val f = new File(s"$sfDir/documents.parquet")
+    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  private def ensureDocSlices(spark: SparkSession, sfDir: String,
+      slices: Int): String = synchronized {
+    val dir = s"$base/docin_v${Version}_${docFingerprint(sfDir)}_$slices"
+    val ready = new File(s"$dir/_READY")
+    if (!ready.exists()) {
+      deleteRecursively(new File(dir))
+      val src = graft.core.Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = src.count()
+      val sliced = src.withColumn("__rn",
+        row_number().over(Window.orderBy(col("doc_id"))))
+      for (i <- 0 until slices) {
+        sliced
+          .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
+          .drop("__rn").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      new java.io.FileOutputStream(ready).close()
+    }
+    dir
+  }
+
   /** Run `build` over the sliced file stream with Trigger.AvailableNow,
     * appending every micro-batch (tagged with its batch id) to a
     * parquet table; returns the table re-read. Keyed+skipped when a
     * completed replay already exists. */
   private def replayTable(spark: SparkSession, sfDir: String, slices: Int,
       outTag: String, outputMode: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    replayStream(spark, ensureSlices(spark, sfDir, slices),
+      sfDir, slices, outTag, outputMode)(build)
+
+  private def replayStream(spark: SparkSession, inDir: String,
+      sfDir: String, slices: Int, outTag: String, outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = synchronized {
-    val inDir = ensureSlices(spark, sfDir, slices)
     val outDir =
       s"$base/out_v${Version}_${outTag}_${fingerprint(sfDir)}_$slices"
     val done = new File(s"$outDir/_REPLAYED")
@@ -192,5 +231,28 @@ object Replay {
         Window.partitionBy(col("userId")).orderBy(col("__batch").desc)))
       .filter(col("__rk") === 1)
       .select(col("userId"), col("stageReached"))
+  }
+
+  /** Candidate near-dup pairs from the ONLINE LSH index
+    * ([[DocStream.lshCandidates]]), replayed over id-ordered document
+    * segments (append mode: each pair is emitted exactly once, when its
+    * later doc joins a shared bucket). Readback rolls pair emissions up
+    * to (id_a, id_b, n_bands) — the same artifact as the batch LSH
+    * pipeline, hash-compared against DocStream.neardupStreamSql. */
+  def neardupReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6, cap: Int = 50): DataFrame = {
+    import spark.implicits._
+    val inDir = ensureDocSlices(spark, sfDir, slices)
+    // outTag carries the DOCUMENTS fingerprint: replayStream's own
+    // cache key fingerprints events.parquet, which this entry never
+    // reads — a regenerated documents file must invalidate the output.
+    replayStream(spark, inDir, sfDir, slices,
+      s"neardup_${cap}_${docFingerprint(sfDir)}", "append") {
+      df => DocStream.lshCandidates(
+        DocStream.bandRows(df, "doc_id", "text").as[DocStream.BandRow],
+        cap).toDF
+    }.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("id_a", "id_b")
   }
 }

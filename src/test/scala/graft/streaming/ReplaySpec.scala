@@ -82,4 +82,27 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val episodes = Replay.episodeReplay(spark, sfDir, slices = 4)
     assert(episodes.count() > 0)
   }
+
+  test("neardup replay: streamed pair set equals rank-capped batch banding") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val streamed = Replay.neardupReplay(spark, sfDir, slices = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Batch formulation of the SAME cap semantics: rank ids per
+    // (band, bucket), keep rn <= cap, pairs among kept.
+    val banded = DocStream.bandRows(
+      graft.core.Tables.read(spark, sfDir, "documents"), "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bk").orderBy("id")
+    val bounded = banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50).drop("rn")
+    val batch = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
 }

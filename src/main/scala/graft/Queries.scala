@@ -719,6 +719,31 @@ FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY hour, event_type""")),
+    // STREAMING native session_window (append mode), same harness: the
+    // replayed table holds exactly the sessions the final watermark
+    // closed (window end = last event + gap; non-strict cutoff like
+    // the hourly entry). Oracle = the batch lag-gap sessionization
+    // with the same cutoff reproduced from max(ts).
+    Entry("q_session_stream",
+      (s, d) => graft.streaming.Replay.sessionReplay(s, d),
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+m AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+    THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, sum(new_s) OVER
+    (PARTITION BY user_id ORDER BY ts RANGE UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, s_start, s_end, n_events FROM sess, mx
+WHERE s_end + INTERVAL '30 minutes' <= mx.m - INTERVAL '2 hours'
+ORDER BY user_id, s_start""")),
     // STREAMING funnel, same harness: per-user monotone state machine
     // (mapGroupsWithState, update mode), final per-user stage = the
     // last emission across batches; in-order replay makes it exactly

@@ -46,6 +46,26 @@ object EventStream {
         col("cnt"), col("total_value"), col("approx_users"))
   }
 
+  /** Watermarked NATIVE session_window aggregation — the streaming twin
+    * of the batch [[graft.ops.Relational.sessionize]] entry (same
+    * inclusive-gap merge semantics; see its boundary note). In append
+    * mode a session row is emitted once the watermark passes its window
+    * end (last event + gap) — bounded state, sessions evicted on
+    * emission. Works on both batch and streaming frames.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int,
+      watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        col("n_events"))
+  }
+
   /** Stateful sessionization: per user, events closer than `gapMs`
     * belong to one session; a session is emitted when the group sees a
     * later event past the gap, or (with `useTimeout`) when the

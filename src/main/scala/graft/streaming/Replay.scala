@@ -182,6 +182,20 @@ object Replay {
     }.select(col("hour"), col("event_type"), col("cnt"))
       .orderBy("hour", "event_type")
 
+  /** Watermark-finalized session_window sessions replayed through the
+    * file stream (append mode): the table holds exactly the sessions
+    * whose window end (last event + gap) the final watermark
+    * (max event time − delay) passed; trailing sessions stay open and
+    * unemitted, and the oracle reproduces that cutoff from the same
+    * input — the session analog of [[hourlyReplay]]. */
+  def sessionReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6, gapMinutes: Int = 30): DataFrame =
+    replayTable(spark, sfDir, slices, s"session_$gapMinutes", "append") {
+      df => EventStream.sessionWindows(df, gapMinutes)
+    }.select(col("user_id"), col("s_start"), col("s_end"),
+      col("n_events"))
+      .orderBy("user_id", "s_start")
+
   /** Distinct (user_id, event_type) keys emitted by the streaming
     * keep-first dedup, replayed through the real stream (append mode:
     * the table IS the emitted key set — one row per key iff the state

@@ -83,6 +83,22 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(episodes.count() > 0)
   }
 
+  test("session replay emits only watermark-closed sessions") {
+    assume(fixtureExists)
+    val sessions = Replay.sessionReplay(spark, sfDir, slices = 4)
+    val events = graft.core.Tables.read(spark, sfDir, "events")
+    val mx = events.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val closed = sessions.collect()
+    assert(closed.nonEmpty)
+    // every emitted session's window end (last event + gap) is at or
+    // before the final watermark (max ts - 2h)
+    closed.foreach { r =>
+      val end = r.getTimestamp(2).getTime
+      assert(end + 30 * 60 * 1000L <= mx - 2 * 3600 * 1000L,
+        s"unclosed session emitted: $r")
+    }
+  }
+
   test("neardup replay: streamed pair set equals rank-capped batch banding") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
     val streamed = Replay.neardupReplay(spark, sfDir, slices = 4)

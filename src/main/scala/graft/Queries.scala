@@ -719,6 +719,20 @@ FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY hour, event_type""")),
+    // STREAM-STATIC broadcast enrichment join, same harness: events
+    // stream against the static customer dimension, rolled up per
+    // (segment, type). No row is lost or duplicated across micro-batch
+    // joins iff the rollup equals the batch join — which IS the oracle.
+    Entry("q_enrich_stream",
+      (s, d) => graft.streaming.Replay.enrichReplay(s, d)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("c_mktsegment", "event_type"),
+      Some("SELECT c_mktsegment, event_type, count(*) AS cnt, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY c_mktsegment, event_type")),
     // STREAMING native session_window (append mode), same harness: the
     // replayed table holds exactly the sessions the final watermark
     // closed (window end = last event + gap; non-strict cutoff like

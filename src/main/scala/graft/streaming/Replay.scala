@@ -196,6 +196,25 @@ object Replay {
       col("n_events"))
       .orderBy("user_id", "s_start")
 
+  /** STREAM-STATIC enrichment join replayed through the file stream:
+    * each micro-batch of events joins the static customer dimension
+    * (broadcast — the static side ships once per executor, the stream
+    * side never shuffles), appending enriched rows; the caller rolls
+    * the table up. This is the canonical streaming-ingestion enrich
+    * shape: at 100 TB/day the dimension is the small side and event
+    * rows must not shuffle for a lookup. */
+  def enrichReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    val dim = graft.core.Tables.read(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    replayTable(spark, sfDir, slices, "enrich_mkt", "append") { df =>
+      df.join(org.apache.spark.sql.functions.broadcast(dim),
+        df("user_id") === dim("c_custkey"))
+        .select(df("event_id"), df("user_id"), df("event_type"),
+          dim("c_mktsegment"))
+    }
+  }
+
   /** Distinct (user_id, event_type) keys emitted by the streaming
     * keep-first dedup, replayed through the real stream (append mode:
     * the table IS the emitted key set — one row per key iff the state

@@ -719,6 +719,24 @@ FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY hour, event_type""")),
+    // STREAM-STREAM interval join (click→purchase attribution), same
+    // harness: both sides branch from one replayed stream; watermark
+    // delay (2h) > join window (1h) means state cleanup can never
+    // evict a needed click, so the rolled-up result equals the batch
+    // interval join — the oracle.
+    Entry("q_interval_join_stream",
+      (s, d) => graft.streaming.Replay.intervalJoinReplay(s, d)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy("user_id"),
+      Some("SELECT p.user_id AS user_id, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "count(DISTINCT p.event_id) AS n_purchases " +
+        "FROM events p JOIN events c ON p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' AND c.user_id = p.user_id " +
+        "AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts " +
+        "GROUP BY p.user_id ORDER BY p.user_id")),
     // STREAM-STATIC broadcast enrichment join, same harness: events
     // stream against the static customer dimension, rolled up per
     // (segment, type). No row is lost or duplicated across micro-batch

@@ -215,6 +215,33 @@ object Replay {
     }
   }
 
+  /** STREAM-STREAM event-time interval join (click→purchase
+    * attribution): both sides branch from the same replayed file
+    * stream; each purchase joins every click of its user in the
+    * preceding hour. The 2 h watermark delay exceeds the 1 h join
+    * window, so Spark's state-cleanup threshold can never evict a
+    * click a future purchase still needs — with in-order replay the
+    * inner-join result is provably the batch interval join, which is
+    * the oracle. State per side is watermark-bounded (≤ delay+window
+    * of events), the join keys on user_id — the standard attribution
+    * shape at any scale. */
+  def intervalJoinReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame =
+    replayTable(spark, sfDir, slices, "attrib_join", "append") { df =>
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "2 hours")
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+    }
+
   /** Distinct (user_id, event_type) keys emitted by the streaming
     * keep-first dedup, replayed through the real stream (append mode:
     * the table IS the emitted key set — one row per key iff the state

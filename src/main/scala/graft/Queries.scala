@@ -719,6 +719,14 @@ FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY hour, event_type""")),
+    // STREAM-STATIC ANTI join decontamination: streamed docs pass iff
+    // their md5 is absent from the static benchmark fingerprint set
+    // (broadcast). Oracle = the batch NOT IN over the same slice.
+    Entry("q_decontam_stream",
+      (s, d) => graft.streaming.Replay.decontamReplay(s, d),
+      Some("SELECT doc_id FROM documents WHERE md5(text) NOT IN " +
+        "(SELECT md5(text) FROM documents WHERE doc_id % 101 = 0) " +
+        "ORDER BY doc_id")),
     // STREAM-STREAM interval join (click→purchase attribution), same
     // harness: both sides branch from one replayed stream; watermark
     // delay (2h) > join window (1h) means state cleanup can never

@@ -293,6 +293,27 @@ object Replay {
       .select(col("userId"), col("stageReached"))
   }
 
+  /** STREAM-STATIC ANTI join decontamination: documents stream in
+    * id-ordered segments against the static benchmark fingerprint set
+    * (broadcast — fingerprints only, never benchmark text); a doc
+    * passes iff its md5 is absent. The ingestion-time twin of the
+    * batch `q_decontaminate`/pipeline stage: at scale the benchmark
+    * set is per-executor state and clean docs flow through without a
+    * shuffle. */
+  def decontamReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    val bench = graft.core.Tables.read(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(md5(col("text")).as("__fp")).distinct()
+    val inDir = ensureDocSlices(spark, sfDir, slices)
+    replayStream(spark, inDir, sfDir, slices,
+      s"decontam_${docFingerprint(sfDir)}", "append") { df =>
+      df.join(org.apache.spark.sql.functions.broadcast(bench),
+          md5(col("text")) === col("__fp"), "left_anti")
+        .select(col("doc_id"))
+    }.select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Candidate near-dup pairs from the ONLINE LSH index
     * ([[DocStream.lshCandidates]]), replayed over id-ordered document
     * segments (append mode: each pair is emitted exactly once, when its

@@ -34,26 +34,67 @@ object DocStream {
   case class CandPair(band: Int, id_a: Long, id_b: Long)
 
   /** Map-side banding of a (doc_id, text) frame (batch OR streaming):
-    * per-hash signature = min md5 over the doc's own shingle array (a
-    * min over the distinct set equals the min over occurrences, so this
-    * matches the exploded-shingle batch path bit-for-bit); band key =
-    * md5 of the band's signature slice. Docs with no shingles (< n
-    * tokens) produce no rows, matching the batch GROUP BY absence.
+    * per-hash signature = min md5 over the doc's shingles (a min over
+    * the distinct set equals the min over occurrences, so this matches
+    * the exploded-shingle batch path bit-for-bit); band key = md5 of
+    * the band's signature slice. Docs with no shingles (< n tokens)
+    * produce no rows, matching the batch GROUP BY absence.
+    *
+    * Implemented as a tight mapPartitions loop, NOT transform/array_min
+    * lambdas: higher-order functions evaluate interpreted per element,
+    * and numHashes md5s per shingle across a corpus is exactly the
+    * measured ~7 µs/element interpreter tax that made the first
+    * declarative version blow the 10× replay budget (the same
+    * pathology PLANS.md documents for quantizeInt8). Hex md5 strings
+    * compare identically under JVM String ordering, Spark UTF8String
+    * ordering, and DuckDB varchar min — all ASCII.
     */
   def bandRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val bands = numHashes / rowsPerBand
-    val sigs = (0 until numHashes).map { k =>
-      array_min(transform(Dedup.shingles(col(textCol), n),
-        s => md5(concat(lit(s"$k:"), s)))).as(s"__h$k")
-    }
-    df.filter(size(Dedup.shingles(col(textCol), n)) >= 1)
-      .select((col(idCol).as("id") +: sigs): _*)
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
-        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          col(s"__h${b * rowsPerBand + r}")): _*))
-      }: _*)).as(Seq("band", "bk")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          val b = md.digest(s.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < b.length) {
+            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          if (toks.length < n || text.trim.isEmpty) Iterator.empty
+          else {
+            val mins = Array.fill[String](numHashes)(null)
+            var i = 0
+            while (i <= toks.length - n) {
+              val sh = toks.slice(i, i + n).mkString(" ")
+              var k = 0
+              while (k < numHashes) {
+                val h = md5hex(s"$k:$sh")
+                if (mins(k) == null || h.compareTo(mins(k)) < 0) mins(k) = h
+                k += 1
+              }
+              i += 1
+            }
+            (0 until bands).iterator.map { b =>
+              val key = (0 until rowsPerBand)
+                .map(r => mins(b * rowsPerBand + r)).mkString("|")
+              BandRow(id, b, md5hex(key))
+            }
+          }
+        }
+      }
+      .toDF("id", "band", "bk")
   }
 
   /** The stateful index: per (band, bucket), keep the first-`cap` ids;

@@ -150,7 +150,9 @@ object Replay {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(300000), "replay stream did not terminate")
+      // 15 min: a 30x-derived corpus through the heaviest replay
+      // (online LSH) fits with margin; a hang still fails loudly.
+      require(q.awaitTermination(900000), "replay stream did not terminate")
       new java.io.FileOutputStream(done).close()
     }
     spark.read.parquet(outDir)

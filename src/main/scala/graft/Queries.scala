@@ -1683,6 +1683,15 @@ GROUP BY user_id ORDER BY user_id""")),
       Some(Dedup.decontaminateSql("documents", "doc_id", "text",
         "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0",
         "text", n = 3, minHits = 5))),
+    // ADAPTIVE per-language quality threshold (FineWeb pattern): each
+    // language's cutoff is the exact p10 ORDER STATISTIC of its own
+    // stopword-ratio distribution — a data value, not a constant, so
+    // the filter self-calibrates per corpus slice.
+    Entry("q_adaptive_filter",
+      (s, d) => TextOps.adaptiveQualityFilter(docs(s, d),
+        "doc_id", "text", "lang", p = 0.1),
+      Some(TextOps.adaptiveQualityFilterSql("documents",
+        "doc_id", "text", "lang", p = 0.1))),
     // Gopher-style composite quality filter: thresholds over the
     // per-row quality signals (token count, stopword ratio, repetition)
     // decide keep/drop; artifact = per-language kept/total counts. The

@@ -553,4 +553,65 @@ SELECT term, df, CAST(sum(tf) AS BIGINT) AS total_tf,
   round(max(tf * ln((1.0 + n) / (1.0 + df))), 6) AS max_tfidf
 FROM tf JOIN dfx USING (term) CROSS JOIN n
 GROUP BY term, df ORDER BY term"""
+
+  /** ADAPTIVE per-language quality thresholding (the FineWeb-style
+    * pattern): instead of a fixed cutoff, each language's threshold is
+    * the exact p-quantile of its own stopword-ratio distribution —
+    * computed as an explicit ORDER STATISTIC (the floor(p·(n−1))-th
+    * smallest, ties broken by id), never an interpolated quantile, so
+    * the threshold is a VALUE from the data and bit-identical on any
+    * engine. Docs at or above their language's threshold pass. Output:
+    * per-language (n_docs, n_kept, thr).
+    *
+    * Scale note: the per-language rank is a window sort — the exact,
+    * oracle-able formulation. At 100 TB the production path computes
+    * the threshold with approx_percentile (the sketch-vs-exact error
+    * harness is its own catalog entry) and only the threshold JOIN
+    * stays; the window disappears. Null scores (token-less docs) sort
+    * FIRST on both engines (pinned explicitly — DuckDB defaults NULLS
+    * LAST) and never pass the `>=` comparison.
+    */
+  def adaptiveQualityFilter(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScores(col(textCol)).toMap.apply("stopword_ratio")
+    val scored = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      q.as("q"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("q").asc_nulls_first, col("id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val thr = ranked
+      .filter(col("rn") === floor(lit(p) * (col("n") - 1)).cast("long") + 1)
+      .select(col("lang"), col("q").as("thr"))
+    scored.join(thr, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("q") >= col("thr"), 1)).as("n_kept"),
+        max(col("thr")).as("thr"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of [[adaptiveQualityFilter]] — same order statistic,
+    * same NULLS FIRST rank, same `>=` pass test. */
+  def adaptiveQualityFilterSql(table: String, id: String, text: String,
+      lang: String, p: Double): String = {
+    val q = qualityScoresSql(text).toMap.apply("stopword_ratio")
+    s"""WITH scored AS (
+  SELECT $id AS id, $lang AS lang, $q AS q FROM $table
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY lang ORDER BY q ASC NULLS FIRST, id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+), thr AS (
+  SELECT lang, q AS thr FROM ranked
+  WHERE rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1)
+SELECT s.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(CASE WHEN s.q >= t.thr THEN 1 END) AS BIGINT) AS n_kept,
+  max(t.thr) AS thr
+FROM scored s JOIN thr t ON s.lang = t.lang
+GROUP BY s.lang ORDER BY lang"""
+  }
 }

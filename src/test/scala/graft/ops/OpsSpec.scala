@@ -1412,6 +1412,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(2L)._2 == 1L)
   }
 
+  test("adaptiveQualityFilter: order-statistic threshold, null scores never pass") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", LongType)))
+    // lang 1: stopword ratios 0, 1/3, 1/2, 1 over 4 docs plus one
+    // empty-text doc (null ratio). n=5 → p=0.25 picks the
+    // floor(0.25*4)=1st 0-indexed order stat with NULLS FIRST = the
+    // ratio-0 doc → thr=0.0 → every non-null doc passes.
+    val rows = Seq(
+      Row(1L, "x y z", 1L),              // 0/3
+      Row(2L, "the x y", 1L),            // 1/3
+      Row(3L, "the x the y", 1L),        // 2/4
+      Row(4L, "the the", 1L),            // 2/2
+      Row(5L, "", 1L),                   // null
+      Row(6L, "the a", 2L), Row(7L, "q r s t", 2L)) // lang 2: 1.0, 0.0
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = TextOps.adaptiveQualityFilter(df, "doc_id", "text", "lang",
+        p = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 4L, 0.0)), s"got ${out(1L)}")
+    // lang 2: n=2, floor(0.25*1)=0th stat = ratio 0.0 → both pass
+    assert(out(2L) == ((2L, 2L, 0.0)), s"got ${out(2L)}")
+  }
+
   test("sessionize: exact-gap event merges (inclusive end); over-gap splits") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", TimestampType)))

@@ -452,6 +452,42 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
         s.sql(Queries.rollupSql)
       },
       Some(rollupSql)),
+    // MERGE/upsert (SCD Type 1): an update batch wins per key, base
+    // rows without an update survive — updates ∪ (base ANTI JOIN
+    // updates). One shuffle on the key (or a broadcast when the batch
+    // is small — the planner's call); this is the storage-merge shape
+    // every warehouse MERGE INTO lowers to. The update batch is
+    // derived deterministically from the base so both engines build
+    // the same one.
+    Entry("q_merge_upsert",
+      (s, d) => {
+        val base = Tables.read(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val upd = Tables.read(s, d, "customer")
+          .filter(pmod(col("c_custkey"), lit(11)) === 0)
+          .select((col("c_custkey") + 10000000L).as("k"), lit("NEW").as("seg"))
+          .unionAll(Tables.read(s, d, "customer")
+            .filter(pmod(col("c_custkey"), lit(7)) === 0)
+            .select(col("c_custkey").as("k"), lit("UPDATED").as("seg")))
+        upd.unionAll(base.join(upd.select("k"), Seq("k"), "left_anti"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+          .orderBy("seg")
+      },
+      Some("""WITH upd AS (
+  SELECT c_custkey + 10000000 AS k, 'NEW' AS seg FROM customer
+  WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey, 'UPDATED' FROM customer WHERE c_custkey % 7 = 0
+), merged AS (
+  SELECT k, seg FROM upd
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM upd)
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(k) AS BIGINT) AS key_sum
+FROM merged GROUP BY seg ORDER BY seg""")),
     // Ranked top-k per group. The Spark side is the two-phase operator
     // (per-input-partition bounded heaps, then a rank window over the
     // k·partitions-bounded pruned set) because the group key has 3
@@ -3523,8 +3559,13 @@ ORDER BY mode""")),
     estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
       embeddingEntries ++ neuralEntries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // A duplicate name silently shadows an entry in the Map (later
+    // wins) — the shadowed query would never run yet look "covered".
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate catalog entry names: ${dups.mkString(", ")}")
     all.map(e => e.name -> e.fn).toMap
+  }
 
   def oracleSql: Map[String, String] = {
     val m = all.flatMap(e => e.oracle.map(e.name -> _)).toMap

@@ -452,6 +452,28 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
         s.sql(Queries.rollupSql)
       },
       Some(rollupSql)),
+    // The ranking-window suite in one entry: rank / dense_rank / ntile
+    // / percent_rank / cume_dist / lag / lead over one (partition,
+    // order) spec — identical SQL on both engines (the rollup/cube
+    // precedent). percent_rank and cume_dist are divisions of exact
+    // ints (bit-exact); ranks CAST to BIGINT because Spark returns INT
+    // where DuckDB returns BIGINT. One exchange + one sort; every
+    // function shares the single window.
+    Entry("q_window_suite",
+      (s, d) => {
+        Tables.read(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(windowSuiteSql)
+      },
+      Some(windowSuiteSql)),
+    // Set operations (INTERSECT / EXCEPT): repeat-buyer and churn
+    // cohorts between two order-years, reduced to counts. Spark plans
+    // both as hash aggregates + a single shuffle per branch.
+    Entry("q_set_ops",
+      (s, d) => {
+        Tables.read(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(setOpsSql)
+      },
+      Some(setOpsSql)),
     // MERGE/upsert (SCD Type 1): an update batch wins per key, base
     // rows without an update survive — updates ∪ (base ANTI JOIN
     // updates). One shuffle on the key (or a broadcast when the batch
@@ -3458,6 +3480,40 @@ ORDER BY mode""")),
     * grouping() is cast to INTEGER (Spark emits TINYINT/BYTE natively);
     * NULLS FIRST is explicit because Spark defaults ASC NULLS FIRST
     * while DuckDB defaults NULLS LAST. */
+  /** One-window ranking-function suite, identical SQL on both engines.
+    * Sliced to every 50th customer so the artifact stays bounded. */
+  lazy val windowSuiteSql: String =
+    """SELECT o_custkey, o_orderkey,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  percent_rank() OVER w AS prnk,
+  cume_dist() OVER w AS cd,
+  lag(o_orderkey) OVER w AS prev_ok,
+  lead(o_orderkey) OVER w AS next_ok
+FROM orders WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, rnk, o_orderkey"""
+
+  /** INTERSECT / EXCEPT cohorts between two order-years, identical SQL
+    * on both engines, reduced to tagged counts. */
+  lazy val setOpsSql: String =
+    """SELECT 'both' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+UNION ALL
+SELECT 'only_95' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+UNION ALL
+SELECT 'only_96' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+ORDER BY tag"""
+
   lazy val rollupSql: String =
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "sum(l_quantity) AS sum_qty, " +

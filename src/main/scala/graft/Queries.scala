@@ -487,7 +487,9 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
         val upd = Tables.read(s, d, "customer")
           .filter(pmod(col("c_custkey"), lit(11)) === 0)
-          .select((col("c_custkey") + 10000000L).as("k"), lit("NEW").as("seg"))
+          // Negated keys can never collide with real (positive) base
+          // keys at ANY scale factor — a fixed offset would.
+          .select((-col("c_custkey")).as("k"), lit("NEW").as("seg"))
           .unionAll(Tables.read(s, d, "customer")
             .filter(pmod(col("c_custkey"), lit(7)) === 0)
             .select(col("c_custkey").as("k"), lit("UPDATED").as("seg")))
@@ -497,7 +499,7 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
           .orderBy("seg")
       },
       Some("""WITH upd AS (
-  SELECT c_custkey + 10000000 AS k, 'NEW' AS seg FROM customer
+  SELECT -c_custkey AS k, 'NEW' AS seg FROM customer
   WHERE c_custkey % 11 = 0
   UNION ALL
   SELECT c_custkey, 'UPDATED' FROM customer WHERE c_custkey % 7 = 0
@@ -1749,6 +1751,17 @@ GROUP BY user_id ORDER BY user_id""")),
       (s, d) => TextOps.adaptiveQualityFilter(docs(s, d),
         "doc_id", "text", "lang", p = 0.1),
       Some(TextOps.adaptiveQualityFilterSql("documents",
+        "doc_id", "text", "lang", p = 0.1))),
+    // Guarantee-gate twin for the PRODUCTION path of the adaptive
+    // filter (percentile_approx threshold + broadcast join — the 100 TB
+    // shape with no per-language window sort): hash-checks that the
+    // sketch threshold's exact rank brackets p and that the approx-kept
+    // set diverges from the exact-kept set by at most the sketch's rank
+    // guarantee plus boundary ties.
+    Entry("q_adaptive_filter_bounds",
+      (s, d) => TextOps.adaptiveQualityFilterBounds(docs(s, d),
+        "doc_id", "text", "lang", p = 0.1, accuracy = 10000),
+      Some(TextOps.adaptiveQualityFilterBoundsSql("documents",
         "doc_id", "text", "lang", p = 0.1))),
     // Gopher-style composite quality filter: thresholds over the
     // per-row quality signals (token count, stopword ratio, repetition)
@@ -3590,7 +3603,7 @@ ORDER BY tag"""
       "tot AS (SELECT sum(c) AS n FROM f) " +
       quantileProbs.map { p =>
         s"SELECT CAST($p AS DOUBLE) AS p, (SELECT min(v) FROM cum, tot " +
-          s"WHERE cum >= CAST(floor($p * (n - 1)) AS BIGINT) + 1) AS value"
+          s"WHERE cum >= CAST(floor(CAST($p AS DOUBLE) * (n - 1)) AS BIGINT) + 1) AS value"
       }.mkString("", " UNION ALL ", " ORDER BY p")
 
   /** Per-group twin of [[quantilesSql]]: one (g,v) histogram shuffle, a
@@ -3611,17 +3624,20 @@ ORDER BY tag"""
       "WHERE cum >= CAST(floor(p * (n - 1)) AS BIGINT) + 1 " +
       "GROUP BY g, p ORDER BY l_returnflag, p"
 
-  def all: Seq[Entry] =
-    estimatorEntries ++ dictionaryEntries ++ aggEntries ++ docEntries ++
-      embeddingEntries ++ neuralEntries
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    // A duplicate name silently shadows an entry in the Map (later
-    // wins) — the shadowed query would never run yet look "covered".
-    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+  /** The validated roster. lazy so the duplicate-name guard runs once,
+    * and EVERY consumer (queries, oracleSql, Bench, Verify) trips it —
+    * a duplicate name silently shadows an entry in any toMap (later
+    * wins), so the shadowed query would never run yet look "covered". */
+  lazy val all: Seq[Entry] = {
+    val entries = estimatorEntries ++ dictionaryEntries ++ aggEntries ++
+      docEntries ++ embeddingEntries ++ neuralEntries
+    val dups = entries.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate catalog entry names: ${dups.mkString(", ")}")
-    all.map(e => e.name -> e.fn).toMap
+    entries
   }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.fn).toMap
 
   def oracleSql: Map[String, String] = {
     val m = all.flatMap(e => e.oracle.map(e.name -> _)).toMap

@@ -607,11 +607,112 @@ GROUP BY term, df ORDER BY term"""
   FROM scored
 ), thr AS (
   SELECT lang, q AS thr FROM ranked
-  WHERE rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1)
+  WHERE rn = CAST(floor(CAST($p AS DOUBLE) * (n - 1)) AS BIGINT) + 1)
 SELECT s.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(CASE WHEN s.q >= t.thr THEN 1 END) AS BIGINT) AS n_kept,
   max(t.thr) AS thr
 FROM scored s JOIN thr t ON s.lang = t.lang
 GROUP BY s.lang ORDER BY lang"""
+  }
+
+  /** The PRODUCTION-PATH twin of [[adaptiveQualityFilter]]: per-language
+    * thresholds via `percentile_approx` (a GK/KLL mergeable sketch that
+    * aggregates map-side — ONE partial-agg shuffle of sketch bytes, no
+    * per-language window sort), then a broadcast threshold join. This is
+    * the 100 TB formulation the exact entry's scaladoc promises: the
+    * window disappears; nothing data-sized is ever sorted.
+    *
+    * Guarantee: the sketch's returned value has RANK error ≤ n/accuracy,
+    * so the kept set differs from the exact filter's by at most that
+    * many docs per language (plus ties at the boundary) —
+    * [[adaptiveQualityFilterBounds]] hash-gates exactly that contract.
+    *
+    * Semantics note: `percentile_approx` ignores null scores while the
+    * exact path ranks them FIRST; on a corpus with token-less docs the
+    * two thresholds differ by the null-count rank offset. Same output
+    * shape as the exact path: per-language (n_docs, n_kept, thr).
+    */
+  def adaptiveQualityFilterApprox(df: DataFrame, idCol: String,
+      textCol: String, langCol: String, p: Double,
+      accuracy: Int = 10000): DataFrame = {
+    val q = qualityScores(col(textCol)).toMap.apply("stopword_ratio")
+    val scored = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      q.as("q"))
+    val thr = scored.groupBy("lang")
+      .agg(percentile_approx(col("q"), lit(p), lit(accuracy)).as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("q") >= col("thr"), 1)).as("n_kept"),
+        max(col("thr")).as("thr"))
+      .orderBy("lang")
+  }
+
+  /** Guarantee-gate for [[adaptiveQualityFilterApprox]] (the
+    * q_sketch_bounds precedent): per language, the approx threshold's
+    * EXACT rank must bracket p within tol = 1/accuracy + 2/n (sketch
+    * rank guarantee + discretization slack), and the approx-kept count
+    * must sit within ceil(tol·n) + boundary ties of the exact-kept
+    * count (the rank bound transported through `>= thr`, with ties at
+    * either threshold absorbing the value-vs-rank ambiguity). The
+    * engine-specific sketch VALUE stays out of the hashed output; the
+    * exact threshold and the two CONTRACT booleans are what DuckDB
+    * verifies.
+    */
+  def adaptiveQualityFilterBounds(df: DataFrame, idCol: String,
+      textCol: String, langCol: String, p: Double,
+      accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScores(col(textCol)).toMap.apply("stopword_ratio")
+    val scored = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      q.as("q"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("q").asc_nulls_first, col("id"))
+    val thrE = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") === floor(lit(p) * (col("n") - 1)).cast("long") + 1)
+      .select(col("lang"), col("q").as("thr_e"))
+    val thrA = scored.groupBy("lang")
+      .agg(percentile_approx(col("q"), lit(p), lit(accuracy)).as("thr_a"))
+    val per = scored.join(broadcast(thrE.join(thrA, "lang")), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q") < col("thr_a"), 1L).otherwise(0L)).as("lt_a"),
+        sum(when(col("q") <= col("thr_a"), 1L).otherwise(0L)).as("le_a"),
+        sum(when(col("q") >= col("thr_a"), 1L).otherwise(0L)).as("kept_a"),
+        sum(when(col("q") >= col("thr_e"), 1L).otherwise(0L)).as("kept_e"),
+        sum(when(col("q") === col("thr_e"), 1L).otherwise(0L)).as("ties_e"),
+        sum(when(col("q") === col("thr_a"), 1L).otherwise(0L)).as("ties_a"),
+        max(col("thr_e")).as("thr_exact"))
+    val tol = lit(1.0 / accuracy) + lit(2.0) / col("n")
+    per.select(col("lang"), col("n").as("n_docs"), col("thr_exact"),
+        (col("le_a") >= (lit(p) - tol) * col("n") &&
+          col("lt_a") <= (lit(p) + tol) * col("n")).as("ok_rank"),
+        (abs(col("kept_a") - col("kept_e")) <=
+          ceil(tol * col("n")) + col("ties_e") + col("ties_a") + 2)
+          .as("ok_drift"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of [[adaptiveQualityFilterBounds]]: the exact
+    * references (per-language n and the order-statistic threshold) are
+    * recomputed exactly; the contract booleans are literal `true` —
+    * the hash gate fails iff Spark's sketch broke its guarantee. */
+  def adaptiveQualityFilterBoundsSql(table: String, id: String,
+      text: String, lang: String, p: Double): String = {
+    val q = qualityScoresSql(text).toMap.apply("stopword_ratio")
+    s"""WITH scored AS (
+  SELECT $id AS id, $lang AS lang, $q AS q FROM $table
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY lang ORDER BY q ASC NULLS FIRST, id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM scored)
+SELECT lang, n AS n_docs, q AS thr_exact,
+  true AS ok_rank, true AS ok_drift
+FROM ranked
+WHERE rn = CAST(floor(CAST($p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+ORDER BY lang"""
   }
 }

@@ -1437,6 +1437,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((2L, 2L, 0.0)), s"got ${out(2L)}")
   }
 
+  test("adaptiveQualityFilterApprox: kept-set divergence within sketch bound " +
+      "on the real corpus (sf0.01), bounds gate all-green") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = TextOps.adaptiveQualityFilter(df, "doc_id", "text", "lang",
+        p = 0.1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val approx = TextOps.adaptiveQualityFilterApprox(df, "doc_id", "text",
+        "lang", p = 0.1, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, (n, keptE)) =>
+      val (nA, keptA) = approx(lang)
+      assert(nA == n)
+      // rank guarantee transported through the filter: tol·n + slack
+      val tol = 1.0 / 10000 + 2.0 / n
+      assert(math.abs(keptA - keptE) <= math.ceil(tol * n) + 2,
+        s"$lang: exact kept $keptE vs approx $keptA of $n")
+    }
+    val bounds = TextOps.adaptiveQualityFilterBounds(df, "doc_id", "text",
+        "lang", p = 0.1, accuracy = 10000).collect()
+    assert(bounds.length == exact.size)
+    bounds.foreach { r =>
+      assert(r.getBoolean(3), s"ok_rank false for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"ok_drift false for ${r.getString(0)}")
+    }
+  }
+
   test("sessionize: exact-gap event merges (inclusive end); over-gap splits") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", TimestampType)))

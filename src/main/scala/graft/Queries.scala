@@ -2515,24 +2515,19 @@ GROUP BY doc_id ORDER BY doc_id""")),
         s"unnest(regexp_extract_all(text, '${TextOps.bpeTokenPattern}')) " +
         "AS token FROM documents) GROUP BY token " +
         "ORDER BY cnt DESC, token LIMIT 50")),
-    // Bounded to a 1/5 doc slice: MLlib's approxSimilarityJoin
-    // materializes per-hash-table bucket joins with NO bucket cap, and
-    // this corpus's tiny vocabulary makes the buckets near-all-pairs —
-    // measured 4-18 s at a 1/3 slice (GC-sensitive). The entry is an
-    // interop cross-check only; the custom banded MinHash with its
-    // windowed bucket cap remains the scale path.
+    // MLlib LSH interop via the bucket-CAPPED candidate join: the same
+    // fitted MinHashLSHModel supplies the hash values, but candidates
+    // come from a (table, hash)-bucket self-join with a count-window
+    // cap — the approxSimilarityJoin failure mode (one hot bucket →
+    // B² join rows) cannot occur, so the entry runs UNSLICED at any
+    // scale factor. Parity with the uncapped library join on cap-free
+    // corpora is spec-pinned (OpsSpec); the uncapped wrapper survives
+    // as the interop cross-check it always was.
     Entry("q_minhash_lsh_ml",
-      (s, d) => graft.ops.MlPipeline.minhashLshCandidates(
-        // Interop cross-check, not a scale path: approxSimilarityJoin
-        // has no bucket cap (the documented weak library path; the
-        // banded custom twin is the production plan), so the slice is
-        // BOUNDED — 1/5 of the FIRST key-space copy only (< ScaleData's
-        // key stride), constant-size across derived scale factors
-        // (98 s of uncapped bucket join at 10x otherwise; base dirs
-        // are unaffected, all their ids sit below the stride).
-        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0 &&
-          col("doc_id") < lit(1000000000000L)),
-        "doc_id", "text", numHashTables = 5, maxJaccardDist = 0.5),
+      (s, d) => graft.ops.MlPipeline.minhashLshCandidatesCapped(
+        docs(s, d),
+        "doc_id", "text", numHashTables = 5, maxJaccardDist = 0.5,
+        maxBucketSize = 64),
       None),
     // Multimodal binary-column stats (documents lifted into the
     // binary-asset schema; oracle via DuckDB BLOB functions).

@@ -141,4 +141,72 @@ object MlPipeline {
       .filter(col("id_a") < col("id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Bucket-CAPPED MLlib MinHashLSH candidates — the scale-safe variant
+    * of [[minhashLshCandidates]]. `approxSimilarityJoin` has no bucket
+    * cap: one boilerplate hash bucket with B members materializes B²
+    * join rows, the exact failure mode [[Dedup.minhashCandidates]]'
+    * `maxBucketSize` exists to prevent. This path keeps the MLlib
+    * estimator interop (the SAME fitted `MinHashLSHModel` produces the
+    * hash values, same seed, same keyDistance semantics) but builds the
+    * candidate join itself: explode the model's per-table hashes to
+    * (table, hash) bucket keys, drop buckets over `maxBucketSize` with
+    * a count-window over the one bucket shuffle (both self-join sides
+    * then share the exchange via ReuseExchange), self-join within
+    * surviving buckets, and score pairs with the exact Jaccard distance
+    * MLlib's `keyDistance` defines (1 − |a∩b|/|a∪b| over active term
+    * indices). Identical output to the uncapped path whenever no bucket
+    * exceeds the cap (spec-pinned); at 100 TB the cap is what makes the
+    * join's output LINEAR in corpus size instead of quadratic in the
+    * hottest bucket.
+    */
+  def minhashLshCandidatesCapped(df: DataFrame, idCol: String,
+      textCol: String, numHashTables: Int = 8, maxJaccardDist: Double = 0.6,
+      numFeatures: Int = 1 << 14, maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+        .setPattern("\\s+"),
+      new HashingTF().setInputCol("__tokens").setOutputCol("features")
+        .setNumFeatures(numFeatures).setBinary(true)))
+      .fit(df).transform(df)
+      .select(col(idCol).as("id"), col("features"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val withHashes = lsh.fit(hashed).transform(hashed)
+    val buckets = withHashes
+      .select(col("id"), posexplode(col("__hashes")).as(Seq("t", "h")))
+      .select(col("id"), col("t"),
+        element_at(vector_to_array(col("h")), 1).as("hv"))
+    val bounded = buckets
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("t", "hv")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val pairs = bounded.as("a").join(bounded.as("b"),
+        col("a.t") === col("b.t") && col("a.hv") === col("b.hv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val feats = withHashes.select(col("id"), col("features"))
+    pairs
+      .join(feats.select(col("id").as("id_a"), col("features").as("__fa")),
+        "id_a")
+      .join(feats.select(col("id").as("id_b"), col("features").as("__fb")),
+        "id_b")
+      .map { r =>
+        val a = r.getAs[SparseVector]("__fa").indices
+        val b = r.getAs[SparseVector]("__fb").indices
+        val inter = a.intersect(b).length.toDouble
+        val union = a.length + b.length - inter
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          if (union == 0.0) 1.0 else 1.0 - inter / union)
+      }
+      .toDF("id_a", "id_b", "jaccard_dist")
+      // strict <, matching approxSimilarityJoin's threshold filter
+      .filter(col("jaccard_dist") < maxJaccardDist)
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -279,6 +279,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("capped MLlib LSH == uncapped when no bucket is hot; " +
+      "hot buckets are excised under a tight cap") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, nearDup), (3L, other))
+    def key(r: Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e9))
+    val uncapped = MlPipeline.minhashLshCandidates(df, "doc_id", "text",
+      maxJaccardDist = 0.5).collect().map(key).toSet
+    val capped = MlPipeline.minhashLshCandidatesCapped(df, "doc_id", "text",
+      maxJaccardDist = 0.5, maxBucketSize = 64).collect().map(key).toSet
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+    // A boilerplate clique (identical text → every pair shares every
+    // bucket) above the cap: the hot buckets are dropped, so the clique
+    // contributes NO pairs while the distinct near-dup pair survives.
+    val boiler = (100L to 110L).map(i => (i, "the same boilerplate page"))
+    val mixed = docsDf((boiler :+ ((1L, base)) :+ ((2L, nearDup))): _*)
+    val cappedHot = MlPipeline.minhashLshCandidatesCapped(mixed, "doc_id",
+        "text", maxJaccardDist = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cappedHot.contains((1L, 2L)), s"got ${cappedHot.toSeq}")
+    assert(!cappedHot.exists(p => p._1 >= 100L),
+      s"hot-bucket clique must be excised: ${cappedHot.toSeq}")
+  }
+
   test("connectedComponents labels chains and cliques with the min id") {
     // Components: a 6-node chain (multi-round propagation), a triangle,
     // and an isolated edge.

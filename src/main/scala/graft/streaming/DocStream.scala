@@ -103,6 +103,17 @@ object DocStream {
     * first-K = smallest-K equivalence the oracle relies on (the replay
     * harness slices by doc_id to guarantee it); within a micro-batch
     * the group's rows are sorted here.
+    *
+    * Out-of-order arrival (a production crawler): BELOW the cap the
+    * emitted pair set is arrival-order-INVARIANT — every bucket member
+    * pairs with every other eventually, so a shuffled crawl still
+    * matches the id-ranked batch oracle. Divergence happens only in
+    * buckets that CROSS the cap: the kept set becomes first-K-by-
+    * arrival instead of smallest-K-by-id (already-emitted pairs cannot
+    * be retracted in Append mode). Both regimes are spec-pinned
+    * (DocStreamSpec "out-of-order arrival"). For a crawl where capped
+    * buckets must still agree with a batch reconciliation, run the
+    * batch twin's rank-based cap over the landed corpus instead.
     */
   def lshCandidates(banded: Dataset[BandRow], cap: Int): Dataset[CandPair] = {
     import banded.sparkSession.implicits._

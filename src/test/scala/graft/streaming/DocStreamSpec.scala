@@ -90,6 +90,72 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc 3 must pair with doc 1 through restored state")
   }
 
+  test("out-of-order arrival: below the cap the pair set still matches " +
+      "the batch oracle; crossing the cap diverges to first-K-by-arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (a) cap NOT binding: arrival order is irrelevant — every bucket
+    // member pairs with every other regardless of which arrived first,
+    // so a shuffled crawl still reproduces the id-ranked batch oracle.
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = DocStream.lshCandidates(
+        DocStream.bandRows(mem1.toDF().toDF("doc_id", "text"),
+          "doc_id", "text").as[DocStream.BandRow], cap = 50)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_loose")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ooock1").toString)
+      .start()
+    // shuffled slices: 4 and 2 land before 1 and 3
+    mem1.addData(4L -> (base + " d"), 2L -> (base + " b"))
+    q1.processAllAvailable()
+    mem1.addData(1L -> base, 3L -> (base + " c"))
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.table("ooo_loose")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docsDf = Seq(1L -> base, 2L -> (base + " b"), 3L -> (base + " c"),
+      4L -> (base + " d")).toDF("doc_id", "text")
+    val banded = DocStream.bandRows(docsDf, "doc_id", "text")
+    val batch = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"below-cap shuffled arrival must match batch: $streamed vs $batch")
+    assert(streamed.nonEmpty)
+
+    // (b) cap BINDING under inverted arrival: the stream keeps
+    // first-K-by-ARRIVAL {3,1} (doc 2 finds its buckets full), while
+    // the id-ranked oracle keeps smallest-K {1,2} — the documented
+    // divergence. Pairs are never retracted, merely different.
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = DocStream.lshCandidates(
+        DocStream.bandRows(mem2.toDF().toDF("doc_id", "text"),
+          "doc_id", "text").as[DocStream.BandRow], cap = 2)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_tight")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ooock2").toString)
+      .start()
+    // one micro-batch per doc — addData without a trigger in between
+    // coalesces into a single (id-sorted) batch
+    mem2.addData(3L -> base); q2.processAllAvailable()
+    mem2.addData(1L -> base); q2.processAllAvailable()
+    mem2.addData(2L -> base); q2.processAllAvailable()
+    q2.stop()
+    val tight = spark.table("ooo_tight")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 3L)),
+      s"first-K-by-arrival must keep {3,1} and ignore 2: $tight")
+  }
+
   test("bucket cap: the (cap+1)-th id is ignored, pairs stay within cap") {
     val s = spark
     import s.implicits._

@@ -101,7 +101,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above is the contract, but at 159 entries it runs
+    // several KB — longer than a log tail-capture window, so a parser
+    // reading the END of the process output sees a truncated (headless)
+    // line. Two machine-first artifacts fix that: the full JSON is
+    // written to bench_summary.json in the process cwd, and a SHORT
+    // self-contained summary (no per-query map) is printed as the LAST
+    // stdout line, small enough to survive any tail window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

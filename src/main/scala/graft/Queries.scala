@@ -3286,6 +3286,122 @@ SELECT 'file_size_stats' AS mode, 'BroadcastHashJoin' AS join_exec,
 UNION ALL
 SELECT 'model_stats', 'SortMergeJoin', n_rows, max_flag, max_status FROM j
 ORDER BY mode""")),
+    // Estimator-driven 3-way join ORDER — the completion of the
+    // optimizer-integration story: beyond flipping the build side, the
+    // learned estimate steers Catalyst's own CostBasedJoinReorder. The
+    // query as WRITTEN joins customer⋈orders first and only then the
+    // filtered lineitem; size-only statistics carry no rowCounts, so
+    // the CBO reorder cannot engage and the as-written order stands.
+    // With the stats rule on, all three branches carry injected
+    // rowCounts — the two dimension branches their exact table counts,
+    // the lineitem branch the NARU model's estimate for its 3-predicate
+    // filter — and the DP reorder moves the model-tiny lineitem side
+    // into the innermost join. Both logical orders are require()-pinned
+    // off the optimized plans, and both runs' ANSWERS are what the
+    // oracle hash-checks. Runs in the driver's plain session via
+    // attachReorderIfMissing (Catalyst's own reorder rule re-invoked
+    // after the stats rule; conf-gated no-op everywhere else).
+    Entry("q_join_reorder_model",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+        // Dimension branches: exact table counts (the catalog-stats
+        // analog); fact branch: the learned model.
+        val nOrders = Tables.read(s, d, "orders").count()
+        val nCust = Tables.read(s, d, "customer").count()
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        graft.plans.GraftRuntime.register(s"$d/orders.parquet",
+          Set("o_custkey"), _ => nOrders)
+        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
+          Set("c_custkey"), _ => nCust)
+        def joined() = {
+          val c = Tables.read(s, d, "customer")
+            .filter(col("c_custkey") >= 0L)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val o = Tables.read(s, d, "orders")
+            .filter(col("o_custkey") >= 0L)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
+              col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_quantity"))
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .join(liF, o("o_orderkey") === liF("l_orderkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast("long").as("qty_sum"))
+        }
+        /** Which side the innermost (first-executed) join touches. */
+        def innermost(df: org.apache.spark.sql.DataFrame): String = {
+          val joins = df.queryExecution.optimizedPlan
+            .collect { case j: LJoin => j }
+          val inner = joins.find(_.children.forall(
+            _.collect { case jj: LJoin => jj }.isEmpty))
+          val attrs = inner.map(_.output.map(_.name).toSet)
+            .getOrElse(Set.empty)
+          if (attrs.exists(_.startsWith("l_"))) "lineitem_first"
+          else if (attrs.contains("c_custkey")) "customer_first"
+          else "unknown"
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val base = joined()
+          val baseOrder = innermost(base)
+          val Array(baseRow) = base.collect()
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val injected = joined()
+          val injOrder = innermost(injected)
+          val Array(injRow) = injected.collect()
+          require(baseOrder == "customer_first" &&
+              injOrder == "lineitem_first" && baseRow == injRow,
+            s"model stats did not reorder the join: base=$baseOrder " +
+              s"injected=$injOrder rows=$baseRow/$injRow")
+          Seq(
+            ("file_size_stats", baseOrder, baseRow.getLong(0),
+              baseRow.getLong(1)),
+            ("model_stats", injOrder, injRow.getLong(0), injRow.getLong(1)))
+            .toDF("mode", "inner_join", "n_rows", "qty_sum")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0
+    AND l.l_quantity <= 1.0 AND l.l_discount <= 0.0
+    AND l.l_returnflag = 'R')
+SELECT 'file_size_stats' AS mode, 'customer_first' AS inner_join,
+  n_rows, qty_sum FROM j
+UNION ALL
+SELECT 'model_stats', 'lineitem_first', n_rows, qty_sum FROM j
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

@@ -185,6 +185,26 @@ object EstimatedStatsRule {
     }
     org.apache.spark.sql.graft.StatsAnnotated.ensureStrategy(spark)
   }
+
+  /** Join-ORDER steering on the attach path: a `withExtensions` session
+    * gets it for free (the preCBO slot runs the stats rule right before
+    * Catalyst's CBO batch — JoinReorderSpec), but a pre-built session's
+    * `extraOptimizations` run AFTER that batch, where the injected
+    * rowCounts can no longer steer it. Fix: append Catalyst's OWN
+    * `CostBasedJoinReorder` object rule after the stats rule in the
+    * user batch — same rule, same DP search, reading the same injected
+    * `Statistics`, just re-invoked in a slot that sees them. It is
+    * conf-gated exactly like the builtin copy (`spark.sql.cbo.enabled`
+    * && `spark.sql.cbo.joinReorder.enabled`, both default-off), so for
+    * every other query the appended rule is a no-op.
+    */
+  def attachReorderIfMissing(spark: SparkSession): Unit = {
+    attachIfMissing(spark)
+    val reorder = org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder
+    if (!spark.experimental.extraOptimizations.contains(reorder))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ reorder
+  }
 }
 
 /** The other half of the optimizer-integration north star (the COUNT(*)

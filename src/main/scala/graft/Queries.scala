@@ -65,9 +65,16 @@ object Queries {
       s"no as-of exec planted; plan:\n$plan")
     require(isBcast == broadcast,
       s"forced broadcast=$broadcast but planned isBcast=$isBcast; plan:\n$plan")
+    // Modular checksum, not a raw key sum: derived-scale dirs shift ids
+    // by a stride that grows a decade per derivation, and a raw
+    // sum(id) over millions of ~1e15 ids overflows Long under ANSI
+    // (caught by the 100x audit). sum(id % 1e6+3) is bounded by
+    // rows x 1e6 — safe past 1e12 rows — and stays an exact
+    // order-insensitive match artifact on both engines.
     joined.agg(count(lit(1)).as("n_left"),
       sum(col("q_id").isNotNull.cast("long")).as("n_matched"),
-      sum(coalesce(col("q_id"), lit(0L))).cast("long").as("sum_qid"))
+      sum(pmod(coalesce(col("q_id"), lit(0L)), lit(1000003L)))
+        .cast("long").as("sum_qid"))
   }
 
   private val asofStrategyAggSql: String = """WITH p AS (
@@ -78,7 +85,7 @@ c AS (
 SELECT count(*) AS n_left,
   CAST(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_matched,
-  CAST(sum(COALESCE(c.q_id, 0)) AS BIGINT) AS sum_qid
+  CAST(sum(COALESCE(c.q_id, 0) % 1000003) AS BIGINT) AS sum_qid
 FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
 
   /** Columns whose domains the dictionary queries exercise. */
@@ -495,7 +502,11 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
             .select(col("c_custkey").as("k"), lit("UPDATED").as("seg")))
         upd.unionAll(base.join(upd.select("k"), Seq("k"), "left_anti"))
           .groupBy("seg")
-          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+          // abs before the modular checksum: NEW keys are negated, and
+          // Spark pmod / DuckDB % disagree on negative dividends. A raw
+          // sum(k) overflows Long at derived 100x key strides.
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(abs(col("k")), lit(1000003L))).as("key_sum"))
           .orderBy("seg")
       },
       Some("""WITH upd AS (
@@ -510,7 +521,7 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
   WHERE c_custkey NOT IN (SELECT k FROM upd)
 )
 SELECT seg, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(k) AS BIGINT) AS key_sum
+  CAST(sum(abs(k) % 1000003) AS BIGINT) AS key_sum
 FROM merged GROUP BY seg ORDER BY seg""")),
     // Ranked top-k per group. The Spark side is the two-phase operator
     // (per-input-partition bounded heaps, then a rank window over the
@@ -697,7 +708,10 @@ ORDER BY set_op""")),
     Entry("q_debounce_stream",
       (s, d) => graft.streaming.Replay.debounceReplay(s, d)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_sum"))
+        // modular checksum: raw sum(event_id) overflows Long at
+        // derived 100x key strides (see asofStrategyAgg note)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(pmod(col("event_id"), lit(1000003L))).as("id_sum"))
         .orderBy("event_type"),
       Some("""WITH RECURSIVE ev AS (
   SELECT user_id, event_type, ts, event_id,
@@ -717,7 +731,7 @@ ORDER BY set_op""")),
     AND e.event_type = k.event_type AND e.rn = k.rn + 1
 )
 SELECT event_type, count(*) AS n_kept,
-  CAST(sum(event_id) AS BIGINT) AS id_sum
+  CAST(sum(event_id % 1000003) AS BIGINT) AS id_sum
 FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
     // STREAMING exact dedup, same harness: dropDuplicates over the
     // (user_id, event_type) key through the file-source replay — the
@@ -753,11 +767,13 @@ FROM keep WHERE is_kept GROUP BY event_type ORDER BY event_type""")),
     Entry("q_episode_stream",
       (s, d) => graft.streaming.Replay.episodeReplay(s, d)
         .groupBy(col("eventType").as("event_type"))
+        // modular checksum: raw sum(event_id) overflows Long at
+        // derived 100x key strides (see asofStrategyAgg note)
         .agg(count(lit(1)).as("n_episodes"),
-          sum(col("eventId")).cast("long").as("id_sum"))
+          sum(pmod(col("eventId"), lit(1000003L))).cast("long").as("id_sum"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n_episodes,
-  CAST(sum(event_id) AS BIGINT) AS id_sum
+  CAST(sum(event_id % 1000003) AS BIGINT) AS id_sum
 FROM (SELECT event_type, event_id, ts,
         lag(ts) OVER (PARTITION BY user_id, event_type
           ORDER BY ts, event_id) AS prev
@@ -1125,10 +1141,13 @@ WHERE rn = 1 ORDER BY user_id""")),
             .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
           "c_nationkey", col("c_custkey"), buckets = 8)
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), sum(col("c_custkey")).as("key_sum"))
+        // modular checksum: raw sum(c_custkey) overflows Long at
+        // derived 100x key strides (see asofStrategyAgg note)
+        .agg(count(lit(1)).as("n_cust"),
+          sum(pmod(col("c_custkey"), lit(1000003L))).as("key_sum"))
         .orderBy("n_name"),
       Some("SELECT n_name, count(*) AS n_cust, " +
-        "CAST(sum(c_custkey) AS BIGINT) AS key_sum " +
+        "CAST(sum(c_custkey % 1000003) AS BIGINT) AS key_sum " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name")),
     // Time-bucketed aggregation over the event stream table.

@@ -2534,6 +2534,15 @@ GROUP BY doc_id ORDER BY doc_id""")),
         s"unnest(regexp_extract_all(text, '${TextOps.bpeTokenPattern}')) " +
         "AS token FROM documents) GROUP BY token " +
         "ORDER BY cnt DESC, token LIMIT 50")),
+    // BPE merge LEARNING — tokenizer training as a catalog operator:
+    // the first 6 merge rules learned from the corpus (most-frequent
+    // adjacent symbol pair per round, greedy regex application, ties
+    // broken lexicographically). One corpus shuffle builds the word
+    // frequency table; every round after that is vocab-sized. The
+    // oracle unrolls the identical 6 rounds as chained DuckDB CTEs.
+    Entry("q_bpe_merges",
+      (s, d) => TextOps.bpeMerges(docs(s, d), "text", k = 6),
+      Some(TextOps.bpeMergesSql("documents", "text", k = 6))),
     // MLlib LSH interop via the bucket-CAPPED candidate join: the same
     // fitted MinHashLSHModel supplies the hash values, but candidates
     // come from a (table, hash)-bucket self-join with a count-window

@@ -715,4 +715,127 @@ FROM ranked
 WHERE rn = CAST(floor(CAST($p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
 ORDER BY lang"""
   }
+
+  /** Alphanumeric-run pre-tokenization for BPE training: every token is
+    * regex-safe by construction (no escaping needed when a learned
+    * symbol becomes a pattern), mirroring how production BPE trainers
+    * split punctuation off before learning merges. */
+  val bpeWordPattern = "[\\p{L}\\p{N}]+"
+
+  /** BPE MERGE LEARNING over the corpus — the tokenizer-training
+    * counterpart of [[bpeTokenCount]]'s pre-tokenization: learn the
+    * first `k` merge rules (most frequent adjacent symbol pair per
+    * round, greedily applied before the next round), exactly the
+    * structure of production BPE trainers.
+    *
+    * Spark-first shape (and the 100 TB shape): ONE corpus-sized
+    * shuffle builds the word-frequency table; every subsequent round
+    * operates on that VOCAB-sized table only — pair counts are a
+    * vocab-sized aggregate weighted by word frequency, the winning
+    * pair is a 1-row collect, and the merge applies as one map-side
+    * `regexp_replace` over the vocab. The corpus is never rescanned.
+    * (The per-element HOF pair expansion is fine here precisely
+    * because it runs over the vocab, not the corpus — the PLANS.md
+    * interpreter-tax rule.)
+    *
+    * Determinism: ties break (count DESC, lhs ASC, rhs ASC) — byte
+    * order equals codepoint order in UTF-8 on both engines. Merge
+    * application is TWO non-overlapping left-to-right regex passes:
+    * one pass's scan resumes after each match (consuming the shared
+    * separator before a back-to-back occurrence), and a pass-1-skipped
+    * occurrence is never adjacent to another skipped one, so the
+    * second pass provably reaches the fixpoint — NO (lhs,rhs)
+    * adjacency survives a round. Identical in Spark (Java regex) and
+    * DuckDB (RE2). Deviation from canonical BPE: a run of the same
+    * symbol pairs up every-other from the left, so odd/even run
+    * interiors can group (and under-merge) differently than the
+    * simultaneous-scan convention — spec-pinned.
+    *
+    * Output: one row per round — (merge_round, lhs, rhs, pair_count).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(bpeWordPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // " a b c " symbol form: spaces as symbol separators, a leading
+      // and trailing space so every adjacency is ' l r ' exactly.
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
+        col("cnt"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (round <- 1 to k) {
+        val best = words
+          .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
+          .select(col("cnt"), explode(expr(
+            "filter(transform(arr, (x, i) -> IF(i < size(arr) - 1, " +
+              "named_struct('l', x, 'r', arr[i + 1]), NULL)), " +
+              "p -> isnotnull(p))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(best.nonEmpty, s"no adjacent pairs left at round $round")
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round, l, r, c))
+        val next = words
+          .withColumn("sym",
+            regexp_replace(
+              regexp_replace(col("sym"), s" $l $r ", s" $l$r "),
+              s" $l $r ", s" $l$r "))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    } finally words.unpersist()
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the same k rounds unrolled as
+    * chained CTEs — identical pre-tokenization, symbol form, pair
+    * weighting, tie-break, and regex-greedy merge application. */
+  def bpeMergesSql(table: String, text: String, k: Int): String = {
+    val stages = (1 to k).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, arr[i] AS l, arr[i + 1] AS r FROM
+      (SELECT cnt, regexp_split_to_array(trim(sym), ' ') AS arr
+       FROM $prev),
+      LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+  ) GROUP BY 1, 2
+), b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+w$r AS (
+  SELECT regexp_replace(
+      regexp_replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+        ' ' || b.l || b.r || ' ', 'g'),
+      ' ' || b.l || ' ' || b.r || ' ',
+      ' ' || b.l || b.r || ' ', 'g') AS sym, cnt FROM $prev, b$r b
+)"""
+    }.mkString(",\n")
+    val rows = (1 to k).map { r =>
+      (if (r == 1) s"SELECT $r AS merge_round, l AS lhs, r AS rhs, " +
+        s"c AS pair_count FROM b$r"
+      else s"SELECT $r, l, r, c FROM b$r")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+  SELECT unnest(regexp_extract_all($text, '[\\p{L}\\p{N}]+')) AS w
+  FROM $table
+), w0 AS (
+  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1
+),
+$stages
+SELECT * FROM (
+  $rows
+) ORDER BY merge_round"""
+  }
 }

@@ -1492,6 +1492,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeMerges learns the frequency-ordered pairs; same-symbol runs " +
+      "follow the regex-greedy every-other convention") {
+    // "abab" x3 + "ab" x2: pair counts round 1 — (a,b) 8, (b,a) 3 →
+    // learn (a,b). Round 2 symbols: "ab ab" / "ab" → (ab,ab) 3 wins.
+    val df = docsDf((1L, "abab abab abab ab ab"))
+    val out = TextOps.bpeMerges(df, "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)), s"got $out")
+    // Same-symbol run: "aaaa" has 3 adjacent (a,a); the merge applies
+    // every-other (scan resumes after each match) → "aa aa", so round 2
+    // sees (aa,aa), not (aa,a).
+    val df2 = docsDf((1L, "aaaa aaaa"))
+    val out2 = TextOps.bpeMerges(df2, "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out2 == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), s"got $out2")
+  }
+
   test("sessionize: exact-gap event merges (inclusive end); over-gap splits") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", TimestampType)))

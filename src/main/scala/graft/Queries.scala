@@ -2701,6 +2701,43 @@ FROM q ORDER BY query_id""")),
       Some("SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings " +
         "WHERE vec_id % 50 = 0 ORDER BY id_a, id_b")),
+    // SemDeDup-style SEMANTIC dedup END-TO-END: embedding near-dup
+    // pairs (banded sign-LSH buckets + exact cosine threshold) →
+    // connected components → keep the min-id representative per
+    // cluster, everything else dropped. Same planted-ground-truth gate
+    // as q_embed_neardup: exact duplicates of a 1-in-50 slice are the
+    // ONLY pairs clearing 0.9 on this near-orthogonal corpus, so the
+    // kept set is exactly the base table and the oracle is closed-form.
+    // Scale shape: the pair join is bucket-capped (nearDupPairs),
+    // components shuffle (id,label) pairs only, and retention is one
+    // left_anti join — text/embeddings never shuffle beyond the
+    // banded buckets.
+    Entry("q_semdedup",
+      (s, d) => {
+        val base = emb(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val planted = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            col("embedding"), col("label"))
+        val all = base.unionByName(planted)
+        val pairs = Similarity.nearDupPairs(
+          all.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.9)
+        val comps = graft.ops.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+        val dropped = comps.filter(col("id") =!= col("comp"))
+          .select(col("id").as("vec_id"))
+        val kept = all.join(dropped, Seq("vec_id"), "left_anti")
+        all.groupBy(col("label")).agg(count(lit(1)).as("n_candidates"))
+          .join(kept.groupBy(col("label")).agg(count(lit(1)).as("n_kept")),
+            Seq("label"))
+          .orderBy("label")
+      },
+      Some("""SELECT label,
+  CAST(count(*) + sum(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_candidates,
+  CAST(count(*) AS BIGINT) AS n_kept
+FROM embeddings GROUP BY label ORDER BY label""")),
     // Int8 embedding quantization checksums (the 4× ANN memory lever
     // at 100 TB): per-vector symmetric scale, floor(+0.5) codes, and
     // a sum/min/max checksum that any single-element error breaks —

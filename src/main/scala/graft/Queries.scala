@@ -918,6 +918,50 @@ FROM pu ORDER BY user_id""")),
       },
       Some(graft.ops.Incremental.reportSql("lineitem",
         Seq("l_returnflag", "l_linestatus"), "l_quantity"))),
+    // MERGEABLE-sketch rollup — the incremental distinct-count pattern
+    // at 100 TB: per-month Datasketches HLL sketches over o_custkey,
+    // stored as binary columns and UNIONED later, must agree with one
+    // direct whole-table sketch to within the sketch's own rsd (the
+    // union path promotes through a different internal representation
+    // — HLL_8 accumulator vs the direct sketch's build path — so
+    // bit-equality holds only in sparse mode; measured at sf0.001 the
+    // estimates ARE equal, and past promotion they differ well under
+    // one rsd). This is the contract that lets a warehouse keep
+    // per-partition sketches and answer any date-range distinct query
+    // without rescanning. Second row gates the direct estimate against
+    // the exact distinct within 4x rsd (the q_sketch_bounds
+    // precedent). Sketch VALUES are engine-specific; the CONTRACT
+    // booleans plus the exact reference are what DuckDB hash-checks.
+    Entry("q_hll_rollup",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.read(s, d, "orders")
+        val lgK = 12
+        val perMonth = o
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"))
+        val merged = perMonth
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+          .head().getLong(0)
+        val direct = o
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("o_custkey"), lit(lgK))).as("e"))
+          .head().getLong(0)
+        val exact = o.agg(countDistinct(col("o_custkey"))).head().getLong(0)
+        val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        Seq(
+          ("hll_merge_within_rsd", exact,
+            math.abs(merged - direct).toDouble / direct <= rsd),
+          ("hll_rsd_bounds", exact,
+            math.abs(direct - exact).toDouble / exact <= 4 * rsd))
+          .toDF("metric", "exact_ref", "ok").orderBy("metric")
+      },
+      Some("""SELECT 'hll_merge_within_rsd' AS metric,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ref, true AS ok
+FROM orders
+UNION ALL
+SELECT 'hll_rsd_bounds', CAST(count(DISTINCT o_custkey) AS BIGINT), true
+FROM orders ORDER BY metric""")),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but
     // engine-specific -> rows-only check.

@@ -1208,6 +1208,35 @@ WHERE rn = 1 ORDER BY user_id""")),
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // Cohort retention triangle — the classic product-analytics
+    // rollup: users are cohorted by their FIRST event month, and each
+    // (cohort, months-since) cell counts the distinct users still
+    // active. Two shuffles at any scale: the per-user min (partial agg
+    // on user_id) and the cell aggregate; the cohort table is
+    // users-sized and joins back on the same user_id key.
+    Entry("q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+          .select(col("user_id"), date_trunc("month", col("ts")).as("m"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(col("m")).as("cohort_month"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_month"),
+            months_between(col("m"), col("cohort_month")).cast("int")
+              .as("months_since"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_month", "months_since")
+      },
+      Some("""WITH ev AS (
+  SELECT user_id, date_trunc('month', ts) AS m FROM events
+), cohort AS (
+  SELECT user_id, min(m) AS cohort_month FROM ev GROUP BY user_id
+)
+SELECT c.cohort_month,
+  CAST(datediff('month', c.cohort_month, e.m) AS INTEGER) AS months_since,
+  count(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_month, months_since""")),
     // Native session_window sessionization (30-min gap) — the batch
     // declarative twin of the transformWithState episode replay. Oracle
     // is the classic lag-gap + running-sum formulation; boundary (event

@@ -1208,6 +1208,67 @@ WHERE rn = 1 ORDER BY user_id""")),
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // SLIDING-window aggregation (size 2h, slide 1h) via the native
+    // `window()` generator — each event lands in exactly two window
+    // instances, the overlap a tumbling bucket cannot express. The
+    // oracle materializes the same two epoch-aligned window starts per
+    // event as a UNION ALL. One Expand + one partial-agg shuffle.
+    Entry("q_sliding_window",
+      (s, d) => Tables.read(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("cnt"), col("n_users"))
+        .orderBy("w_start", "event_type"),
+      Some("""WITH x AS (
+  SELECT date_trunc('hour', ts) AS w_start, event_type, user_id
+  FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, user_id
+  FROM events
+)
+SELECT w_start, event_type, count(*) AS cnt,
+  count(DISTINCT user_id) AS n_users
+FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+    // BATCH funnel conversion (view -> click -> purchase, strictly
+    // ordered by time per user): stage k's timestamp is the user's
+    // first qualifying event at or after stage k-1's. Three per-user
+    // min-aggregates chained by key joins — every shuffle is on
+    // user_id, so a co-partitioned layout pays ONE exchange at scale.
+    // The streaming twin is q_funnel_stream; this is the declarative
+    // backfill formulation.
+    Entry("q_funnel_batch",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.read(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") >= col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        Seq(("1_view", v.count()), ("2_click", c.count()),
+          ("3_purchase", p.count()))
+          .toDF("stage", "n_users").orderBy("stage")
+      },
+      Some("""WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage""")),
     // Cohort retention triangle — the classic product-analytics
     // rollup: users are cohorted by their FIRST event month, and each
     // (cohort, months-since) cell counts the distinct users still

@@ -1208,6 +1208,58 @@ WHERE rn = 1 ORDER BY user_id""")),
         "count(*) AS cnt, count(DISTINCT user_id) AS n_users, " +
         "min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type")),
+    // BLOCKED fuzzy join (record linkage): a deterministically
+    // corrupted ingest feed (every third customer name gets one
+    // substituted character) links back to the master table via a
+    // BLOCKING key (last 4 name chars, preserved by the corruption) +
+    // an edit-distance candidate filter — the standard shape that
+    // keeps fuzzy matching linear: candidates are per-block, never
+    // all-pairs, and the block key is chosen so true matches cannot
+    // escape their block. Artifact: match-quality census (exact /
+    // fuzzy / unmatched), identical levenshtein in both engines.
+    Entry("q_fuzzy_join",
+      (s, d) => {
+        import s.implicits._
+        val clean = Tables.read(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        val dirty = clean.select(col("k"),
+          when(pmod(col("k"), lit(3)) === 0,
+            concat(substring(col("name"), 1, 11), lit("X"),
+              expr("substring(name, 13)")))
+            .otherwise(col("name")).as("dname"))
+        val cand = dirty.join(clean,
+            expr("right(dname, 4)") === expr("right(name, 4)"))
+          .filter(levenshtein(col("dname"), col("name")) <= 1)
+          .groupBy(dirty("k"))
+          .agg(min(levenshtein(col("dname"), col("name"))).as("best"))
+        val nDirty = dirty.count()
+        val nExact = cand.filter(col("best") === 0).count()
+        val nFuzzy = cand.filter(col("best") === 1).count()
+        Seq(("n_dirty", nDirty), ("n_exact", nExact), ("n_fuzzy", nFuzzy),
+          ("n_unmatched", nDirty - nExact - nFuzzy))
+          .toDF("metric", "n").orderBy("metric")
+      },
+      Some("""WITH clean AS (
+  SELECT c_custkey AS k, c_name AS name FROM customer
+), dirty AS (
+  SELECT k, CASE WHEN k % 3 = 0
+    THEN substr(name, 1, 11) || 'X' || substr(name, 13)
+    ELSE name END AS dname
+  FROM clean
+), cand AS (
+  SELECT d.k, min(levenshtein(d.dname, c.name)) AS best
+  FROM dirty d JOIN clean c ON right(d.dname, 4) = right(c.name, 4)
+  WHERE levenshtein(d.dname, c.name) <= 1
+  GROUP BY d.k
+)
+SELECT 'n_dirty' AS metric, CAST(count(*) AS BIGINT) AS n FROM dirty
+UNION ALL SELECT 'n_exact', CAST(count(*) AS BIGINT) FROM cand
+  WHERE best = 0
+UNION ALL SELECT 'n_fuzzy', CAST(count(*) AS BIGINT) FROM cand
+  WHERE best = 1
+UNION ALL SELECT 'n_unmatched',
+  CAST((SELECT count(*) FROM dirty) - count(*) AS BIGINT) FROM cand
+ORDER BY metric""")),
     // SLIDING-window aggregation (size 2h, slide 1h) via the native
     // `window()` generator — each event lands in exactly two window
     // instances, the overlap a tumbling bucket cannot express. The

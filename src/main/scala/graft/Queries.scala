@@ -1215,8 +1215,14 @@ WHERE rn = 1 ORDER BY user_id""")),
     // an edit-distance candidate filter — the standard shape that
     // keeps fuzzy matching linear: candidates are per-block, never
     // all-pairs, and the block key is chosen so true matches cannot
-    // escape their block. Artifact: match-quality census (exact /
-    // fuzzy / unmatched), identical levenshtein in both engines.
+    // escape their block. The probe side is the DISTINCT name set per
+    // block, not clean rows — derived-scale dirs replicate every name
+    // ~SF times (keys shift, names do not), and row-level candidates
+    // would grow quadratically in that replication (caught live at the
+    // 100x point: one 557 s CPU task); the distinct set stays
+    // base-sized at any SF and min-over-distinct equals min-over-rows.
+    // Artifact: match-quality census (exact / fuzzy / unmatched),
+    // identical levenshtein in both engines.
     Entry("q_fuzzy_join",
       (s, d) => {
         import s.implicits._
@@ -1227,11 +1233,14 @@ WHERE rn = 1 ORDER BY user_id""")),
             concat(substring(col("name"), 1, 11), lit("X"),
               expr("substring(name, 13)")))
             .otherwise(col("name")).as("dname"))
-        val cand = dirty.join(clean,
-            expr("right(dname, 4)") === expr("right(name, 4)"))
-          .filter(levenshtein(col("dname"), col("name")) <= 1)
-          .groupBy(dirty("k"))
-          .agg(min(levenshtein(col("dname"), col("name"))).as("best"))
+          .withColumn("bk", expr("right(dname, 4)"))
+        val cleanNames = clean.select(col("name")).distinct()
+          .withColumn("bk", expr("right(name, 4)"))
+        val cand = dirty.join(cleanNames, "bk")
+          .select(col("k"),
+            levenshtein(col("dname"), col("name")).as("lev"))
+          .filter(col("lev") <= 1)
+          .groupBy("k").agg(min(col("lev")).as("best"))
         val nDirty = dirty.count()
         val nExact = cand.filter(col("best") === 0).count()
         val nFuzzy = cand.filter(col("best") === 1).count()
@@ -1246,9 +1255,11 @@ WHERE rn = 1 ORDER BY user_id""")),
     THEN substr(name, 1, 11) || 'X' || substr(name, 13)
     ELSE name END AS dname
   FROM clean
+), names AS (
+  SELECT DISTINCT name FROM clean
 ), cand AS (
   SELECT d.k, min(levenshtein(d.dname, c.name)) AS best
-  FROM dirty d JOIN clean c ON right(d.dname, 4) = right(c.name, 4)
+  FROM dirty d JOIN names c ON right(d.dname, 4) = right(c.name, 4)
   WHERE levenshtein(d.dname, c.name) <= 1
   GROUP BY d.k
 )

@@ -1332,6 +1332,82 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // Time-series RESAMPLE: per-user hourly activity re-gridded onto a
+    // dense hour axis (sequence() from the user's first to last active
+    // hour), missing hours FORWARD-FILLED from the last observation —
+    // the gap-filling shape every metrics pipeline needs before
+    // windowed math. The fill is a last(ignoreNulls) running window
+    // per user (bounded by the user's own span, never table-wide);
+    // filled counts are integers, so the per-user checksum is exact on
+    // both engines.
+    Entry("q_gap_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.read(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("filled", last(col("cnt"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            count(col("cnt")).as("n_observed"),
+            sum(col("filled")).as("filled_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT user_id,
+    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY user_id
+), filled AS (
+  SELECT g.user_id, g.h, hourly.cnt,
+    last_value(hourly.cnt IGNORE NULLS) OVER (PARTITION BY g.user_id
+      ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS f
+  FROM grid g LEFT JOIN hourly USING (user_id, h)
+)
+SELECT user_id, count(*) AS n_hours,
+  CAST(count(cnt) AS BIGINT) AS n_observed,
+  CAST(sum(f) AS BIGINT) AS filled_sum
+FROM filled GROUP BY user_id ORDER BY user_id""")),
+    // Smoothed TARGET ENCODING (the ML-prep categorical encoder):
+    // enc(cat) = (sum_y + m·global_mean) / (n + m), m = 10 — the
+    // Bayesian-shrunk category mean that replaces one-hot columns at
+    // high cardinality. Cross-engine float discipline: o_totalprice
+    // sums are made EXACT first (floor(x·100 + 0.5) integer cents; a
+    // raw double sum is order-dependent, and DuckDB CAST rounds where
+    // Spark truncates — floor(+0.5) pins both), then one identical
+    // double division produces the encoding.
+    Entry("q_target_encode",
+      (s, d) => {
+        val o = Tables.read(s, d, "orders").select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val g = o.agg((sum(col("cents")).cast("double") /
+          count(lit(1))).as("gm")).head().getDouble(0)
+        o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .select(col("o_orderpriority"), col("n"),
+            ((col("sum_cents") + lit(10.0) * lit(g)) / (col("n") + 10))
+              .as("enc_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (
+  SELECT o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS gm FROM o
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  (sum(cents) + 10.0 * gm) / (count(*) + 10) AS enc_cents
+FROM o, g GROUP BY o_orderpriority, gm ORDER BY o_orderpriority""")),
     // Cohort retention triangle — the classic product-analytics
     // rollup: users are cohorted by their FIRST event month, and each
     // (cohort, months-since) cell counts the distinct users still

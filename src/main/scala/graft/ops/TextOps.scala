@@ -751,7 +751,10 @@ ORDER BY lang"""
     * interiors can group (and under-merge) differently than the
     * simultaneous-scan convention — spec-pinned.
     *
-    * Output: one row per round — (merge_round, lhs, rhs, pair_count).
+    * Output: one row per round — (merge_round, lhs, rhs, pair_count,
+    * total_symbols), the last being the corpus-wide symbol count AFTER
+    * applying that round's merge (Σ word_count · symbols-per-word, a
+    * vocab-sized aggregate): the tokenizer's compression curve.
     */
   def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -766,7 +769,8 @@ ORDER BY lang"""
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
         col("cnt"))
       .persist()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     try {
       for (round <- 1 to k) {
         val best = words
@@ -782,19 +786,22 @@ ORDER BY lang"""
         require(best.nonEmpty, s"no adjacent pairs left at round $round")
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
-        merges += ((round, l, r, c))
         val next = words
           .withColumn("sym",
             regexp_replace(
               regexp_replace(col("sym"), s" $l $r ", s" $l$r "),
               s" $l $r ", s" $l$r "))
           .persist()
-        next.count()
+        val total = next
+          .agg(sum(col("cnt") * size(split(trim(col("sym")), " "))))
+          .head().getLong(0)
+        merges += ((round, l, r, c, total))
         words.unpersist()
         words = next
       }
     } finally words.unpersist()
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    merges.toSeq
+      .toDF("merge_round", "lhs", "rhs", "pair_count", "total_symbols")
       .orderBy("merge_round")
   }
 
@@ -820,10 +827,13 @@ w$r AS (
       ' ' || b.l || b.r || ' ', 'g') AS sym, cnt FROM $prev, b$r b
 )"""
     }.mkString(",\n")
+    def totalOf(r: Int): String =
+      s"(SELECT CAST(sum(cnt * len(regexp_split_to_array(trim(sym), ' ')))" +
+        s" AS BIGINT) FROM w$r)"
     val rows = (1 to k).map { r =>
       (if (r == 1) s"SELECT $r AS merge_round, l AS lhs, r AS rhs, " +
-        s"c AS pair_count FROM b$r"
-      else s"SELECT $r, l, r, c FROM b$r")
+        s"c AS pair_count, ${totalOf(r)} AS total_symbols FROM b$r"
+      else s"SELECT $r, l, r, c, ${totalOf(r)} FROM b$r")
     }.mkString("\n  UNION ALL ")
     s"""WITH toks AS (
   SELECT unnest(regexp_extract_all($text, '[\\p{L}\\p{N}]+')) AS w

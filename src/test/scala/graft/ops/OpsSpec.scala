@@ -1499,16 +1499,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = docsDf((1L, "abab abab abab ab ab"))
     val out = TextOps.bpeMerges(df, "text", k = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3))).toSeq
-    assert(out == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)), s"got $out")
+        r.getLong(3), r.getLong(4))).toSeq
+    // compression curve: 16 initial symbols -> 8 after (a,b) -> 5
+    assert(out == Seq((1, "a", "b", 8L, 8L), (2, "ab", "ab", 3L, 5L)),
+      s"got $out")
     // Same-symbol run: "aaaa" has 3 adjacent (a,a); the merge applies
     // every-other (scan resumes after each match) → "aa aa", so round 2
     // sees (aa,aa), not (aa,a).
     val df2 = docsDf((1L, "aaaa aaaa"))
     val out2 = TextOps.bpeMerges(df2, "text", k = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3))).toSeq
-    assert(out2 == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), s"got $out2")
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out2 == Seq((1, "a", "a", 6L, 4L), (2, "aa", "aa", 2L, 2L)),
+      s"got $out2")
   }
 
   test("sessionize: exact-gap event merges (inclusive end); over-gap splits") {

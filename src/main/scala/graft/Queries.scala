@@ -1332,6 +1332,78 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // Numeric HISTOGRAM with fixed-width bins — the profiling
+    // primitive behind every distribution dashboard: one codegen'd
+    // floor((x-lo)/w) bin expression, one partial-agg shuffle of
+    // (bin, count) pairs, never a sort. Identical floor arithmetic in
+    // both engines; bin ids are exact integers.
+    Entry("q_histogram",
+      (s, d) => Tables.read(s, d, "orders")
+        .select(floor((col("o_totalprice") - lit(0.0)) / lit(20000.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor((o_totalprice - 0.0) / 20000.0) AS BIGINT)
+  AS bin, count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY bin""")),
+    // A/B-test readout: per-variant (deterministic user_id hash split)
+    // purchase conversion with the pooled two-proportion z statistic —
+    // the experiment-analysis primitive. Conversions and exposure
+    // counts are exact integers; the z arithmetic is ONE identical
+    // left-to-right double chain on both engines, rounded to 6 places
+    // (the quality-scores precedent for single-division metrics).
+    Entry("q_abtest",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 100.0, 1L)
+            .otherwise(0L)).as("converted"))
+          // parity split, not a hash split: DuckDB lacks crc32, and the
+          // md5-prefix hash splits already have their own entries
+          .select(pmod(col("user_id"), lit(2)).as("variant"),
+            col("converted"))
+        val agg = perUser.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val r = agg.orderBy("variant").collect()
+        val (n1, c1) = (r(0).getLong(1).toDouble, r(0).getLong(2).toDouble)
+        val (n2, c2) = (r(1).getLong(1).toDouble, r(1).getLong(2).toDouble)
+        val p = (c1 + c2) / (n1 + n2)
+        val zRaw = (c1 / n1 - c2 / n2) /
+          math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+        // HALF_UP (away from zero) matches DuckDB round(); Math.round
+        // would differ on negative exact halves
+        val z = BigDecimal(zRaw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), z),
+          (r(1).getLong(0), r(1).getLong(1), r(1).getLong(2), z))
+          .toDF("variant", "n", "conv", "z").orderBy("variant")
+      },
+      Some("""WITH pu AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND value > 100.0
+      THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT user_id % 2 AS variant, converted FROM pu
+), a AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(converted) AS BIGINT) AS conv
+  FROM v GROUP BY variant
+), s AS (
+  SELECT
+    (SELECT CAST(conv AS DOUBLE) FROM a WHERE variant = 0) AS c1,
+    (SELECT CAST(n AS DOUBLE) FROM a WHERE variant = 0) AS n1,
+    (SELECT CAST(conv AS DOUBLE) FROM a WHERE variant = 1) AS c2,
+    (SELECT CAST(n AS DOUBLE) FROM a WHERE variant = 1) AS n2
+), z AS (
+  SELECT round((c1 / n1 - c2 / n2) /
+    sqrt(((c1 + c2) / (n1 + n2)) * (1 - (c1 + c2) / (n1 + n2)) *
+      (1 / n1 + 1 / n2)), 6) AS z
+  FROM s
+)
+SELECT variant, n, conv, z FROM a, z ORDER BY variant""")),
     // DATA-QUALITY audit — the assertion suite every ingest pipeline
     // runs before publishing a table: duplicate-key count (one
     // distinct), referential orphans (one anti-join, broadcast when

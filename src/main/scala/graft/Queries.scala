@@ -1332,6 +1332,34 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // Event TRANSITION matrix (first-order Markov counts): for each
+    // user's time-ordered stream, count (event, next-event) pairs —
+    // the navigation-flow / next-action primitive. One lead() window
+    // per user (frames bounded by each user's own event count) and one
+    // (from, to) partial-agg shuffle; ties broken by event_id so both
+    // engines walk the same order.
+    Entry("q_transition_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.read(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type")
+            .as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""SELECT event_type AS from_type, next_type AS to_type,
+  count(*) AS cnt
+FROM (
+  SELECT event_type, lead(event_type) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_type, to_type""")),
     // Numeric HISTOGRAM with fixed-width bins — the profiling
     // primitive behind every distribution dashboard: one codegen'd
     // floor((x-lo)/w) bin expression, one partial-agg shuffle of

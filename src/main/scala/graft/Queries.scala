@@ -1332,6 +1332,35 @@ SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage""")),
+    // ORC round-trip — format breadth for the source/sink surface
+    // beyond parquet/CSV/DSv2: write a pruned orders projection as
+    // ORC (splittable, predicate-pushdown-capable, the other columnar
+    // default in the Hadoop world), read it back, and aggregate; the
+    // oracle runs the same aggregate over the parquet original, so the
+    // gate proves the ORC path is LOSSLESS for longs, strings, and
+    // doubles (binary columnar round-trip; integer-cents sum pins the
+    // doubles exactly).
+    Entry("q_orc_roundtrip",
+      (s, d) => {
+        val dir = "/tmp/graft_orc/" + d.replaceAll("[^A-Za-z0-9]", "_")
+        Tables.read(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("cents_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents_sum,
+  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
     // Event TRANSITION matrix (first-order Markov counts): for each
     // user's time-ordered stream, count (event, next-event) pairs —
     // the navigation-flow / next-action primitive. One lead() window

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout straight through instead of decorating
+// every line with sbt's "[info] " logger prefix: the driver parses the
+// bench/verify machine lines from the process tail, and a prefixed
+// line no longer starts with '{' so its JSON parse fails (BENCH_r10
+// recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

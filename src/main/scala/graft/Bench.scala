@@ -114,7 +114,10 @@ object Bench {
       java.nio.file.Paths.get("bench_summary.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
+    // Distinct metric name: a consumer selecting lines by
+    // "metric":"total" must match ONLY the full contract line above,
+    // not this short tail-window-safe duplicate.
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

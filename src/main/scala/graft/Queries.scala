@@ -949,9 +949,15 @@ FROM pu ORDER BY user_id""")),
           .head().getLong(0)
         val exact = o.agg(countDistinct(col("o_custkey"))).head().getLong(0)
         val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        // 2x rsd for merge-vs-direct: the two sides are DISTINCT
+        // estimator paths (HLL_8 union accumulator vs build-path
+        // sketch), each carrying ~rsd of its own error, so a 1x
+        // bracket is only measured at tested scales — 2x is the
+        // scale-robust contract (each path is separately gated
+        // against exact at 4x rsd below).
         Seq(
           ("hll_merge_within_rsd", exact,
-            math.abs(merged - direct).toDouble / direct <= rsd),
+            math.abs(merged - direct).toDouble / direct <= 2 * rsd),
           ("hll_rsd_bounds", exact,
             math.abs(direct - exact).toDouble / exact <= 4 * rsd))
           .toDF("metric", "exact_ref", "ok").orderBy("metric")
@@ -1225,7 +1231,6 @@ WHERE rn = 1 ORDER BY user_id""")),
     // identical levenshtein in both engines.
     Entry("q_fuzzy_join",
       (s, d) => {
-        import s.implicits._
         val clean = Tables.read(s, d, "customer")
           .select(col("c_custkey").as("k"), col("c_name").as("name"))
         val dirty = clean.select(col("k"),
@@ -1241,12 +1246,22 @@ WHERE rn = 1 ORDER BY user_id""")),
             levenshtein(col("dname"), col("name")).as("lev"))
           .filter(col("lev") <= 1)
           .groupBy("k").agg(min(col("lev")).as("best"))
-        val nDirty = dirty.count()
-        val nExact = cand.filter(col("best") === 0).count()
-        val nFuzzy = cand.filter(col("best") === 1).count()
-        Seq(("n_dirty", nDirty), ("n_exact", nExact), ("n_fuzzy", nFuzzy),
-          ("n_unmatched", nDirty - nExact - nFuzzy))
-          .toDF("metric", "n").orderBy("metric")
+        // One pass: left-join the census back to dirty, count every
+        // bucket with sum(when...) in a single aggregate, unpivot with
+        // stack(). Three separate .count() actions each re-scanned the
+        // full lineage — at 100 TB that is three corpus reads for one
+        // four-row answer.
+        dirty.select(col("k")).join(cand, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_dirty"),
+            coalesce(sum(when(col("best") === 0, 1L)), lit(0L))
+              .as("n_exact"),
+            coalesce(sum(when(col("best") === 1, 1L)), lit(0L))
+              .as("n_fuzzy"),
+            coalesce(sum(when(col("best").isNull, 1L)), lit(0L))
+              .as("n_unmatched"))
+          .selectExpr("stack(4, 'n_dirty', n_dirty, 'n_exact', n_exact, " +
+            "'n_fuzzy', n_fuzzy, 'n_unmatched', n_unmatched) AS (metric, n)")
+          .orderBy("metric")
       },
       Some("""WITH clean AS (
   SELECT c_custkey AS k, c_name AS name FROM customer
@@ -1303,7 +1318,6 @@ FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""")),
     // backfill formulation.
     Entry("q_funnel_batch",
       (s, d) => {
-        import s.implicits._
         val ev = Tables.read(s, d, "events")
           .select(col("user_id"), col("event_type"), col("ts"))
         val v = ev.filter(col("event_type") === "view")
@@ -1314,9 +1328,16 @@ FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""")),
         val p = ev.filter(col("event_type") === "purchase")
           .join(c, "user_id").filter(col("ts") >= col("t2"))
           .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        Seq(("1_view", v.count()), ("2_click", c.count()),
-          ("3_purchase", p.count()))
-          .toDF("stage", "n_users").orderBy("stage")
+        // Stage containment (p ⊆ c ⊆ v by construction) lets two
+        // user-keyed left joins carry all three stage flags, so ONE
+        // aggregate pass + stack() replaces the former three .count()
+        // actions (each a full lineage re-execution).
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3"))
+          .selectExpr("stack(3, '1_view', n1, '2_click', n2, " +
+            "'3_purchase', n3) AS (stage, n_users)")
+          .orderBy("stage")
       },
       Some("""WITH v AS (
   SELECT user_id, min(ts) AS t1 FROM events
@@ -1342,12 +1363,19 @@ ORDER BY stage""")),
     // doubles exactly).
     Entry("q_orc_roundtrip",
       (s, d) => {
-        val dir = "/tmp/graft_orc/" + d.replaceAll("[^A-Za-z0-9]", "_")
+        // pid-keyed path: two concurrent bench/verify processes over
+        // the same dataset must not race on one fixed dir (one would
+        // overwrite while the other reads back). The aggregate is
+        // fully materialized by the collect-and-rebuild below, so the
+        // ORC artifact can be deleted before returning — no /tmp
+        // residue accumulates across runs.
+        val dir = "/tmp/graft_orc/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
         Tables.read(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"))
           .write.mode("overwrite").orc(dir)
-        s.read.orc(dir)
+        val agg = s.read.orc(dir)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -1355,6 +1383,12 @@ ORDER BY stage""")),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key"))
           .orderBy("o_orderpriority")
+        // group-count-sized (5 priorities): safe to land on the driver
+        val rows = agg.collect().toSeq
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), agg.schema)
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -1423,9 +1457,16 @@ FROM orders GROUP BY 1 ORDER BY bin""")),
         val agg = perUser.groupBy("variant")
           .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
         val r = agg.orderBy("variant").collect()
+        require(r.length == 2,
+          s"q_abtest: expected both parity variants, got ${r.length}")
         val (n1, c1) = (r(0).getLong(1).toDouble, r(0).getLong(2).toDouble)
         val (n2, c2) = (r(1).getLong(1).toDouble, r(1).getLong(2).toDouble)
         val p = (c1 + c2) / (n1 + n2)
+        // degenerate pooled rate (all or none convert) makes the z
+        // denominator sqrt(0) — NaN/Inf whose hash behavior vs DuckDB
+        // is engine-specific; fail loudly instead
+        require(p > 0.0 && p < 1.0,
+          f"q_abtest: degenerate pooled conversion rate $p%.6f")
         val zRaw = (c1 / n1 - c2 / n2) /
           math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
         // HALF_UP (away from zero) matches DuckDB round(); Math.round
@@ -2663,6 +2704,93 @@ r AS (SELECT comp, doc_id, n_tokens,
 SELECT comp, CAST(sz AS BIGINT) AS sz, n_tokens, doc_id AS keep_id
 FROM r WHERE rn = 1 ORDER BY comp"""
       }),
+    // Scale-audit twin of q_dedup_keep_best: the IDENTICAL generic
+    // pipeline (capped posting lists → map-side pair generation →
+    // label-propagation components → one max(struct) keep-best
+    // aggregation) run at jaccard threshold 1.0 — where the closure is
+    // an EQUIVALENCE (jaccard==1 iff the rare-shingle sets are equal),
+    // so the oracle is a linear GROUP BY over a canonical set
+    // fingerprint instead of a recursive CTE. The 0.5-threshold
+    // entry's recursive-CTE oracle dies on DuckDB spill at derived
+    // 100x (replication-sized cliques); this one scales with the
+    // operator, so the decade audit can gate keep-best at ANY sf.
+    // Exact-set matching is not a toy: it is the containment-dedup
+    // criterion run before fuzzy passes in curation pipelines.
+    Entry("q_dedup_keep_best_eq",
+      (s, d) => {
+        // The base corpus has no equal-set groups at small sf, so the
+        // entry PLANTS one duplicate of every 50th doc — offset
+        // DERIVED from the data (max id + 1), never a fixed constant:
+        // derived-scale dirs push doc_ids to ~1e15 where any fixed
+        // offset eventually collides (the q_merge_upsert lesson). Both
+        // engines compute the same offset, so ids stay comparable.
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val all = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(50)) === 0)
+            .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+        val pairs = Dedup.ngramJaccardPairsFromShingles(
+          Dedup.explodeShingles(all, "doc_id", "text", 3),
+          1.0, maxShingleDf = 100)
+        val labeled = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+          .join(all.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+            "doc_id")
+        labeled.groupBy(col("comp"))
+          .agg(count(lit(1)).as("sz"),
+            max(struct(col("n_tokens"), (-col("doc_id")).as("negid")))
+              .as("m"))
+          .select(col("comp"), col("sz"),
+            col("m.n_tokens").as("n_tokens"),
+            (-col("m.negid")).as("keep_id"))
+          .orderBy("comp")
+      },
+      Some {
+        // Rare-shingle-set fingerprint groups: same tokenization,
+        // same distinct 3-gram shingles, same df<=100 rarity cap as
+        // the Spark pipeline; a cluster is a >=2-doc group sharing the
+        // exact rare set (tokens cannot contain whitespace, so the
+        // newline-joined sorted set is collision-free).
+        s"""WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+  FROM documents WHERE doc_id % 50 = 0
+), toks AS (
+  SELECT doc_id AS id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM uni),
+  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+), sh0 AS (
+  SELECT DISTINCT id, tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+    lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sh AS (
+  SELECT id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING count(*) <= 100)
+), k AS (
+  SELECT id, md5(string_agg(shingle, chr(10) ORDER BY shingle)) AS fp
+  FROM sh GROUP BY id
+), grp AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS sz, min(id) AS comp
+  FROM k GROUP BY fp HAVING count(*) >= 2
+), t AS (
+  SELECT doc_id, CAST(${TextOps.tokenCountSql("text")} AS BIGINT)
+    AS n_tokens FROM uni
+), j AS (
+  SELECT k.id AS doc_id, grp.comp, grp.sz, t.n_tokens
+  FROM k JOIN grp USING (fp) JOIN t ON t.doc_id = k.id
+), r AS (
+  SELECT comp, sz, doc_id, n_tokens,
+    row_number() OVER (PARTITION BY comp
+      ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM j)
+SELECT comp, sz, n_tokens, doc_id AS keep_id
+FROM r WHERE rn = 1 ORDER BY comp"""
+      }),
     // Leakage-safe train/val/test split: every near-dup CLUSTER lands
     // in exactly one split (split = hash of the cluster's canonical
     // min-id representative, singletons keep their own id) — the
@@ -3089,6 +3217,26 @@ GROUP BY doc_id ORDER BY doc_id""")),
 
   private def emb(s: SparkSession, d: String) = Tables.read(s, d, "embeddings")
 
+  /** Offset used to mint planted duplicate vec_ids (q_embed_neardup,
+    * q_semdedup). A fixed additive offset collides with real keys if
+    * vec_ids ever reach it (the q_merge_upsert lesson), and negation is
+    * unavailable here because min-id retention must keep the BASE row —
+    * so the guard below fails LOUDLY (once per session+dir, memoized)
+    * if the data outgrows the offset, instead of silently corrupting
+    * the closed-form oracle. */
+  private val plantedOffset = lit(10000000L)
+  private val plantedGuard =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
+  private def requirePlantedOffsetSafe(s: SparkSession, d: String): Unit =
+    plantedGuard.synchronized {
+      if (!plantedGuard.contains((s, d))) {
+        val maxId = emb(s, d).agg(max(col("vec_id"))).head().getLong(0)
+        require(maxId < 10000000L,
+          s"planted-id offset 1e7 collides with real vec_ids (max $maxId)")
+        plantedGuard += ((s, d))
+      }
+    }
+
   /** Deterministic query vector (seeded, data-independent so the DuckDB
     * oracle SQL is static). Testdata embeddings are 64-dim. */
   private val annQueryVec: Array[Float] = {
@@ -3162,8 +3310,9 @@ FROM q ORDER BY query_id""")),
     Entry("q_embed_neardup",
       (s, d) => {
         val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        requirePlantedOffsetSafe(s, d)
         val planted = base.filter(pmod(col("vec_id"), lit(50)) === 0)
-          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          .select((col("vec_id") + plantedOffset).as("vec_id"),
             col("embedding"))
         Similarity.nearDupPairs(base.unionByName(planted),
             "vec_id", "embedding", threshold = 0.9)
@@ -3187,8 +3336,9 @@ FROM q ORDER BY query_id""")),
       (s, d) => {
         val base = emb(s, d)
           .select(col("vec_id"), col("embedding"), col("label"))
+        requirePlantedOffsetSafe(s, d)
         val planted = base.filter(pmod(col("vec_id"), lit(50)) === 0)
-          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          .select((col("vec_id") + plantedOffset).as("vec_id"),
             col("embedding"), col("label"))
         val all = base.unionByName(planted)
         val pairs = Similarity.nearDupPairs(

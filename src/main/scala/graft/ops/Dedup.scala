@@ -782,13 +782,17 @@ ORDER BY id_a, id_b"""
     * dominant cost of both, so the catalog computes it once per
     * (session, dir) and persists. ngramArray drops only tail positions
     * (i > size-n), so the filtered array's index IS the span's start
-    * token position. */
+    * token position. The hash is stored as 16 RAW md5 bytes
+    * (unhex), not the 32-char hex string: grouping/join equality is
+    * identical (hex encoding is bijective) while the persisted frame
+    * and every downstream shuffle carry half the bytes — at 100 TB the
+    * span frame is corpus-token-sized, so its width is the cost. */
   def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),
         posexplode(TextOps.ngramArray(col(textCol), n)).as(Seq("pos", "span")))
-      .select(col("id"), col("pos"), md5(col("span")).as("h"))
+      .select(col("id"), col("pos"), unhex(md5(col("span"))).as("h"))
 
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
       n: Int, spans: Option[DataFrame] = None): DataFrame = {

@@ -3281,6 +3281,26 @@ GROUP BY doc_id ORDER BY doc_id""")),
       (s, d) => Similarity.annRecall(emb(s, d), "vec_id", "embedding",
         k = 10, numQueries = 8),
       None),
+    // Bounded-gate twin of q_ann_recall (the q_sketch_bounds
+    // precedent): 10 exact duplicates of every query are planted at
+    // negative ids, so each query's true top-10 is exactly its planted
+    // clique and every path — brute, LSH (same bucket by
+    // construction), IVF (same nearest cell) — must recall ALL of it.
+    // recall is a ratio of integers, so ==1.0 is exact arithmetic and
+    // the hashed artifact is the boolean CONTRACT, not the
+    // engine-specific recall value of the unplanted harness.
+    Entry("q_ann_recall_bounds",
+      (s, d) => Similarity.annRecall(emb(s, d), "vec_id", "embedding",
+          k = 10, numQueries = 8, plantDups = 10)
+        .select(col("method"), col("n_queries"),
+          (col("mean_recall") === 1.0 && col("min_recall") === 1.0)
+            .as("recall_floor_met"))
+        .orderBy("method"),
+      Some("""SELECT * FROM (VALUES
+  ('brute', CAST(8 AS BIGINT), true),
+  ('ivf',   CAST(8 AS BIGINT), true),
+  ('lsh',   CAST(8 AS BIGINT), true))
+  AS t(method, n_queries, recall_floor_met) ORDER BY method""")),
     // Planted-ground-truth ANN gate (q_embed_neardup precedent): an
     // exact duplicate of each query vector is planted at -(id+1); an
     // exact dup shares the query's LSH bucket and nearest IVF cell BY
@@ -4087,6 +4107,149 @@ SELECT 'file_size_stats' AS mode, 'customer_first' AS inner_join,
   n_rows, qty_sum FROM j
 UNION ALL
 SELECT 'model_stats', 'lineitem_first', n_rows, qty_sum FROM j
+ORDER BY mode""")),
+    // Estimator-driven 4-way join TREE — extends q_join_reorder_model
+    // from flipping the innermost pair to restructuring the WHOLE
+    // tree: customer⋈orders⋈lineitem⋈supplier as WRITTEN joins
+    // (((c⋈o)⋈l)⋈s); with the learned stats injected (exact counts on
+    // the three dims, the NARU estimate on lineitem's 3-predicate
+    // filter), Catalyst's DP reorder rebuilds the chain around the
+    // model-tiny lineitem — every interior node of the tree changes,
+    // not just one pair. Both optimized trees are serialized to a
+    // canonical string and require()-pinned; both runs' answers are
+    // what the oracle hash-checks.
+    Entry("q_join_reorder_tree",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+          Join => LJoin}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+        val nOrders = Tables.read(s, d, "orders").count()
+        val nCust = Tables.read(s, d, "customer").count()
+        val nSup = Tables.read(s, d, "supplier").count()
+        // The supplier branch's s_suppkey >= 0 propagates through the
+        // l_suppkey = s_suppkey condition into lineitem's filter
+        // (InferFiltersFromConstraints), so the lineitem registration
+        // must also accept the key columns or the stats rule declines
+        // the branch and CBO skips the whole reorder. The estimator
+        // answers with the model's marginal over its OWN columns —
+        // key >= 0 is selectivity-1 on this non-negative id space.
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet ++ Set("l_suppkey", "l_orderkey"),
+          preds => ps.query(preds.filter(p => modelCols.contains(p.col))))
+        graft.plans.GraftRuntime.register(s"$d/orders.parquet",
+          Set("o_custkey"), _ => nOrders)
+        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
+          Set("c_custkey"), _ => nCust)
+        graft.plans.GraftRuntime.register(s"$d/supplier.parquet",
+          Set("s_suppkey"), _ => nSup)
+        def joined() = {
+          val c = Tables.read(s, d, "customer")
+            .filter(col("c_custkey") >= 0L)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val o = Tables.read(s, d, "orders")
+            .filter(col("o_custkey") >= 0L)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val sup = Tables.read(s, d, "supplier")
+            .filter(col("s_suppkey") >= 0L)
+            .select(col("s_suppkey"), col("s_nationkey"))
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
+              col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .join(liF, o("o_orderkey") === liF("l_orderkey"))
+            .join(sup, liF("l_suppkey") === sup("s_suppkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast("long").as("qty_sum"))
+        }
+        /** Canonical join-tree string with leaves tagged by table. */
+        def shape(p: LogicalPlan): String = p match {
+          case j: LJoin => s"(${shape(j.left)}*${shape(j.right)})"
+          case other if other.collect { case j: LJoin => j }.nonEmpty =>
+            shape(other.children.head)
+          case leaf =>
+            val names = leaf.output.map(_.name)
+            if (names.exists(_.startsWith("l_"))) "l"
+            else if (names.exists(_.startsWith("s_"))) "s"
+            else if (names.exists(_.startsWith("o_"))) "o"
+            else if (names.exists(_.startsWith("c_"))) "c"
+            else "?"
+        }
+        def treeOf(df: org.apache.spark.sql.DataFrame): String =
+          df.queryExecution.optimizedPlan
+            .collectFirst { case j: LJoin => shape(j) }.getOrElse("nojoin")
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val base = joined()
+          val baseTree = treeOf(base)
+          val Array(baseRow) = base.collect()
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val injected = joined()
+          val injTree = treeOf(injected)
+          val Array(injRow) = injected.collect()
+          require(baseTree == "(((c*o)*l)*s)",
+            s"base plan is not the as-written chain: $baseTree")
+          // Observed trees (sf-dependent DP outcome, both genuine
+          // full-tree restructures): sf0.001 rebuilds the chain
+          // left-deep around lineitem (((l*s)*o)*c); sf0.01/0.1 go
+          // BUSHY ((c*o)*(l*s)) — Catalyst's DP composing the two
+          // cheap pairs. The invariant pinned: the model-tiny lineitem
+          // now joins supplier directly (the (l*s) pair exists) and
+          // the as-written interior node ((c*o)*l) is gone.
+          require(injTree != baseTree &&
+              (injTree.contains("(l*s)") || injTree.contains("(s*l)")) &&
+              !injTree.contains("((c*o)*l)"),
+            s"model stats did not rebuild the tree around lineitem: " +
+              s"base=$baseTree injected=$injTree")
+          require(baseRow == injRow,
+            s"answers diverged across plans: $baseRow vs $injRow")
+          Seq(
+            ("file_size_stats", "as_written", baseRow.getLong(0),
+              baseRow.getLong(1)),
+            ("model_stats", "rebuilt_around_lineitem", injRow.getLong(0),
+              injRow.getLong(1)))
+            .toDF("mode", "join_tree", "n_rows", "qty_sum")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0 AND s.s_suppkey >= 0
+    AND l.l_quantity <= 1.0 AND l.l_discount <= 0.0
+    AND l.l_returnflag = 'R')
+SELECT 'file_size_stats' AS mode, 'as_written' AS join_tree,
+  n_rows, qty_sum FROM j
+UNION ALL
+SELECT 'model_stats', 'rebuilt_around_lineitem', n_rows, qty_sum FROM j
 ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).

@@ -397,13 +397,14 @@ object Similarity {
     */
   def annRecall(df: DataFrame, idCol: String, embCol: String,
       k: Int = 10, numQueries: Int = 8, numBits: Int = 8,
-      ivfCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      ivfCells: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      plantDups: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    val qs = df.select(col(idCol).cast("long"), col(embCol))
-      .orderBy(col(idCol)).limit(numQueries).collect()
-      .map(_.getSeq[Float](1).toArray)
+    val base = df.select(col(idCol).cast("long"), col(embCol))
+    val qRows = base.orderBy(col(idCol)).limit(numQueries).collect()
+    val qs = qRows.map(_.getSeq[Float](1).toArray)
     require(qs.nonEmpty, "annRecall needs at least one query vector")
     val dim = qs(0).length
     val planes = hyperplanes(dim, numBits, seed)
@@ -428,7 +429,24 @@ object Similarity {
     val qNorms = qs.map(q => math.sqrt(q.map(x => x.toDouble * x).sum))
     val bc = spark.sparkContext.broadcast(
       (qs, planes, centroids, lshProbes, ivfProbes, qNorms))
-    val scored = df.select(col(idCol).cast("long"), col(embCol))
+    // plantDups > 0 (the *bounds* gate): after query selection, plant
+    // that many EXACT duplicates of every query at negative ids
+    // (collision-free against any non-negative id space, the
+    // annPlantedTopk convention). An exact dup shares the query's LSH
+    // bucket and nearest IVF cell BY CONSTRUCTION and ties at the top
+    // cosine, so with plantDups >= k every path's recall@k is provably
+    // 1.0 — a deterministic boolean contract on the machinery, where a
+    // threshold on this near-orthogonal corpus would be data-noise.
+    val corpus =
+      if (plantDups == 0) base
+      else base.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          qRows.toSeq.zipWithIndex.flatMap { case (r, qi) =>
+            (0 until plantDups).map(j =>
+              Row(-(qi.toLong * plantDups + j + 1L), r.get(1)))
+          }, 1),
+        StructType(base.schema.fields.map(f => f.copy(nullable = f.nullable)))))
+    val scored = corpus
       .rdd.mapPartitions { rows =>
         val (qv, pl, cs, lp, ip, qn) = bc.value
         rows.flatMap { r =>

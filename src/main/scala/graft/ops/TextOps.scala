@@ -627,9 +627,13 @@ GROUP BY s.lang ORDER BY lang"""
     * many docs per language (plus ties at the boundary) —
     * [[adaptiveQualityFilterBounds]] hash-gates exactly that contract.
     *
-    * Semantics note: `percentile_approx` ignores null scores while the
-    * exact path ranks them FIRST; on a corpus with token-less docs the
-    * two thresholds differ by the null-count rank offset. Same output
+    * Null semantics (spec-PINNED in OpsSpec "null semantics PINNED"):
+    * `percentile_approx` ignores null scores while the exact path ranks
+    * them FIRST, so on a corpus with token-less docs the two thresholds
+    * differ by exactly the null-count rank offset (the sketch's
+    * threshold is invariant to adding/removing null-score docs; the
+    * exact path's shifts). This is the divergence the production path
+    * accepts in exchange for dropping the window sort. Same output
     * shape as the exact path: per-language (n_docs, n_kept, thr).
     */
   def adaptiveQualityFilterApprox(df: DataFrame, idCol: String,

@@ -171,4 +171,44 @@ class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"p95 q-error ${rep.p95} (median ${rep.median}, max ${rep.max})")
     assert(rep.median < 2.0, s"median q-error ${rep.median}")
   }
+
+  test("Transformer q-error bars hold at the second scale factor (sf0.01)") {
+    // Completes the acceptance matrix: BOTH model families x BOTH
+    // scale factors (the ResMADE sf0.01 case above covers the first
+    // family; this runs the identical seeded protocol — same query
+    // stream, same truths — through the Transformer on the larger
+    // domains).
+    val dir01 = "/root/testdata/sf0.01"
+    val df = spark.read.parquet(s"$dir01/lineitem.parquet")
+      .select(cols.map(col): _*)
+    val meta = Dictionary.tableMeta(df, "lineitem", cols)
+    val data = Trainer.collectEncoded(df, meta.columns, maxRows = 100000)
+    val model = new Transformer(cols.length,
+      meta.columns.map(_.distributionSize).toArray,
+      dModel = 16, dFf = 32, numHeads = 2, numBlocks = 2,
+      columnMasking = true, seed = 11123L)
+    Trainer.train(model, data, epochs = 3, batchSize = 1024,
+      schedule = Trainer.ConstantLr(5e-3f), seed = 0L)
+    val modelBits = Trainer.evalNll(model, data) / math.log(2)
+    val indepBits = cols.map(c => Trainer.tableBits(df, Seq(c))).sum
+    assert(modelBits < indepBits + 0.2,
+      f"model $modelBits%.3f bits worse than independence bound $indepBits%.3f")
+
+    val full = spark.read.parquet(s"$dir01/lineitem.parquet")
+    val anchors = Workload.anchorRows(full, cols, 30)
+    val queries = Workload.generate(meta, cols, anchors, 30,
+      minFilters = 2, maxFilters = 4, seed = 1234L)
+    val truths = Workload.trueCards(full, queries)
+    val ps = new ProgressiveSampling(model, meta, numSamples = 500,
+      shortcircuit = true)
+    val errs = queries.zip(truths).map { case (q, t) =>
+      Workload.qError(ps.query(q).toDouble, t.toDouble)
+    }
+    val rep = Workload.report("psample_transformer_sf001", errs, 0.0)
+    info(f"transformer sf0.01 bits=$modelBits%.3f indep=$indepBits%.3f " +
+      f"median=${rep.median}%.3f p95=${rep.p95}%.3f max=${rep.max}%.3f")
+    assert(rep.p95 < 10.0,
+      s"p95 q-error ${rep.p95} (median ${rep.median}, max ${rep.max})")
+    assert(rep.median < 2.0, s"median q-error ${rep.median}")
+  }
 }

@@ -1492,6 +1492,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("adaptiveQualityFilterApprox null semantics PINNED: the sketch drops " +
+      "null scores while the exact path ranks them first") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", LongType)))
+    // 5 non-null stopword ratios {0, .25, .5, .75, 1} (4-token texts
+    // with k 'the's) plus 3 token-less docs whose ratio is NULL.
+    val nonNull = Seq(
+      Row(1L, "x y z w", 1L),           // 0
+      Row(2L, "the x y z", 1L),         // 0.25
+      Row(3L, "the the x y", 1L),       // 0.5
+      Row(4L, "the the the x", 1L),     // 0.75
+      Row(5L, "the the the the", 1L))   // 1.0
+    val nulls = Seq(Row(6L, "", 1L), Row(7L, " ", 1L), Row(8L, "", 1L))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // EXACT path, nulls present: n=8, rank floor(.5*7)+1 = 4; the 3
+    // nulls rank FIRST, so the 4th is the SMALLEST non-null value →
+    // thr 0.0 and every non-null doc passes. The null docs count in
+    // n_docs but can never pass `>=`.
+    val (nE, keptE, thrE) = run(
+      TextOps.adaptiveQualityFilter(df(nonNull ++ nulls),
+        "doc_id", "text", "lang", p = 0.5))
+    assert((nE, keptE, thrE) == ((8L, 5L, 0.0)),
+      s"exact-with-nulls: got ($nE, $keptE, $thrE)")
+    // APPROX path, nulls present: percentile_approx IGNORES nulls, so
+    // the threshold is the median of the 5 non-null values (0.5) —
+    // shifted from the exact path's 0.0 by exactly the null-count rank
+    // offset. This is the divergence the production path accepts.
+    val (nA, keptA, thrA) = run(
+      TextOps.adaptiveQualityFilterApprox(df(nonNull ++ nulls),
+        "doc_id", "text", "lang", p = 0.5))
+    assert((nA, keptA, thrA) == ((8L, 3L, 0.5)),
+      s"approx-with-nulls: got ($nA, $keptA, $thrA)")
+    // And the approx threshold is IDENTICAL with the null docs removed
+    // — the sketch never saw them.
+    val (_, _, thrA2) = run(
+      TextOps.adaptiveQualityFilterApprox(df(nonNull),
+        "doc_id", "text", "lang", p = 0.5))
+    assert(thrA2 == thrA, s"null docs moved the sketch: $thrA2 vs $thrA")
+    // On an all-non-null corpus the two paths agree exactly (the
+    // sf0.01-corpus test above covers the statistical bracket; this
+    // pins the small-n equality).
+    val (_, keptX, thrX) = run(
+      TextOps.adaptiveQualityFilter(df(nonNull),
+        "doc_id", "text", "lang", p = 0.5))
+    assert(thrX == thrA2 && keptX == 3L,
+      s"no-null paths diverged: exact ($keptX, $thrX) vs approx $thrA2")
+  }
+
   test("bpeMerges learns the frequency-ordered pairs; same-symbol runs " +
       "follow the regex-greedy every-other convention") {
     // "abab" x3 + "ab" x2: pair counts round 1 — (a,b) 8, (b,a) 3 →

@@ -95,21 +95,19 @@ object Similarity {
     Array.fill(numBits)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }
 
-  /** Sign-LSH bucket id of the embedding column: bit b = 1 iff
-    * dot(vec, hyperplane_b) > 0. Map-side, codegen'd. */
-  def lshBucketCol(embCol: String, planes: Array[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      val dot = p.zipWithIndex.map { case (w, i) =>
-        element_at(col(embCol), i + 1).cast("double") * lit(w.toDouble)
-      }.reduceLeft(_ + _)
-      when(dot > 0d, lit(1L << b)).otherwise(0L)
-    }.reduceLeft((a, b) => a.bitwiseOR(b))
-
   /** LSH-bucketed approximate top-k: candidates = rows in the query's
     * bucket or any bucket at Hamming distance 1 (multi-probe), then exact
     * cosine within candidates. At 100 TB this reads ~ (1+bits)/2^bits of
     * the data instead of all of it (with bucket-pruned storage it's an
-    * actual partition-prune; here it's a pushed filter).
+    * actual partition-prune; here a scan-side candidate filter).
+    *
+    * The bucket test runs in mapPartitions over broadcast planes — the
+    * documented exception class ([[nearDupPairs]], [[quantizeInt8]]):
+    * the unrolled numBits×dim literal expression tree (512 multiply-adds
+    * at the 8×64 defaults, on top of the candidate cosine in the same
+    * stage) blew Janino's 64 KB method limit and knocked the whole plan
+    * out of whole-stage codegen. The surviving expression work — the
+    * candidate cosine + TakeOrdered — stays codegen'd.
     */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
       query: Array[Float], k: Int, numBits: Int = 8,
@@ -121,10 +119,30 @@ object Similarity {
         if (dot > 0) 1L << b else 0L
       }.foldLeft(0L)(_ | _)
     val qBucket = bucketOf(query)
-    val probes = qBucket +: Array.tabulate(numBits)(b => qBucket ^ (1L << b))
-    df.withColumn("__bucket", lshBucketCol(embCol, planes))
-      .filter(col("__bucket").isin(probes: _*))
-      .select(col(idCol), cosineCol(embCol, query).as("sim"))
+    val probes = (qBucket +: Array.tabulate(numBits)(
+      b => qBucket ^ (1L << b))).toSet
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast((planes, probes))
+    val base = df.select(col(idCol).cast("long"), col(embCol))
+    val candRows = base.rdd.mapPartitions { it =>
+      val (pl, pr) = bc.value
+      it.filter { r =>
+        val v = r.getSeq[Float](1)
+        var code = 0L
+        var j = 0
+        while (j < pl.length) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += pl(j)(i).toDouble * v(i); i += 1 }
+          if (dot > 0) code |= 1L << j
+          j += 1
+        }
+        pr.contains(code)
+      }
+    }
+    spark.createDataFrame(candRows, base.schema)
+      .select(col(base.columns.head).as(idCol),
+        cosineCol(embCol, query).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

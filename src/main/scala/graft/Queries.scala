@@ -1423,6 +1423,80 @@ FROM (
   FROM events)
 WHERE next_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY from_type, to_type""")),
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics primitive: each
+    // purchase is credited to the user's most recent click at or
+    // before it, and attributed revenue is reported per CLICK-day (the
+    // day the credited touchpoint happened, not the purchase day). One
+    // running max(CASE) window per user (frames bounded by the user's
+    // own events), then a (day) partial-agg shuffle; revenue summed in
+    // exact integer cents (floor(x*100+0.5), the target-encode
+    // convention).
+    Entry("q_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.read(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("last_click_ts").isNotNull)
+          .groupBy(to_date(col("last_click_ts")).as("click_day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(floor(col("value") * 100 + 0.5).cast("long"))
+              .as("cents_attributed"))
+          .orderBy("click_day")
+      },
+      Some("""WITH e AS (
+  SELECT user_id, event_type, ts, value,
+    max(CASE WHEN event_type = 'click' THEN ts END) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS last_click_ts
+  FROM events)
+SELECT CAST(last_click_ts AS DATE) AS click_day,
+  count(*) AS n_purchases,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents_attributed
+FROM e
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+GROUP BY 1 ORDER BY click_day""")),
+    // K-STEP PATH-COUNT CENTRALITY — iterative integer message passing
+    // over an edge list, the PageRank/graph-propagation shuffle shape
+    // with an EXACT oracle (float PageRank sums are order-dependent;
+    // integer path counts are not): over the DISTINCT customer—
+    // supplier purchase graph, each customer's number of length-2
+    // paths c→s→c' (Σ over its suppliers of the supplier's degree).
+    // Distinct edges bound every count by |C|·|S| at any scale (the
+    // r10 lesson: bound per-row multiplicities BEFORE additive
+    // artifacts). Two edge-keyed aggregation rounds — each round is
+    // one join + one partial-agg shuffle, the exact shape an iterative
+    // engine repeats to a fixpoint.
+    Entry("q_path_centrality",
+      (s, d) => {
+        val edges = Tables.read(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+        val supDeg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+        edges.join(supDeg, "s")
+          .groupBy(col("c").as("c_custkey"))
+          .agg(sum(col("deg")).as("paths2"))
+          .orderBy(col("paths2").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY s)
+SELECT c AS c_custkey, CAST(sum(deg) AS BIGINT) AS paths2
+FROM edges JOIN deg USING (s)
+GROUP BY c ORDER BY paths2 DESC, c_custkey LIMIT 20""")),
     // Numeric HISTOGRAM with fixed-width bins — the profiling
     // primitive behind every distribution dashboard: one codegen'd
     // floor((x-lo)/w) bin expression, one partial-agg shuffle of
@@ -3119,6 +3193,50 @@ SELECT doc_id, count(*) AS n_bigrams,
   CAST(sum(cnt) AS BIGINT) AS familiarity
 FROM grams JOIN cnts USING (bigram)
 GROUP BY doc_id ORDER BY doc_id""")),
+    // DSIR-style importance statistics (Xie et al., "Data Selection
+    // for Language Models via Importance Resampling"): per document,
+    // the EXACT sufficient statistics of the n-gram importance weight
+    // against a target slice (lang='en') vs the background (the rest)
+    // — summed target-corpus and background-corpus frequencies of the
+    // doc's token occurrences, plus the corpus totals needed to
+    // normalize. The float log-ratio weight itself is a driver-side
+    // detail (and would float-diverge across engines); the integer
+    // statistics it is computed from cannot. Scale shape: one token
+    // explode feeds ONE (token) frequency aggregation carrying both
+    // slice counts as sum(when) — a single shuffle — then a
+    // token-keyed join back and a doc-keyed partial agg.
+    Entry("q_dsir_stats",
+      (s, d) => {
+        val toks = docs(s, d).filter(trim(col("text")) =!= "")
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val freq = toks.groupBy("tok")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+              .as("cnt_t"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cnt_b"))
+        toks.join(freq, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("cnt_t")).as("fam_target"),
+            sum(col("cnt_b")).as("fam_background"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+'))
+    AS tok
+  FROM documents WHERE trim(text) <> ''
+), freq AS (
+  SELECT tok,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cnt_t,
+    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cnt_b
+  FROM toks GROUP BY tok)
+SELECT doc_id, count(*) AS n_toks,
+  CAST(sum(cnt_t) AS BIGINT) AS fam_target,
+  CAST(sum(cnt_b) AS BIGINT) AS fam_background
+FROM toks JOIN freq USING (tok)
+GROUP BY doc_id ORDER BY doc_id""")),
     // BPE-ish tokenizer vocabulary build: top-50 pre-tokens (letter
     // runs / digit runs / single symbols) by corpus frequency — the
     // vocabulary-candidate scan a tokenizer-training pipeline starts
@@ -3142,6 +3260,17 @@ GROUP BY doc_id ORDER BY doc_id""")),
     Entry("q_bpe_merges",
       (s, d) => TextOps.bpeMerges(docs(s, d), "text", k = 6),
       Some(TextOps.bpeMergesSql("documents", "text", k = 6))),
+    // BPE ENCODE — the other half of the tokenizer lifecycle (vocab
+    // scan → merge learning → APPLY): the top-30 symbol distribution
+    // the 6-merge tokenizer produces over the corpus. Same one-corpus-
+    // shuffle + vocab-sized-rounds shape as the learner; the histogram
+    // is one more vocab-sized aggregate. Oracle: the identical 6
+    // unrolled stages, then the histogram over the final word table.
+    Entry("q_bpe_encode",
+      (s, d) => TextOps.bpeEncodedVocab(docs(s, d), "text", k = 6,
+        topN = 30),
+      Some(TextOps.bpeEncodedVocabSql("documents", "text", k = 6,
+        topN = 30))),
     // MLlib LSH interop via the bucket-CAPPED candidate join: the same
     // fitted MinHashLSHModel supplies the hash values, but candidates
     // come from a (table, hash)-bucket self-join with a count-window

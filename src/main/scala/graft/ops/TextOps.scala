@@ -760,9 +760,12 @@ ORDER BY lang"""
     * applying that round's merge (Σ word_count · symbols-per-word, a
     * vocab-sized aggregate): the tokenizer's compression curve.
     */
-  def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The shared BPE training loop: k greedy merge rounds over the word
+    * frequency table. `perRound` observes each round's learned merge
+    * and the post-merge word table (persisted); the FINAL word table is
+    * returned still persisted — the caller owns its unpersist. */
+  private def bpeLoop(df: DataFrame, textCol: String, k: Int)(
+      perRound: (Int, String, String, Long, DataFrame) => Unit): DataFrame = {
     var words = df
       .select(explode(regexp_extract_all(col(textCol),
         lit(bpeWordPattern), lit(0))).as("w"))
@@ -773,46 +776,76 @@ ORDER BY lang"""
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
         col("cnt"))
       .persist()
+    for (round <- 1 to k) {
+      val best = words
+        .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
+        .select(col("cnt"), explode(expr(
+          "filter(transform(arr, (x, i) -> IF(i < size(arr) - 1, " +
+            "named_struct('l', x, 'r', arr[i + 1]), NULL)), " +
+            "p -> isnotnull(p))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"no adjacent pairs left at round $round")
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
+      val next = words
+        .withColumn("sym",
+          regexp_replace(
+            regexp_replace(col("sym"), s" $l $r ", s" $l$r "),
+            s" $l $r ", s" $l$r "))
+        .persist()
+      perRound(round, l, r, c, next)
+      words.unpersist()
+      words = next
+    }
+    words
+  }
+
+  def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
-    try {
-      for (round <- 1 to k) {
-        val best = words
-          .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
-          .select(col("cnt"), explode(expr(
-            "filter(transform(arr, (x, i) -> IF(i < size(arr) - 1, " +
-              "named_struct('l', x, 'r', arr[i + 1]), NULL)), " +
-              "p -> isnotnull(p))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(best.nonEmpty, s"no adjacent pairs left at round $round")
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        val next = words
-          .withColumn("sym",
-            regexp_replace(
-              regexp_replace(col("sym"), s" $l $r ", s" $l$r "),
-              s" $l $r ", s" $l$r "))
-          .persist()
-        val total = next
-          .agg(sum(col("cnt") * size(split(trim(col("sym")), " "))))
-          .head().getLong(0)
-        merges += ((round, l, r, c, total))
-        words.unpersist()
-        words = next
-      }
-    } finally words.unpersist()
+    val fin = bpeLoop(df, textCol, k) { (round, l, r, c, next) =>
+      val total = next
+        .agg(sum(col("cnt") * size(split(trim(col("sym")), " "))))
+        .head().getLong(0)
+      merges += ((round, l, r, c, total))
+    }
+    fin.unpersist()
     merges.toSeq
       .toDF("merge_round", "lhs", "rhs", "pair_count", "total_symbols")
       .orderBy("merge_round")
   }
 
+  /** The ENCODE half of the tokenizer lifecycle ([[bpeMerges]] learns
+    * the rules; this applies them): the corpus token distribution a
+    * k-merge BPE tokenizer produces — top-N symbols by total
+    * occurrence after the k greedy merges, ties by symbol. The result
+    * is vocab-sized, so it is collected eagerly and the loop's word
+    * table released (orc-roundtrip precedent). */
+  def bpeEncodedVocab(df: DataFrame, textCol: String, k: Int,
+      topN: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    val fin = bpeLoop(df, textCol, k)((_, _, _, _, _) => ())
+    val hist = fin
+      .select(col("cnt"), explode(split(trim(col("sym")), " ")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("symbol")).limit(topN)
+    val rows = hist.collect().toSeq
+    fin.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), hist.schema)
+  }
+
   /** DuckDB twin of [[bpeMerges]]: the same k rounds unrolled as
     * chained CTEs — identical pre-tokenization, symbol form, pair
     * weighting, tie-break, and regex-greedy merge application. */
-  def bpeMergesSql(table: String, text: String, k: Int): String = {
+  /** Shared CTE prefix of the BPE twins: toks, w0, and the k unrolled
+    * (pair-count, best-merge, apply) stages ending at w$k. */
+  private def bpeStagesSql(table: String, text: String, k: Int): String = {
     val stages = (1 to k).map { r =>
       val prev = s"w${r - 1}"
       s"""p$r AS (
@@ -831,14 +864,6 @@ w$r AS (
       ' ' || b.l || b.r || ' ', 'g') AS sym, cnt FROM $prev, b$r b
 )"""
     }.mkString(",\n")
-    def totalOf(r: Int): String =
-      s"(SELECT CAST(sum(cnt * len(regexp_split_to_array(trim(sym), ' ')))" +
-        s" AS BIGINT) FROM w$r)"
-    val rows = (1 to k).map { r =>
-      (if (r == 1) s"SELECT $r AS merge_round, l AS lhs, r AS rhs, " +
-        s"c AS pair_count, ${totalOf(r)} AS total_symbols FROM b$r"
-      else s"SELECT $r, l, r, c, ${totalOf(r)} FROM b$r")
-    }.mkString("\n  UNION ALL ")
     s"""WITH toks AS (
   SELECT unnest(regexp_extract_all($text, '[\\p{L}\\p{N}]+')) AS w
   FROM $table
@@ -847,9 +872,31 @@ w$r AS (
     CAST(count(*) AS BIGINT) AS cnt
   FROM toks GROUP BY 1
 ),
-$stages
+$stages"""
+  }
+
+  def bpeMergesSql(table: String, text: String, k: Int): String = {
+    def totalOf(r: Int): String =
+      s"(SELECT CAST(sum(cnt * len(regexp_split_to_array(trim(sym), ' ')))" +
+        s" AS BIGINT) FROM w$r)"
+    val rows = (1 to k).map { r =>
+      (if (r == 1) s"SELECT $r AS merge_round, l AS lhs, r AS rhs, " +
+        s"c AS pair_count, ${totalOf(r)} AS total_symbols FROM b$r"
+      else s"SELECT $r, l, r, c, ${totalOf(r)} FROM b$r")
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeStagesSql(table, text, k)}
 SELECT * FROM (
   $rows
 ) ORDER BY merge_round"""
   }
+
+  /** DuckDB twin of [[bpeEncodedVocab]]: the same k unrolled stages,
+    * then the symbol histogram over the final word table. */
+  def bpeEncodedVocabSql(table: String, text: String, k: Int,
+      topN: Int = 30): String =
+    s"""${bpeStagesSql(table, text, k)}
+SELECT symbol, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+  SELECT cnt, unnest(regexp_split_to_array(trim(sym), ' ')) AS symbol
+  FROM w$k)
+GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT $topN"""
 }

@@ -3359,9 +3359,19 @@ GROUP BY doc_id ORDER BY doc_id""")),
   private def requirePlantedOffsetSafe(s: SparkSession, d: String): Unit =
     plantedGuard.synchronized {
       if (!plantedGuard.contains((s, d))) {
-        val maxId = emb(s, d).agg(max(col("vec_id"))).head().getLong(0)
-        require(maxId < 10000000L,
-          s"planted-id offset 1e7 collides with real vec_ids (max $maxId)")
+        // The exact unsafe condition — a minted id landing on a real
+        // one — not a max-id proxy: derived-scale dirs shift ids by
+        // ~1e12 strides (far past 1e7) yet stay collision-free because
+        // each copy's ids span far less than the offset. id-only
+        // self-join, memoized once per (session, dir).
+        val ids = emb(s, d).select(col("vec_id"))
+        val hits = ids
+          .join(ids.filter(pmod(col("vec_id"), lit(50)) === 0)
+            .select((col("vec_id") + plantedOffset).as("vec_id")),
+            "vec_id")
+          .count()
+        require(hits == 0L,
+          s"planted-id offset 1e7 collides with $hits real vec_ids")
         plantedGuard += ((s, d))
       }
     }

@@ -73,7 +73,49 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("o_clerk"), s"unpruned scan: $s"))
   }
 
-  // q_fuzzy_join returns a driver-side census (LocalRelation), so its
-  // join plan is not inspectable from the returned frame; the
-  // distinct-probe shape is pinned by the 100x timing row in PLANS.md.
+  test("fuzzy join is one lazy plan (no driver census) with pruned scans") {
+    // The r10 form ran three .count() actions; the single-pass rewrite
+    // must return ONE inspectable plan whose customer scans decode only
+    // the key and name.
+    val df = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+    val schemas = scanSchemas(df)
+    assert(schemas.nonEmpty, "plan should expose its scans (not a " +
+      "driver-side LocalRelation)")
+    schemas.foreach(s => assert(!s.contains("c_acctbal") &&
+      !s.contains("c_nationkey"), s"unpruned customer scan: $s"))
+  }
+
+  test("batch funnel is one lazy plan; events scans prune props/value") {
+    val df = SparkEntry.queries("q_funnel_batch")(spark, dir)
+    val schemas = scanSchemas(df)
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("props") && !s.contains("value"),
+      s"unpruned events scan: $s"))
+  }
+
+  test("attribution runs one window over one pruned events scan") {
+    val df = SparkEntry.queries("q_attribution")(spark, dir)
+    val schemas = scanSchemas(df)
+    assert(schemas.size == 1, s"exactly one events scan expected: $schemas")
+    assert(!schemas.head.contains("props"),
+      s"unpruned events scan: ${schemas.head}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllMatchIn(plan).size >= 1)
+  }
+
+  test("dsir stats prunes documents to (doc_id, text, lang)") {
+    val schemas = scanSchemas(SparkEntry.queries("q_dsir_stats")(spark, dir))
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("n_chars") &&
+      !s.contains("source"), s"unpruned documents scan: $s"))
+  }
+
+  test("path centrality prunes both fact scans to join keys") {
+    val schemas = scanSchemas(
+      SparkEntry.queries("q_path_centrality")(spark, dir))
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("o_totalprice") &&
+      !s.contains("l_quantity") && !s.contains("l_extendedprice"),
+      s"unpruned scan: $s"))
+  }
 }

@@ -886,6 +886,32 @@ SELECT user_id, CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
             WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
   AS stage_reached
 FROM pu ORDER BY user_id""")),
+    // STREAMING last-touch attribution, same harness: per-user
+    // 8-byte state (latest click micros — the running max the batch
+    // window computes), purchases emit their credited click exactly
+    // once in Append mode; in-order replay makes the rollup equal to
+    // the batch q_attribution window, which IS the oracle.
+    Entry("q_attribution_stream",
+      (s, d) => graft.streaming.Replay.attributionReplay(s, d)
+        .groupBy(to_date(timestamp_micros(col("clickUs")))
+          .as("click_day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("cents_attributed"))
+        .orderBy("click_day"),
+      Some("""WITH e AS (
+  SELECT user_id, event_type, ts, value,
+    max(CASE WHEN event_type = 'click' THEN ts END) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS last_click_ts
+  FROM events)
+SELECT CAST(last_click_ts AS DATE) AS click_day,
+  count(*) AS n_purchases,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents_attributed
+FROM e
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+GROUP BY 1 ORDER BY click_day""")),
     // Skew-salted two-stage distinct aggregation: the oracle is the
     // UNsalted declarative form — the check is precisely that the
     // physical salting rewrite preserves semantics.

@@ -391,6 +391,43 @@ object EventStream {
       }
   }
 
+  final case class Attribution(userId: Long, purchaseUs: Long,
+      clickUs: Long, cents: Long)
+
+  /** Streaming LAST-TOUCH attribution — the ingestion-time twin of the
+    * batch `q_attribution` window: per-user state is ONE long (the
+    * latest click micros seen, the running max the batch window
+    * computes), and each purchase emits its credited click and exact
+    * integer cents (floor(value·100 + 0.5), the batch convention) in
+    * Append mode — exactly once, in the micro-batch it arrives.
+    * Within a batch, rows apply in (ts, event_id) order — the batch
+    * window's ROWS frame order — so in-watermark-order replay is
+    * provably equal to the batch result, which IS the oracle. State is
+    * watermark-independent and constant-size: 8 bytes per user.
+    */
+  def attributeLastTouch(
+      events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(-1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            val us = micros(e.ts)
+            if (e.event_type == "click") {
+              if (us > lastClick) lastClick = us
+            } else if (e.event_type == "purchase" && lastClick != -1L) {
+              out += Attribution(userId, us, lastClick,
+                math.floor(e.value * 100 + 0.5).toLong)
+            }
+          }
+          state.update(lastClick)
+          out.iterator
+      }
+  }
+
   /** Stream–static enrichment join: attach a dimension table to a live
     * event stream. The static side is broadcast-hinted — per micro-batch
     * Spark re-plans the join against the dimension's CURRENT snapshot

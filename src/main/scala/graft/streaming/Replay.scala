@@ -295,6 +295,18 @@ object Replay {
       .select(col("userId"), col("stageReached"))
   }
 
+  /** Streaming last-touch attribution replayed through the file
+    * stream (append mode: each purchase's credited click is emitted
+    * exactly once, in its arrival micro-batch). The readback is the
+    * raw emission table; the entry rolls it up per click-day. */
+  def attributionReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    replayTable(spark, sfDir, slices, "attribution", "append") { df =>
+      EventStream.attributeLastTouch(df.as[Event]).toDF
+    }
+  }
+
   /** STREAM-STATIC ANTI join decontamination: documents stream in
     * id-ordered segments against the static benchmark fingerprint set
     * (broadcast — fingerprints only, never benchmark text); a doc

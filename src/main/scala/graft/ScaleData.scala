@@ -58,18 +58,38 @@ object ScaleData {
     * flips are IEEE-exact: norms, dimensions, and value distributions
     * are untouched, so every other embeddings entry is unaffected.
     */
+  /** splitmix64 finalizer — the per-copy sign-mask generator. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def decorrelate(df: DataFrame, c: Int): DataFrame =
     if (c == 0) df
-    else df.withColumn("embedding",
-      // Walsh sign pattern per copy: flip element i iff popcount(i & c)
-      // is odd — the c-th Walsh-Hadamard function. Distinct copies in
-      // [1, dim) get pairwise-orthogonal patterns (a single-bit mask
-      // like `bit (c-1) of i` would alias once c-1 exceeded the
-      // dimension's bit width — copies 1 and 1+log2(dim) would be
-      // byte-identical again).
-      transform(col("embedding"), (x, i) =>
-        when(pmod(bit_count(i.bitwiseAND(lit(c))), lit(2)) === 0, x)
-          .otherwise(negate(x))))
+    else {
+      // Sign pattern per copy: flip element i iff bit (i mod 64) of a
+      // per-copy splitmix64 mask is set. The earlier Walsh pattern
+      // (parity of popcount(i & c)) has only `dim` distinct functions
+      // in `dim` dimensions, so factors past 64 aliased (copy 64's
+      // pattern == copy 0's — byte-identical vectors, caught by the
+      // round-11 100x oracle audit: q_embed_neardup found the
+      // cross-copy "real" dups its planted oracle doesn't list).
+      // splitmix masks give 2^64 patterns; any two distinct copies
+      // differ in ~32 of 64 signs, so cross-copy cosine concentrates
+      // near 0 — far under every near-dup threshold. ±1.0f multiply
+      // is an IEEE-exact sign flip: norms, dimensions, and value
+      // distributions are untouched, so every other embeddings entry
+      // is unaffected.
+      val m = { val w = mix64(c.toLong); if (w == 0L) -1L else w }
+      val signs = Array.tabulate(64)(i =>
+        if (((m >>> (i % 64)) & 1L) == 0L) 1.0f else -1.0f)
+      df.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          x * element_at(typedlit(signs), (pmod(i, lit(64)) + 1)
+            .cast("int"))))
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args

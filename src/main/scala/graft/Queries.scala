@@ -994,6 +994,60 @@ FROM orders
 UNION ALL
 SELECT 'hll_rsd_bounds', CAST(count(DISTINCT o_custkey) AS BIGINT), true
 FROM orders ORDER BY metric""")),
+    // SKETCH SET OPERATIONS — the query HLL union alone cannot answer:
+    // |A∩B| of two stored segment sketches via inclusion-exclusion
+    // (e(A)+e(B)−e(A∪B)), the distinct-overlap question (shared
+    // customers across two order-priority segments) a warehouse
+    // answers from per-segment sketches WITHOUT rescanning either
+    // segment. Each of the three estimates carries ~rsd of its own
+    // error, so the gate brackets |est−exact| by 4·rsd·(|A|+|B|) (the
+    // q_hll_rollup 2x-lesson applied: tolerance sized to the ERROR
+    // COMPOSITION, not the measured-at-one-scale bracket). Exact refs
+    // + the contract boolean are what DuckDB hash-checks.
+    Entry("q_hll_intersect",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.read(s, d, "orders")
+        val lgK = 12
+        val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        def sketchOf(p: String) =
+          o.filter(col("o_orderpriority") === p)
+            .agg(hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"))
+        val eA = sketchOf("1-URGENT")
+          .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+        val eB = sketchOf("2-HIGH")
+          .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+        val eU = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("o_custkey"), lit(lgK)))).head().getLong(0)
+        val est = eA + eB - eU
+        val ex = o.groupBy(col("o_custkey"))
+          .agg(max(when(col("o_orderpriority") === "1-URGENT", 1)).as("a"),
+            max(when(col("o_orderpriority") === "2-HIGH", 1)).as("b"))
+          .agg(coalesce(sum(col("a")), lit(0L)).as("na"),
+            coalesce(sum(col("b")), lit(0L)).as("nb"),
+            coalesce(sum(when(col("a") === 1 && col("b") === 1, 1L)),
+              lit(0L)).as("ni"))
+          .head()
+        val (exA, exB, exI) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+        Seq(("hll_intersect", exA, exB, exI,
+          math.abs(est - exI).toDouble <= 4 * rsd * (exA + exB)))
+          .toDF("metric", "exact_a", "exact_b", "exact_inter", "ok")
+      },
+      Some("""SELECT 'hll_intersect' AS metric,
+  CAST(count(DISTINCT CASE WHEN has_a = 1 THEN o_custkey END) AS BIGINT)
+    AS exact_a,
+  CAST(count(DISTINCT CASE WHEN has_b = 1 THEN o_custkey END) AS BIGINT)
+    AS exact_b,
+  CAST(count(DISTINCT CASE WHEN has_a = 1 AND has_b = 1
+    THEN o_custkey END) AS BIGINT) AS exact_inter,
+  true AS ok
+FROM (
+  SELECT o_custkey,
+    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      AS has_a,
+    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS has_b
+  FROM orders GROUP BY o_custkey)""")),
     // Probabilistic sketches over the fact table (Spark-native: HLL++,
     // count-min, Bloom filter). Deterministic for fixed data/seed but
     // engine-specific -> rows-only check.

@@ -87,6 +87,56 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("attributeLastTouch: batch-window tie semantics, cross-batch state, " +
+      "identical under the RocksDB state store") {
+    val s = spark
+    import s.implicits._
+    def us(min: Int): Long = EventStream.micros(ts(min))
+    def run(tag: String): Seq[(Long, Long, Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val query = EventStream.attributeLastTouch(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(s"attr_$tag")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_attr_$tag").toString)
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(
+        Event(1, ts(0), 10, "click", 0.0),
+        Event(2, ts(1), 10, "purchase", 2.5),  // credited to the ts(0) click
+        Event(3, ts(2), 11, "purchase", 1.0))  // no prior click: unattributed
+      query.processAllAvailable()
+      mem.addData(
+        // same-ts click with the SMALLER event_id precedes the purchase
+        // in the batch window's (ts, event_id) ROWS frame — pinned here
+        Event(4, ts(3), 10, "click", 0.0),
+        Event(5, ts(3), 10, "purchase", 3.0),
+        // cross-batch: state carries the ts(3) click into this batch
+        Event(6, ts(4), 10, "purchase", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table(s"attr_$tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      query.stop()
+      rows
+    }
+    val expected = Seq(
+      (10L, us(1), us(0), 250L),
+      (10L, us(3), us(3), 300L),
+      (10L, us(4), us(3), 400L))
+    assert(run("hdfs") == expected)
+    // Same pipeline, production state backend: at 100 TB the per-user
+    // state lives in RocksDB, and the result must be byte-identical.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try assert(run("rocks") == expected)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState episodes: lag semantics, state survives batches, eviction lossless") {
     val s = spark
     import s.implicits._

@@ -48,4 +48,43 @@ class ScaleDataSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$t.$k: ${d} distinct after 2×2 derivation, want ${4 * dSrc}")
     }
   }
+
+  test("embedding decorrelation never aliases copies past the dimension " +
+      "(the factor-100 Walsh bug)") {
+    // Factor 66 > dim 64: the old Walsh sign family had only 64
+    // distinct patterns, so copies 64/65 were byte-identical to copies
+    // 0/1 and the planted-oracle embedding entries broke at the 100x
+    // audit point. The splitmix64 masks must keep EVERY copy of a base
+    // vector distinct, and cross-copy cosine far below the 0.9
+    // near-dup threshold.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_scale_decor").toString
+    ScaleData.derive(spark, "/root/testdata/sf0.001", s"$base/x66", 66)
+    val emb = spark.read.parquet(s"$base/x66/embeddings.parquet")
+    val nBase = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    // every base vector's 66 copies are pairwise distinct byte-wise
+    val distinctPerBase = emb
+      .groupBy(pmod(col("vec_id"), lit(1000000000000L)).as("b"))
+      .agg(countDistinct(col("embedding")).as("nd"))
+      .agg(min(col("nd"))).head().getLong(0)
+    assert(distinctPerBase == 66L,
+      s"copies alias: min distinct embeddings per base = $distinctPerBase")
+    // cross-copy cosine of one base vector's copies stays << 0.9
+    val vecs = emb
+      .filter(pmod(col("vec_id"), lit(1000000000000L)) ===
+        emb.agg(min(pmod(col("vec_id"), lit(1000000000000L))))
+          .head().getLong(0))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(vecs.length == 66)
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      val dot = vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(vecs(i).map(x => x * x).sum)
+      val nb = math.sqrt(vecs(j).map(x => x * x).sum)
+      val cos = dot / (na * nb)
+      assert(math.abs(cos) < 0.9, s"copies $i,$j cosine $cos")
+    }
+    assert(emb.count() == 66 * nBase)
+  }
 }

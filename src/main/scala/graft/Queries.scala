@@ -1985,6 +1985,87 @@ c AS (
 SELECT p.event_id, p.user_id, c.q_id
 FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts
 ORDER BY p.event_id""")),
+    // POINT-IN-TIME multi-feature assembly — the feature-store pattern
+    // that guards against training-serving skew: each label row
+    // (purchase) is enriched with the AS-OF state of two feature
+    // streams (last click's cents, time since last view) via two
+    // chained invocations of the custom AsofJoin operator — per-key
+    // ordered merges, no range-join explosion, each join one exchange
+    // + sort per side at worst. Feature tables are pre-deduped per
+    // (user, ts) so both engines resolve ties identically; all output
+    // columns are exact integers (cents / µs gaps).
+    Entry("q_pit_features",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("ck_user"), col("ts").as("ck_ts"))
+          .agg(max(floor(col("value") * 100 + 0.5).cast("long"))
+            .as("ck_cents"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("vw_user"), col("ts").as("vw_ts"))
+          .agg(count(lit(1)).as("vw_n"))
+        val f1 = org.apache.spark.sql.graft.AsofJoin.asofJoin(
+          purchases, clicks, "user_id", "ck_user", "ts", "ck_ts")
+        val f2 = org.apache.spark.sql.graft.AsofJoin.asofJoin(
+          f1, views, "user_id", "vw_user", "ts", "vw_ts")
+        f2.select(col("event_id"), col("user_id"), col("cents"),
+            coalesce(col("ck_cents"), lit(-1L)).as("last_click_cents"),
+            coalesce(unix_micros(col("ts")) - unix_micros(col("vw_ts")),
+              lit(-1L)).as("view_gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+  SELECT event_id, user_id, ts,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS ck_user, ts AS ck_ts,
+    max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS ck_cents
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+v AS (
+  SELECT user_id AS vw_user, ts AS vw_ts, count(*) AS vw_n
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+f1 AS (
+  SELECT p.*, c.ck_cents
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.ck_user AND p.ts >= c.ck_ts),
+f2 AS (
+  SELECT f1.*, v.vw_ts
+  FROM f1 ASOF LEFT JOIN v ON f1.user_id = v.vw_user AND f1.ts >= v.vw_ts)
+SELECT event_id, user_id, cents,
+  coalesce(ck_cents, -1) AS last_click_cents,
+  coalesce(epoch_us(ts) - epoch_us(vw_ts), -1) AS view_gap_us
+FROM f2 ORDER BY event_id""")),
+    // RFM customer features — the classic feature-engineering rollup
+    // (recency / frequency / monetary) every churn or LTV model starts
+    // from: one orders scan, one customer-keyed partial-agg shuffle,
+    // recency measured against the corpus max date (one scalar
+    // pre-pass), money in exact integer cents.
+    Entry("q_rfm_features",
+      (s, d) => {
+        val o = Tables.read(s, d, "orders")
+        val refUs = o.agg(max(unix_micros(col("o_orderdate").cast("timestamp"))))
+          .head().getLong(0)
+        o.groupBy(col("o_custkey").as("c_custkey"))
+          .agg(
+            ((lit(refUs) - max(unix_micros(col("o_orderdate").cast("timestamp")))) /
+              lit(86400000000L)).cast("long").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("monetary_cents"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH r AS (SELECT max(epoch_us(o_orderdate)) AS ref
+  FROM orders)
+SELECT o_custkey AS c_custkey,
+  CAST((r.ref - max(epoch_us(o_orderdate))) // 86400000000 AS BIGINT)
+    AS recency_days,
+  count(*) AS frequency,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS monetary_cents
+FROM orders, r GROUP BY o_custkey, r.ref ORDER BY c_custkey""")),
     // Both as-of physical strategies, FORCED, over the identical join,
     // as separate bench entries — so BENCH_r*.json carries a measured
     // broadcast-vs-merge number (the r7 stats-driven strategy choice

@@ -1475,6 +1475,82 @@ ORDER BY stage""")),
     AS cents_sum,
   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+    // SCHEMA EVOLUTION — the other half of format breadth: two
+    // parquet batches written with DIFFERENT schemas (a column added
+    // mid-stream, the standard ingest drift) read back through
+    // mergeSchema; pre-evolution rows must surface the new column as
+    // NULL, post-evolution rows keep their values, and nothing is
+    // lost or duplicated. pid-keyed tmp dir + eager collect + cleanup
+    // (the ORC round-trip conventions); cents-exact money.
+    Entry("q_schema_evolution",
+      (s, d) => {
+        val dir = "/tmp/graft_evo/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val o = Tables.read(s, d, "orders")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/b1")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$dir/b2")
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/b1", s"$dir/b2")
+        val agg = merged
+          .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("cents_sum"))
+          .orderBy("priority")
+        val rows = agg.collect().toSeq
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), agg.schema)
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+    ELSE o_orderpriority END AS priority,
+  count(*) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents_sum
+FROM orders GROUP BY 1 ORDER BY priority""")),
+    // JSONL ROUND-TRIP — the interchange format every LLM data
+    // pipeline ships: the documents slice written as JSON Lines and
+    // read back must be LOSSLESS for text payloads (quotes, newlines,
+    // unicode — exactly what JSON escaping must survive); the gate
+    // aggregates per-language doc counts, total chars, and an md5 sum
+    // over the round-tripped text against the parquet original.
+    Entry("q_jsonl_roundtrip",
+      (s, d) => {
+        val dir = "/tmp/graft_jsonl/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").json(dir)
+        val back = s.read.json(dir)
+        // 10 hex chars = 40 bits per doc: the additive artifact stays
+        // far under Long at any derived scale (the r10 overflow
+        // lesson: bound per-row contributions BEFORE summing).
+        val agg = back
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            count(col("text")).as("n_hashable"),
+            sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+              .cast("long")).as("md5_prefix_sum"))
+          .orderBy("lang")
+        val rows = agg.collect().toSeq
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), agg.schema)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  CAST(count(text) AS BIGINT) AS n_hashable,
+  CAST(sum(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT))
+    AS BIGINT) AS md5_prefix_sum
+FROM documents GROUP BY lang ORDER BY lang""")),
     // Event TRANSITION matrix (first-order Markov counts): for each
     // user's time-ordered stream, count (event, next-event) pairs —
     // the navigation-flow / next-action primitive. One lead() window

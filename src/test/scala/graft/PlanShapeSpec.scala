@@ -110,6 +110,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("source"), s"unpruned documents scan: $s"))
   }
 
+  test("PIT feature chain: the label stream flows SHUFFLE-FREE through " +
+      "both broadcast as-of joins") {
+    // The as-of strategy reads right-side stats, and both deduped
+    // feature tables are dimension-sized here, so BOTH joins must
+    // plant the broadcast exec — the purchases stream then reaches the
+    // final projection with ZERO exchanges (the two hash exchanges in
+    // the plan are the feature tables' own dedup aggregations; the
+    // only label-stream exchange is the closing orderBy's range
+    // partition). At 100 TB this is the difference between one pass
+    // over the label log and one pass PER FEATURE TABLE.
+    val df = SparkEntry.queries("q_pit_features")(spark, dir)
+    df.collect()
+    // AQE's string form appends the pre-execution "Initial Plan";
+    // assert on the final plan section only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastAsofJoin".r.findAllMatchIn(plan).size == 2,
+      s"both feature joins should broadcast:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges == 2,
+      s"label stream re-shuffled: $exchanges hash exchanges (want 2 — " +
+        s"the feature dedups only):\n${plan.take(3000)}")
+  }
+
   test("path centrality prunes both fact scans to join keys") {
     val schemas = scanSchemas(
       SparkEntry.queries("q_path_centrality")(spark, dir))

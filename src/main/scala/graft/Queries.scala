@@ -3558,6 +3558,23 @@ GROUP BY doc_id ORDER BY doc_id""")),
           element_at(col("features"), 1).as("f0"))
         .orderBy("asset_id"),
       None),
+    // REAL image decode — the former honest-frontier stub closed for
+    // the image modality: a deterministic RGB image per doc id is
+    // compressed to actual PNG bytes by the JDK's ImageIO codec on
+    // executors, decoded BACK through the same codec, and the exact
+    // integer channel sums must equal the generator's closed form —
+    // PNG is lossless, so any codec/byte-order/color-model defect
+    // breaks the hash loudly. Both encode and decode are
+    // mapPartitions over the binary column: the exact shape a 100 TB
+    // crawl pipeline runs per input split, no shuffle. (Audio/video
+    // codecs remain absent from the container; their plumbing stays
+    // on the documented stub path above.)
+    Entry("q_image_decode",
+      (s, d) => Multimodal.decodeImageStats(
+        Multimodal.pngAssets(docs(s, d), "doc_id", edge = 8))
+        .orderBy("asset_id"),
+      Some(Multimodal.decodeImageStatsSql("documents", "doc_id",
+        edge = 8))),
     // Frame sampling over binary payloads (every 4th 64-byte frame as
     // its own row) — the keyframe-extraction stage of a video pipeline
     // with the decode replaced by a byte-exact slice, so the whole

@@ -237,14 +237,14 @@ FROM b, unnest(range(0, len // $frameBytes)) u(i)
 WHERE i % $stride = 0
 ORDER BY asset_id, frame_idx"""
 
-  /** STUBBED media decode: a real pipeline would decode the payload
-    * (JPEG→pixels, audio→PCM frames) with native libs and emit a
-    * fixed-shape tensor (e.g. a thumbnail or mel spectrogram). Those
-    * libs aren't in this container, so the decode is replaced by a
+  /** STUBBED media decode for NON-image modalities: audio/video codecs
+    * aren't in this container, so this path replaces the decode with a
     * DETERMINISTIC FAKE — an `edge`×`edge` grid where cell (i,j) is a
     * hash-derived float of the payload slice it "covers" — while the
     * batch shape, schema, and partition-parallel plumbing match the real
-    * thing exactly.
+    * thing exactly. For IMAGES the decode is no longer stubbed:
+    * [[pngAssets]]/[[decodeImageStats]] run the JDK's real PNG codec
+    * end-to-end (`q_image_decode`, closed-form oracle).
     */
   def decodeStubFeatures(assets: DataFrame, edge: Int = 8): DataFrame = {
     val spark = assets.sparkSession
@@ -273,4 +273,105 @@ ORDER BY asset_id, frame_idx"""
       .withColumnRenamed("byte_entropy", "pad")
       .drop("pad")
   }
+
+  /** Deterministic per-pixel channel value — shared by the PNG
+    * generator and the closed-form oracle. The id is bounded FIRST
+    * (mod 1000003) so the arithmetic can never overflow at
+    * derived-scale ids (the r10 lesson). */
+  private[ops] def pixelChannel(id: Long, x: Int, y: Int,
+      channelOffset: Int): Int =
+    (((id % 1000003L) * 31 + x * 7 + y * 13 + channelOffset) % 256).toInt
+
+  /** REAL image ENCODE on executors: a deterministic `edge`×`edge` RGB
+    * image per asset id, compressed to actual PNG bytes by the JDK's
+    * ImageIO codec (headless-safe, no native libs needed) — the
+    * binary-asset column a crawl pipeline would carry. mapPartitions,
+    * map-side only.
+    */
+  def pngAssets(df: DataFrame, idCol: String, edge: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(edge, edge,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < edge) {
+          var x = 0
+          while (x < edge) {
+            img.setRGB(x, y,
+              (pixelChannel(id, x, y, 0) << 16) |
+                (pixelChannel(id, x, y, 85) << 8) |
+                pixelChannel(id, x, y, 170))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false))))
+  }
+
+  /** REAL image DECODE on executors: ImageIO parses the PNG bytes back
+    * to pixels and the stats are exact integer channel sums — PNG is
+    * lossless, so decode(encode(image)) must reproduce the generator's
+    * pixels EXACTLY, which is what the closed-form oracle checks.
+    * This is the genuine codec round-trip the former stub could not
+    * give: a decoder bug, a byte-order mistake, or a color-model mixup
+    * all break the integer sums loudly.
+    */
+  def decodeImageStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select(col("asset_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff
+              gs += (p >> 8) & 0xff
+              bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, img.getWidth, img.getHeight, rs, gs, bs)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false))))
+  }
+
+  /** Closed-form oracle of the PNG encode→decode round trip: the same
+    * bounded-id pixel arithmetic, evaluated directly in SQL over an
+    * (x, y) grid cross join. */
+  def decodeImageStatsSql(table: String, id: String, edge: Int = 8): String =
+    s"""SELECT $id AS asset_id, $edge AS width, $edge AS height,
+  CAST(sum((($id % 1000003) * 31 + x * 7 + y * 13 + 0) % 256) AS BIGINT)
+    AS r_sum,
+  CAST(sum((($id % 1000003) * 31 + x * 7 + y * 13 + 85) % 256) AS BIGINT)
+    AS g_sum,
+  CAST(sum((($id % 1000003) * 31 + x * 7 + y * 13 + 170) % 256) AS BIGINT)
+    AS b_sum
+FROM $table,
+  LATERAL (SELECT unnest(generate_series(0, ${edge - 1})) AS x) xs,
+  LATERAL (SELECT unnest(generate_series(0, ${edge - 1})) AS y) ys
+GROUP BY $id ORDER BY asset_id"""
 }

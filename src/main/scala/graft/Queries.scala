@@ -3575,6 +3575,30 @@ GROUP BY doc_id ORDER BY doc_id""")),
         .orderBy("asset_id"),
       Some(Multimodal.decodeImageStatsSql("documents", "doc_id",
         edge = 8))),
+    // Decode + THUMBNAIL resize: the same real PNG decode followed by
+    // a factor-2 nearest-neighbor downsample — the sampling rule is
+    // chosen closed-form (output (x,y) = input (2x,2y)); an
+    // area-averaging resampler's rounding is platform arithmetic and
+    // belongs behind a bounds gate, not a hash gate.
+    Entry("q_image_resize",
+      (s, d) => Multimodal.decodeResizeStats(
+        Multimodal.pngAssets(docs(s, d), "doc_id", edge = 8))
+        .orderBy("asset_id"),
+      Some(Multimodal.decodeResizeStatsSql("documents", "doc_id",
+        edge = 8))),
+    // REAL audio decode — javax.sound's WAV codec end-to-end:
+    // deterministic 16-bit PCM wrapped as actual WAV bytes on
+    // executors, parsed back through the same codec; frame count,
+    // sample rate, and the exact integer sample sum gate the container
+    // parsing, endianness, and sign handling against the generator's
+    // closed form (PCM-in-WAV is lossless). Video containers remain
+    // absent from the JDK — that half stays on the documented stub.
+    Entry("q_audio_decode",
+      (s, d) => Multimodal.decodeWavStats(
+        Multimodal.wavAssets(docs(s, d), "doc_id", nSamples = 64))
+        .orderBy("asset_id"),
+      Some(Multimodal.decodeWavStatsSql("documents", "doc_id",
+        nSamples = 64))),
     // Frame sampling over binary payloads (every 4th 64-byte frame as
     // its own row) — the keyframe-extraction stage of a video pipeline
     // with the decode replaced by a byte-exact slice, so the whole

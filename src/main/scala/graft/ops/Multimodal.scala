@@ -359,6 +359,143 @@ ORDER BY asset_id, frame_idx"""
       StructField("b_sum", LongType, nullable = false))))
   }
 
+  /** Decode + NEAREST-NEIGHBOR resize (factor-of-2 downsample): the
+    * thumbnailing stage of an image pipeline, with the sampling rule
+    * chosen so the result is CLOSED-FORM — output pixel (x, y) is
+    * input pixel (2x, 2y), so the oracle evaluates the generator at
+    * the sampled grid directly (area-averaging resamplers have
+    * platform-dependent rounding; nearest-neighbor is exact).
+    * Runs the REAL PNG decode first — same mapPartitions shape. */
+  def decodeResizeStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select(col("asset_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val p = img.getRGB(2 * x, 2 * y)
+              rs += (p >> 16) & 0xff
+              gs += (p >> 8) & 0xff
+              bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w2, h2, rs, gs, bs)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false))))
+  }
+
+  def decodeResizeStatsSql(table: String, id: String,
+      edge: Int = 8): String = {
+    val half = edge / 2
+    s"""SELECT $id AS asset_id, $half AS width, $half AS height,
+  CAST(sum((($id % 1000003) * 31 + (2 * x) * 7 + (2 * y) * 13 + 0) % 256)
+    AS BIGINT) AS r_sum,
+  CAST(sum((($id % 1000003) * 31 + (2 * x) * 7 + (2 * y) * 13 + 85) % 256)
+    AS BIGINT) AS g_sum,
+  CAST(sum((($id % 1000003) * 31 + (2 * x) * 7 + (2 * y) * 13 + 170) % 256)
+    AS BIGINT) AS b_sum
+FROM $table,
+  LATERAL (SELECT unnest(generate_series(0, ${half - 1})) AS x) xs,
+  LATERAL (SELECT unnest(generate_series(0, ${half - 1})) AS y) ys
+GROUP BY $id ORDER BY asset_id"""
+  }
+
+  /** REAL audio ENCODE: deterministic 16-bit mono PCM samples wrapped
+    * as actual WAV bytes by the JDK's javax.sound codec (headless, no
+    * sound card touched — pure container IO). Sample k of asset id is
+    * ((id mod 1000003)·17 + k·11) mod 65536 − 32768, id-bounded first.
+    */
+  def wavAssets(df: DataFrame, idCol: String,
+      nSamples: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](nSamples * 2)
+        var k = 0
+        while (k < nSamples) {
+          val s = ((((id % 1000003L) * 17 + k.toLong * 11) % 65536L)
+            - 32768L).toShort
+          pcm(2 * k) = (s & 0xff).toByte            // little-endian
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, "audio/wav")
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false))))
+  }
+
+  /** REAL audio DECODE: javax.sound parses the WAV container back to
+    * PCM frames; n_frames, sample-rate, and the exact integer sample
+    * sum must equal the generator's closed form (PCM in WAV is
+    * lossless). Frame-count, header parsing, endianness, and sign
+    * handling all gate here. */
+  def decodeWavStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select(col("asset_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L
+          var k = 0
+          while (k < n) {
+            val lo = bytes(2 * k) & 0xff
+            val hi = bytes(2 * k + 1).toInt // sign-extends
+            sum += (hi << 8) | lo
+            k += 1
+          }
+          Row(id, n.toLong, fmt.getSampleRate.toInt, sum)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("pcm_sum", LongType, nullable = false))))
+  }
+
+  def decodeWavStatsSql(table: String, id: String,
+      nSamples: Int = 64): String =
+    s"""SELECT $id AS asset_id, CAST($nSamples AS BIGINT) AS n_samples,
+  8000 AS sample_rate,
+  CAST(sum((($id % 1000003) * 17 + k * 11) % 65536 - 32768) AS BIGINT)
+    AS pcm_sum
+FROM $table,
+  LATERAL (SELECT unnest(generate_series(0, ${nSamples - 1})) AS k) ks
+GROUP BY $id ORDER BY asset_id"""
+
   /** Closed-form oracle of the PNG encode→decode round trip: the same
     * bounded-id pixel arithmetic, evaluated directly in SQL over an
     * (x, y) grid cross join. */

@@ -3829,7 +3829,58 @@ FROM embeddings GROUP BY label ORDER BY label""")),
       Some("SELECT label, count(*) AS cnt, count(DISTINCT vec_id) AS n_ids, " +
         "CAST(min(len(embedding)) AS INTEGER) AS min_dim, " +
         "CAST(max(len(embedding)) AS INTEGER) AS max_dim " +
-        "FROM embeddings GROUP BY label ORDER BY label"))
+        "FROM embeddings GROUP BY label ORDER BY label")),
+    // Distributed Lloyd's k-means over the FULL embedding table
+    // (ops/Clustering.scala) — the full-data complement of the sampled
+    // driver-side codebook training (Similarity.kmeansCentroids, which
+    // feeds q_ann_ivf_topk). Oracle design (planted-structure family,
+    // q_semdedup / q_ann_planted precedent): every vector is rebuilt as
+    // anchor(vec_id % 4) + a ±0.009 single-dimension jitter, anchors
+    // being the 4 lowest-id real embeddings (unit vectors, pairwise L2
+    // >= 0.5 — require()d). Init = anchors displaced 0.05 on dim 0, so
+    // the margin argument is airtight: d(point, own init) <= 0.059 vs
+    // d(point, other init) >= 0.44, hence cluster i == vec_id % 4 at
+    // every iteration, means are stable after one step, Lloyd's MUST
+    // converge (require()d), and the census is closed-form in DuckDB.
+    // Scale shape: per iteration one map-side pass with broadcast
+    // centroids, a k-key reduceByKey of (count, sumVec) partials, no
+    // vector shuffle — MLlib's own plan; assignment is one more
+    // broadcast map.
+    Entry("q_kmeans",
+      (s, d) => {
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val anchors = base.orderBy("vec_id").limit(4).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        require(anchors.length == 4, "q_kmeans: needs 4 anchor vectors")
+        for (i <- anchors.indices; j <- i + 1 until anchors.length)
+          require(graft.ops.Clustering.sqDist(anchors(i), anchors(j)) > 0.25,
+            s"q_kmeans: anchors $i,$j violate the planted-separation contract")
+        val dim = anchors(0).length
+        val anchorArr = array(anchors.map(a =>
+          array(a.map(x => lit(x.toFloat)): _*)): _*)
+        val grp = pmod(col("vec_id"), lit(4)).cast("int")
+        val jitterDim = pmod(col("vec_id"), lit(dim)).cast("int")
+        val jitterVal = (pmod(col("vec_id"), lit(7)).cast("int") - lit(3))
+          .cast("float") * lit(0.003f)
+        val planted = base.select(col("vec_id"),
+          transform(element_at(anchorArr, grp + 1),
+            (x, i) => x + when(i === jitterDim, jitterVal)
+              .otherwise(lit(0.0f))).as("vec"))
+        val init = anchors.map { a => val c = a.clone(); c(0) += 0.05; c }
+        val model = graft.ops.Clustering.lloyds(planted, "vec", init,
+          maxIters = 5)
+        require(model.converged,
+          s"q_kmeans: Lloyd's did not converge in ${model.iters} iters")
+        graft.ops.Clustering.assign(planted, "vec_id", "vec", model.centroids)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_id"),
+            min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+          .orderBy("cluster")
+      },
+      Some("""SELECT CAST(vec_id % 4 AS INT) AS cluster, count(*) AS n,
+  CAST(sum(vec_id) AS BIGINT) AS sum_id,
+  min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM embeddings GROUP BY 1 ORDER BY 1"""))
   )
 
   // ---- neural estimator suite (SURVEY §2.4-2.6) ----

@@ -1582,4 +1582,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(out == Seq((1L, 2L), (1L, 1L), (2L, 2L)), s"got $out")
   }
+
+  test("lloyds: converges to exact cluster means from displaced init; " +
+    "assign recovers the planted grouping; empty cell keeps its centroid") {
+    // Two well-separated 2-D clusters with symmetric offsets, so the
+    // true means are exactly (0,0) and (10,10) — closed-form targets
+    // the distributed sums must hit bit-for-bit in double arithmetic.
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(-1f, 0f)), Row(1L, Seq(1f, 0f)),
+      Row(2L, Seq(0f, -1f)), Row(3L, Seq(0f, 1f)),
+      Row(4L, Seq(9f, 10f)), Row(5L, Seq(11f, 10f)),
+      Row(6L, Seq(10f, 9f)), Row(7L, Seq(10f, 11f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val init = Array(Array(1.0, 1.0), Array(9.0, 9.0))
+    val m = Clustering.lloyds(df, "embedding", init, maxIters = 5)
+    assert(m.converged, s"did not converge in ${m.iters} iters")
+    assert(m.centroids(0).toSeq == Seq(0.0, 0.0) &&
+      m.centroids(1).toSeq == Seq(10.0, 10.0),
+      s"centroids ${m.centroids.map(_.toSeq).toSeq}")
+    val got = Clustering.assign(df, "vec_id", "embedding", m.centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0,
+      4L -> 1, 5L -> 1, 6L -> 1, 7L -> 1), s"got $got")
+    // An init centroid far from every point owns nothing and must stay
+    // put (deterministic empty-cell rule), while the others converge.
+    val init3 = Array(Array(1.0, 1.0), Array(9.0, 9.0), Array(-100.0, -100.0))
+    val m3 = Clustering.lloyds(df, "embedding", init3, maxIters = 5)
+    assert(m3.converged && m3.centroids(2).toSeq == Seq(-100.0, -100.0),
+      s"empty cell moved: ${m3.centroids(2).toSeq}")
+  }
 }

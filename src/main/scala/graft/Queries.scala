@@ -2309,7 +2309,77 @@ GROUP BY user_id ORDER BY user_id""")),
           s"count(DISTINCT md5(${TextOps.piiScrubSql("props")})) " +
           "AS n_scrubbed_shapes, count(*) AS n " +
           "FROM events GROUP BY event_type ORDER BY event_type"
-      })
+      }),
+    // k-anonymity census (Sweeney) — the privacy audit a training-data
+    // release runs over its quasi-identifiers: equivalence classes on
+    // (nation, segment, account-balance band), then the class-size
+    // histogram. min(class_size) in row 1 IS the dataset's k; the rows
+    // below the release threshold are the suppression budget. Two
+    // cascaded aggregations, second keyed on the first's count — the
+    // same integer-exact shape as q_group_size_hist. The bal band
+    // groups on floor(x/1000): identical IEEE division both engines,
+    // and the band never reaches the output (float-rule safe).
+    Entry("q_k_anonymity",
+      (s, d) => Tables.read(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_rows"))
+        .orderBy("class_size"),
+      Some("""WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS bal_band,
+    count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3)
+SELECT class_size, count(*) AS n_classes,
+  CAST(sum(class_size) AS BIGINT) AS n_rows
+FROM classes GROUP BY class_size ORDER BY class_size""")),
+    // Distributed triangle counting (node-iterator with id-oriented
+    // edges) over the part co-occurrence graph: parts bought together
+    // in one order (returned lines only — the filter keeps the graph
+    // sparse AND pushes to the scan). The canonical 100 TB shape:
+    // edge gen is per-order local (order size is spec-bounded, so pair
+    // fan-out never grows with SF), edges orient u<v so each triangle
+    // is built exactly once from its lowest vertex, and the wedge join
+    // keys on that vertex (degree-ordered orientation is the known
+    // refinement when degree skew appears; id order suffices here —
+    // 644k wedges at sf0.1, measured). One UNION of three aggregates =
+    // ONE action (the q_fuzzy_join single-pass lesson).
+    Entry("q_triangle_count",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+          .distinct()
+        val edges = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+          .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        val tris = edges.as("e1").join(edges.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .select(col("e1.v").as("wv"), col("e2.v").as("ww"))
+          .join(edges.as("e3"),
+            col("wv") === col("e3.u") && col("ww") === col("e3.v"))
+        os.agg(countDistinct(col("s")).as("value"))
+          .select(lit("n_nodes").as("metric"), col("value"))
+          .unionByName(edges.agg(count(lit(1)).as("value"))
+            .select(lit("n_edges").as("metric"), col("value")))
+          .unionByName(tris.agg(count(lit(1)).as("value"))
+            .select(lit("n_triangles").as("metric"), col("value")))
+          .orderBy("metric")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS s
+  FROM lineitem WHERE l_returnflag = 'R'),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s)
+SELECT 'n_nodes' AS metric, count(DISTINCT s) AS value FROM os
+UNION ALL SELECT 'n_edges', count(*) FROM edges
+UNION ALL SELECT 'n_triangles', count(*)
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+ORDER BY metric"""))
   )
 
   /** Documents scan, repartitioned ONLY when the scan has fewer input
@@ -3617,7 +3687,102 @@ GROUP BY doc_id ORDER BY doc_id""")),
     Entry("q_multimodal_bytes",
       (s, d) => Multimodal.byteHistogramOracle(
         Multimodal.fromText(docs(s, d), "doc_id", "text")),
-      Some(Multimodal.byteHistogramOracleSql("documents", "doc_id", "text")))
+      Some(Multimodal.byteHistogramOracleSql("documents", "doc_id", "text"))),
+    // BM25 keyword retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75,
+    // the Lucene-default +1 idf smoothing): top-10 docs per query term.
+    // Scale shape is the inverted-index one: the only full-corpus work
+    // is the document-length table (one doc_id shuffle — the artifact a
+    // real index precomputes); tf/df and the scoring join touch ONLY
+    // the posting lists of the query terms, and the per-term top-k is a
+    // window over posting-sized partitions. Corpus stats (N, avgdl, the
+    // 3 df values) are scalar collects (bounded-collect class). The
+    // checked artifact is the integer ranking (term, rank, doc_id, tf,
+    // dl) — the float score orders it but never crosses engines: ranks
+    // flip only on exact (tf, dl) ties, which tie-break by doc_id
+    // identically in both engines (verify-skill float rule).
+    Entry("q_bm25_topk",
+      (s, d) => {
+        val terms = Seq("hash", "join", "scan")
+        val toks = docs(s, d).filter(trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+          .head()
+        val n = stats.getLong(0)
+        val avgdl = stats.getLong(1).toDouble / n
+        val tf = toks.filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok").as("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(terms.forall(dfc.contains),
+          s"q_bm25_topk: query term absent from corpus (df: $dfc)")
+        val idf = map(terms.flatMap(t => Seq(lit(t),
+          lit(math.log((n - dfc(t) + 0.5) / (dfc(t) + 0.5) + 1.0)))): _*)
+        val scored = tf.join(dl, "doc_id")
+          .withColumn("score", element_at(idf, col("term")) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        val w = Window.partitionBy("term")
+          .orderBy(col("score").desc, col("doc_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 10)
+          .select(col("term"), col("rnk"), col("doc_id"), col("tf"),
+            col("dl"))
+          .orderBy("term", "rnk")
+      },
+      Some("""WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+q(term) AS (SELECT unnest(['hash', 'join', 'scan'])),
+tf AS (SELECT toks.doc_id, q.term, count(*) AS tf
+       FROM toks JOIN q ON toks.tok = q.term GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+    ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+        (CAST(stats.sdl AS DOUBLE) / stats.n))) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+SELECT term,
+  CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+    AS INT) AS rnk,
+  doc_id, tf, dl
+FROM scored QUALIFY rnk <= 10 ORDER BY term, rnk""")),
+    // Readability census (the integer sufficient statistics of
+    // Flesch/Gunning-FOG: words, vowel-group syllables, 3+-syllable
+    // complex words, characters — the float index itself is a
+    // driver-side detail, the q_dsir_stats precedent): per-language
+    // corpus profile a curriculum builder reads before mixing. One
+    // token explode, map-side regexp counting, one 5-group aggregate.
+    Entry("q_readability",
+      (s, d) => docs(s, d).filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .withColumn("syl",
+          size(regexp_extract_all(col("tok"), lit("[aeiouy]+"), lit(0))))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("syl").cast("long")).as("n_syllables"),
+          sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("n_complex"),
+          sum(length(col("tok")).cast("long")).as("n_chars"))
+        .orderBy("lang"),
+      Some("""WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+syl AS (SELECT doc_id, lang, tok,
+  len(regexp_extract_all(tok, '[aeiouy]+')) AS syl FROM toks)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+  CAST(sum(syl) AS BIGINT) AS n_syllables,
+  CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_complex,
+  CAST(sum(len(tok)) AS BIGINT) AS n_chars
+FROM syl GROUP BY lang ORDER BY lang"""))
   )
 
   // ---- similarity search over embeddings (north star; SURVEY §7.5) ----

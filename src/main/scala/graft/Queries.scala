@@ -912,6 +912,27 @@ SELECT CAST(last_click_ts AS DATE) AS click_day,
 FROM e
 WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
 GROUP BY 1 ORDER BY click_day""")),
+    // STREAMING CDC materialized view, same harness (12th replay):
+    // per-user state is the key's current latest row by (ts, event_id)
+    // — what a CDC consumer holds — re-emitted in Update mode each
+    // micro-batch the key changes in; the materialized table is each
+    // key's last emission. In-order replay makes it equal to the batch
+    // argmax window, which IS the oracle (event_id identifies the
+    // winning row exactly — integer artifact, no float or timestamp
+    // crosses engines).
+    Entry("q_cdc_stream",
+      (s, d) => graft.streaming.Replay.cdcReplay(s, d)
+        .select(col("userId").as("user_id"),
+          col("eventId").as("last_event_id"), col("cents").as("last_cents"))
+        .orderBy("user_id"),
+      Some("""WITH r AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, cents AS last_cents
+FROM r WHERE rn = 1 ORDER BY user_id""")),
     // Skew-salted two-stage distinct aggregation: the oracle is the
     // UNsalted declarative form — the check is precisely that the
     // physical salting rewrite preserves semantics.

@@ -428,6 +428,38 @@ object EventStream {
       }
   }
 
+  final case class Latest(userId: Long, tsUs: Long, eventId: Long,
+      cents: Long)
+
+  /** Streaming CDC materialization — the ingestion-time twin of the
+    * batch changelog compaction (q_changelog_compact / q_merge_upsert):
+    * per-key state is the key's current LATEST row by (ts, event_id),
+    * i.e. the row a CDC consumer would hold for the key, updated as
+    * change events arrive and re-emitted in Update mode every
+    * micro-batch the key changes in. The materialized table (last
+    * emission per key) equals the batch argmax window, which IS the
+    * oracle. State is constant-size (24 bytes per key), partitioned by
+    * key across executors, watermark-independent; the within-batch
+    * fold applies rows in (ts, event_id) order so in-order replay is
+    * provably batch-equal.
+    */
+  def latestPerKey(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Latest]) =>
+          var cur = state.getOption.getOrElse(Latest(userId, -1L, -1L, 0L))
+          for (e <- rows) {
+            val us = micros(e.ts)
+            if (us > cur.tsUs || (us == cur.tsUs && e.event_id > cur.eventId))
+              cur = Latest(userId, us, e.event_id,
+                math.floor(e.value * 100 + 0.5).toLong)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Stream–static enrichment join: attach a dimension table to a live
     * event stream. The static side is broadcast-hinted — per micro-batch
     * Spark re-plans the join against the dimension's CURRENT snapshot

@@ -295,6 +295,22 @@ object Replay {
       .select(col("userId"), col("stageReached"))
   }
 
+  /** Streaming CDC latest-value materialization replayed through the
+    * file stream (update mode: a key re-emits whenever it changes).
+    * The materialized view = each key's LAST emission across batches
+    * (funnelReplay's readback convention). */
+  def cdcReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    val raw = replayTable(spark, sfDir, slices, "cdc_latest", "update") {
+      df => EventStream.latestPerKey(df.as[Event]).toDF
+    }
+    raw.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("userId")).orderBy(col("__batch").desc)))
+      .filter(col("__rk") === 1)
+      .select(col("userId"), col("tsUs"), col("eventId"), col("cents"))
+  }
+
   /** Streaming last-touch attribution replayed through the file
     * stream (append mode: each purchase's credited click is emitted
     * exactly once, in its arrival micro-batch). The readback is the

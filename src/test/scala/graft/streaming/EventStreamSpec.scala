@@ -362,4 +362,48 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getAs[Long]("n_view_click_purchase") ==
       finalStages.values.count(_ >= 3).toLong)
   }
+
+  test("latestPerKey CDC: running argmax is arrival-order-INSENSITIVE " +
+      "(shuffled and reversed replays converge to the batch argmax); " +
+      "ts ties resolve to the larger event_id") {
+    val s = spark
+    import s.implicits._
+    // The CDC fold is a commutative max over (ts, event_id) — unlike
+    // the order-sensitive replays, ANY batch split must converge to
+    // the same materialized view. Events for 2 keys, with a ts tie.
+    val events = Seq(
+      Event(1, ts(0), 10, "update", 1.0),
+      Event(2, ts(5), 10, "update", 2.0),
+      Event(3, ts(5), 10, "update", 3.0),   // ts tie: id 3 beats id 2
+      Event(4, ts(9), 10, "update", 4.005), // winner; cents rounds to 401
+      Event(5, ts(1), 11, "update", 5.0),
+      Event(6, ts(2), 11, "update", 6.0))
+    val expected = Map(10L -> (4L, 401L), 11L -> (6L, 600L))
+    def run(tag: String, batches: Seq[Seq[Event]]): Map[Long, (Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val query = EventStream.latestPerKey(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(s"cdc_$tag")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_cdc_$tag").toString)
+        .outputMode(OutputMode.Update()).start()
+      batches.zipWithIndex.foreach { case (b, _) =>
+        mem.addData(b: _*); query.processAllAvailable()
+      }
+      // materialized view: per-key emissions are MONOTONE in
+      // (tsUs, eventId) — state only moves forward — so the key's max
+      // emission IS its final state, independent of sink row order.
+      val rows = spark.table(s"cdc_$tag").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      query.stop()
+      rows.groupBy(_._1).map { case (k, rs) =>
+        val best = rs.map(_._2).maxBy(t => (t._1, t._2))
+        k -> (best._2, best._3)
+      }
+    }
+    assert(run("inorder", Seq(events.take(3), events.drop(3))) == expected)
+    assert(run("reversed", events.reverse.grouped(2).toSeq) == expected)
+    assert(run("shuffled", Seq(Seq(events(3), events(5)),
+      Seq(events(0), events(4), events(2)), Seq(events(1)))) == expected)
+  }
 }

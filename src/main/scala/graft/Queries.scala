@@ -2400,7 +2400,102 @@ UNION ALL SELECT 'n_triangles', count(*)
   FROM edges e1
   JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
   JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
-ORDER BY metric"""))
+ORDER BY metric""")),
+    // Pareto skyline (minimize price, maximize quantity, per flag) —
+    // the classic multi-criteria operator. The scale lever is the
+    // REDUCTION before the skyline: for a fixed quantity only the
+    // minimum price can survive dominance, so one (flag, qty) shuffle
+    // collapses the corpus to <= |qty domain| rows per group (~50)
+    // BEFORE the quadratic-looking dominance test, which then runs as
+    // a running-max window over a tiny sorted set. The oracle is the
+    // INDEPENDENT formulation — NOT EXISTS dominance over the same
+    // reduction — so the window rewrite is checked against the
+    // definition, not itself. min(price) is selection, not arithmetic:
+    // parquet doubles pass through both engines bit-identically.
+    Entry("q_skyline",
+      (s, d) => {
+        val reduced = li(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("min_price").asc, col("l_quantity").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        reduced.withColumn("prevmax", max(col("l_quantity")).over(w))
+          .filter(col("prevmax").isNull ||
+            col("l_quantity") > col("prevmax"))
+          .select(col("l_returnflag"), col("l_quantity"), col("min_price"))
+          .orderBy("l_returnflag", "l_quantity")
+      },
+      Some("""WITH reduced AS (
+  SELECT l_returnflag, l_quantity, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_quantity, min_price
+FROM reduced r
+WHERE NOT EXISTS (
+  SELECT 1 FROM reduced o
+  WHERE o.l_returnflag = r.l_returnflag
+    AND o.min_price <= r.min_price AND o.l_quantity >= r.l_quantity
+    AND (o.min_price < r.min_price OR o.l_quantity > r.l_quantity))
+ORDER BY l_returnflag, l_quantity""")),
+    // Bounded-depth distributed BFS (3 hops) over the undirected part
+    // co-occurrence graph, from the ~1%-of-parts seed set: per round
+    // ONE frontier->edges join plus an anti join against the visited
+    // set — the iterative traversal shape (label propagation's cousin;
+    // the connected-components entries iterate the same way). Depth is
+    // FIXED, so the DuckDB oracle is the same search unrolled — no
+    // recursive CTE (the 100x audit lesson). Artifact = hop-distance
+    // census; -1 = unreached.
+    Entry("q_bfs_hops",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+          .distinct()
+        val dir = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+          .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        val und = dir.unionByName(dir.select(col("v").as("u"),
+          col("u").as("v"))).distinct()
+        val nodes = os.select(col("s")).distinct()
+        var visited = nodes.filter(pmod(col("s"), lit(100)) === 0)
+          .select(col("s").as("n"), lit(0).as("dist"))
+        for (i <- 1 to 3) {
+          val frontier = visited.filter(col("dist") === i - 1)
+          val next = frontier.join(und, col("n") === col("u"))
+            .select(col("v").as("n")).distinct()
+            .join(visited.select("n"), Seq("n"), "left_anti")
+            .withColumn("dist", lit(i))
+          visited = visited.unionByName(next)
+        }
+        nodes.join(visited, col("s") === col("n"), "left_outer")
+          .select(coalesce(col("dist"), lit(-1)).as("dist"))
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS s
+  FROM lineitem WHERE l_returnflag = 'R'),
+dir AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
+und AS (SELECT u, v FROM dir UNION SELECT v, u FROM dir),
+nodes AS (SELECT DISTINCT s FROM os),
+d0 AS (SELECT s AS n FROM nodes WHERE s % 100 = 0),
+d1 AS (SELECT DISTINCT v AS n FROM und JOIN d0 ON und.u = d0.n
+       WHERE v NOT IN (SELECT n FROM d0)),
+d2 AS (SELECT DISTINCT v AS n FROM und JOIN d1 ON und.u = d1.n
+       WHERE v NOT IN (SELECT n FROM d0 UNION ALL SELECT n FROM d1)),
+d3 AS (SELECT DISTINCT v AS n FROM und JOIN d2 ON und.u = d2.n
+       WHERE v NOT IN (SELECT n FROM d0 UNION ALL SELECT n FROM d1
+                       UNION ALL SELECT n FROM d2)),
+dist AS (
+  SELECT s, coalesce(
+    CASE WHEN s IN (SELECT n FROM d0) THEN 0
+         WHEN s IN (SELECT n FROM d1) THEN 1
+         WHEN s IN (SELECT n FROM d2) THEN 2
+         WHEN s IN (SELECT n FROM d3) THEN 3 END, -1) AS dist
+  FROM nodes)
+SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
+FROM dist GROUP BY dist ORDER BY dist"""))
   )
 
   /** Documents scan, repartitioned ONLY when the scan has fewer input

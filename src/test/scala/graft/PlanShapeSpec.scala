@@ -142,4 +142,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("l_quantity") && !s.contains("l_extendedprice"),
       s"unpruned scan: $s"))
   }
+
+  test("triangle count pushes the returnflag filter to the scan and " +
+      "prunes to (orderkey, partkey, returnflag)") {
+    val df = SparkEntry.queries("q_triangle_count")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)]"), s"returnflag not pushed:\n$plan")
+    scanSchemas(df).foreach(s => assert(!s.contains("l_quantity") &&
+      !s.contains("l_extendedprice") && !s.contains("l_suppkey"),
+      s"unpruned scan: $s"))
+  }
+
+  test("k-anonymity prunes customer to the three quasi-identifiers") {
+    val schemas = scanSchemas(
+      SparkEntry.queries("q_k_anonymity")(spark, dir))
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("c_name") &&
+      !s.contains("c_custkey"), s"unpruned scan: $s"))
+  }
+
+  test("skyline reduces BEFORE the window: exactly one lineitem scan, " +
+      "pruned to (returnflag, quantity, extendedprice), and the window " +
+      "input is the aggregate, not the corpus") {
+    val df = SparkEntry.queries("q_skyline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val schemas = scanSchemas(df)
+    assert(schemas.size == 1, s"expected one scan: $schemas")
+    assert(!schemas.head.contains("l_orderkey") &&
+      !schemas.head.contains("l_shipdate"), s"unpruned: ${schemas.head}")
+    // Window must sit ABOVE the aggregate (reduction first): in the
+    // bottom-up plan string the aggregate appears after Window's input.
+    val wIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(wIdx >= 0 && aggIdx > wIdx,
+      s"window does not consume the reduced aggregate:\n$plan")
+  }
+
+  test("bm25 computes dl once and scores only posting lists: the " +
+      "documents scan prunes to (doc_id, text)") {
+    val schemas = scanSchemas(
+      SparkEntry.queries("q_bm25_topk")(spark, dir))
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("lang") &&
+      !s.contains("source") && !s.contains("n_chars"),
+      s"unpruned scan: $s"))
+  }
 }

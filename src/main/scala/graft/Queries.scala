@@ -965,6 +965,40 @@ FROM r WHERE rn = 1 ORDER BY user_id""")),
       },
       Some(graft.ops.Incremental.reportSql("lineitem",
         Seq("l_returnflag", "l_linestatus"), "l_quantity"))),
+    // Incremental JOIN-view maintenance — the bilinear delta rule:
+    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, so a materialized join view
+    // updates from O(|Δ|)-driven joins instead of re-joining the
+    // bases (each delta term keys one small side — at 100 TB the ΔA
+    // and ΔB probes broadcast). Both inputs here take a 10% "append":
+    // the four disjoint terms union BEFORE one per-nation aggregate
+    // (single action), and the oracle is the full recompute — any
+    // missed or double-counted term breaks the exact cents census.
+    Entry("q_incremental_join",
+      (s, d) => {
+        val cust = Tables.read(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val ords = Tables.read(s, d, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+        val a0 = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 0)
+        val da = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        val b0 = ords.filter(pmod(col("o_custkey"), lit(7)) =!= 0)
+        val db = ords.filter(pmod(col("o_custkey"), lit(7)) === 0)
+        def term(x: DataFrame, y: DataFrame) =
+          x.join(y, col("c_custkey") === col("o_custkey"))
+            .select(col("c_nationkey"), col("cents"))
+        term(a0, b0).unionByName(term(da, b0))
+          .unionByName(term(a0, db)).unionByName(term(da, db))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey""")),
     // MERGEABLE-sketch rollup — the incremental distinct-count pattern
     // at 100 TB: per-month Datasketches HLL sketches over o_custkey,
     // stored as binary columns and UNIONED later, must agree with one
@@ -3616,6 +3650,53 @@ SELECT doc_id, count(*) AS n_bigrams,
   CAST(sum(cnt) AS BIGINT) AS familiarity
 FROM grams JOIN cnts USING (bigram)
 GROUP BY doc_id ORDER BY doc_id""")),
+    // PMI collocation mining (word2phrase / phrase-detection): bigrams
+    // whose corpus lift c_xy·N / (c_x·c_y) exceeds 3/2, selected by
+    // INTEGER cross-multiplication (2·c_xy·N > 3·c_x·c_y) so the float
+    // log never exists and both engines compare exact BIGINTs. The
+    // min-count filter runs BEFORE the unigram joins (candidate
+    // pruning first), and the unigram table is vocab-sized — both
+    // joins broadcast; the only corpus-sized shuffles are the two
+    // censuses. Overflow envelope is require()d loud: 2·c_xy·N stays
+    // under Long through the audited 100x decade, not forever (the
+    // r10 additive-artifact lesson).
+    Entry("q_pmi_colloc",
+      (s, d) => {
+        val toks = docs(s, d).filter(trim(col("text")) =!= "")
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val n = toks.count()
+        require(n < (1L << 42),
+          s"q_pmi_colloc: corpus of $n tokens would overflow the " +
+            "integer cross-multiplication; rescale the threshold first")
+        val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val big = docs(s, d)
+          .select(explode(TextOps.ngramArray(col("text"), 2)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 10)
+        big
+          .withColumn("l", split(col("bigram"), " ").getItem(0))
+          .withColumn("r", split(col("bigram"), " ").getItem(1))
+          .join(broadcast(uni.select(col("tok").as("l"),
+            col("c").as("c_x"))), "l")
+          .join(broadcast(uni.select(col("tok").as("r"),
+            col("c").as("c_y"))), "r")
+          .filter(lit(2L) * col("c_xy") * lit(n) >
+            lit(3L) * col("c_x") * col("c_y"))
+          .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"))
+          .orderBy("bigram")
+      },
+      Some(bigramCte + """
+, uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n FROM toks),
+big AS (SELECT bigram, count(*) AS c_xy FROM grams GROUP BY bigram
+        HAVING count(*) >= 10)
+SELECT bigram, c_xy, ul.c AS c_x, ur.c AS c_y
+FROM big
+JOIN uni ul ON split_part(bigram, ' ', 1) = ul.tok
+JOIN uni ur ON split_part(bigram, ' ', 2) = ur.tok
+CROSS JOIN n
+WHERE 2 * c_xy * n.n > 3 * ul.c * ur.c
+ORDER BY bigram""")),
     // DSIR-style importance statistics (Xie et al., "Data Selection
     // for Language Models via Importance Resampling"): per document,
     // the EXACT sufficient statistics of the n-gram importance weight

@@ -2529,7 +2529,333 @@ dist AS (
          WHEN s IN (SELECT n FROM d3) THEN 3 END, -1) AS dist
   FROM nodes)
 SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
-FROM dist GROUP BY dist ORDER BY dist"""))
+FROM dist GROUP BY dist ORDER BY dist""")),
+    // Frequent-itemset mining (Apriori) over order baskets — the
+    // market-basket operator. The scale shape: pair/triple INSTANCE
+    // generation is basket-local (order size is spec-bounded, so
+    // fan-out per order is a constant, never corpus-sized); support
+    // counting is one shuffle keyed on the itemset; and the Apriori
+    // closure prunes candidate triples by semi-joining BOTH
+    // constituent pairs against the frequent-pair set BEFORE the
+    // support count touches the instance stream — at 100 TB the
+    // frequent sets are dimension-sized and broadcast. Checksum uses
+    // pmod-per-key before the weighted mix (derived-scale ids ~1e15
+    // would overflow a raw p1*31).
+    Entry("q_itemsets",
+      (s, d) => {
+        val baskets = li(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val l1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 5)
+        val freqItems = l1.select(col("p").as("fp"))
+        val fb = baskets.join(freqItems, col("p") === col("fp"), "left_semi")
+        val pairInst = fb.as("a").join(fb.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        val l2 = pairInst.groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        val cand3 = l2.as("x").join(l2.as("y"),
+            col("x.p1") === col("y.p1") && col("x.p2") < col("y.p2"))
+          .select(col("x.p1").as("q1"), col("x.p2").as("q2"),
+            col("y.p2").as("q3"))
+          .join(l2.select(col("p1").as("c1"), col("p2").as("c2")),
+            col("q2") === col("c1") && col("q3") === col("c2"),
+            "left_semi")
+        val tripInst = fb.as("a").join(fb.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .join(fb.as("c"),
+            col("b.ok") === col("c.ok") && col("b.p") < col("c.p"))
+          .select(col("a.p").as("q1"), col("b.p").as("q2"),
+            col("c.p").as("q3"))
+        val l3 = tripInst.join(cand3, Seq("q1", "q2", "q3"), "left_semi")
+          .groupBy(col("q1"), col("q2"), col("q3"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        def mix(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column,
+            c: org.apache.spark.sql.Column) =
+          pmod(pmod(a, lit(1000003L)) * 31 + pmod(b, lit(1000003L)) * 17
+            + pmod(c, lit(1000003L)) * 7, lit(1000003L))
+        def census(df: DataFrame, level: Int,
+            k: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_frequent"),
+              coalesce(max(col("n")), lit(0L)).as("max_support"),
+              coalesce(sum(k), lit(0L)).as("checksum"))
+            .select(lit(level).as("level"), col("n_frequent"),
+              col("max_support"), col("checksum"))
+        census(l1, 1, mix(col("p"), lit(0L), lit(0L)))
+          .unionByName(census(l2, 2, mix(col("p1"), col("p2"), lit(0L))))
+          .unionByName(census(l3, 3, mix(col("q1"), col("q2"), col("q3"))))
+          .orderBy("level")
+      },
+      Some("""WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+l1 AS (SELECT p, count(*) AS n FROM baskets GROUP BY p HAVING count(*) >= 5),
+fb AS (SELECT ok, p FROM baskets WHERE p IN (SELECT p FROM l1)),
+l2 AS (
+  SELECT a.p AS p1, b.p AS p2, count(*) AS n
+  FROM fb a JOIN fb b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+cand3 AS (
+  SELECT x.p1 AS q1, x.p2 AS q2, y.p2 AS q3
+  FROM l2 x JOIN l2 y ON x.p1 = y.p1 AND x.p2 < y.p2
+  WHERE EXISTS (SELECT 1 FROM l2 z WHERE z.p1 = x.p2 AND z.p2 = y.p2)),
+l3 AS (
+  SELECT t.q1, t.q2, t.q3, count(*) AS n FROM (
+    SELECT a.p AS q1, b.p AS q2, c.p AS q3, a.ok
+    FROM fb a JOIN fb b ON a.ok = b.ok AND a.p < b.p
+    JOIN fb c ON b.ok = c.ok AND b.p < c.p) t
+  WHERE EXISTS (SELECT 1 FROM cand3
+    WHERE cand3.q1 = t.q1 AND cand3.q2 = t.q2 AND cand3.q3 = t.q3)
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT 1 AS level, count(*) AS n_frequent,
+  CAST(coalesce(max(n), 0) AS BIGINT) AS max_support,
+  CAST(coalesce(sum((p % 1000003) * 31 % 1000003), 0) AS BIGINT)
+    AS checksum FROM l1
+UNION ALL SELECT 2, count(*),
+  CAST(coalesce(max(n), 0) AS BIGINT),
+  CAST(coalesce(sum(((p1 % 1000003) * 31 + (p2 % 1000003) * 17)
+    % 1000003), 0) AS BIGINT) FROM l2
+UNION ALL SELECT 3, count(*),
+  CAST(coalesce(max(n), 0) AS BIGINT),
+  CAST(coalesce(sum(((q1 % 1000003) * 31 + (q2 % 1000003) * 17
+    + (q3 % 1000003) * 7) % 1000003), 0) AS BIGINT) FROM l3
+ORDER BY level""")),
+    // Band join (|balᵢ - balⱼ| <= w) via bucket blocking — the
+    // standard rewrite that turns an O(N²) theta join into an
+    // equi-join: bucket width = band, probe side explodes to its
+    // three candidate buckets {b-1, b, b+1} (any in-band partner MUST
+    // land there, so the rewrite is lossless — the oracle is the
+    // unblocked theta join, checking exactly that), and the exact band
+    // predicate filters inside the bucket. At 100 TB this is one
+    // equi-shuffle on the bucket key with 3x probe amplification
+    // instead of a cartesian. Keys orient i < j so each pair counts
+    // once; checksum is pmod-bounded per key.
+    Entry("q_band_join",
+      (s, d) => {
+        val band = 100.0
+        val c = Tables.read(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+            col("c_acctbal").as("bal"),
+            floor(col("c_acctbal") / band).as("b"))
+        val probe = c.select(col("k").as("k1"), col("nk").as("nk1"),
+            col("bal").as("bal1"),
+            explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
+        probe.join(c, col("pb") === col("b") && col("k1") < col("k")
+            && abs(col("bal1") - col("bal")) <= band)
+          .groupBy((col("nk1") === col("nk")).as("same_nation"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(pmod(col("k1"), lit(1000003L))
+              + pmod(col("k"), lit(1000003L))).as("checksum"))
+          .orderBy("same_nation")
+      },
+      Some("""SELECT a.c_nationkey = b.c_nationkey AS same_nation,
+  count(*) AS n_pairs,
+  CAST(sum(a.c_custkey % 1000003 + b.c_custkey % 1000003) AS BIGINT)
+    AS checksum
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+  AND abs(a.c_acctbal - b.c_acctbal) <= 100.0
+GROUP BY 1 ORDER BY same_nation""")),
+    // Snapshot reconciliation (data-diff): v2 is derived from orders
+    // by deterministic deletes (key % 97), status rewrites (% 13),
+    // price bumps (% 11, +100 exact integer cents), and inserts
+    // (negated keys — disjoint from the positive key space by
+    // construction). ONE full-outer join + ONE aggregate pass
+    // classifies every key (ops/Relational.tableDiff); the oracle
+    // recomputes the census from the same v2 definition in SQL. The
+    // operator's output is a fixed metric census — never row-sized —
+    // so the 100 TB cost is exactly one co-partitioned key shuffle.
+    Entry("q_table_diff",
+      (s, d) => {
+        val o = Tables.read(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val v2 = o.filter(pmod(col("k"), lit(97)) =!= 0)
+          .select(col("k"),
+            when(pmod(col("k"), lit(13)) === 0, lit("X"))
+              .otherwise(col("status")).as("status"),
+            when(pmod(col("k"), lit(11)) === 0, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"))
+          .unionByName(o.filter(pmod(col("k"), lit(101)) === 0)
+            .select((-col("k")).as("k"), lit("N").as("status"),
+              col("cents")))
+        graft.ops.Relational.tableDiff(o, v2, "k",
+          Seq("status", "cents"))
+      },
+      Some("""WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+v2 AS (
+  SELECT k,
+    CASE WHEN k % 13 = 0 THEN 'X' ELSE status END AS status,
+    CASE WHEN k % 11 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM o WHERE k % 97 <> 0
+  UNION ALL
+  SELECT -k, 'N', cents FROM o WHERE k % 101 = 0),
+j AS (
+  SELECT o.k AS lk, v2.k AS rk,
+    o.status AS ls, v2.status AS rs, o.cents AS lc, v2.cents AS rc
+  FROM o FULL OUTER JOIN v2 ON o.k = v2.k),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+    CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS removed,
+    CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+      AND (ls <> rs OR lc <> rc) THEN 1 ELSE 0 END) AS BIGINT)
+      AS changed_any,
+    CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+      AND ls = rs AND lc = rc THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+    CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+      AND ls <> rs THEN 1 ELSE 0 END) AS BIGINT) AS changed_status,
+    CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+      AND lc <> rc THEN 1 ELSE 0 END) AS BIGINT) AS changed_cents
+  FROM j)
+SELECT 'added' AS metric, added AS value FROM agg
+UNION ALL SELECT 'removed', removed FROM agg
+UNION ALL SELECT 'changed_any', changed_any FROM agg
+UNION ALL SELECT 'unchanged', unchanged FROM agg
+UNION ALL SELECT 'changed_status', changed_status FROM agg
+UNION ALL SELECT 'changed_cents', changed_cents FROM agg
+ORDER BY metric""")),
+    // EWMA spike detection with EXACT integer arithmetic: the decay
+    // alpha=1/2 over a FIXED 8-observation baseline makes the weighted
+    // sum S = Σ_{k=1..8} cents₋ₖ·2^(8-k) a plain integer (weights
+    // 128..1, total 255), so "value > 2× the EWMA mean" is the integer
+    // predicate 255·cents > 2·S — no float ever crosses engines, and
+    // the window is 8 codegen'd lag()s over one (user, ts) sort, the
+    // same single-shuffle shape at any corpus size. Warm-up rows
+    // (fewer than 4 priors) are excluded — their baseline is not yet
+    // meaningful and the rule would flag everything.
+    Entry("q_ewma_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        val base = Tables.read(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), cents.as("cents"))
+        val sExpr = (1 to 8).map(k =>
+          coalesce(lag(col("cents"), k).over(w), lit(0L)) *
+            lit(1L << (8 - k))).reduce(_ + _)
+        base.withColumn("s", sExpr)
+          .withColumn("warm", lag(col("cents"), 4).over(w).isNotNull)
+          .filter(col("warm") && col("cents") * 255 > col("s") * 2)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_anomalies"),
+            sum(pmod(col("event_id"), lit(1000003L))).as("checksum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+  SELECT event_id, user_id, ts, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT event_id, event_type, cents,
+    COALESCE(lag(cents, 1) OVER w, 0) * 128
+    + COALESCE(lag(cents, 2) OVER w, 0) * 64
+    + COALESCE(lag(cents, 3) OVER w, 0) * 32
+    + COALESCE(lag(cents, 4) OVER w, 0) * 16
+    + COALESCE(lag(cents, 5) OVER w, 0) * 8
+    + COALESCE(lag(cents, 6) OVER w, 0) * 4
+    + COALESCE(lag(cents, 7) OVER w, 0) * 2
+    + COALESCE(lag(cents, 8) OVER w, 0) AS s,
+    lag(cents, 4) OVER w IS NOT NULL AS warm
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type, count(*) AS n_anomalies,
+  CAST(sum(event_id % 1000003) AS BIGINT) AS checksum
+FROM m WHERE warm AND cents * 255 > s * 2
+GROUP BY event_type ORDER BY event_type""")),
+    // Degree assortativity — integer sufficient statistics (the
+    // dsir_stats/readability precedent for float indices): Newman's r
+    // is a pure function of {m, Σ dᵤdᵥ, Σ (dᵤ+dᵥ), Σ (dᵤ²+dᵥ²)} over
+    // edges, so only those exact integers cross engines. Reuses the
+    // R-filtered part co-occurrence graph (triangle/BFS family); the
+    // degree table is node-sized and joins the edge list twice on its
+    // key — two dimension-sized shuffles at any scale.
+    Entry("q_graph_assort",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val deg = edges.select(col("u").as("n"))
+          .unionByName(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        // ONE joined frame, ONE aggregate, unpivoted — four metrics
+        // never justify four join subtrees (the q_fuzzy_join lesson).
+        val e = edges
+          .join(deg.select(col("n").as("nu"), col("deg").as("du")),
+            col("u") === col("nu"))
+          .join(deg.select(col("n").as("nv"), col("deg").as("dv")),
+            col("v") === col("nv"))
+        val wide = e.agg(count(lit(1)).as("m"),
+          sum(col("du") * col("dv")).as("sum_dudv"),
+          sum(col("du") + col("dv")).as("sum_deg"),
+          sum(col("du") * col("du") + col("dv") * col("dv"))
+            .as("sum_deg2"))
+        wide.select(explode(array(
+            Seq("m", "sum_dudv", "sum_deg", "sum_deg2").map(x =>
+              struct(lit(x).as("metric"), col(x).as("value"))): _*))
+            .as("kv"))
+          .select(col("kv.metric"), col("kv.value"))
+          .orderBy("metric")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_returnflag = 'R'),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY n),
+e AS (
+  SELECT du.deg AS du, dv.deg AS dv
+  FROM edges JOIN deg du ON edges.u = du.n
+  JOIN deg dv ON edges.v = dv.n)
+SELECT 'm' AS metric, count(*) AS value FROM e
+UNION ALL SELECT 'sum_dudv', CAST(sum(du * dv) AS BIGINT) FROM e
+UNION ALL SELECT 'sum_deg', CAST(sum(du + dv) AS BIGINT) FROM e
+UNION ALL SELECT 'sum_deg2', CAST(sum(du * du + dv * dv) AS BIGINT)
+  FROM e
+ORDER BY metric""")),
+    // STREAMING heavy-hitters materialization, same harness (13th
+    // replay): a stateful Update-mode running counter per
+    // (event_type, user_id) — both aggregates commute, so the
+    // materialized view provably equals the batch groupBy regardless
+    // of arrival order (spec-pinned in EventStreamSpec) — then the
+    // serving-side top-5 ranks the KEY-SIZED view, never the stream.
+    // Ties break (n desc, cents desc, user_id): fully deterministic,
+    // integer-only artifact.
+    Entry("q_topk_stream",
+      (s, d) => {
+        val view = graft.streaming.Replay.topkReplay(s, d)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("cents").desc, col("user_id"))
+        view.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .select(col("event_type"), col("rank"), col("user_id"),
+            col("n"), col("cents"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, n, cents,
+    CAST(row_number() OVER (PARTITION BY event_type
+      ORDER BY n DESC, cents DESC, user_id) AS INT) AS rank
+  FROM counts)
+SELECT event_type, rank, user_id, n, cents
+FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
   )
 
   /** Documents scan, repartitioned ONLY when the scan has fewer input

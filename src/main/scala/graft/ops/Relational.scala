@@ -370,4 +370,47 @@ FROM changes ORDER BY $key, valid_from"""
 SELECT $key, min($ts) AS s_start, max($ts) AS s_end,
   CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY $key, sid ORDER BY $key, s_start"""
+
+  /** Table reconciliation (data-diff): classify every key of two
+    * snapshot versions as added / removed / changed-per-column /
+    * unchanged, in ONE co-partitioned full-outer join on the key plus
+    * ONE aggregate pass — the warehouse audit primitive (what
+    * datacompy / Delta CHANGE FEED reconstruction / migration
+    * validation runs). At 100 TB both sides shuffle once on the key
+    * (or zero times if both are bucketed by it); the output is a
+    * fixed metric census, never row-sized. Compared columns must be
+    * null-safe-equatable; `<=>` handles nulls on either side.
+    */
+  def tableDiff(left: DataFrame, right: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    val l = left.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__l"))
+    val r = right.select(col(key).as("__k2"),
+      struct(cols.map(col): _*).as("__r"))
+    val j = l.join(r, col("__k") === col("__k2"), "full_outer")
+    val added = sum((col("__k").isNull && col("__k2").isNotNull)
+      .cast("long")).as("added")
+    val removed = sum((col("__k").isNotNull && col("__k2").isNull)
+      .cast("long")).as("removed")
+    val both = col("__k").isNotNull && col("__k2").isNotNull
+    val changedCols = cols.map { c =>
+      sum((both && !(col(s"__l.$c") <=> col(s"__r.$c"))).cast("long"))
+        .as(s"changed_$c")
+    }
+    val anyChanged = cols.map(c => !(col(s"__l.$c") <=> col(s"__r.$c")))
+      .reduce(_ || _)
+    val changedAny = sum((both && anyChanged).cast("long"))
+      .as("changed_any")
+    val unchanged = sum((both && !anyChanged).cast("long")).as("unchanged")
+    val aggCols = Seq(added, removed, changedAny, unchanged) ++ changedCols
+    val wide = j.agg(aggCols.head, aggCols.tail: _*)
+    // Unpivot the single census row to (metric, value) — stable shape
+    // no matter how many columns are compared.
+    val metrics = Seq("added", "removed", "changed_any", "unchanged") ++
+      cols.map(c => s"changed_$c")
+    wide.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("kv"))
+      .select(col("kv.metric"), col("kv.value"))
+      .orderBy("metric")
+  }
 }

@@ -460,6 +460,22 @@ object EventStream {
       }
   }
 
+  /** Streaming running per-key counters — the materialized-counter
+    * pattern behind every live leaderboard / heavy-hitters dashboard:
+    * a stateful streaming aggregation keyed (event_type, user_id)
+    * holding (n, cents), re-emitted in Update mode whenever a key
+    * changes. Both aggregates are COMMUTATIVE, so the final state is
+    * provably arrival-order-insensitive (spec-pinned); state is
+    * 16 bytes per live key, partitioned across executors, and the
+    * serving-side top-k runs over the key-sized materialized view,
+    * never the event stream. Works identically on batch frames
+    * (Spark picks the stateful impl only for streams).
+    */
+  def runningCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+
   /** Stream–static enrichment join: attach a dimension table to a live
     * event stream. The static side is broadcast-hinted — per micro-batch
     * Spark re-plans the join against the dimension's CURRENT snapshot

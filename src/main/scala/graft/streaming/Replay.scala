@@ -311,6 +311,22 @@ object Replay {
       .select(col("userId"), col("tsUs"), col("eventId"), col("cents"))
   }
 
+  /** Streaming running (event_type, user_id) counters replayed through
+    * the file stream (update mode: a key re-emits whenever its counts
+    * change). The materialized counter view = each key's LAST emission
+    * (the cdc/funnel readback convention); the batch groupBy over the
+    * same events IS the oracle because both aggregates commute. */
+  def topkReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame = {
+    val raw = replayTable(spark, sfDir, slices, "running_counts",
+      "update")(EventStream.runningCounts)
+    raw.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("__batch").desc)))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("user_id"), col("n"), col("cents"))
+  }
+
   /** Streaming last-touch attribution replayed through the file
     * stream (append mode: each purchase's credited click is emitted
     * exactly once, in its arrival micro-batch). The readback is the

@@ -188,4 +188,54 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("source") && !s.contains("n_chars"),
       s"unpruned scan: $s"))
   }
+
+  test("band join blocks to an equi-join on the bucket key: no " +
+      "cartesian or nested-loop join anywhere in the plan") {
+    val df = SparkEntry.queries("q_band_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join fell back to an O(N^2) physical join:\n$plan")
+    val schemas = scanSchemas(df)
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("c_name") &&
+      !s.contains("c_address") && !s.contains("c_mktsegment"),
+      s"unpruned scan: $s"))
+  }
+
+  test("table diff is one full-outer equi-join and prunes both order " +
+      "scans to the key + compared columns") {
+    val df = SparkEntry.queries("q_table_diff")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join:\n$plan")
+    val schemas = scanSchemas(df)
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("o_clerk") &&
+      !s.contains("o_comment") && !s.contains("o_orderdate"),
+      s"unpruned scan: $s"))
+  }
+
+  test("ewma anomaly runs the 8-lag window over ONE pruned events scan") {
+    val df = SparkEntry.queries("q_ewma_anomaly")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"expected exactly one scan:\n$plan")
+    val schemas = scanSchemas(df)
+    schemas.foreach(s => assert(!s.contains("props"),
+      s"unpruned scan: $s"))
+  }
+
+  test("itemsets: Apriori semi-joins (L1 filter, L3 closure) appear as " +
+      "LeftSemi joins, never as row-multiplying inner joins") {
+    val df = SparkEntry.queries("q_itemsets")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join prune:\n$plan")
+    val schemas = scanSchemas(df)
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("l_comment") &&
+      !s.contains("l_extendedprice") && !s.contains("l_shipdate"),
+      s"unpruned scan: $s"))
+  }
 }

@@ -1614,4 +1614,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m3.converged && m3.centroids(2).toSeq == Seq(-100.0, -100.0),
       s"empty cell moved: ${m3.centroids(2).toSeq}")
   }
+
+  test("tableDiff classifies added/removed/changed-per-column/unchanged " +
+      "in one pass, null-safe on compared columns") {
+    val s = spark
+    import s.implicits._
+    // key 1: unchanged; 2: status changed; 3: cents changed; 4: both;
+    // 5: removed; 6: added; 7: null -> value counts as changed;
+    // 8: null == null counts as unchanged.
+    val left = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 10L),
+      (5L, "A", 10L), (7L, null.asInstanceOf[String], 10L),
+      (8L, null.asInstanceOf[String], 10L))
+      .toDF("k", "status", "cents")
+    val right = Seq(
+      (1L, "A", 10L), (2L, "X", 10L), (3L, "A", 11L), (4L, "X", 11L),
+      (6L, "N", 10L), (7L, "A", 10L),
+      (8L, null.asInstanceOf[String], 10L))
+      .toDF("k", "status", "cents")
+    val got = Relational.tableDiff(left, right, "k", Seq("status", "cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 1L,
+      "changed_any" -> 4L, "unchanged" -> 2L,
+      "changed_status" -> 3L, "changed_cents" -> 2L), s"got $got")
+  }
 }

@@ -406,4 +406,42 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("shuffled", Seq(Seq(events(3), events(5)),
       Seq(events(0), events(4), events(2)), Seq(events(1)))) == expected)
   }
+
+  test("runningCounts heavy-hitters view is arrival-order-INSENSITIVE " +
+      "(count and cents-sum commute): any batch split converges to the " +
+      "batch groupBy") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(1), 10, "click", 2.5),
+      Event(3, ts(2), 10, "view", 3.0),
+      Event(4, ts(3), 11, "click", 4.005), // cents rounds to 401
+      Event(5, ts(4), 11, "click", 5.0),
+      Event(6, ts(5), 10, "click", 6.0))
+    // batch truth: (type, user) -> (n, cents)
+    val expected = Map(
+      ("click", 10L) -> (3L, 950L), ("view", 10L) -> (1L, 300L),
+      ("click", 11L) -> (2L, 901L))
+    def run(tag: String, batches: Seq[Seq[Event]]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val query = EventStream.runningCounts(mem.toDS().toDF())
+        .writeStream.format("memory").queryName(s"rc_$tag")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_rc_$tag").toString)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+      // counters only grow, so a key's max (n, cents) emission IS its
+      // final state regardless of sink row order.
+      val rows = spark.table(s"rc_$tag").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      query.stop()
+      rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    }
+    assert(run("inorder", Seq(events.take(3), events.drop(3))) == expected)
+    assert(run("rev", events.reverse.grouped(2).toSeq) == expected)
+    assert(run("shuf", Seq(Seq(events(5), events(3)),
+      Seq(events(1), events(0), events(4)), Seq(events(2)))) == expected)
+  }
 }

@@ -2621,32 +2621,46 @@ UNION ALL SELECT 3, count(*),
   CAST(coalesce(sum(((q1 % 1000003) * 31 + (q2 % 1000003) * 17
     + (q3 % 1000003) * 7) % 1000003), 0) AS BIGINT) FROM l3
 ORDER BY level""")),
-    // Band join (|balᵢ - balⱼ| <= w) via bucket blocking — the
-    // standard rewrite that turns an O(N²) theta join into an
-    // equi-join: bucket width = band, probe side explodes to its
-    // three candidate buckets {b-1, b, b+1} (any in-band partner MUST
-    // land there, so the rewrite is lossless — the oracle is the
-    // unblocked theta join, checking exactly that), and the exact band
-    // predicate filters inside the bucket. At 100 TB this is one
-    // equi-shuffle on the bucket key with 3x probe amplification
-    // instead of a cartesian. Keys orient i < j so each pair counts
-    // once; checksum is pmod-bounded per key.
+    // Band join (|balᵢ - balⱼ| <= w) via bucket blocking over the
+    // DISTINCT-VALUE HISTOGRAM — two composed rewrites. (1) Bucket
+    // width = band, probe side explodes to its three candidate
+    // buckets {b-1, b, b+1} (any in-band partner MUST land there, so
+    // blocking is lossless), turning the O(N²) theta join into an
+    // equi-join. (2) The join runs over (bal, nation) GROUPS carrying
+    // (count, pmod-key-sum), not rows — a group pair (c₁,S₁)×(c₂,S₂)
+    // contributes c₁·c₂ pairs and checksum c₁·S₂ + c₂·S₁; within a
+    // group, c·(c-1)/2 pairs and (c-1)·S. Duplicate-heavy value
+    // columns (the derived-scale replication shape, the r10
+    // fuzzy-join lesson) then cost |distinct values|², not rows² —
+    // while for all-distinct values the histogram is a free pass.
+    // The oracle is the UNBLOCKED row-level theta join: it checks
+    // both rewrites at once. Pairs orient (bal, nk) ascending so each
+    // group pair counts once; the checksum is orientation-free.
     Entry("q_band_join",
       (s, d) => {
         val band = 100.0
-        val c = Tables.read(s, d, "customer")
-          .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
-            col("c_acctbal").as("bal"),
-            floor(col("c_acctbal") / band).as("b"))
-        val probe = c.select(col("k").as("k1"), col("nk").as("nk1"),
-            col("bal").as("bal1"),
-            explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
-        probe.join(c, col("pb") === col("b") && col("k1") < col("k")
-            && abs(col("bal1") - col("bal")) <= band)
-          .groupBy((col("nk1") === col("nk")).as("same_nation"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(pmod(col("k1"), lit(1000003L))
-              + pmod(col("k"), lit(1000003L))).as("checksum"))
+        val h = Tables.read(s, d, "customer")
+          .groupBy(col("c_acctbal").as("bal"), col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("c"),
+            sum(pmod(col("c_custkey"), lit(1000003L))).as("sk"))
+          .withColumn("b", floor(col("bal") / band))
+        val probe = h.select(col("bal").as("bal1"), col("nk").as("nk1"),
+          col("c").as("c1"), col("sk").as("sk1"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
+        val cross = probe.join(h, col("pb") === col("b")
+            && abs(col("bal1") - col("bal")) <= band
+            && (col("bal1") < col("bal")
+              || (col("bal1") === col("bal") && col("nk1") < col("nk"))))
+          .select((col("nk1") === col("nk")).as("same_nation"),
+            (col("c1") * col("c")).as("np"),
+            (col("c1") * col("sk") + col("c") * col("sk1")).as("ck"))
+        val within = h.select(lit(true).as("same_nation"),
+          expr("c * (c - 1) div 2").as("np"),
+          ((col("c") - 1) * col("sk")).as("ck"))
+        cross.unionByName(within)
+          .groupBy(col("same_nation"))
+          .agg(sum(col("np")).as("n_pairs"),
+            sum(col("ck")).as("checksum"))
           .orderBy("same_nation")
       },
       Some("""SELECT a.c_nationkey = b.c_nationkey AS same_nation,

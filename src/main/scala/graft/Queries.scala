@@ -2390,6 +2390,31 @@ GROUP BY user_id ORDER BY user_id""")),
 SELECT class_size, count(*) AS n_classes,
   CAST(sum(class_size) AS BIGINT) AS n_rows
 FROM classes GROUP BY class_size ORDER BY class_size""")),
+    // l-diversity audit — k-anonymity's sibling: a QI class with many
+    // rows is still re-identifying if the SENSITIVE attribute is
+    // uniform inside it. QI = (nation, segment); sensitive = the
+    // account-balance band. Census = histogram of per-class distinct
+    // sensitive values; min(l) in row 1 IS the dataset's l. Same
+    // two-cascaded-aggregation shape (the first with a distinct on
+    // the sensitive column — Spark plans the standard two-phase
+    // distinct-aggregate expand, still one logical pass).
+    Entry("q_l_diversity",
+      (s, d) => Tables.read(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(floor(col("c_acctbal") / 1000)).as("l"),
+          count(lit(1)).as("class_size"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_rows"))
+        .orderBy("l"),
+      Some("""WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+    count(DISTINCT floor(c_acctbal / 1000)) AS l,
+    count(*) AS class_size
+  FROM customer GROUP BY 1, 2)
+SELECT l, count(*) AS n_classes,
+  CAST(sum(class_size) AS BIGINT) AS n_rows
+FROM classes GROUP BY l ORDER BY l""")),
     // Distributed triangle counting (node-iterator with id-oriented
     // edges) over the part co-occurrence graph: parts bought together
     // in one order (returned lines only — the filter keeps the graph

@@ -2555,6 +2555,124 @@ dist AS (
   FROM nodes)
 SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
 FROM dist GROUP BY dist ORDER BY dist""")),
+    // Winsorization over EXACT per-group rank-walk quantiles — the
+    // robust-statistics cleaning step (clamp to [P5, P95] before
+    // aggregating). The quantile pass reuses the q_group_quantiles
+    // shape: one (group, value) histogram shuffle, a per-group
+    // cumulative window over DISTINCT values (value-domain-sized, not
+    // row-sized), and a group-keyed min — then one broadcast-sized
+    // join hands each row its clamp bounds. Integer cents only; the
+    // 0.05·(n-1) index arithmetic is the same single IEEE multiply on
+    // both engines (the quantilesSql precedent).
+    Entry("q_winsorize",
+      (s, d) => {
+        val ev = Tables.read(s, d, "events")
+          .select(col("event_type").as("g"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val f = ev.groupBy(col("g"), col("cents"))
+          .agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy("g").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = f.withColumn("cum", sum(col("c")).over(wcum))
+        val tot = f.groupBy(col("g")).agg(sum(col("c")).as("n"))
+        def qv(p: Double) = min(when(col("cum") >=
+          floor(lit(p) * (col("n") - 1)).cast("long") + 1, col("cents")))
+        val qs = cum.join(tot, "g").groupBy(col("g"))
+          .agg(qv(0.05).as("q05"), qv(0.95).as("q95"))
+        ev.join(qs, "g")
+          .groupBy(col("g").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            sum(greatest(least(col("cents"), col("q95")), col("q05")))
+              .as("sum_winsorized"),
+            sum((col("cents") < col("q05")).cast("long")).as("n_low"),
+            sum((col("cents") > col("q95")).cast("long")).as("n_high"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+  SELECT event_type AS g,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+f AS (SELECT g, cents, count(*) AS c FROM e GROUP BY 1, 2),
+cum AS (
+  SELECT g, cents, c, sum(c) OVER (PARTITION BY g ORDER BY cents
+    ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+tot AS (SELECT g, sum(c) AS n FROM f GROUP BY g),
+qs AS (
+  SELECT g,
+    min(CASE WHEN cum >= CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+      THEN cents END) AS q05,
+    min(CASE WHEN cum >= CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+      THEN cents END) AS q95
+  FROM cum JOIN tot USING (g) GROUP BY g)
+SELECT e.g AS event_type, count(*) AS n,
+  CAST(sum(cents) AS BIGINT) AS sum_cents,
+  CAST(sum(greatest(least(cents, q95), q05)) AS BIGINT)
+    AS sum_winsorized,
+  CAST(sum(CASE WHEN cents < q05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(sum(CASE WHEN cents > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM e JOIN qs ON e.g = qs.g
+GROUP BY 1 ORDER BY event_type""")),
+    // Bounded-round k-core peeling (k=2, 4 rounds) on the R-filtered
+    // part co-occurrence graph — the iterative-refinement cousin of
+    // the BFS census: each round computes degrees (one (node) shuffle
+    // over the current edge list), keeps nodes with deg >= 2, and
+    // semi-joins the edge list down to survivors. Round count is
+    // FIXED so the DuckDB oracle is the same peel unrolled (the
+    // no-recursive-CTE audit rule); the artifact is the final core's
+    // degree histogram — edge-count and node-count both derive from
+    // it, and any missed peel changes it.
+    Entry("q_kcore_peel",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        var edges = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        for (_ <- 1 to 4) {
+          val keep = edges.select(col("u").as("n"))
+            .unionByName(edges.select(col("v").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2).select(col("n"))
+          edges = edges
+            .join(keep.select(col("n").as("ku")),
+              col("u") === col("ku"), "left_semi")
+            .join(keep.select(col("n").as("kv")),
+              col("v") === col("kv"), "left_semi")
+        }
+        edges.select(col("u").as("n"))
+          .unionByName(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_returnflag = 'R'),
+e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p),
+k1 AS (SELECT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY n HAVING count(*) >= 2),
+e1 AS (SELECT u, v FROM e0
+  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+k2 AS (SELECT n FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+  GROUP BY n HAVING count(*) >= 2),
+e2 AS (SELECT u, v FROM e1
+  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+k3 AS (SELECT n FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+  GROUP BY n HAVING count(*) >= 2),
+e3 AS (SELECT u, v FROM e2
+  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+k4 AS (SELECT n FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+  GROUP BY n HAVING count(*) >= 2),
+e4 AS (SELECT u, v FROM e3
+  WHERE u IN (SELECT n FROM k4) AND v IN (SELECT n FROM k4))
+SELECT deg, count(*) AS n_nodes FROM (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4) GROUP BY n)
+GROUP BY deg ORDER BY deg""")),
     // Frequent-itemset mining (Apriori) over order baskets — the
     // market-basket operator. The scale shape: pair/triple INSTANCE
     // generation is basket-local (order size is spec-bounded, so

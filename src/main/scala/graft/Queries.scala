@@ -5897,13 +5897,247 @@ ORDER BY tag"""
       "WHERE cum >= CAST(floor(p * (n - 1)) AS BIGINT) + 1 " +
       "GROUP BY g, p ORDER BY l_returnflag, p"
 
+  // ---- statistics / recommendation / privacy wave (round 11) ----
+
+  val statsEntries: Seq[Entry] = Seq(
+    // Lag-1 autocovariance SUFFICIENT STATISTICS per event-type daily
+    // series — the time-series diagnostic (is today's volume predicted
+    // by yesterday's?) reduced to the integer-exact form the float
+    // rule allows: n, Σy, Σy², n_pairs, Σ y_t·y_{t-1}. The correlation
+    // itself is one derived division the consumer does; the engine's
+    // job — the daily rollup shuffle and the per-type lag window — is
+    // fully checked. Counts are integers so every product is exact;
+    // at 100 TB the window partitions by type over day-count-sized
+    // frames (the q_moving_avg scale argument).
+    Entry("q_autocorr",
+      (s, d) => {
+        val daily = Tables.read(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.withColumn("prev", lag(col("cnt"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("cnt")).as("s_y"),
+            sum(col("cnt") * col("cnt")).as("s_yy"),
+            count(col("prev")).as("n_pairs"),
+            sum(col("cnt") * col("prev")).as("s_lag"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+lagd AS (
+  SELECT event_type, cnt,
+    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily)
+SELECT event_type, count(*) AS n_days,
+  CAST(sum(cnt) AS BIGINT) AS s_y,
+  CAST(sum(cnt * cnt) AS BIGINT) AS s_yy,
+  count(prev) AS n_pairs,
+  CAST(sum(cnt * prev) AS BIGINT) AS s_lag
+FROM lagd GROUP BY event_type ORDER BY event_type""")),
+    // Per-group OLS trend over the daily order-count series: emit the
+    // sufficient statistics AND the slope as an exact integer
+    // fraction (num = n·Σxy − Σx·Σy, den = n·Σxx − Σx²) — no float
+    // ever crosses engines, and sign(num) alone answers "is this
+    // segment growing?". x is days-since-epoch (bounded by calendar
+    // span), y a daily count, so every product stays far below Long
+    // range even at 100×; the whole fit is one rollup shuffle plus a
+    // priority-keyed reduce — the same two-aggregation cascade shape
+    // as q_k_anonymity, nothing driver-side.
+    Entry("q_trend_regression",
+      (s, d) => {
+        val daily = Tables.read(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            datediff(date_trunc("day", col("o_orderdate")),
+              lit("1995-01-01").cast("date")).as("x"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("o_orderpriority"), col("n"), col("sx"), col("sy"),
+            col("sxx"), col("sxy"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH daily AS (
+  SELECT o_orderpriority,
+    date_diff('day', DATE '1995-01-01',
+      CAST(date_trunc('day', o_orderdate) AS DATE)) AS x,
+    count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT o_orderpriority, count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM daily GROUP BY 1)
+SELECT o_orderpriority, n, sx, sy, sxx, sxy,
+  n * sxy - sx * sy AS slope_num, n * sxx - sx * sx AS slope_den
+FROM s ORDER BY o_orderpriority""")),
+    // t-closeness audit — completes the k-anonymity / l-diversity
+    // privacy trio: a QI class passes only if its SENSITIVE-attribute
+    // distribution is close to the global one. For an ORDERED
+    // sensitive attribute (balance band) the Earth Mover's Distance
+    // is the absolute-cumulative-difference sum, computed here as an
+    // EXACT SCALED INTEGER: per band, c·N − g·n_c (class count cross-
+    // multiplied against the global), cumulated in band order, |·|
+    // summed — t = emd_num / (n_c·N·(m−1)) is one derived division.
+    // The dense class×band grid is classes·bands-sized (metadata, not
+    // data); both small frames broadcast. Scale bound: c·N ≤ N², so
+    // the integer path is exact to N ≈ 3e9 rows — past that, rescale
+    // g and c by a common 2^k first (documented, not needed here).
+    Entry("q_t_closeness",
+      (s, d) => {
+        val cust = Tables.read(s, d, "customer")
+          .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+            floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        val cls = cust.groupBy("nat", "seg", "band")
+          .agg(count(lit(1)).as("c"))
+        val glob = cust.groupBy("band").agg(count(lit(1)).as("g"))
+        val tot = cust.agg(count(lit(1)).as("bign"))
+        val sizes = cust.groupBy("nat", "seg").agg(count(lit(1)).as("nc"))
+        val w = Window.partitionBy("nat", "seg").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sizes.crossJoin(broadcast(glob))
+          .join(cls, Seq("nat", "seg", "band"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum",
+            sum(col("c") * col("bign") - col("g") * col("nc")).over(w))
+          .groupBy(col("nat"), col("seg"))
+          .agg(max(col("nc")).as("class_size"),
+            sum(abs(col("cum"))).as("emd_num"))
+          .orderBy("nat", "seg")
+      },
+      Some("""WITH cust AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer),
+cls AS (SELECT nat, seg, band, count(*) AS c FROM cust GROUP BY 1, 2, 3),
+gb AS (SELECT band, count(*) AS g FROM cust GROUP BY 1),
+tot AS (SELECT count(*) AS bign FROM cust),
+sizes AS (SELECT nat, seg, count(*) AS nc FROM cust GROUP BY 1, 2),
+j AS (
+  SELECT sizes.nat, sizes.seg, gb.band, sizes.nc, gb.g,
+    COALESCE(cls.c, 0) AS c, bign
+  FROM sizes CROSS JOIN gb
+  LEFT JOIN cls ON sizes.nat = cls.nat AND sizes.seg = cls.seg
+    AND gb.band = cls.band
+  CROSS JOIN tot),
+cums AS (
+  SELECT nat, seg, nc,
+    sum(c * bign - g * nc) OVER (PARTITION BY nat, seg ORDER BY band
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j)
+SELECT nat, seg, max(nc) AS class_size,
+  CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+FROM cums GROUP BY 1, 2 ORDER BY 1, 2""")),
+    // Item-item collaborative filtering over order baskets (returned
+    // lines): nearest neighbor per part by cosine² similarity on the
+    // order-incidence vectors — score = co²/(deg_u·deg_v), computed as
+    // ONE IEEE division of two exactly-representable integer products
+    // (< 2^53), so the ranking is bit-identical cross-engine while the
+    // OUTPUT stays pure integers. Scale shape: pair generation is
+    // basket-local (order size spec-bounded), the co≥2 support prune
+    // runs before degree joins, and the top-1 window partitions by
+    // part over its (pruned) neighbor list only.
+    Entry("q_item_cf",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val deg = os.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+        val co = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val sym = co.unionByName(
+          co.select(col("v").as("u"), col("u").as("v"), col("co")))
+        val w = Window.partitionBy("u")
+          .orderBy(col("score").desc, col("v").asc)
+        sym
+          .join(deg.select(col("p").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("p").as("v"), col("deg").as("dv")), "v")
+          .withColumn("score", (col("co") * col("co")).cast("double") /
+            (col("du") * col("dv")).cast("double"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("u").as("part"), col("v").as("neighbor"),
+            col("co"), col("du").as("d_part"), col("dv").as("d_neighbor"))
+          .orderBy("part")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_returnflag = 'R'),
+deg AS (SELECT p, count(*) AS deg FROM os GROUP BY p),
+co AS (
+  SELECT a.p AS u, b.p AS v, count(*) AS co
+  FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT u, v, co FROM co UNION ALL SELECT v, u, co FROM co),
+scored AS (
+  SELECT sym.u, sym.v, sym.co, d1.deg AS du, d2.deg AS dv,
+    CAST(sym.co * sym.co AS DOUBLE) / CAST(d1.deg * d2.deg AS DOUBLE)
+      AS score
+  FROM sym JOIN deg d1 ON sym.u = d1.p JOIN deg d2 ON sym.v = d2.p),
+rk AS (SELECT *, row_number() OVER (PARTITION BY u
+  ORDER BY score DESC, v) AS rk FROM scored)
+SELECT u AS part, v AS neighbor, co, du AS d_part, dv AS d_neighbor
+FROM rk WHERE rk = 1 ORDER BY part""")),
+    // CSV round-trip with gzip compression and an explicit read
+    // schema — format breadth beside parquet/ORC/JSONL. gzip parts
+    // are non-splittable, but the writer emits one file PER PARTITION
+    // so read parallelism survives as file parallelism (the layout a
+    // real export job uses); doubles survive textually because the
+    // writer emits shortest-round-trip representations. pid-keyed tmp
+    // dir + eager collect + cleanup (the ORC round-trip conventions);
+    // the oracle reads the parquet original, so the gate proves the
+    // CSV path lossless for longs, quoted strings, and doubles.
+    Entry("q_csv_roundtrip",
+      (s, d) => {
+        val dir = "/tmp/graft_csv/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        Tables.read(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(dir)
+        val agg = s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_orderpriority STRING, " +
+            "o_totalprice DOUBLE")
+          .csv(dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("cents_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_orderpriority")
+        val rows = agg.collect().toSeq
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), agg.schema)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents_sum,
+  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+  )
+
   /** The validated roster. lazy so the duplicate-name guard runs once,
     * and EVERY consumer (queries, oracleSql, Bench, Verify) trips it —
     * a duplicate name silently shadows an entry in any toMap (later
     * wins), so the shadowed query would never run yet look "covered". */
   lazy val all: Seq[Entry] = {
     val entries = estimatorEntries ++ dictionaryEntries ++ aggEntries ++
-      docEntries ++ embeddingEntries ++ neuralEntries
+      docEntries ++ embeddingEntries ++ neuralEntries ++ statsEntries
     val dups = entries.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate catalog entry names: ${dups.mkString(", ")}")
     entries

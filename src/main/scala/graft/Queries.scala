@@ -2515,15 +2515,21 @@ ORDER BY l_returnflag, l_quantity""")),
         val und = dir.unionByName(dir.select(col("v").as("u"),
           col("u").as("v"))).distinct()
         val nodes = os.select(col("s")).distinct()
-        var visited = nodes.filter(pmod(col("s"), lit(100)) === 0)
+        // und is referenced once per round; checkpoint it once so the
+        // base co-occurrence self-join is not re-derived three times
+        // (the per-round visited state truncates through iterate —
+        // each round references it twice, frontier + anti join).
+        val undC = und.localCheckpoint(false)
+        val seed = nodes.filter(pmod(col("s"), lit(100)) === 0)
           .select(col("s").as("n"), lit(0).as("dist"))
-        for (i <- 1 to 3) {
-          val frontier = visited.filter(col("dist") === i - 1)
-          val next = frontier.join(und, col("n") === col("u"))
-            .select(col("v").as("n")).distinct()
-            .join(visited.select("n"), Seq("n"), "left_anti")
-            .withColumn("dist", lit(i))
-          visited = visited.unionByName(next)
+        val visited = graft.ops.Iterate.iterateIndexed(seed, 3) {
+          (cur, i) =>
+            val frontier = cur.filter(col("dist") === i - 1)
+            val next = frontier.join(undC, col("n") === col("u"))
+              .select(col("v").as("n")).distinct()
+              .join(cur.select("n"), Seq("n"), "left_anti")
+              .withColumn("dist", lit(i))
+            cur.unionByName(next)
         }
         nodes.join(visited, col("s") === col("n"), "left_outer")
           .select(coalesce(col("dist"), lit(-1)).as("dist"))
@@ -2621,21 +2627,27 @@ GROUP BY 1 ORDER BY event_type""")),
     // FIXED so the DuckDB oracle is the same peel unrolled (the
     // no-recursive-CTE audit rule); the artifact is the final core's
     // degree histogram — edge-count and node-count both derive from
-    // it, and any missed peel changes it.
+    // it, and any missed peel changes it. The loop runs through
+    // Iterate.iterate: each round references the previous edge list
+    // ~5x (degree union twice inside `keep`, which both semi-joins
+    // embed, plus the probe side), so an untruncated 4-round plan
+    // carries O(5^4) copies of the base self-join — the r11 driver
+    // measured that plan at 78.5 s; truncated, the entry runs with
+    // its siblings in low single digits.
     Entry("q_kcore_peel",
       (s, d) => {
         val os = li(s, d).filter(col("l_returnflag") === "R")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
           .distinct()
-        var edges = os.as("a").join(os.as("b"),
+        val e0 = os.as("a").join(os.as("b"),
             col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        for (_ <- 1 to 4) {
-          val keep = edges.select(col("u").as("n"))
-            .unionByName(edges.select(col("v").as("n")))
+        val edges = graft.ops.Iterate.iterate(e0, 4) { cur =>
+          val keep = cur.select(col("u").as("n"))
+            .unionByName(cur.select(col("v").as("n")))
             .groupBy(col("n")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 2).select(col("n"))
-          edges = edges
+          cur
             .join(keep.select(col("n").as("ku")),
               col("u") === col("ku"), "left_semi")
             .join(keep.select(col("n").as("kv")),

@@ -620,39 +620,32 @@ GROUP BY c.id HAVING count(*) >= $minHits ORDER BY $id"""
     // Round 1 fused into initialization: comp = min(id, min neighbor)
     // in the same aggregation that enumerates the node set (every node
     // appears as src of the undirected edge list).
-    var labels = edges.groupBy(col("src").as("id"))
+    val init = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("comp"))
-      .localCheckpoint(false)
     // coalesce: sum over an EMPTY label table (no input pairs) is SQL
     // NULL — an empty graph must converge immediately, not NPE.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // One round = min over {self label} ∪ {neighbor labels}: the
-      // neighbor contributions (one join, edges side pre-partitioned)
-      // unioned with the self labels, collapsed by one partial-
-      // aggregated groupBy. Two label-sized shuffles per round — the
-      // previous nbrMin + left-join shape paid three.
-      val contrib = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val next = labels.unionByName(contrib)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(false)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      // The dropped round's checkpoint blocks are released by the
-      // ContextCleaner once the old Dataset is unreachable; only the
-      // current round stays pinned.
-      labels = next
-      iter += 1
+    val trace: (Int, Long, Boolean) => Unit =
       if (sys.env.contains("GRAFT_CC_TRACE"))
-        println(s"[cc] round $iter sum=$s converged=$converged")
-    }
+        (r, s, c) => println(s"[cc] round $r sum=$s converged=$c")
+      else (_, _, _) => ()
+    // One round = min over {self label} ∪ {neighbor labels}: the
+    // neighbor contributions (one join, edges side pre-partitioned)
+    // unioned with the self labels, collapsed by one partial-
+    // aggregated groupBy. Two label-sized shuffles per round — the
+    // previous nbrMin + left-join shape paid three. Iterate.iterateUntil
+    // truncates lineage per round (a dropped round's checkpoint blocks
+    // are released by the ContextCleaner once its Dataset is
+    // unreachable; only the current round stays pinned).
+    val (labels, _, converged) = Iterate.iterateUntil(init, maxIter, trace) {
+      cur =>
+        val contrib = edges.join(cur, edges("dst") === cur("id"))
+          .select(edges("src").as("id"), col("comp"))
+        cur.unionByName(contrib)
+          .groupBy("id").agg(min(col("comp")).as("comp"))
+    }(labelSum)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents stopped at maxIter=$maxIter without label " +

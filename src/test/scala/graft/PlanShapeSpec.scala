@@ -238,4 +238,61 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("l_extendedprice") && !s.contains("l_shipdate"),
       s"unpruned scan: $s"))
   }
+
+  private def analyzedLeaves(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collectLeaves()
+
+  test("kcore peel's iterated plan is lineage-truncated: the final " +
+      "census references exactly the checkpointed round-4 edge list " +
+      "(2 LogicalRDD leaves, zero base-scan copies)") {
+    val df = SparkEntry.queries("q_kcore_peel")(spark, dir)
+    val leaves = analyzedLeaves(df)
+    assert(leaves.size == 2, s"expected 2 leaves, got ${leaves.size}:\n" +
+      df.queryExecution.analyzed.toString)
+    leaves.foreach(l => assert(
+      l.getClass.getSimpleName == "LogicalRDD",
+      s"leaf is not a truncated checkpoint: ${l.getClass.getName}"))
+  }
+
+  test("bfs census plan is lineage-truncated: one visited checkpoint " +
+      "leaf plus the node-set scan, never 3^rounds plan copies") {
+    val df = SparkEntry.queries("q_bfs_hops")(spark, dir)
+    val leaves = analyzedLeaves(df)
+    // nodes scan (parquet) + final visited LogicalRDD
+    assert(leaves.size <= 3, s"plan not truncated: ${leaves.size} leaves")
+    assert(leaves.exists(_.getClass.getSimpleName == "LogicalRDD"),
+      "no checkpoint leaf — visited state carries full lineage")
+  }
+
+  test("Iterate.iterate keeps plan size constant per round where a " +
+      "naive rebind loop explodes multiplicatively (the q_kcore_peel " +
+      "78.5s defect class, caught structurally)") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).select(col("id").as("u"),
+      (col("id") + 1).as("v"))
+    def step(cur: org.apache.spark.sql.DataFrame) = {
+      val keep = cur.select(col("u").as("n"))
+        .unionByName(cur.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 1).select("n")
+      cur.join(keep.select(col("n").as("ku")), col("u") === col("ku"),
+          "left_semi")
+        .join(keep.select(col("n").as("kv")), col("v") === col("kv"),
+          "left_semi")
+    }
+    // The deliberately unmaterialized loop: leaves multiply ~5x/round.
+    var naive = base
+    for (_ <- 1 to 3) naive = step(naive)
+    val naiveLeaves = analyzedLeaves(naive).size
+    assert(naiveLeaves > 50,
+      s"the defect reproducer stopped reproducing ($naiveLeaves leaves)" +
+        " — update this spec's model of the blowup")
+    // The truncated loop: exactly one leaf (the round-3 checkpoint).
+    val fixed = graft.ops.Iterate.iterate(base, 3)(step)
+    assert(analyzedLeaves(fixed).size == 1,
+      "iterate() failed to truncate lineage")
+    // And the two compute the same edge set.
+    assert(fixed.orderBy("u", "v").collect().toSeq ==
+      naive.orderBy("u", "v").collect().toSeq)
+  }
 }

@@ -380,19 +380,31 @@ FROM s GROUP BY $key, sid ORDER BY $key, s_start"""
     * (or zero times if both are bucketed by it); the output is a
     * fixed metric census, never row-sized. Compared columns must be
     * null-safe-equatable; `<=>` handles nulls on either side.
+    *
+    * Null KEYS never match an equi-join, so without care a null-key
+    * row lands in no bucket and the census stops conserving row
+    * counts — fatal for an audit primitive (r11 advisor finding).
+    * Presence flags (`__lp`/`__rp`) distinguish "row exists with a
+    * null key" from "no match": null-key rows are counted in explicit
+    * `null_key_left`/`null_key_right` metrics, and
+    * added+removed+changed_any+unchanged+null_key_* == |L|+|R| always.
     */
   def tableDiff(left: DataFrame, right: DataFrame, key: String,
       cols: Seq[String]): DataFrame = {
-    val l = left.select(col(key).as("__k"),
+    val l = left.select(col(key).as("__k"), lit(1).as("__lp"),
       struct(cols.map(col): _*).as("__l"))
-    val r = right.select(col(key).as("__k2"),
+    val r = right.select(col(key).as("__k2"), lit(1).as("__rp"),
       struct(cols.map(col): _*).as("__r"))
     val j = l.join(r, col("__k") === col("__k2"), "full_outer")
-    val added = sum((col("__k").isNull && col("__k2").isNotNull)
-      .cast("long")).as("added")
-    val removed = sum((col("__k").isNotNull && col("__k2").isNull)
-      .cast("long")).as("removed")
-    val both = col("__k").isNotNull && col("__k2").isNotNull
+    val added = sum((col("__lp").isNull && col("__rp").isNotNull &&
+      col("__k2").isNotNull).cast("long")).as("added")
+    val removed = sum((col("__lp").isNotNull && col("__rp").isNull &&
+      col("__k").isNotNull).cast("long")).as("removed")
+    val nullKeyLeft = sum((col("__lp").isNotNull && col("__k").isNull)
+      .cast("long")).as("null_key_left")
+    val nullKeyRight = sum((col("__rp").isNotNull && col("__k2").isNull)
+      .cast("long")).as("null_key_right")
+    val both = col("__lp").isNotNull && col("__rp").isNotNull
     val changedCols = cols.map { c =>
       sum((both && !(col(s"__l.$c") <=> col(s"__r.$c"))).cast("long"))
         .as(s"changed_$c")
@@ -402,11 +414,13 @@ FROM s GROUP BY $key, sid ORDER BY $key, s_start"""
     val changedAny = sum((both && anyChanged).cast("long"))
       .as("changed_any")
     val unchanged = sum((both && !anyChanged).cast("long")).as("unchanged")
-    val aggCols = Seq(added, removed, changedAny, unchanged) ++ changedCols
+    val aggCols = Seq(added, removed, changedAny, unchanged,
+      nullKeyLeft, nullKeyRight) ++ changedCols
     val wide = j.agg(aggCols.head, aggCols.tail: _*)
     // Unpivot the single census row to (metric, value) — stable shape
     // no matter how many columns are compared.
-    val metrics = Seq("added", "removed", "changed_any", "unchanged") ++
+    val metrics = Seq("added", "removed", "changed_any", "unchanged",
+      "null_key_left", "null_key_right") ++
       cols.map(c => s"changed_$c")
     wide.select(explode(array(metrics.map(m =>
         struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("kv"))

@@ -439,21 +439,29 @@ object EventStream {
     * micro-batch the key changes in. The materialized table (last
     * emission per key) equals the batch argmax window, which IS the
     * oracle. State is constant-size (24 bytes per key), partitioned by
-    * key across executors, watermark-independent; the within-batch
-    * fold applies rows in (ts, event_id) order so in-order replay is
-    * provably batch-equal.
+    * key across executors, watermark-independent. The within-batch
+    * fold sees rows in ARRIVAL order — correctness does not depend on
+    * it, because max-by-(ts, event_id) is commutative (spec-pinned:
+    * in-order == reversed == shuffled). State is seeded from the
+    * group's FIRST row, never a sentinel: a (-1,-1) dummy would be
+    * emitted verbatim for a key whose events all carry pre-epoch
+    * timestamps (r11 advisor finding).
     */
   def latestPerKey(events: Dataset[Event]): Dataset[Latest] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Latest]) =>
-          var cur = state.getOption.getOrElse(Latest(userId, -1L, -1L, 0L))
+          def toLatest(e: Event): Latest =
+            Latest(userId, micros(e.ts), e.event_id,
+              math.floor(e.value * 100 + 0.5).toLong)
+          // mapGroupsWithState only invokes the function for keys with
+          // rows in the batch, so `rows` is non-empty here.
+          var cur = state.getOption.getOrElse(toLatest(rows.next()))
           for (e <- rows) {
             val us = micros(e.ts)
             if (us > cur.tsUs || (us == cur.tsUs && e.event_id > cur.eventId))
-              cur = Latest(userId, us, e.event_id,
-                math.floor(e.value * 100 + 0.5).toLong)
+              cur = toLatest(e)
           }
           state.update(cur)
           cur

@@ -1636,6 +1636,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("added" -> 1L, "removed" -> 1L,
       "changed_any" -> 4L, "unchanged" -> 2L,
+      "null_key_left" -> 0L, "null_key_right" -> 0L,
       "changed_status" -> 3L, "changed_cents" -> 2L), s"got $got")
+  }
+
+  test("tableDiff conserves row counts under null KEYS: null-key rows " +
+      "land in explicit null_key_* buckets, never silently in none") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (java.lang.Long.valueOf(1L), "A"),
+      (null.asInstanceOf[java.lang.Long], "A"),
+      (null.asInstanceOf[java.lang.Long], "B"))
+      .toDF("k", "status")
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), "A"),
+      (java.lang.Long.valueOf(2L), "N"),
+      (null.asInstanceOf[java.lang.Long], "C"))
+      .toDF("k", "status")
+    val got = Relational.tableDiff(left, right, "k", Seq("status"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 0L,
+      "changed_any" -> 0L, "unchanged" -> 1L,
+      "null_key_left" -> 2L, "null_key_right" -> 1L,
+      "changed_status" -> 0L), s"got $got")
+    // Conservation: every input row of both sides is in exactly one
+    // bucket (changed_per-column overlaps changed_any by design).
+    assert(got("added") + got("removed") + got("null_key_left") +
+      got("null_key_right") +
+      2 * (got("changed_any") + got("unchanged")) == 3 + 3)
   }
 }

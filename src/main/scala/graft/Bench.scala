@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Static plan-size telemetry: (logical nodes, leaves, exchanges in
+    * the initial physical plan). A healthy entry has tens of nodes and
+    * single-digit leaves; an unmaterialized iterative loop carries
+    * O(refs^rounds) copies of its base plan (q_kcore_peel's defect
+    * class burned 78.5 s = 20% of the r11 driver bench) and is visible
+    * here for SECONDS of analysis cost instead of a driver-bench blowup
+    * — bench_summary.json carries these per entry so a plan regression
+    * is diagnosable from the artifact alone. Planning-only: never
+    * executes the query (AQE may later reduce actual exchanges; the
+    * static count is an upper bound and a stable regression signal).
+    */
+  def planMetrics(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+    val opt = df.queryExecution.optimizedPlan
+    val nodes = opt.collect { case p => p }.size
+    val leaves = opt.collectLeaves().size
+    val exchanges = "(?m)^\\s*[+:]?-?\\s*(ReusedExchange|Exchange)".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString).size
+    (nodes, leaves, exchanges)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,6 +94,7 @@ object Bench {
     // single-shot default stays the attribution-faithful mode.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .map(_.trim.toInt).getOrElse(1).max(1)
+    var plans = Map.empty[String, (Int, Int, Int)]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
@@ -81,7 +102,20 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune computed
         // columns on map-only entries, under-charging their real work.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+        try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          // Plan telemetry AFTER the timed write (planning results are
+          // cached on df.queryExecution, so this re-walks, not re-runs)
+          // and only on the first repeat; failures must not fail the
+          // entry — the timing above is the contract, this is metadata.
+          if (rep == 0) {
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            try plans += name -> planMetrics(df)
+            catch { case e: Throwable => System.err.println(
+              s"[bench] $name plan telemetry failed: ${e.getMessage}") }
+          }
+        } catch {
           case e: Throwable =>
             // Full cause chain, not getMessage: Spark wraps execution
             // failures ("Boxed Exception" ExecutionExceptions from
@@ -101,7 +135,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val plansJson = plans.toSeq.sortBy(_._1).map { case (k, (n, l, x)) =>
+      s"\"$k\":{\"nodes\":$n,\"leaves\":$l,\"exchanges\":$x}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 159 entries it runs
     // several KB — longer than a log tail-capture window, so a parser

@@ -70,8 +70,13 @@ object Replay {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val n = src.count()
+      // ONE global sort, checkpointed; the per-slice writes then scan
+      // the sorted frame instead of re-sorting 6 times (the r11 driver
+      // charged ~6 redundant sorts to the alphabetically-first
+      // streaming entry).
       val sliced = src.withColumn("__rn",
         row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint(true)
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
@@ -106,6 +111,7 @@ object Replay {
       val n = src.count()
       val sliced = src.withColumn("__rn",
         row_number().over(Window.orderBy(col("doc_id"))))
+        .localCheckpoint(true)
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
@@ -127,6 +133,21 @@ object Replay {
     replayStream(spark, ensureSlices(spark, sfDir, slices),
       sfDir, slices, outTag, outputMode)(build)
 
+  /** Shuffle/state partition count for replay queries. Structured
+    * streaming re-plans and commits state EVERY micro-batch, so a
+    * stateful replay pays (partitions × batches) state-store
+    * round-trips and checkpoint files regardless of data volume; at
+    * the bench's 32-thread default the bounded test corpus spends its
+    * wall time on that fixed overhead (r11: 13 replays = 90.5 s = 23%
+    * of the driver bench, sessions 3–9× drift on unchanged code —
+    * overhead, not operator cost). 8 keeps multi-partition state
+    * semantics (key redistribution, cross-partition watermark min)
+    * while cutting the per-batch file/commit count 4×. A production
+    * stream sizes this to volume — state partitions are a per-query
+    * deployment knob (baked into the checkpoint), not operator
+    * semantics, which is exactly why the harness may pin it. */
+  private val ReplayPartitions = "8"
+
   private def replayStream(spark: SparkSession, inDir: String,
       sfDir: String, slices: Int, outTag: String, outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = synchronized {
@@ -138,21 +159,27 @@ object Replay {
       val ckpt = s"$outDir.ckpt"
       deleteRecursively(new File(ckpt))
       val schema = spark.read.parquet(inDir).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val q = build(stream).writeStream
-        .outputMode(outputMode)
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.withColumn("__batch", lit(id))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // 15 min: a 30x-derived corpus through the heaviest replay
-      // (online LSH) fits with margin; a hang still fails loudly.
-      require(q.awaitTermination(900000), "replay stream did not terminate")
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = spark.conf.get(spKey)
+      spark.conf.set(spKey, ReplayPartitions)
+      try {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = build(stream).writeStream
+          .outputMode(outputMode)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.withColumn("__batch", lit(id))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // 15 min: a 30x-derived corpus through the heaviest replay
+        // (online LSH) fits with margin; a hang still fails loudly.
+        require(q.awaitTermination(900000),
+          "replay stream did not terminate")
+      } finally spark.conf.set(spKey, prevSp)
       new java.io.FileOutputStream(done).close()
     }
     spark.read.parquet(outDir)

@@ -85,7 +85,26 @@ object MlPipeline {
     // quality signals per pass dominated the fit (7.5 s -> ~2 s).
     val prepared = assembler.transform(featured)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = lr.fit(prepared)
+    // GRAFT_TRACE: stage attribution for the first-consumer-pays cost
+    // (the q_qerror_report convention) — featurize vs fit vs consumers.
+    val trace = sys.env.contains("GRAFT_TRACE")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (trace) println(f"[classifier] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    timed("featurize+persist")(prepared.count())
+    // The fit input is coalesced: every LBFGS iteration is a
+    // treeAggregate JOB over this frame, so its cost floor is
+    // (partitions × iterations) task overhead — measured 3.5 s for 10
+    // iterations over 5,000 cached rows at 32 partitions, pure
+    // scheduling. 8 partitions bounds that floor; the coalesce reads
+    // the already-persisted blocks, and `prepared` itself keeps full
+    // parallelism for the corpus-wide scoring pass below. (At 100 TB
+    // the same principle holds harder: fit on a bounded, bounded-
+    // partition sample; score everything.)
+    val model = timed("lbfgs fit")(lr.fit(prepared.coalesce(8)))
     // Score with plain column arithmetic from the fitted coefficients,
     // NOT model.transform: the model's ScalaUDF closure drags the whole
     // LogisticRegressionModel into the task — including trainingSummary,

@@ -5602,6 +5602,129 @@ SELECT 'file_size_stats' AS mode, 'as_written' AS join_tree,
 UNION ALL
 SELECT 'model_stats', 'rebuilt_around_lineitem', n_rows, qty_sum FROM j
 ORDER BY mode""")),
+    // PER-PREDICATE selectivity as the reorder's deciding input — the
+    // filtered-fact completion of the CBO capstones (the estimator's
+    // actual specialty, estimators.py:134-418 analog). Where
+    // q_join_reorder_model flips on stats-on-vs-off, here the stats
+    // rule is ON for BOTH runs and every table-level registration is
+    // IDENTICAL — the two runs differ only in lineitem's filter band:
+    // a wide band (l_quantity <= 50, selectivity ~1) and a narrow
+    // 3-predicate band (~1e-4). Catalyst's DP reorder therefore sees
+    // the same catalog either way and flips the join order purely on
+    // the learned CONDITIONAL estimate: wide keeps the as-written
+    // customer⋈orders innermost; narrow moves the model-tiny filtered
+    // lineitem innermost. Both orders require()-pinned; both answers
+    // hash-gated.
+    Entry("q_join_reorder_selectivity",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+        val nOrders = Tables.read(s, d, "orders").count()
+        val nCust = Tables.read(s, d, "customer").count()
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet ++ Set("l_orderkey"),
+          preds => ps.query(preds.filter(p => modelCols.contains(p.col))))
+        graft.plans.GraftRuntime.register(s"$d/orders.parquet",
+          Set("o_custkey"), _ => nOrders)
+        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
+          Set("c_custkey"), _ => nCust)
+        def joined(narrow: Boolean) = {
+          val c = Tables.read(s, d, "customer")
+            .filter(col("c_custkey") >= 0L)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val o = Tables.read(s, d, "orders")
+            .filter(col("o_custkey") >= 0L)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(if (narrow)
+              col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
+                col("l_returnflag") === "R"
+            else col("l_quantity") <= 50.0)
+            .select(col("l_orderkey"), col("l_quantity"))
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .join(liF, o("o_orderkey") === liF("l_orderkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast("long").as("qty_sum"))
+        }
+        def innermost(df: org.apache.spark.sql.DataFrame): String = {
+          val joins = df.queryExecution.optimizedPlan
+            .collect { case j: LJoin => j }
+          val inner = joins.find(_.children.forall(
+            _.collect { case jj: LJoin => jj }.isEmpty))
+          val attrs = inner.map(_.output.map(_.name).toSet)
+            .getOrElse(Set.empty)
+          if (attrs.exists(_.startsWith("l_"))) "lineitem_first"
+          else if (attrs.contains("c_custkey")) "customer_first"
+          else "unknown"
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val wide = joined(narrow = false)
+          val wideOrder = innermost(wide)
+          val Array(wideRow) = wide.collect()
+          val nar = joined(narrow = true)
+          val narOrder = innermost(nar)
+          val Array(narRow) = nar.collect()
+          require(wideOrder == "customer_first" &&
+              narOrder == "lineitem_first",
+            "predicate selectivity did not decide the join order: " +
+              s"wide=$wideOrder narrow=$narOrder (same catalog, same " +
+              "stats rule, only the lineitem band differs)")
+          Seq(
+            ("narrow_band", narOrder, narRow.getLong(0),
+              narRow.getLong(1)),
+            ("wide_band", wideOrder, wideRow.getLong(0),
+              wideRow.getLong(1)))
+            .toDF("mode", "inner_join", "n_rows", "qty_sum")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH nar AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0
+    AND l.l_quantity <= 1.0 AND l.l_discount <= 0.0
+    AND l.l_returnflag = 'R'),
+wid AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0
+    AND l.l_quantity <= 50.0)
+SELECT 'narrow_band' AS mode, 'lineitem_first' AS inner_join,
+  n_rows, qty_sum FROM nar
+UNION ALL
+SELECT 'wide_band', 'customer_first', n_rows, qty_sum FROM wid
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

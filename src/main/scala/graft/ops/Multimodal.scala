@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * 100 TB the feature extraction parallelizes per input split exactly
   * like any other scan.
   *
-  * Real media decoding (JPEG/PNG/audio frames) needs native libraries
-  * that are absent in this environment, so [[decodeStubFeatures]] STUBS
-  * the decode step with a deterministic fake (documented below) while
-  * keeping the Spark-side plumbing real: binary in, fixed-shape float
-  * vector out, batched via mapPartitions. [[byteHistogramFeatures]] is
-  * NOT a stub — byte histograms/entropy are genuine content features.
+  * All three modalities now run REAL JDK codecs end-to-end on
+  * executors: PNG via ImageIO ([[pngAssets]]/[[decodeImageStats]]),
+  * WAV/PCM via javax.sound ([[wavAssets]]/[[decodeWavStats]]), and
+  * multi-frame video as a length-prefixed container of real PNG
+  * frames ([[videoAssets]]/[[decodeVideoStats]] — PNG as the
+  * intra-frame codec, since that is the codec this JVM carries; a
+  * hardware-accelerated H.264 path would slot into the same
+  * mapPartitions shape). [[byteHistogramFeatures]] is a genuine
+  * content feature (byte histograms/entropy), not a decode.
   */
 object Multimodal {
 
@@ -237,41 +240,139 @@ FROM b, unnest(range(0, len // $frameBytes)) u(i)
 WHERE i % $stride = 0
 ORDER BY asset_id, frame_idx"""
 
-  /** STUBBED media decode for NON-image modalities: audio/video codecs
-    * aren't in this container, so this path replaces the decode with a
-    * DETERMINISTIC FAKE — an `edge`×`edge` grid where cell (i,j) is a
-    * hash-derived float of the payload slice it "covers" — while the
-    * batch shape, schema, and partition-parallel plumbing match the real
-    * thing exactly. For IMAGES the decode is no longer stubbed:
-    * [[pngAssets]]/[[decodeImageStats]] run the JDK's real PNG codec
-    * end-to-end (`q_image_decode`, closed-form oracle).
-    */
-  def decodeStubFeatures(assets: DataFrame, edge: Int = 8): DataFrame = {
+  /** Per-frame pixel channel for the video container: frame f shifts
+    * the offset by 3·f, so consecutive frames differ deterministically
+    * and a frame-indexing bug (off-by-one, dropped frame, reversed
+    * order) changes the closed-form sums loudly. Id bounded first. */
+  private[ops] def videoPixelChannel(id: Long, x: Int, y: Int, f: Int,
+      channelOffset: Int): Int =
+    (((id % 1000003L) * 31 + x * 7 + y * 13 + f * 3 +
+      channelOffset) % 256).toInt
+
+  /** REAL multi-frame video ENCODE: `nFrames` deterministic RGB frames
+    * per asset, each independently compressed to actual PNG bytes by
+    * ImageIO, packed into a length-prefixed container
+    * ([4-byte BE frame length][PNG bytes])* — the motion-JPEG/NAL-unit
+    * stream shape, with PNG as the intra-frame codec since that is the
+    * real codec this JVM carries. This retires the former
+    * deterministic-fake decode stub: every byte of the payload now
+    * passes through a genuine compressor. mapPartitions, map-side. */
+  def videoAssets(df: DataFrame, idCol: String, edge: Int = 8,
+      nFrames: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(edge, edge,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < edge) {
+            var x = 0
+            while (x < edge) {
+              img.setRGB(x, y,
+                (videoPixelChannel(id, x, y, f, 0) << 16) |
+                  (videoPixelChannel(id, x, y, f, 85) << 8) |
+                  videoPixelChannel(id, x, y, f, 170))
+              x += 1
+            }
+            y += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frame)
+          val bytes = frame.toByteArray
+          dos.writeInt(bytes.length)
+          dos.write(bytes)
+          f += 1
+        }
+        dos.flush()
+        Row(id, bos.toByteArray, "video/x-mjpng")
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false))))
+  }
+
+  /** REAL multi-frame video DECODE: walk the length-prefixed container,
+    * run ImageIO on every frame, and reduce to exact integer stats —
+    * frame count, dimensions, all-frame channel sums, and the last
+    * frame's red sum (pins frame ORDER: a reversed or re-indexed walk
+    * matches the totals but not the tail frame). PNG frames are
+    * lossless, so the closed-form oracle must match exactly; a
+    * mis-parsed length prefix fails the decode loudly rather than
+    * drifting. Map-side, no shuffle — the per-split shape a 100 TB
+    * media pipeline runs. */
+  def decodeVideoStats(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
-    val cells = edge * edge
     val rdd = assets.select(col("asset_id").cast("long"), col("content"))
       .rdd.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val feat = new Array[Float](cells)
-          val slice = math.max(1, bytes.length / cells)
-          var c = 0
-          while (c < cells) {
-            // ??? real decode goes here; deterministic fake instead:
-            var h = 1125899906842597L
-            var i = c * slice
-            val end = math.min(bytes.length, (c + 1) * slice)
-            while (i < end) { h = 31 * h + bytes(i); i += 1 }
-            feat(c) = ((h & 0xffff) / 65535.0).toFloat
-            c += 1
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          var (nf, w, h) = (0, 0, 0)
+          var (rs, gs, bs, lastR) = (0L, 0L, 0L, 0L)
+          while (in.available() >= 4) {
+            val len = in.readInt()
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            w = img.getWidth; h = img.getHeight
+            var fr = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                fr += (p >> 16) & 0xff
+                gs += (p >> 8) & 0xff
+                bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            rs += fr; lastR = fr
+            nf += 1
           }
-          Row(id, feat.toSeq, 0.0)
+          Row(id, nf, w, h, rs, gs, bs, lastR)
         }
       }
-    spark.createDataFrame(rdd, featureSchema(cells))
-      .withColumnRenamed("byte_entropy", "pad")
-      .drop("pad")
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("last_frame_r", LongType, nullable = false))))
+  }
+
+  /** Closed-form oracle of the video round trip: the per-frame pixel
+    * arithmetic evaluated over the (x, y, f) grid. */
+  def decodeVideoStatsSql(table: String, id: String, edge: Int = 8,
+      nFrames: Int = 4): String = {
+    def ch(off: Int, fExpr: String) =
+      s"(($id % 1000003) * 31 + x * 7 + y * 13 + $fExpr * 3 + $off) % 256"
+    s"""SELECT $id AS asset_id, $nFrames AS n_frames,
+  $edge AS width, $edge AS height,
+  CAST(sum(${ch(0, "f")}) AS BIGINT) AS r_sum,
+  CAST(sum(${ch(85, "f")}) AS BIGINT) AS g_sum,
+  CAST(sum(${ch(170, "f")}) AS BIGINT) AS b_sum,
+  CAST(sum(CASE WHEN f = ${nFrames - 1} THEN ${ch(0, "f")} ELSE 0 END)
+    AS BIGINT) AS last_frame_r
+FROM $table,
+  LATERAL (SELECT unnest(generate_series(0, ${edge - 1})) AS x) xs,
+  LATERAL (SELECT unnest(generate_series(0, ${edge - 1})) AS y) ys,
+  LATERAL (SELECT unnest(generate_series(0, ${nFrames - 1})) AS f) fs
+GROUP BY $id ORDER BY asset_id"""
   }
 
   /** Deterministic per-pixel channel value — shared by the PNG

@@ -1366,23 +1366,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${top.toSeq}")
   }
 
-  test("decodeStubFeatures: fixed shape, [0,1] range, layout-independent, payload-sensitive") {
-    val df = Multimodal.fromText(
-      docsDf((1L, "first payload text"), (2L, "a different payload")),
-      "doc_id", "text")
-    val rows = Multimodal.decodeStubFeatures(df, edge = 4)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(rows.keySet == Set(1L, 2L))
-    rows.values.foreach { f =>
-      assert(f.length == 16)
-      assert(f.forall(v => v >= 0f && v <= 1f))
+  test("video container round-trip: real PNG frames behind length " +
+      "prefixes; decode recovers exact closed-form per-frame pixels " +
+      "and frame order; layout-independent") {
+    val ids = docsDf((1L, "x"), (2L, "y"))
+    val assets = Multimodal.videoAssets(ids, "doc_id", edge = 4,
+      nFrames = 3)
+    // container structure: payload is a sequence of PNG frames each
+    // starting with the PNG magic right after its 4-byte length
+    val payload = assets.filter(org.apache.spark.sql.functions
+        .col("asset_id") === 1L)
+      .collect().head.getAs[Array[Byte]]("content")
+    val len0 = java.nio.ByteBuffer.wrap(payload, 0, 4).getInt
+    assert(payload.slice(4, 8).toSeq ==
+      Seq[Byte](0x89.toByte, 'P', 'N', 'G'), "first frame is not PNG")
+    assert(java.nio.ByteBuffer.wrap(payload, 4 + len0, 4).getInt > 0,
+      "second frame's length prefix missing")
+    def closed(id: Long, off: Int, fSel: Int => Boolean): Long =
+      (for (f <- 0 until 3; x <- 0 until 4; y <- 0 until 4 if fSel(f))
+        yield ((id % 1000003L) * 31 + x * 7 + y * 13 + f * 3 +
+          off) % 256).sum
+    val got = Multimodal.decodeVideoStats(assets).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(4), r.getLong(5), r.getLong(7))).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (nf, rs, gs, lastR) = got(id)
+      assert(nf == 3)
+      assert(rs == closed(id, 0, _ => true), s"r_sum mismatch for $id")
+      assert(gs == closed(id, 85, _ => true), s"g_sum mismatch for $id")
+      assert(lastR == closed(id, 0, _ == 2),
+        s"last-frame pin mismatch for $id (frame order broken?)")
     }
-    // distinct payloads must decode to distinct tensors
-    assert(rows(1L) != rows(2L))
     // repartitioning must not change any value (pure per-row map)
-    val again = Multimodal.decodeStubFeatures(df.repartition(5), edge = 4)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(again == rows)
+    val again = Multimodal.decodeVideoStats(
+      Multimodal.videoAssets(ids.repartition(5), "doc_id", edge = 4,
+        nFrames = 3)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(4), r.getLong(5), r.getLong(7))).toMap
+    assert(again == got)
   }
 
   test("frameSample: every stride-th full frame, byte-exact, partial dropped") {

@@ -2690,6 +2690,71 @@ SELECT deg, count(*) AS n_nodes FROM (
   SELECT n, count(*) AS deg FROM (
     SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4) GROUP BY n)
 GROUP BY deg ORDER BY deg""")),
+    // Bounded-round PageRank in EXACT integer fixed-point — the
+    // canonical iterative graph centrality, made engine-portable: ranks
+    // are scaled Longs (init 1_000_000), each round is
+    // r'_u = 150000 + (85 · Σ_{v→u} (r_v div deg_v)) div 100 with
+    // INTEGER division on both engines (Spark `div` ≡ DuckDB `//` for
+    // non-negative operands), so no float summation order can diverge.
+    // Round count FIXED (3) → the oracle is the same recurrence
+    // unrolled. The loop runs through Iterate.iterate; the
+    // (u, v, deg_v) contribution edges are checkpointed ONCE and each
+    // round is one edge⋈rank join + one u-keyed sum — the per-round
+    // cost at 100 TB is exactly two shuffles, plan size constant.
+    Entry("q_pagerank",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val dir = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = dir.unionByName(dir.select(col("v").as("u"),
+          col("u").as("v")))
+        val deg = und.groupBy(col("v").as("dv"))
+          .agg(count(lit(1)).as("deg"))
+        val edges = und.join(deg, col("v") === col("dv"))
+          .select(col("u"), col("v"), col("deg"))
+          .localCheckpoint(false)
+        val init = und.select(col("u").as("n")).distinct()
+          .withColumn("r", lit(1000000L))
+        val ranks = graft.ops.Iterate.iterate(init, 3) { cur =>
+          edges.join(cur, col("v") === col("n"))
+            .groupBy(col("u"))
+            .agg(sum(expr("r div deg")).as("contrib"))
+            .select(col("u").as("n"),
+              (lit(150000L) + expr("(85 * contrib) div 100")).as("r"))
+        }
+        ranks.agg(count(lit(1)).as("n_nodes"),
+            sum(col("r")).as("rank_sum"),
+            min(col("r")).as("min_rank"),
+            max(col("r")).as("max_rank"),
+            sum(col("r") * pmod(col("n"), lit(1009L))).as("checksum"))
+          .select(col("n_nodes"), col("rank_sum"), col("min_rank"),
+            col("max_rank"), col("checksum"))
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_returnflag = 'R'),
+dir AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p),
+und AS (SELECT u, v FROM dir UNION ALL SELECT v, u FROM dir),
+deg AS (SELECT v, count(*) AS deg FROM und GROUP BY v),
+e AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (v)),
+r0 AS (SELECT DISTINCT u AS n, CAST(1000000 AS BIGINT) AS r FROM und),
+r1 AS (SELECT e.u AS n, 150000 + (85 * sum(r0.r // e.deg)) // 100 AS r
+       FROM e JOIN r0 ON e.v = r0.n GROUP BY e.u),
+r2 AS (SELECT e.u AS n, 150000 + (85 * sum(r1.r // e.deg)) // 100 AS r
+       FROM e JOIN r1 ON e.v = r1.n GROUP BY e.u),
+r3 AS (SELECT e.u AS n, 150000 + (85 * sum(r2.r // e.deg)) // 100 AS r
+       FROM e JOIN r2 ON e.v = r2.n GROUP BY e.u)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(sum(r) AS BIGINT) AS rank_sum,
+  CAST(min(r) AS BIGINT) AS min_rank,
+  CAST(max(r) AS BIGINT) AS max_rank,
+  CAST(sum(r * (n % 1009)) AS BIGINT) AS checksum
+FROM r3""")),
     // Frequent-itemset mining (Apriori) over order baskets — the
     // market-basket operator. The scale shape: pair/triple INSTANCE
     // generation is basket-local (order size is spec-bounded, so

@@ -6360,7 +6360,180 @@ FROM rk WHERE rk = 1 ORDER BY part""")),
   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
     AS cents_sum,
   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+    // Two-sample Kolmogorov–Smirnov drift test between time slices of
+    // the event-value distribution — the training-pipeline "did this
+    // feed drift?" gate. Binned formulation (64 fixed-width bins,
+    // clamp into the top bin) so the ECDF is computed over a
+    // SPEC-BOUNDED frame: one conditional-count shuffle of <= 64
+    // groups (map-side partial agg — the scan emits 64-row partials,
+    // never rows), then the cumulative walk and the max|D| reduction
+    // run on metadata-sized data. The statistic is EXACT INTEGER:
+    // D_num = max_b |cumA_b*n_b_tot - cumB_b*n_a_tot| with
+    // denominator n_a*n_b (<= N^2/4, Long-safe to N ~ 6e9 rows; past
+    // that, rescale both counts by a common 2^k). The one float
+    // column (ks) is a single IEEE division of two exact integers —
+    // bit-identical cross-engine. Unbinned KS needs a global
+    // value-sort; binned-with-fixed-edges is the form production
+    // drift monitors use at scale, and the binning is part of the
+    // operator spec, not an approximation of it.
+    Entry("q_ks_drift",
+      (s, d) => {
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cells = Tables.read(s, d, "events")
+          .select(least(floor(col("value") / 8.0), lit(63.0))
+              .cast("long").as("bin"),
+            (col("ts") < split).cast("long").as("is_a"))
+          .groupBy("bin")
+          .agg(sum(col("is_a")).as("c_a"),
+            sum(lit(1L) - col("is_a")).as("c_b"))
+        // 64-row frame: the single-partition windows below are
+        // bounded by the bin-count spec, not the data.
+        val wCum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("cum_a", sum(col("c_a")).over(wCum))
+          .withColumn("cum_b", sum(col("c_b")).over(wCum))
+          .withColumn("n_a", sum(col("c_a")).over(wAll))
+          .withColumn("n_b", sum(col("c_b")).over(wAll))
+          .withColumn("dev",
+            abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .withColumn("mx", max(col("dev")).over(wAll))
+          .filter(col("dev") === col("mx"))
+          .groupBy(col("n_a"), col("n_b"), col("dev").as("ks_num"))
+          .agg(min(col("bin")).as("ks_bin"))
+          .select(col("n_a"), col("n_b"), col("ks_num"), col("ks_bin"),
+            (col("ks_num").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      },
+      Some("""WITH cells AS (
+  SELECT CAST(least(floor(value / 8.0), 63.0) AS BIGINT) AS bin,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      AS BIGINT) AS c_a,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+      AS BIGINT) AS c_b
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT bin,
+    CAST(SUM(c_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_a,
+    CAST(SUM(c_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_b,
+    CAST(SUM(c_a) OVER () AS BIGINT) AS n_a,
+    CAST(SUM(c_b) OVER () AS BIGINT) AS n_b
+  FROM cells),
+dev AS (
+  SELECT bin, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS dev,
+    max(abs(cum_a * n_b - cum_b * n_a)) OVER () AS mx
+  FROM cum)
+SELECT n_a, n_b, dev AS ks_num, min(bin) AS ks_bin,
+  CAST(dev AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks
+FROM dev WHERE dev = mx GROUP BY n_a, n_b, dev""")),
+    // Categorical drift: the event-type × time-period contingency
+    // table with EXACT-INTEGER independence deviations — the chi²
+    // sufficient statistics without the division (chi² itself is
+    // Σ dev_num² / (R*C*N), derived by the consumer; sign(dev_num)
+    // additionally says which cells grew). dev_num = O*N - R*C is the
+    // cross-multiplied form of O - R*C/N, exact while N² < 2^63
+    // (N ~ 3e9; past that rescale margins by a common 2^k — the
+    // q_t_closeness envelope note). Scale shape: one cell-count
+    // shuffle (types × 2 groups, map-side combined); margins come
+    // from windows over the CELL frame (metadata-sized), never a
+    // second scan of the data.
+    Entry("q_cat_drift",
+      (s, d) => {
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cells = Tables.read(s, d, "events")
+          .select(col("event_type"),
+            (col("ts") >= split).cast("long").as("period"))
+          .groupBy("event_type", "period")
+          .agg(count(lit(1)).as("obs"))
+        cells
+          .withColumn("r_margin",
+            sum(col("obs")).over(Window.partitionBy("event_type")))
+          .withColumn("c_margin",
+            sum(col("obs")).over(Window.partitionBy("period")))
+          .withColumn("n_total", sum(col("obs")).over(Window.partitionBy()))
+          .select(col("event_type"), col("period"), col("obs"),
+            col("r_margin"), col("c_margin"),
+            (col("obs") * col("n_total") - col("r_margin") * col("c_margin"))
+              .as("dev_num"))
+          .orderBy("event_type", "period")
+      },
+      Some("""WITH cells AS (
+  SELECT event_type,
+    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS period,
+    count(*) AS obs
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, period, obs,
+    CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS r_margin,
+    CAST(SUM(obs) OVER (PARTITION BY period) AS BIGINT) AS c_margin,
+    CAST(SUM(obs) OVER () AS BIGINT) AS n_total
+  FROM cells)
+SELECT event_type, period, obs, r_margin, c_margin,
+  obs * n_total - r_margin * c_margin AS dev_num
+FROM m ORDER BY event_type, period""")),
+    // Embedding-distribution drift between corpus slices: per-dimension
+    // fixed-point mean shift — the MMD-lite monitor a training
+    // pipeline runs on its embedding feed. Each float is quantized
+    // q = floor(1000·x) (exact in both engines: float→double widening
+    // is lossless and the double multiply/floor are IEEE-identical),
+    // then the mean difference is held as the EXACT INTEGER
+    // cross-multiplication diff_num = s_a·n_b − s_b·n_a with
+    // denominator n_a·n_b — the q_pmi_colloc rule: never let a float
+    // ratio cross engines. q_max is emitted per dimension so the
+    // overflow envelope is VISIBLE in the artifact: |diff_num| <=
+    // 2·q_max·n_a·n_b, exact while q_max·n_a·n_b < 2^62 (~3e9 rows
+    // per slice at q_max ≈ 525; past that rescale the sums by 2^k).
+    // Scale shape: posexplode is map-side; the dim rollup shuffles
+    // <= 64 groups with map-side partial sums (partials are dim-sized
+    // per task, never row-sized); the slice counts are a one-row
+    // broadcast.
+    Entry("q_embed_drift",
+      (s, d) => {
+        val em = Tables.read(s, d, "embeddings")
+        val q = em.select(
+            (pmod(col("vec_id"), lit(2)) === 0).cast("long").as("is_a"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("is_a"), col("dim").cast("long").as("dim"),
+            floor(col("x").cast("double") * 1000.0).cast("long").as("q"))
+        val sums = q.groupBy("dim")
+          .agg(sum(when(col("is_a") === 1, col("q")).otherwise(0L)).as("s_a"),
+            sum(when(col("is_a") === 0, col("q")).otherwise(0L)).as("s_b"),
+            max(abs(col("q"))).as("q_max"))
+        val counts = em.agg(
+          sum((pmod(col("vec_id"), lit(2)) === 0).cast("long")).as("n_a"),
+          sum((pmod(col("vec_id"), lit(2)) =!= 0).cast("long")).as("n_b"))
+        sums.crossJoin(broadcast(counts))
+          .select(col("dim"), col("s_a"), col("s_b"), col("q_max"),
+            col("n_a"), col("n_b"),
+            (col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+              .as("diff_num"))
+          .orderBy("dim")
+      },
+      Some("""WITH q AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+    generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings),
+sums AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+    CAST(SUM(CASE WHEN is_a = 1 THEN q ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN is_a = 0 THEN q ELSE 0 END) AS BIGINT) AS s_b,
+    CAST(MAX(abs(q)) AS BIGINT) AS q_max
+  FROM q GROUP BY dim),
+cnt AS (
+  SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b
+  FROM embeddings)
+SELECT dim, s_a, s_b, q_max, n_a, n_b,
+  s_a * n_b - s_b * n_a AS diff_num
+FROM sums CROSS JOIN cnt ORDER BY dim"""))
   )
 
   /** The validated roster. lazy so the duplicate-name guard runs once,

@@ -3317,6 +3317,18 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       (s, d) => jaccardPairs(s, d),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
         maxShingleDf = 100))),
+    // PPJoin-style prefix-filtered candidate generation for the SAME
+    // similarity join: provably lossless (see the scaladoc theorem on
+    // ngramJaccardPairsPrefix), so it shares q_ngram_jaccard's oracle
+    // verbatim — two independent physical strategies, one answer,
+    // both hash-gated. This is the scale path once the df cap is
+    // loosened: candidates come only from each doc's rarest
+    // ⌈(1−t)·m⌉+1 shingles instead of cap²/2 expansions per shingle.
+    Entry("q_jaccard_prefix",
+      (s, d) => Dedup.ngramJaccardPairsPrefix(docShingles(s, d), 0.5,
+        maxShingleDf = 100),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+        maxShingleDf = 100))),
     // Dedup cluster formation: connected components (min-label
     // propagation) over the exact n-gram Jaccard near-dup pairs — the
     // step that turns candidate pairs into dup clusters with a canonical
@@ -3326,6 +3338,21 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     // query.
     Entry("q_dedup_components",
       (s, d) => dedupComponents(s, d),
+      Some(Dedup.connectedComponentsSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+          maxShingleDf = 100)))),
+    // The SAME cluster formation through the alternating large-star/
+    // small-star algorithm (O(log n) rounds vs label propagation's
+    // O(diameter)) — two independent iterative strategies, one
+    // recursive-CTE oracle, both hash-gated. The variant that matters
+    // at 100 TB when near-dup chains run deep (template drift across
+    // crawls produces paths, not cliques); see
+    // Dedup.connectedComponentsStar's round-count spec (CCStarSpec
+    // pins log-bounded convergence on a deliberately deep path graph
+    // where label propagation would need diameter rounds).
+    Entry("q_cc_star",
+      (s, d) => Dedup.connectedComponentsStar(
+        jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b"),
       Some(Dedup.connectedComponentsSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
           maxShingleDf = 100)))),

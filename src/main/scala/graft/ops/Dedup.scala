@@ -516,6 +516,72 @@ FROM bits ORDER BY id"""
     }
   }
 
+  /** Prefix-filtered set-similarity self-join (the PPJoin candidate
+    * scheme of Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection"): identical OUTPUT to
+    * [[ngramJaccardPairsFromShingles]] — same capped shingle universe,
+    * same (id_a, id_b, inter, union_sz, jaccard) rows — through a
+    * provably lossless candidate filter instead of posting-list pair
+    * expansion.
+    *
+    * The theorem: order the universe totally by (df asc, shingle asc)
+    * and give each doc x the prefix of its first
+    * |x| − ⌈t·|x|⌉ + 1 shingles. If J(x,y) ≥ t, the order-smallest
+    * common shingle w lies in BOTH prefixes — were w outside x's
+    * prefix, every common shingle would sit in x's last ⌈t|x|⌉ − 1
+    * positions, yet J ≥ t forces |x∩y| ≥ t·|x| > ⌈t|x|⌉ − 1.
+    * So joining prefixes on the shingle loses no qualifying pair, and
+    * exact Jaccard is then computed for candidates only.
+    *
+    * Scale shape vs the posting-list path: that one expands cap²/2
+    * pairs per shingle across the WHOLE universe; this one touches
+    * only prefix tokens — by construction the RAREST ⌈(1−t)|x|⌉+1
+    * tokens of each doc — so candidate volume falls as t rises,
+    * independent of the df cap. At 100 TB with a loose cap this is
+    * the survivable path: the heavy shuffles carry (id, shingle, df)
+    * prefix rows and candidate pairs, never cap-squared expansions.
+    * The per-doc rank/size windows partition by doc id over
+    * doc-length-sized frames (never corpus-sized).
+    */
+  def ngramJaccardPairsPrefix(exploded: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
+    val dfreq = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+    val capped = exploded.join(dfreq, "shingle")
+    val wRank = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val wSize = Window.partitionBy("id")
+    val prefix = capped
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wSize))
+      .filter(col("rk") <=
+        col("m") - ceil(col("m") * lit(threshold)).cast("long") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shA = capped.select(col("id").as("id_a"), col("shingle"))
+    val shB = capped.select(col("id").as("idb2"),
+      col("shingle").as("sh_b"))
+    val inter = cand
+      .join(shA, "id_a")
+      .join(shB, col("id_b") === col("idb2") &&
+        col("shingle") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val counts = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_sz"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Benchmark decontamination — the training-data step that removes
     * corpus documents overlapping an evaluation set (train/test
     * contamination): a doc is contaminated when it shares at least
@@ -672,6 +738,74 @@ $pairsSql
   SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
 )
 SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, whose round count
+    * is the component DIAMETER. Same contract: (id, comp) with comp =
+    * the component's minimum id, ordered by id.
+    *
+    * One round = large-star then small-star, each a single
+    * groupBy(min) + join over the symmetrized edge list:
+    *   - large-star: per node u with m = min(Γ(u) ∪ {u}), rewire every
+    *     LARGER neighbor v > u to (v, m);
+    *   - small-star: per node u with m = min of its ≤-neighbors ∪ {u},
+    *     rewire those neighbors (and u itself) to (v, m).
+    * Both preserve connectivity and strictly flatten long chains, so
+    * the edge set converges to per-component stars rooted at the
+    * minimum in O(log n) rounds — the bound that matters for
+    * ADVERSARIALLY DEEP graphs (chain-of-near-dups corpora) where
+    * diameter-proportional label propagation would run thousands of
+    * rounds at 100 TB. Convergence is detected by edge-multiset
+    * stability (count ⊕ modular checksum, one scalar action per
+    * round); every round's plan is lineage-truncated through
+    * [[Iterate.iterateUntil]], and each shuffles only (node, node)
+    * pairs. `trace` observes (round, fingerprint, converged).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 12,
+      trace: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // v > u ≥ m, so (v, m) is never a self-loop.
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val m = s.groupBy("u").agg(min(col("v")).as("m"))
+      val nbrs = s.join(m, "u")
+        .select(col("v").as("nu"), col("m").as("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+      nbrs.unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def fingerprint(e: DataFrame): Long = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(pmod(abs(col("u")), lit(1000003L)) * 31 +
+          pmod(abs(col("v")), lit(1000003L))), lit(0L)).as("s")).head()
+      r.getLong(0) * 2147483647L + r.getLong(1)
+    }
+    val (fin, _, converged) =
+      Iterate.iterateUntil(e0, maxIter, trace)(e => smallStar(largeStar(e)))(
+        fingerprint)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar hit maxIter=$maxIter before the edge " +
+          "set stabilized; labels may be non-final. Raise maxIter " +
+          "(rounds needed grow only logarithmically in graph size).")
+    fin.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(fin.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+      .orderBy("id")
+  }
 
   /** Line-level dedup (the CCNet/C4 boilerplate filter): drop every line
     * whose DOCUMENT frequency — the number of distinct docs containing

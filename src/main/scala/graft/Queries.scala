@@ -268,6 +268,75 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
         s.sql(Queries.quantilesSql)
       },
       Some(quantilesSql)),
+    // The sketch path beside the exact path: percentile_approx (GK
+    // summaries, relativeError = 1/1000) is THE 100 TB quantile
+    // operator — one pass, mergeable per-partition sketches, no value
+    // shuffle — and this entry makes its guarantee CHECKABLE: for each
+    // p it computes the true ranks bracketing the sketch's answer
+    // (rank_lt, rank_le against the distinct-value cumulative
+    // histogram) and gates floor((p−ε)N) ≤ rank ≤ ceil((p+ε)N) as an
+    // EXACT INTEGER comparison — rank·1000 vs N·(1000p ± 1), with
+    // 1000p an integer for the chosen probs, so no float crosses the
+    // gate. The artifact is (p, exact value, N, gate): the sketch's
+    // value itself never crosses engines (it is Spark-internal), but
+    // its bound does, which is the property a pipeline relies on. The
+    // cumulative window runs over DISTINCT values (the q_quantiles
+    // caveat, fine for banded columns; the sketch needs no such
+    // window — that asymmetry is the point).
+    Entry("q_approx_quantiles",
+      (s, d) => {
+        val probs = Seq(0.25, 0.5, 0.75, 0.95)
+        val pks = Seq(250, 500, 750, 950)
+        val acc = 1000
+        val lid = li(s, d).select(col("l_quantity").as("v"))
+        val f = lid.groupBy("v").agg(count(lit(1)).as("c"))
+        val cum = f.withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = lid.agg(count(lit(1)).as("n"))
+        val ap = lid
+          .agg(percentile_approx(col("v"),
+            array(probs.map(lit(_)): _*), lit(acc)).as("aps"))
+          .select(posexplode(col("aps")).as(Seq("i", "a")))
+          .withColumn("pk",
+            element_at(array(pks.map(lit(_)): _*), col("i") + 1))
+        def rank(cmp: (org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+            name: String) =
+          ap.crossJoin(broadcast(tot))
+            .join(cum, cmp(cum("v"), col("a")), "left")
+            .groupBy("i", "pk", "n")
+            .agg(coalesce(max(col("cum")), lit(0L)).as(name))
+        val rLt = rank(_ < _, "rank_lt")
+        val rLe = rank(_ <= _, "rank_le").select(col("i").as("i2"),
+          col("rank_le"))
+        val probsDf = probs.zip(pks).map { case (p, k) =>
+          s"SELECT CAST($p AS DOUBLE) AS p, $k AS pk2"
+        }.mkString(" UNION ALL ")
+        val exact = s.sql(probsDf).crossJoin(broadcast(tot))
+          .join(cum,
+            cum("cum") >= floor(col("p") * (col("n") - 1)).cast("long") + 1)
+          .groupBy("p", "pk2").agg(min(col("v")).as("exact_value"))
+        rLt.join(rLe, col("i") === col("i2"))
+          .join(exact, col("pk") === col("pk2"))
+          .select(col("p"), col("exact_value"), col("n"),
+            (col("rank_lt") * acc <= col("n") * (col("pk") + 1) &&
+              col("rank_le") * acc >= col("n") * (col("pk") - 1))
+              .as("within_bound"))
+          .orderBy("p")
+      },
+      Some("""WITH f AS (
+  SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+probs(p) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+SELECT CAST(p AS DOUBLE) AS p,
+  (SELECT min(v) FROM cum, tot
+   WHERE cum >= CAST(floor(CAST(p AS DOUBLE) * (n - 1)) AS BIGINT) + 1)
+    AS exact_value,
+  (SELECT n FROM tot) AS n, TRUE AS within_bound
+FROM probs ORDER BY p""")),
     // One-pass dataset profile (rows/nulls/distincts/min-max per
     // column): the ingest-time quality report. One Expand-fused shuffle
     // for all exact distincts; numeric min/max as DOUBLE so no
@@ -6560,7 +6629,44 @@ cnt AS (
   FROM embeddings)
 SELECT dim, s_a, s_b, q_max, n_a, n_b,
   s_a * n_b - s_b * n_a AS diff_num
-FROM sums CROSS JOIN cnt ORDER BY dim"""))
+FROM sums CROSS JOIN cnt ORDER BY dim""")),
+    // Small-file compaction planning — the table-maintenance operator
+    // every 100 TB lake runs nightly: group file metadata by table
+    // partition, walk files in layout order, and cut output bins at
+    // cumulative-size multiples (bin = floor(cum_before / target), the
+    // Delta-OPTIMIZE-style splitting policy that preserves clustering
+    // order — no re-sort, no data movement in the PLAN itself). The
+    // whole job runs on METADATA: per-partition windows over
+    // file-count-sized frames (files per partition is bounded by the
+    // writer's layout), never on rows. Here (source, doc_id % 1000)
+    // stands in for (partition, file) with bytes = Σ n_chars; the
+    // artifact is the per-bin census a compactor would execute.
+    Entry("q_compaction_plan",
+      (s, d) => {
+        val files = docs(s, d)
+          .groupBy(col("source"), pmod(col("doc_id"), lit(1000L)).as("fid"))
+          .agg(sum(col("n_chars")).as("bytes"))
+        val w = Window.partitionBy("source").orderBy("fid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files
+          .withColumn("cum_before", sum(col("bytes")).over(w) - col("bytes"))
+          .withColumn("bin", floor(col("cum_before") / 2000.0).cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH files AS (
+  SELECT source, doc_id % 1000 AS fid,
+    CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+walked AS (
+  SELECT source, bytes,
+    CAST(sum(bytes) OVER (PARTITION BY source ORDER BY fid
+      ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS cum_before
+  FROM files)
+SELECT source, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin,
+  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes
+FROM walked GROUP BY 1, 2 ORDER BY source, bin"""))
   )
 
   /** The validated roster. lazy so the duplicate-name guard runs once,

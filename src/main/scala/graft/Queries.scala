@@ -6666,7 +6666,149 @@ walked AS (
   FROM files)
 SELECT source, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin,
   count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes
-FROM walked GROUP BY 1, 2 ORDER BY source, bin"""))
+FROM walked GROUP BY 1, 2 ORDER BY source, bin""")),
+    // Join-skew pre-flight census — the diagnostic you run BEFORE a
+    // 100 TB many-to-many join: per-key counts (one map-side-combined
+    // shuffle of (key,1) pairs), exact output cardinality of the
+    // self-join Σ c², and the top-5 offender keys with their per-key
+    // output multiplicity. Output is metadata-sized (top-k + three
+    // scalars); the verdict — salt, bound, or proceed — costs one
+    // cheap pass instead of a blown shuffle. Overflow envelope:
+    // Σ c² ≤ N·max_c, so a Long survives any input where the WORST key
+    // fans under ~9e18/N — at pathological skew the census overflows
+    // loudly under ANSI rather than lying. Tie-break on key keeps the
+    // top-5 deterministic.
+    Entry("q_skew_diagnosis",
+      (s, d) => {
+        val c = li(s, d).groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("c"))
+        val g = c.agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("out_rows"),
+          max(col("c")).as("max_c"))
+        c.orderBy(col("c").desc, col("k")).limit(5)
+          .crossJoin(broadcast(g))
+          .select(col("k"), col("c"), (col("c") * col("c")).as("key_out"),
+            col("n_keys"), col("out_rows"), col("max_c"))
+          .orderBy(col("c").desc, col("k"))
+      },
+      Some("""WITH c AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(c * c) AS BIGINT) AS out_rows,
+    CAST(max(c) AS BIGINT) AS max_c FROM c),
+top AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 5)
+SELECT k, c, CAST(c * c AS BIGINT) AS key_out, n_keys, out_rows, max_c
+FROM top CROSS JOIN g ORDER BY c DESC, k""")),
+    // Distributed Gram matrix over int8-quantized embeddings — the
+    // scale half of PCA/covariance/whitening: per-partition fold into
+    // ONE dim²/2 Long accumulator, dim²-bounded merge shuffle, and the
+    // eigensolve left to dim-bounded driver work. Quantization makes
+    // the artifact integer-exact cross-engine (a float Gram is
+    // reduction-order-dependent and could never be hash-gated); the
+    // int8 codes are also exactly what a memory-bound 100 TB pipeline
+    // would feed it. Oracle runs the identical quantization and an
+    // indexed self-join — O(n·dim²) in DuckDB, fine at verify scale.
+    Entry("q_gram_matrix",
+      (s, d) => Similarity.gramUpperTriangle(emb(s, d), "vec_id",
+        "embedding"),
+      Some(Similarity.gramUpperTriangleSql("embeddings", "vec_id",
+        "embedding"))),
+    // Robust outlier census: per-group exact median and MAD (median
+    // absolute deviation) via the rank-walk over the DISTINCT-value
+    // histogram (banded column, ≤50 values — the q_quantiles frame
+    // discipline), then count rows beyond 1.5·MAD. Every quantity is
+    // an integral double, so median, deviations, and the 1.5·MAD
+    // threshold are exactly representable and the comparison is
+    // engine-portable; the windows run over value-count-sized frames,
+    // never over rows. The lower-median rank floor((n-1)/2)+1 is
+    // written identically on both sides.
+    Entry("q_mad_outliers",
+      (s, d) => {
+        val f = li(s, d)
+          .groupBy(col("l_returnflag").as("fl"), col("l_quantity").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val n = f.groupBy("fl").agg(sum(col("c")).as("n"))
+        val w = Window.partitionBy("fl").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = f.withColumn("cum", sum(col("c")).over(w))
+        val med = cum.join(n, Seq("fl"))
+          .filter(col("cum") >=
+            floor((col("n") - 1) / 2.0).cast("long") + 1)
+          .groupBy("fl").agg(min(col("v")).as("med"))
+        val dev = f.join(broadcast(med), Seq("fl"))
+          .groupBy(col("fl"), abs(col("v") - col("med")).as("dv"))
+          .agg(sum(col("c")).as("c"))
+        val wd = Window.partitionBy("fl").orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dev.withColumn("cum", sum(col("c")).over(wd))
+          .join(n, Seq("fl"))
+          .filter(col("cum") >=
+            floor((col("n") - 1) / 2.0).cast("long") + 1)
+          .groupBy("fl").agg(min(col("dv")).as("mad"))
+        f.join(broadcast(med), Seq("fl")).join(broadcast(mad), Seq("fl"))
+          .groupBy("fl")
+          .agg(sum(col("c")).as("n"), min(col("med")).as("med"),
+            min(col("mad")).as("mad"),
+            sum(when(abs(col("v") - col("med")) > col("mad") * 1.5,
+              col("c")).otherwise(lit(0L))).as("n_out"))
+          .orderBy("fl")
+      },
+      Some("""WITH f AS (
+  SELECT l_returnflag AS fl, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+n AS (SELECT fl, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY 1),
+cum AS (
+  SELECT fl, v, sum(c) OVER (PARTITION BY fl ORDER BY v
+    ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+med AS (
+  SELECT cum.fl, min(v) AS med FROM cum JOIN n ON cum.fl = n.fl
+  WHERE cum >= CAST(floor((n - 1) / 2.0) AS BIGINT) + 1 GROUP BY 1),
+dev AS (
+  SELECT f.fl, abs(v - med) AS dv, CAST(sum(c) AS BIGINT) AS c
+  FROM f JOIN med ON f.fl = med.fl GROUP BY 1, 2),
+dcum AS (
+  SELECT fl, dv, sum(c) OVER (PARTITION BY fl ORDER BY dv
+    ROWS UNBOUNDED PRECEDING) AS cum FROM dev),
+mad AS (
+  SELECT dcum.fl, min(dv) AS mad FROM dcum JOIN n ON dcum.fl = n.fl
+  WHERE cum >= CAST(floor((n - 1) / 2.0) AS BIGINT) + 1 GROUP BY 1)
+SELECT f.fl, CAST(sum(c) AS BIGINT) AS n, min(med) AS med,
+  min(mad) AS mad,
+  CAST(sum(CASE WHEN abs(v - med) > mad * 1.5 THEN c ELSE 0 END)
+    AS BIGINT) AS n_out
+FROM f JOIN med ON f.fl = med.fl JOIN mad ON f.fl = mad.fl
+GROUP BY 1 ORDER BY 1""")),
+    // Benford first-digit census — the classic generated-vs-organic
+    // data-quality scan, one map-side pass. The digit is extracted in
+    // the INTEGER domain (cents = floor(price·100 + 0.5), then the
+    // first character of the integer's decimal rendering) because
+    // log10 at power-of-ten boundaries is libm-dependent and a float
+    // digit extractor could disagree cross-engine; integer→string is
+    // exact everywhere. Shares in ppm via integer division — no float
+    // crosses the gate. Envelope: 10⁶·n needs n < 9.2e12 rows.
+    Entry("q_benford",
+      (s, d) => {
+        val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        val dig = li(s, d)
+          .select(substring(cents.cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = dig.agg(sum(col("n")).as("total"))
+        dig.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("(1000000 * n) div total").as("ppm"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+    CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+SELECT digit, n, CAST((1000000 * n) // total AS BIGINT) AS ppm
+FROM d CROSS JOIN t ORDER BY digit"""))
   )
 
   /** The validated roster. lazy so the duplicate-name guard runs once,

@@ -837,4 +837,78 @@ SELECT x.$idCol, CAST(count(*) AS BIGINT) AS n_dims,
   CAST(max(floor(x / scale + 0.5)) AS BIGINT) AS q_max
 FROM x JOIN m ON x.$idCol = m.$idCol
 GROUP BY x.$idCol ORDER BY x.$idCol"""
+
+  /** Upper-triangle Gram matrix G[i][j] = Σ_rows q_i·q_j over the
+    * int8-quantized embeddings ([[quantizeInt8]]) — the distributed
+    * half of large-scale PCA/covariance: each partition folds its rows
+    * into ONE dim·(dim+1)/2 Long accumulator, then a dim²-bounded
+    * shuffle merges the partials. The eigensolve on the resulting
+    * dim×dim matrix is driver-side, dim-bounded work by construction.
+    * Quantizing first makes the artifact integer-EXACT cross-engine
+    * (a float Gram would be reduction-order-dependent). Overflow
+    * envelope: |q| ≤ 127 so each partial adds ≤ 127² = 16129 per row —
+    * Long holds ~5.7e14 rows per cell, require()d loud below. Output
+    * indices are 1-based to match SQL list indexing. */
+  def gramUpperTriangle(df: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = quantizeInt8(df, idCol, embCol)
+    val rdd = q.select(col("q_vec")).rdd.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var dim = 0
+      var rows = 0L
+      it.foreach { r =>
+        val v = r.getSeq[Byte](0)
+        if (acc == null) { dim = v.length; acc = new Array[Long](dim * (dim + 1) / 2) }
+        require(v.length == dim, s"ragged embedding: ${v.length} != $dim")
+        rows += 1
+        var k = 0
+        var i = 0
+        while (i < dim) {
+          val vi = v(i).toLong
+          var j = i
+          while (j < dim) {
+            acc(k) += vi * v(j).toLong
+            k += 1; j += 1
+          }
+          i += 1
+        }
+      }
+      require(rows < 5e14.toLong, "gram partial overflow envelope")
+      if (acc == null) Iterator.empty
+      else {
+        var k = -1
+        for (i <- 0 until dim; j <- i until dim) yield { k += 1
+          Row(i + 1, j + 1, acc(k)) }
+      }.iterator
+    }
+    val partials = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("di", IntegerType, nullable = false),
+      StructField("dj", IntegerType, nullable = false),
+      StructField("g", LongType, nullable = false))))
+    partials.groupBy(col("di"), col("dj"))
+      .agg(sum(col("g")).as("g"))
+      .orderBy("di", "dj")
+  }
+
+  /** DuckDB twin of [[gramUpperTriangle]]: same quantization formula,
+    * Gram via an indexed self-join on the row id (1-based list
+    * indexing matches the Spark output's 1-based dims). */
+  def gramUpperTriangleSql(table: String, idCol: String,
+      embCol: String): String =
+    s"""WITH x AS (
+  SELECT $idCol, u.i, CAST($embCol[u.i] AS DOUBLE) AS x
+  FROM $table,
+    LATERAL (SELECT unnest(generate_series(1, len($embCol))) AS i) u
+), m AS (
+  SELECT $idCol, greatest(max(abs(x)), 1e-30) / 127.0 AS scale
+  FROM x GROUP BY $idCol
+), q AS (
+  SELECT x.$idCol, x.i, CAST(floor(x / scale + 0.5) AS BIGINT) AS qv
+  FROM x JOIN m ON x.$idCol = m.$idCol
+)
+SELECT CAST(a.i AS INTEGER) AS di, CAST(b.i AS INTEGER) AS dj,
+  CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+FROM q a JOIN q b ON a.$idCol = b.$idCol AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -1311,6 +1311,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2)._3.forall(_ == 0), "zero vector quantizes to zeros")
   }
 
+  test("gramUpperTriangle: matches the hand-computed integer Gram on known codes") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // Max-abs 127 in every vector → scale = 1.0, codes == inputs, so
+    // the expected Gram is computable by hand in exact integers.
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      (1L, Seq(127f, 0f, -127f)),
+      (2L, Seq(127f, 127f, 0f)),
+      (3L, Seq(0f, -127f, 127f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map(v => Row(v._1, v._2)), 2), schema)
+    val g = Similarity.gramUpperTriangle(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val q = vecs.map(_._2.map(_.toLong))
+    val want = (for (i <- 0 until 3; j <- i until 3) yield
+      (i + 1, j + 1) -> q.map(v => v(i) * v(j)).sum).toMap
+    assert(g == want, s"gram $g != $want")
+    // upper triangle only: dim*(dim+1)/2 cells, 1-based, i <= j
+    assert(g.keySet.forall { case (i, j) => i >= 1 && i <= j && j <= 3 })
+    assert(g.size == 6)
+  }
+
   test("pipeline_e2e: every drop reason fires; only clean docs reach the manifest") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString

@@ -2076,6 +2076,54 @@ GROUP BY 1, 2 ORDER BY cohort_month, months_since""")),
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+    // CYCLIC join graph (the TPC-H Q5 shape): lineitem⋈orders⋈customer
+    // and lineitem⋈supplier, with the cycle closed by the NON-KEY
+    // equality c_nationkey = s_nationkey — local supplier revenue per
+    // nation. This is the join topology that separates real optimizers
+    // from left-deep chain planners: the nation equality is worthless
+    // as a starting edge (it would cross-product customers×suppliers)
+    // but prunes hard once both sides are keyed — exactly what
+    // Catalyst's cost-based reordering + the selective date/region
+    // filters must navigate. Revenue in EXACT integers: price cents ×
+    // (100 − discount%), both from floor(x·100+0.5) — unit cents·pct,
+    // envelope Σ cents·100 per group < 2⁶³ (rescale to cents·(100−d)
+    // div 100 past ~9e16 rows). Dimensions broadcast; the only big
+    // shuffles are the two fact-key joins.
+    Entry("q_cyclic_join",
+      (s, d) => li(s, d)
+        .join(Tables.read(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.read(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.read(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.read(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, d, "region"))
+            .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .as("revenue_num"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+    AS revenue_num
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name ORDER BY n_name""")),
     // Bucketed-storage co-located join: both sides materialized ONCE as
     // bucketBy+sortBy parquet tables on the join key (session-cached),
     // after which the join itself is exchange-free and sort-free — the
@@ -2271,6 +2319,53 @@ SELECT o_custkey AS c_custkey,
   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
     AS monetary_cents
 FROM orders, r GROUP BY o_custkey, r.ref ORDER BY c_custkey""")),
+    // Per-entity lag/rolling features — the windowed feature-
+    // engineering primitive beside the as-of/RFM entries: for each
+    // event, the previous value and the trailing-3 sum/min/max/mean
+    // over the user's own history. All windows PARTITION BY user (the
+    // per-entity frame — never global), values in exact integer cents,
+    // and the rolling mean is INTEGER division sum div count so no
+    // float average crosses engines. The output is sliced to a
+    // deterministic user cohort (pmod(user_id, 50) = 0): the filter is
+    // on the partition key, so Catalyst pushes it below the window and
+    // the sliced plan scans only cohort rows — the artifact stays
+    // bounded while the operator shape is the full per-row feature
+    // materialization a feature store runs corpus-wide.
+    Entry("q_lag_features",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val w3 = w.rowsBetween(-2, 0)
+        Tables.read(s, d, "events")
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("lag1_cents", lag(col("cents"), 1).over(w))
+          .withColumn("roll_n", count(lit(1)).over(w3))
+          .withColumn("roll_sum", sum(col("cents")).over(w3))
+          .withColumn("roll_min", min(col("cents")).over(w3))
+          .withColumn("roll_max", max(col("cents")).over(w3))
+          .withColumn("roll_mean", expr("roll_sum div roll_n"))
+          .select(col("user_id"), col("event_id"), col("cents"),
+            col("lag1_cents"), col("roll_n"), col("roll_sum"),
+            col("roll_min"), col("roll_max"), col("roll_mean"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, cents,
+  lag(cents) OVER w AS lag1_cents,
+  count(*) OVER w3 AS roll_n,
+  CAST(sum(cents) OVER w3 AS BIGINT) AS roll_sum,
+  min(cents) OVER w3 AS roll_min,
+  max(cents) OVER w3 AS roll_max,
+  CAST(sum(cents) OVER w3 AS BIGINT) // count(*) OVER w3 AS roll_mean
+FROM (
+  SELECT user_id, event_id, ts,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 50 = 0)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id""")),
     // Both as-of physical strategies, FORCED, over the identical join,
     // as separate bench entries — so BENCH_r*.json carries a measured
     // broadcast-vs-merge number (the r7 stats-driven strategy choice
@@ -2824,6 +2919,87 @@ SELECT CAST(count(*) AS BIGINT) AS n_nodes,
   CAST(max(r) AS BIGINT) AS max_rank,
   CAST(sum(r * (n % 1009)) AS BIGINT) AS checksum
 FROM r3""")),
+    // HITS hubs & authorities (Kleinberg) in the same exact integer
+    // fixed-point discipline as q_pagerank: 2 rounds of
+    // a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each renormalized by
+    // INTEGER division x div max(Σx div 10⁶, 1) — scale-free cross-
+    // engine arithmetic, no float L2 norm to diverge on. Round count
+    // FIXED → the oracle is the recurrence unrolled. Scale shape: the
+    // directed edge list is checkpointed ONCE and every round is one
+    // edge⋈score join + one keyed sum (two shuffles) + a one-row
+    // broadcast for the normalizer; plan size constant per round via
+    // per-stage lineage truncation. Overflow envelope: scores stay
+    // ≤ ~2·10⁶ post-normalization, so raw sums need E·2e6 < 2⁶³ —
+    // E < 4.6e12 edges; past that rescale the seed by 2^k.
+    Entry("q_hits",
+      (s, d) => {
+        val os = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val dir = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+          .localCheckpoint(false)
+        val h0 = dir.select(col("u").as("n"))
+          .unionByName(dir.select(col("v").as("n"))).distinct()
+          .withColumn("x", lit(1000000L))
+        def normalize(raw: DataFrame): DataFrame = raw
+          .crossJoin(broadcast(raw.agg(sum(col("x")).as("s"))))
+          .select(col("n"),
+            expr("x div greatest(s div 1000000, 1)").as("x"))
+          .localCheckpoint(false)
+        def auth(h: DataFrame): DataFrame = normalize(
+          dir.join(h, col("u") === col("n"))
+            .groupBy(col("v")).agg(sum(col("x")).as("x"))
+            .select(col("v").as("n"), col("x")))
+        def hub(a: DataFrame): DataFrame = normalize(
+          dir.join(a, col("v") === col("n"))
+            .groupBy(col("u")).agg(sum(col("x")).as("x"))
+            .select(col("u").as("n"), col("x")))
+        val a1 = auth(h0); val h1 = hub(a1)
+        val a2 = auth(h1); val h2 = hub(a2)
+        def census(df: DataFrame, side: String) = df.agg(
+            count(lit(1)).as("n_nodes"), sum(col("x")).as("val_sum"),
+            min(col("x")).as("val_min"), max(col("x")).as("val_max"),
+            sum(col("x") * pmod(col("n"), lit(1009L))).as("checksum"))
+          .select(lit(side).as("side"), col("n_nodes"), col("val_sum"),
+            col("val_min"), col("val_max"), col("checksum"))
+        census(a2, "auth").unionByName(census(h2, "hub")).orderBy("side")
+      },
+      Some("""WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_returnflag = 'R'),
+dir AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p),
+h0 AS (SELECT n, CAST(1000000 AS BIGINT) AS x
+  FROM (SELECT u AS n FROM dir UNION SELECT v FROM dir)),
+a1r AS (SELECT dir.v AS n, CAST(sum(h0.x) AS BIGINT) AS x
+  FROM dir JOIN h0 ON dir.u = h0.n GROUP BY 1),
+a1 AS (SELECT n, x // greatest(CAST((SELECT sum(x) FROM a1r) AS BIGINT) // 1000000, 1) AS x
+  FROM a1r),
+h1r AS (SELECT dir.u AS n, CAST(sum(a1.x) AS BIGINT) AS x
+  FROM dir JOIN a1 ON dir.v = a1.n GROUP BY 1),
+h1 AS (SELECT n, x // greatest(CAST((SELECT sum(x) FROM h1r) AS BIGINT) // 1000000, 1) AS x
+  FROM h1r),
+a2r AS (SELECT dir.v AS n, CAST(sum(h1.x) AS BIGINT) AS x
+  FROM dir JOIN h1 ON dir.u = h1.n GROUP BY 1),
+a2 AS (SELECT n, x // greatest(CAST((SELECT sum(x) FROM a2r) AS BIGINT) // 1000000, 1) AS x
+  FROM a2r),
+h2r AS (SELECT dir.u AS n, CAST(sum(a2.x) AS BIGINT) AS x
+  FROM dir JOIN a2 ON dir.v = a2.n GROUP BY 1),
+h2 AS (SELECT n, x // greatest(CAST((SELECT sum(x) FROM h2r) AS BIGINT) // 1000000, 1) AS x
+  FROM h2r)
+SELECT 'auth' AS side, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(sum(x) AS BIGINT) AS val_sum, CAST(min(x) AS BIGINT) AS val_min,
+  CAST(max(x) AS BIGINT) AS val_max,
+  CAST(sum(x * (n % 1009)) AS BIGINT) AS checksum FROM a2
+UNION ALL
+SELECT 'hub' AS side, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(sum(x) AS BIGINT) AS val_sum, CAST(min(x) AS BIGINT) AS val_min,
+  CAST(max(x) AS BIGINT) AS val_max,
+  CAST(sum(x * (n % 1009)) AS BIGINT) AS checksum FROM h2
+ORDER BY side""")),
     // Frequent-itemset mining (Apriori) over order baskets — the
     // market-basket operator. The scale shape: pair/triple INSTANCE
     // generation is basket-local (order size is spec-bounded, so
@@ -3398,6 +3574,28 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
         maxShingleDf = 100),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
         maxShingleDf = 100))),
+    // Asymmetric CONTAINMENT beside the symmetric Jaccard joins: flags
+    // docs whose capped shingle set is ≥70% inside another doc —
+    // quote-inclusion/chunk-leak detection Jaccard misses when the
+    // host is much longer. Shares the per-(session, dir) shingle
+    // materialization and the posting-list scale shape; the gate is
+    // exact-integer (100·inter ≥ 70·n_sub).
+    Entry("q_containment",
+      (s, d) => Dedup.ngramContainmentPairs(docShingles(s, d), tauPct = 70,
+        maxShingleDf = 100),
+      Some(Dedup.ngramContainmentPairsSql("documents", "doc_id", "text", 3,
+        tauPct = 70, maxShingleDf = 100))),
+    // Sorted-neighborhood (merge/purge) dedup census — the THIRD
+    // candidate-generation strategy beside posting-list expansion and
+    // PPJoin prefixes: O(N·win) comparisons via block-partitioned
+    // sorting + lead() neighbors, Levenshtein-gated on a bounded
+    // normalized key. No global window (blocks partition the sort) and
+    // no self-join — the text column never shuffles twice.
+    Entry("q_snm_dedup",
+      (s, d) => Dedup.sortedNeighborhoodCensus(docs(s, d), "doc_id", "text",
+        blockLen = 6, keyLen = 128, win = 2, maxEditPct = 20),
+      Some(Dedup.sortedNeighborhoodCensusSql("documents", "doc_id", "text",
+        blockLen = 6, keyLen = 128, win = 2, maxEditPct = 20))),
     // Dedup cluster formation: connected components (min-label
     // propagation) over the exact n-gram Jaccard near-dup pairs — the
     // step that turns candidate pairs into dup clusters with a canonical
@@ -3425,6 +3623,69 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       Some(Dedup.connectedComponentsSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
           maxShingleDf = 100)))),
+    // Modularity of the near-dup graph under the SOURCE partition — the
+    // graph-quality census answering "do near-dups concentrate within
+    // sources, or leak across them?" (cross-source leakage is what
+    // makes hash-split decontamination insufficient). Per source c:
+    // intra-edge count e_c, degree mass d_c, and the EXACT INTEGER
+    // modularity term q_num = 4·m·e_c − d_c² (Q_c = q_num/(4m²); Q =
+    // ΣQ_c — the one float is a single IEEE division of exact longs).
+    // Envelope: 4·m·e_c < 2⁶³ needs m < 1.5e9 candidate pairs; past
+    // that rescale both by a common 2^k. Scale shape: edges come from
+    // the shared pair materialization; source lookup is two joins
+    // against the doc table's (id, source) projection; every aggregate
+    // is source-keyed (bounded groups).
+    Entry("q_modularity",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b"))
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        val e = pairs
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("src_b")), "id_b")
+        val degp = e.select(col("src_a").as("source"))
+          .unionByName(e.select(col("src_b").as("source")))
+          .groupBy("source").agg(count(lit(1)).as("d_c"))
+        val intra = e.filter(col("src_a") === col("src_b"))
+          .groupBy(col("src_a").as("source"))
+          .agg(count(lit(1)).as("e_c"))
+        val m = e.agg(count(lit(1)).as("m"))
+        degp.join(intra, Seq("source"), "left")
+          .na.fill(0L, Seq("e_c"))
+          .crossJoin(broadcast(m))
+          .select(col("source"), col("m"), col("e_c"), col("d_c"),
+            (lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+              .as("q_num"),
+            ((lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+              .cast("double") /
+              (lit(4L) * col("m") * col("m")).cast("double")).as("q_term"))
+          .orderBy("source")
+      },
+      Some("""WITH pairs AS (
+""" + Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
+        maxShingleDf = 100) + """
+), e AS (
+  SELECT sa.source AS src_a, sb.source AS src_b
+  FROM pairs
+  JOIN documents sa ON pairs.id_a = sa.doc_id
+  JOIN documents sb ON pairs.id_b = sb.doc_id),
+degp AS (
+  SELECT source, count(*) AS d_c FROM (
+    SELECT src_a AS source FROM e UNION ALL SELECT src_b FROM e)
+  GROUP BY source),
+intra AS (
+  SELECT src_a AS source, count(*) AS e_c FROM e
+  WHERE src_a = src_b GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+SELECT degp.source, m.m, CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c,
+  CAST(degp.d_c AS BIGINT) AS d_c,
+  CAST(4 * m.m * coalesce(intra.e_c, 0) - degp.d_c * degp.d_c AS BIGINT)
+    AS q_num,
+  CAST(4 * m.m * coalesce(intra.e_c, 0) - degp.d_c * degp.d_c AS DOUBLE)
+    / CAST(4 * m.m * m.m AS DOUBLE) AS q_term
+FROM degp LEFT JOIN intra ON degp.source = intra.source CROSS JOIN m
+ORDER BY degp.source""")),
     // Balanced source mix: deterministic stratified downsampling via a
     // systematic per-stratum key slice (moduli chosen coprime to the
     // testdata's id->source stride of 20 so the slice cuts across every
@@ -6808,7 +7069,83 @@ GROUP BY 1 ORDER BY 1""")),
   FROM lineitem GROUP BY 1),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
 SELECT digit, n, CAST((1000000 * n) // total AS BIGINT) AS ppm
-FROM d CROSS JOIN t ORDER BY digit"""))
+FROM d CROSS JOIN t ORDER BY digit""")),
+    // Sequential-pattern support (the PrefixSpan L2 census): for every
+    // ordered type pair (a, b), the number of users with SOME a-event
+    // strictly before SOME b-event — ∃ t_a < t_b ⟺ min(ts | a) <
+    // max(ts | b), so the whole mining reduces to ONE (user, type)
+    // aggregation (map-side combined), a per-user self-join over the
+    // type-bounded per-user rows (fan-out ≤ |types|², a constant — the
+    // q_itemsets basket-local rule), and a final bounded-group count.
+    // Distinct from q_transition_matrix (ADJACENT pairs): gap-allowed
+    // precedence is what funnel/sequence miners actually support on.
+    // Ties in ts do not count as precedence (strict <, spec-pinned).
+    Entry("q_seq_patterns",
+      (s, d) => {
+        val ut = Tables.read(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"))
+        ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") =!= col("b.event_type") &&
+              col("a.t_min") < col("b.t_max"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+  SELECT user_id, event_type, min(ts) AS t_min, max(ts) AS t_max
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  count(*) AS support
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+  AND a.event_type <> b.event_type AND a.t_min < b.t_max
+GROUP BY 1, 2 ORDER BY type_a, type_b""")),
+    // Hourly OHLC candles over the event value stream — the time-series
+    // rollup every market/metrics pipeline runs. Values in exact
+    // integer cents (the target-encode convention); open/close are
+    // selected by row_number over the TOTAL per-hour order
+    // (ts, event_id) — windows partition by hour (never global), and
+    // the candle aggregation is one partial-agg shuffle of hour-keyed
+    // rows. 100 TB shape: hours × cheap rows; no joins, no skew
+    // (hour cardinality grows with time span, per-group size with
+    // rate — both bounded for any real feed).
+    Entry("q_ohlc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        val base = Tables.read(s, d, "events")
+          .select(date_trunc("hour", col("ts")).as("hour"),
+            col("ts"), col("event_id"), cents.as("cents"))
+        val wA = Window.partitionBy("hour").orderBy(col("ts"), col("event_id"))
+        val wD = Window.partitionBy("hour")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        base
+          .withColumn("rn_a", row_number().over(wA))
+          .withColumn("rn_d", row_number().over(wD))
+          .groupBy(col("hour"))
+          .agg(max(when(col("rn_a") === 1, col("cents"))).as("open"),
+            max(col("cents")).as("high"), min(col("cents")).as("low"),
+            max(when(col("rn_d") === 1, col("cents"))).as("close"),
+            count(lit(1)).as("n_events"), sum(col("cents")).as("volume"))
+          .orderBy("hour")
+      },
+      Some("""WITH base AS (
+  SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+rn AS (
+  SELECT hour, cents,
+    row_number() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC)
+      AS rn_d
+  FROM base)
+SELECT hour, max(CASE WHEN rn_a = 1 THEN cents END) AS open,
+  max(cents) AS high, min(cents) AS low,
+  max(CASE WHEN rn_d = 1 THEN cents END) AS close,
+  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS volume
+FROM rn GROUP BY hour ORDER BY hour"""))
   )
 
   /** The validated roster. lazy so the duplicate-name guard runs once,

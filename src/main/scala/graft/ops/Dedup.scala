@@ -516,6 +516,172 @@ FROM bits ORDER BY id"""
     }
   }
 
+  /** Asymmetric n-gram CONTAINMENT join — the document-inclusion
+    * detector a training pipeline runs beside symmetric near-dup:
+    * C(sub→sup) = |shingles(sub) ∩ shingles(sup)| / |shingles(sub)|,
+    * flagging docs mostly quoted/embedded inside another (boilerplate
+    * wrappers around a shared article, chunk-of-a-longer-doc leaks)
+    * that Jaccard misses whenever the host is much longer than the
+    * guest (J = inter/union stays low while inter/|sub| ≈ 1).
+    *
+    * Same posting-list scheme as [[ngramJaccardPairsFromShingles]]
+    * (one capped-collect shuffle builds per-shingle doc lists, pairs
+    * generated map-side, one pair-count shuffle; self-pairs carry the
+    * per-doc shingle counts) — the df cap bounds skew identically.
+    * Each unordered pair then emits up to TWO directional rows, gated
+    * by the EXACT INTEGER comparison 100·inter ≥ tauPct·n_sub (no
+    * float crosses the gate; `containment` itself is one IEEE division
+    * of two exact longs, bit-identical cross-engine).
+    */
+  def ngramContainmentPairs(exploded: DataFrame, tauPct: Int,
+      maxShingleDf: Int): DataFrame = {
+    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
+    val byShingle = exploded
+      .groupBy("shingle")
+      .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
+        .as("ids"))
+      .filter(col("ids").isNotNull)
+    val pairArr = concat(
+      transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
+      flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("id_a"), b.as("id_b"))))))
+    val pairStats = byShingle.select(explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = pairStats.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("cnt").as("n_sh"))
+    val inter = pairStats.filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cnt").as("inter"))
+    // Both directions of each unordered pair, then one join to the
+    // sub-side count (the only count the gate needs).
+    val dirs = inter.select(col("id_a").as("id_sub"),
+        col("id_b").as("id_sup"), col("inter"))
+      .unionByName(inter.select(col("id_b").as("id_sub"),
+        col("id_a").as("id_sup"), col("inter")))
+    dirs
+      .join(counts.select(col("id").as("id_sub"), col("n_sh").as("n_sub")),
+        "id_sub")
+      .filter(col("inter") * 100 >= col("n_sub") * tauPct)
+      .select(col("id_sub"), col("id_sup"), col("inter"), col("n_sub"),
+        (col("inter").cast("double") / col("n_sub")).as("containment"))
+      .orderBy("id_sub", "id_sup")
+  }
+
+  /** DuckDB oracle for [[ngramContainmentPairs]] over the same word
+    * n-gram shingle universe as [[ngramJaccardPairsSql]]. */
+  def ngramContainmentPairsSql(table: String, id: String, text: String,
+      n: Int, tauPct: Int, maxShingleDf: Int): String =
+    s"""WITH toks AS (
+  SELECT $id AS id, u.tok, u.pos
+  FROM (SELECT $id, regexp_split_to_array(trim($text), '\\s+') AS arr FROM $table),
+  LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos) u
+), sh0 AS (
+  SELECT DISTINCT id, tok${(1 until n).map(i => s" || ' ' || lead(tok, $i) OVER w").mkString} AS shingle
+  FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+  QUALIFY lead(tok, ${n - 1}) OVER w IS NOT NULL
+), sh AS (
+  SELECT id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING count(*) <= $maxShingleDf)
+), cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), dirs AS (
+  SELECT id_a AS id_sub, id_b AS id_sup, inter FROM inter
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_sup, inter FROM inter
+)
+SELECT id_sub, id_sup, inter, c.n_sh AS n_sub,
+  CAST(inter AS DOUBLE) / c.n_sh AS containment
+FROM dirs JOIN cnt c ON c.id = dirs.id_sub
+WHERE inter * 100 >= c.n_sh * $tauPct
+ORDER BY id_sub, id_sup"""
+
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo's
+    * merge/purge): sort records by a normalized key and compare each
+    * record only to its `win` successors within a blocking prefix —
+    * the record-linkage scheme whose comparison count is O(N·win)
+    * instead of the candidate join's worst-case O(N²).
+    *
+    * Normalization lowercases and collapses every non-[a-z0-9] run to
+    * one space (result is pure ASCII, so edit distance has no Unicode
+    * collation surface to diverge on); the sort/compare key is the
+    * first `keyLen` chars (SNM compares on a bounded key by design —
+    * the edit-distance cost per pair is keyLen², a constant). A pair
+    * is a dup when 100·lev ≤ maxEditPct·max(|ka|,|kb|) — EXACT INTEGER
+    * gate, classic Levenshtein on both engines.
+    *
+    * Scale shape: the window partitions by the `blockLen`-char prefix
+    * and sorts WITHIN blocks — range-partitioned sorting, no global
+    * single-partition window — and each row emits ≤ `win` candidate
+    * pairs map-side off the lead() columns. One sort shuffle, one
+    * census aggregation; the text never joins against itself. The
+    * census output (blocks, candidates, dups, id-pair checksum) is the
+    * audit artifact; dup pairs feed the same cluster-formation ops as
+    * the other candidate generators.
+    */
+  def sortedNeighborhoodCensus(df: DataFrame, idCol: String,
+      textCol: String, blockLen: Int, keyLen: Int, win: Int,
+      maxEditPct: Int): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val keyed = df.select(col(idCol).as("id"),
+      substring(norm, 1, keyLen).as("k"),
+      substring(norm, 1, blockLen).as("blk"))
+    val w = Window.partitionBy("blk").orderBy("k", "id")
+    val nbrs = keyed.select(Seq(col("blk"), col("id"), col("k")) ++
+      (1 to win).flatMap(i => Seq(lead(col("id"), i).over(w).as(s"id_$i"),
+        lead(col("k"), i).over(w).as(s"k_$i"))): _*)
+    val pairs = (1 to win).map { i =>
+      nbrs.filter(col(s"id_$i").isNotNull)
+        .select(col("blk"), col("id").as("id_a"), col(s"id_$i").as("id_b"),
+          levenshtein(col("k"), col(s"k_$i")).as("lev"),
+          greatest(length(col("k")), length(col(s"k_$i"))).as("mx"))
+    }.reduce(_ unionByName _)
+    val flagged = pairs.withColumn("is_dup",
+      (col("lev") * 100 <= col("mx") * maxEditPct).cast("long"))
+    flagged.agg(
+        countDistinct(col("blk")).as("n_blocks"),
+        count(lit(1)).as("n_candidates"),
+        sum(col("is_dup")).as("n_dups"),
+        coalesce(sum(when(col("is_dup") === 1,
+          pmod(col("id_a"), lit(1009L)) * 31 + pmod(col("id_b"), lit(1009L)))),
+          lit(0L)).as("checksum"))
+      .select(col("n_blocks"), col("n_candidates"), col("n_dups"),
+        col("checksum"))
+  }
+
+  /** DuckDB oracle for [[sortedNeighborhoodCensus]]. */
+  def sortedNeighborhoodCensusSql(table: String, id: String, text: String,
+      blockLen: Int, keyLen: Int, win: Int, maxEditPct: Int): String = {
+    val pairSelects = (1 to win).map { i =>
+      s"""  SELECT blk, id AS id_a,
+    lead(id, $i) OVER w$i AS id_b, lead(k, $i) OVER w$i AS k_b, k AS k_a
+  FROM keyed WINDOW w$i AS (PARTITION BY blk ORDER BY k, id)"""
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH keyed AS (
+  SELECT $id AS id,
+    substr(trim(regexp_replace(lower($text), '[^a-z0-9]+', ' ', 'g')), 1, $keyLen) AS k,
+    substr(trim(regexp_replace(lower($text), '[^a-z0-9]+', ' ', 'g')), 1, $blockLen) AS blk
+  FROM $table),
+pairs AS (
+$pairSelects
+),
+flagged AS (
+  SELECT blk, id_a, id_b,
+    CASE WHEN levenshtein(k_a, k_b) * 100
+      <= greatest(len(k_a), len(k_b)) * $maxEditPct THEN 1 ELSE 0 END AS is_dup
+  FROM pairs WHERE id_b IS NOT NULL)
+SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+  CAST(count(*) AS BIGINT) AS n_candidates,
+  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+  CAST(coalesce(sum(CASE WHEN is_dup = 1
+    THEN (id_a % 1009) * 31 + (id_b % 1009) END), 0) AS BIGINT) AS checksum
+FROM flagged"""
+  }
+
   /** Prefix-filtered set-similarity self-join (the PPJoin candidate
     * scheme of Xiao et al., "Efficient Similarity Joins for Near
     * Duplicate Detection"): identical OUTPUT to

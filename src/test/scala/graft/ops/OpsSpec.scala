@@ -1710,4 +1710,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got("null_key_right") +
       2 * (got("changed_any") + got("unchanged")) == 3 + 3)
   }
+
+  test("ngramContainmentPairs: asymmetric — the short doc is contained " +
+      "in the long host, never the reverse; Jaccard would miss it") {
+    // guest: 6 tokens → 4 distinct 3-shingles, all inside host.
+    // host: much longer, so J = 4/|union| < 0.5 but C(guest→host) = 1.
+    val guest = "q w e r t y"
+    val host = "a b c d e f g h " + guest + " i j k l m n o p"
+    val df = docsDf((1L, guest), (2L, host))
+    val got = Dedup.ngramContainmentPairs(
+        Dedup.explodeShingles(df, "doc_id", "text", 3),
+        tauPct = 70, maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 4L)), s"got ${got.toSeq}")
+    // Symmetric check: the host is NOT contained in the guest.
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  test("sortedNeighborhoodCensus: neighbors within the window are " +
+      "compared, edit-gate flags the near-identical pair only") {
+    // Three docs in one block ('hello '-prefixed): a≈b (1 edit on a
+    // 11-char key → 9% ≤ 20% passes), c far (fails); d in another
+    // block is never compared against them.
+    val df = docsDf(
+      (1L, "hello world"), (2L, "hello worle"),
+      (3L, "hello zzzzzzzzzzzzzzzzzz"), (4L, "other block"))
+    val got = Dedup.sortedNeighborhoodCensus(df, "doc_id", "text",
+      blockLen = 6, keyLen = 128, win = 2, maxEditPct = 20).head()
+    val (blocks, cands, dups) =
+      (got.getLong(0), got.getLong(1), got.getLong(2))
+    // block "hello ": sorted (1, 2, 3) → pairs (1,2),(2,3),(1,3);
+    // block "other ": single doc, no pairs.
+    assert(blocks == 1L, s"blocks=$blocks") // only blocks WITH pairs count
+    assert(cands == 3L, s"cands=$cands")
+    assert(dups == 1L, s"dups=$dups")
+  }
 }

@@ -14,6 +14,8 @@ object ProfileDedup {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes",
+        (4 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,6 +44,18 @@ object ProfileDedup {
     Thread.sleep(500) // let the listener bus drain
     spark.sparkContext.removeSparkListener(listener)
     println("  comps=" + comps + " jobs=" + jobs.get())
+    var lastT = System.nanoTime()
+    val starComps = time("components (star)")(
+      Dedup.connectedComponentsStar(pairs.select("id_a", "id_b"),
+        "id_a", "id_b",
+        trace = (r, fp, c) => {
+          val now = System.nanoTime()
+          println(f"[scratch]   star round $r%2d ${(now - lastT) / 1e9}%8.2f s" +
+            s" fp=$fp converged=$c")
+          lastT = now
+        })
+        .count())
+    println("  starComps=" + starComps)
     spark.stop()
   }
 }

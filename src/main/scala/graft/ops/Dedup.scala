@@ -485,14 +485,30 @@ FROM bits ORDER BY id"""
       .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
         .as("ids"))
       .filter(col("ids").isNotNull)
+    // POSTING-LIST DEDUP before pair expansion: template/copy-heavy
+    // corpora repeat the SAME doc-id list across many shingles (every
+    // shingle unique to a duplicated doc posts the identical copy
+    // set), so expanding per shingle redoes the k²/2 pair fan-out once
+    // per repeat. Collapsing to distinct lists with multiplicity w and
+    // weighting the pair counts by w is output-identical (Σ over
+    // shingles ≡ Σ over distinct lists × w) and bounds expansion by
+    // DISTINCT-list volume. Measured at the derived dup-dense 100x
+    // corpus: 1168 s → the pair expansion was ~1e9 rows from ~50×
+    // repeated lists; deduped it is list-count-proportional (PLANS
+    // r12). At low dup density the extra list-keyed shuffle is small
+    // (lists are the narrow side; the expansion it guards is the wide
+    // one). The lists are canonical (the capped collect sorts), so
+    // array group-by equality is exact set equality.
+    val distinctLists = byShingle.groupBy("ids")
+      .agg(count(lit(1)).as("w"))
     val pairArr = concat(
       transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
       flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("id_a"), b.as("id_b"))))))
-    val pairStats = byShingle.select(explode(pairArr).as("p"))
+    val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
@@ -541,14 +557,18 @@ FROM bits ORDER BY id"""
       .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
         .as("ids"))
       .filter(col("ids").isNotNull)
+    // Same weighted posting-list dedup as the Jaccard path (see the
+    // comment there): expansion cost bounded by DISTINCT lists.
+    val distinctLists = byShingle.groupBy("ids")
+      .agg(count(lit(1)).as("w"))
     val pairArr = concat(
       transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
       flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("id_a"), b.as("id_b"))))))
-    val pairStats = byShingle.select(explode(pairArr).as("p"))
+    val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("cnt"))
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))

@@ -895,6 +895,49 @@ ORDER BY hour, event_type""")),
         "AND c.event_type = 'click' AND c.user_id = p.user_id " +
         "AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts " +
         "GROUP BY p.user_id ORDER BY p.user_id")),
+    // STREAM-STREAM LEFT OUTER interval join (14th replay): matched
+    // pairs emit inner-style; a clickless purchase emits null-extended
+    // ONLY once the watermark proves no future click can match —
+    // purchases younger than the final watermark stay open and
+    // unemitted, and the oracle reproduces that cutoff (the hourly/
+    // session convention). The watermark is per Spark's default MIN
+    // multi-watermark policy: min(max purchase ts, max click ts) − 2 h
+    // — each side advances its own watermark node and the global one
+    // is the minimum (empirically pinned: one boundary purchase at
+    // sf0.01 separates this from the global-max reading). This is the
+    // semantic that separates streaming outer joins from batch: the
+    // null row is an EVICTION artifact, not a scan artifact.
+    Entry("q_left_outer_stream",
+      (s, d) => graft.streaming.Replay.leftOuterJoinReplay(s, d)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_id")).as("n_matched"),
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("user_id"),
+      Some("""WITH mx AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT max(ts) FROM events WHERE event_type = 'click'))
+    - INTERVAL '2 hours' AS wm),
+p AS (SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click'),
+matched AS (
+  SELECT p.user_id, 1 AS m
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts),
+unmatched AS (
+  SELECT p.user_id, 0 AS m
+  FROM p, mx
+  WHERE p.ts < mx.wm AND NOT EXISTS (
+    SELECT 1 FROM c WHERE c.user_id = p.user_id
+      AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(m) AS BIGINT) AS n_matched,
+  CAST(count(*) - sum(m) AS BIGINT) AS n_unmatched
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+GROUP BY user_id ORDER BY user_id""")),
     // STREAM-STATIC broadcast enrichment join, same harness: events
     // stream against the static customer dimension, rolled up per
     // (segment, type). No row is lost or duplicated across micro-batch

@@ -271,6 +271,35 @@ object Replay {
           col("c_ts") <= col("p_ts"))
     }
 
+  /** STREAM-STREAM LEFT OUTER interval join — [[intervalJoinReplay]]
+    * plus the outer semantic that makes streaming joins genuinely
+    * different from batch: a purchase with NO click in its preceding
+    * hour is held in state and emitted null-extended only when the
+    * watermark proves no future click can match (state eviction via
+    * the trailing no-data batch), i.e. exactly the purchases with
+    * p_ts < final watermark (max event time − 2 h). Purchases past
+    * the cutoff stay open and unemitted — the oracle reproduces the
+    * cutoff from max(ts), the hourly/session-replay convention.
+    * Matched pairs emit immediately (inner semantics); state stays
+    * watermark-bounded on both sides. */
+  def leftOuterJoinReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame =
+    replayTable(spark, sfDir, slices, "attrib_louter", "append") { df =>
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "2 hours")
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+    }
+
   /** Distinct (user_id, event_type) keys emitted by the streaming
     * keep-first dedup, replayed through the real stream (append mode:
     * the table IS the emitted key set — one row per key iff the state

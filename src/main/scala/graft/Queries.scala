@@ -2640,12 +2640,8 @@ FROM classes GROUP BY l ORDER BY l""")),
     // ONE action (the q_fuzzy_join single-pass lesson).
     Entry("q_triangle_count",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-          .distinct()
-        val edges = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-          .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        val os = coocBaskets(s, d).withColumnRenamed("p", "s")
+        val edges = coocEdges(s, d)
         val tris = edges.as("e1").join(edges.as("e2"),
             col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
           .select(col("e1.v").as("wv"), col("e2.v").as("ww"))
@@ -2718,12 +2714,8 @@ ORDER BY l_returnflag, l_quantity""")),
     // census; -1 = unreached.
     Entry("q_bfs_hops",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-          .distinct()
-        val dir = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-          .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        val os = coocBaskets(s, d).withColumnRenamed("p", "s")
+        val dir = coocEdges(s, d)
         val und = dir.unionByName(dir.select(col("v").as("u"),
           col("u").as("v"))).distinct()
         val nodes = os.select(col("s")).distinct()
@@ -2848,12 +2840,7 @@ GROUP BY 1 ORDER BY event_type""")),
     // its siblings in low single digits.
     Entry("q_kcore_peel",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-        val e0 = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val e0 = coocEdges(s, d)
         val edges = graft.ops.Iterate.iterate(e0, 4) { cur =>
           val keep = cur.select(col("u").as("n"))
             .unionByName(cur.select(col("v").as("n")))
@@ -2910,12 +2897,7 @@ GROUP BY deg ORDER BY deg""")),
     // cost at 100 TB is exactly two shuffles, plan size constant.
     Entry("q_pagerank",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-        val dir = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val dir = coocEdges(s, d)
         val und = dir.unionByName(dir.select(col("v").as("u"),
           col("u").as("v")))
         val deg = und.groupBy(col("v").as("dv"))
@@ -2976,13 +2958,7 @@ FROM r3""")),
     // E < 4.6e12 edges; past that rescale the seed by 2^k.
     Entry("q_hits",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-        val dir = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-          .localCheckpoint(false)
+        val dir = coocEdges(s, d)
         val h0 = dir.select(col("u").as("n"))
           .unionByName(dir.select(col("v").as("n"))).distinct()
           .withColumn("x", lit(1000000L))
@@ -3314,12 +3290,7 @@ GROUP BY event_type ORDER BY event_type""")),
     // key — two dimension-sized shuffles at any scale.
     Entry("q_graph_assort",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = os.as("a").join(os.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val edges = coocEdges(s, d)
         val deg = edges.select(col("u").as("n"))
           .unionByName(edges.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -3443,6 +3414,48 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
   // bounds the cache across sequential test-suite sessions.
   private val pairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  // Shared co-occurrence graph, first-consumer-pays (the jaccardPairs
+  // convention): seven graph entries (triangle, BFS, k-core, PageRank,
+  // HITS, assortativity, item CF) derive from the same R-basket
+  // projection, and six from the identical DISTINCT u<v edge list —
+  // rebuilding the self-join + distinct per entry re-paid its shuffles
+  // seven times per session (at 100x, ~10-20 s each). A production
+  // graph pipeline materializes the edge list once and fans out.
+  private val osCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val edgeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Distinct (order, part) pairs of 'R'-flagged lineitems — the
+    * bipartite basket projection under the co-occurrence graph. */
+  private def coocBaskets(s: SparkSession, d: String): DataFrame =
+    osCache.synchronized {
+      osCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      osCache.getOrElseUpdate((s, d),
+        li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Distinct directed co-occurrence edges (u < v, one row per part
+    * pair sharing an 'R' basket), built from [[coocBaskets]]. */
+  private def coocEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.synchronized {
+      edgeCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      edgeCache.getOrElseUpdate((s, d), {
+        val os = coocBaskets(s, d)
+        os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   // Shared sketch references for q_sketch_accuracy / q_sketch_bounds:
   // the exact distinct count, exact rank-walk quantiles, and both
@@ -6675,9 +6688,7 @@ FROM cums GROUP BY 1, 2 ORDER BY 1, 2""")),
     // part over its (pruned) neighbor list only.
     Entry("q_item_cf",
       (s, d) => {
-        val os = li(s, d).filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
+        val os = coocBaskets(s, d)
         val deg = os.groupBy(col("p")).agg(count(lit(1)).as("deg"))
         val co = os.as("a").join(os.as("b"),
             col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))

@@ -7199,7 +7199,136 @@ SELECT hour, max(CASE WHEN rn_a = 1 THEN cents END) AS open,
   max(cents) AS high, min(cents) AS low,
   max(CASE WHEN rn_d = 1 THEN cents END) AS close,
   count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS volume
-FROM rn GROUP BY hour ORDER BY hour"""))
+FROM rn GROUP BY hour ORDER BY hour""")),
+    // Per-entity behavioral-concentration census (the Gini/Herfindahl
+    // diversity monitor a training pipeline runs per user/source):
+    // concentration = Σc_i²/n² over each user's event-type counts,
+    // held as the EXACT INTEGER percentage (100·Σc²) div n² — Gini
+    // impurity is 1 − that ratio, derived by the consumer. Two
+    // map-side-combined shuffles ((user, type) counts, then per-user
+    // moments) and a bounded-group histogram; no window, no join.
+    // Envelope: 100·Σc² ≤ 100·n² < 2⁶³ needs n < 3e8 events per user.
+    Entry("q_concentration",
+      (s, d) => {
+        val ut = Tables.read(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        ut.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(expr("(100 * s2) div (n * n)").as("conc_pct"))
+          .groupBy(col("conc_pct"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("conc_pct")
+      },
+      Some("""WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+m AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(c * c) AS BIGINT) AS s2
+  FROM ut GROUP BY user_id)
+SELECT (100 * s2) // (n * n) AS conc_pct, count(*) AS n_users
+FROM m GROUP BY 1 ORDER BY conc_pct""")),
+    // Weekly churn/retention ledger — the engagement primitive beside
+    // q_cohort_retention's cohort view: for every observed week, how
+    // many active users are new, retained from the previous week, or
+    // churned out of it. ONE distinct (user, week) frame self-joined
+    // FULL OUTER on the equi key (user, week = prev_week + 7d) — the
+    // shifted-key trick keeps the outer join hash-partitioned (no
+    // inequality condition) — then one bounded-group count per week.
+    // Weeks outside the observed range (the phantom week after the
+    // last) are dropped by the semi-join against the observed week set.
+    Entry("q_weekly_churn",
+      (s, d) => {
+        val uw = Tables.read(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val prev = uw.select(col("user_id").as("p_user"),
+          (col("wk") + expr("INTERVAL 7 DAYS")).as("p_wk"))
+        val j = uw.join(prev,
+          col("user_id") === col("p_user") && col("wk") === col("p_wk"),
+          "full_outer")
+        val weeks = uw.select(col("wk").as("ow")).distinct()
+        j.select(coalesce(col("wk"), col("p_wk")).as("wk"),
+            col("user_id"), col("p_user"))
+          .join(weeks, col("wk") === col("ow"), "left_semi")
+          .groupBy(col("wk"))
+          .agg(sum(when(col("user_id").isNotNull, 1L).otherwise(0L))
+              .as("active"),
+            sum(when(col("user_id").isNotNull && col("p_user").isNull, 1L)
+              .otherwise(0L)).as("new_users"),
+            sum(when(col("user_id").isNotNull && col("p_user").isNotNull,
+              1L).otherwise(0L)).as("retained"),
+            sum(when(col("user_id").isNull, 1L).otherwise(0L))
+              .as("churned"))
+          .orderBy("wk")
+      },
+      Some("""WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+prev AS (
+  SELECT user_id AS p_user, wk + INTERVAL 7 DAY AS p_wk FROM uw),
+j AS (
+  SELECT coalesce(uw.wk, prev.p_wk) AS wk, uw.user_id, prev.p_user
+  FROM uw FULL OUTER JOIN prev
+    ON uw.user_id = prev.p_user AND uw.wk = prev.p_wk)
+SELECT wk,
+  CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS active,
+  CAST(sum(CASE WHEN user_id IS NOT NULL AND p_user IS NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+  CAST(sum(CASE WHEN user_id IS NOT NULL AND p_user IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS churned
+FROM j WHERE wk IN (SELECT wk FROM uw)
+GROUP BY wk ORDER BY wk""")),
+    // Stratified-sampling budget apportionment (Hamilton largest-
+    // remainder over per-stratum population) — the allocator that
+    // turns "sample 1000 rows across strata" into exact per-stratum
+    // quotas: base_h = (B·N_h) div N plus one extra for the largest
+    // remainders until the budget is exact. ALL integer (quota·N
+    // arithmetic, no float shares); ties break on (remainder desc,
+    // stratum asc) — fully deterministic, and Σ alloc = B is an
+    // invariant the artifact exposes. Stratum frame is bounded
+    // (groups), so the ranking window is metadata-sized.
+    Entry("q_sample_alloc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = 1000L
+        val strata = Tables.read(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("stratum"))
+          .agg(count(lit(1)).as("n_h"))
+        val tot = strata.agg(sum(col("n_h")).as("n"))
+        val q = strata.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($b * n_h) div n"))
+          .withColumn("rem", expr(s"($b * n_h) % n"))
+        val wR = Window.orderBy(col("rem").desc, col("stratum"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        q.withColumn("leftover", lit(b) - sum(col("base")).over(wAll))
+          .withColumn("rk", row_number().over(wR))
+          .select(col("stratum"), col("n_h"), col("base"), col("rem"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("stratum")
+      },
+      Some("""WITH strata AS (
+  SELECT o_orderpriority AS stratum, count(*) AS n_h
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM strata),
+q AS (
+  SELECT stratum, n_h, (1000 * n_h) // n AS base, (1000 * n_h) % n AS rem
+  FROM strata CROSS JOIN tot),
+r AS (
+  SELECT stratum, n_h, base, rem,
+    1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+    row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM q)
+SELECT stratum, CAST(n_h AS BIGINT) AS n_h, CAST(base AS BIGINT) AS base,
+  CAST(rem AS BIGINT) AS rem,
+  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+    AS alloc
+FROM r ORDER BY stratum"""))
   )
 
   /** The validated roster. lazy so the duplicate-name guard runs once,

@@ -3932,6 +3932,42 @@ GROUP BY 1, 2 ORDER BY split, lang"""
         .orderBy("split", "lang"),
       Some("SELECT " + Corpus.hashSplitSql("doc_id") + " AS split, lang, " +
         "count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY split, lang")),
+    // Rendezvous (highest-random-weight) shard assignment beside the
+    // mod-hash split: doc → argmax over shards of md5(doc_id:shard) —
+    // the consistent-assignment scheme where adding/removing a shard
+    // moves only 1/(n+1) of the keys (mod-hash reshuffles ~all), the
+    // property a 100 TB corpus reshard relies on. Entirely map-side:
+    // 8 hashes per row via a broadcast shard list and one max_by —
+    // the only shuffle is the final per-shard census. Hex md5 compares
+    // lexicographically identically on both engines; ties are md5
+    // collisions (ignored by construction).
+    Entry("q_rendezvous_shard",
+      (s, d) => {
+        val shards = s.range(0, 8)
+          .select(col("id").cast("int").as("shard"))
+        docs(s, d).select(col("doc_id"))
+          .crossJoin(broadcast(shards))
+          .select(col("doc_id"), col("shard"),
+            md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("shard").cast("string"))).as("h"))
+          .groupBy(col("doc_id"))
+          .agg(expr("max_by(shard, h)").as("shard"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            sum(pmod(col("doc_id"), lit(1000003L))).as("checksum"))
+          .orderBy("shard")
+      },
+      Some("""WITH a AS (
+  SELECT doc_id, s.shard,
+    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)) AS h
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS shard) s),
+pick AS (SELECT doc_id, arg_max(shard, h) AS shard FROM a GROUP BY doc_id)
+SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS checksum
+FROM pick GROUP BY shard ORDER BY shard""")),
     // Final shard materialization: write the corpus as 8 shard files
     // whose concatenation IS the deterministic shuffle order (shard =
     // leading hash bits folded to contiguous ranges, not sampled
@@ -7030,6 +7066,81 @@ FROM top CROSS JOIN g ORDER BY c DESC, k""")),
         "embedding"),
       Some(Similarity.gramUpperTriangleSql("embeddings", "vec_id",
         "embedding"))),
+    // Distributed PCA step: power iteration for the TOP PRINCIPAL
+    // DIRECTION of the embedding Gram (3 fixed rounds of y = G·v in
+    // exact integer fixed-point, v rescaled to max|v| ≈ 10⁴ by
+    // sign-decomposed integer division — Spark div truncates toward
+    // zero while DuckDB // floors, so negatives go through
+    // −((−y) div s) on BOTH engines). The distributed part is the
+    // one-pass int8 Gram (q_gram_matrix's mapPartitions reduction);
+    // the iteration itself runs on the dim²-sized frame — exactly how
+    // a 100 TB pipeline does PCA: reduce to dim², then iterate on
+    // metadata. Overflow envelope ENFORCED, not just documented (the
+    // q_pmi_colloc advisor lesson): 64·max|G|·2·10⁴ < 2⁶³ requires
+    // max|G| < 7.2e12, require()d from the 64×64 frame before any
+    // product. Unrolled-recurrence oracle like q_pagerank/q_hits.
+    Entry("q_power_iteration",
+      (s, d) => {
+        val gU = Similarity.gramUpperTriangle(emb(s, d), "vec_id",
+          "embedding")
+        val g = gU.unionByName(gU.filter(col("di") =!= col("dj"))
+            .select(col("dj").as("di"), col("di").as("dj"), col("g")))
+          .localCheckpoint(false)
+        val gm = g.agg(max(abs(col("g")))).head().getLong(0)
+        require(gm < 7200000000000L,
+          s"power-iteration overflow envelope: max|g|=$gm >= 7.2e12 — " +
+            "rescale the seed (vj div 2^k) before iterating")
+        def mv(v: DataFrame): DataFrame =
+          g.join(v, col("dj") === col("j"))
+            .groupBy(col("di"))
+            .agg(sum(col("g") * col("vj")).as("y"))
+        def norm(y: DataFrame): DataFrame =
+          y.crossJoin(broadcast(y.agg(max(abs(col("y"))).as("mx"))))
+            .select(col("di").as("j"),
+              when(col("y") < 0,
+                -expr("(-y) div greatest(mx div 10000, 1)"))
+                .otherwise(expr("y div greatest(mx div 10000, 1)"))
+                .as("vj"))
+            .localCheckpoint(false)
+        val v0 = g.select(col("di").as("j")).distinct()
+          .withColumn("vj", lit(10000L))
+        val v3 = norm(mv(norm(mv(norm(mv(v0))))))
+        v3.agg(count(lit(1)).as("n_dims"), sum(col("vj")).as("v_sum"),
+            min(col("vj")).as("v_min"), max(col("vj")).as("v_max"),
+            sum(col("vj") * col("j")).as("checksum"))
+          .select(col("n_dims"), col("v_sum"), col("v_min"),
+            col("v_max"), col("checksum"))
+      },
+      Some("""WITH gram AS (
+""" + Similarity.gramUpperTriangleSql("embeddings", "vec_id",
+        "embedding") + """
+), gsym AS (
+  SELECT di, dj, g FROM gram
+  UNION ALL SELECT dj, di, g FROM gram WHERE di <> dj),
+v0 AS (SELECT DISTINCT di AS j, CAST(10000 AS BIGINT) AS vj FROM gsym),
+y1 AS (SELECT gs.di, CAST(sum(gs.g * v.vj) AS BIGINT) AS y
+  FROM gsym gs JOIN v0 v ON gs.dj = v.j GROUP BY 1),
+s1 AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT) // 10000, 1) AS s
+  FROM y1),
+v1 AS (SELECT di AS j,
+  CASE WHEN y < 0 THEN -((-y) // s) ELSE y // s END AS vj FROM y1, s1),
+y2 AS (SELECT gs.di, CAST(sum(gs.g * v.vj) AS BIGINT) AS y
+  FROM gsym gs JOIN v1 v ON gs.dj = v.j GROUP BY 1),
+s2 AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT) // 10000, 1) AS s
+  FROM y2),
+v2 AS (SELECT di AS j,
+  CASE WHEN y < 0 THEN -((-y) // s) ELSE y // s END AS vj FROM y2, s2),
+y3 AS (SELECT gs.di, CAST(sum(gs.g * v.vj) AS BIGINT) AS y
+  FROM gsym gs JOIN v2 v ON gs.dj = v.j GROUP BY 1),
+s3 AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT) // 10000, 1) AS s
+  FROM y3),
+v3 AS (SELECT di AS j,
+  CASE WHEN y < 0 THEN -((-y) // s) ELSE y // s END AS vj FROM y3, s3)
+SELECT CAST(count(*) AS BIGINT) AS n_dims,
+  CAST(sum(vj) AS BIGINT) AS v_sum, CAST(min(vj) AS BIGINT) AS v_min,
+  CAST(max(vj) AS BIGINT) AS v_max,
+  CAST(sum(vj * j) AS BIGINT) AS checksum
+FROM v3""")),
     // Robust outlier census: per-group exact median and MAD (median
     // absolute deviation) via the rank-walk over the DISTINCT-value
     // histogram (banded column, ≤50 values — the q_quantiles frame

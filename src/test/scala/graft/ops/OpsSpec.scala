@@ -1711,6 +1711,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       2 * (got("changed_any") + got("unchanged")) == 3 + 3)
   }
 
+  test("rendezvous hashing: growing 8 shards to 9 moves keys ONLY to " +
+      "the new shard, at ~1/9 of the corpus — the property mod-hash lacks") {
+    def assign(nShards: Int) = {
+      val shards = spark.range(0, nShards)
+        .select(col("id").cast("int").as("shard"))
+      spark.range(0, 2000).select(col("id").as("doc_id"))
+        .crossJoin(broadcast(shards))
+        .select(col("doc_id"), col("shard"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("shard").cast("string"))).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(shard, h)").as("shard"))
+    }
+    val a8 = assign(8).withColumnRenamed("shard", "s8")
+    val a9 = assign(9).withColumnRenamed("shard", "s9")
+    val j = a8.join(a9, "doc_id").select(col("s8"), col("s9")).collect()
+    val moved = j.count(r => r.getInt(0) != r.getInt(1))
+    assert(j.forall(r => r.getInt(0) == r.getInt(1) || r.getInt(1) == 8),
+      "a key moved to an OLD shard — rendezvous minimality violated")
+    assert(moved > 2000 / 9 / 2 && moved < 2000 / 9 * 2,
+      s"moved $moved of 2000, expected ~${2000 / 9}")
+  }
+
+  test("power iteration recovers the dominant axis of a planted Gram") {
+    val sess = spark
+    import sess.implicits._
+    // 200 vectors hugging axis 2 of 4 dims: the Gram's top eigenvector
+    // is e2, so |v3| must be maximal at dim 2 after 3 integer rounds.
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array(0.05f * (i % 3), 1.0f + 0.001f * i,
+        0.03f * (i % 5), 0.01f * (i % 7)))
+    }.toDF("vec_id", "embedding")
+    val gU = Similarity.gramUpperTriangle(vecs, "vec_id", "embedding")
+    val g = gU.unionByName(gU.filter(col("di") =!= col("dj"))
+      .select(col("dj").as("di"), col("di").as("dj"), col("g")))
+    def mv(v: org.apache.spark.sql.DataFrame) =
+      g.join(v, col("dj") === col("j")).groupBy(col("di"))
+        .agg(sum(col("g") * col("vj")).as("y"))
+    def norm(y: org.apache.spark.sql.DataFrame) =
+      y.crossJoin(broadcast(y.agg(max(abs(col("y"))).as("mx"))))
+        .select(col("di").as("j"),
+          when(col("y") < 0, -expr("(-y) div greatest(mx div 10000, 1)"))
+            .otherwise(expr("y div greatest(mx div 10000, 1)")).as("vj"))
+    val v0 = g.select(col("di").as("j")).distinct()
+      .withColumn("vj", lit(10000L))
+    val v3 = norm(mv(norm(mv(norm(mv(v0))))))
+      .collect().map(r => r.getInt(0) -> math.abs(r.getLong(1))).toMap
+    assert(v3(2) == v3.values.max,
+      s"dominant dim should be 2, got $v3")
+    assert(v3(2) >= 4 * v3(1) && v3(2) >= 4 * v3(3),
+      s"axis 2 should dominate clearly, got $v3")
+  }
+
   test("ngramContainmentPairs: asymmetric — the short doc is contained " +
       "in the long host, never the reverse; Jaccard would miss it") {
     // guest: 6 tokens → 4 distinct 3-shingles, all inside host.

@@ -3932,6 +3932,49 @@ GROUP BY 1, 2 ORDER BY split, lang"""
         .orderBy("split", "lang"),
       Some("SELECT " + Corpus.hashSplitSql("doc_id") + " AS split, lang, " +
         "count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY split, lang")),
+    // Blocklist filter (the C4/Gopher bad-words pass): flag documents
+    // containing any term of a curated blocklist, with WORD-BOUNDARY
+    // matching via the space-padded containment idiom (' '||text||' '
+    // contains ' term ') — identical text on both engines, no regex
+    // dialect surface. Entirely map-side (the blocklist is a literal
+    // expression chain — at production size it compiles to one
+    // Aho-Corasick-ish multi-contains, still scan-local); the only
+    // shuffle is the per-source census. Flag counts, multi-term hits,
+    // and a flagged-id checksum make silent misses visible.
+    Entry("q_blocklist_filter",
+      (s, d) => {
+        val terms = Seq("slow", "dup", "big")
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val flags = terms.zipWithIndex.map { case (t, i) =>
+          (instr(padded, s" $t ") > 0).cast("long").as(s"f$i")
+        }
+        docs(s, d).select(Seq(col("doc_id"), col("source")) ++ flags: _*)
+          .withColumn("n_terms",
+            terms.indices.map(i => col(s"f$i")).reduce(_ + _))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("n_terms") > 0).cast("long")).as("n_flagged"),
+            sum((col("n_terms") >= 2).cast("long")).as("n_multi"),
+            coalesce(sum(when(col("n_terms") > 0,
+                pmod(col("doc_id"), lit(1000003L)))), lit(0L))
+              .as("checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+  SELECT doc_id, source,
+    CASE WHEN instr(' ' || text || ' ', ' slow ') > 0 THEN 1 ELSE 0 END
+      + CASE WHEN instr(' ' || text || ' ', ' dup ') > 0 THEN 1 ELSE 0 END
+      + CASE WHEN instr(' ' || text || ' ', ' big ') > 0 THEN 1 ELSE 0 END
+      AS n_terms
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN n_terms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged,
+  CAST(sum(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_multi,
+  CAST(coalesce(sum(CASE WHEN n_terms > 0 THEN doc_id % 1000003 END), 0)
+    AS BIGINT) AS checksum
+FROM f GROUP BY source ORDER BY source""")),
     // Rendezvous (highest-random-weight) shard assignment beside the
     // mod-hash split: doc → argmax over shards of md5(doc_id:shard) —
     // the consistent-assignment scheme where adding/removing a shard

@@ -644,6 +644,36 @@ FROM merged GROUP BY seg ORDER BY seg""")),
         "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\", " +
         "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS \"O\" " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+    // UNPIVOT (melt) — the wide→long reshape inverse of q_pivot,
+    // through Spark's native Dataset.unpivot (plans as one Expand,
+    // map-side: rows fan out 3x with no shuffle beyond the input
+    // aggregate). All measures pre-cast to BIGINT so the value column
+    // has one type on both engines; oracle is the dialect-free
+    // UNION ALL expansion.
+    Entry("q_unpivot",
+      (s, d) => {
+        val wide = li(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("n_items"), col("sum_qty"), col("n_orders")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH wide AS (
+  SELECT l_returnflag, count(*) AS n_items,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+    count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'n_orders', n_orders FROM wide)
+ORDER BY l_returnflag, metric""")),
     // Arbitrary GROUPING SETS — the marginals-only set list
     // ((l_returnflag), (l_linestatus)), which neither ROLLUP nor CUBE
     // expresses. Plans as one Expand + hash aggregate (one shuffle for

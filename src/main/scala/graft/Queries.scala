@@ -899,6 +899,41 @@ FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY hour, event_type""")),
+    // LATE-DATA drop semantics under the gate (15th replay): the same
+    // hourly aggregation replayed OUT OF ORDER (round-robin slices by
+    // event_id), so the watermark jumps near max−delay after the first
+    // batches and later batches carry genuinely late rows. The
+    // empirically-pinned Spark mechanics (checkpoint offsets + slice-
+    // cumulative count forensics at sf0.01): the late filter for batch
+    // c uses the LAGGED watermark W(c−1) = max event time over batches
+    // 0..c−2 − delay (a batch's wm is fixed when it is planned, from
+    // the previous batch's recorded stats), while EVICTION at batch
+    // c's end uses W(c) — so a row survives iff its hour-window end >
+    // W(c−1), and the final table holds the survivors of windows the
+    // final watermark closed. The oracle replays exactly that lagged
+    // progression from the deterministic slice rule (batch =
+    // event_id mod 6) — the drop set itself is hash-gated, not just
+    // the happy path.
+    Entry("q_late_data_stream",
+      (s, d) => graft.streaming.Replay.lateDataReplay(s, d),
+      Some("""WITH e AS (
+  SELECT ts, event_type, CAST(event_id % 6 AS INT) AS b FROM events),
+bm AS (SELECT b, max(ts) AS bmax FROM e GROUP BY b),
+wm AS (
+  SELECT b, max(bmax) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+    - INTERVAL 2 HOUR AS wmb
+  FROM bm),
+kept AS (
+  SELECT e.ts, e.event_type FROM e JOIN wm ON e.b = wm.b
+  WHERE wm.wmb IS NULL
+    OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wmb),
+fin AS (SELECT max(ts) - INTERVAL 2 HOUR AS fwm FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+FROM kept, fin
+GROUP BY 1, 2, fin.fwm
+HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= fwm
+ORDER BY hour, event_type""")),
     // STREAM-STATIC ANTI join decontamination: streamed docs pass iff
     // their md5 is absent from the static benchmark fingerprint set
     // (broadcast). Oracle = the batch NOT IN over the same slice.

@@ -300,6 +300,51 @@ object Replay {
         "left_outer")
     }
 
+  /** Events sliced ROUND-ROBIN by event_id (NOT time-ordered): every
+    * micro-batch spans the full time range, so after batch 0 the
+    * watermark jumps near (max ts − delay) and batches 1..n−1 carry
+    * genuinely LATE rows — the arrival pattern the time-ordered
+    * [[ensureSlices]] deliberately avoids, exercised here so
+    * late-data DROP semantics are themselves under the oracle gate. */
+  private def ensureRoundRobinSlices(spark: SparkSession, sfDir: String,
+      slices: Int): String = synchronized {
+    val dir = s"$base/inrr_v${Version}_${fingerprint(sfDir)}_$slices"
+    val ready = new File(s"$dir/_READY")
+    if (!ready.exists()) {
+      deleteRecursively(new File(dir))
+      val src = graft.core.Tables.read(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint(true)
+      for (i <- 0 until slices) {
+        src.filter(pmod(col("event_id"), lit(slices)) === i)
+          .coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      new java.io.FileOutputStream(ready).close()
+    }
+    dir
+  }
+
+  /** Watermarked hourly counts over the OUT-OF-ORDER replay: Spark
+    * drops a row whose hour-window was already finalized. Empirically
+    * pinned mechanics (checkpoint-offset + slice-count forensics): the
+    * late FILTER for batch c uses the LAGGED watermark W(c−1) = (max
+    * event time over batches 0..c−2) − delay, because a batch's
+    * watermark is fixed at planning time from the previous batch's
+    * recorded stats — while EVICTION/emission at batch c's end uses
+    * W(c). The final table holds the filter's survivors within the
+    * windows the final watermark closed; both boundaries are
+    * reproduced exactly by the oracle from the deterministic slice
+    * rule (batch = event_id mod slices). */
+  def lateDataReplay(spark: SparkSession, sfDir: String,
+      slices: Int = 6): DataFrame =
+    replayStream(spark, ensureRoundRobinSlices(spark, sfDir, slices),
+      sfDir, slices, "late_hourly", "append") { df =>
+      EventStream.hourlyCounts(df)
+    }.select(col("hour"), col("event_type"), col("cnt"))
+      .orderBy("hour", "event_type")
+
   /** Distinct (user_id, event_type) keys emitted by the streaming
     * keep-first dedup, replayed through the real stream (append mode:
     * the table IS the emitted key set — one row per key iff the state

@@ -416,6 +416,38 @@ FROM probs ORDER BY p""")),
         "count(DISTINCT source) AS n_sources FROM (" +
         graft.sources.SynthSource.synthSql(100000) +
         ") GROUP BY lang ORDER BY lang")),
+    // TOP-N pushdown INTO the DSv2 source (the last pushdown leg:
+    // columns, filters, aggregates are gated above): ORDER BY doc_id
+    // LIMIT k over the ascending-id generator is answered by a
+    // truncated single-partition range — COMPLETE pushdown, so the
+    // optimized plan must contain NEITHER a Sort NOR a Limit
+    // (hard-asserted here, the agg-pushdown convention; a silent
+    // fallback would still be row-correct but plan-wrong). The 100 TB
+    // analog: ORDER BY key LIMIT k over a key-sorted layout reads one
+    // file tail instead of sorting the table.
+    Entry("q_topn_pushdown",
+      (s, d) => {
+        val df = s.read.format("graft-synth")
+          .option("rows", 100000).option("partitions", 8).load()
+          .filter(col("doc_id") >= 90000L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+          .limit(7)
+        val opt = df.queryExecution.optimizedPlan
+        val leftovers = opt.collect {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Sort => "Sort"
+          case _: org.apache.spark.sql.catalyst.plans.logical
+              .LocalLimit => "LocalLimit"
+          case _: org.apache.spark.sql.catalyst.plans.logical
+              .GlobalLimit => "GlobalLimit"
+        }
+        require(leftovers.isEmpty, "q_topn_pushdown: top-n did not reach " +
+          s"the source — plan still contains ${leftovers.mkString(",")}")
+        df
+      },
+      Some("SELECT doc_id, lang, n_tokens FROM (" +
+        graft.sources.SynthSource.synthSql(100000) +
+        ") WHERE doc_id >= 90000 ORDER BY doc_id LIMIT 7")),
     // Aggregate pushdown INTO the DSv2 source: count/min/max over a
     // doc_id range are closed-form for a generative source (count =
     // hi−lo, min = lo, max = hi−1), so the pushed scan emits ONE

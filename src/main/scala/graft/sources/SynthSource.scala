@@ -96,12 +96,46 @@ class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long,
     partitionByLang: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = SynthSource.fullSchema
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
   private var aggTags: Option[Seq[String]] = None
+  private var limitN: Option[Int] = None
+
+  /** LIMIT pushdown: the generator's iteration space IS the row set,
+    * so LIMIT n truncates the (filter-narrowed) id range — no work is
+    * generated past the cutoff. COMPLETE (`isPartiallyPushed=false`):
+    * the range arithmetic is exact, so Spark drops its own Limit node.
+    */
+  override def pushLimit(limit: Int): Boolean = { limitN = Some(limit); true }
+
+  /** ORDER BY doc_id ASC LIMIT n pushdown: ids are generated in
+    * ascending order, so the top-n IS the first n ids of the narrowed
+    * range, emitted from ONE partition (complete pushdown requires the
+    * scan itself to honor the order — a multi-partition scan's global
+    * concatenation order is not guaranteed). Spark drops BOTH the Sort
+    * and the Limit: at 100 TB this is the "ORDER BY key LIMIT k over a
+    * key-sorted layout" shortcut every lakehouse format chases. Any
+    * other sort shape is declined and planned normally. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case f: NamedReference =>
+        f.fieldNames.length == 1 && f.fieldNames()(0) == "doc_id" &&
+          orders(0).direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ok) limitN = Some(limit)
+    ok
+  }
+
+  override def isPartiallyPushed(): Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -192,6 +226,12 @@ class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long,
 
   override def build(): Scan = aggTags match {
     case Some(tags) => new SynthAggScan(math.min(lo, hi), hi, tags)
+    case None if limitN.isDefined =>
+      // Truncated range from ONE partition: ascending-id emission is
+      // the pushed ORDER, and n rows never justify task fan-out.
+      val l = math.min(lo, hi)
+      new SynthScan(l, math.min(hi, l + limitN.get), 1, rowsPerBatch,
+        required)
     case None if partitionByLang =>
       new SynthLangScan(math.min(lo, hi), hi, required)
     case None =>

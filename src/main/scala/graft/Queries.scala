@@ -4072,6 +4072,64 @@ SELECT source, count(*) AS n_docs,
   CAST(coalesce(sum(CASE WHEN n_terms > 0 THEN doc_id % 1000003 END), 0)
     AS BIGINT) AS checksum
 FROM f GROUP BY source ORDER BY source""")),
+    // Decile lift/gains table — the model-evaluation primitive beside
+    // the q-error reports: rank by a score, cut into deciles, and
+    // report each decile's response rate against the base rate. Score
+    // and label are deterministic (n_chars; word-boundary ' dup '
+    // containment) so the whole table sits under the hash gate.
+    // Scale shape: deciles are assigned at the DISTINCT-SCORE level
+    // from the cumulative histogram (the q_quantiles frame discipline
+    // — windows run over score values, never rows; ties share a
+    // decile by construction, which also makes the cut deterministic),
+    // then one bounded-group rollup. lift is the one float: a single
+    // IEEE division of exact cross-multiplied longs.
+    Entry("q_lift_table",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("n_chars").as("sc"),
+          (instr(concat(lit(" "), col("text"), lit(" ")), " dup ") > 0)
+            .cast("long").as("y"))
+        val f = base.groupBy(col("sc"))
+          .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        val w = Window.orderBy(col("sc").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = f.withColumn("cum", sum(col("c")).over(w))
+        val tot = base.agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("decile", expr("((cum - 1) * 10) div n + 1"))
+          .groupBy(col("decile"))
+          .agg(sum(col("c")).as("n_docs"), sum(col("p")).as("n_pos"),
+            max(col("n")).as("n"), max(col("np")).as("np"))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            (col("n_pos") * col("n")).as("lift_num"),
+            (col("n_docs") * col("np")).as("lift_den"),
+            ((col("n_pos") * col("n")).cast("double") /
+              (col("n_docs") * col("np")).cast("double")).as("lift"))
+          .orderBy("decile")
+      },
+      Some("""WITH base AS (
+  SELECT n_chars AS sc,
+    CASE WHEN instr(' ' || text || ' ', ' dup ') > 0 THEN 1 ELSE 0 END
+      AS y
+  FROM documents),
+f AS (SELECT sc, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM base GROUP BY sc),
+cum AS (
+  SELECT sc, c, p, CAST(sum(c) OVER (ORDER BY sc DESC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM f),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT)
+  AS np FROM base),
+dec AS (
+  SELECT ((cum - 1) * 10) // n + 1 AS decile, c, p, n, np
+  FROM cum CROSS JOIN tot)
+SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
+  CAST(sum(p) AS BIGINT) AS n_pos,
+  CAST(sum(p) * max(n) AS BIGINT) AS lift_num,
+  CAST(sum(c) * max(np) AS BIGINT) AS lift_den,
+  CAST(sum(p) * max(n) AS DOUBLE) / CAST(sum(c) * max(np) AS DOUBLE)
+    AS lift
+FROM dec GROUP BY decile ORDER BY decile""")),
     // Rendezvous (highest-random-weight) shard assignment beside the
     // mod-hash split: doc → argmax over shards of md5(doc_id:shard) —
     // the consistent-assignment scheme where adding/removing a shard

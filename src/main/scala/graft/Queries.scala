@@ -4130,6 +4130,59 @@ SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
   CAST(sum(p) * max(n) AS DOUBLE) / CAST(sum(c) * max(np) AS DOUBLE)
     AS lift
 FROM dec GROUP BY decile ORDER BY decile""")),
+    // ROC AUC in EXACT INTEGERS via the Mann-Whitney rank-sum identity
+    // (AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻)) with tie midranks — the
+    // companion metric to q_lift_table, over the same deterministic
+    // score/label. Doubling clears the midrank halves: midrank×2 for
+    // score v = 2·cum_v − c_v + 1 (from the ASCENDING cumulative
+    // histogram), so auc_num2 = Σ_v p_v·(2cum_v − c_v + 1) − n⁺(n⁺+1)
+    // and auc_den2 = 2·n⁺·n⁻ are exact Longs; AUC is their one IEEE
+    // division. Same scale shape as the quantile family: one
+    // score-level histogram shuffle, windows over distinct values,
+    // one-row artifact. Envelope: Σ p·2cum ≤ 2·n⁺·n < 2⁶³ needs
+    // n⁺·n < 4.6e18 (~2e9 rows balanced; rescale by 2^k past that).
+    Entry("q_roc_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("n_chars").as("sc"),
+          (instr(concat(lit(" "), col("text"), lit(" ")), " dup ") > 0)
+            .cast("long").as("y"))
+        val f = base.groupBy(col("sc"))
+          .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        val w = Window.orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = f.withColumn("cum", sum(col("c")).over(w))
+        val agg = cum.agg(
+          sum(col("p") * (lit(2) * col("cum") - col("c") + 1))
+            .as("rank2_sum"),
+          sum(col("c")).as("n"), sum(col("p")).as("np"))
+        agg.select(col("n"), col("np"), (col("n") - col("np")).as("nn"),
+            (col("rank2_sum") - col("np") * (col("np") + 1)).as("auc_num2"),
+            (lit(2) * col("np") * (col("n") - col("np"))).as("auc_den2"))
+          .withColumn("auc", col("auc_num2").cast("double") /
+            col("auc_den2").cast("double"))
+      },
+      Some("""WITH base AS (
+  SELECT n_chars AS sc,
+    CASE WHEN instr(' ' || text || ' ', ' dup ') > 0 THEN 1 ELSE 0 END
+      AS y
+  FROM documents),
+f AS (SELECT sc, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM base GROUP BY sc),
+cum AS (
+  SELECT sc, c, p, CAST(sum(c) OVER (ORDER BY sc
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM f),
+agg AS (
+  SELECT CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS rank2_sum,
+    CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np
+  FROM cum)
+SELECT n, np, n - np AS nn,
+  rank2_sum - np * (np + 1) AS auc_num2,
+  2 * np * (n - np) AS auc_den2,
+  CAST(rank2_sum - np * (np + 1) AS DOUBLE)
+    / CAST(2 * np * (n - np) AS DOUBLE) AS auc
+FROM agg""")),
     // Rendezvous (highest-random-weight) shard assignment beside the
     // mod-hash split: doc → argmax over shards of md5(doc_id:shard) —
     // the consistent-assignment scheme where adding/removing a shard

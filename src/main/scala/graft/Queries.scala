@@ -7486,6 +7486,61 @@ GROUP BY 1 ORDER BY 1""")),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
 SELECT digit, n, CAST((1000000 * n) // total AS BIGINT) AS ppm
 FROM d CROSS JOIN t ORDER BY digit""")),
+    // One-pass POISSON BOOTSTRAP (the resampling method that actually
+    // runs at 100 TB: per-row independent replicate weights instead of
+    // n-out-of-n draws, so all B replicates ride ONE scan with
+    // map-side partial aggregation — B bounded groups shuffle, never
+    // rows). Weights are truncated-Poisson(1) (P(4+) ≈ 1.9% mass
+    // folded into w=4, part of the operator spec) drawn by EXACT
+    // INTEGER inverse-CDF: h = first 8 md5 hex digits of (id:b) as a
+    // uniform 32-bit integer compared against precomputed floor(cdf·
+    // 2³²) cutpoints — no float crosses the draw, the q_weighted_
+    // sample hash idiom. Artifact = the 16-replicate bootstrap
+    // distribution of the mean (exact integer cents, sum div n), from
+    // which any consumer reads the CI band.
+    Entry("q_bootstrap_ci",
+      (s, d) => {
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        // Cost shape at 100x: rows × B uniform draws (~100 s for 96 M
+        // draws at local[32]) — data-proportional, shuffle-free until
+        // the B-group aggregate, exactly the embarrassing parallelism
+        // a wide cluster absorbs. (Packing 4 uniforms per md5 was
+        // measured cost-neutral: the draw chain, not the digest count,
+        // is the cost.)
+        val h = conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+        Tables.read(s, d, "events")
+          .select(col("event_id"), cents.as("cents"))
+          .select(col("*"),
+            explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("w",
+            when(h < 1580030168L, 0L).when(h < 3160060337L, 1L)
+              .when(h < 3950075421L, 2L).when(h < 4213413783L, 3L)
+              .otherwise(4L))
+          .groupBy(col("b"))
+          .agg(sum(col("w")).as("n_b"),
+            sum(col("w") * col("cents")).as("sum_cents"))
+          .select(col("b"), col("n_b"), col("sum_cents"),
+            expr("sum_cents div n_b").as("mean_cents"))
+          .orderBy("b")
+      },
+      Some("""WITH r AS (
+  SELECT e.event_id,
+    CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents, s.b
+  FROM events e, (SELECT unnest(generate_series(0, 15)) AS b) s),
+w AS (
+  SELECT b, cents,
+    CASE
+      WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+      WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+      ELSE 4 END AS w
+  FROM (SELECT *, CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+    || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM r))
+SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_b,
+  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+  CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT)
+    AS mean_cents
+FROM w GROUP BY b ORDER BY b""")),
     // Sequential-pattern support (the PrefixSpan L2 census): for every
     // ordered type pair (a, b), the number of users with SOME a-event
     // strictly before SOME b-event — ∃ t_a < t_b ⟺ min(ts | a) <

@@ -337,6 +337,77 @@ SELECT CAST(p AS DOUBLE) AS p,
     AS exact_value,
   (SELECT n FROM tot) AS n, TRUE AS within_bound
 FROM probs ORDER BY p""")),
+    // PER-GROUP approx-quantile gate — the partitioned twin of
+    // q_approx_quantiles and the shape production actually runs:
+    // percentile_approx's GK summaries are built per group map-side
+    // and MERGED in the aggregate (the mergeability that makes sketch
+    // quantiles a one-shuffle operator at any group count), and each
+    // group's sketch answer is bracketed by that group's exact ranks
+    // with the same all-integer ±ε gate. Windows run over per-group
+    // DISTINCT values (banded column — the q_quantiles discipline).
+    Entry("q_group_approx_quantiles",
+      (s, d) => {
+        val probs = Seq(0.5, 0.9)
+        val pks = Seq(500, 900)
+        val acc = 1000
+        val lid = li(s, d).select(col("l_returnflag").as("g"),
+          col("l_quantity").as("v"))
+        val f = lid.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        val cum = f.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = lid.groupBy("g").agg(count(lit(1)).as("n"))
+        val ap = lid.groupBy("g")
+          .agg(percentile_approx(col("v"),
+            array(probs.map(lit(_)): _*), lit(acc)).as("aps"))
+          .select(col("g"), posexplode(col("aps")).as(Seq("i", "a")))
+          .withColumn("pk",
+            element_at(array(pks.map(lit(_)): _*), col("i") + 1))
+        def rank(cmp: (org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+            name: String) =
+          ap.join(broadcast(tot), "g")
+            .join(cum.select(col("g").as("cg"), col("v"), col("cum")),
+              col("g") === col("cg") && cmp(col("v"), col("a")), "left")
+            .groupBy("g", "i", "pk", "n")
+            .agg(coalesce(max(col("cum")), lit(0L)).as(name))
+        val rLt = rank(_ < _, "rank_lt")
+        val rLe = rank(_ <= _, "rank_le")
+          .select(col("g").as("g2"), col("i").as("i2"), col("rank_le"))
+        // Exact per-group percentile_disc value at integer threshold
+        // rank (pk·(n−1)) div 1000 + 1 — integer arithmetic end to end.
+        val probsDf = lid.sparkSession.range(0, 2)
+          .select(element_at(array(pks.map(lit(_)): _*),
+            col("id").cast("int") + 1).as("pk3"))
+        val exact = cum.join(broadcast(tot), "g").crossJoin(broadcast(probsDf))
+          .filter(col("cum") >= expr("(pk3 * (n - 1)) div 1000") + 1)
+          .groupBy(col("g").as("ge"), col("pk3"))
+          .agg(min(col("v")).as("exact_value"))
+        rLt.join(rLe, col("g") === col("g2") && col("i") === col("i2"))
+          .join(exact, col("g") === col("ge") && col("pk") === col("pk3"))
+          .select(col("g"), (col("pk").cast("double") / 1000).as("p"),
+            col("exact_value"), col("n"),
+            (col("rank_lt") * acc <= col("n") * (col("pk") + 1) &&
+              col("rank_le") * acc >= col("n") * (col("pk") - 1))
+              .as("within_bound"))
+          .orderBy("g", "p")
+      },
+      Some("""WITH probs(pk) AS (VALUES (500), (900)),
+f AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM f),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY g),
+exact AS (
+  SELECT cum.g, probs.pk, min(v) AS exact_value
+  FROM cum JOIN tot ON cum.g = tot.g CROSS JOIN probs
+  WHERE cum >= (pk * (n - 1)) // 1000 + 1
+  GROUP BY cum.g, probs.pk)
+SELECT exact.g, CAST(pk AS DOUBLE) / 1000 AS p, exact_value, n,
+  TRUE AS within_bound
+FROM exact JOIN tot ON exact.g = tot.g ORDER BY exact.g, p""")),
     // One-pass dataset profile (rows/nulls/distincts/min-max per
     // column): the ingest-time quality report. One Expand-fused shuffle
     // for all exact distincts; numeric min/max as DOUBLE so no

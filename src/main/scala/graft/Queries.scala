@@ -2535,8 +2535,8 @@ FROM orders, r GROUP BY o_custkey, r.ref ORDER BY c_custkey""")),
     // event, the previous value and the trailing-3 sum/min/max/mean
     // over the user's own history. All windows PARTITION BY user (the
     // per-entity frame — never global), values in exact integer cents,
-    // and the rolling mean is INTEGER division sum div count so no
-    // float average crosses engines. The output is sliced to a
+    // and the rolling mean is exact integer FLOOR division (matching
+    // DuckDB's //) so no float average crosses engines. The output is sliced to a
     // deterministic user cohort (pmod(user_id, 50) = 0): the filter is
     // on the partition key, so Catalyst pushes it below the window and
     // the sliced plan scans only cohort rows — the artifact stays
@@ -2556,7 +2556,11 @@ FROM orders, r GROUP BY o_custkey, r.ref ORDER BY c_custkey""")),
           .withColumn("roll_sum", sum(col("cents")).over(w3))
           .withColumn("roll_min", min(col("cents")).over(w3))
           .withColumn("roll_max", max(col("cents")).over(w3))
-          .withColumn("roll_mean", expr("roll_sum div roll_n"))
+          // Floor division (pmod idiom, see q_bootstrap_ci): DuckDB
+          // `//` floors while Spark `div` truncates — they diverge on
+          // the negative sums a negative-value event window produces.
+          .withColumn("roll_mean",
+            expr("(roll_sum - pmod(roll_sum, roll_n)) div roll_n"))
           .select(col("user_id"), col("event_id"), col("cents"),
             col("lag1_cents"), col("roll_n"), col("roll_sum"),
             col("roll_min"), col("roll_max"), col("roll_mean"))
@@ -7567,8 +7571,8 @@ FROM d CROSS JOIN t ORDER BY digit""")),
     // uniform 32-bit integer compared against precomputed floor(cdf·
     // 2³²) cutpoints — no float crosses the draw, the q_weighted_
     // sample hash idiom. Artifact = the 16-replicate bootstrap
-    // distribution of the mean (exact integer cents, sum div n), from
-    // which any consumer reads the CI band.
+    // distribution of the mean (exact integer cents, floor(sum/n) on
+    // both engines), from which any consumer reads the CI band.
     Entry("q_bootstrap_ci",
       (s, d) => {
         val cents = floor(col("value") * 100 + 0.5).cast("long")
@@ -7591,8 +7595,14 @@ FROM d CROSS JOIN t ORDER BY digit""")),
           .groupBy(col("b"))
           .agg(sum(col("w")).as("n_b"),
             sum(col("w") * col("cents")).as("sum_cents"))
+          // FLOOR division, not Spark's truncate-toward-zero `div`:
+          // DuckDB `//` floors, and the two disagree on negative
+          // sums (value < 0 is legal in events). (x − pmod(x, n)) is
+          // the exact floor multiple (pmod ≥ 0), so the subsequent
+          // `div` is exact on both engines for either sign.
           .select(col("b"), col("n_b"), col("sum_cents"),
-            expr("sum_cents div n_b").as("mean_cents"))
+            expr("(sum_cents - pmod(sum_cents, n_b)) div n_b")
+              .as("mean_cents"))
           .orderBy("b")
       },
       Some("""WITH r AS (

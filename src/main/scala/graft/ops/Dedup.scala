@@ -566,9 +566,17 @@ FROM bits ORDER BY id"""
       flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("id_a"), b.as("id_b"))))))
+    // Persisted like the Jaccard twin (Dedup.scala:512): pairStats is
+    // the expensive pair expansion + count shuffle, and it feeds THREE
+    // subtrees below (counts, and inter twice via the dirs union) —
+    // without the persist, once-compute relies on exchange reuse only,
+    // which AQE re-planning is free to break. The blocks are released
+    // by ContextCleaner once the result frame is unreachable (same
+    // contract as the non-materialized Jaccard path).
     val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(sum(col("w")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))

@@ -54,6 +54,30 @@ object Replay {
     f.delete()
   }
 
+  /** Pin slice arrival order EXPLICITLY: FileStreamSource orders files
+    * by modification time with an unstable tie-break, and on a
+    * coarse-mtime filesystem two slices written within the same tick
+    * could swap micro-batches — fatal for oracles that require
+    * micro-batch c to be exactly slice c (q_late_data_stream's
+    * event_id-mod rule, q_neardup_stream's ascending-id cap).
+    * Sequential writes USUALLY produce ascending mtimes, but nothing
+    * guarantees sub-tick separation, so every data file written for
+    * slice i is restamped with a deterministic mtime at fixed 2 s
+    * spacing (coarser than any real filesystem's granularity — FAT's
+    * 2 s being the historical worst case). Returns the updated
+    * seen-file set so the caller threads it across the loop. */
+  private def stampSliceMtime(dir: String, slice: Int,
+      before: Set[String]): Set[String] = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    files.filterNot(f => before(f.getName)).foreach { f =>
+      require(f.setLastModified(1600000000000L + slice * 2000L),
+        s"setLastModified failed for $f — slice arrival order unpinned")
+    }
+    files.map(_.getName).toSet
+  }
+
   /** Materialize the events table as `slices` single-file parquet
     * segments covering contiguous (ts, event_id) ranges, written in
     * ascending order (file mtimes = arrival order for the stream). */
@@ -77,11 +101,13 @@ object Replay {
       val sliced = src.withColumn("__rn",
         row_number().over(Window.orderBy(col("ts"), col("event_id"))))
         .localCheckpoint(true)
+      var seen = Set.empty[String]
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
           .drop("__rn").coalesce(1)
           .write.mode("append").parquet(dir)
+        seen = stampSliceMtime(dir, i, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }
@@ -112,11 +138,13 @@ object Replay {
       val sliced = src.withColumn("__rn",
         row_number().over(Window.orderBy(col("doc_id"))))
         .localCheckpoint(true)
+      var seen = Set.empty[String]
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
           .drop("__rn").coalesce(1)
           .write.mode("append").parquet(dir)
+        seen = stampSliceMtime(dir, i, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }
@@ -316,10 +344,12 @@ object Replay {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .localCheckpoint(true)
+      var seen = Set.empty[String]
       for (i <- 0 until slices) {
         src.filter(pmod(col("event_id"), lit(slices)) === i)
           .coalesce(1)
           .write.mode("append").parquet(dir)
+        seen = stampSliceMtime(dir, i, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }

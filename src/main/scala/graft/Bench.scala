@@ -1,26 +1,73 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
-  /** Static plan-size telemetry: (logical nodes, leaves, exchanges in
-    * the initial physical plan). A healthy entry has tens of nodes and
-    * single-digit leaves; an unmaterialized iterative loop carries
-    * O(refs^rounds) copies of its base plan (q_kcore_peel's defect
-    * class burned 78.5 s = 20% of the r11 driver bench) and is visible
-    * here for SECONDS of analysis cost instead of a driver-bench blowup
-    * — bench_summary.json carries these per entry so a plan regression
-    * is diagnosable from the artifact alone. Planning-only: never
-    * executes the query (AQE may later reduce actual exchanges; the
-    * static count is an upper bound and a stable regression signal).
-    */
-  def planMetrics(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+  /** Static plan-size telemetry: (logical nodes, leaves, REAL exchanges,
+    * reused exchanges) for the initial physical plan. A healthy entry
+    * has tens of nodes and single-digit leaves; an unmaterialized
+    * iterative loop carries O(refs^rounds) copies of its base plan
+    * (q_kcore_peel's defect class burned 78.5 s = 20% of the r11 driver
+    * bench) and is visible here for SECONDS of analysis cost instead of
+    * a driver-bench blowup — bench_summary.json carries these per entry
+    * so a plan regression is diagnosable from the artifact alone.
+    * Real vs reused are counted SEPARATELY (VERDICT r12 ask #3): a
+    * ReusedExchange line is a pointer at an already-shuffled result,
+    * not another shuffle — folding them together read q_triangle_count
+    * as "43 exchanges" when most were reuse pointers. Planning-only:
+    * never executes the query (AQE may later reduce actual exchanges;
+    * the static count is an upper bound and a stable regression
+    * signal). */
+  def planMetrics(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, Int) = {
     val opt = df.queryExecution.optimizedPlan
     val nodes = opt.collect { case p => p }.size
     val leaves = opt.collectLeaves().size
-    val exchanges = "(?m)^\\s*[+:]?-?\\s*(ReusedExchange|Exchange)".r
-      .findAllMatchIn(df.queryExecution.executedPlan.toString).size
-    (nodes, leaves, exchanges)
+    // InMemoryRelation REPRINTS its full build plan (exchanges and
+    // all) under every InMemoryTableScan that references it, but those
+    // lines execute at most once at cache build — r12's telemetry
+    // counted them per reference and read q_triangle_count as "43
+    // exchanges" when the executed tree has single digits (the r12
+    // VERDICT's ask #3 forensic). Skip every line nested under an
+    // InMemoryRelation header (tree-prefix depth strictly greater)
+    // before counting.
+    def prefixLen(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    val kept = new StringBuilder
+    var skipDepth = -1
+    df.queryExecution.executedPlan.toString.split('\n').foreach { l =>
+      val p = prefixLen(l)
+      if (skipDepth >= 0 && p <= skipDepth) skipDepth = -1
+      if (skipDepth < 0) {
+        if (l.drop(p).startsWith("InMemoryRelation")) skipDepth = p
+        else kept.append(l).append('\n')
+      }
+    }
+    val planStr = kept.toString
+    // \bExchange\b cannot match inside ReusedExchange ('d'→'E' is not
+    // a word boundary), so the two counts are disjoint by construction;
+    // BroadcastExchange is likewise a distinct token and deliberately
+    // NOT counted (consistent with every prior round's artifact — the
+    // signal tracks SHUFFLE exchanges).
+    val reused = "\\bReusedExchange\\b".r.findAllMatchIn(planStr).size
+    val real = "\\bExchange\\b".r.findAllMatchIn(planStr).size
+    (nodes, leaves, real, reused)
   }
+
+  /** Per-entry runtime telemetry snapshot (VERDICT r12 ask #1: make
+    * the artifact contention-evident). `t_start` is the wall-clock
+    * epoch second the entry began — a contiguous block of inflated
+    * entries with a matching wall-clock window is weather, attributable
+    * from the artifact alone. `load1` is the OS 1-minute load average
+    * at entry start: external contention on a shared box shows as load
+    * far above the executor thread count on unchanged code. Shuffle /
+    * spill MBs are task-metric deltas; `storage_mb` is the persisted
+    * block-manager footprint AFTER the entry (and after any shared-
+    * resource release), which the lifecycle work (ask #2) requires to
+    * return toward zero between resource groups rather than ratchet. */
+  final case class Telemetry(tStart: Double, load1: Double,
+    shReadMb: Double, shWriteMb: Double, spillMb: Double,
+    stages: Long, storageMb: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,6 +87,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Cumulative task-metric counters (listener events arrive async on
+    // the bus; per-entry deltas are read after a settle poll below).
+    val mShRead = new java.util.concurrent.atomic.AtomicLong
+    val mShWrite = new java.util.concurrent.atomic.AtomicLong
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    // Stages actually SCHEDULED: the static plan telemetry counts an
+    // exchange once per subtree reference, but at runtime exchange
+    // reuse and InMemory caching collapse those — the stage delta is
+    // the executed truth (a stage boundary is a shuffle or a result),
+    // so `stages` small + `exchanges` large reads as reuse working,
+    // while both large reads as real shuffle volume.
+    val mStages = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mShRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            mShWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = { mStages.incrementAndGet(); () }
+      })
+    // Listener-bus drain is not observable through the public API, so
+    // deltas settle by polling: unchanged counters across a 30 ms gap
+    // (bounded at 300 ms) means the entry's task-end events are in.
+    // The residual skew a slow bus could leak is a few task records —
+    // magnitude-level telemetry, not an accounting ledger.
+    def settle(): Unit = {
+      var prev = (mShRead.get, mShWrite.get, mSpill.get)
+      var i = 0
+      var stable = false
+      while (i < 10 && !stable) {
+        Thread.sleep(30)
+        val cur = (mShRead.get, mShWrite.get, mSpill.get)
+        stable = cur == prev
+        prev = cur
+        i += 1
+      }
+    }
+    @scala.annotation.nowarn("cat=deprecation")
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    def load1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     // Warm up the session (codegen, parquet footer reads, shuffle infra)
     // so the alphabetically-first query over each table isn't charged
     // for JVM/IO startup. Best-effort: a missing table must surface as
@@ -83,6 +181,15 @@ object Bench {
       if (selected.isEmpty)
         System.err.println("[bench] SPARK_GRAFT_ONLY selected ZERO queries")
     }
+    // Last-consumer release schedule (VERDICT r12 ask #2): the run
+    // order is alphabetical, so each shared resource is released right
+    // after its last SELECTED consumer finishes — executor storage
+    // returns to baseline between resource groups instead of
+    // ratcheting across 251 entries.
+    val releaseAfter: Map[String, Seq[String]] =
+      Queries.sharedConsumers.toSeq.flatMap { case (res, consumers) =>
+        selected.map(_._1).filter(consumers).lastOption.map(_ -> res)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     // Optional min-of-N mode (SPARK_GRAFT_BENCH_REPEATS=N, default 1 so
     // the driver's single-shot invocation is unchanged): a single-run
     // bench makes round-over-round grading hostage to machine weather —
@@ -94,10 +201,15 @@ object Bench {
     // single-shot default stays the attribution-faithful mode.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .map(_.trim.toInt).getOrElse(1).max(1)
-    var plans = Map.empty[String, (Int, Int, Int)]
+    var plans = Map.empty[String, (Int, Int, Int, Int)]
+    var telemetry = Map.empty[String, Telemetry]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
+      val entryStart = System.currentTimeMillis() / 1000.0
+      val loadAtStart = load1()
+      val sh0 = (mShRead.get, mShWrite.get, mSpill.get)
+      val st0 = mStages.get
       while (rep < repeats && !failed.contains(name)) {
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune computed
@@ -128,19 +240,80 @@ object Bench {
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         rep += 1
       }
+      // Release every shared resource whose last selected consumer is
+      // this entry — AFTER all repeats, so a repeat never rebuilds.
+      releaseAfter.getOrElse(name, Nil)
+        .foreach(Queries.releaseShared(_, spark, sfDir))
+      settle()
+      telemetry += name -> Telemetry(entryStart, loadAtStart,
+        (mShRead.get - sh0._1) / 1048576.0,
+        (mShWrite.get - sh0._2) / 1048576.0,
+        (mSpill.get - sh0._3) / 1048576.0,
+        mStages.get - st0,
+        storageBytes() / 1048576.0)
       name -> best
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
+
+    // Outlier re-run pass (VERDICT r12 ask #1): three of the last four
+    // rounds the driver's single-shot artifact carried a transient
+    // contention window (r12: a contiguous alphabetical block inflated
+    // 4-34x on unchanged code, ~140 s of excess = a 25% error bar on
+    // the grading instrument). Any entry whose first-shot time exceeds
+    // max(3 s, 5x the roster median) is re-run ONCE at the end, warm,
+    // and BOTH numbers are recorded — first-shot stays the contract
+    // total (attribution-faithful), the re-run lets the artifact
+    // defend itself: re-run << first-shot labels the window as weather
+    // without a forensic session. Conservative by construction: a
+    // re-run of an entry whose shared materializations were released
+    // above pays the rebuild, so it can only OVERSTATE the honest
+    // cost — it never falsely cries weather. Capped at 30 entries by
+    // descending time; disable with SPARK_GRAFT_RERUN=0.
+    val rerunEnabled = sys.env.get("SPARK_GRAFT_RERUN").forall(_ != "0")
+    var reruns = Map.empty[String, Double]
+    if (rerunEnabled && ok.nonEmpty) {
+      val times = ok.map(_._2).sorted
+      val median = times(times.size / 2)
+      val threshold = math.max(3.0, 5.0 * median)
+      val outliers = ok.filter(_._2 > threshold)
+        .sortBy(-_._2).take(30).map(_._1).toSet
+      val byName = selected.toMap
+      ok.filter { case (n, _) => outliers(n) }.foreach { case (name, first) =>
+        val t0 = System.nanoTime()
+        try {
+          byName(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          reruns += name -> t
+          System.err.println(
+            f"[bench] rerun $name: first=$first%.2f s rerun=$t%.2f s")
+        } catch { case e: Throwable => System.err.println(
+          s"[bench] $name rerun failed (first-shot stands): ${e.getMessage}") }
+        releaseAfter.getOrElse(name, Nil)
+          .foreach(Queries.releaseShared(_, spark, sfDir))
+      }
+    }
+    Queries.releaseAllShared(spark, sfDir)
+
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val plansJson = plans.toSeq.sortBy(_._1).map { case (k, (n, l, x)) =>
-      s"\"$k\":{\"nodes\":$n,\"leaves\":$l,\"exchanges\":$x}"
+    val plansJson = plans.toSeq.sortBy(_._1).map { case (k, (n, l, x, ru)) =>
+      s"\"$k\":{\"nodes\":$n,\"leaves\":$l,\"exchanges\":$x,\"reused\":$ru}"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val telJson = telemetry.toSeq.sortBy(_._1).map { case (k, t) =>
+      s"\"$k\":{\"t_start\":${f2(t.tStart)},\"load1\":${f2(t.load1)}," +
+        s"\"sh_read_mb\":${f2(t.shReadMb)},\"sh_write_mb\":${f2(t.shWriteMb)}," +
+        s"\"spill_mb\":${f2(t.spillMb)},\"stages\":${t.stages}," +
+        s"\"storage_mb\":${f2(t.storageMb)}}"
+    }.mkString("{", ",", "}")
+    val rerunJson = reruns.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
-    // The full line above is the contract, but at 159 entries it runs
+    // The full line above is the contract, but at 251 entries it runs
     // several KB — longer than a log tail-capture window, so a parser
     // reading the END of the process output sees a truncated (headless)
     // line. Two machine-first artifacts fix that: the full JSON is
@@ -154,7 +327,7 @@ object Bench {
     // Distinct metric name: a consumer selecting lines by
     // "metric":"total" must match ONLY the full contract line above,
     // not this short tail-window-safe duplicate.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${ok.size},"n_rerun":${reruns.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -3686,9 +3686,12 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       classifierCache.filterInPlace { case ((sess, _), _) =>
         !sess.sparkContext.isStopped
       }
+      // materialize = true: the function persists + eagerly computes
+      // the skinny scored table and frees its corpus-wide feature
+      // blocks, so this cache owns exactly ONE persisted frame.
       classifierCache.getOrElseUpdate((s, d),
-        graft.ops.MlPipeline.qualityClassifier(docs(s, d), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.ops.MlPipeline.qualityClassifier(docs(s, d), "doc_id", "text",
+          materialize = true))
     }
 
   // The exploded (id, shingle) table feeding BOTH the near-dup pair
@@ -3752,6 +3755,81 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
           jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+
+  // ---- Shared-materialization lifecycle (VERDICT r12 ask #2) ----
+  //
+  // Every cache above persists executor storage at first consumption
+  // and, before this API, released it only when the ContextCleaner
+  // GC'd the dropped handle — at 251 entries in one JVM that is latent
+  // pressure, and on a multi-tenant cluster it is leaked executor
+  // storage. The catalog knows each resource's consumer set
+  // statically, so a runner can release a resource deterministically
+  // after its LAST selected consumer. Driver-side model caches (no
+  // executor storage) and on-disk bucketed tables are out of scope —
+  // only block-manager storage is managed here.
+
+  /** Consumer entries per shared resource — TRANSITIVE: a resource
+    * used to BUILD another cached resource also lists the downstream
+    * consumers (shingles feed pairs feed components; baskets feed
+    * edges), so releasing after the last listed entry can never force
+    * an upstream rebuild regardless of which consumer ran first. */
+  val sharedConsumers: Map[String, Set[String]] = {
+    val edges = Set("q_bfs_hops", "q_graph_assort", "q_hits",
+      "q_kcore_peel", "q_pagerank", "q_triangle_count")
+    val baskets = Set("q_bfs_hops", "q_item_cf", "q_triangle_count") ++ edges
+    val cc = Set("q_dedup_cluster_sizes", "q_dedup_components",
+      "q_dedup_keep_best", "q_leakage_split")
+    val pairs = Set("q_cc_star", "q_minhash_accuracy", "q_minhash_err_md5",
+      "q_modularity", "q_ngram_jaccard") ++ cc
+    val shingles = Set("q_containment", "q_decontaminate",
+      "q_jaccard_prefix", "q_minhash_accuracy", "q_minhash_err_md5",
+      "q_minhash_lsh_md5") ++ pairs
+    Map(
+      "cooc_baskets" -> baskets,
+      "cooc_edges" -> edges,
+      "dedup_pairs" -> pairs,
+      "doc_shingles" -> shingles,
+      "dedup_cc" -> cc,
+      "doc_spans" -> Set("q_span_dedup", "q_span_dup_stats"),
+      "classifier_scores" -> Set("q_classifier_gate", "q_quality_classifier"),
+      "sketch_refs" -> Set("q_sketch_accuracy", "q_sketch_bounds"))
+  }
+
+  private def dropCache(
+      cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String): Unit = cache.synchronized {
+    cache.remove((s, d)).foreach { df =>
+      // Blocking unpersist: a caller snapshotting storage telemetry
+      // right after must see the blocks gone, not eventually-gone.
+      if (!s.sparkContext.isStopped) df.unpersist(blocking = true)
+    }
+  }
+
+  /** Release one shared resource for (session, dir): unpersist its
+    * blocks and drop the cache entry so a later consumer would rebuild
+    * from scratch. Safe to call for an absent resource. */
+  def releaseShared(resource: String, s: SparkSession, d: String): Unit =
+    resource match {
+      case "cooc_baskets"      => dropCache(osCache, s, d)
+      case "cooc_edges"        => dropCache(edgeCache, s, d)
+      case "dedup_pairs"       => dropCache(pairsCache, s, d)
+      case "doc_shingles"      => dropCache(shingleCache, s, d)
+      case "dedup_cc"          => dropCache(ccCache, s, d)
+      case "doc_spans"         => dropCache(spanCache, s, d)
+      case "classifier_scores" => dropCache(classifierCache, s, d)
+      // Driver-side scalars, no executor storage — map removal only.
+      case "sketch_refs" => sketchCache.synchronized {
+        sketchCache.remove((s, d)); ()
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown shared resource '$other' — known: " +
+          sharedConsumers.keys.toSeq.sorted.mkString(", "))
+    }
+
+  /** Release every shared resource for (session, dir) — the
+    * end-of-roster call for runners without per-entry ordering. */
+  def releaseAllShared(s: SparkSession, d: String): Unit =
+    sharedConsumers.keys.foreach(releaseShared(_, s, d))
 
   val docEntries: Seq[Entry] = Seq(
     Entry("q_dedup_stats",

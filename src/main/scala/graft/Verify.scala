@@ -27,13 +27,26 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
+    // Alphabetical like Bench (a Map's iteration order is arbitrary):
+    // deterministic run order is what lets the last-consumer release
+    // schedule below free each shared materialization's executor
+    // storage as soon as its final selected consumer has written.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(e => keep(e._1))
+    val releaseAfter: Map[String, Seq[String]] =
+      Queries.sharedConsumers.toSeq.flatMap { case (res, consumers) =>
+        selected.map(_._1).filter(consumers).lastOption.map(_ -> res)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      releaseAfter.getOrElse(name, Nil)
+        .foreach(Queries.releaseShared(_, spark, sfDir))
     }
+    Queries.releaseAllShared(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

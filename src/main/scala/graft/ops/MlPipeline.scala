@@ -65,7 +65,7 @@ object MlPipeline {
     * exercising the identical fit/score plumbing.
     */
   def qualityClassifier(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, materialize: Boolean = false): DataFrame = {
     val signals = TextOps.qualityScores(col(textCol))
       .map { case (n, c) => c.as(n) }
     val featured = df.select(col(idCol) +: signals: _*)
@@ -128,13 +128,22 @@ object MlPipeline {
         round(col("p_keep"), 4).as("p_keep"),
         when(col("p_keep") > 0.5, 1.0).otherwise(0.0).as("model_keep"))
       .orderBy(idCol)
-    // `prepared` stays persisted under the returned (lazy) frame: the
-    // result remains recomputable after executor loss — an eager
+    // Lazy path: `prepared` stays persisted under the returned frame
+    // (the result remains recomputable after executor loss — an eager
     // localCheckpoint would truncate lineage onto non-replicated
-    // executor-local blocks. The cache is dropped when the blocks age
-    // out or the session ends; callers needing tighter control can
-    // materialize and unpersist themselves.
-    out
+    // executor-local blocks), released only via block age-out.
+    // `materialize = true` instead persists the (id + 3 scalars)
+    // scored table, computes it eagerly, and frees the corpus-wide
+    // `prepared` feature blocks immediately — the shape a shared
+    // score cache wants: only the skinny consumer-facing frame holds
+    // executor storage after the first consumer (VERDICT r12 ask #2).
+    if (!materialize) out
+    else {
+      val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("score+persist")(res.count())
+      prepared.unpersist()
+      res
+    }
   }
 
   /** MLlib MinHashLSH near-dup candidates over binarized term vectors —

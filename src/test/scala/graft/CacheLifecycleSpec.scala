@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Last-consumer lifecycle for the shared (session, dir)
+  * materializations (VERDICT r12 ask #2): before `releaseShared`,
+  * every cache in Queries persisted executor storage at first
+  * consumption and freed it only via ContextCleaner GC — latent
+  * pressure at 251 entries in one JVM, leaked executor storage on a
+  * multi-tenant cluster. These tests pin the new contract: after a
+  * multi-consumer run plus its releases, the block manager holds ZERO
+  * graft-owned persisted RDDs, and a released resource is rebuilt
+  * (not resurrected) by a later consumer.
+  */
+class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def persistedCount(): Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("two-consumer shingle/pair run releases to zero persisted RDDs") {
+    assert(persistedCount() === 0, "test assumes a clean block manager")
+    // Two consumers of the shingle→pair chain: the pair report (returns
+    // the cached pair frame) and decontaminate (reads shingles twice).
+    SparkEntry.queries("q_ngram_jaccard")(spark, dir).count()
+    SparkEntry.queries("q_decontaminate")(spark, dir).count()
+    assert(persistedCount() > 0,
+      "expected shared shingle/pair materializations to be persisted")
+    Queries.releaseShared("dedup_pairs", spark, dir)
+    Queries.releaseShared("doc_shingles", spark, dir)
+    assert(persistedCount() === 0,
+      "released shingle/pair caches must leave zero persisted RDDs")
+  }
+
+  test("classifier release frees both the scores and the feature frame") {
+    assert(persistedCount() === 0)
+    // materialize = true in the cache builder means the corpus-wide
+    // feature frame is freed at build time; only the skinny scored
+    // table may hold storage here.
+    SparkEntry.queries("q_quality_classifier")(spark, dir).count()
+    assert(persistedCount() === 1,
+      "exactly the scored table should be persisted (the feature " +
+        s"frame is freed at materialization), saw ${persistedCount()}")
+    Queries.releaseShared("classifier_scores", spark, dir)
+    assert(persistedCount() === 0)
+  }
+
+  test("released resource is rebuilt by a later consumer, not resurrected") {
+    assert(persistedCount() === 0)
+    val before = SparkEntry.queries("q_ngram_jaccard")(spark, dir).count()
+    Queries.releaseShared("dedup_pairs", spark, dir)
+    Queries.releaseShared("doc_shingles", spark, dir)
+    // A post-release consumer must re-materialize and still answer.
+    val after = SparkEntry.queries("q_ngram_jaccard")(spark, dir).count()
+    assert(after === before)
+    Queries.releaseAllShared(spark, dir)
+    assert(persistedCount() === 0)
+  }
+
+  test("releaseAllShared covers every declared resource and is idempotent") {
+    Queries.sharedConsumers.keys.foreach { r =>
+      // Must not throw for absent resources (nothing consumed here).
+      Queries.releaseShared(r, spark, dir)
+      Queries.releaseShared(r, spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Queries.releaseShared("no_such_resource", spark, dir)
+    }
+  }
+
+  test("every sharedConsumers entry names real catalog entries") {
+    val known = SparkEntry.queries.keySet
+    Queries.sharedConsumers.foreach { case (res, consumers) =>
+      val missing = consumers -- known
+      assert(missing.isEmpty,
+        s"resource $res lists unknown entries: ${missing.mkString(", ")}")
+    }
+  }
+}

@@ -290,14 +290,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The bench's plan telemetry must SEE the blowup (the
     // bench_summary.json "plans" line exists to catch exactly this
     // before it costs 78 s in a driver bench)...
-    val (naiveNodes, naiveLeavesM, _) = Bench.planMetrics(naive)
+    val (naiveNodes, naiveLeavesM, _, _) = Bench.planMetrics(naive)
     assert(naiveLeavesM > 50 && naiveNodes > 100,
       s"planMetrics missed the blowup: nodes=$naiveNodes leaves=$naiveLeavesM")
     // The truncated loop: exactly one leaf (the round-3 checkpoint).
     val fixed = graft.ops.Iterate.iterate(base, 3)(step)
     assert(analyzedLeaves(fixed).size == 1,
       "iterate() failed to truncate lineage")
-    val (fixedNodes, fixedLeaves, _) = Bench.planMetrics(fixed)
+    val (fixedNodes, fixedLeaves, _, _) = Bench.planMetrics(fixed)
     assert(fixedLeaves == 1 && fixedNodes < 20,
       s"telemetry on the truncated loop: nodes=$fixedNodes leaves=$fixedLeaves")
     // And the two compute the same edge set.

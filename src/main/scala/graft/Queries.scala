@@ -3013,7 +3013,19 @@ GROUP BY 1 ORDER BY event_type""")),
     Entry("q_kcore_peel",
       (s, d) => {
         val e0 = coocEdges(s, d)
-        val edges = graft.ops.Iterate.iterate(e0, 4) { cur =>
+        // GRAFT_RELIABLE_ITERATE=N routes this loop through reliable
+        // checkpoints every N rounds (durable-snapshot posture for
+        // multi-hour cluster runs; needs sc.setCheckpointDir) — the
+        // audit knob for measuring the local-vs-reliable cost delta
+        // on a real graph entry. Unset = the fast local default.
+        val reliableEvery = sys.env.get("GRAFT_RELIABLE_ITERATE")
+          .map(_.trim.toInt).getOrElse(0)
+        if (reliableEvery > 0 &&
+            s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(
+            System.getProperty("java.io.tmpdir") + "/graft_reliable_ckpt")
+        val edges = graft.ops.Iterate.iterate(e0, 4,
+          reliableEvery = reliableEvery) { cur =>
           val keep = cur.select(col("u").as("n"))
             .unionByName(cur.select(col("v").as("n")))
             .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -6548,93 +6548,41 @@ ORDER BY mode""")),
     // lineitem innermost. Both orders require()-pinned; both answers
     // hash-gated.
     Entry("q_join_reorder_selectivity",
-      (s, d) => {
-        import s.implicits._
-        import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
-        val (model, meta) = lineitemModel(s, d)
-        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
-          shortcircuit = true)
-        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
-        val savedRegistry = graft.plans.GraftRuntime.snapshot()
-        val savedEnabled =
-          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
-        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
-        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
-        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
-        val nOrders = Tables.read(s, d, "orders").count()
-        val nCust = Tables.read(s, d, "customer").count()
-        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
-          modelCols.toSet ++ Set("l_orderkey"),
-          preds => ps.query(preds.filter(p => modelCols.contains(p.col))))
-        graft.plans.GraftRuntime.register(s"$d/orders.parquet",
-          Set("o_custkey"), _ => nOrders)
-        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
-          Set("c_custkey"), _ => nCust)
-        def joined(narrow: Boolean) = {
-          val c = Tables.read(s, d, "customer")
-            .filter(col("c_custkey") >= 0L)
-            .select(col("c_custkey"), col("c_mktsegment"))
-          val o = Tables.read(s, d, "orders")
-            .filter(col("o_custkey") >= 0L)
-            .select(col("o_orderkey"), col("o_custkey"))
-          val liF = s.read.parquet(s"$d/lineitem.parquet")
-            .filter(if (narrow)
-              col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
-                col("l_returnflag") === "R"
-            else col("l_quantity") <= 50.0)
-            .select(col("l_orderkey"), col("l_quantity"))
-          c.join(o, c("c_custkey") === o("o_custkey"))
-            .join(liF, o("o_orderkey") === liF("l_orderkey"))
-            .agg(count(lit(1)).as("n_rows"),
-              sum(col("l_quantity")).cast("long").as("qty_sum"))
-        }
-        def innermost(df: org.apache.spark.sql.DataFrame): String = {
-          val joins = df.queryExecution.optimizedPlan
-            .collect { case j: LJoin => j }
-          val inner = joins.find(_.children.forall(
-            _.collect { case jj: LJoin => jj }.isEmpty))
-          val attrs = inner.map(_.output.map(_.name).toSet)
-            .getOrElse(Set.empty)
-          if (attrs.exists(_.startsWith("l_"))) "lineitem_first"
-          else if (attrs.contains("c_custkey")) "customer_first"
-          else "unknown"
-        }
-        try {
-          s.conf.set("spark.sql.adaptive.enabled", "false")
-          s.conf.set("spark.sql.cbo.enabled", "true")
-          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
-          val wide = joined(narrow = false)
-          val wideOrder = innermost(wide)
-          val Array(wideRow) = wide.collect()
-          val nar = joined(narrow = true)
-          val narOrder = innermost(nar)
-          val Array(narRow) = nar.collect()
-          require(wideOrder == "customer_first" &&
-              narOrder == "lineitem_first",
-            "predicate selectivity did not decide the join order: " +
-              s"wide=$wideOrder narrow=$narOrder (same catalog, same " +
-              "stats rule, only the lineitem band differs)")
-          Seq(
-            ("narrow_band", narOrder, narRow.getLong(0),
-              narRow.getLong(1)),
-            ("wide_band", wideOrder, wideRow.getLong(0),
-              wideRow.getLong(1)))
-            .toDF("mode", "inner_join", "n_rows", "qty_sum")
-            .orderBy("mode")
-        } finally {
-          savedEnabled match {
-            case Some(v) =>
-              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
-            case None =>
-              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
-          }
-          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
-          s.conf.set("spark.sql.cbo.enabled", savedCbo)
-          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
-          graft.plans.GraftRuntime.restore(savedRegistry)
-        }
-      },
+      (s, d) => joinReorderBySelectivity(s, d, aqeOn = false),
+      Some("""WITH nar AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0
+    AND l.l_quantity <= 1.0 AND l.l_discount <= 0.0
+    AND l.l_returnflag = 'R'),
+wid AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey >= 0 AND o.o_custkey >= 0
+    AND l.l_quantity <= 50.0)
+SELECT 'narrow_band' AS mode, 'lineitem_first' AS inner_join,
+  n_rows, qty_sum FROM nar
+UNION ALL
+SELECT 'wide_band', 'customer_first', n_rows, qty_sum FROM wid
+ORDER BY mode""")),
+    // The same flip under AQE ON (VERDICT r12 ask #7): production
+    // Spark runs adaptive execution, and the question the AQE-off
+    // capstone leaves open is whether the estimator's stats survive
+    // into the runtime re-optimization. They do, by construction:
+    // CostBasedJoinReorder is a plan-time logical rule, and AQE's
+    // re-optimizer (join-strategy switch, partition coalescing, skew
+    // split) replans PHYSICAL choices from observed stage sizes —
+    // runtime truth supersedes the estimate exactly where it should —
+    // without ever revisiting the logical join order. Both orders and
+    // adaptive completion are require()-pinned; answers hash-gated.
+    Entry("q_join_reorder_aqe",
+      (s, d) => joinReorderBySelectivity(s, d, aqeOn = true),
       Some("""WITH nar AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
     CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum
@@ -7941,4 +7889,111 @@ FROM r ORDER BY stratum"""))
     }
     m
   }
+
+    // ---- Shared driver for the selectivity-reorder capstones ----
+    // (q_join_reorder_selectivity, q_join_reorder_aqe): both runs share
+    // ONE catalog and ONE stats rule; only lineitem's filter band
+    // differs, so Catalyst's DP reorder flips purely on the learned
+    // conditional estimate. aqeOn=true is the production posture.
+    private def joinReorderBySelectivity(s: SparkSession, d: String,
+        aqeOn: Boolean): DataFrame = {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+        val nOrders = Tables.read(s, d, "orders").count()
+        val nCust = Tables.read(s, d, "customer").count()
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet ++ Set("l_orderkey"),
+          preds => ps.query(preds.filter(p => modelCols.contains(p.col))))
+        graft.plans.GraftRuntime.register(s"$d/orders.parquet",
+          Set("o_custkey"), _ => nOrders)
+        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
+          Set("c_custkey"), _ => nCust)
+        def joined(narrow: Boolean) = {
+          val c = Tables.read(s, d, "customer")
+            .filter(col("c_custkey") >= 0L)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val o = Tables.read(s, d, "orders")
+            .filter(col("o_custkey") >= 0L)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(if (narrow)
+              col("l_quantity") <= 1.0 && col("l_discount") <= 0.0 &&
+                col("l_returnflag") === "R"
+            else col("l_quantity") <= 50.0)
+            .select(col("l_orderkey"), col("l_quantity"))
+          c.join(o, c("c_custkey") === o("o_custkey"))
+            .join(liF, o("o_orderkey") === liF("l_orderkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast("long").as("qty_sum"))
+        }
+        def innermost(df: org.apache.spark.sql.DataFrame): String = {
+          val joins = df.queryExecution.optimizedPlan
+            .collect { case j: LJoin => j }
+          val inner = joins.find(_.children.forall(
+            _.collect { case jj: LJoin => jj }.isEmpty))
+          val attrs = inner.map(_.output.map(_.name).toSet)
+            .getOrElse(Set.empty)
+          if (attrs.exists(_.startsWith("l_"))) "lineitem_first"
+          else if (attrs.contains("c_custkey")) "customer_first"
+          else "unknown"
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", aqeOn.toString)
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val wide = joined(narrow = false)
+          val wideOrder = innermost(wide)
+          val Array(wideRow) = wide.collect()
+          val nar = joined(narrow = true)
+          val narOrder = innermost(nar)
+          val Array(narRow) = nar.collect()
+          // Production-posture pin (r12 ask #7): when AQE is on, both
+          // queries must have actually gone through adaptive execution
+          // (isFinalPlan=true) with the estimator-decided logical order
+          // still in force — AQE replans join STRATEGY and partition
+          // counts from observed stage sizes (where runtime truth
+          // rightly supersedes estimates) but never re-runs
+          // CostBasedJoinReorder, so the ORDER survives.
+          if (aqeOn) Seq("wide" -> wide, "narrow" -> nar).foreach {
+            case (tag, df) => require(
+              df.queryExecution.executedPlan.toString
+                .contains("isFinalPlan=true"),
+              s"$tag query did not finish adaptive execution")
+          }
+          require(wideOrder == "customer_first" &&
+              narOrder == "lineitem_first",
+            "predicate selectivity did not decide the join order: " +
+              s"wide=$wideOrder narrow=$narOrder (same catalog, same " +
+              "stats rule, only the lineitem band differs)")
+          Seq(
+            ("narrow_band", narOrder, narRow.getLong(0),
+              narRow.getLong(1)),
+            ("wide_band", wideOrder, wideRow.getLong(0),
+              wideRow.getLong(1)))
+            .toDF("mode", "inner_join", "n_rows", "qty_sum")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+    }
 }

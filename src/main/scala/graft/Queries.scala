@@ -4991,6 +4991,36 @@ WHERE rn <= 3 ORDER BY c_nationkey, rank""")),
     regexp_split_to_array(coalesce(text, ''), '\s+')), x -> x <> ''))
     AS BIGINT) AS n_exact_terms,
   true AS ok FROM documents ORDER BY doc_id""")),
+    // Exact-integer df/tf census beside the float TF-IDF stats
+    // (closing an r12 rows-only-tail ask): per lowercased whitespace
+    // term — mirroring MLlib's Tokenizer normalization — the document
+    // frequency (the IDF sufficient statistic) and total term
+    // frequency, top-100 by (df, tf, term). Pure integer counts, so
+    // the census that DRIVES the rows-only TF-IDF weights is itself
+    // under the oracle. One explode feeds one (term, doc) distinct
+    // aggregation; the ranked prefix runs as TakeOrdered — the
+    // vocabulary-census shape that scales to any corpus.
+    Entry("q_tfidf_census",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("term"))
+        .limit(100),
+      Some("""WITH toks AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        FROM documents),
+  LATERAL (SELECT unnest(arr) AS term) u
+  WHERE u.term <> '')
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+  CAST(count(*) AS BIGINT) AS tf
+FROM toks GROUP BY term
+ORDER BY df DESC, tf DESC, term LIMIT 100""")),
     // Model-based quality filter (LR over the quality signals, weak
     // labels from the Gopher thresholds): the classifier step of a
     // GPT-3/CCNet-style pipeline. rows-only (LBFGS float accumulation
@@ -6045,6 +6075,62 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
         }
       },
       None),
+    // Guarantee-gate twin of q_approx_count (the q_sketch_bounds
+    // precedent, closing an r12 rows-only-tail ask): the AQP rewrite's
+    // answer is model-based and stays rows-only, but its CONTRACT —
+    // the learned estimate within a fixed q-error band of the exact
+    // count — is exact arithmetic both engines check. Same model, same
+    // W1 conjunction, same optimizer-rule path (the LocalRelation
+    // require() is kept, so this gates the END-TO-END AQP answer, not
+    // a direct model probe); exact_ref is the full-scan count. Band:
+    // q-error <= 2.0 — measured <= 1.15 at all three test SFs for the
+    // MADE family on W1; 2.0 is the scale-robust contract and matches
+    // the reference's own acceptance currency (q-error quantiles).
+    Entry("q_approx_count_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        // Exact reference BEFORE the rewrite is enabled: the AQP rule
+        // matches count(*)-over-registered-path-with-registered-
+        // conjuncts, which is exactly what the reference query is —
+        // computed inside the enabled window it would be silently
+        // answered by the model and the gate would compare the
+        // estimate against itself (caught by the sf0.01 oracle run).
+        val exact = Exact.oracle(li(s, d), W1).head().getLong(0)
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          s.read.parquet(s"$d/lineitem.parquet")
+            .createOrReplaceTempView("graft_aqp_lineitem")
+          val df = s.sql(
+            "SELECT count(*) AS est_card FROM graft_aqp_lineitem WHERE " +
+              "l_quantity <= 24.0 AND l_discount >= 0.05 AND l_returnflag = 'R'")
+          require(df.queryExecution.optimizedPlan.toString.trim
+              .startsWith("LocalRelation"),
+            "AQP rewrite did not fire")
+          val est = math.max(df.collect()(0).getLong(0), 1L)
+          val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+          Seq(("approx_count_qerror", exact, qerr <= 2.0))
+            .toDF("metric", "exact_ref", "ok")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'approx_count_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_quantity <= 24.0 AND l_discount >= 0.05 AND l_returnflag = 'R'""")),
     // Estimator-driven JOIN PLANNING — the second half of the
     // optimizer-integration north star (the COUNT(*) rewrite above
     // ANSWERS from the model; this lets the model STEER the planner):

@@ -263,12 +263,16 @@ object Bench {
     // max(3 s, 5x the roster median) is re-run ONCE at the end, warm,
     // and BOTH numbers are recorded — first-shot stays the contract
     // total (attribution-faithful), the re-run lets the artifact
-    // defend itself: re-run << first-shot labels the window as weather
-    // without a forensic session. Conservative by construction: a
-    // re-run of an entry whose shared materializations were released
-    // above pays the rebuild, so it can only OVERSTATE the honest
-    // cost — it never falsely cries weather. Capped at 30 entries by
-    // descending time; disable with SPARK_GRAFT_RERUN=0.
+    // defend itself. READ THE RE-RUN AS A FLOOR, not a verdict: for
+    // pure-compute entries (the r12 window was all pure-compute),
+    // re-run << first-shot labels the window as weather; for entries
+    // whose first shot ran a streaming replay, trained a session-
+    // cached model, or built a since-released shared materialization,
+    // the re-run reads a cache (or re-pays a rebuild) and bounds the
+    // honest cost from below (or above) without settling it — the
+    // per-entry t_start/load1 telemetry carries the weather signal
+    // for those. Capped at 30 entries by descending time; disable
+    // with SPARK_GRAFT_RERUN=0.
     val rerunEnabled = sys.env.get("SPARK_GRAFT_RERUN").forall(_ != "0")
     var reruns = Map.empty[String, Double]
     if (rerunEnabled && ok.nonEmpty) {
@@ -294,6 +298,15 @@ object Bench {
       }
     }
     Queries.releaseAllShared(spark, sfDir)
+    // End-of-roster storage proof: Iterate's localCheckpoint blocks
+    // free when their Datasets become unreachable, which needs a GC
+    // cycle before the ContextCleaner acts — storage_end_mb near zero
+    // is the lifecycle contract (ask #2) made checkable from the
+    // artifact alone.
+    System.gc()
+    Thread.sleep(500)
+    settle()
+    val storageEndMb = storageBytes() / 1048576.0
 
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -311,7 +324,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val rerunJson = reruns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"storage_end_mb":${f2(storageEndMb)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 251 entries it runs
     // several KB — longer than a log tail-capture window, so a parser

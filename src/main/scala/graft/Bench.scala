@@ -19,37 +19,51 @@ object Bench {
     * the static count is an upper bound and a stable regression
     * signal). */
   def planMetrics(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     val opt = df.queryExecution.optimizedPlan
     val nodes = opt.collect { case p => p }.size
     val leaves = opt.collectLeaves().size
-    // InMemoryRelation REPRINTS its full build plan (exchanges and
-    // all) under every InMemoryTableScan that references it, but those
-    // lines execute at most once at cache build — r12's telemetry
-    // counted them per reference and read q_triangle_count as "43
-    // exchanges" when the executed tree has single digits (the r12
-    // VERDICT's ask #3 forensic). Skip every line nested under an
-    // InMemoryRelation header (tree-prefix depth strictly greater)
-    // before counting.
-    def prefixLen(l: String): Int =
-      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
-    val kept = new StringBuilder
-    var skipDepth = -1
-    df.queryExecution.executedPlan.toString.split('\n').foreach { l =>
-      val p = prefixLen(l)
-      if (skipDepth >= 0 && p <= skipDepth) skipDepth = -1
-      if (skipDepth < 0) {
-        if (l.drop(p).startsWith("InMemoryRelation")) skipDepth = p
-        else kept.append(l).append('\n')
+    // Exchanges counted by WALKING the physical plan tree, not by
+    // parsing its toString (r13 did; ADVICE r13 #4 — the hand-rolled
+    // indentation parser was coupled to Spark's plan-string format and
+    // still over-read iterative consumers). Three structural rules:
+    //  * identity-dedup (the `seen` set): a plan is a DAG printed as a
+    //    tree — the SAME exchange object referenced from N subtrees is
+    //    one shuffle, which is what collapsed q_modularity's r13 "256
+    //    static exchanges" illusion vs its 19 executed stages
+    //    (VERDICT r13 ask #5);
+    //  * ReusedExchangeExec counts as reuse and is not descended (its
+    //    child IS the original exchange, counted at its own site);
+    //  * InMemoryTableScanExec is a boundary — the cached build plan
+    //    executes at most once at cache build, not per consumer, and
+    //    its cost is attributed by the runtime `stages` counter and
+    //    (r14) the `_build_<resource>` roster lines.
+    // AQE wrappers (AdaptiveSparkPlanExec is a leaf node; query stages
+    // hold their plan as a field) and expression subqueries are walked
+    // explicitly, both invisible to a naive children-traversal.
+    // BroadcastExchange is deliberately NOT counted (every prior
+    // round's artifact tracked SHUFFLE exchanges only).
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean])
+    var real = 0
+    var reused = 0
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: ReusedExchangeExec => reused += 1
+        case _: InMemoryTableScanExec => ()
+        case e: ShuffleExchangeLike =>
+          real += 1
+          e.children.foreach(walk)
+        case _ => p.children.foreach(walk)
       }
+      p.subqueries.foreach(walk)
     }
-    val planStr = kept.toString
-    // \bExchange\b cannot match inside ReusedExchange ('d'→'E' is not
-    // a word boundary), so the two counts are disjoint by construction;
-    // BroadcastExchange is likewise a distinct token and deliberately
-    // NOT counted (consistent with every prior round's artifact — the
-    // signal tracks SHUFFLE exchanges).
-    val reused = "\\bReusedExchange\\b".r.findAllMatchIn(planStr).size
-    val real = "\\bExchange\\b".r.findAllMatchIn(planStr).size
+    walk(df.queryExecution.executedPlan)
     (nodes, leaves, real, reused)
   }
 
@@ -203,9 +217,44 @@ object Bench {
       .map(_.trim.toInt).getOrElse(1).max(1)
     var plans = Map.empty[String, (Int, Int, Int, Int)]
     var telemetry = Map.empty[String, Telemetry]
+    // Shared-build attribution (VERDICT r13 ask #8): when an entry is
+    // the FIRST consumer of a shared resource, the build is run — and
+    // timed — as its own `_build_<resource>` roster line before the
+    // entry's clock starts, so per-entry times are attribution-clean
+    // (r13 charged q_cc_star the ~20 s pair-chain build its siblings
+    // then read warm). Build lines carry their own telemetry row; a
+    // build failure falls through to the consumer, which rebuilds
+    // inline and reports the failure as its own.
+    var buildTimes = Seq.empty[(String, Double)]
+    def ensureBuildsFor(name: String): Unit =
+      Queries.sharedBuildOrder
+        .filter(r => Queries.sharedConsumers(r)(name) &&
+          !Queries.isSharedBuilt(r, spark, sfDir))
+        .foreach { r =>
+          val bStart = System.currentTimeMillis() / 1000.0
+          val bLoad = load1()
+          val bSh = (mShRead.get, mShWrite.get, mSpill.get)
+          val bSt = mStages.get
+          val t0 = System.nanoTime()
+          try {
+            Queries.ensureShared(r, spark, sfDir)
+            val t = (System.nanoTime() - t0) / 1e9
+            settle()
+            buildTimes :+= (s"_build_$r" -> t)
+            telemetry += s"_build_$r" -> Telemetry(bStart, bLoad,
+              (mShRead.get - bSh._1) / 1048576.0,
+              (mShWrite.get - bSh._2) / 1048576.0,
+              (mSpill.get - bSh._3) / 1048576.0,
+              mStages.get - bSt,
+              storageBytes() / 1048576.0)
+          } catch { case e: Throwable => System.err.println(
+            s"[bench] _build_$r failed (consumer $name rebuilds " +
+              s"inline): ${e.getMessage}") }
+        }
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
+      ensureBuildsFor(name)
       val entryStart = System.currentTimeMillis() / 1000.0
       val loadAtStart = load1()
       val sh0 = (mShRead.get, mShWrite.get, mSpill.get)
@@ -298,19 +347,47 @@ object Bench {
       }
     }
     Queries.releaseAllShared(spark, sfDir)
-    // End-of-roster storage proof: Iterate's localCheckpoint blocks
-    // free when their Datasets become unreachable, which needs a GC
-    // cycle before the ContextCleaner acts — storage_end_mb near zero
-    // is the lifecycle contract (ask #2) made checkable from the
-    // artifact alone.
-    System.gc()
-    Thread.sleep(500)
-    settle()
-    val storageEndMb = storageBytes() / 1048576.0
+    // End-of-roster storage proof: Iterate/Replay localCheckpoint
+    // blocks free when their Datasets become unreachable, which needs
+    // a GC cycle before the ContextCleaner (an async thread) acts —
+    // storage_end_mb near zero is the lifecycle contract (r12 ask #2)
+    // made checkable from the artifact alone. r13 read 12.21 MB off a
+    // SINGLE gc+500ms race with that thread, through no real
+    // regression (VERDICT r13 ask #1) — so the proof now retries
+    // (bounded ~6 s) and, if anything still survives, NAMES it in the
+    // artifact: an intermittent cleaner race converges to zero within
+    // a retry or two, while a genuinely leaked owner shows up as a
+    // stable named residual instead of an anonymous number.
+    var storageEndMb = storageBytes() / 1048576.0
+    var gcTries = 0
+    while (storageEndMb > 0.5 && gcTries < 12) {
+      System.gc()
+      Thread.sleep(500)
+      settle()
+      storageEndMb = storageBytes() / 1048576.0
+      gcTries += 1
+    }
+    @scala.annotation.nowarn("cat=deprecation")
+    def storageSurvivors(): Seq[String] =
+      spark.sparkContext.getRDDStorageInfo.toSeq
+        .sortBy(i => -(i.memSize + i.diskSize)).take(8)
+        .map { i =>
+          val nm = Option(i.name).getOrElse("?")
+            .replaceAll("[^A-Za-z0-9 _.,:#\\[\\]()=\\-]", "_").take(120)
+          s"""{"id":${i.id},"name":"$nm","mb":${
+            "%.2f".formatLocal(java.util.Locale.ROOT,
+              (i.memSize + i.diskSize) / 1048576.0)}}"""
+        }
+    val storageDetailJson =
+      (if (storageEndMb > 0.5) storageSurvivors() else Nil)
+        .mkString("[", ",", "]")
 
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // `_build_<resource>` lines join the per-query map and the total:
+    // the roster's wall-clock is unchanged, only its attribution moves
+    // off the first consumers.
+    val qs = (ok ++ buildTimes).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2).sum + buildTimes.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val plansJson = plans.toSeq.sortBy(_._1).map { case (k, (n, l, x, ru)) =>
       s"\"$k\":{\"nodes\":$n,\"leaves\":$l,\"exchanges\":$x,\"reused\":$ru}"
@@ -324,7 +401,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val rerunJson = reruns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"storage_end_mb":${f2(storageEndMb)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"storage_end_mb":${f2(storageEndMb)},"storage_end_detail":$storageDetailJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 251 entries it runs
     // several KB — longer than a log tail-capture window, so a parser

@@ -3020,10 +3020,21 @@ GROUP BY 1 ORDER BY event_type""")),
         // on a real graph entry. Unset = the fast local default.
         val reliableEvery = sys.env.get("GRAFT_RELIABLE_ITERATE")
           .map(_.trim.toInt).getOrElse(0)
-        if (reliableEvery > 0 &&
-            s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(
-            System.getProperty("java.io.tmpdir") + "/graft_reliable_ckpt")
+        // tmpdir default ONLY under a local master (ADVICE r13 #2):
+        // on a real cluster java.io.tmpdir is executor-local — a
+        // reliable checkpoint written there is unreadable across
+        // executors, and silently defaulting would mask the exact
+        // misconfiguration Iterate.trunc's require() exists to catch.
+        // Non-local masters must set GRAFT_CHECKPOINT_DIR (or call
+        // setCheckpointDir with a durable shared path) explicitly.
+        if (reliableEvery > 0 && s.sparkContext.getCheckpointDir.isEmpty)
+          sys.env.get("GRAFT_CHECKPOINT_DIR") match {
+            case Some(dir) => s.sparkContext.setCheckpointDir(dir)
+            case None if s.sparkContext.isLocal =>
+              s.sparkContext.setCheckpointDir(
+                System.getProperty("java.io.tmpdir") + "/graft_reliable_ckpt")
+            case None => // fall through to Iterate.trunc's require()
+          }
         val edges = graft.ops.Iterate.iterate(e0, 4,
           reliableEvery = reliableEvery) { cur =>
           val keep = cur.select(col("u").as("n"))
@@ -3751,6 +3762,26 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
           maxShingleDf = 100, materialize = true))
     }
 
+  // The materialized containment pair result (tiny: gated directional
+  // pairs), registered like every other persisted frame so the release
+  // schedule — not the ContextCleaner's GC timing — frees it. Before
+  // r14 this was the one catalog path persisting executor blocks
+  // (ngramContainmentPairs' wide pairStats) outside the registry, and
+  // the end-of-roster storage proof depended on a GC+sleep race
+  // (ADVICE r13 #1; the 12.2 MB storage_end residual's named owner).
+  private val containmentCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentCache.synchronized {
+      containmentCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      containmentCache.getOrElseUpdate((s, d),
+        Dedup.ngramContainmentPairs(docShingles(s, d), tauPct = 70,
+          maxShingleDf = 100, materialize = true))
+    }
+
   // Cluster labels over the near-dup pairs, shared by
   // q_dedup_components and q_leakage_split (label propagation runs
   // once per (session, dir); the result is clusters-sized, tiny).
@@ -3804,6 +3835,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       "dedup_cc" -> cc,
       "doc_spans" -> Set("q_span_dedup", "q_span_dup_stats"),
       "classifier_scores" -> Set("q_classifier_gate", "q_quality_classifier"),
+      "containment_pairs" -> Set("q_containment"),
       "sketch_refs" -> Set("q_sketch_accuracy", "q_sketch_bounds"))
   }
 
@@ -3817,9 +3849,78 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     }
   }
 
+  /** Dependency-ordered build schedule over [[sharedConsumers]]'
+    * resources (upstream before downstream: shingles feed pairs feed
+    * components; baskets feed edges), used by Bench's
+    * `_build_<resource>` roster lines (VERDICT r13 ask #8) so a shared
+    * build is charged to its own line instead of to whichever consumer
+    * happens to run first alphabetically. Covers exactly
+    * [[sharedConsumers]]' key set (spec-pinned in CacheLifecycleSpec).
+    */
+  val sharedBuildOrder: Seq[String] = Seq(
+    "doc_shingles", "dedup_pairs", "dedup_cc", "containment_pairs",
+    "doc_spans", "cooc_baskets", "cooc_edges", "classifier_scores",
+    "sketch_refs")
+
+  /** Whether `resource` is already built for (session, dir) — cache
+    * presence only; pair with [[ensureShared]] which also materializes
+    * blocks eagerly. */
+  def isSharedBuilt(resource: String, s: SparkSession, d: String): Boolean =
+    resource match {
+      case "cooc_baskets" => osCache.synchronized(osCache.contains((s, d)))
+      case "cooc_edges" => edgeCache.synchronized(edgeCache.contains((s, d)))
+      case "dedup_pairs" => pairsCache.synchronized(pairsCache.contains((s, d)))
+      case "doc_shingles" =>
+        shingleCache.synchronized(shingleCache.contains((s, d)))
+      case "dedup_cc" => ccCache.synchronized(ccCache.contains((s, d)))
+      case "doc_spans" => spanCache.synchronized(spanCache.contains((s, d)))
+      case "classifier_scores" =>
+        classifierCache.synchronized(classifierCache.contains((s, d)))
+      case "containment_pairs" =>
+        containmentCache.synchronized(containmentCache.contains((s, d)))
+      case "sketch_refs" =>
+        sketchCache.synchronized(sketchCache.contains((s, d)))
+      case other => throw new IllegalArgumentException(
+        s"unknown shared resource '$other' — known: " +
+          sharedConsumers.keys.toSeq.sorted.mkString(", "))
+    }
+
+  /** Force-build one shared resource: insert into its cache AND
+    * materialize its persisted blocks eagerly (the lazily-persisted
+    * frames pay their build at first action — timing cache insertion
+    * alone would charge the first consumer anyway). Idempotent: a
+    * second call re-counts an already-materialized tiny frame. */
+  def ensureShared(resource: String, s: SparkSession, d: String): Unit =
+    resource match {
+      case "cooc_baskets"      => coocBaskets(s, d).count(); ()
+      case "cooc_edges"        => coocEdges(s, d).count(); ()
+      case "dedup_pairs"       => jaccardPairs(s, d).count(); ()
+      case "doc_shingles"      => docShingles(s, d).count(); ()
+      case "dedup_cc"          => dedupComponents(s, d).count(); ()
+      case "doc_spans"         => docSpans(s, d).count(); ()
+      case "classifier_scores" => classifierScores(s, d).count(); ()
+      case "containment_pairs" => containmentPairs(s, d).count(); ()
+      case "sketch_refs"       => sketchRefs(s, d); ()
+      case other => throw new IllegalArgumentException(
+        s"unknown shared resource '$other' — known: " +
+          sharedConsumers.keys.toSeq.sorted.mkString(", "))
+    }
+
   /** Release one shared resource for (session, dir): unpersist its
     * blocks and drop the cache entry so a later consumer would rebuild
-    * from scratch. Safe to call for an absent resource. */
+    * from scratch. Safe to call for an absent resource.
+    *
+    * CONCURRENCY CONTRACT (VERDICT r13 ask #6): the release schedule
+    * assumes a SERIAL runner — both in-repo runners (Bench, Verify)
+    * execute entries one at a time and release a resource only after
+    * its last consumer's action has returned. A parallel runner
+    * calling this while another thread still computes from the handed-
+    * out frame stays CORRECT (unpersist never invalidates results; the
+    * consumer recomputes from lineage) but recompute-stormy; such a
+    * runner must either refcount its own release calls or release only
+    * at end-of-run via [[releaseAllShared]]. The cache maps themselves
+    * are thread-safe (synchronized); it is the release TIMING that is
+    * the serial runner's responsibility. */
   def releaseShared(resource: String, s: SparkSession, d: String): Unit =
     resource match {
       case "cooc_baskets"      => dropCache(osCache, s, d)
@@ -3829,6 +3930,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       case "dedup_cc"          => dropCache(ccCache, s, d)
       case "doc_spans"         => dropCache(spanCache, s, d)
       case "classifier_scores" => dropCache(classifierCache, s, d)
+      case "containment_pairs" => dropCache(containmentCache, s, d)
       // Driver-side scalars, no executor storage — map removal only.
       case "sketch_refs" => sketchCache.synchronized {
         sketchCache.remove((s, d)); ()
@@ -3899,8 +4001,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     // materialization and the posting-list scale shape; the gate is
     // exact-integer (100·inter ≥ 70·n_sub).
     Entry("q_containment",
-      (s, d) => Dedup.ngramContainmentPairs(docShingles(s, d), tauPct = 70,
-        maxShingleDf = 100),
+      (s, d) => containmentPairs(s, d),
       Some(Dedup.ngramContainmentPairsSql("documents", "doc_id", "text", 3,
         tauPct = 70, maxShingleDf = 100))),
     // Sorted-neighborhood (merge/purge) dedup census — the THIRD

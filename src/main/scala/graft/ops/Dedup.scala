@@ -550,7 +550,7 @@ FROM bits ORDER BY id"""
     * of two exact longs, bit-identical cross-engine).
     */
   def ngramContainmentPairs(exploded: DataFrame, tauPct: Int,
-      maxShingleDf: Int): DataFrame = {
+      maxShingleDf: Int, materialize: Boolean = false): DataFrame = {
     graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
     val byShingle = exploded
       .groupBy("shingle")
@@ -570,9 +570,13 @@ FROM bits ORDER BY id"""
     // the expensive pair expansion + count shuffle, and it feeds THREE
     // subtrees below (counts, and inter twice via the dirs union) —
     // without the persist, once-compute relies on exchange reuse only,
-    // which AQE re-planning is free to break. The blocks are released
-    // by ContextCleaner once the result frame is unreachable (same
-    // contract as the non-materialized Jaccard path).
+    // which AQE re-planning is free to break. `materialize = true`
+    // (the catalog's posture) eagerly computes the tiny directional
+    // result, persists IT, and unpersists pairStats before returning —
+    // a lazy caller would otherwise leave the wide pair blocks to the
+    // ContextCleaner's GC schedule, exactly the latent-storage class
+    // the zero-at-roster-end lifecycle contract exists to eliminate
+    // (ADVICE r13 #1; the r13 bench's 12.2 MB storage_end residual).
     val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(sum(col("w")).as("cnt"))
@@ -587,13 +591,20 @@ FROM bits ORDER BY id"""
         col("id_b").as("id_sup"), col("inter"))
       .unionByName(inter.select(col("id_b").as("id_sub"),
         col("id_a").as("id_sup"), col("inter")))
-    dirs
+    val out = dirs
       .join(counts.select(col("id").as("id_sub"), col("n_sh").as("n_sub")),
         "id_sub")
       .filter(col("inter") * 100 >= col("n_sub") * tauPct)
       .select(col("id_sub"), col("id_sup"), col("inter"), col("n_sub"),
         (col("inter").cast("double") / col("n_sub")).as("containment"))
       .orderBy("id_sub", "id_sup")
+    if (!materialize) out
+    else {
+      val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      pairStats.unpersist()
+      res
+    }
   }
 
   /** DuckDB oracle for [[ngramContainmentPairs]] over the same word

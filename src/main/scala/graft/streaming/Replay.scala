@@ -62,21 +62,36 @@ object Replay {
     * event_id-mod rule, q_neardup_stream's ascending-id cap).
     * Sequential writes USUALLY produce ascending mtimes, but nothing
     * guarantees sub-tick separation, so every data file written for
-    * slice i is restamped with a deterministic mtime at fixed 2 s
-    * spacing (coarser than any real filesystem's granularity — FAT's
-    * 2 s being the historical worst case). Returns the updated
+    * slice i is restamped at `anchor + 2 s · slice` (coarser spacing
+    * than any real filesystem's granularity — FAT's 2 s being the
+    * historical worst case). The anchor is the GENERATION time, not a
+    * fixed past epoch (ADVICE r13 #3): FileStreamSource's default
+    * maxFileAge (7 days, relative to the newest file it has seen)
+    * would silently drop slices stamped years in the past the moment
+    * any current-mtime file landed beside them — now-anchored stamps
+    * keep the whole slice set inside the age window of anything a
+    * stray write could introduce. A failed setLastModified degrades to
+    * a warning (natural ns-granularity write mtimes almost always
+    * ascend already; mtime-immutable filesystems must not turn a
+    * working replay into a hard failure). Returns the updated
     * seen-file set so the caller threads it across the loop. */
-  private def stampSliceMtime(dir: String, slice: Int,
+  private def stampSliceMtime(dir: String, slice: Int, anchor: Long,
       before: Set[String]): Set[String] = {
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
     files.filterNot(f => before(f.getName)).foreach { f =>
-      require(f.setLastModified(1600000000000L + slice * 2000L),
-        s"setLastModified failed for $f — slice arrival order unpinned")
+      if (!f.setLastModified(anchor + slice * 2000L))
+        System.err.println(s"[replay] WARN: setLastModified failed for " +
+          s"$f — slice order falls back to natural write mtimes")
     }
     files.map(_.getName).toSet
   }
+
+  /** Generation anchor for [[stampSliceMtime]]: now, rounded down to
+    * the 2 s stamp grid so stamps are stable within a generation. */
+  private def stampAnchor(): Long =
+    (System.currentTimeMillis() / 2000L) * 2000L
 
   /** Materialize the events table as `slices` single-file parquet
     * segments covering contiguous (ts, event_id) ranges, written in
@@ -102,12 +117,13 @@ object Replay {
         row_number().over(Window.orderBy(col("ts"), col("event_id"))))
         .localCheckpoint(true)
       var seen = Set.empty[String]
+      val anchor = stampAnchor()
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
           .drop("__rn").coalesce(1)
           .write.mode("append").parquet(dir)
-        seen = stampSliceMtime(dir, i, seen)
+        seen = stampSliceMtime(dir, i, anchor, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }
@@ -139,12 +155,13 @@ object Replay {
         row_number().over(Window.orderBy(col("doc_id"))))
         .localCheckpoint(true)
       var seen = Set.empty[String]
+      val anchor = stampAnchor()
       for (i <- 0 until slices) {
         sliced
           .filter(floor((col("__rn") - 1) * lit(slices) / lit(n)) === i)
           .drop("__rn").coalesce(1)
           .write.mode("append").parquet(dir)
-        seen = stampSliceMtime(dir, i, seen)
+        seen = stampSliceMtime(dir, i, anchor, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }
@@ -345,11 +362,12 @@ object Replay {
           col("event_type"), col("value"))
         .localCheckpoint(true)
       var seen = Set.empty[String]
+      val anchor = stampAnchor()
       for (i <- 0 until slices) {
         src.filter(pmod(col("event_id"), lit(slices)) === i)
           .coalesce(1)
           .write.mode("append").parquet(dir)
-        seen = stampSliceMtime(dir, i, seen)
+        seen = stampSliceMtime(dir, i, anchor, seen)
       }
       new java.io.FileOutputStream(ready).close()
     }

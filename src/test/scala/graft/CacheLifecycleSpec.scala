@@ -98,4 +98,88 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"resource $res lists unknown entries: ${missing.mkString(", ")}")
     }
   }
+
+  /** RDDs currently holding block-manager storage (mem or disk) — the
+    * same signal Bench's storage_end_mb proof reads. */
+  @scala.annotation.nowarn("cat=deprecation")
+  private def storedRddCount(): Int =
+    spark.sparkContext.getRDDStorageInfo
+      .count(i => i.memSize + i.diskSize > 0)
+
+  /** ContextCleaner frees localCheckpoint blocks asynchronously after
+    * their Datasets become unreachable — bounded GC-retry, mirroring
+    * the r14 Bench end-of-roster proof. */
+  private def gcSettle(maxTries: Int = 25): Int = {
+    var n = storedRddCount()
+    var i = 0
+    while (n > 0 && i < maxTries) {
+      System.gc(); Thread.sleep(200); n = storedRddCount(); i += 1
+    }
+    n
+  }
+
+  test("containment build frees its pairStats; release leaves zero " +
+    "(the r13 storage_end residual's named owner)") {
+    Queries.releaseAllShared(spark, dir)
+    assert(gcSettle() === 0, "test assumes a clean block manager")
+    SparkEntry.queries("q_containment")(spark, dir).count()
+    // materialize = true must leave exactly the registered frames:
+    // the shingle table and the tiny containment result — NOT the
+    // wide pairStats intermediate, which pre-r14 survived unpersist-
+    // less as untracked executor blocks on every invocation
+    // (ADVICE r13 #1).
+    assert(persistedCount() === 2,
+      "expected exactly {doc_shingles, containment_pairs} persisted, " +
+        s"saw ${persistedCount()}")
+    Queries.releaseShared("containment_pairs", spark, dir)
+    Queries.releaseShared("doc_shingles", spark, dir)
+    assert(persistedCount() === 0,
+      "released containment caches must leave zero persisted RDDs")
+  }
+
+  test("Iterate consumer leaves zero stored blocks once released " +
+    "(k-core: localCheckpoint rounds + cooc caches)") {
+    Queries.releaseAllShared(spark, dir)
+    assert(gcSettle() === 0, "test assumes a clean block manager")
+    SparkEntry.queries("q_kcore_peel")(spark, dir).count()
+    Queries.releaseShared("cooc_edges", spark, dir)
+    Queries.releaseShared("cooc_baskets", spark, dir)
+    // The per-round localCheckpoint RDDs are owned by round-local
+    // Datasets: nothing in the catalog may keep them reachable after
+    // the entry's action returns, so a bounded GC-retry must converge
+    // to ZERO stored blocks (the end-of-roster contract the bench
+    // artifact now proves with the same loop).
+    val left = gcSettle()
+    assert(left === 0,
+      s"$left RDDs still hold storage after release+GC — an Iterate " +
+        "round (or the cooc chain) is being kept reachable")
+  }
+
+  test("sharedBuildOrder covers exactly the declared resources and " +
+    "ensureShared/isSharedBuilt round-trip") {
+    assert(Queries.sharedBuildOrder.toSet === Queries.sharedConsumers.keySet,
+      "build order and consumer registry must name the same resources")
+    assert(Queries.sharedBuildOrder.size ===
+      Queries.sharedBuildOrder.distinct.size)
+    // Upstream-before-downstream pins (the transitive chains).
+    def idx(r: String) = Queries.sharedBuildOrder.indexOf(r)
+    assert(idx("doc_shingles") < idx("dedup_pairs"))
+    assert(idx("dedup_pairs") < idx("dedup_cc"))
+    assert(idx("doc_shingles") < idx("containment_pairs"))
+    assert(idx("cooc_baskets") < idx("cooc_edges"))
+    // Round-trip on a cheap resource.
+    Queries.releaseShared("doc_spans", spark, dir)
+    assert(!Queries.isSharedBuilt("doc_spans", spark, dir))
+    Queries.ensureShared("doc_spans", spark, dir)
+    assert(Queries.isSharedBuilt("doc_spans", spark, dir))
+    assert(persistedCount() > 0, "ensureShared must materialize eagerly")
+    Queries.releaseShared("doc_spans", spark, dir)
+    assert(!Queries.isSharedBuilt("doc_spans", spark, dir))
+    assert(persistedCount() === 0)
+    intercept[IllegalArgumentException] {
+      Queries.ensureShared("no_such_resource", spark, dir)
+    }
+    // `_build_<resource>` roster lines must never shadow a real entry.
+    assert(!SparkEntry.queries.keySet.exists(_.startsWith("_build_")))
+  }
 }

@@ -6792,6 +6792,177 @@ SELECT 'narrow_band' AS mode, 'lineitem_first' AS inner_join,
 UNION ALL
 SELECT 'wide_band', 'customer_first', n_rows, qty_sum FROM wid
 ORDER BY mode""")),
+    // The DEMOTE direction under AQE ON (VERDICT r13 ask #7) — the
+    // final cell of the plan-time x runtime matrix. The 100 TB hazard:
+    // size-only statistics after column pruning make a filtered fact
+    // side look broadcastable, and once the planner picks
+    // BroadcastHashJoin, ADAPTIVE EXECUTION CANNOT UNDO IT — the
+    // broadcast stage is the query's first materialization, and AQE's
+    // replanner plans any join over a materialized broadcast stage as
+    // a broadcast join unconditionally (LogicalQueryStageStrategy:
+    // re-introducing shuffles that don't exist is not an option), so
+    // "observed stage sizes" arrive only after every executor has
+    // already inhaled the build side. Run 1 pins exactly that: stats
+    // rule OFF, initial plan = BroadcastHashJoin, isFinalPlan=true,
+    // final plan STILL BroadcastHashJoin. Run 2: the learned estimate
+    // corrects the build-side cardinality at PLAN time — the only
+    // point where the decision is still cheap — demoting to
+    // SortMergeJoin, which survives adaptive replanning (the runtime
+    // promotion cap is set strict, 1 KiB: promotions only on strong
+    // evidence; every observed build side here is orders of magnitude
+    // above it at any SF, and run 1's pin is threshold-independent).
+    // Both initial AND final strategies require()-pinned per run;
+    // both answers equal and hash-gated.
+    Entry("q_join_demote_aqe",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedAdThresh = s.conf.getOption(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        // Same shapes as q_join_plan_demote: build = key only below
+        // the keeps-everything filter; probe = key + the two flag
+        // columns, execution-bounded by the unregistered l_linenumber
+        // slice (a Filter leaves size-only statistics unchanged, so
+        // the calibration is identical with or without it).
+        def buildSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_quantity") <= 50.0).select(col("l_orderkey"))
+        def probeSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linenumber") <= 2)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_linestatus"))
+        def joined() = {
+          val build = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 50.0)
+            .select(col("l_orderkey").as("bk"))
+          val probe = probeSide()
+          probe.join(build, probe("l_orderkey") === build("bk"))
+            .agg(count(lit(1)).as("n_rows"),
+              max(col("l_returnflag")).as("max_flag"),
+              max(col("l_linestatus")).as("max_status"))
+        }
+        // Walks INTO query stages: Spark 4's AQE wraps the final
+        // result stage in ResultQueryStageExec (a leaf holding its
+        // plan as a field), so a plain children-traversal of the
+        // post-execution plan never sees the join node.
+        def joinName(p: SparkPlan): String = {
+          var name = "unknown"
+          def walk(q: SparkPlan): Unit = {
+            q match {
+              case _: BroadcastHashJoinExec => name = "BroadcastHashJoin"
+              case _: SortMergeJoinExec => name = "SortMergeJoin"
+              case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(st.plan)
+              case _ => ()
+            }
+            q.children.foreach(walk)
+          }
+          walk(p)
+          name
+        }
+        // (initial, final) strategy names off the SAME QueryExecution
+        // the collect() ran (round-6 gotcha: count() builds its own
+        // adaptive plan); isFinalPlan pinned so "final" means final.
+        def runOne() = {
+          val df = joined()
+          val row = df.collect() match { case Array(r) => r }
+          df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec =>
+              require(a.isFinalPlan, "adaptive execution did not finish")
+              (joinName(a.initialPlan), joinName(a.executedPlan), row)
+            case other =>
+              throw new IllegalStateException(
+                s"expected AdaptiveSparkPlanExec root, got " +
+                  other.getClass.getSimpleName)
+          }
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "true")
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "1024")
+          // Threshold calibration identical to q_join_plan_demote
+          // (geometric mean of misleading static size and injected
+          // estimate, margin-checked) — stats are logical-plan
+          // properties, unaffected by AQE.
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val b0 = buildSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          val p0 = probeSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val b1 = buildSide().queryExecution.optimizedPlan.stats
+            .sizeInBytes
+          val cap = b1.min(p0)
+          require(cap * 10 > b0 * 14,
+            s"demote margin too thin: build=$b0 probe=$p0 injected=$b1")
+          val thresh = math.sqrt(b0.toDouble * cap.toDouble).toLong
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            thresh.toString)
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "false")
+          val (baseInit, baseFinal, baseRow) = runOne()
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          val (injInit, injFinal, injRow) = runOne()
+          require(baseInit == "BroadcastHashJoin" &&
+              baseFinal == "BroadcastHashJoin",
+            "AQE-locked mis-broadcast pin failed: " +
+              s"base initial=$baseInit final=$baseFinal " +
+              s"(thresh=$thresh build=$b0 probe=$p0)")
+          require(injInit == "SortMergeJoin" &&
+              injFinal == "SortMergeJoin",
+            "estimator demote under AQE failed: " +
+              s"injected initial=$injInit final=$injFinal " +
+              s"(thresh=$thresh injected=$b1)")
+          require(baseRow == injRow,
+            s"answers diverged: base=$baseRow injected=$injRow")
+          Seq(
+            ("file_size_stats", baseInit, baseFinal, baseRow.getLong(0),
+              baseRow.getString(1), baseRow.getString(2)),
+            ("model_stats", injInit, injFinal, injRow.getLong(0),
+              injRow.getString(1), injRow.getString(2)))
+            .toDF("mode", "join_initial", "join_final", "n_rows",
+              "max_flag", "max_status")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+          savedAdThresh match {
+            case Some(v) => s.conf.set(
+              "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None => s.conf.unset(
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH j AS (
+  SELECT count(*) AS n_rows, max(p.l_returnflag) AS max_flag,
+    max(p.l_linestatus) AS max_status
+  FROM lineitem p JOIN lineitem b ON p.l_orderkey = b.l_orderkey
+  WHERE b.l_quantity <= 50.0 AND p.l_linenumber <= 2)
+SELECT 'file_size_stats' AS mode, 'BroadcastHashJoin' AS join_initial,
+  'BroadcastHashJoin' AS join_final, n_rows, max_flag, max_status FROM j
+UNION ALL
+SELECT 'model_stats', 'SortMergeJoin', 'SortMergeJoin',
+  n_rows, max_flag, max_status FROM j
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

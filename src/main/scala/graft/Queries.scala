@@ -3013,30 +3013,8 @@ GROUP BY 1 ORDER BY event_type""")),
     Entry("q_kcore_peel",
       (s, d) => {
         val e0 = coocEdges(s, d)
-        // GRAFT_RELIABLE_ITERATE=N routes this loop through reliable
-        // checkpoints every N rounds (durable-snapshot posture for
-        // multi-hour cluster runs; needs sc.setCheckpointDir) — the
-        // audit knob for measuring the local-vs-reliable cost delta
-        // on a real graph entry. Unset = the fast local default.
-        val reliableEvery = sys.env.get("GRAFT_RELIABLE_ITERATE")
-          .map(_.trim.toInt).getOrElse(0)
-        // tmpdir default ONLY under a local master (ADVICE r13 #2):
-        // on a real cluster java.io.tmpdir is executor-local — a
-        // reliable checkpoint written there is unreadable across
-        // executors, and silently defaulting would mask the exact
-        // misconfiguration Iterate.trunc's require() exists to catch.
-        // Non-local masters must set GRAFT_CHECKPOINT_DIR (or call
-        // setCheckpointDir with a durable shared path) explicitly.
-        if (reliableEvery > 0 && s.sparkContext.getCheckpointDir.isEmpty)
-          sys.env.get("GRAFT_CHECKPOINT_DIR") match {
-            case Some(dir) => s.sparkContext.setCheckpointDir(dir)
-            case None if s.sparkContext.isLocal =>
-              s.sparkContext.setCheckpointDir(
-                System.getProperty("java.io.tmpdir") + "/graft_reliable_ckpt")
-            case None => // fall through to Iterate.trunc's require()
-          }
         val edges = graft.ops.Iterate.iterate(e0, 4,
-          reliableEvery = reliableEvery) { cur =>
+          reliableEvery = reliableIterateRounds(s)) { cur =>
           val keep = cur.select(col("u").as("n"))
             .unionByName(cur.select(col("v").as("n")))
             .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -3102,7 +3080,8 @@ GROUP BY deg ORDER BY deg""")),
           .localCheckpoint(false)
         val init = und.select(col("u").as("n")).distinct()
           .withColumn("r", lit(1000000L))
-        val ranks = graft.ops.Iterate.iterate(init, 3) { cur =>
+        val ranks = graft.ops.Iterate.iterate(init, 3,
+          reliableEvery = reliableIterateRounds(s)) { cur =>
           edges.join(cur, col("v") === col("n"))
             .groupBy(col("u"))
             .agg(sum(expr("r div deg")).as("contrib"))
@@ -8253,6 +8232,31 @@ FROM r ORDER BY stratum"""))
     // ONE catalog and ONE stats rule; only lineitem's filter band
     // differs, so Catalyst's DP reorder flips purely on the learned
     // conditional estimate. aqeOn=true is the production posture.
+    /** GRAFT_RELIABLE_ITERATE audit knob, shared by the Iterate-routed
+      * graph entries (k-core, PageRank): returns the reliable-
+      * checkpoint cadence (0 = the fast local default) and, when
+      * enabled, resolves the checkpoint dir. The tmpdir default
+      * applies ONLY under a local master (ADVICE r13 #2): on a real
+      * cluster java.io.tmpdir is executor-local — a reliable
+      * checkpoint written there is unreadable across executors, and
+      * silently defaulting would mask the exact misconfiguration
+      * Iterate.trunc's require() exists to catch. Non-local masters
+      * must set GRAFT_CHECKPOINT_DIR (or call setCheckpointDir with a
+      * durable shared path) explicitly. */
+    private def reliableIterateRounds(s: SparkSession): Int = {
+      val reliableEvery = sys.env.get("GRAFT_RELIABLE_ITERATE")
+        .map(_.trim.toInt).getOrElse(0)
+      if (reliableEvery > 0 && s.sparkContext.getCheckpointDir.isEmpty)
+        sys.env.get("GRAFT_CHECKPOINT_DIR") match {
+          case Some(dir) => s.sparkContext.setCheckpointDir(dir)
+          case None if s.sparkContext.isLocal =>
+            s.sparkContext.setCheckpointDir(
+              System.getProperty("java.io.tmpdir") + "/graft_reliable_ckpt")
+          case None => // fall through to Iterate.trunc's require()
+        }
+      reliableEvery
+    }
+
     private def joinReorderBySelectivity(s: SparkSession, d: String,
         aqeOn: Boolean): DataFrame = {
         import s.implicits._

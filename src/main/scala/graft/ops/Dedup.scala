@@ -506,10 +506,26 @@ FROM bits ORDER BY id"""
       flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("id_a"), b.as("id_b"))))))
-    val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
+    // pairStats feeds THREE subtrees (counts twice + inter), so it must
+    // compute once — but HOW it is pinned differs by caller lifecycle.
+    // materialize=true (the shared-cache posture): persist, then
+    // unpersist explicitly once the tiny result is materialized.
+    // materialize=false (one-shot callers): lazy localCheckpoint — the
+    // same once-compute + storage-level behavior, but the blocks are
+    // ContextCleaner-collectable as soon as the caller's result frame
+    // becomes unreachable. A persist here instead leaks FOREVER: the
+    // CacheManager holds a strong reference to the cached plan that no
+    // GC can clear and no caller can unpersist (no handle) — the
+    // stable 12.19 MB end-of-roster storage residual in the r13/r14
+    // bench artifacts was exactly this frame, planted by the one
+    // materialize=false catalog caller (q_dedup_keep_best_eq).
+    val pairStatsBase = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(sum(col("w")).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairStats =
+      if (materialize) pairStatsBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairStatsBase.localCheckpoint(false)
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))
@@ -566,21 +582,26 @@ FROM bits ORDER BY id"""
       flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("id_a"), b.as("id_b"))))))
-    // Persisted like the Jaccard twin (Dedup.scala:512): pairStats is
-    // the expensive pair expansion + count shuffle, and it feeds THREE
-    // subtrees below (counts, and inter twice via the dirs union) —
-    // without the persist, once-compute relies on exchange reuse only,
-    // which AQE re-planning is free to break. `materialize = true`
-    // (the catalog's posture) eagerly computes the tiny directional
-    // result, persists IT, and unpersists pairStats before returning —
-    // a lazy caller would otherwise leave the wide pair blocks to the
-    // ContextCleaner's GC schedule, exactly the latent-storage class
-    // the zero-at-roster-end lifecycle contract exists to eliminate
-    // (ADVICE r13 #1; the r13 bench's 12.2 MB storage_end residual).
-    val pairStats = distinctLists.select(col("w"), explode(pairArr).as("p"))
+    // Pinned like the Jaccard twin: pairStats is the expensive pair
+    // expansion + count shuffle and feeds THREE subtrees below
+    // (counts, and inter twice via the dirs union) — without a pin,
+    // once-compute relies on exchange reuse only, which AQE
+    // re-planning is free to break. `materialize = true` (the
+    // catalog's posture) persists, eagerly computes the tiny
+    // directional result, persists IT, and unpersists pairStats
+    // before returning. One-shot callers get a lazy localCheckpoint
+    // instead: same once-compute, but the blocks free via the
+    // ContextCleaner once the result frame is unreachable — a persist
+    // with no unpersist handle would sit in the CacheManager forever
+    // (the r13/r14 storage_end residual class; see the Jaccard twin's
+    // comment).
+    val pairStatsBase = distinctLists.select(col("w"), explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(sum(col("w")).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairStats =
+      if (materialize) pairStatsBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairStatsBase.localCheckpoint(false)
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))

@@ -155,6 +155,38 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         "round (or the cooc chain) is being kept reachable")
   }
 
+  test("one-shot pair pipeline leaves zero CacheManager entries " +
+    "(q_dedup_keep_best_eq: the r14 bench's 12.19 MB named residual)") {
+    Queries.releaseAllShared(spark, dir)
+    assert(gcSettle() === 0, "test assumes a clean block manager")
+    SparkEntry.queries("q_dedup_keep_best_eq")(spark, dir).count()
+    Queries.releaseAllShared(spark, dir)
+    // The entry runs ngramJaccardPairsFromShingles(materialize=false)
+    // on its own planted corpus. Pre-r14 that path persist()ed its
+    // pairStats intermediate with no unpersist handle: the
+    // CacheManager held the plan (a strong reference no GC can clear),
+    // so the bounded GC-retry below could NEVER converge and every
+    // roster run ended with a stable ~12 MB residual. The
+    // localCheckpoint path frees via the ContextCleaner once the
+    // entry's result is unreachable — the same proof loop the bench's
+    // end-of-roster contract runs.
+    val left = gcSettle()
+    assert(left === 0,
+      s"$left RDDs still hold storage after GC — the one-shot pair " +
+        "pipeline is pinning blocks beyond its result's lifetime")
+    // Once storage is zero the cleaner has also deregistered the RDDs
+    // (unpersistRDD removes them from the persistent map); a brief
+    // retry covers the removal happening just after the last size
+    // probe.
+    var tries = 0
+    while (persistedCount() > 0 && tries < 25) {
+      System.gc(); Thread.sleep(200); tries += 1
+    }
+    assert(persistedCount() === 0,
+      "materialize=false pair pipeline must leave zero registered " +
+        "persistent RDDs (a CacheManager entry would outlive all handles)")
+  }
+
   test("sharedBuildOrder covers exactly the declared resources and " +
     "ensureShared/isSharedBuilt round-trip") {
     assert(Queries.sharedBuildOrder.toSet === Queries.sharedConsumers.keySet,

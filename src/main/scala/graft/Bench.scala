@@ -332,6 +332,19 @@ object Bench {
         .sortBy(-_._2).take(30).map(_._1).toSet
       val byName = selected.toMap
       ok.filter { case (n, _) => outliers(n) }.foreach { case (name, first) =>
+        // Rebuild any since-released shared inputs OUTSIDE the rerun
+        // timer (and without a second `_build_` roster line): the
+        // rerun number's only job is the warm cost of the ENTRY, and
+        // r13's q_jaccard_prefix rerun (9.2 s > its 7.6 s first shot)
+        // showed an inline shingle rebuild muddying exactly the
+        // signal the pass exists to produce.
+        try Queries.sharedBuildOrder
+          .filter(r => Queries.sharedConsumers(r)(name) &&
+            !Queries.isSharedBuilt(r, spark, sfDir))
+          .foreach(Queries.ensureShared(_, spark, sfDir))
+        catch { case e: Throwable => System.err.println(
+          s"[bench] rerun prebuild for $name failed (rerun rebuilds " +
+            s"inline): ${e.getMessage}") }
         val t0 = System.nanoTime()
         try {
           byName(name)(spark, sfDir)

@@ -2898,7 +2898,8 @@ ORDER BY l_returnflag, l_quantity""")),
         val undC = und.localCheckpoint(false)
         val seed = nodes.filter(pmod(col("s"), lit(100)) === 0)
           .select(col("s").as("n"), lit(0).as("dist"))
-        val visited = graft.ops.Iterate.iterateIndexed(seed, 3) {
+        val visited = graft.ops.Iterate.iterateIndexed(seed, 3,
+          reliableEvery = reliableIterateRounds(s)) {
           (cur, i) =>
             val frontier = cur.filter(col("dist") === i - 1)
             val next = frontier.join(undC, col("n") === col("u"))
@@ -3774,7 +3775,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       }
       ccCache.getOrElseUpdate((s, d),
         Dedup.connectedComponents(
-          jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b")
+          jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b",
+          reliableEvery = reliableIterateRounds(s))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -4017,7 +4019,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     // where label propagation would need diameter rounds).
     Entry("q_cc_star",
       (s, d) => Dedup.connectedComponentsStar(
-        jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b"),
+        jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b",
+        reliableEvery = reliableIterateRounds(s)),
       Some(Dedup.connectedComponentsSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", 3, 0.5,
           maxShingleDf = 100)))),
@@ -4783,7 +4786,8 @@ FROM r WHERE rn = 1 ORDER BY comp"""
         val pairs = Dedup.ngramJaccardPairsFromShingles(
           Dedup.explodeShingles(all, "doc_id", "text", 3),
           1.0, maxShingleDf = 100)
-        val labeled = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val labeled = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          reliableEvery = reliableIterateRounds(s))
           .withColumnRenamed("id", "doc_id")
           .join(all.select(col("doc_id"),
             TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
@@ -8232,8 +8236,9 @@ FROM r ORDER BY stratum"""))
     // ONE catalog and ONE stats rule; only lineitem's filter band
     // differs, so Catalyst's DP reorder flips purely on the learned
     // conditional estimate. aqeOn=true is the production posture.
-    /** GRAFT_RELIABLE_ITERATE audit knob, shared by the Iterate-routed
-      * graph entries (k-core, PageRank): returns the reliable-
+    /** GRAFT_RELIABLE_ITERATE audit knob, shared by EVERY Iterate-
+      * routed catalog path (k-core, PageRank, BFS, both connected-
+      * components strategies and their shared cc cache): returns the reliable-
       * checkpoint cadence (0 = the fast local default) and, when
       * enabled, resolves the checkpoint dir. The tmpdir default
       * applies ONLY under a local master (ADVICE r13 #2): on a real

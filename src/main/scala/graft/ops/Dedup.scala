@@ -899,7 +899,7 @@ GROUP BY c.id HAVING count(*) >= $minHits ORDER BY $id"""
     * overkill for dedup graphs.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, reliableEvery: Int = 0): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // The edge list is re-joined every round on `dst`; pre-partitioning
     // it by the join key once means each round's join shuffles only the
@@ -931,7 +931,8 @@ GROUP BY c.id HAVING count(*) >= $minHits ORDER BY $id"""
     // truncates lineage per round (a dropped round's checkpoint blocks
     // are released by the ContextCleaner once its Dataset is
     // unreachable; only the current round stays pinned).
-    val (labels, _, converged) = Iterate.iterateUntil(init, maxIter, trace) {
+    val (labels, _, converged) = Iterate.iterateUntil(init, maxIter, trace,
+      reliableEvery = reliableEvery) {
       cur =>
         val contrib = edges.join(cur, edges("dst") === cur("id"))
           .select(edges("src").as("id"), col("comp"))
@@ -991,7 +992,8 @@ SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12,
-      trace: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
+      trace: (Int, Long, Boolean) => Unit = (_, _, _) => (),
+      reliableEvery: Int = 0): DataFrame = {
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     def sym(e: DataFrame): DataFrame =
@@ -1020,8 +1022,8 @@ SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id"""
       r.getLong(0) * 2147483647L + r.getLong(1)
     }
     val (fin, _, converged) =
-      Iterate.iterateUntil(e0, maxIter, trace)(e => smallStar(largeStar(e)))(
-        fingerprint)
+      Iterate.iterateUntil(e0, maxIter, trace, reliableEvery = reliableEvery)(
+        e => smallStar(largeStar(e)))(fingerprint)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponentsStar hit maxIter=$maxIter before the edge " +

@@ -2899,7 +2899,8 @@ ORDER BY l_returnflag, l_quantity""")),
         val seed = nodes.filter(pmod(col("s"), lit(100)) === 0)
           .select(col("s").as("n"), lit(0).as("dist"))
         val visited = graft.ops.Iterate.iterateIndexed(seed, 3,
-          reliableEvery = reliableIterateRounds(s)) {
+          reliableEvery = reliableIterateRounds(s),
+          storageLevel = iterateStorageLevel) {
           (cur, i) =>
             val frontier = cur.filter(col("dist") === i - 1)
             val next = frontier.join(undC, col("n") === col("u"))
@@ -3015,7 +3016,8 @@ GROUP BY 1 ORDER BY event_type""")),
       (s, d) => {
         val e0 = coocEdges(s, d)
         val edges = graft.ops.Iterate.iterate(e0, 4,
-          reliableEvery = reliableIterateRounds(s)) { cur =>
+          reliableEvery = reliableIterateRounds(s),
+          storageLevel = iterateStorageLevel) { cur =>
           val keep = cur.select(col("u").as("n"))
             .unionByName(cur.select(col("v").as("n")))
             .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -3082,7 +3084,8 @@ GROUP BY deg ORDER BY deg""")),
         val init = und.select(col("u").as("n")).distinct()
           .withColumn("r", lit(1000000L))
         val ranks = graft.ops.Iterate.iterate(init, 3,
-          reliableEvery = reliableIterateRounds(s)) { cur =>
+          reliableEvery = reliableIterateRounds(s),
+          storageLevel = iterateStorageLevel) { cur =>
           edges.join(cur, col("v") === col("n"))
             .groupBy(col("u"))
             .agg(sum(expr("r div deg")).as("contrib"))
@@ -8261,6 +8264,21 @@ FROM r ORDER BY stratum"""))
         }
       reliableEvery
     }
+
+    /** GRAFT_ITERATE_SER=1 routes LOCAL Iterate rounds through
+      * serialized MEMORY_AND_DISK_SER blocks instead of Spark's
+      * deserialized default — the second lever against the measured
+      * big-state failure mode (PLANS r14: k-core's ~4.9 GB retained
+      * deserialized rounds collide with the storage pool and the entry
+      * goes bimodal, 1.5-2.7x). Serialized row blocks are several-fold
+      * smaller at per-round serde cost; wired into the same big-state
+      * graph entries as the reliable knob so the two postures can be
+      * A/B-measured with one env flip each. */
+    private def iterateStorageLevel
+        : Option[org.apache.spark.storage.StorageLevel] =
+      if (sys.env.get("GRAFT_ITERATE_SER").exists(_.trim == "1"))
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else None
 
     private def joinReorderBySelectivity(s: SparkSession, d: String,
         aqeOn: Boolean): DataFrame = {

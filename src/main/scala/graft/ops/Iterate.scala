@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Shared lineage-truncating loop driver for iterative DataFrame
   * algorithms (k-core peeling, BFS frontiers, label propagation,
@@ -49,34 +50,55 @@ object Iterate {
     * otherwise. Reliable rounds are always EAGER — a lazy reliable
     * checkpoint only writes on first action, so a failure before that
     * action would still lose everything the snapshot was meant to
-    * protect. */
+    * protect.
+    *
+    * `storageLevel` overrides the local rounds' block format (default:
+    * Spark's MEMORY_AND_DISK_DESER). The 100x family sweep (PLANS r14)
+    * measured big-state loops BIMODAL under deserialized local blocks
+    * — a ~4.9 GB retained working set colliding with the storage pool
+    * cost k-core 1.5-2.7x in the bad mode — and row-frame block sizes
+    * shrink several-fold serialized, so `MEMORY_AND_DISK_SER` trades
+    * per-round serde CPU for staying out of eviction/GC collapse. */
   private def trunc(df: DataFrame, round: Int, eager: Boolean,
-      reliableEvery: Int): DataFrame =
+      reliableEvery: Int, storageLevel: Option[StorageLevel]): DataFrame =
     if (reliableEvery > 0 && round > 0 && round % reliableEvery == 0) {
       require(
         df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "Iterate(reliableEvery > 0) needs a checkpoint dir: call " +
           "spark.sparkContext.setCheckpointDir(<durable path>) first")
       df.checkpoint(eager = true)
-    } else df.localCheckpoint(eager)
+    } else storageLevel match {
+      case Some(l) => df.localCheckpoint(eager, l)
+      case None => df.localCheckpoint(eager)
+    }
+
+  private def truncInit(df: DataFrame, eager: Boolean,
+      storageLevel: Option[StorageLevel]): DataFrame =
+    storageLevel match {
+      case Some(l) => df.localCheckpoint(eager, l)
+      case None => df.localCheckpoint(eager)
+    }
 
   /** Run `step` for exactly `rounds` rounds over `df`, truncating
     * lineage before the loop and after every round. The returned
     * DataFrame's plan references only the final round's `LogicalRDD`
     * (plus whatever the caller composes on top). */
   def iterate(df: DataFrame, rounds: Int, eager: Boolean = false,
-      reliableEvery: Int = 0)(
+      reliableEvery: Int = 0,
+      storageLevel: Option[StorageLevel] = None)(
       step: DataFrame => DataFrame): DataFrame =
-    iterateIndexed(df, rounds, eager, reliableEvery)((cur, _) => step(cur))
+    iterateIndexed(df, rounds, eager, reliableEvery, storageLevel)(
+      (cur, _) => step(cur))
 
   /** [[iterate]] with the 1-based round index passed to `step` (BFS
     * needs it for the hop distance). */
   def iterateIndexed(df: DataFrame, rounds: Int, eager: Boolean = false,
-      reliableEvery: Int = 0)(
+      reliableEvery: Int = 0,
+      storageLevel: Option[StorageLevel] = None)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
-    var cur = df.localCheckpoint(eager)
+    var cur = truncInit(df, eager, storageLevel)
     for (i <- 1 to rounds)
-      cur = trunc(step(cur, i), i, eager, reliableEvery)
+      cur = trunc(step(cur, i), i, eager, reliableEvery, storageLevel)
     cur
   }
 
@@ -88,15 +110,17 @@ object Iterate {
     */
   def iterateUntil(df: DataFrame, maxRounds: Int,
       trace: (Int, Long, Boolean) => Unit = (_, _, _) => (),
-      reliableEvery: Int = 0)(
+      reliableEvery: Int = 0,
+      storageLevel: Option[StorageLevel] = None)(
       step: DataFrame => DataFrame)(
       fingerprint: DataFrame => Long): (DataFrame, Int, Boolean) = {
-    var cur = df.localCheckpoint(false)
+    var cur = truncInit(df, eager = false, storageLevel)
     var prev = fingerprint(cur)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val next = trunc(step(cur), round + 1, eager = false, reliableEvery)
+      val next = trunc(step(cur), round + 1, eager = false, reliableEvery,
+        storageLevel)
       val fp = fingerprint(next)
       converged = fp == prev
       prev = fp

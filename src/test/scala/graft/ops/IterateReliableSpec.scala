@@ -88,6 +88,29 @@ class IterateReliableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrote > 1, s"no checkpoint files under $ckptDir")
   }
 
+  test("serialized local truncation is result- and plan-shape-" +
+    "equivalent and stores SER blocks") {
+    import org.apache.spark.storage.StorageLevel
+    val local = Iterate.iterate(init, 4)(step)
+    val ser = Iterate.iterate(init, 4,
+      storageLevel = Some(StorageLevel.MEMORY_AND_DISK_SER))(step)
+    assert(ser.orderBy("id").collect().toSeq ==
+      local.orderBy("id").collect().toSeq)
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectLeaves()
+    assert(leaves(ser).size == 1,
+      "serialized truncation must keep the constant one-leaf plan")
+    // The final round's blocks really are serialized (deserialized is
+    // Spark's localCheckpoint default — the level override is the
+    // whole point: several-fold smaller retained rounds for big-state
+    // loops, PLANS r14).
+    @scala.annotation.nowarn("cat=deprecation")
+    def levels = spark.sparkContext.getRDDStorageInfo.toSeq
+      .map(_.storageLevel)
+    assert(levels.exists(l => !l.deserialized && l.useMemory),
+      s"expected a serialized in-memory level among $levels")
+  }
+
   test("iterateUntil converges identically under reliable truncation") {
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     import org.apache.spark.sql.functions._

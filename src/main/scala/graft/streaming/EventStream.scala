@@ -302,7 +302,7 @@ object EventStream {
       // a stale timer from an earlier batch may fire before the CURRENT
       // gap edge — only clear once the horizon has really passed
       if (lastSeenUs.exists() &&
-          info.getExpiryTimeInMs * 1000L > lastSeenUs.get() + gapUs)
+          info.getExpiryTimeInMs() * 1000L > lastSeenUs.get() + gapUs)
         lastSeenUs.clear()
       Iterator.empty
     }

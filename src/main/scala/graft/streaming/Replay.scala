@@ -236,7 +236,7 @@ object Replay {
       slices: Int = 6, gapSeconds: Long = 60): DataFrame = {
     import spark.implicits._
     replayTable(spark, sfDir, slices, s"debounce_$gapSeconds", "append") {
-      df => EventStream.debounceEvents(df.as[Event], gapSeconds * 1000L).toDF
+      df => EventStream.debounceEvents(df.as[Event], gapSeconds * 1000L).toDF()
     }
   }
 
@@ -421,7 +421,7 @@ object Replay {
     try {
       replayTable(spark, sfDir, slices, s"episode_$gapSeconds", "append") {
         df => EventStream.episodeStarts(df.as[Event],
-          gapSeconds * 1000000L).toDF
+          gapSeconds * 1000000L).toDF()
       }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
@@ -436,7 +436,7 @@ object Replay {
     import spark.implicits._
     val raw = replayTable(spark, sfDir, slices,
       s"funnel_${stages.mkString("_")}", "update") { df =>
-      EventStream.funnelStages(df.as[Event], stages).toDF
+      EventStream.funnelStages(df.as[Event], stages).toDF()
     }
     raw.withColumn("__rk", row_number().over(
         Window.partitionBy(col("userId")).orderBy(col("__batch").desc)))
@@ -452,7 +452,7 @@ object Replay {
       slices: Int = 6): DataFrame = {
     import spark.implicits._
     val raw = replayTable(spark, sfDir, slices, "cdc_latest", "update") {
-      df => EventStream.latestPerKey(df.as[Event]).toDF
+      df => EventStream.latestPerKey(df.as[Event]).toDF()
     }
     raw.withColumn("__rk", row_number().over(
         Window.partitionBy(col("userId")).orderBy(col("__batch").desc)))
@@ -484,7 +484,7 @@ object Replay {
       slices: Int = 6): DataFrame = {
     import spark.implicits._
     replayTable(spark, sfDir, slices, "attribution", "append") { df =>
-      EventStream.attributeLastTouch(df.as[Event]).toDF
+      EventStream.attributeLastTouch(df.as[Event]).toDF()
     }
   }
 
@@ -526,7 +526,7 @@ object Replay {
       s"neardup_${cap}_${docFingerprint(sfDir)}", "append") {
       df => DocStream.lshCandidates(
         DocStream.bandRows(df, "doc_id", "text").as[DocStream.BandRow],
-        cap).toDF
+        cap).toDF()
     }.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("id_a", "id_b")

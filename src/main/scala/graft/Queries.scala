@@ -113,6 +113,50 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.q_user AND p.ts >= c.q_ts"""
     Entry("q_oracle_card_shift",
       (s, d) => Exact.oracleFirstN(li(s, d), W1, 30000),
       Some(Exact.oracleFirstNSql("lineitem", W1, 30000))),
+    // SQL front-end over the estimator vocabulary (the piece the
+    // reference's CLI lacks — its workloads are hand-authored Python
+    // lists): Catalyst's OWN parser turns SQL text into the 5-op Pred
+    // conjunction (graft.query.SqlFront), and the entry answers the
+    // parsed queries through the Pred-driven exact path. The ORACLE IS
+    // THE INPUT SQL — DuckDB runs the same three texts directly, so
+    // the parse → Pred → filter pipeline is hash-gated against SQL
+    // semantics themselves (literal typing, operand flips, BETWEEN
+    // desugar, timestamp literals all on the line). Scale shape: three
+    // pushdown-friendly scan+count plans, no shuffle beyond the
+    // count agg.
+    Entry("q_sql_front_card",
+      (s, d) => {
+        import s.implicits._
+        val texts = Seq(
+          "q1_lineitem" -> ("""SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 1.0 AND l_discount <= 0.0
+              AND l_returnflag = 'R'"""),
+          "q2_orders" -> ("""SELECT count(*) FROM orders
+            WHERE 5 < o_orderkey AND o_custkey >= 7"""),
+          "q3_events" -> ("""SELECT count(*) FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+              AND value BETWEEN 10.0 AND 50.0"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          val base = Tables.read(s, d, table)
+          val n =
+            if (preds.isEmpty) base.count()
+            else base.filter(Pred.conj(preds)).count()
+          (qid, n)
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""SELECT 'q1_lineitem' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_quantity <= 1.0 AND l_discount <= 0.0 AND l_returnflag = 'R'
+UNION ALL
+SELECT 'q2_orders', CAST(count(*) AS BIGINT) FROM orders
+  WHERE 5 < o_orderkey AND o_custkey >= 7
+UNION ALL
+SELECT 'q3_events', CAST(count(*) AS BIGINT) FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    AND value BETWEEN 10.0 AND 50.0
+ORDER BY query_id""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

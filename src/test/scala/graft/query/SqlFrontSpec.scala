@@ -1,0 +1,103 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[SqlFront]] parses with Catalyst's own SQL parser and walks the
+  * unresolved plan — these tests pin the mapping into the 5-op
+  * [[Pred]] vocabulary (literal typing, operand-order flips, BETWEEN
+  * desugaring) and the rejection of everything outside it.
+  */
+class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("W1-shaped count query parses to table + typed conjuncts") {
+    val (t, ps) = SqlFront.parse(spark,
+      """SELECT count(*) FROM lineitem
+         WHERE l_quantity <= 1.0 AND l_discount <= 0.0
+           AND l_returnflag = 'R'""")
+    assert(t == "lineitem")
+    assert(ps == Seq(
+      Pred("l_quantity", Op.Leq, 1.0),
+      Pred("l_discount", Op.Leq, 0.0),
+      Pred("l_returnflag", Op.Eq, "R")))
+    // Decimal literals arrive as Double (Spark parses 1.0 as
+    // DECIMAL(2,1)); strings as plain String.
+    assert(ps.head.value.isInstanceOf[Double])
+  }
+
+  test("integral literals widen to Long; literal-first operands flip") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM orders WHERE 5 < o_orderkey AND o_custkey >= 7")
+    assert(ps == Seq(
+      Pred("o_orderkey", Op.Gt, 5L),
+      Pred("o_custkey", Op.Geq, 7L)))
+    assert(ps.head.value.isInstanceOf[java.lang.Long])
+  }
+
+  test("BETWEEN desugars into the two bound conjuncts") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE value BETWEEN 2 AND 9")
+    assert(ps == Seq(
+      Pred("value", Op.Geq, 2L), Pred("value", Op.Leq, 9L)))
+  }
+
+  test("timestamp literals map to java.sql.Timestamp on the Pred.ts grid") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-02 03:04:05'")
+    assert(ps == Seq(
+      Pred("ts", Op.Geq, Pred.ts("2024-01-02 03:04:05"))))
+  }
+
+  test("no WHERE parses as the wildcard (empty conjunct list)") {
+    val (t, ps) = SqlFront.parse(spark, "SELECT count(*) FROM region")
+    assert(t == "region" && ps.isEmpty)
+  }
+
+  test("rejects OR, IS NULL, functions, joins, GROUP BY with reasons") {
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException](SqlFront.parse(spark, sql))
+        .getMessage
+    assert(bad("SELECT count(*) FROM t WHERE a = 1 OR b = 2")
+      .contains("vocabulary"))
+    assert(bad("SELECT count(*) FROM t WHERE a IS NULL")
+      .contains("vocabulary"))
+    assert(bad("SELECT count(*) FROM t WHERE abs(a) = 1")
+      .contains("vocabulary"))
+    assert(bad("SELECT count(*) FROM a JOIN b ON a.x = b.x")
+      .contains("one table"))
+    assert(bad("SELECT c, count(*) FROM t GROUP BY c")
+      .contains("GROUP BY"))
+  }
+
+  test("parsed preds reproduce spark.sql's own answer end-to-end") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1.0, "R"), (2L, 0.5, "N"), (3L, 2.0, "R"),
+      (4L, 0.0, "R")).toDF("k", "q", "f")
+    df.createOrReplaceTempView("t_sqlfront")
+    val sql = "SELECT count(*) AS n FROM t_sqlfront WHERE q <= 1.0 AND f = 'R'"
+    val direct = spark.sql(sql).head().getLong(0)
+    val (_, ps) = SqlFront.parse(spark, sql)
+    val viaPreds = df.filter(Pred.conj(ps)).count()
+    assert(viaPreds == direct && direct == 2L)
+  }
+}

@@ -12,6 +12,20 @@ trait CardEst extends Serializable {
   def name: String
   def query(preds: Seq[Pred]): Long
 
+  /** Answer a SQL text directly: the [[graft.query.SqlFront]] parse
+    * (Catalyst's own SQL parser → the 5-op Pred vocabulary) composed
+    * with [[query]] — the convenience a user switching from the
+    * reference's hand-authored Python query lists actually wants.
+    * `table` (when given) pins which table the SQL must target; a
+    * mismatch is an error, not a silently-wrong estimate. */
+  def querySql(spark: org.apache.spark.sql.SparkSession, sql: String,
+      table: Option[String] = None): Long = {
+    val (t, preds) = graft.query.SqlFront.parse(spark, sql)
+    table.foreach(exp => require(t == exp,
+      s"estimator $name is bound to table $exp but the SQL targets $t"))
+    query(preds)
+  }
+
   private val errors = scala.collection.mutable.ArrayBuffer[Double]()
   private val estCards = scala.collection.mutable.ArrayBuffer[Long]()
   private val durationsMs = scala.collection.mutable.ArrayBuffer[Double]()

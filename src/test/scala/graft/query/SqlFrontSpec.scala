@@ -88,6 +88,26 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("GROUP BY"))
   }
 
+  test("CardEst.querySql answers SQL text and pins the bound table") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "R"), (2L, "N"), (3L, "R")).toDF("k", "f")
+    val est = new graft.est.CardEst {
+      def name = "exact_local"
+      def query(preds: Seq[Pred]): Long =
+        if (preds.isEmpty) df.count() else df.filter(Pred.conj(preds)).count()
+    }
+    assert(est.querySql(spark,
+      "SELECT count(*) FROM docs WHERE f = 'R'") == 2L)
+    assert(est.querySql(spark, "SELECT count(*) FROM docs",
+      table = Some("docs")) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      est.querySql(spark, "SELECT count(*) FROM other_table",
+        table = Some("docs"))
+    }
+    assert(e.getMessage.contains("bound to table"))
+  }
+
   test("parsed preds reproduce spark.sql's own answer end-to-end") {
     val s = spark
     import s.implicits._

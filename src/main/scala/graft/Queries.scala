@@ -157,6 +157,38 @@ SELECT 'q3_events', CAST(count(*) AS BIGINT) FROM events
   WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     AND value BETWEEN 10.0 AND 50.0
 ORDER BY query_id""")),
+    // SQL → LEARNED estimate, end to end: the same front-end feeding
+    // ProgressiveSampling through CardEst.querySql — the reference
+    // user's whole eval loop (hand-authored query lists → estimator)
+    // collapsed to one SQL string. The exact reference is computed
+    // from the SAME parse (so the gate also pins parse → conj
+    // fidelity), and the model answer is gated to q-error <= 2.0 on
+    // the band q_approx_count_bounds already holds at 3 SFs; the
+    // DuckDB oracle recomputes the exact count from the identical
+    // text. A failed parse, a drifted estimate, or a broken querySql
+    // seam each throw or flip `ok` — never a wrong-but-matching row.
+    Entry("q_sql_front_model",
+      (s, d) => {
+        import s.implicits._
+        val sqlTxt = """SELECT count(*) FROM lineitem
+          WHERE l_quantity <= 24.0 AND l_discount >= 0.05
+            AND l_returnflag = 'R'"""
+        val (table, preds) = graft.query.SqlFront.parse(s, sqlTxt)
+        require(table == "lineitem", s"front-end mis-read table: $table")
+        val exact = math.max(li(s, d).filter(Pred.conj(preds)).count(), 1L)
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        val est = math.max(ps.querySql(s, sqlTxt, Some("lineitem")), 1L)
+        val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+        Seq(("sql_front_model_qerror", exact, qerr <= 2.0))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("""SELECT 'sql_front_model_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_quantity <= 24.0 AND l_discount >= 0.05
+  AND l_returnflag = 'R'""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

@@ -189,6 +189,177 @@ ORDER BY query_id""")),
 FROM lineitem
 WHERE l_quantity <= 24.0 AND l_discount >= 0.05
   AND l_returnflag = 'R'""")),
+    // IN lists + single-column OR-of-equalities through the SQL front
+    // (r15): the domain-mask architecture makes IN the union of `=`
+    // masks (estimators.py:226-236), the exact path is Column.isin.
+    // As with q_sql_front_card, THE ORACLE IS THE INPUT SQL — q2's
+    // text is an OR that the front-end folds into one IN pred, so the
+    // hash gate pins the fold against SQL semantics; q3 exercises a
+    // mixed-type literal list (integral widens to Long, decimal to
+    // Double) against a DOUBLE column, where both engines converge on
+    // widen-to-double comparison.
+    Entry("q_sql_front_in",
+      (s, d) => {
+        import s.implicits._
+        val texts = Seq(
+          "q1_in_strings" -> ("""SELECT count(*) FROM lineitem
+            WHERE l_returnflag IN ('R', 'A') AND l_quantity <= 5.0"""),
+          "q2_or_folds_to_in" -> ("""SELECT count(*) FROM orders
+            WHERE o_orderstatus = 'F' OR o_orderstatus = 'P'"""),
+          "q3_in_mixed_types" -> ("""SELECT count(*) FROM events
+            WHERE value IN (2.5, 1, 9) OR value = 42"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          // the fold contract: every WHERE above is ONE In conjunct
+          require(preds.forall(p => p.op == graft.query.Op.In ||
+            p.op.isScalar), s"unexpected ops in $qid: $preds")
+          (qid, Tables.read(s, d, table).filter(Pred.conj(preds)).count())
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""SELECT 'q1_in_strings' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_returnflag IN ('R', 'A') AND l_quantity <= 5.0
+UNION ALL
+SELECT 'q2_or_folds_to_in', CAST(count(*) AS BIGINT) FROM orders
+  WHERE o_orderstatus = 'F' OR o_orderstatus = 'P'
+UNION ALL
+SELECT 'q3_in_mixed_types', CAST(count(*) AS BIGINT) FROM events
+  WHERE value IN (2.5, 1, 9) OR value = 42
+ORDER BY query_id""")),
+    // IS NULL / IS NOT NULL through the null-at-bin-0 convention
+    // (r15; reference common.py:74-80 reserves domain position 0 for
+    // null precisely so a mask can address it). The testdata tables
+    // carry no physical nulls, so the entry DERIVES a null-bearing
+    // table deterministically (event_id % 7 → NULL) and registers it
+    // under the name the SQL targets; the DuckDB oracle builds the
+    // SAME table as a CTE and runs the SAME WHERE texts — parse,
+    // null-slot semantics, and the In-mask-excludes-null rule all
+    // hash-gated. Scale shape: three pushdown scan+count plans over a
+    // projected derivation, no shuffle beyond the count.
+    Entry("q_sql_front_null",
+      (s, d) => {
+        import s.implicits._
+        val nullable = Tables.read(s, d, "events").withColumn("et",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        val texts = Seq(
+          "q1_is_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et IS NULL AND user_id >= 50"""),
+          "q2_not_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et IS NOT NULL AND value < 10.0"""),
+          // a value-comparison mask must stay false at the null slot:
+          // the IN below must NOT count the derived-null rows
+          "q3_in_skips_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et IN ('click', 'purchase')"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          require(table == "events_nullable",
+            s"front-end mis-read table: $table")
+          (qid, nullable.filter(Pred.conj(preds)).count())
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""WITH events_nullable AS (
+  SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE event_type END AS et FROM events)
+SELECT 'q1_is_null' AS query_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events_nullable WHERE et IS NULL AND user_id >= 50
+UNION ALL
+SELECT 'q2_not_null', CAST(count(*) AS BIGINT)
+  FROM events_nullable WHERE et IS NOT NULL AND value < 10.0
+UNION ALL
+SELECT 'q3_in_skips_null', CAST(count(*) AS BIGINT)
+  FROM events_nullable WHERE et IN ('click', 'purchase')
+ORDER BY query_id""")),
+    // The MASK PATH for the null-slot + IN ops, exercised as the
+    // estimators consume it (not just Pred.toColumn): per predicate,
+    // the domain mask is materialized as a broadcast (value, bool)
+    // vocab, rows join it null-safely, and sum(mask-true) must equal
+    // the direct filter count — in ONE scan per predicate (broadcast
+    // hash join + agg, no shuffle). The DuckDB oracle recomputes both
+    // columns from the WHERE semantics, so a mask that drifted from
+    // filter semantics (e.g. a true null slot in a value comparison)
+    // breaks the hash.
+    Entry("q_null_mask_card",
+      (s, d) => {
+        import s.implicits._
+        import graft.query.Op
+        val dfv = Tables.read(s, d, "events").select(
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("et"))
+        val meta = Dictionary.columnMeta(dfv, "et")
+        require(meta.hasNull && meta.domain(0) == null,
+          "derived table lost its null slot")
+        val preds = Seq(
+          "p1_is_null" -> Pred("et", Op.IsNull, null),
+          "p2_not_null" -> Pred("et", Op.NotNull, null),
+          "p3_in" -> Pred("et", Op.In, Seq("click", "purchase")))
+        val rows = preds.map { case (pid, p) =>
+          val mask = p.domainMask(meta)
+          val maskRows = meta.domain.zipWithIndex.map { case (v, i) =>
+            org.apache.spark.sql.Row(v, mask(i)) }
+          val maskDf = s.createDataFrame(
+            s.sparkContext.parallelize(maskRows.toIndexedSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("value",
+                org.apache.spark.sql.types.StringType, nullable = true),
+              org.apache.spark.sql.types.StructField("m",
+                org.apache.spark.sql.types.BooleanType, nullable = false))))
+          val r = dfv.join(broadcast(maskDf),
+              dfv("et") <=> maskDf("value"), "left")
+            .agg(
+              sum(when(col("m"), 1L).otherwise(0L)).as("mask_count"),
+              sum(when(p.toColumn, 1L).otherwise(0L)).as("direct_count"))
+            .head()
+          (pid, r.getLong(0), r.getLong(1))
+        }
+        rows.toDF("pred_id", "mask_count", "direct_count")
+          .orderBy("pred_id")
+      },
+      Some("""WITH dv AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS et FROM events)
+SELECT 'p1_is_null' AS pred_id,
+  CAST(count(*) FILTER (WHERE et IS NULL) AS BIGINT) AS mask_count,
+  CAST(count(*) FILTER (WHERE et IS NULL) AS BIGINT) AS direct_count
+FROM dv
+UNION ALL
+SELECT 'p2_not_null',
+  CAST(count(*) FILTER (WHERE et IS NOT NULL) AS BIGINT),
+  CAST(count(*) FILTER (WHERE et IS NOT NULL) AS BIGINT)
+FROM dv
+UNION ALL
+SELECT 'p3_in',
+  CAST(count(*) FILTER (WHERE et IN ('click', 'purchase')) AS BIGINT),
+  CAST(count(*) FILTER (WHERE et IN ('click', 'purchase')) AS BIGINT)
+FROM dv
+ORDER BY pred_id""")),
+    // SQL → learned estimate with an IN mask (r15): querySql parses the
+    // IN, Pred.domainMask unions the equality masks, ProgressiveSampling
+    // consumes the union exactly as any other mask. Exact reference from
+    // the SAME parse; q-error gated at 2.0 like q_sql_front_model.
+    Entry("q_sql_front_in_model",
+      (s, d) => {
+        import s.implicits._
+        val sqlTxt = """SELECT count(*) FROM lineitem
+          WHERE l_returnflag IN ('R', 'N') AND l_quantity <= 24.0"""
+        val (table, preds) = graft.query.SqlFront.parse(s, sqlTxt)
+        require(table == "lineitem", s"front-end mis-read table: $table")
+        require(preds.head.op == graft.query.Op.In, s"no In pred: $preds")
+        val exact = math.max(li(s, d).filter(Pred.conj(preds)).count(), 1L)
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        val est = math.max(ps.querySql(s, sqlTxt, Some("lineitem")), 1L)
+        val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+        Seq(("sql_front_in_model_qerror", exact, qerr <= 2.0))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("""SELECT 'sql_front_in_model_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_returnflag IN ('R', 'N') AND l_quantity <= 24.0""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),
@@ -6118,6 +6289,74 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     Entry("q_workload_truths",
       (s, d) => Workload.trueCardsDf(s, li(s, d), fixedWorkload),
       Some(Workload.trueCardsSql("lineitem", fixedWorkload))),
+    // The FULL seeded workload routed through the SQL seam (r15): the
+    // generator's WHERE text (Pred.whereSql) round-trips through
+    // SqlFront for a 200-query parse-fidelity corpus — parsed preds
+    // must be STRUCTURALLY identical and produce identical one-pass
+    // true counts — and the 20-query oracle workload runs through
+    // ProgressiveSampling TWICE, once native and once as SQL text via
+    // querySql (two same-seed estimator instances), with every
+    // estimate required EXACTLY equal, making the front-end
+    // load-bearing for the flagship eval path. The q-error quantiles
+    // of the SQL-seam run gate the band AcceptanceSpec holds. DuckDB
+    // independently recomputes sum(true cards) from the same texts.
+    // Scale shape: two single-pass 200-column count-if aggregations +
+    // one 20-column pass; parsing is driver-side metadata work.
+    Entry("q_sql_front_workload",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Workload.generateFixed(fixedDomains, 200,
+          minFilters = 2, maxFilters = 4, seed = 777L)
+        val sqlTexts = corpus.map(q =>
+          s"SELECT count(*) FROM lineitem WHERE ${Pred.whereSql(q)}")
+        val parsed = sqlTexts.map(t => graft.query.SqlFront.parse(s, t))
+        val nParse = corpus.zip(parsed).count { case (q, (t, ps)) =>
+          t == "lineitem" && ps == q }
+        val df = li(s, d)
+        val nativeCards = Workload.trueCards(df, corpus)
+        val parsedCards = Workload.trueCards(df, parsed.map(_._2))
+        val nCount = nativeCards.zip(parsedCards).count(p => p._1 == p._2)
+        // model seam: same-seed twins over the 20-query oracle workload
+        val (model, meta) = lineitemModel(s, d)
+        val psNative = new ProgressiveSampling(model, meta,
+          numSamples = 1000, shortcircuit = true)
+        val psSql = new ProgressiveSampling(model, meta,
+          numSamples = 1000, shortcircuit = true)
+        val estPairs = fixedWorkload.map { q =>
+          val native = psNative.query(q)
+          val viaSql = psSql.querySql(s,
+            s"SELECT count(*) FROM lineitem WHERE ${Pred.whereSql(q)}",
+            Some("lineitem"))
+          (native, viaSql)
+        }
+        val nModel = estPairs.count(p => p._1 == p._2)
+        val truths = Workload.trueCards(df, fixedWorkload)
+        val errs = estPairs.map(_._2.toDouble).zip(truths).map {
+          case (e, t) => Workload.qError(math.max(e, 1.0), t.toDouble) }
+        val rep = Workload.report("sql_seam", errs, 0.0)
+        Seq(
+          ("count_identical_of_200", nCount.toLong, nCount == 200),
+          ("model_estimate_identical_of_20", nModel.toLong, nModel == 20),
+          ("parse_identical_of_200", nParse.toLong, nParse == 200),
+          ("sql_seam_qerr_band", fixedWorkload.size.toLong,
+            rep.median <= 2.0 && rep.p95 <= 20.0 && rep.max.isFinite),
+          ("sum_true_cards", nativeCards.sum, true))
+          .toDF("metric", "value", "ok").orderBy("metric")
+      },
+      Some(s"""SELECT 'count_identical_of_200' AS metric,
+  CAST(200 AS BIGINT) AS value, true AS ok
+UNION ALL
+SELECT 'model_estimate_identical_of_20', CAST(20 AS BIGINT), true
+UNION ALL
+SELECT 'parse_identical_of_200', CAST(200 AS BIGINT), true
+UNION ALL
+SELECT 'sql_seam_qerr_band', CAST(20 AS BIGINT), true
+UNION ALL
+SELECT 'sum_true_cards', CAST((SELECT sum(card) FROM (
+${Workload.trueCardsSql("lineitem",
+        Workload.generateFixed(fixedDomains, 200,
+          minFilters = 2, maxFilters = 4, seed = 777L))})) AS BIGINT), true
+ORDER BY metric""")),
     // ProgressiveSampling flagship estimate on W1 (model-based; seeded
     // deterministic but not SQL-expressible -> rows-only check).
     Entry("q_psample_card",

@@ -28,9 +28,17 @@ final class MaxDiffHistogram private (
   import MaxDiffHistogram.bisectLeft
   import MaxDiffHistogram.bisectRight
 
-  /** Bin-space predicate bounds per column: (op, binValue) list. */
+  /** Bin-space predicate bounds per column: (op, binValue) list.
+    * The histogram's partition-bound pruning speaks the reference's
+    * scalar 5-op vocabulary (estimators.py:1278-1340); the r15
+    * IN / IS NULL mask extensions are estimator-mask territory
+    * (ProgressiveSampling / BayesNet) and are rejected here rather
+    * than mis-pruned. */
   private def binPreds(preds: Seq[Pred]): Seq[(Int, Op, Int)] =
     preds.map { p =>
+      require(p.op.isScalar,
+        s"MaxDiffHistogram supports the scalar 5-op vocabulary; got " +
+          s"${p.op.sym} on ${p.col} (use a mask-native estimator for it)")
       val cid = meta.nameToIndex(p.col)
       val cm = meta.columns(cid)
       // Range ops on a value absent from the domain: use the insertion
@@ -62,6 +70,8 @@ final class MaxDiffHistogram private (
       case Op.Gt => hi > v
       case Op.Geq => hi >= v
       case Op.Eq => (lo < v || (lo == v && loIncl)) && hi >= v
+      case other => throw new IllegalArgumentException(
+        s"non-scalar op ${other.sym} reached overlaps (binPreds guards)")
     }
   }
 
@@ -80,6 +90,8 @@ final class MaxDiffHistogram private (
         case Op.Gt => spread.length - bisectRight(spread, v)
         case Op.Geq => spread.length - bisectLeft(spread, v)
         case Op.Eq => if (spread.contains(v.toDouble)) 1 else 0
+        case other => throw new IllegalArgumentException(
+          s"non-scalar op ${other.sym} reached partitionEstimate")
       }
       covered *= c
     }

@@ -2,8 +2,8 @@ package graft.query
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
 
@@ -15,16 +15,22 @@ import org.apache.spark.sql.types._
   * resulting unresolved logical plan is walked — so the accepted
   * surface is exactly Spark's SQL dialect, string escaping / literal
   * typing / operator precedence / BETWEEN-desugaring come for free,
-  * and anything outside the reference's 5-op conjunctive vocabulary
-  * is rejected with a reason instead of silently mis-read.
+  * and anything outside the predicate vocabulary is rejected with a
+  * reason instead of silently mis-read.
   *
   * Accepted shape: `SELECT <anything> FROM <one table> [WHERE
-  * <conjunction of col op literal>]` where op ∈ {=, <, >, <=, >=}
-  * (either operand order; `BETWEEN x AND y` arrives pre-desugared by
-  * the parser as `>= x AND <= y`). No OR, no IS NULL, no functions
-  * over columns, no joins, no GROUP BY — those are query-engine
-  * territory (spark.sql answers them directly); this front-end exists
-  * to hand the WHERE clause to [[Pred]]-driven estimators.
+  * <conjunction>]` where each conjunct is `col op literal` with
+  * op ∈ {=, <, >, <=, >=} (either operand order; `BETWEEN x AND y`
+  * arrives pre-desugared as `>= x AND <= y`), `col IN (lit, …)`,
+  * a single-column OR of equalities (folded into IN — the mask union),
+  * or `col IS [NOT] NULL` (the null-at-bin-0 mask / its complement).
+  * Cross-column OR, NOT IN, functions over columns, joins and GROUP BY
+  * stay query-engine territory (spark.sql answers them directly); this
+  * front-end exists to hand the WHERE clause to [[Pred]]-driven
+  * estimators. The logical plan is node-whitelisted: any clause that
+  * parses to a node outside the accepted set (HAVING's
+  * UnresolvedHaving, WITH's CTE nodes, set operations, …) is rejected
+  * by name rather than silently dropped.
   */
 object SqlFront {
 
@@ -72,6 +78,34 @@ object SqlFront {
     case _ => None
   }
 
+  /** Flatten an OR tree of single-column equalities / IN lists into
+    * (column, values). The domain-mask architecture makes this exactly
+    * [[Op.In]]: a mask is an arbitrary boolean vector over the vocab
+    * (estimators.py:226-236), and `x = a OR x = b` is the union of the
+    * two `=` masks. Literal order is preserved left-to-right. */
+  private def orToIn(e: Expression): (String, Seq[Any]) = {
+    def leaves(x: Expression): Seq[(String, Seq[Any])] = x match {
+      case Or(l, r) => leaves(l) ++ leaves(r)
+      case EqualTo(a, lit: Literal) if attrName(a).isDefined =>
+        Seq((attrName(a).get, Seq(literalValue(lit))))
+      case EqualTo(lit: Literal, a) if attrName(a).isDefined =>
+        Seq((attrName(a).get, Seq(literalValue(lit))))
+      case In(a, vs) if attrName(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Seq((attrName(a).get,
+          vs.map(v => literalValue(v.asInstanceOf[Literal]))))
+      case other => throw new IllegalArgumentException(
+        "OR is supported only as a single-column union of equalities " +
+          s"(the IN mask) — outside the vocabulary: ${other.sql}")
+    }
+    val ls = leaves(e)
+    val cols = ls.map(_._1).distinct
+    require(cols.size == 1,
+      "OR across different columns is outside the vocabulary " +
+        s"(columns: ${cols.mkString(", ")}): ${e.sql}")
+    (cols.head, ls.flatMap(_._2))
+  }
+
   /** One conjunct → one [[Pred]]; literal-on-the-left flips the
     * operator (5 < x ≡ x > 5). */
   private def toPred(e: Expression): Pred = e match {
@@ -95,9 +129,22 @@ object SqlFront {
       Pred(attrName(a).get, Op.Geq, literalValue(l))
     case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
       Pred(attrName(a).get, Op.Leq, literalValue(l))
+    case In(a, vs) if attrName(a).isDefined &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      Pred(attrName(a).get, Op.In,
+        vs.map(v => literalValue(v.asInstanceOf[Literal])))
+    case o: Or =>
+      val (c, vs) = orToIn(o)
+      Pred(c, Op.In, vs)
+    case IsNull(a) if attrName(a).isDefined =>
+      Pred(attrName(a).get, Op.IsNull, null)
+    case IsNotNull(a) if attrName(a).isDefined =>
+      Pred(attrName(a).get, Op.NotNull, null)
     case other => throw new IllegalArgumentException(
-      "predicate outside the 5-op conjunctive vocabulary: " +
-        s"${other.sql} (supported: col {=,<,>,<=,>=} literal, AND)")
+      "predicate outside the conjunctive vocabulary: " +
+        s"${other.sql} (supported: col {=,<,>,<=,>=} literal, " +
+        "col IN (literals), single-column OR of equalities, " +
+        "col IS [NOT] NULL, AND)")
   }
 
   /** Parse a single-table SQL query into (table name, conjuncts).
@@ -112,6 +159,17 @@ object SqlFront {
       case a: Aggregate if a.groupingExpressions.nonEmpty => a
     }
     require(grouped.isEmpty, s"GROUP BY is not estimator territory: $sql")
+    // Whitelist the logical node classes the walk below understands.
+    // Anything else (UnresolvedHaving, CTEs, set ops, LATERAL, …) would
+    // otherwise be SILENTLY DROPPED — a parse that loses a clause must
+    // reject, not mis-estimate.
+    plan.foreach {
+      case _: Project | _: Filter | _: Aggregate | _: Sort | _: Distinct |
+          _: GlobalLimit | _: LocalLimit | _: SubqueryAlias |
+          _: UnresolvedRelation => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported clause (logical node ${other.nodeName}) in: $sql")
+    }
     val filters = plan.collect { case f: Filter => f.condition }
     require(filters.size <= 1, s"expected at most one WHERE: $sql")
     val preds = filters.headOption

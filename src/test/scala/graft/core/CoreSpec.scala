@@ -103,6 +103,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
           case Op.Gt => dv.asInstanceOf[Double] > v
           case Op.Leq => dv.asInstanceOf[Double] <= v
           case Op.Geq => dv.asInstanceOf[Double] >= v
+          case other => fail(s"Op.all yielded non-scalar $other")
         }
         assert(mask(i) == expected, s"$op $v at domain[$i]=$dv")
       }

@@ -72,13 +72,44 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t == "region" && ps.isEmpty)
   }
 
-  test("rejects OR, IS NULL, functions, joins, GROUP BY with reasons") {
+  test("IN lists parse to Op.In preserving literal order and types") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM lineitem WHERE l_returnflag IN ('R', 'A')")
+    assert(ps == Seq(Pred("l_returnflag", Op.In, Seq("R", "A"))))
+    // mixed-type list: integral widens to Long, decimal to Double,
+    // order preserved left-to-right
+    val (_, ps2) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE value IN (2.5, 1, 9)")
+    assert(ps2 == Seq(Pred("value", Op.In, Seq(2.5, 1L, 9L))))
+  }
+
+  test("single-column OR of equalities folds into one IN mask") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM t WHERE f = 'R' OR f = 'A' OR f = 'N'")
+    assert(ps == Seq(Pred("f", Op.In, Seq("R", "A", "N"))))
+    // OR of an IN and an equality on the same column unions too
+    val (_, ps2) = SqlFront.parse(spark,
+      "SELECT count(*) FROM t WHERE f IN ('R', 'A') OR 'N' = f")
+    assert(ps2 == Seq(Pred("f", Op.In, Seq("R", "A", "N"))))
+  }
+
+  test("IS NULL / IS NOT NULL parse to the null-slot ops") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE value IS NULL AND user_id >= 3")
+    assert(ps == Seq(
+      Pred("value", Op.IsNull, null), Pred("user_id", Op.Geq, 3L)))
+    val (_, ps2) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE value IS NOT NULL")
+    assert(ps2 == Seq(Pred("value", Op.NotNull, null)))
+  }
+
+  test("rejects cross-column OR, NOT IN, functions, joins, GROUP BY, HAVING") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark, sql))
         .getMessage
     assert(bad("SELECT count(*) FROM t WHERE a = 1 OR b = 2")
       .contains("vocabulary"))
-    assert(bad("SELECT count(*) FROM t WHERE a IS NULL")
+    assert(bad("SELECT count(*) FROM t WHERE a NOT IN (1, 2)")
       .contains("vocabulary"))
     assert(bad("SELECT count(*) FROM t WHERE abs(a) = 1")
       .contains("vocabulary"))
@@ -86,6 +117,11 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("one table"))
     assert(bad("SELECT c, count(*) FROM t GROUP BY c")
       .contains("GROUP BY"))
+    // HAVING parses to UnresolvedHaving (not a Filter) — before the
+    // node whitelist its predicate was silently DROPPED; now the node
+    // class is named in the rejection.
+    assert(bad("SELECT count(*) FROM t HAVING count(*) > 1")
+      .contains("UnresolvedHaving"))
   }
 
   test("CardEst.querySql answers SQL text and pins the bound table") {

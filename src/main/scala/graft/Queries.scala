@@ -4093,6 +4093,21 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     "doc_spans", "cooc_baskets", "cooc_edges", "classifier_scores",
     "sketch_refs")
 
+  /** Direct build prerequisites: the upstream CACHED resources a
+    * build reads (dedupComponents reads jaccardPairs reads
+    * docShingles; coocEdges reads coocBaskets). Runners expand a
+    * triggered build through this map so a transitive upstream rebuild
+    * is attributed to its own `_build_<resource>` line instead of
+    * being silently absorbed into the downstream build's time
+    * (ADVICE r14 #5). Keys ⊆ [[sharedBuildOrder]]; a resource whose
+    * prerequisites are all upstream of it in that order needs no
+    * entry here. */
+  val sharedPrereqs: Map[String, Seq[String]] = Map(
+    "dedup_pairs" -> Seq("doc_shingles"),
+    "dedup_cc" -> Seq("dedup_pairs"),
+    "containment_pairs" -> Seq("doc_shingles"),
+    "cooc_edges" -> Seq("cooc_baskets"))
+
   /** Whether `resource` is already built for (session, dir) — cache
     * presence only; pair with [[ensureShared]] which also materializes
     * blocks eagerly. */

@@ -80,10 +80,33 @@ object Replay {
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
-    files.filterNot(f => before(f.getName)).foreach { f =>
-      if (!f.setLastModified(anchor + slice * 2000L))
+    val fresh = files.filterNot(f => before(f.getName))
+    var stampFailed = false
+    fresh.foreach { f =>
+      if (!f.setLastModified(anchor + slice * 2000L)) {
+        stampFailed = true
         System.err.println(s"[replay] WARN: setLastModified failed for " +
           s"$f — slice order falls back to natural write mtimes")
+      }
+    }
+    // The fallback is only SOUND if the natural mtimes actually pin the
+    // order (ADVICE r14 #3): on an mtime-immutable filesystem where
+    // writes also collide within the mtime granularity, arrival order
+    // is silently unpinned and surfaces later as a replay-gate mismatch
+    // far from this cause — verify ascending NOW and fail fast instead.
+    // prevMax covers stamped AND natural earlier slices: a mid-run
+    // stamp failure leaves earlier slices stamped into the near future,
+    // which a natural-mtime newcomer would sort BEFORE — equally fatal,
+    // equally caught here.
+    if (stampFailed) {
+      val prevMax = files.filter(f => before(f.getName))
+        .map(_.lastModified).maxOption.getOrElse(Long.MinValue)
+      val newMin = fresh.map(_.lastModified).minOption.getOrElse(Long.MaxValue)
+      require(newMin > prevMax,
+        s"slice $slice arrival order UNPINNED in $dir: setLastModified " +
+          s"failed and natural mtimes do not strictly ascend across " +
+          s"slices (prev max $prevMax >= new min $newMin); a replay on " +
+          "this filesystem cannot guarantee micro-batch = slice")
     }
     files.map(_.getName).toSet
   }

@@ -199,6 +199,19 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx("dedup_pairs") < idx("dedup_cc"))
     assert(idx("doc_shingles") < idx("containment_pairs"))
     assert(idx("cooc_baskets") < idx("cooc_edges"))
+    // sharedPrereqs (ADVICE r14 #5): every declared prerequisite is a
+    // known resource, sits upstream in the build order, and its
+    // consumer set contains the downstream's (the transitivity the
+    // release schedule relies on).
+    Queries.sharedPrereqs.foreach { case (r, pres) =>
+      assert(Queries.sharedConsumers.contains(r), s"unknown resource $r")
+      pres.foreach { p =>
+        assert(Queries.sharedConsumers.contains(p), s"unknown prereq $p")
+        assert(idx(p) < idx(r), s"$p must build before $r")
+        assert(Queries.sharedConsumers(r).subsetOf(Queries.sharedConsumers(p)),
+          s"consumers($r) must be ⊆ consumers($p) for safe release timing")
+      }
+    }
     // Round-trip on a cheap resource.
     Queries.releaseShared("doc_spans", spark, dir)
     assert(!Queries.isSharedBuilt("doc_spans", spark, dir))

@@ -45,6 +45,75 @@ import org.apache.spark.storage.StorageLevel
   */
 object Iterate {
 
+  /** Steady-state retained-round window: the ContextCleaner frees a
+    * dropped round's blocks only after its Dataset becomes unreachable
+    * AND a GC cycle runs, so ~this many rounds of state coexist in the
+    * storage pool mid-loop (the r14 100× audit measured k-core
+    * retaining ~4.9 GB ≈ 3 × its per-round deserialized state). */
+  private val RetainedRounds = 3
+
+  /** Fraction of the storage pool the retained window may claim before
+    * the auto-posture switches local rounds to serialized blocks.
+    * Conservative on purpose: the deserialized default is FASTER while
+    * it fits and BIMODAL once eviction starts (PLANS r14: k-core
+    * 29.7–57.2 s deser vs 23.3–23.5 s SER at 100×) — switching early
+    * costs a little serde CPU, switching late costs 1.5–2.7×. */
+  private val PoolSafetyFraction = 0.5
+
+  /** Storage-usable bytes across the cluster (per-executor block
+    * manager maxMemory — the unified-memory storage ceiling). */
+  private def storagePoolBytes(
+      sc: org.apache.spark.SparkContext): Long =
+    sc.getExecutorMemoryStatus.values.map(_._1).sum
+
+  private def autoEnabled: Boolean =
+    !sys.env.get("GRAFT_ITERATE_AUTO").exists(_.trim == "0")
+
+  /** Auto-select the local rounds' storage posture when the caller
+    * didn't (r15; VERDICT r14 ask #4 — pick the measured-flat posture
+    * with NO env knobs): estimate the per-round state from the INITIAL
+    * state's optimized-plan statistics (exact for persisted inputs —
+    * the common case here: cached edge lists and pair frames — and
+    * directional otherwise), scale by the retained-round window, and
+    * compare against the storage pool. Past the threshold, local
+    * rounds use MEMORY_AND_DISK_SER: row-frame blocks shrink
+    * several-fold serialized, trading per-round serde CPU for staying
+    * out of the eviction/GC collapse the 100× sweep measured. The
+    * init-plan estimate is faithful for shrink-or-stable loops (peel,
+    * rank, label propagation); growth-shaped loops are caught by the
+    * measured-size check inside [[iterateUntil]]. Decisions are logged
+    * so an audit run attributes the posture from output alone.
+    * GRAFT_ITERATE_AUTO=0 disables both checks (the A/B lever);
+    * GRAFT_ITERATE_SER=1 (or any explicit storageLevel) still takes
+    * precedence by arriving as Some(level). */
+  def autoStorageLevel(df: DataFrame): Option[StorageLevel] =
+    if (!autoEnabled) None
+    else {
+      val sc = df.sparkSession.sparkContext
+      val pool = storagePoolBytes(sc)
+      val perRound = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (pool > 0 &&
+          perRound * RetainedRounds >
+            BigInt((pool * PoolSafetyFraction).toLong)) {
+        System.err.println(
+          s"[iterate] auto-posture: est per-round state $perRound B x " +
+            s"$RetainedRounds rounds exceeds ${(PoolSafetyFraction * 100).toInt}% " +
+            s"of the $pool B storage pool -> MEMORY_AND_DISK_SER local " +
+            "rounds (consider reliableEvery=2 on a cluster: measured " +
+            "2.4-2.7x faster than local truncation at this state size)")
+        Some(StorageLevel.MEMORY_AND_DISK_SER)
+      } else None
+    }
+
+  /** Measured mid-loop escalation for eager loops: total persisted
+    * bytes right now vs the pool. Deprecation: getRDDStorageInfo is
+    * the only public per-block-size view; the bench uses it for the
+    * same reason. */
+  @scala.annotation.nowarn("cat=deprecation")
+  private def retainedBytesNow(
+      sc: org.apache.spark.SparkContext): Long =
+    sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+
   /** One round's lineage truncation: reliable `checkpoint()` on rounds
     * divisible by `reliableEvery` (when enabled), `localCheckpoint`
     * otherwise. Reliable rounds are always EAGER — a lazy reliable
@@ -96,9 +165,10 @@ object Iterate {
       reliableEvery: Int = 0,
       storageLevel: Option[StorageLevel] = None)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
-    var cur = truncInit(df, eager, storageLevel)
+    val level = storageLevel.orElse(autoStorageLevel(df))
+    var cur = truncInit(df, eager, level)
     for (i <- 1 to rounds)
-      cur = trunc(step(cur, i), i, eager, reliableEvery, storageLevel)
+      cur = trunc(step(cur, i), i, eager, reliableEvery, level)
     cur
   }
 
@@ -114,19 +184,37 @@ object Iterate {
       storageLevel: Option[StorageLevel] = None)(
       step: DataFrame => DataFrame)(
       fingerprint: DataFrame => Long): (DataFrame, Int, Boolean) = {
-    var cur = truncInit(df, eager = false, storageLevel)
+    var level = storageLevel.orElse(autoStorageLevel(df))
+    val sc = df.sparkSession.sparkContext
+    val pool = storagePoolBytes(sc)
+    var cur = truncInit(df, eager = false, level)
     var prev = fingerprint(cur)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val next = trunc(step(cur), round + 1, eager = false, reliableEvery,
-        storageLevel)
+        level)
       val fp = fingerprint(next)
       converged = fp == prev
       prev = fp
       cur = next
       round += 1
       trace(round, fp, converged)
+      // Convergence loops materialize every round (the fingerprint IS
+      // an action), so the MEASURED retained footprint is available —
+      // the precision check the lazy variant cannot have. Catches
+      // growth-shaped state (BFS-like frontiers) the init-plan
+      // estimate under-reads; switches remaining rounds only (already-
+      // persisted deser rounds age out through the cleaner as usual).
+      if (level.isEmpty && autoEnabled && pool > 0 &&
+          retainedBytesNow(sc) > (pool * PoolSafetyFraction).toLong) {
+        System.err.println(
+          s"[iterate] auto-posture (measured, round $round): retained " +
+            s"${retainedBytesNow(sc)} B exceeds " +
+            s"${(PoolSafetyFraction * 100).toInt}% of the $pool B pool " +
+            "-> MEMORY_AND_DISK_SER for remaining rounds")
+        level = Some(StorageLevel.MEMORY_AND_DISK_SER)
+      }
     }
     (cur, round, converged)
   }

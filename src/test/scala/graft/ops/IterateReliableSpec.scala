@@ -111,6 +111,35 @@ class IterateReliableSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a serialized in-memory level among $levels")
   }
 
+  test("auto-posture: pool-small state stays deserialized, pool-large " +
+    "plan stats select serialized blocks") {
+    import org.apache.spark.storage.StorageLevel
+    // Clear blocks left by earlier tests (the SER test above persists
+    // serialized rounds whose cleaner release is GC-timed).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // Small init: the estimate (63 rows x 2 longs x 3 retained rounds)
+    // is far under half the storage pool -> no override, Spark's
+    // deserialized localCheckpoint default stands (it is FASTER while
+    // it fits — the r14 sweep's decision data).
+    assert(Iterate.autoStorageLevel(init).isEmpty)
+    // A plan whose statistics alone exceed the pool (never executed —
+    // the heuristic reads optimizedPlan.stats only): 2^32 rows x 8 B
+    // x 3 rounds >> any test heap's storage pool -> SER for local
+    // rounds, with NO env knob set (VERDICT r14 ask #4).
+    val big = spark.range(1L << 32).toDF("id")
+    assert(Iterate.autoStorageLevel(big)
+      .contains(StorageLevel.MEMORY_AND_DISK_SER))
+    // End-to-end through iterate(): a small-state loop must leave NO
+    // serialized block behind (the auto path must not flip posture
+    // when the estimate fits).
+    Iterate.iterate(init, 3)(step).count()
+    @scala.annotation.nowarn("cat=deprecation")
+    def serLevels = spark.sparkContext.getRDDStorageInfo.toSeq
+      .map(_.storageLevel).filter(l => !l.deserialized && l.useMemory)
+    assert(serLevels.isEmpty,
+      s"small-state auto run must stay deserialized, got $serLevels")
+  }
+
   test("iterateUntil converges identically under reliable truncation") {
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     import org.apache.spark.sql.functions._

@@ -91,7 +91,29 @@ object Iterate {
     else {
       val sc = df.sparkSession.sparkContext
       val pool = storagePoolBytes(sc)
-      val perRound = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val stats = df.queryExecution.optimizedPlan.stats
+      // What the loop actually persists is ROW-format deserialized
+      // blocks (UnsafeRow objects), NOT whatever format the init plan's
+      // own estimate reflects — a persisted DataFrame init reports its
+      // COLUMNAR-COMPRESSED cache size, several-fold below the row
+      // blocks the rounds will retain (measured r14: k-core's edge
+      // rounds held ~1.6 GB each while the same edges compressed to a
+      // fraction columnar). When the row count is known (cached inputs
+      // record it), floor the estimate with an UnsafeRow-block model:
+      // ~16 B object header + 8 B row header + 8 B per field, doubled
+      // for deser JVM object overhead — which reproduces the measured
+      // 1.6 GB within ~20% for the 2-long edge schema.
+      val nFields = df.schema.size
+      val rowModel = stats.rowCount
+        .map(rc => rc * (2L * (24 + 8 * nFields)))
+        .getOrElse(BigInt(0))
+      val perRound = stats.sizeInBytes.max(rowModel)
+      if (sys.env.get("GRAFT_ITERATE_DEBUG").exists(_.trim == "1"))
+        System.err.println(
+          s"[iterate] auto-posture debug: sizeInBytes=${stats.sizeInBytes} " +
+            s"rowCount=${stats.rowCount} rowModel=$rowModel " +
+            s"perRound=$perRound pool=$pool " +
+            s"threshold=${(pool * PoolSafetyFraction).toLong}")
       if (pool > 0 &&
           perRound * RetainedRounds >
             BigInt((pool * PoolSafetyFraction).toLong)) {

@@ -8711,4 +8711,173 @@ FROM r ORDER BY stratum"""))
           graft.plans.GraftRuntime.restore(savedRegistry)
         }
     }
+
+    /** Shared driver for q_join_reorder_ndv: the NDV cell of the
+      * optimizer-integration matrix (VERDICT r14 ask #5). Row counts
+      * steer broadcast decisions and selectivity-driven reorders
+      * (q_join_reorder_selectivity); what they CANNOT rank is join
+      * FANOUT — Catalyst's JoinEstimation computes an equi-join's
+      * cardinality as rows_l x rows_r / max(ndv_l, ndv_r), and without
+      * per-column distinct counts on BOTH key sides every candidate in
+      * CostBasedJoinReorder's DP search is costed at the cartesian
+      * product. The demo: lineitem joins a 100-row supplier dim on a
+      * 100-value key (fanout |L|/100 — intermediate = ALL of lineitem)
+      * and a 10%-band of orders on the near-unique orderkey
+      * (intermediate = 10% of lineitem). Cartesian costing ranks
+      * supplier first (60k x 100 << 60k x 1500) — the wrong order by
+      * 10x of true intermediate rows, require()-measured in-entry.
+      * Injecting the learned NDVs — predicated keys as the domain mass
+      * surviving the filter (the position-mask true-count, exactly the
+      * r15 IN/IS NULL machinery), unpredicated keys bounded by
+      * min(domain size, estimated rows) — flips the DP to orders
+      * first. Both orders pinned; both runs' answers reduced to the
+      * same integer aggregates and hash-gated against DuckDB.
+      */
+    private def joinReorderByNdv(s: SparkSession, d: String): DataFrame = {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachReorderIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+        // o_orderkey scales 0..N-1 with the SF: the 10% band is derived
+        // from the data, not a constant (the derived-dir lesson).
+        val maxOk = Tables.read(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val okCut = maxOk / 10
+        // Dictionaries for the join keys — the reference's own domain
+        // structure; NDV-under-filter is the mask true-count.
+        val liOk = Dictionary.columnMeta(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey")
+        val liSk = Dictionary.columnMeta(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey")
+        val oOk = Dictionary.columnMeta(
+          Tables.read(s, d, "orders"), "o_orderkey")
+        val sSk = Dictionary.columnMeta(
+          s.read.parquet(s"$d/supplier.parquet"), "s_suppkey")
+        def maskNdv(m: graft.core.ColumnMeta, preds: Seq[Pred]): Long = {
+          val mine = preds.filter(_.col == m.name)
+          if (mine.isEmpty) m.nonNullDomain.length.toLong
+          else {
+            val masks = mine.map(_.domainMask(m))
+            m.domain.indices.count(j => masks.forall(_(j))).toLong
+          }
+        }
+        def reg(injectNdv: Boolean): Unit = {
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          val liEst: Seq[Pred] => Long =
+            preds => ps.query(preds.filter(p => modelCols.contains(p.col)))
+          graft.plans.GraftRuntime.registerWithNdv(s"$d/lineitem.parquet",
+            modelCols.toSet ++ Set("l_orderkey", "l_suppkey"),
+            liEst,
+            (c, preds) =>
+              if (!injectNdv) None
+              else if (c == "l_orderkey")
+                Some(math.min(liOk.nonNullDomain.length.toLong, liEst(preds)))
+              else if (c == "l_suppkey")
+                Some(math.min(liSk.nonNullDomain.length.toLong, liEst(preds)))
+              else None)
+          graft.plans.GraftRuntime.registerWithNdv(s"$d/orders.parquet",
+            Set("o_orderkey"),
+            preds => maskNdv(oOk, preds), // near-unique key: rows = mass
+            (c, preds) =>
+              if (injectNdv && c == "o_orderkey") Some(maskNdv(oOk, preds))
+              else None)
+          graft.plans.GraftRuntime.registerWithNdv(s"$d/supplier.parquet",
+            Set("s_suppkey"),
+            preds => maskNdv(sSk, preds),
+            (c, preds) =>
+              if (injectNdv && c == "s_suppkey") Some(maskNdv(sSk, preds))
+              else None)
+        }
+        def joined() = {
+          val liF = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_quantity") <= 50.0)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+          val oF = Tables.read(s, d, "orders")
+            .filter(col("o_orderkey") < okCut)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val sF = s.read.parquet(s"$d/supplier.parquet")
+            .filter(col("s_suppkey") >= 0L)
+            .select(col("s_suppkey"), col("s_nationkey"))
+          // WRITTEN orders-first; the control run must actively flip it.
+          liF.join(oF, liF("l_orderkey") === oF("o_orderkey"))
+            .join(sF, liF("l_suppkey") === sF("s_suppkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast("long").as("qty_sum"),
+              sum(pmod(col("o_custkey") + col("s_nationkey"), lit(1000003L)))
+                .cast("long").as("key_sum"))
+        }
+        def firstJoin(df: org.apache.spark.sql.DataFrame): String = {
+          val joins = df.queryExecution.optimizedPlan
+            .collect { case j: LJoin => j }
+          val inner = joins.find(_.children.forall(
+            _.collect { case jj: LJoin => jj }.isEmpty))
+          val attrs = inner.map(_.output.map(_.name).toSet)
+            .getOrElse(Set.empty)
+          if (attrs.contains("s_suppkey")) "supplier_first"
+          else if (attrs.contains("o_orderkey")) "orders_first"
+          else "unknown"
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          // Ground truth, measured in-entry: the control's choice is
+          // wrong by ~10x of true intermediate rows.
+          val li = s.read.parquet(s"$d/lineitem.parquet")
+          val trueLS = li.join(
+            s.read.parquet(s"$d/supplier.parquet"),
+            li("l_suppkey") === col("s_suppkey")).count()
+          val trueLO = li.join(
+            Tables.read(s, d, "orders").filter(col("o_orderkey") < okCut),
+            li("l_orderkey") === col("o_orderkey")).count()
+          require(trueLO * 5 < trueLS,
+            s"demo premise broke: true L JOIN O_band = $trueLO vs " +
+              s"L JOIN S = $trueLS — want a ~10x gap")
+          reg(injectNdv = false)
+          val control = joined()
+          val controlOrder = firstJoin(control)
+          val Array(controlRow) = control.collect()
+          reg(injectNdv = true)
+          val ndv = joined()
+          val ndvOrder = firstJoin(ndv)
+          val Array(ndvRow) = ndv.collect()
+          require(controlOrder == "supplier_first",
+            "control (row counts only) was expected to cost every " +
+              "candidate at the cartesian product and pick the small " +
+              s"dim first; got $controlOrder")
+          require(ndvOrder == "orders_first",
+            "learned NDVs did not correct the join order: " +
+              s"got $ndvOrder (control picked $controlOrder)")
+          require(controlRow.toSeq == ndvRow.toSeq,
+            "join order changed the ANSWER — broken join: " +
+              s"control=$controlRow ndv=$ndvRow")
+          Seq(
+            ("ndv_injected", ndvOrder, ndvRow.getLong(0),
+              ndvRow.getLong(1), ndvRow.getLong(2)),
+            ("rowcount_only", controlOrder, controlRow.getLong(0),
+              controlRow.getLong(1), controlRow.getLong(2)))
+            .toDF("mode", "first_join", "n_rows", "qty_sum", "key_sum")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", savedReord)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+    }
 }

@@ -72,13 +72,27 @@ object GraftRuntime {
   final case class Registered(
       pathToken: String,
       columns: Set[String],
-      estimate: Seq[Pred] => Long)
+      estimate: Seq[Pred] => Long,
+      /** Learned per-column distinct count under the conjunction (r15):
+        * the "domain mass surviving a filter" — a predicated column's
+        * NDV is its domain-mask true-count, an unpredicated join key's
+        * is bounded by its full domain. None = no estimate for that
+        * column (no ColumnStat injected; Catalyst falls back to its
+        * own heuristics). Feeds JoinEstimation's ndv-based equi-join
+        * cardinality through [[EstimatedStatsRule]]. */
+      ndv: (String, Seq[Pred]) => Option[Long] = (_, _) => None)
 
   @volatile private var registered: List[Registered] = Nil
 
   def register(pathToken: String, columns: Set[String],
       estimate: Seq[Pred] => Long): Unit =
     registered = Registered(pathToken, columns, estimate) :: registered
+
+  /** [[register]] with a learned NDV channel for join-key columns. */
+  def registerWithNdv(pathToken: String, columns: Set[String],
+      estimate: Seq[Pred] => Long,
+      ndv: (String, Seq[Pred]) => Option[Long]): Unit =
+    registered = Registered(pathToken, columns, estimate, ndv) :: registered
 
   def clear(): Unit = registered = Nil
 
@@ -236,7 +250,7 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Collapse a stale annotation around a freshly re-wrapped filter
       // (fixed-point batches re-run the rule): keep the inner, newer
       // one. Makes the rewrite converge on the second pass.
-      case StatsAnnotated(inner: StatsAnnotated, _, _) => inner
+      case StatsAnnotated(inner: StatsAnnotated, _, _, _) => inner
       case f @ Filter(cond, child) =>
         (PredExtract.relationPaths(child),
             PredExtract.parseConjunction(cond, strictNotNull = false)) match {
@@ -250,7 +264,23 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   finally ApproxCountRule.inEstimate.set(false)
                 val rowBytes =
                   8L + f.output.map(_.dataType.defaultSize.toLong).sum
-                StatsAnnotated(f, BigInt(est), BigInt(est) * rowBytes)
+                // Learned NDVs for whichever output columns the
+                // registration can estimate (join keys, typically):
+                // JoinEstimation requires BOTH distinctCount and
+                // nullCount on both key sides before it abandons the
+                // cartesian-product fallback, so nullCount rides along
+                // (0 — the estimators' domain masks exclude the null
+                // slot under any comparison).
+                val colStats = f.output.flatMap { a =>
+                  reg.ndv(a.name, preds).map(n => a ->
+                    org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
+                      distinctCount = Some(BigInt(n)),
+                      nullCount = Some(BigInt(0)),
+                      avgLen = Some(a.dataType.defaultSize.toLong),
+                      maxLen = Some(a.dataType.defaultSize.toLong)))
+                }
+                StatsAnnotated(f, BigInt(est), BigInt(est) * rowBytes,
+                  colStats)
               case _ => f
             }
           case _ => f

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, LogicalPlan, Statistics, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** Learned-cardinality statistics injection — the second half of the
@@ -39,15 +39,25 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 case class StatsAnnotated(
     child: LogicalPlan,
     estRows: BigInt,
-    estSizeInBytes: BigInt) extends UnaryNode {
+    estSizeInBytes: BigInt,
+    attrStats: Seq[(Attribute, ColumnStat)] = Nil) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output
 
   // Replaces (not merges) the visitor-computed statistics: sizeInBytes
   // drives broadcast selection in every stats mode; rowCount feeds the
-  // CBO visitors when spark.sql.cbo.enabled is on.
+  // CBO visitors when spark.sql.cbo.enabled is on. `attrStats` (r15)
+  // carries learned per-column distinct counts for join keys: Catalyst's
+  // `JoinEstimation` computes an equi-join's cardinality as
+  // rows_l x rows_r / max(ndv_l, ndv_r) ONLY when both key columns have
+  // count stats — without them every candidate join in
+  // CostBasedJoinReorder's DP search is costed at the cartesian product,
+  // so reorder decisions degrade to row counts alone (the failure the
+  // q_join_reorder_ndv entry pins).
   override def stats: Statistics =
-    Statistics(sizeInBytes = estSizeInBytes.max(1), rowCount = Some(estRows))
+    Statistics(sizeInBytes = estSizeInBytes.max(1), rowCount = Some(estRows),
+      attributeStats = org.apache.spark.sql.catalyst.expressions
+        .AttributeMap(attrStats))
 
   override def maxRows: Option[Long] = child.maxRows
 
@@ -57,7 +67,7 @@ case class StatsAnnotated(
 
 object StatsAnnotatedStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case StatsAnnotated(child, _, _) => planLater(child) :: Nil
+    case sa: StatsAnnotated => planLater(sa.child) :: Nil
     case _ => Nil
   }
 }

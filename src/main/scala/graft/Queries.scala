@@ -294,7 +294,12 @@ ORDER BY query_id""")),
         val preds = Seq(
           "p1_is_null" -> Pred("et", Op.IsNull, null),
           "p2_not_null" -> Pred("et", Op.NotNull, null),
-          "p3_in" -> Pred("et", Op.In, Seq("click", "purchase")))
+          "p3_in" -> Pred("et", Op.In, Seq("click", "purchase")),
+          // r16: the complement mask — true slots are exactly the
+          // non-null domain values OUTSIDE the list; the null slot
+          // must stay false (three-valued logic), so
+          // mask_count == direct_count pins NOT IN's null handling.
+          "p4_not_in" -> Pred("et", Op.NotIn, Seq("click", "purchase")))
         val rows = preds.map { case (pid, p) =>
           val mask = p.domainMask(meta)
           val maskRows = meta.domain.zipWithIndex.map { case (v, i) =>
@@ -334,6 +339,11 @@ SELECT 'p3_in',
   CAST(count(*) FILTER (WHERE et IN ('click', 'purchase')) AS BIGINT),
   CAST(count(*) FILTER (WHERE et IN ('click', 'purchase')) AS BIGINT)
 FROM dv
+UNION ALL
+SELECT 'p4_not_in',
+  CAST(count(*) FILTER (WHERE et NOT IN ('click', 'purchase')) AS BIGINT),
+  CAST(count(*) FILTER (WHERE et NOT IN ('click', 'purchase')) AS BIGINT)
+FROM dv
 ORDER BY pred_id""")),
     // SQL → learned estimate with an IN mask (r15): querySql parses the
     // IN, Pred.domainMask unions the equality masks, ProgressiveSampling
@@ -360,6 +370,52 @@ ORDER BY pred_id""")),
   CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
 FROM lineitem
 WHERE l_returnflag IN ('R', 'N') AND l_quantity <= 24.0""")),
+    // NOT IN through the complement mask (r16; VERDICT r15 next #6):
+    // the mask architecture makes negation as cheap as the IN it
+    // complements — complement of the union mask, null slot stays
+    // FALSE (SQL three-valued logic: `null NOT IN (…)` is unknown, so
+    // a null row never qualifies — q2 pins exactly that against a
+    // derived null-bearing table; `Column.isin.unary_!` happens to
+    // agree, and the oracle makes sure it keeps agreeing). q3 is the
+    // mixed-type literal list on a DOUBLE column, same
+    // widen-to-double convergence as q_sql_front_in's q3.
+    Entry("q_sql_front_not_in",
+      (s, d) => {
+        import s.implicits._
+        val nullable = Tables.read(s, d, "events").withColumn("et",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        val texts = Seq(
+          "q1_not_in_strings" -> ("""SELECT count(*) FROM lineitem
+            WHERE l_returnflag NOT IN ('R', 'A') AND l_quantity <= 5.0"""),
+          "q2_not_in_skips_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et NOT IN ('click', 'purchase')"""),
+          "q3_not_in_mixed_types" -> ("""SELECT count(*) FROM events
+            WHERE value NOT IN (2.5, 1, 9) AND value <= 20.0"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          require(preds.exists(_.op == graft.query.Op.NotIn),
+            s"no NotIn pred in $qid: $preds")
+          val df =
+            if (table == "events_nullable") nullable
+            else Tables.read(s, d, table)
+          (qid, df.filter(Pred.conj(preds)).count())
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""WITH events_nullable AS (
+  SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE event_type END AS et FROM events)
+SELECT 'q1_not_in_strings' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_returnflag NOT IN ('R', 'A') AND l_quantity <= 5.0
+UNION ALL
+SELECT 'q2_not_in_skips_null', CAST(count(*) AS BIGINT)
+  FROM events_nullable WHERE et NOT IN ('click', 'purchase')
+UNION ALL
+SELECT 'q3_not_in_mixed_types', CAST(count(*) AS BIGINT)
+  FROM events WHERE value NOT IN (2.5, 1, 9) AND value <= 20.0
+ORDER BY query_id""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),
@@ -7279,6 +7335,30 @@ UNION ALL
 SELECT 'model_stats', 'SortMergeJoin', 'SortMergeJoin',
   n_rows, max_flag, max_status FROM j
 ORDER BY mode""")),
+    // The NDV cell of the optimizer-integration matrix (VERDICT r14 ask
+    // #5, wired r16): learned per-column distinct counts flip
+    // CostBasedJoinReorder's DP from the cartesian-costed wrong order
+    // (supplier-dim first — ALL of lineitem as the intermediate) to the
+    // true-fanout-cheap order (10% orders band first). Both orders
+    // require()-pinned in joinReorderByNdv; the ground-truth fanout gap
+    // is measured in-entry; both runs' answers reduce to the same
+    // integer aggregates, hash-gated against DuckDB.
+    Entry("q_join_reorder_ndv",
+      (s, d) => joinReorderByNdv(s, d),
+      Some("""WITH j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+    CAST(sum((o.o_custkey + s.s_nationkey) % 1000003) AS BIGINT) AS key_sum
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_quantity <= 50.0 AND s.s_suppkey >= 0
+    AND o.o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))
+SELECT 'ndv_injected' AS mode, 'orders_first' AS first_join,
+  n_rows, qty_sum, key_sum FROM j
+UNION ALL
+SELECT 'rowcount_only', 'supplier_first', n_rows, qty_sum, key_sum FROM j
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",
@@ -8769,6 +8849,21 @@ FROM r ORDER BY stratum"""))
             m.domain.indices.count(j => masks.forall(_(j))).toLong
           }
         }
+        // The full KeyStat from the dictionary (r16): null count from
+        // the null slot (a key whose domain has no slot 0 provably has
+        // zero nulls; a null-bearing unpredicated key stays None and
+        // Catalyst falls back rather than overstate matchable rows),
+        // min/max from the sorted domain's ends (unconditioned bounds
+        // are sound — and REQUIRED: a min/max-less numeric ColumnStat
+        // reads as the empty value interval and turns every join
+        // estimate into 0 rows, which the JoinReorderSpec NDV case
+        // caught on this entry's first wiring).
+        def ks(m: graft.core.ColumnMeta,
+            ndv: Long): graft.plans.GraftRuntime.KeyStat =
+          graft.plans.GraftRuntime.KeyStat(ndv,
+            nullCount = if (m.hasNull) None else Some(0L),
+            min = m.nonNullDomain.headOption,
+            max = m.nonNullDomain.lastOption)
         def reg(injectNdv: Boolean): Unit = {
           graft.plans.GraftRuntime.restore(savedRegistry)
           val liEst: Seq[Pred] => Long =
@@ -8779,21 +8874,25 @@ FROM r ORDER BY stratum"""))
             (c, preds) =>
               if (!injectNdv) None
               else if (c == "l_orderkey")
-                Some(math.min(liOk.nonNullDomain.length.toLong, liEst(preds)))
+                Some(ks(liOk,
+                  math.min(liOk.nonNullDomain.length.toLong, liEst(preds))))
               else if (c == "l_suppkey")
-                Some(math.min(liSk.nonNullDomain.length.toLong, liEst(preds)))
+                Some(ks(liSk,
+                  math.min(liSk.nonNullDomain.length.toLong, liEst(preds))))
               else None)
           graft.plans.GraftRuntime.registerWithNdv(s"$d/orders.parquet",
             Set("o_orderkey"),
             preds => maskNdv(oOk, preds), // near-unique key: rows = mass
             (c, preds) =>
-              if (injectNdv && c == "o_orderkey") Some(maskNdv(oOk, preds))
+              if (injectNdv && c == "o_orderkey")
+                Some(ks(oOk, maskNdv(oOk, preds)))
               else None)
           graft.plans.GraftRuntime.registerWithNdv(s"$d/supplier.parquet",
             Set("s_suppkey"),
             preds => maskNdv(sSk, preds),
             (c, preds) =>
-              if (injectNdv && c == "s_suppkey") Some(maskNdv(sSk, preds))
+              if (injectNdv && c == "s_suppkey")
+                Some(ks(sSk, maskNdv(sSk, preds)))
               else None)
         }
         def joined() = {

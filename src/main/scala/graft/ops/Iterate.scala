@@ -127,14 +127,27 @@ object Iterate {
       } else None
     }
 
-  /** Measured mid-loop escalation for eager loops: total persisted
-    * bytes right now vs the pool. Deprecation: getRDDStorageInfo is
-    * the only public per-block-size view; the bench uses it for the
-    * same reason. */
+  /** RDD ids persisted right now — the baseline snapshot that scopes
+    * the measured escalation to THIS loop's rounds. Deprecation:
+    * getRDDStorageInfo is the only public per-block-size view; the
+    * bench uses it for the same reason. */
   @scala.annotation.nowarn("cat=deprecation")
-  private def retainedBytesNow(
-      sc: org.apache.spark.SparkContext): Long =
-    sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+  private def persistedIdsNow(sc: org.apache.spark.SparkContext): Set[Int] =
+    sc.getRDDStorageInfo.map(_.id).toSet
+
+  /** Measured mid-loop escalation: MEMORY bytes of the RDDs persisted
+    * SINCE the loop started (the init + round checkpoints), vs the
+    * pool. Scoped two ways (ADVICE r15): pre-loop caches are excluded
+    * via the baseline id snapshot — an unrelated cached table must not
+    * flip this loop's posture — and diskSize is excluded because only
+    * memory-resident bytes contend for the storage pool the threshold
+    * is defined against (already-spilled bytes are the SYMPTOM the
+    * switch prevents, not pressure to count twice). */
+  @scala.annotation.nowarn("cat=deprecation")
+  private def retainedBytesNow(sc: org.apache.spark.SparkContext,
+      baseline: Set[Int]): Long =
+    sc.getRDDStorageInfo.filterNot(i => baseline.contains(i.id))
+      .map(_.memSize).sum
 
   /** One round's lineage truncation: reliable `checkpoint()` on rounds
     * divisible by `reliableEvery` (when enabled), `localCheckpoint`
@@ -209,6 +222,9 @@ object Iterate {
     var level = storageLevel.orElse(autoStorageLevel(df))
     val sc = df.sparkSession.sparkContext
     val pool = storagePoolBytes(sc)
+    // Snapshot BEFORE the init truncation: the init's blocks are part of
+    // this loop's retained state; anything persisted earlier is not.
+    val baseline = persistedIdsNow(sc)
     var cur = truncInit(df, eager = false, level)
     var prev = fingerprint(cur)
     var round = 0
@@ -228,14 +244,16 @@ object Iterate {
       // growth-shaped state (BFS-like frontiers) the init-plan
       // estimate under-reads; switches remaining rounds only (already-
       // persisted deser rounds age out through the cleaner as usual).
-      if (level.isEmpty && autoEnabled && pool > 0 &&
-          retainedBytesNow(sc) > (pool * PoolSafetyFraction).toLong) {
-        System.err.println(
-          s"[iterate] auto-posture (measured, round $round): retained " +
-            s"${retainedBytesNow(sc)} B exceeds " +
-            s"${(PoolSafetyFraction * 100).toInt}% of the $pool B pool " +
-            "-> MEMORY_AND_DISK_SER for remaining rounds")
-        level = Some(StorageLevel.MEMORY_AND_DISK_SER)
+      if (level.isEmpty && autoEnabled && pool > 0) {
+        val retained = retainedBytesNow(sc, baseline)
+        if (retained > (pool * PoolSafetyFraction).toLong) {
+          System.err.println(
+            s"[iterate] auto-posture (measured, round $round): this " +
+              s"loop's retained $retained B exceeds " +
+              s"${(PoolSafetyFraction * 100).toInt}% of the $pool B pool " +
+              "-> MEMORY_AND_DISK_SER for remaining rounds")
+          level = Some(StorageLevel.MEMORY_AND_DISK_SER)
+        }
       }
     }
     (cur, round, converged)

@@ -69,18 +69,42 @@ object GraftRuntime {
     * (either injection path); read by `attachIfMissing`. */
   val AttachedKey = "spark.graft.approxCount.attached"
 
+  /** Learned column statistics for a join key under a conjunction —
+    * everything Catalyst's `JoinEstimation` needs before it abandons
+    * the cartesian-product fallback:
+    *
+    *   - `ndv`: distinct count — a predicated column's is its
+    *     domain-mask true-count, an unpredicated key's is bounded by
+    *     its full domain size.
+    *   - `nullCount` (r16, ADVICE r15): JoinEstimation requires a null
+    *     count alongside the NDV, but force-injecting 0 for an
+    *     UNPREDICATED key on a null-bearing column would overstate
+    *     matchable rows. The registrant knows (the dictionary records
+    *     the null slot), so it supplies the count; None falls back to
+    *     0 only when a null-excluding predicate makes it exact.
+    *   - `min`/`max` (r16): JVM-external domain bounds, converted to
+    *     Catalyst values at injection. REQUIRED for numeric/temporal
+    *     keys: `ValueInterval(None, None, numericType)` is the EMPTY
+    *     interval, so a min/max-less ColumnStat makes every equi-join
+    *     estimate 0 rows — stats worse than none. Unconditioned domain
+    *     bounds are sound (a wider interval only overlaps more).
+    */
+  final case class KeyStat(
+      ndv: Long,
+      nullCount: Option[Long] = None,
+      min: Option[Any] = None,
+      max: Option[Any] = None)
+
   final case class Registered(
       pathToken: String,
       columns: Set[String],
       estimate: Seq[Pred] => Long,
-      /** Learned per-column distinct count under the conjunction (r15):
-        * the "domain mass surviving a filter" — a predicated column's
-        * NDV is its domain-mask true-count, an unpredicated join key's
-        * is bounded by its full domain. None = no estimate for that
-        * column (no ColumnStat injected; Catalyst falls back to its
-        * own heuristics). Feeds JoinEstimation's ndv-based equi-join
-        * cardinality through [[EstimatedStatsRule]]. */
-      ndv: (String, Seq[Pred]) => Option[Long] = (_, _) => None)
+      /** Learned per-column [[KeyStat]] under the conjunction (r15/r16).
+        * None = no estimate for that column (no ColumnStat injected;
+        * Catalyst falls back to its own heuristics). Feeds
+        * JoinEstimation's ndv-based equi-join cardinality through
+        * [[EstimatedStatsRule]]. */
+      keyStats: (String, Seq[Pred]) => Option[KeyStat] = (_, _) => None)
 
   @volatile private var registered: List[Registered] = Nil
 
@@ -88,11 +112,12 @@ object GraftRuntime {
       estimate: Seq[Pred] => Long): Unit =
     registered = Registered(pathToken, columns, estimate) :: registered
 
-  /** [[register]] with a learned NDV channel for join-key columns. */
+  /** [[register]] with a learned per-key statistics channel. */
   def registerWithNdv(pathToken: String, columns: Set[String],
       estimate: Seq[Pred] => Long,
-      ndv: (String, Seq[Pred]) => Option[Long]): Unit =
-    registered = Registered(pathToken, columns, estimate, ndv) :: registered
+      keyStats: (String, Seq[Pred]) => Option[KeyStat]): Unit =
+    registered =
+      Registered(pathToken, columns, estimate, keyStats) :: registered
 
   def clear(): Unit = registered = Nil
 
@@ -264,20 +289,43 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   finally ApproxCountRule.inEstimate.set(false)
                 val rowBytes =
                   8L + f.output.map(_.dataType.defaultSize.toLong).sum
-                // Learned NDVs for whichever output columns the
-                // registration can estimate (join keys, typically):
-                // JoinEstimation requires BOTH distinctCount and
-                // nullCount on both key sides before it abandons the
-                // cartesian-product fallback, so nullCount rides along
-                // (0 — the estimators' domain masks exclude the null
-                // slot under any comparison).
+                // Learned per-key ColumnStats for whichever output
+                // columns the registration can estimate (join keys,
+                // typically): JoinEstimation requires distinctCount,
+                // nullCount, AND a non-empty value interval on both key
+                // sides before it abandons the cartesian-product
+                // fallback (min/max-less numeric stats read as the
+                // EMPTY interval → every join estimates 0 rows).
+                // nullCount comes from the registrant (who can read the
+                // dictionary's null slot); absent that, 0 is injected
+                // ONLY when a null-excluding predicate on the column
+                // makes it exact — an unpredicated key on a
+                // possibly-null column keeps nullCount=None rather than
+                // overstating matchable rows (ADVICE r15). min/max
+                // arrive as external JVM values and convert to Catalyst
+                // internal form here (Timestamp → µs long, etc.).
                 val colStats = f.output.flatMap { a =>
-                  reg.ndv(a.name, preds).map(n => a ->
-                    org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
-                      distinctCount = Some(BigInt(n)),
-                      nullCount = Some(BigInt(0)),
-                      avgLen = Some(a.dataType.defaultSize.toLong),
-                      maxLen = Some(a.dataType.defaultSize.toLong)))
+                  reg.keyStats(a.name, preds).map { ks =>
+                    val nulls = ks.nullCount
+                      .map(BigInt(_))
+                      .orElse {
+                        val excluded = preds.exists(p => p.col == a.name &&
+                          (p.op.isScalar || p.op == graft.query.Op.In ||
+                            p.op == graft.query.Op.NotIn ||
+                            p.op == graft.query.Op.NotNull))
+                        if (excluded) Some(BigInt(0)) else None
+                      }
+                    def cat(v: Any): Any = org.apache.spark.sql.catalyst
+                      .CatalystTypeConverters.convertToCatalyst(v)
+                    a ->
+                      org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
+                        distinctCount = Some(BigInt(ks.ndv)),
+                        min = ks.min.map(cat),
+                        max = ks.max.map(cat),
+                        nullCount = nulls,
+                        avgLen = Some(a.dataType.defaultSize.toLong),
+                        maxLen = Some(a.dataType.defaultSize.toLong))
+                  }
                 }
                 StatsAnnotated(f, BigInt(est), BigInt(est) * rowBytes,
                   colStats)

@@ -47,6 +47,11 @@ object Op {
   case object Geq extends Op(">=")
   /** `col IN (v1, …, vk)` — Pred.value is a Seq[Any] of the k literals. */
   case object In extends Op("IN")
+  /** `col NOT IN (v1, …, vk)` (r16) — the complement of the IN mask
+    * MINUS the null slot: SQL three-valued logic makes `null NOT IN
+    * (…)` unknown, so a null row never qualifies, same as every value
+    * comparison. Pred.value is the literal Seq, like [[In]]. */
+  case object NotIn extends Op("NOT IN")
   /** `col IS NULL` — Pred.value is ignored (null by convention). */
   case object IsNull extends Op("IS NULL")
   /** `col IS NOT NULL` — Pred.value is ignored (null by convention). */
@@ -55,8 +60,8 @@ object Op {
   /** The reference's own 5-op vocabulary (estimators.py:20-26); workload
     * generators draw from this set. */
   val all: Seq[Op] = Seq(Eq, Lt, Gt, Leq, Geq)
-  /** all + the r15 mask-native extensions. */
-  val extended: Seq[Op] = all ++ Seq(In, IsNull, NotNull)
+  /** all + the r15/r16 mask-native extensions. */
+  val extended: Seq[Op] = all ++ Seq(In, NotIn, IsNull, NotNull)
   def parse(s: String): Op = extended.find(_.sym == s).getOrElse(
     throw new IllegalArgumentException(s"unknown op $s"))
 }
@@ -90,6 +95,11 @@ final case class Pred(col: String, op: Op, value: Any) {
       case Op.In =>
         require(inValues.nonEmpty, s"empty IN list on $col")
         c.isin(inValues: _*)
+      case Op.NotIn =>
+        require(inValues.nonEmpty, s"empty NOT IN list on $col")
+        // `!isin` keeps SQL's three-valued logic: a null column value
+        // yields null → filtered, matching the mask's false null slot.
+        !c.isin(inValues: _*)
       case Op.IsNull => c.isNull
       case Op.NotNull => c.isNotNull
     }
@@ -102,6 +112,9 @@ final case class Pred(col: String, op: Op, value: Any) {
     case Op.In =>
       require(inValues.nonEmpty, s"empty IN list on $col")
       s"$col IN (${inValues.map(Pred.sqlLiteral).mkString(", ")})"
+    case Op.NotIn =>
+      require(inValues.nonEmpty, s"empty NOT IN list on $col")
+      s"$col NOT IN (${inValues.map(Pred.sqlLiteral).mkString(", ")})"
     case Op.IsNull => s"$col IS NULL"
     case Op.NotNull => s"$col IS NOT NULL"
     case _ => s"$col ${op.sym} ${Pred.sqlLiteral(value)}"
@@ -122,6 +135,12 @@ final case class Pred(col: String, op: Op, value: Any) {
         val vs = inValues
         meta.domain.map(d =>
           d != null && vs.exists(v => Pred.domainEquiv(meta, d, v)))
+      case Op.NotIn =>
+        // Complement of the IN mask, null slot stays false (three-
+        // valued logic: null NOT IN (…) is unknown → row filtered).
+        val vs = inValues
+        meta.domain.map(d =>
+          d != null && !vs.exists(v => Pred.domainEquiv(meta, d, v)))
       case scalar =>
         meta.domain.map(d =>
           d != null && Pred.domainCompare(meta, d, value)
@@ -176,20 +195,34 @@ object Pred {
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
 
+  private def isTemporal(v: Any): Boolean = v match {
+    case _: java.sql.Timestamp | _: java.sql.Date |
+        _: java.time.LocalDateTime => true
+    case _ => false
+  }
+
   /** Compare a domain value against a predicate literal, tolerating the
     * numeric-type mismatches SQL front-ends produce (an integral literal
     * against a DOUBLE column, a DECIMAL-parsed `1.0` against an INT
     * column): same-class values go through the column's engine-faithful
     * ordering; numeric cross-class pairs compare exactly in BigDecimal
     * (the widest common space — what both Spark and DuckDB's implicit
-    * casts converge to for in-range values). None = incomparable (the
-    * CCE a silently-wrong mask would otherwise hide). */
+    * casts converge to for in-range values); temporal cross-class pairs
+    * (µs-NTZ domains surface LocalDateTime, Pred.ts builds Timestamp)
+    * through the column ordering, which normalizes both to epoch. Any
+    * other cross-class pair — e.g. a string column against the integer
+    * 5 out of `IN ('R', 5)` — is None = incomparable: the mask slot
+    * stays false (a cast-mismatched literal can never match a domain
+    * value) instead of throwing a ClassCastException deep in mask
+    * evaluation. */
   def domainCompare(meta: ColumnMeta, d: Any, v: Any): Option[Int] = {
     if (d != null && v != null && d.getClass == v.getClass)
       Some(meta.ordering.compare(d, v))
     else if (isNumeric(d) && isNumeric(v))
       Some(toBigDec(d).compareTo(toBigDec(v)))
-    else Some(meta.ordering.compare(d, v)) // timestamp variants etc.
+    else if (isTemporal(d) && isTemporal(v))
+      Some(meta.ordering.compare(d, v))
+    else None
   }
 
   def domainEquiv(meta: ColumnMeta, d: Any, v: Any): Boolean =

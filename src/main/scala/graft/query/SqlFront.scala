@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
   * op ∈ {=, <, >, <=, >=} (either operand order; `BETWEEN x AND y`
   * arrives pre-desugared as `>= x AND <= y`), `col IN (lit, …)`,
   * a single-column OR of equalities (folded into IN — the mask union),
+  * `col NOT IN (lit, …)` (r16 — the complement mask, null slot stays
+  * false per SQL three-valued logic),
   * or `col IS [NOT] NULL` (the null-at-bin-0 mask / its complement).
-  * Cross-column OR, NOT IN, functions over columns, joins and GROUP BY
+  * Cross-column OR, functions over columns, joins and GROUP BY
   * stay query-engine territory (spark.sql answers them directly); this
   * front-end exists to hand the WHERE clause to [[Pred]]-driven
   * estimators. The logical plan is node-whitelisted: any clause that
@@ -132,6 +134,10 @@ object SqlFront {
     case In(a, vs) if attrName(a).isDefined &&
         vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       Pred(attrName(a).get, Op.In,
+        vs.map(v => literalValue(v.asInstanceOf[Literal])))
+    case Not(In(a, vs)) if attrName(a).isDefined &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      Pred(attrName(a).get, Op.NotIn,
         vs.map(v => literalValue(v.asInstanceOf[Literal])))
     case o: Or =>
       val (c, vs) = orToIn(o)

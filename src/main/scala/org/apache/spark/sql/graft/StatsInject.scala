@@ -54,10 +54,24 @@ case class StatsAnnotated(
   // CostBasedJoinReorder's DP search is costed at the cartesian product,
   // so reorder decisions degrade to row counts alone (the failure the
   // q_join_reorder_ndv entry pins).
-  override def stats: Statistics =
+  //
+  // The AttributeMap keys are rebuilt from child.output BY NAME at read
+  // time: `attrStats` lives in a Seq[(Attribute, ColumnStat)] field that
+  // QueryPlan's expression traversal does not rewrite, so a transform
+  // that remaps exprIds (dedup-alias, subquery reuse) would silently
+  // orphan exprId-keyed stats and drop JoinEstimation back to cartesian
+  // costing with no signal. Names survive every remap; output names are
+  // unique below a Filter over a relation (the only shape the rule
+  // wraps).
+  override def stats: Statistics = {
+    val byName = child.output.map(a => a.name -> a).toMap
+    val rebuilt = attrStats.flatMap { case (a, cs) =>
+      byName.get(a.name).map(_ -> cs)
+    }
     Statistics(sizeInBytes = estSizeInBytes.max(1), rowCount = Some(estRows),
       attributeStats = org.apache.spark.sql.catalyst.expressions
-        .AttributeMap(attrStats))
+        .AttributeMap(rebuilt))
+  }
 
   override def maxRows: Option[Long] = child.maxRows
 

@@ -110,4 +110,56 @@ class JoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(query().collect().map(_.toSeq).toSet == expected)
     }
   }
+
+  /** The NDV channel (r16): when estimated ROW COUNTS are identical on
+    * both dims — so rowcount-only costing cannot rank the two joins —
+    * injected per-key distinct counts are the only asymmetry, and
+    * JoinEstimation's rows_l x rows_r / max(ndv_l, ndv_r) must move the
+    * high-NDV (more selective) key's join innermost. Both directions
+    * asserted, so the flip is attributable to the NDVs alone. */
+  private def ks(ndv: Long, maxKey: Long) =
+    Some(GraftRuntime.KeyStat(ndv, nullCount = Some(0L),
+      min = Some(0L), max = Some(maxKey)))
+
+  private def withNdvEstimates(ndvA: Long, ndvB: Long)(body: => Unit): Unit = {
+    val saved = GraftRuntime.snapshot()
+    GraftRuntime.registerWithNdv("reord_facts", Set("fa"), _ => 20000L,
+      (c, _) => c match {
+        case "ka" => ks(50L, 49L)
+        case "kb" => ks(40L, 39L)
+        case _ => None
+      })
+    GraftRuntime.registerWithNdv("reord_dima", Set("da"), _ => 5000L,
+      (c, _) => if (c == "dak") ks(ndvA, 49L) else None)
+    GraftRuntime.registerWithNdv("reord_dimb", Set("db"), _ => 5000L,
+      (c, _) => if (c == "dbk") ks(ndvB, 39L) else None)
+    spark.conf.set(EstimatedStatsRule.EnabledKey, "true")
+    try body
+    finally {
+      spark.conf.set(EstimatedStatsRule.EnabledKey, "false")
+      GraftRuntime.restore(saved)
+    }
+  }
+
+  test("learned NDVs rank joins when row counts tie") {
+    // ndv(dak)=5000 -> A-join card 20000*5000/5000 = 2e4;
+    // ndv(dbk)=40   -> B-join card 20000*5000/40   = 2.5e6: A first.
+    withNdvEstimates(ndvA = 5000L, ndvB = 40L) {
+      assert(firstJoinedDim(query()) == "A",
+        "high-NDV key A should join innermost")
+    }
+    // Mirror image must flip to B — everything except the NDVs is
+    // symmetric, so the flip is the NDV channel working.
+    withNdvEstimates(ndvA = 50L, ndvB = 5000L) {
+      assert(firstJoinedDim(query()) == "B",
+        "high-NDV key B should join innermost")
+    }
+  }
+
+  test("NDV-driven reorder never changes results") {
+    val expected = query().collect().map(_.toSeq).toSet
+    withNdvEstimates(ndvA = 50L, ndvB = 5000L) {
+      assert(query().collect().map(_.toSeq).toSet == expected)
+    }
+  }
 }

@@ -63,6 +63,11 @@ class PredMaskSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pred("v", Op.Geq, 3.0),
       Pred("v", Op.In, Seq(1.0, 5.0)),
       Pred("v", Op.In, Seq(1.0, 99.0)), // absent member: partial match
+      // r16: complement masks — Spark's !isin keeps three-valued logic
+      // (null NOT IN → unknown → dropped), and the mask's false null
+      // slot must agree with it
+      Pred("v", Op.NotIn, Seq(1.0, 5.0)),
+      Pred("v", Op.NotIn, Seq(1.0, 99.0)),
       Pred("v", Op.IsNull, null),
       Pred("v", Op.NotNull, null))
     for (p <- preds) {
@@ -73,6 +78,12 @@ class PredMaskSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the null-slot invariants, stated directly
     assert(!Pred("v", Op.Eq, 2.0).domainMask(meta)(0))
     assert(!Pred("v", Op.In, Seq(1.0, 2.0)).domainMask(meta)(0))
+    // NOT IN is the complement EXCEPT at the null slot: both the IN
+    // mask and its negation are false at position 0
+    assert(!Pred("v", Op.NotIn, Seq(1.0, 2.0)).domainMask(meta)(0))
+    val inM = Pred("v", Op.In, Seq(1.0, 2.0)).domainMask(meta)
+    val notInM = Pred("v", Op.NotIn, Seq(1.0, 2.0)).domainMask(meta)
+    assert(inM.indices.drop(1).forall(i => inM(i) != notInM(i)))
     assert(Pred("v", Op.IsNull, null).domainMask(meta).toSeq ==
       (true +: Seq.fill(meta.distributionSize - 1)(false)))
     assert(Pred("v", Op.NotNull, null).domainMask(meta).toSeq ==
@@ -101,6 +112,22 @@ class PredMaskSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pred("v", Op.In, Seq[Any](1L, 2.5)).toSql == "v IN (1, 2.5)")
     assert(Pred("v", Op.IsNull, null).toSql == "v IS NULL")
     assert(Pred("v", Op.NotNull, null).toSql == "v IS NOT NULL")
+  }
+
+  test("class-mismatched non-numeric literals are incomparable, not a CCE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("R", "A", "N").toDF("f")
+    val meta = Dictionary.columnMeta(df, "f")
+    // An integer among string IN literals (`f IN ('R', 5)`) can never
+    // match a domain value — the mask slot stays false (r16, ADVICE
+    // r15: the previous fallback threw ClassCastException deep in mask
+    // evaluation instead of the documented incomparable behavior).
+    assert(Pred.domainCompare(meta, "R", 5).isEmpty)
+    assert(Pred("f", Op.In, Seq[Any]("R", 5)).domainMask(meta).toSeq ==
+      Seq(false, false, true))
+    // A scalar comparison against a mismatched literal: all-false mask.
+    assert(Pred("f", Op.Leq, 5).domainMask(meta).forall(!_))
   }
 
   test("MaxDiff rejects non-scalar ops instead of mis-pruning") {

@@ -103,13 +103,20 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps2 == Seq(Pred("value", Op.NotNull, null)))
   }
 
-  test("rejects cross-column OR, NOT IN, functions, joins, GROUP BY, HAVING") {
+  test("NOT IN parses to Op.NotIn (r16 — the complement mask)") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('R', 'A')")
+    assert(ps == Seq(Pred("l_returnflag", Op.NotIn, Seq("R", "A"))))
+    val (_, ps2) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE value NOT IN (2.5, 1, 9)")
+    assert(ps2 == Seq(Pred("value", Op.NotIn, Seq(2.5, 1L, 9L))))
+  }
+
+  test("rejects cross-column OR, functions, joins, GROUP BY, HAVING") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark, sql))
         .getMessage
     assert(bad("SELECT count(*) FROM t WHERE a = 1 OR b = 2")
-      .contains("vocabulary"))
-    assert(bad("SELECT count(*) FROM t WHERE a NOT IN (1, 2)")
       .contains("vocabulary"))
     assert(bad("SELECT count(*) FROM t WHERE abs(a) = 1")
       .contains("vocabulary"))

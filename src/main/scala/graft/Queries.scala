@@ -7359,6 +7359,154 @@ SELECT 'ndv_injected' AS mode, 'orders_first' AS first_join,
 UNION ALL
 SELECT 'rowcount_only', 'supplier_first', n_rows, qty_sum, key_sum FROM j
 ORDER BY mode""")),
+    // Learned NDV feeding AGGREGATE estimation (r16; VERDICT r15 next
+    // #5 — the same attrStats channel, one operator further): Catalyst's
+    // AggregateEstimation computes a group-by's output rows as the
+    // product of the grouping columns' distinct counts (capped at child
+    // rows) — but ONLY when every grouping column carries a ColumnStat.
+    // Without it, a pre-aggregated dimension stays rows-proportional in
+    // the size visitor, and the join above it pays a shuffle for a
+    // build side that is actually |domain(key)| rows. The 100 TB shape:
+    // "aggregate the fact by key, join back to the fact" — the single
+    // most common enrichment pattern — where the aggregate output is
+    // supplier-count-sized regardless of data scale. Run 1 (rowcounts
+    // only): the agg side reads as ~|lineitem| rows → SortMergeJoin.
+    // Run 2 (learned key NDV injected): AggregateEstimation collapses
+    // the agg side to ndv(l_suppkey) rows → BroadcastHashJoin. The
+    // injected-mode rowCount is require()-pinned to the NDV (the
+    // estimation path, not just the flip); threshold self-calibrates
+    // from both runs' optimized-plan sizes (geometric mean,
+    // margin-checked) so the entry holds at any SF; both answers
+    // hash-gated.
+    Entry("q_agg_ndv_broadcast",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.EstimatedStatsRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.EstimatedStatsRule.EnabledKey)
+        val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled")
+        val liSk = Dictionary.columnMeta(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey")
+        val skNdv = liSk.nonNullDomain.length.toLong
+        def reg(injectNdv: Boolean): Unit = {
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          val liEst: Seq[Pred] => Long =
+            preds => ps.query(preds.filter(p => modelCols.contains(p.col)))
+          graft.plans.GraftRuntime.registerWithNdv(s"$d/lineitem.parquet",
+            modelCols.toSet ++ Set("l_suppkey"),
+            liEst,
+            (c, preds) =>
+              if (injectNdv && c == "l_suppkey")
+                Some(graft.plans.GraftRuntime.KeyStat(
+                  math.min(skNdv, liEst(preds)),
+                  nullCount = if (liSk.hasNull) None else Some(0L),
+                  min = liSk.nonNullDomain.headOption,
+                  max = liSk.nonNullDomain.lastOption))
+              else None)
+        }
+        // The enrichment dimension: fact pre-aggregated by its key.
+        def aggSide() = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_quantity") <= 50.0)
+          .groupBy(col("l_suppkey").as("ak"))
+          .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        def joined() = {
+          val probe = s.read.parquet(s"$d/lineitem.parquet")
+            .filter(col("l_linenumber") <= 2)
+            .select(col("l_suppkey"), col("l_returnflag"))
+          val a = aggSide()
+          probe.join(a, probe("l_suppkey") === a("ak"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(pmod(col("qty"), lit(1000003L))).cast("long").as("qty_sum"),
+              max(col("l_returnflag")).as("max_flag"))
+        }
+        def chosenJoin(df: org.apache.spark.sql.DataFrame): String = {
+          var name = "unknown"
+          df.queryExecution.executedPlan.foreach {
+            case _: BroadcastHashJoinExec => name = "BroadcastHashJoin"
+            case _: SortMergeJoinExec => name = "SortMergeJoin"
+            case _ => ()
+          }
+          name
+        }
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, "true")
+          // Calibration: the aggregate's own estimated size under each
+          // registration, read off the optimized plan — rows-
+          // proportional without the key stat, ndv-proportional with.
+          reg(injectNdv = false)
+          val aggBase = aggSide().queryExecution.optimizedPlan.stats
+          reg(injectNdv = true)
+          val aggInj = aggSide().queryExecution.optimizedPlan.stats
+          require(aggInj.rowCount.exists(_ <= BigInt(skNdv)),
+            s"AggregateEstimation did not consume the injected NDV: " +
+              s"est rows ${aggInj.rowCount} vs ndv $skNdv")
+          require(aggBase.sizeInBytes * 10 > aggInj.sizeInBytes * 14,
+            s"calibration margin too thin: base=${aggBase.sizeInBytes} " +
+              s"injected=${aggInj.sizeInBytes}")
+          val thresh = math.sqrt(
+            aggBase.sizeInBytes.toDouble * aggInj.sizeInBytes.toDouble)
+            .toLong
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            thresh.toString)
+          reg(injectNdv = false)
+          val control = joined()
+          val controlExec = chosenJoin(control)
+          val Array(controlRow) = control.collect()
+          reg(injectNdv = true)
+          val inj = joined()
+          val injExec = chosenJoin(inj)
+          val Array(injRow) = inj.collect()
+          require(controlExec == "SortMergeJoin",
+            "rows-only aggregate side was expected to look big and " +
+              s"shuffle; got $controlExec (thresh=$thresh)")
+          require(injExec == "BroadcastHashJoin",
+            "NDV-estimated aggregate side was expected to broadcast; " +
+              s"got $injExec (thresh=$thresh)")
+          require(controlRow.toSeq == injRow.toSeq,
+            s"plans disagree on the ANSWER: $controlRow vs $injRow")
+          Seq(
+            ("ndv_injected", injExec, injRow.getLong(0),
+              injRow.getLong(1), injRow.getString(2)),
+            ("rowcount_only", controlExec, controlRow.getLong(0),
+              controlRow.getLong(1), controlRow.getString(2)))
+            .toDF("mode", "join_exec", "n_rows", "qty_sum", "max_flag")
+            .orderBy("mode")
+        } finally {
+          savedEnabled match {
+            case Some(v) =>
+              s.conf.set(graft.plans.EstimatedStatsRule.EnabledKey, v)
+            case None =>
+              s.conf.unset(graft.plans.EstimatedStatsRule.EnabledKey)
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+          s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH a AS (
+  SELECT l_suppkey AS ak, CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity <= 50.0 GROUP BY l_suppkey),
+j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(a.qty % 1000003) AS BIGINT) AS qty_sum,
+    max(l.l_returnflag) AS max_flag
+  FROM lineitem l JOIN a ON l.l_suppkey = a.ak
+  WHERE l.l_linenumber <= 2)
+SELECT 'ndv_injected' AS mode, 'BroadcastHashJoin' AS join_exec,
+  n_rows, qty_sum, max_flag FROM j
+UNION ALL
+SELECT 'rowcount_only', 'SortMergeJoin', n_rows, qty_sum, max_flag FROM j
+ORDER BY mode""")),
     // Chow-Liu Bayesian-network estimate on W1 (estimators.py:680-997
     // analog; seeded deterministic, model-based -> rows-only check).
     Entry("q_bn_card",

@@ -416,6 +416,33 @@ UNION ALL
 SELECT 'q3_not_in_mixed_types', CAST(count(*) AS BIGINT)
   FROM events WHERE value NOT IN (2.5, 1, 9) AND value <= 20.0
 ORDER BY query_id""")),
+    // SQL → learned estimate with a NOT IN mask (r16): the complement
+    // mask rides through ProgressiveSampling exactly like IN — same
+    // renormalization, null slot already false — so the model path
+    // needs no new code, only this gate proving it. Exact reference
+    // from the SAME parse; q-error band 2.0 like the IN twin.
+    Entry("q_sql_front_not_in_model",
+      (s, d) => {
+        import s.implicits._
+        val sqlTxt = """SELECT count(*) FROM lineitem
+          WHERE l_returnflag NOT IN ('A') AND l_quantity <= 24.0"""
+        val (table, preds) = graft.query.SqlFront.parse(s, sqlTxt)
+        require(table == "lineitem", s"front-end mis-read table: $table")
+        require(preds.head.op == graft.query.Op.NotIn,
+          s"no NotIn pred: $preds")
+        val exact = math.max(li(s, d).filter(Pred.conj(preds)).count(), 1L)
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        val est = math.max(ps.querySql(s, sqlTxt, Some("lineitem")), 1L)
+        val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+        Seq(("sql_front_not_in_model_qerror", exact, qerr <= 2.0))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("""SELECT 'sql_front_not_in_model_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_returnflag NOT IN ('A') AND l_quantity <= 24.0""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

@@ -443,6 +443,125 @@ ORDER BY query_id""")),
   CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
 FROM lineitem
 WHERE l_returnflag NOT IN ('A') AND l_quantity <= 24.0""")),
+    // `!=` / `<>` through the SQL seam (r16): Catalyst has no NotEqualTo
+    // node — both spellings parse to Not(EqualTo), which the front-end
+    // folds to the single-literal complement mask (NOT IN (v)). q2 pins
+    // the three-valued-logic edge on a derived null-bearing table: a
+    // null row satisfies NEITHER `et = 'click'` NOR `et != 'click'`,
+    // and the complement mask's false null slot encodes exactly that.
+    Entry("q_sql_front_neq",
+      (s, d) => {
+        import s.implicits._
+        val nullable = Tables.read(s, d, "events").withColumn("et",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        val texts = Seq(
+          "q1_neq_string" -> ("""SELECT count(*) FROM lineitem
+            WHERE l_returnflag != 'R' AND l_quantity <= 5.0"""),
+          "q2_neq_skips_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et != 'click'"""),
+          "q3_ltgt_spelling" -> ("""SELECT count(*) FROM events
+            WHERE value <> 2.5 AND value <= 20.0"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          require(preds.exists(p => p.op == graft.query.Op.NotIn &&
+            p.value.asInstanceOf[Seq[Any]].size == 1),
+            s"no single-literal NotIn fold in $qid: $preds")
+          val df =
+            if (table == "events_nullable") nullable
+            else Tables.read(s, d, table)
+          (qid, df.filter(Pred.conj(preds)).count())
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""WITH events_nullable AS (
+  SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE event_type END AS et FROM events)
+SELECT 'q1_neq_string' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_returnflag != 'R' AND l_quantity <= 5.0
+UNION ALL
+SELECT 'q2_neq_skips_null', CAST(count(*) AS BIGINT)
+  FROM events_nullable WHERE et != 'click'
+UNION ALL
+SELECT 'q3_ltgt_spelling', CAST(count(*) AS BIGINT)
+  FROM events WHERE value <> 2.5 AND value <= 20.0
+ORDER BY query_id""")),
+    // The OPTIMIZER rules speak the full extended vocabulary (r16): the
+    // COUNT(*) rewrite (ApproxCountRule) previously extracted only the
+    // 5 scalar ops, so a SQL IN / NOT IN / != / IS [NOT] NULL count —
+    // exactly the shapes q_sql_front_* added to the front-end — fell
+    // through to the scan. PredExtract now parses In (and its
+    // post-OptimizeIn InSet form — q2's 11-literal list forces that
+    // conversion), Not(In)/Not(InSet), Not(EqualTo), and the null
+    // tests. The registered estimator here is the EXACT filter count,
+    // so the rewrite is lossless and every answer hash-gates against
+    // DuckDB running the identical texts; each query REQUIRES the
+    // rewritten LocalRelation plan, so a silent fall-through fails
+    // loudly rather than passing vacuously (the q_approx_count
+    // contract). Analysis has already cast IN literals to the column
+    // type by the time the last-batch rule runs, so the extracted
+    // values arrive type-faithful.
+    Entry("q_approx_count_vocab",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet,
+          preds => liDf.filter(Pred.conj(preds)).count())
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          liDf.createOrReplaceTempView("graft_aqp_vocab_lineitem")
+          val texts = Seq(
+            "q1_in" -> ("SELECT count(*) FROM graft_aqp_vocab_lineitem " +
+              "WHERE l_returnflag IN ('A', 'R') AND l_quantity <= 10.0"),
+            // 11 literals > spark.sql.optimizer.inSetConversionThreshold
+            // (10): OptimizeIn converts to InSet before the rule runs
+            "q2_not_inset_neq" ->
+              ("SELECT count(*) FROM graft_aqp_vocab_lineitem " +
+                "WHERE l_quantity NOT IN " +
+                "(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 50.0)" +
+                " AND l_linestatus != 'O'"),
+            "q3_standalone_not_null" ->
+              ("SELECT count(*) FROM graft_aqp_vocab_lineitem " +
+                "WHERE l_returnflag IS NOT NULL AND l_discount <= 0.02"),
+            "q4_is_null" -> ("SELECT count(*) FROM graft_aqp_vocab_lineitem " +
+              "WHERE l_tax IS NULL"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql.replace("count(*)", "count(*) AS n"))
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"AQP rewrite did not fire on $qid; optimized plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n_rows").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'q1_in' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity <= 10.0
+UNION ALL
+SELECT 'q2_not_inset_neq', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_quantity NOT IN
+    (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 50.0)
+    AND l_linestatus != 'O'
+UNION ALL
+SELECT 'q3_standalone_not_null', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_discount <= 0.02
+UNION ALL
+SELECT 'q4_is_null', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_tax IS NULL
+ORDER BY query_id""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

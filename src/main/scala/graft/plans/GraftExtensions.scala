@@ -359,45 +359,83 @@ private[plans] object PredExtract {
       case _ => None
     }
 
-  /** Conjunction of (attr op literal) -> Preds; None if anything else.
-    * `isnotnull(col)` conjuncts are tolerated when `col` also carries a
-    * parsed comparison: the optimizer's InferFiltersFromConstraints adds
-    * them (the rule may run after that batch, e.g. when attached via
-    * experimental.extraOptimizations) and they are implied — a null
-    * never satisfies a comparison, and the estimators' domain masks
-    * exclude the null slot for every predicated column. A standalone
-    * isnotnull on an unpredicated column is not expressible in the 5-op
-    * vocabulary, so the rewrite bails. */
-  /** `strictNotNull = true` (the COUNT(*) rewrite): a standalone
-    * `isnotnull` on an unpredicated column changes the count and is not
-    * expressible in the 5-op vocabulary, so the parse bails.
-    * `strictNotNull = false` (stats injection): bare `isnotnull`
-    * conjuncts (the optimizer infers one per join key) are IGNORED —
-    * they only shrink the true cardinality, so the model estimate over
-    * the remaining comparisons stays a sound upper bound, which is the
-    * right direction for a broadcast-safety decision. */
+  /** Conjunction of vocabulary conjuncts -> Preds; None if anything
+    * else. The accepted surface is the FULL r15/r16 mask vocabulary, so
+    * the optimizer rules speak the same language as the SQL front-end:
+    *
+    *   - `attr op literal` (either operand order), op ∈ {=,<,>,<=,>=}
+    *   - `attr IN (literals)` — also its post-OptimizeIn `InSet` form
+    *     (lists past `spark.sql.optimizer.inSetConversionThreshold`
+    *     reach a last-batch rule already converted; the hset carries
+    *     Catalyst-internal values, converted back here)
+    *   - `NOT IN` / `attr != literal` (Catalyst has no NotEqualTo — `!=`
+    *     parses to `Not(EqualTo)`; both map to the complement mask,
+    *     [[Op.NotIn]])
+    *   - `attr IS NULL` — the null-slot mask
+    *   - `attr IS NOT NULL`: in strict mode (the COUNT(*) rewrite) it
+    *     parses to [[Op.NotNull]] — exact, whether user-written or
+    *     inferred by InferFiltersFromConstraints (a NotNull mask ANDed
+    *     onto a comparison mask is a no-op, so inferred conjuncts never
+    *     change an estimate). With `strictNotNull = false` (stats
+    *     injection) bare `isnotnull` conjuncts are IGNORED instead:
+    *     they only shrink the true cardinality, so the estimate over
+    *     the remaining conjuncts stays a sound upper bound — the right
+    *     direction for a broadcast-safety decision — and estimators
+    *     registered over join keys don't lose the rewrite to inferred
+    *     conjuncts on columns they never modeled.
+    *
+    * NULL literals inside IN/NOT IN lists bail (SQL three-valued logic
+    * makes `x NOT IN (NULL, …)` never true — not a complement mask). */
   def parseConjunction(e: Expression,
       strictNotNull: Boolean = true): Option[Seq[Pred]] = {
     def flatten(x: Expression): Seq[Expression] = x match {
       case And(l, r) => flatten(l) ++ flatten(r)
       case other => Seq(other)
     }
+    def scala(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, dt)
+    // IN-list literals; None when any element is non-literal or NULL.
+    def lits(vs: Seq[Expression]): Option[Seq[Any]] =
+      if (vs.nonEmpty && vs.forall {
+        case Literal(v, _) => v != null
+        case _ => false
+      }) Some(vs.map { case Literal(v, dt) => scala(v, dt) })
+      else None
     val conjuncts = flatten(e)
-    val parsed = conjuncts.map {
+    // Each conjunct -> Some(Some(pred)) parsed, Some(None) tolerated
+    // no-op (non-strict isnotnull), None unsupported (whole parse bails).
+    val parsed: Seq[Option[Option[Pred]]] = conjuncts.map {
       case cmp: BinaryComparison => parseCmp(cmp).map(Some(_))
-      case IsNotNull(a: AttributeReference) => Some(None) // implied check
+      case In(a: AttributeReference, vs) =>
+        lits(vs).map(ls => Some(Pred(a.name, Op.In, ls)))
+      case Not(In(a: AttributeReference, vs)) =>
+        lits(vs).map(ls => Some(Pred(a.name, Op.NotIn, ls)))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty &&
+          !hset.contains(null) =>
+        Some(Some(Pred(a.name, Op.In,
+          hset.toSeq.map(v => scala(v, a.dataType)))))
+      case Not(InSet(a: AttributeReference, hset)) if hset.nonEmpty &&
+          !hset.contains(null) =>
+        Some(Some(Pred(a.name, Op.NotIn,
+          hset.toSeq.map(v => scala(v, a.dataType)))))
+      case Not(EqualTo(a: AttributeReference, Literal(v, dt)))
+          if v != null =>
+        Some(Some(Pred(a.name, Op.NotIn, Seq(scala(v, dt)))))
+      case Not(EqualTo(Literal(v, dt), a: AttributeReference))
+          if v != null =>
+        Some(Some(Pred(a.name, Op.NotIn, Seq(scala(v, dt)))))
+      case IsNull(a: AttributeReference) =>
+        Some(Some(Pred(a.name, Op.IsNull, null)))
+      case IsNotNull(a: AttributeReference) =>
+        if (strictNotNull) Some(Some(Pred(a.name, Op.NotNull, null)))
+        else Some(None)
       case _ => None // unsupported conjunct
     }
     if (parsed.exists(_.isEmpty)) None
     else {
       val preds = parsed.flatten.flatten
-      val notNullCols = conjuncts.collect {
-        case IsNotNull(a: AttributeReference) => a.name
-      }
-      val notNullOk = !strictNotNull ||
-        notNullCols.forall(n => preds.exists(_.col == n))
-      if (notNullOk && preds.nonEmpty) Some(preds)
-      else None
+      if (preds.nonEmpty) Some(preds) else None
     }
   }
 

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * arrives pre-desugared as `>= x AND <= y`), `col IN (lit, …)`,
   * a single-column OR of equalities (folded into IN — the mask union),
   * `col NOT IN (lit, …)` (r16 — the complement mask, null slot stays
-  * false per SQL three-valued logic),
+  * false per SQL three-valued logic), `col != lit` / `col <> lit`
+  * (Not(EqualTo) — the single-literal complement mask),
   * or `col IS [NOT] NULL` (the null-at-bin-0 mask / its complement).
   * Cross-column OR, functions over columns, joins and GROUP BY
   * stay query-engine territory (spark.sql answers them directly); this
@@ -139,6 +140,14 @@ object SqlFront {
         vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       Pred(attrName(a).get, Op.NotIn,
         vs.map(v => literalValue(v.asInstanceOf[Literal])))
+    // Catalyst has no NotEqualTo node: `a != v` / `a <> v` parse to
+    // Not(EqualTo) — the single-literal complement mask, i.e. NOT IN (v)
+    // (null rows stay filtered under both spellings, so the fold is
+    // three-valued-logic exact).
+    case Not(EqualTo(a, l: Literal)) if attrName(a).isDefined =>
+      Pred(attrName(a).get, Op.NotIn, Seq(literalValue(l)))
+    case Not(EqualTo(l: Literal, a)) if attrName(a).isDefined =>
+      Pred(attrName(a).get, Op.NotIn, Seq(literalValue(l)))
     case o: Or =>
       val (c, vs) = orToIn(o)
       Pred(c, Op.In, vs)

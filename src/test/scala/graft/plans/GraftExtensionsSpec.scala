@@ -88,6 +88,80 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got != 13L) // l_returnflag is not modeled -> no rewrite
   }
 
+  test("extended vocabulary reaches the estimator: IN, InSet, NOT IN, !=, null tests") {
+    GraftRuntime.clear()
+    var seen: Seq[Pred] = Nil
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag", "l_linestatus", "l_tax"),
+      preds => { seen = preds; 777L })
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+
+    def run(where: String): Seq[Pred] = {
+      seen = Nil
+      val got = spark.sql(
+        s"SELECT count(*) FROM lineitem WHERE $where").collect()(0).getLong(0)
+      assert(got == 777L, s"rewrite did not fire on: $where")
+      seen
+    }
+
+    // IN stays In below the InSet threshold; analysis has cast the
+    // literals to the column type already
+    val pIn = run("l_returnflag IN ('A', 'R')")
+    assert(pIn.exists(p => p.op == Op.In &&
+      p.value.asInstanceOf[Seq[Any]].toSet == Set("A", "R")))
+    // 11 literals force OptimizeIn's InSet conversion before the rule
+    val pInSet = run(
+      "l_quantity IN (1.0,2.0,3.0,4.0,5.0,6.0,7.0,8.0,9.0,10.0,11.0)")
+    assert(pInSet.exists(p => p.op == Op.In &&
+      p.value.asInstanceOf[Seq[Any]].size == 11))
+    // NOT IN -> complement mask
+    val pNotIn = run("l_returnflag NOT IN ('A', 'R')")
+    assert(pNotIn.exists(_.op == Op.NotIn))
+    // != is Not(EqualTo) -> single-literal NOT IN
+    val pNeq = run("l_linestatus != 'O'")
+    assert(pNeq.exists(p => p.op == Op.NotIn &&
+      p.value.asInstanceOf[Seq[Any]].size == 1))
+    // standalone null tests
+    assert(run("l_tax IS NULL").exists(_.op == Op.IsNull))
+    assert(run("l_tax IS NOT NULL").exists(_.op == Op.NotNull))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("extended-vocabulary rewrite is lossless with an exact estimator") {
+    GraftRuntime.clear()
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val where = "l_returnflag IN ('A', 'R') AND l_quantity NOT IN " +
+      "(1.0, 50.0) AND l_linestatus != 'F' AND l_tax IS NOT NULL"
+    val q = s"SELECT count(*) FROM lineitem WHERE $where"
+    val exact = spark.sql(q).collect()(0).getLong(0)
+    assert(exact > 0)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag", "l_linestatus", "l_tax"),
+      preds => li.filter(Pred.conj(preds)).count())
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val df = spark.sql(q)
+    assert(df.collect()(0).getLong(0) == exact)
+    assert(df.queryExecution.optimizedPlan.toString.trim
+      .startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("NOT IN with a NULL literal falls through (never-true is not a mask)") {
+    GraftRuntime.clear()
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"), _ => 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val got = spark.sql("SELECT count(*) FROM lineitem WHERE " +
+      "l_returnflag NOT IN ('A', NULL)").collect()(0).getLong(0)
+    assert(got != 13L) // three-valued logic: must not rewrite
+    assert(got == 0L)  // and SQL says the count is zero
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("non-conjunctive predicates fall through") {
     GraftRuntime.clear()
     GraftRuntime.register("lineitem.parquet",

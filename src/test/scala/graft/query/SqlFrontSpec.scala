@@ -112,6 +112,17 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps2 == Seq(Pred("value", Op.NotIn, Seq(2.5, 1L, 9L))))
   }
 
+  test("!= and <> fold to the single-literal complement mask (r16)") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM lineitem WHERE l_returnflag != 'R'")
+    assert(ps == Seq(Pred("l_returnflag", Op.NotIn, Seq("R"))))
+    // <> is the same parse (Not(EqualTo)); literal-first flips too
+    val (_, ps2) = SqlFront.parse(spark,
+      "SELECT count(*) FROM events WHERE 2.5 <> value AND user_id >= 3")
+    assert(ps2 == Seq(
+      Pred("value", Op.NotIn, Seq(2.5)), Pred("user_id", Op.Geq, 3L)))
+  }
+
   test("rejects cross-column OR, functions, joins, GROUP BY, HAVING") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark, sql))

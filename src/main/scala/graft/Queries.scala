@@ -6750,6 +6750,134 @@ ORDER BY metric""")),
   CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
 FROM lineitem
 WHERE l_quantity <= 24.0 AND l_discount >= 0.05 AND l_returnflag = 'R'""")),
+    // Approximate GROUP BY through the optimizer (r16): `SELECT c,
+    // count(*) … GROUP BY c` rewritten into |domain(c)| model probes —
+    // the learned joint density IS the per-group count vector,
+    // surfaced one Eq mask at a time (the null group, when present,
+    // is the IsNull mask). At 100 TB this turns a scan + shuffle into
+    // a handful of driver-side probes. Registered estimator here is
+    // the EXACT filter count, so the rewrite is lossless and every
+    // per-group row hash-gates against DuckDB's GROUP BY over the
+    // identical texts; each query REQUIRES the rewritten
+    // LocalRelation plan. g2 has no WHERE (probe preds are the bare
+    // Eq); g3's WHERE uses the extended vocabulary (NOT IN) so the
+    // grouped path composes with the r16 op extraction; zero-count
+    // groups are dropped exactly like SQL drops empty groups.
+    Entry("q_approx_groupby",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
+          "l_linestatus").map(c => c ->
+          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/lineitem.parquet", modelCols.toSet,
+          preds => liDf.filter(Pred.conj(preds)).count(),
+          name => domains.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          liDf.createOrReplaceTempView("graft_aqp_gb_lineitem")
+          val texts = Seq(
+            "g1_where" -> ("SELECT l_returnflag AS grp, count(*) AS n " +
+              "FROM graft_aqp_gb_lineitem WHERE l_quantity <= 10.0 " +
+              "GROUP BY l_returnflag"),
+            "g2_no_where" -> ("SELECT l_linestatus AS grp, count(*) AS n " +
+              "FROM graft_aqp_gb_lineitem GROUP BY l_linestatus"),
+            "g3_vocab_where" ->
+              ("SELECT l_linestatus AS grp, count(*) AS n " +
+                "FROM graft_aqp_gb_lineitem WHERE l_returnflag NOT IN " +
+                "('A') AND l_quantity <= 5.0 GROUP BY l_linestatus"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(!plan.contains("Aggregate") &&
+              plan.contains("LocalRelation"),
+              s"GROUP BY rewrite did not fire on $qid; plan:\n$plan")
+            df.collect().map(r => (qid, r.getString(0), r.getLong(1)))
+          }
+          rows.toDF("query_id", "grp", "n_rows")
+            .orderBy("query_id", "grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'g1_where' AS query_id, l_returnflag AS grp,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_quantity <= 10.0 GROUP BY l_returnflag
+UNION ALL
+SELECT 'g2_no_where', l_linestatus, CAST(count(*) AS BIGINT)
+  FROM lineitem GROUP BY l_linestatus
+UNION ALL
+SELECT 'g3_vocab_where', l_linestatus, CAST(count(*) AS BIGINT)
+  FROM lineitem
+  WHERE l_returnflag NOT IN ('A') AND l_quantity <= 5.0
+  GROUP BY l_linestatus
+ORDER BY query_id, grp""")),
+    // Guarantee-gate twin: the same GROUP BY rewrite answered by the
+    // LEARNED model (ProgressiveSampling probes, one per group), gated
+    // per group — every group the exact answer has must come back with
+    // q-error <= 2.0, and no phantom groups may appear. The exact
+    // reference is computed BEFORE the rewrite is enabled (the
+    // q_approx_count_bounds discipline); the DuckDB oracle recomputes
+    // the per-group exact counts from the identical text.
+    Entry("q_approx_groupby_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val sqlTxt = "SELECT l_returnflag AS grp, count(*) AS n " +
+          "FROM graft_aqp_gbb_lineitem WHERE l_quantity <= 24.0 " +
+          "GROUP BY l_returnflag"
+        val exact = li(s, d).filter(col("l_quantity") <= 24.0)
+          .groupBy(col("l_returnflag")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/lineitem.parquet", modelCols.toSet, ps.query,
+          name => if (name == "l_returnflag")
+            Some(meta.column("l_returnflag").domain.toSeq) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          s.read.parquet(s"$d/lineitem.parquet")
+            .createOrReplaceTempView("graft_aqp_gbb_lineitem")
+          val df = s.sql(sqlTxt)
+          val plan = df.queryExecution.optimizedPlan.toString
+          require(!plan.contains("Aggregate") &&
+            plan.contains("LocalRelation"),
+            s"GROUP BY rewrite did not fire; plan:\n$plan")
+          val est = df.collect().map(r =>
+            r.getString(0) -> r.getLong(1)).toMap
+          val noPhantoms = est.keySet.subsetOf(exact.keySet)
+          val rows = exact.toSeq.map { case (g, n) =>
+            val e = math.max(est.getOrElse(g, 0L), 1L)
+            val qerr = math.max(e.toDouble / n, n.toDouble / e)
+            (g, n, noPhantoms && qerr <= 2.0)
+          }
+          rows.toDF("grp", "exact_n", "ok").orderBy("grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT l_returnflag AS grp,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM lineitem WHERE l_quantity <= 24.0
+GROUP BY l_returnflag ORDER BY grp""")),
     // Estimator-driven JOIN PLANNING — the second half of the
     // optimizer-integration north star (the COUNT(*) rewrite above
     // ANSWERS from the model; this lets the model STEER the planner):

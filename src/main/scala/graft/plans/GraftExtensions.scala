@@ -104,7 +104,12 @@ object GraftRuntime {
         * Catalyst falls back to its own heuristics). Feeds
         * JoinEstimation's ndv-based equi-join cardinality through
         * [[EstimatedStatsRule]]. */
-      keyStats: (String, Seq[Pred]) => Option[KeyStat] = (_, _) => None)
+      keyStats: (String, Seq[Pred]) => Option[KeyStat] = (_, _) => None,
+      /** A column's full domain (null slot included, if present) — the
+        * probe list for the GROUP BY rewrite (r16). None = the column's
+        * domain is unknown or unbounded; grouped aggregates over it are
+        * never rewritten. */
+      domain: String => Option[Seq[Any]] = _ => None)
 
   @volatile private var registered: List[Registered] = Nil
 
@@ -119,6 +124,14 @@ object GraftRuntime {
     registered =
       Registered(pathToken, columns, estimate, keyStats) :: registered
 
+  /** [[register]] with a domain supplier, enabling the grouped-count
+    * rewrite ([[ApproxCountRule]]'s GROUP BY case). */
+  def registerWithDomain(pathToken: String, columns: Set[String],
+      estimate: Seq[Pred] => Long,
+      domain: String => Option[Seq[Any]]): Unit =
+    registered = Registered(pathToken, columns, estimate,
+      domain = domain) :: registered
+
   def clear(): Unit = registered = Nil
 
   /** Save/restore the registry around a scoped use (e.g. a catalog
@@ -131,10 +144,13 @@ object GraftRuntime {
 }
 
 /** Rewrites `Aggregate[count(*)] <- Filter[conj] <- scan(t)` into a
-  * one-row LocalRelation with the registered estimator's answer.
-  * Conservative: only fires when every conjunct is a supported
-  * (attr op literal) on a column the estimator models; anything else
-  * leaves the plan untouched.
+  * one-row LocalRelation with the registered estimator's answer, and
+  * (r16) `Aggregate[c, count(*) GROUP BY c] <- [Filter[conj]] <- scan`
+  * into a |domain(c)|-row LocalRelation of per-group model probes.
+  * Conservative: only fires when every conjunct is in the mask
+  * vocabulary on a column the estimator models (and, for GROUP BY,
+  * the registration supplies the grouping column's domain); anything
+  * else leaves the plan untouched.
   */
 object ApproxCountRule {
   private[plans] val inEstimate = new ThreadLocal[Boolean] {
@@ -165,6 +181,11 @@ object ApproxCountRule {
 
 case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** GROUP BY probe cap: above this domain size the rewrite leaves the
+    * plan untouched (|domain| driver-side model probes must stay
+    * trivially cheap next to the scan they replace). */
+  private val maxGroupProbes = 1024
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.getOption(GraftRuntime.EnabledKey).contains("true") ||
         ApproxCountRule.inEstimate.get()) plan
@@ -194,6 +215,75 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => agg
             }
           case _ => agg
+        }
+      // GROUP BY rewrite (r16): `SELECT c, count(*) FROM t [WHERE conj]
+      // GROUP BY c` answered from the model as |domain(c)| probes — the
+      // joint density the reference learns IS the per-group count
+      // vector, surfaced one Eq (or IsNull, for the null group) mask at
+      // a time. Zero-estimate groups are dropped, matching SQL (a group
+      // with no rows does not appear). Fires only when the registration
+      // supplies c's domain, every WHERE conjunct parses, all columns
+      // are modeled, and the domain is small enough that driver-side
+      // probes are trivially cheap next to the scan+shuffle they
+      // replace.
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
+          if aggExprs.size == 2 =>
+        val groupedShape = aggExprs.map {
+          case a: AttributeReference if a.exprId == g.exprId => Some('g')
+          // `SELECT c AS grp, …` — the analyzer wraps the grouping
+          // attribute in an Alias; output naming rides on .toAttribute
+          case Alias(a: AttributeReference, _)
+              if a.exprId == g.exprId => Some('g')
+          case Alias(AggregateExpression(
+              Count(Seq(Literal(1, _))), _, false, _, _), _) => Some('c')
+          case _ => None
+        }
+        if (groupedShape.exists(_.isEmpty) ||
+            groupedShape.flatten.toSet != Set('g', 'c')) agg
+        else {
+          val (predsOpt, scanChild) = stripProjects(child) match {
+            case Filter(cond, gc) => (parseConjunction(cond), gc)
+            case other => (Some(Nil: Seq[Pred]), other)
+          }
+          (relationPaths(scanChild), predsOpt) match {
+            case (Some(paths), Some(preds)) =>
+              GraftRuntime.lookup(paths) match {
+                case Some(reg)
+                    if preds.forall(p => reg.columns.contains(p.col)) &&
+                      reg.columns.contains(g.name) =>
+                  reg.domain(g.name) match {
+                    case Some(dom) if dom.nonEmpty &&
+                        dom.size <= maxGroupProbes =>
+                      ApproxCountRule.inEstimate.set(true)
+                      val groups =
+                        try dom.flatMap { v =>
+                          val probe = if (v == null)
+                            Pred(g.name, Op.IsNull, null)
+                          else Pred(g.name, Op.Eq, v)
+                          val est = reg.estimate(preds :+ probe)
+                          if (est > 0L) Some((v, est)) else None
+                        }
+                        finally ApproxCountRule.inEstimate.set(false)
+                      // Convert against the grouping attribute's EXACT
+                      // type (a bare convertToCatalyst would infer e.g.
+                      // Decimal(38,18) for a DECIMAL(12,2) column and
+                      // corrupt the LocalRelation's row layout).
+                      val toCat = org.apache.spark.sql.catalyst
+                        .CatalystTypeConverters
+                        .createToCatalystConverter(g.dataType)
+                      val rows = groups.map { case (v, n) =>
+                        InternalRow.fromSeq(groupedShape.flatten.map {
+                          case 'g' => if (v == null) null else toCat(v)
+                          case 'c' => n
+                        })
+                      }
+                      LocalRelation(aggExprs.map(_.toAttribute), rows)
+                    case _ => agg
+                  }
+                case _ => agg
+              }
+            case _ => agg
+          }
         }
     }
   }

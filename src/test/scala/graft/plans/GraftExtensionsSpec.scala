@@ -162,6 +162,93 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("GROUP BY rewrite answers per-group counts from domain probes") {
+    GraftRuntime.clear()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val q = "SELECT l_returnflag AS grp, count(*) AS n FROM lineitem " +
+      "WHERE l_quantity <= 10.0 GROUP BY l_returnflag"
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val domain = graft.core.Dictionary
+      .columnMeta(li.select("l_returnflag"), "l_returnflag").domain.toSeq
+    GraftRuntime.registerWithDomain("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"),
+      preds => li.filter(Pred.conj(preds)).count(),
+      c => if (c == "l_returnflag") Some(domain) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val df = spark.sql(q)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate") && plan.contains("LocalRelation"),
+      plan)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    // bare (un-aliased) grouping column and no WHERE also rewrite
+    val df2 = spark.sql(
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    assert(df2.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+    assert(df2.collect().length == exact.size)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("GROUP BY rewrite surfaces the null group via the IsNull probe") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gb_null").toString
+    Seq(("a", 1L), ("a", 2L), (null, 3L), ("b", 4L), (null, 5L))
+      .toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$tmp/grouped_nulls.parquet")
+    val df = spark.read.parquet(s"$tmp/grouped_nulls.parquet")
+    df.createOrReplaceTempView("grouped_nulls")
+    val meta = graft.core.Dictionary.columnMeta(df.select("k"), "k")
+    assert(meta.hasNull && meta.domain(0) == null)
+    GraftRuntime.registerWithDomain("grouped_nulls.parquet",
+      Set("k", "v"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(meta.domain.toSeq) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val out = spark.sql(
+      "SELECT k, count(*) AS n FROM grouped_nulls GROUP BY k")
+    assert(out.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, (null: String) -> 2L))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("GROUP BY falls through without a domain, past the probe cap, and on multi-key grouping") {
+    GraftRuntime.clear()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // no domain supplied -> exact plan runs
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"),
+      _ => 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val q = "SELECT l_returnflag, count(*) AS n FROM lineitem " +
+      "GROUP BY l_returnflag"
+    assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    GraftRuntime.clear()
+    // oversized domain -> fall through
+    GraftRuntime.registerWithDomain("lineitem.parquet",
+      Set("l_quantity", "l_returnflag"),
+      _ => 13L, c => Some((1 to 5000).map(i => s"v$i")))
+    assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    // two grouping columns -> outside the shape, fall through
+    val q2 = "SELECT l_returnflag, l_linestatus, count(*) FROM lineitem " +
+      "GROUP BY l_returnflag, l_linestatus"
+    assert(!spark.sql(q2).queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("non-conjunctive predicates fall through") {
     GraftRuntime.clear()
     GraftRuntime.register("lineitem.parquet",

@@ -6511,9 +6511,10 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     // SqlFront for a 200-query parse-fidelity corpus — parsed preds
     // must be STRUCTURALLY identical and produce identical one-pass
     // true counts — and the 20-query oracle workload runs through
-    // ProgressiveSampling TWICE, once native and once as SQL text via
-    // querySql (two same-seed estimator instances), with every
-    // estimate required EXACTLY equal, making the front-end
+    // ProgressiveSampling as SQL text via querySql with per-query
+    // structural parse identity required (which, with instance
+    // determinism, implies the r15 twin-run estimate identity at half
+    // the model cost — VERDICT r15 #8), making the front-end
     // load-bearing for the flagship eval path. The q-error quantiles
     // of the SQL-seam run gate the band AcceptanceSpec holds. DuckDB
     // independently recomputes sum(true cards) from the same texts.
@@ -6533,27 +6534,34 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
         val nativeCards = Workload.trueCards(df, corpus)
         val parsedCards = Workload.trueCards(df, parsed.map(_._2))
         val nCount = nativeCards.zip(parsedCards).count(p => p._1 == p._2)
-        // model seam: same-seed twins over the 20-query oracle workload
+        // model seam: the 20-query oracle workload through the SQL
+        // path. r16 trim (VERDICT r15 #8): the r15 entry ran same-seed
+        // twins (40 model runs) to require native-vs-SQL ESTIMATE
+        // identity; estimate identity is implied by structural pred
+        // identity + instance determinism (an estimator instance is a
+        // pure function of seed and query sequence — two same-seed
+        // instances fed structurally equal sequences cannot diverge),
+        // so the gate now requires the cheap half — structural
+        // identity of the parsed preds, per query — and runs the model
+        // ONCE per query through querySql, keeping the SQL seam
+        // load-bearing for the q-error band at half the model cost.
         val (model, meta) = lineitemModel(s, d)
-        val psNative = new ProgressiveSampling(model, meta,
-          numSamples = 1000, shortcircuit = true)
         val psSql = new ProgressiveSampling(model, meta,
           numSamples = 1000, shortcircuit = true)
-        val estPairs = fixedWorkload.map { q =>
-          val native = psNative.query(q)
-          val viaSql = psSql.querySql(s,
-            s"SELECT count(*) FROM lineitem WHERE ${Pred.whereSql(q)}",
-            Some("lineitem"))
-          (native, viaSql)
+        val modelPairs = fixedWorkload.map { q =>
+          val txt = s"SELECT count(*) FROM lineitem WHERE ${Pred.whereSql(q)}"
+          val (t, parsedQ) = graft.query.SqlFront.parse(s, txt)
+          (t == "lineitem" && parsedQ == q,
+            psSql.querySql(s, txt, Some("lineitem")))
         }
-        val nModel = estPairs.count(p => p._1 == p._2)
+        val nModel = modelPairs.count(_._1)
         val truths = Workload.trueCards(df, fixedWorkload)
-        val errs = estPairs.map(_._2.toDouble).zip(truths).map {
+        val errs = modelPairs.map(_._2.toDouble).zip(truths).map {
           case (e, t) => Workload.qError(math.max(e, 1.0), t.toDouble) }
         val rep = Workload.report("sql_seam", errs, 0.0)
         Seq(
           ("count_identical_of_200", nCount.toLong, nCount == 200),
-          ("model_estimate_identical_of_20", nModel.toLong, nModel == 20),
+          ("model_parse_identical_of_20", nModel.toLong, nModel == 20),
           ("parse_identical_of_200", nParse.toLong, nParse == 200),
           ("sql_seam_qerr_band", fixedWorkload.size.toLong,
             rep.median <= 2.0 && rep.p95 <= 20.0 && rep.max.isFinite),
@@ -6563,7 +6571,7 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
       Some(s"""SELECT 'count_identical_of_200' AS metric,
   CAST(200 AS BIGINT) AS value, true AS ok
 UNION ALL
-SELECT 'model_estimate_identical_of_20', CAST(20 AS BIGINT), true
+SELECT 'model_parse_identical_of_20', CAST(20 AS BIGINT), true
 UNION ALL
 SELECT 'parse_identical_of_200', CAST(200 AS BIGINT), true
 UNION ALL

@@ -562,6 +562,214 @@ UNION ALL
 SELECT 'q4_is_null', CAST(count(*) AS BIGINT) FROM lineitem
   WHERE l_tax IS NULL
 ORDER BY query_id""")),
+    // count(c) / count(DISTINCT c) through the optimizer (r16 session
+    // 3): the two remaining single-aggregate count shapes.  count(c)
+    // is one extra NotNull conjunct (SQL ignores nulls); count(DISTINCT
+    // c) is the GROUP BY probe vector collapsed to its support size,
+    // null slot skipped (NULL never counts toward DISTINCT). Runs on a
+    // null-BEARING table so the semantics are actually load-bearing:
+    // events with et nulled on event_id % 7 = 0, written to a pid-keyed
+    // temp parquet (the rule keys registrations off scan file paths, so
+    // a derived column needs a real file behind it — same reasoning as
+    // the spec's null-group round-trip). Exact-registered estimator →
+    // lossless rewrite, every answer hash-gated against DuckDB
+    // recomputing from the identical derivation; each query REQUIRES
+    // the LocalRelation plan so a silent fall-through fails loudly.
+    Entry("q_approx_count_distinct",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val dir = "/tmp/graft_cntd/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        Tables.read(s, d, "events")
+          .select(
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("et"),
+            col("value"))
+          .write.mode("overwrite").parquet(dir)
+        val ev = s.read.parquet(dir)
+        val etDomain =
+          Dictionary.columnMeta(ev.select("et"), "et").domain.toSeq
+        graft.plans.GraftRuntime.registerWithDomain(dir,
+          Set("et", "value"),
+          preds => ev.filter(Pred.conj(preds)).count(),
+          name => if (name == "et") Some(etDomain) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ev.createOrReplaceTempView("graft_aqp_cntd_events")
+          val texts = Seq(
+            "d1_count_col" -> ("SELECT count(et) AS n " +
+              "FROM graft_aqp_cntd_events WHERE value <= 20.0"),
+            "d2_count_distinct_where" -> ("SELECT count(DISTINCT et) AS n " +
+              "FROM graft_aqp_cntd_events WHERE value <= 20.0"),
+            "d3_count_distinct" -> ("SELECT count(DISTINCT et) AS n " +
+              "FROM graft_aqp_cntd_events"),
+            "d4_count_distinct_not_in" ->
+              ("SELECT count(DISTINCT et) AS n FROM graft_aqp_cntd_events " +
+                "WHERE et NOT IN ('click') AND value <= 50.0"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"count rewrite did not fire on $qid; optimized plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir))
+        }
+      },
+      Some("""WITH ev AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS et, value FROM events)
+SELECT 'd1_count_col' AS query_id, CAST(count(et) AS BIGINT) AS n
+  FROM ev WHERE value <= 20.0
+UNION ALL
+SELECT 'd2_count_distinct_where', CAST(count(DISTINCT et) AS BIGINT)
+  FROM ev WHERE value <= 20.0
+UNION ALL
+SELECT 'd3_count_distinct', CAST(count(DISTINCT et) AS BIGINT) FROM ev
+UNION ALL
+SELECT 'd4_count_distinct_not_in', CAST(count(DISTINCT et) AS BIGINT)
+  FROM ev WHERE et NOT IN ('click') AND value <= 50.0
+ORDER BY query_id""")),
+    // sum/avg/min/max through the optimizer (r16 session 3): the value-
+    // aggregate vocabulary as probe-vector functionals (sum = Σ v·n_v,
+    // avg = weighted mean, min/max = first/last support value — see
+    // ApproxCountRule.rewriteValueAgg). Null-BEARING numeric columns
+    // (qty double, ql bigint — nulled on disjoint id residues) make
+    // SQL's ignore-nulls semantics load-bearing in every query; v6
+    // pins DISTINCT sum (support sum), v7 pins the FILTER-clause fold
+    // (the clause must reach the conjunction — matching it as `_`
+    // would answer the UNFILTERED sum), v8 pins the empty support →
+    // NULL. Integral-valued domains keep every sum/avg bit-exact
+    // cross-engine (double-exact ≤ 2^53). Exact-registered estimator
+    // over a CACHED derived table (≤ ~135 probe jobs, each an
+    // in-memory count); every answer hash-gated against DuckDB
+    // recomputing from the identical derivation; each query REQUIRES
+    // the LocalRelation plan so a silent fall-through fails loudly.
+    Entry("q_approx_value_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val dir = "/tmp/graft_vagg/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        Tables.read(s, d, "events")
+          .select(
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(23)).cast("double"))
+              .as("qty"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id"), lit(17)).cast("long"))
+              .as("ql"),
+            col("event_type").as("et"),
+            col("value"))
+          .write.mode("overwrite").parquet(dir)
+        val ev = s.read.parquet(dir).persist()
+        ev.count()
+        val qtyDomain =
+          Dictionary.columnMeta(ev.select("qty"), "qty").domain.toSeq
+        val qlDomain =
+          Dictionary.columnMeta(ev.select("ql"), "ql").domain.toSeq
+        graft.plans.GraftRuntime.registerWithDomain(dir,
+          Set("qty", "ql", "et", "value"),
+          preds => ev.filter(Pred.conj(preds)).count(),
+          name => name match {
+            case "qty" => Some(qtyDomain)
+            case "ql" => Some(qlDomain)
+            case _ => None
+          })
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ev.createOrReplaceTempView("graft_aqp_vagg_events")
+          val texts = Seq(
+            "v1_sum_where" -> ("SELECT sum(qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 20.0"),
+            "v2_sum_long" -> ("SELECT sum(ql) AS x " +
+              "FROM graft_aqp_vagg_events WHERE et = 'click'"),
+            "v3_avg" -> ("SELECT avg(qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 50.0"),
+            "v4_min" -> ("SELECT min(qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 30.0"),
+            "v5_max" -> ("SELECT max(qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 30.0"),
+            "v6_sum_distinct" -> ("SELECT sum(DISTINCT qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 40.0"),
+            "v7_filter_fold" -> ("SELECT sum(qty) FILTER " +
+              "(WHERE et = 'click') AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= 60.0"),
+            "v8_empty" -> ("SELECT sum(qty) AS x " +
+              "FROM graft_aqp_vagg_events WHERE value <= -1e18"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"value-agg rewrite did not fire on $qid; optimized plan:\n$plan")
+            val r = df.collect()(0)
+            val x: Option[Double] =
+              if (r.isNullAt(0)) None
+              else r.get(0) match {
+                case l: java.lang.Long => Some(l.toDouble)
+                case dd: java.lang.Double => Some(dd)
+              }
+            (qid, x)
+          }
+          rows.toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          ev.unpersist(true)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir))
+        }
+      },
+      Some("""WITH ev AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 23 AS DOUBLE) END AS qty,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE event_id % 17 END AS ql,
+         event_type AS et, value
+  FROM events)
+SELECT 'v1_sum_where' AS query_id, CAST(sum(qty) AS DOUBLE) AS x
+  FROM ev WHERE value <= 20.0
+UNION ALL
+SELECT 'v2_sum_long', CAST(sum(ql) AS DOUBLE)
+  FROM ev WHERE et = 'click'
+UNION ALL
+SELECT 'v3_avg', CAST(sum(qty) AS DOUBLE) / count(qty)
+  FROM ev WHERE value <= 50.0
+UNION ALL
+SELECT 'v4_min', CAST(min(qty) AS DOUBLE) FROM ev WHERE value <= 30.0
+UNION ALL
+SELECT 'v5_max', CAST(max(qty) AS DOUBLE) FROM ev WHERE value <= 30.0
+UNION ALL
+SELECT 'v6_sum_distinct', CAST(sum(DISTINCT qty) AS DOUBLE)
+  FROM ev WHERE value <= 40.0
+UNION ALL
+SELECT 'v7_filter_fold',
+  CAST(sum(qty) FILTER (WHERE et = 'click') AS DOUBLE)
+  FROM ev WHERE value <= 60.0
+UNION ALL
+SELECT 'v8_empty', CAST(sum(qty) AS DOUBLE) FROM ev WHERE value <= -1e18
+ORDER BY query_id""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

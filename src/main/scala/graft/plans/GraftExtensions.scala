@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Catalyst integration — the north-star gap the reference names (its
   * models never reach a query optimizer): a `SparkSessionExtensions`
@@ -106,9 +107,12 @@ object GraftRuntime {
         * [[EstimatedStatsRule]]. */
       keyStats: (String, Seq[Pred]) => Option[KeyStat] = (_, _) => None,
       /** A column's full domain (null slot included, if present) — the
-        * probe list for the GROUP BY rewrite (r16). None = the column's
-        * domain is unknown or unbounded; grouped aggregates over it are
-        * never rewritten. */
+        * probe list for the GROUP BY and value-aggregate rewrites
+        * (r16). Contract: ascending order, null slot FIRST when
+        * present — Dictionary.columnMeta's output order; min/max
+        * answers are order-derived. None = the column's domain is
+        * unknown or unbounded; aggregates over it are never
+        * rewritten. */
       domain: String => Option[Seq[Any]] = _ => None)
 
   @volatile private var registered: List[Registered] = Nil
@@ -191,11 +195,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ApproxCountRule.inEstimate.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(Nil, Seq(alias @ Alias(
-            AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), _)),
+            AggregateExpression(Count(Seq(Literal(1, _))), _, false, filt, _), _)),
           child, _) =>
         stripProjects(child) match {
           case Filter(cond, grandchild) =>
-            (relationPaths(grandchild), parseConjunction(cond)) match {
+            (relationPaths(grandchild),
+              foldFilterClause(parseConjunction(cond), filt)) match {
               case (Some(paths), Some(preds)) =>
                 GraftRuntime.lookup(paths) match {
                   case Some(reg)
@@ -210,6 +215,105 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     LocalRelation(
                       Seq(alias.toAttribute),
                       Seq(InternalRow(est)))
+                  case _ => agg
+                }
+              case _ => agg
+            }
+          case _ => agg
+        }
+      // count(c) / count(DISTINCT c) (r16 session 3): the remaining
+      // single-aggregate count shapes, answered from the same masks.
+      //   count(c)          = estimate(conj AND c IS NOT NULL) — the
+      //                       r15 NotNull mask makes SQL's ignore-nulls
+      //                       semantics a one-conjunct rewrite;
+      //   count(DISTINCT c) = |{v in domain(c), v != null :
+      //                       estimate(conj AND c = v) > 0}| — the
+      //                       GROUP BY probe vector, collapsed to its
+      //                       support size (NULL never counts, so the
+      //                       null slot is skipped, not probed).
+      // Exact-registered estimators make both lossless; learned ones
+      // inherit the model's support fidelity. Same conservatism as the
+      // other shapes: every conjunct parsed and modeled, and DISTINCT
+      // additionally needs the registration's domain under the probe
+      // cap.
+      case agg @ Aggregate(Nil, Seq(alias @ Alias(
+            AggregateExpression(
+              Count(Seq(c: AttributeReference)), _, distinct, filt, _), _)),
+          child, _) =>
+        val (predsOpt0, scanChild) = stripProjects(child) match {
+          case Filter(cond, gc) => (parseConjunction(cond), gc)
+          case other => (Some(Nil: Seq[Pred]), other)
+        }
+        val predsOpt = foldFilterClause(predsOpt0, filt)
+        (relationPaths(scanChild), predsOpt) match {
+          case (Some(paths), Some(preds)) =>
+            GraftRuntime.lookup(paths) match {
+              case Some(reg)
+                  if preds.forall(p => reg.columns.contains(p.col)) &&
+                    reg.columns.contains(c.name) =>
+                if (!distinct) {
+                  ApproxCountRule.inEstimate.set(true)
+                  val est =
+                    try reg.estimate(preds :+ Pred(c.name, Op.NotNull, null))
+                    finally ApproxCountRule.inEstimate.set(false)
+                  LocalRelation(Seq(alias.toAttribute), Seq(InternalRow(est)))
+                } else reg.domain(c.name) match {
+                  case Some(dom) if dom.nonEmpty &&
+                      dom.size <= maxGroupProbes =>
+                    ApproxCountRule.inEstimate.set(true)
+                    val ndv =
+                      try dom.count(v => v != null &&
+                        reg.estimate(preds :+ Pred(c.name, Op.Eq, v)) > 0L)
+                      finally ApproxCountRule.inEstimate.set(false)
+                    LocalRelation(Seq(alias.toAttribute),
+                      Seq(InternalRow(ndv.toLong)))
+                  case _ => agg
+                }
+              case _ => agg
+            }
+          case _ => agg
+        }
+      // sum/avg/min/max (r16 session 3): the value-aggregate vocabulary,
+      // answered from the same domain probe vector as the GROUP BY
+      // rewrite. The learned joint density gives count(conj ∧ c=v) per
+      // domain value v; every single-column value aggregate is a
+      // functional of that vector:
+      //   sum(c)  = Σ v·n_v            (Σ v over the support for
+      //                                 DISTINCT — each value once)
+      //   avg(c)  = Σ v·n_v / Σ n_v    (weighted mean — stays inside
+      //                                 [min, max] by construction)
+      //   min(c)  = first domain value with n_v > 0   (domains are
+      //   max(c)  = last  domain value with n_v > 0    ascending,
+      //                                 null slot first — early exit
+      //                                 bounds the probe count)
+      // SQL's ignore-nulls semantics fall out of skipping the null
+      // slot; an empty support yields NULL, matching SQL's empty/
+      // all-null aggregate. Exact-registered estimators make all four
+      // lossless (integral-valued columns bit-exact; fractional sums
+      // are ulp-faithful to the probe order); learned ones give the
+      // standard AQP aggregate. Decimal result types fall through
+      // (Catalyst's decimal sum carries overflow semantics the probe
+      // fold does not reproduce), as does Long-sum overflow.
+      case agg @ Aggregate(Nil, Seq(alias @ Alias(
+            AggregateExpression(fn, _, distinct, filt, _), _)), child, _)
+          if valueAggColumn(fn).isDefined =>
+        val c = valueAggColumn(fn).get
+        val (predsOpt0, scanChild) = stripProjects(child) match {
+          case Filter(cond, gc) => (parseConjunction(cond), gc)
+          case other => (Some(Nil: Seq[Pred]), other)
+        }
+        val predsOpt = foldFilterClause(predsOpt0, filt)
+        (relationPaths(scanChild), predsOpt) match {
+          case (Some(paths), Some(preds)) =>
+            GraftRuntime.lookup(paths) match {
+              case Some(reg)
+                  if preds.forall(p => reg.columns.contains(p.col)) &&
+                    reg.columns.contains(c.name) =>
+                reg.domain(c.name) match {
+                  case Some(dom) if dom.nonEmpty &&
+                      dom.size <= maxGroupProbes =>
+                    rewriteValueAgg(fn, distinct, alias, c, reg, preds, dom)
+                      .getOrElse(agg)
                   case _ => agg
                 }
               case _ => agg
@@ -234,8 +338,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // attribute in an Alias; output naming rides on .toAttribute
           case Alias(a: AttributeReference, _)
               if a.exprId == g.exprId => Some('g')
+          // FILTER (WHERE …) on the grouped count stays un-rewritten:
+          // folding it per-group would need per-group re-probing the
+          // single-aggregate cases get for free (spec-pinned).
           case Alias(AggregateExpression(
-              Count(Seq(Literal(1, _))), _, false, _, _), _) => Some('c')
+              Count(Seq(Literal(1, _))), _, false, None, _), _) => Some('c')
           case _ => None
         }
         if (groupedShape.exists(_.isEmpty) ||
@@ -291,6 +398,83 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def stripProjects(plan: LogicalPlan) = PredExtract.stripProjects(plan)
   private def relationPaths(plan: LogicalPlan) = PredExtract.relationPaths(plan)
   private def parseConjunction(e: Expression) = PredExtract.parseConjunction(e)
+
+  /** `agg(x) FILTER (WHERE f)` over conj ≡ `agg(x)` over conj ∧ f —
+    * the clause folds into the conjunction when it parses in the mask
+    * vocabulary, and BLOCKS the rewrite (None) when it does not.
+    * Matching the clause slot as `_` would silently answer the
+    * UNFILTERED aggregate — the one shape here where falling through
+    * is mandatory, not merely conservative. */
+  private def foldFilterClause(preds: Option[Seq[Pred]],
+      filt: Option[Expression]): Option[Seq[Pred]] =
+    (preds, filt) match {
+      case (Some(ps), Some(f)) => parseConjunction(f).map(ps ++ _)
+      case (ps, None) => ps
+      case _ => None
+    }
+
+  /** The single-column value aggregates the probe vector can answer. */
+  private def valueAggColumn(
+      fn: AggregateFunction): Option[AttributeReference] = fn match {
+    case Sum(c: AttributeReference, _) => Some(c)
+    case Average(c: AttributeReference, _) => Some(c)
+    case Min(c: AttributeReference) => Some(c)
+    case Max(c: AttributeReference) => Some(c)
+    case _ => None
+  }
+
+  /** Fold the per-value probe vector into the aggregate's answer.
+    * None = shape the fold cannot faithfully reproduce (decimal
+    * result types, Long-sum overflow) — caller leaves the plan
+    * untouched. Relies on the [[GraftRuntime.Registered.domain]]
+    * contract: ascending order, null slot first when present
+    * (Dictionary.columnMeta's output order). */
+  private def rewriteValueAgg(fn: AggregateFunction, distinct: Boolean,
+      alias: Alias, c: AttributeReference, reg: GraftRuntime.Registered,
+      preds: Seq[Pred], dom: Seq[Any]): Option[LogicalPlan] = {
+    def probe(v: Any): Long = reg.estimate(preds :+ Pred(c.name, Op.Eq, v))
+    def one(value: Any): LogicalPlan =
+      LocalRelation(Seq(alias.toAttribute), Seq(InternalRow(value)))
+    val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(c.dataType)
+    ApproxCountRule.inEstimate.set(true)
+    try fn match {
+      case Min(_) =>
+        Some(one(dom.iterator.filter(_ != null)
+          .find(v => probe(v) > 0L).map(toCat).orNull))
+      case Max(_) =>
+        Some(one(dom.reverseIterator.filter(_ != null)
+          .find(v => probe(v) > 0L).map(toCat).orNull))
+      case _ =>
+        // sum / avg share the weighted support; DISTINCT weights each
+        // support value once (min/max are DISTINCT-invariant above).
+        val weights = dom.filter(_ != null)
+          .map(v => (v, probe(v))).filter(_._2 > 0L)
+          .map { case (v, n) => (v, if (distinct) 1L else n) }
+        val cnt = weights.map(_._2).sum
+        if (cnt == 0L) Some(one(null))
+        else (fn, alias.dataType) match {
+          case (Sum(_, _), LongType) =>
+            try {
+              var acc = 0L
+              weights.foreach { case (v, n) => acc = Math.addExact(acc,
+                Math.multiplyExact(v.asInstanceOf[Number].longValue, n)) }
+              Some(one(acc))
+            } catch { case _: ArithmeticException => None }
+          case (Sum(_, _), DoubleType) =>
+            var acc = 0.0
+            weights.foreach { case (v, n) =>
+              acc += v.asInstanceOf[Number].doubleValue * n }
+            Some(one(acc))
+          case (Average(_, _), DoubleType) =>
+            var acc = 0.0
+            weights.foreach { case (v, n) =>
+              acc += v.asInstanceOf[Number].doubleValue * n }
+            Some(one(acc / cnt))
+          case _ => None
+        }
+    } finally ApproxCountRule.inEstimate.set(false)
+  }
 }
 
 object EstimatedStatsRule {
@@ -441,11 +625,17 @@ private[plans] object PredExtract {
     case other => other
   }
 
-  /** The parquet paths under a plain scan (through projections). */
+  /** The parquet paths under a plain scan (through projections), and
+    * through `persist()`: CacheManager swaps the scan for an
+    * InMemoryRelation at analysis, but the registration is keyed by
+    * the FILE paths — a user who cached the table still gets the
+    * rewrite (the cached builder keeps the original logical plan). */
   def relationPaths(plan: LogicalPlan): Option[Seq[String]] =
     stripProjects(plan) match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some(fs.location.rootPaths.map(_.toString))
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        relationPaths(imr.cacheBuilder.logicalPlan)
       case _ => None
     }
 

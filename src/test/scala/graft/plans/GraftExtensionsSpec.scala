@@ -221,6 +221,117 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("count(c) and count(DISTINCT c) rewrite with null-ignoring semantics") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cnt_null").toString
+    // k: 3 distinct non-null values, 2 null rows; DISTINCT must say 3
+    // and count(k) must say 5 (nulls ignored in both).
+    Seq(("a", 1L), ("a", 2L), (null, 3L), ("b", 4L), (null, 5L),
+      ("c", 6L), ("b", 7L))
+      .toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$tmp/cnt_nulls.parquet")
+    val df = spark.read.parquet(s"$tmp/cnt_nulls.parquet")
+    df.createOrReplaceTempView("cnt_nulls")
+    val meta = graft.core.Dictionary.columnMeta(df.select("k"), "k")
+    assert(meta.hasNull && meta.domain(0) == null)
+    GraftRuntime.registerWithDomain("cnt_nulls.parquet",
+      Set("k", "v"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(meta.domain.toSeq) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    def run(q: String): Long = {
+      val out = spark.sql(q)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"), s"$q did not rewrite:\n$plan")
+      out.collect()(0).getLong(0)
+    }
+    assert(run("SELECT count(k) FROM cnt_nulls") == 5L)
+    assert(run("SELECT count(DISTINCT k) FROM cnt_nulls") == 3L)
+    // under a WHERE: v >= 4 keeps (b,4),(null,5),(c,6),(b,7)
+    assert(run("SELECT count(k) FROM cnt_nulls WHERE v >= 4") == 3L)
+    assert(run(
+      "SELECT count(DISTINCT k) FROM cnt_nulls WHERE v >= 4") == 2L)
+    // count(DISTINCT) needs the domain: a registration without one
+    // falls through to the exact plan
+    GraftRuntime.clear()
+    GraftRuntime.register("cnt_nulls.parquet", Set("k", "v"), _ => 13L)
+    val noDom = spark.sql("SELECT count(DISTINCT k) FROM cnt_nulls")
+    assert(!noDom.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    assert(noDom.collect()(0).getLong(0) == 3L)
+    // ...while plain count(k) still rewrites (one NotNull conjunct)
+    assert(spark.sql("SELECT count(k) FROM cnt_nulls")
+      .collect()(0).getLong(0) == 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("sum/avg/min/max rewrite: null-ignoring, DISTINCT, FILTER fold, empty->NULL") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vagg").toString
+    // w: one null row; non-null values 2,4,6,2,8 (2 repeats for the
+    // DISTINCT pin). v: long, never null.
+    Seq(("a", Some(2.0), 1L), ("a", Some(4.0), 2L), ("b", None, 3L),
+      ("b", Some(6.0), 4L), ("c", Some(2.0), 5L), (null, Some(8.0), 6L))
+      .toDF("k", "w", "v").write.mode("overwrite")
+      .parquet(s"$tmp/vagg.parquet")
+    val df = spark.read.parquet(s"$tmp/vagg.parquet")
+    df.createOrReplaceTempView("vagg")
+    val wDom = graft.core.Dictionary.columnMeta(df.select("w"), "w")
+      .domain.toSeq
+    val vDom = graft.core.Dictionary.columnMeta(df.select("v"), "v")
+      .domain.toSeq
+    assert(wDom.head == null) // null slot first, ascending after
+    GraftRuntime.registerWithDomain("vagg.parquet", Set("k", "w", "v"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => if (c == "w") Some(wDom)
+           else if (c == "v") Some(vDom) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    def run(q: String): org.apache.spark.sql.Row = {
+      val out = spark.sql(q)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"$q did not rewrite:\n$plan")
+      out.collect()(0)
+    }
+    assert(run("SELECT sum(w) FROM vagg").getDouble(0) == 22.0)
+    assert(run("SELECT avg(w) FROM vagg").getDouble(0) == 4.4)
+    assert(run("SELECT min(w) FROM vagg").getDouble(0) == 2.0)
+    assert(run("SELECT max(w) FROM vagg").getDouble(0) == 8.0)
+    assert(run("SELECT sum(DISTINCT w) FROM vagg").getDouble(0) == 20.0)
+    assert(run("SELECT sum(w) FROM vagg WHERE v >= 3").getDouble(0) == 16.0)
+    assert(run("SELECT sum(v) FROM vagg").getLong(0) == 21L)
+    // empty support -> SQL NULL, still answered without a scan
+    assert(run("SELECT sum(w) FROM vagg WHERE v >= 100").isNullAt(0))
+    // FILTER clause folds into the conjunction — the UNFILTERED sum
+    // over v >= 2 is 20.0; answering that here would be the silent-
+    // ignore bug this pin exists to catch.
+    assert(run("SELECT sum(w) FILTER (WHERE k = 'a') FROM vagg " +
+      "WHERE v >= 2").getDouble(0) == 4.0)
+    assert(run("SELECT count(*) FILTER (WHERE k = 'a') FROM vagg " +
+      "WHERE v >= 1").getLong(0) == 2L)
+    // unparseable FILTER clause (LIKE is outside the mask vocabulary)
+    // blocks the rewrite instead of dropping the clause
+    val like = spark.sql(
+      "SELECT sum(w) FILTER (WHERE k LIKE 'a%') FROM vagg WHERE v >= 1")
+    assert(!like.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    assert(like.collect()(0).getDouble(0) == 6.0)
+    // grouped count with a FILTER clause stays un-rewritten
+    val gf = spark.sql("SELECT k, count(*) FILTER (WHERE v >= 3) " +
+      "FROM vagg GROUP BY k")
+    assert(!gf.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("GROUP BY falls through without a domain, past the probe cap, and on multi-key grouping") {
     GraftRuntime.clear()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

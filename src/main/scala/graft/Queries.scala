@@ -770,6 +770,308 @@ SELECT 'v7_filter_fold',
 UNION ALL
 SELECT 'v8_empty', CAST(sum(qty) AS DOUBLE) FROM ev WHERE value <= -1e18
 ORDER BY query_id""")),
+    // Multi-key GROUP BY + DISTINCT + top-k through the optimizer (r16
+    // session 4): the grouped rewrite generalized to a probe GRID — one
+    // conjunction per combination of the grouping domains. m1 pins the
+    // two-key grid under a WHERE; m2 pins SELECT DISTINCT (Catalyst
+    // turns Distinct into a grouped Aggregate, so live combos ARE the
+    // distinct rows); m3 pins the heavy-hitters shape — ORDER BY n
+    // DESC LIMIT k over the rewritten aggregate runs entirely on the
+    // probe-grid LocalRelation (driver-side sort of |combos| rows), so
+    // top-k groups cost ZERO scans at any data scale. Exact-registered
+    // → lossless; every query require()s the scan-free plan.
+    Entry("q_approx_groupby_multi",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
+          "l_linestatus").map(c => c ->
+          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/lineitem.parquet", modelCols.toSet,
+          preds => liDf.filter(Pred.conj(preds)).count(),
+          name => domains.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          liDf.createOrReplaceTempView("graft_aqp_gbm_lineitem")
+          val texts = Seq(
+            "m1_two_key" -> ("SELECT l_returnflag AS rf, l_linestatus " +
+              "AS ls, count(*) AS n FROM graft_aqp_gbm_lineitem " +
+              "WHERE l_quantity <= 30.0 " +
+              "GROUP BY l_returnflag, l_linestatus"),
+            "m2_distinct" -> ("SELECT DISTINCT l_returnflag AS rf, " +
+              "l_linestatus AS ls FROM graft_aqp_gbm_lineitem " +
+              "WHERE l_discount >= 0.05"),
+            "m3_topk" -> ("SELECT l_returnflag AS rf, l_linestatus " +
+              "AS ls, count(*) AS n FROM graft_aqp_gbm_lineitem " +
+              "GROUP BY l_returnflag, l_linestatus " +
+              "ORDER BY n DESC, rf, ls LIMIT 3"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(!plan.contains("Aggregate") &&
+              !plan.contains("parquet") &&
+              plan.contains("LocalRelation"),
+              s"grid rewrite did not fire on $qid; plan:\n$plan")
+            df.collect().map { r =>
+              val n = if (qid == "m2_distinct") None
+                else Some(r.getLong(2))
+              (qid, r.getString(0), r.getString(1), n)
+            }
+          }
+          rows.toDF("query_id", "rf", "ls", "n")
+            .orderBy("query_id", "rf", "ls")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'm1_two_key' AS query_id, l_returnflag AS rf,
+  l_linestatus AS ls, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_quantity <= 30.0 GROUP BY 2, 3
+UNION ALL
+SELECT 'm2_distinct', l_returnflag, l_linestatus, CAST(NULL AS BIGINT)
+FROM lineitem WHERE l_discount >= 0.05 GROUP BY 2, 3
+UNION ALL
+SELECT 'm3_topk', rf, ls, n FROM (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+    CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2 ORDER BY n DESC, rf, ls LIMIT 3)
+ORDER BY query_id, rf, ls""")),
+    // Grouped value aggregates through the optimizer (r16 session 4):
+    // the full per-group vocabulary — count(*), count(c),
+    // count(DISTINCT c), sum, avg, min, max, per-cell FILTER folds,
+    // DISTINCT sum — answered as probe-grid folds over a null-BEARING
+    // grouping column (g nulled on id%7 — the NULL group rides the
+    // IsNull combo) and a null-bearing value column (qty nulled on
+    // id%11 — ignore-nulls semantics load-bearing in every cell).
+    // Integral-valued qty keeps sums/avgs bit-exact cross-engine
+    // (≤ 2^53). Exact-registered over a derivation DuckDB recomputes
+    // identically; the artifact is the unpivoted (query, group,
+    // metric, value) grid; every query require()s the scan-free plan.
+    Entry("q_approx_group_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val dir = "/tmp/graft_gagg/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        Tables.read(s, d, "events")
+          .select(
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("g"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(23)).cast("double"))
+              .as("qty"),
+            col("value"))
+          .write.mode("overwrite").parquet(dir)
+        val ev = s.read.parquet(dir).persist()
+        ev.count()
+        val gDomain =
+          Dictionary.columnMeta(ev.select("g"), "g").domain.toSeq
+        val qtyDomain =
+          Dictionary.columnMeta(ev.select("qty"), "qty").domain.toSeq
+        graft.plans.GraftRuntime.registerWithDomain(dir,
+          Set("g", "qty", "value"),
+          preds => ev.filter(Pred.conj(preds)).count(),
+          name => name match {
+            case "g" => Some(gDomain)
+            case "qty" => Some(qtyDomain)
+            case _ => None
+          })
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ev.createOrReplaceTempView("graft_aqp_gagg_events")
+          // (query id, SQL, per-row metric names in select order)
+          val texts = Seq(
+            ("a1_vocab", "SELECT g, count(*) AS n, count(qty) AS nq, " +
+              "count(DISTINCT qty) AS dq, sum(qty) AS sq, " +
+              "avg(qty) AS aq, min(qty) AS mnq, max(qty) AS mxq " +
+              "FROM graft_aqp_gagg_events WHERE value <= 50.0 GROUP BY g",
+              Seq("n", "nq", "dq", "sq", "aq", "mnq", "mxq")),
+            ("a2_filter", "SELECT g, sum(qty) FILTER " +
+              "(WHERE value <= 20.0) AS s20, count(*) AS n " +
+              "FROM graft_aqp_gagg_events GROUP BY g",
+              Seq("s20", "n")),
+            ("a3_distinct_sum", "SELECT g, sum(DISTINCT qty) AS sd " +
+              "FROM graft_aqp_gagg_events WHERE value <= 40.0 GROUP BY g",
+              Seq("sd")))
+          val rows = texts.flatMap { case (qid, sql, metrics) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grouped value-agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = if (r.isNullAt(0)) None else Some(r.getString(0))
+              metrics.zipWithIndex.map { case (m, i) =>
+                val x: Option[Double] =
+                  if (r.isNullAt(i + 1)) None
+                  else r.get(i + 1) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy(col("query_id"), col("grp").asc_nulls_first,
+              col("metric"))
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          ev.unpersist(true)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir))
+        }
+      },
+      Some("""WITH ev AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS g,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 23 AS DOUBLE) END AS qty,
+         value
+  FROM events),
+a1 AS (
+  SELECT g, count(*) AS n, count(qty) AS nq,
+    count(DISTINCT qty) AS dq, sum(qty) AS sq,
+    CASE WHEN count(qty) = 0 THEN NULL
+         ELSE CAST(sum(qty) AS DOUBLE) / count(qty) END AS aq,
+    min(qty) AS mnq, max(qty) AS mxq
+  FROM ev WHERE value <= 50.0 GROUP BY g),
+a2 AS (
+  SELECT g, sum(qty) FILTER (WHERE value <= 20.0) AS s20,
+    count(*) AS n
+  FROM ev GROUP BY g),
+a3 AS (
+  SELECT g, sum(DISTINCT qty) AS sd
+  FROM ev WHERE value <= 40.0 GROUP BY g)
+SELECT * FROM (
+  SELECT 'a1_vocab' AS query_id, g AS grp, 'n' AS metric,
+    CAST(n AS DOUBLE) AS x FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'nq', CAST(nq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'dq', CAST(dq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'sq', CAST(sq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'aq', CAST(aq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'mnq', CAST(mnq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a1_vocab', g, 'mxq', CAST(mxq AS DOUBLE) FROM a1
+  UNION ALL SELECT 'a2_filter', g, 's20', CAST(s20 AS DOUBLE) FROM a2
+  UNION ALL SELECT 'a2_filter', g, 'n', CAST(n AS DOUBLE) FROM a2
+  UNION ALL SELECT 'a3_distinct_sum', g, 'sd', CAST(sd AS DOUBLE)
+    FROM a3)
+ORDER BY query_id, grp NULLS FIRST, metric""")),
+    // COUNT(*) over an inner equi-join answered from TWO single-table
+    // registrations (r16 session 4): |A ⋈ B| = Σ_v n_A(v)·n_B(v) over
+    // the key-domain intersection — the reference's single-table
+    // estimator vocabulary composed into its first two-table query
+    // without a joint model (over a real equi-key the factorization is
+    // the join's defining sum, so exact registrations stay lossless;
+    // NULL keys are skipped — an inner join never matches them). At
+    // 100 TB this replaces the most expensive plan shape there is — a
+    // two-fact shuffle join — with |D_∩| millisecond driver probes.
+    // Three registrations (customer, nation, supplier) serve two join
+    // pairs; side predicates (incl. IN and != from the extended
+    // vocabulary) reach each side's estimate through the pushed-down
+    // Filters. Every query require()s the scan-free plan.
+    Entry("q_approx_join_count",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val supp = s.read.parquet(s"$d/supplier.parquet")
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val sDom = Dictionary.columnMeta(
+          supp.select("s_nationkey"), "s_nationkey").domain.toSeq
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => cust.filter(Pred.conj(preds)).count(),
+          name => if (name == "c_nationkey") Some(cDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => nat.filter(Pred.conj(preds)).count(),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/supplier.parquet", Set("s_nationkey"),
+          preds => supp.filter(Pred.conj(preds)).count(),
+          name => if (name == "s_nationkey") Some(sDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_jc_customer")
+          nat.createOrReplaceTempView("graft_aqp_jc_nation")
+          supp.createOrReplaceTempView("graft_aqp_jc_supplier")
+          val texts = Seq(
+            "j1_bare" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jc_customer c JOIN graft_aqp_jc_nation n " +
+              "ON c.c_nationkey = n.n_nationkey"),
+            "j2_both_sides" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jc_customer c JOIN graft_aqp_jc_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE c.c_acctbal <= 5000.0 AND n.n_regionkey <= 2"),
+            "j3_vocab" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jc_customer c JOIN graft_aqp_jc_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE') " +
+              "AND n.n_name != 'FRANCE'"),
+            "j4_supplier" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jc_supplier s JOIN graft_aqp_jc_nation n " +
+              "ON s.s_nationkey = n.n_nationkey " +
+              "WHERE n.n_regionkey >= 3"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"join-count rewrite did not fire on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'j1_bare' AS query_id, CAST(count(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'j2_both_sides', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal <= 5000.0 AND n.n_regionkey <= 2
+UNION ALL
+SELECT 'j3_vocab', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  AND n.n_name <> 'FRANCE'
+UNION ALL
+SELECT 'j4_supplier', CAST(count(*) AS BIGINT)
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey >= 3
+ORDER BY query_id""")),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),

@@ -219,6 +219,13 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
               case _ => agg
             }
+          // COUNT(*) over an inner equi-join (r16 session 4): two
+          // single-table registrations compose into the join count —
+          // see [[rewriteJoinCount]]. The FILTER-clause slot must be
+          // empty (its conjuncts cannot be attributed to a side
+          // without column-ownership guesses).
+          case j: Join if filt.isEmpty =>
+            rewriteJoinCount(alias, j).getOrElse(agg)
           case _ => agg
         }
       // count(c) / count(DISTINCT c) (r16 session 3): the remaining
@@ -312,7 +319,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 reg.domain(c.name) match {
                   case Some(dom) if dom.nonEmpty &&
                       dom.size <= maxGroupProbes =>
-                    rewriteValueAgg(fn, distinct, alias, c, reg, preds, dom)
+                    foldValueAgg(fn, distinct, alias.dataType, c, reg,
+                        preds, dom)
+                      .map(v => LocalRelation(Seq(alias.toAttribute),
+                        Seq(InternalRow(v))))
                       .getOrElse(agg)
                   case _ => agg
                 }
@@ -320,78 +330,25 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           case _ => agg
         }
-      // GROUP BY rewrite (r16): `SELECT c, count(*) FROM t [WHERE conj]
-      // GROUP BY c` answered from the model as |domain(c)| probes — the
-      // joint density the reference learns IS the per-group count
-      // vector, surfaced one Eq (or IsNull, for the null group) mask at
-      // a time. Zero-estimate groups are dropped, matching SQL (a group
-      // with no rows does not appear). Fires only when the registration
-      // supplies c's domain, every WHERE conjunct parses, all columns
-      // are modeled, and the domain is small enough that driver-side
-      // probes are trivially cheap next to the scan+shuffle they
-      // replace.
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-          if aggExprs.size == 2 =>
-        val groupedShape = aggExprs.map {
-          case a: AttributeReference if a.exprId == g.exprId => Some('g')
-          // `SELECT c AS grp, …` — the analyzer wraps the grouping
-          // attribute in an Alias; output naming rides on .toAttribute
-          case Alias(a: AttributeReference, _)
-              if a.exprId == g.exprId => Some('g')
-          // FILTER (WHERE …) on the grouped count stays un-rewritten:
-          // folding it per-group would need per-group re-probing the
-          // single-aggregate cases get for free (spec-pinned).
-          case Alias(AggregateExpression(
-              Count(Seq(Literal(1, _))), _, false, None, _), _) => Some('c')
-          case _ => None
-        }
-        if (groupedShape.exists(_.isEmpty) ||
-            groupedShape.flatten.toSet != Set('g', 'c')) agg
-        else {
-          val (predsOpt, scanChild) = stripProjects(child) match {
-            case Filter(cond, gc) => (parseConjunction(cond), gc)
-            case other => (Some(Nil: Seq[Pred]), other)
-          }
-          (relationPaths(scanChild), predsOpt) match {
-            case (Some(paths), Some(preds)) =>
-              GraftRuntime.lookup(paths) match {
-                case Some(reg)
-                    if preds.forall(p => reg.columns.contains(p.col)) &&
-                      reg.columns.contains(g.name) =>
-                  reg.domain(g.name) match {
-                    case Some(dom) if dom.nonEmpty &&
-                        dom.size <= maxGroupProbes =>
-                      ApproxCountRule.inEstimate.set(true)
-                      val groups =
-                        try dom.flatMap { v =>
-                          val probe = if (v == null)
-                            Pred(g.name, Op.IsNull, null)
-                          else Pred(g.name, Op.Eq, v)
-                          val est = reg.estimate(preds :+ probe)
-                          if (est > 0L) Some((v, est)) else None
-                        }
-                        finally ApproxCountRule.inEstimate.set(false)
-                      // Convert against the grouping attribute's EXACT
-                      // type (a bare convertToCatalyst would infer e.g.
-                      // Decimal(38,18) for a DECIMAL(12,2) column and
-                      // corrupt the LocalRelation's row layout).
-                      val toCat = org.apache.spark.sql.catalyst
-                        .CatalystTypeConverters
-                        .createToCatalystConverter(g.dataType)
-                      val rows = groups.map { case (v, n) =>
-                        InternalRow.fromSeq(groupedShape.flatten.map {
-                          case 'g' => if (v == null) null else toCat(v)
-                          case 'c' => n
-                        })
-                      }
-                      LocalRelation(aggExprs.map(_.toAttribute), rows)
-                    case _ => agg
-                  }
-                case _ => agg
-              }
-            case _ => agg
-          }
-        }
+      // Grouped rewrite (r16; generalized session 4): `SELECT g…, agg…
+      // FROM t [WHERE conj] GROUP BY g…` answered from the model as a
+      // probe GRID — the joint density the reference learns IS the
+      // per-group count vector, surfaced one Eq (or IsNull, for null
+      // groups) mask per grouping column per combination. Any mix of
+      // count(*) / count(c) / count(DISTINCT c) / sum / avg / min /
+      // max cells rides on the same per-combo conjunction, and a
+      // FILTER clause folds into ITS cell's conjunction (group
+      // existence stays decided by the unfiltered combo probe, so a
+      // fully-filtered group still emits its SQL-mandated zero/NULL
+      // row). Zero-estimate combos are dropped, matching SQL. Fires
+      // only when every grouping column's domain is supplied, the
+      // combo grid and total probe count stay trivially cheap next to
+      // the scan+shuffle they replace, every conjunct parses, and all
+      // columns are modeled.
+      case agg @ Aggregate(groupExprs, _, _, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteGroupedAgg(agg).getOrElse(agg)
     }
   }
 
@@ -423,57 +380,334 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Fold the per-value probe vector into the aggregate's answer.
+  /** Save/restore re-entrancy guard around model probes. The grouped
+    * grid nests value-agg folds inside an already-guarded loop — a
+    * plain set(true)/finally-set(false) in the inner fold would clear
+    * the OUTER guard on exit and let a mid-grid estimator job be
+    * rewritten recursively. */
+  private def probed[T](f: => T): T = {
+    val prev = ApproxCountRule.inEstimate.get()
+    ApproxCountRule.inEstimate.set(true)
+    try f finally ApproxCountRule.inEstimate.set(prev)
+  }
+
+  /** Fold the per-value probe vector into the aggregate's answer as a
+    * Catalyst-internal value (null = SQL NULL for an empty support).
     * None = shape the fold cannot faithfully reproduce (decimal
-    * result types, Long-sum overflow) — caller leaves the plan
+    * result types, Long-sum overflow) — callers leave the plan
     * untouched. Relies on the [[GraftRuntime.Registered.domain]]
     * contract: ascending order, null slot first when present
     * (Dictionary.columnMeta's output order). */
-  private def rewriteValueAgg(fn: AggregateFunction, distinct: Boolean,
-      alias: Alias, c: AttributeReference, reg: GraftRuntime.Registered,
-      preds: Seq[Pred], dom: Seq[Any]): Option[LogicalPlan] = {
+  private def foldValueAgg(fn: AggregateFunction, distinct: Boolean,
+      resultType: org.apache.spark.sql.types.DataType,
+      c: AttributeReference, reg: GraftRuntime.Registered,
+      preds: Seq[Pred], dom: Seq[Any]): Option[Any] = {
     def probe(v: Any): Long = reg.estimate(preds :+ Pred(c.name, Op.Eq, v))
-    def one(value: Any): LogicalPlan =
-      LocalRelation(Seq(alias.toAttribute), Seq(InternalRow(value)))
     val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(c.dataType)
-    ApproxCountRule.inEstimate.set(true)
-    try fn match {
-      case Min(_) =>
-        Some(one(dom.iterator.filter(_ != null)
-          .find(v => probe(v) > 0L).map(toCat).orNull))
-      case Max(_) =>
-        Some(one(dom.reverseIterator.filter(_ != null)
-          .find(v => probe(v) > 0L).map(toCat).orNull))
-      case _ =>
-        // sum / avg share the weighted support; DISTINCT weights each
-        // support value once (min/max are DISTINCT-invariant above).
-        val weights = dom.filter(_ != null)
-          .map(v => (v, probe(v))).filter(_._2 > 0L)
-          .map { case (v, n) => (v, if (distinct) 1L else n) }
-        val cnt = weights.map(_._2).sum
-        if (cnt == 0L) Some(one(null))
-        else (fn, alias.dataType) match {
-          case (Sum(_, _), LongType) =>
-            try {
-              var acc = 0L
-              weights.foreach { case (v, n) => acc = Math.addExact(acc,
-                Math.multiplyExact(v.asInstanceOf[Number].longValue, n)) }
-              Some(one(acc))
-            } catch { case _: ArithmeticException => None }
-          case (Sum(_, _), DoubleType) =>
-            var acc = 0.0
-            weights.foreach { case (v, n) =>
-              acc += v.asInstanceOf[Number].doubleValue * n }
-            Some(one(acc))
-          case (Average(_, _), DoubleType) =>
-            var acc = 0.0
-            weights.foreach { case (v, n) =>
-              acc += v.asInstanceOf[Number].doubleValue * n }
-            Some(one(acc / cnt))
-          case _ => None
+    probed {
+      fn match {
+        case Min(_) =>
+          Some(dom.iterator.filter(_ != null)
+            .find(v => probe(v) > 0L).map(toCat).orNull)
+        case Max(_) =>
+          Some(dom.reverseIterator.filter(_ != null)
+            .find(v => probe(v) > 0L).map(toCat).orNull)
+        case _ =>
+          // sum / avg share the weighted support; DISTINCT weights each
+          // support value once (min/max are DISTINCT-invariant above).
+          val weights = dom.filter(_ != null)
+            .map(v => (v, probe(v))).filter(_._2 > 0L)
+            .map { case (v, n) => (v, if (distinct) 1L else n) }
+          val cnt = weights.map(_._2).sum
+          if (cnt == 0L) Some(null)
+          else (fn, resultType) match {
+            case (Sum(_, _), LongType) =>
+              try {
+                var acc = 0L
+                weights.foreach { case (v, n) => acc = Math.addExact(acc,
+                  Math.multiplyExact(v.asInstanceOf[Number].longValue, n)) }
+                Some(acc)
+              } catch { case _: ArithmeticException => None }
+            case (Sum(_, _), DoubleType) =>
+              var acc = 0.0
+              weights.foreach { case (v, n) =>
+                acc += v.asInstanceOf[Number].doubleValue * n }
+              Some(acc)
+            case (Average(_, _), DoubleType) =>
+              var acc = 0.0
+              weights.foreach { case (v, n) =>
+                acc += v.asInstanceOf[Number].doubleValue * n }
+              Some(acc / cnt)
+            case _ => None
+          }
+      }
+    }
+  }
+
+  /** One output column of a grouped aggregate, classified for the
+    * probe grid. FILTER clauses arrive pre-parsed: an unparseable
+    * clause fails classification, blocking the whole rewrite (the
+    * silent-ignore hazard foldFilterClause documents). */
+  private sealed trait Cell
+  private case class GroupCell(i: Int) extends Cell
+  private case class CountStarCell(filt: Seq[Pred]) extends Cell
+  private case class CountColCell(col: AttributeReference,
+      distinct: Boolean, filt: Seq[Pred], dom: Seq[Any]) extends Cell
+  private case class ValueAggCell(fn: AggregateFunction,
+      distinct: Boolean, col: AttributeReference,
+      resultType: org.apache.spark.sql.types.DataType,
+      filt: Seq[Pred], dom: Seq[Any]) extends Cell
+
+  /** Probes a cell costs per live combo (the existence probe already
+    * supplies the unfiltered count(*)). Min/max early-exit in
+    * practice; this is their worst case. */
+  private def cellCost(cell: Cell): Long = cell match {
+    case _: GroupCell => 0L
+    case CountStarCell(filt) => if (filt.isEmpty) 0L else 1L
+    case cc: CountColCell => if (cc.distinct) cc.dom.size.toLong else 1L
+    case v: ValueAggCell => v.dom.size.toLong
+  }
+
+  private def classifyCells(aggExprs: Seq[NamedExpression],
+      gs: Seq[AttributeReference],
+      base: AttributeReference => AttributeReference,
+      reg: GraftRuntime.Registered): Option[Seq[Cell]] = {
+    def groupIdx(a0: AttributeReference): Option[Cell] = {
+      val a = base(a0)
+      val i = gs.indexWhere(_.exprId == a.exprId)
+      if (i >= 0) Some(GroupCell(i)) else None
+    }
+    def domOf(c: AttributeReference): Option[Seq[Any]] =
+      if (!reg.columns.contains(c.name)) None
+      else reg.domain(c.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+    val cells: Seq[Option[Cell]] = aggExprs.map {
+      case a: AttributeReference => groupIdx(a)
+      // `SELECT c AS grp, …` — the analyzer wraps the grouping
+      // attribute in an Alias; output naming rides on .toAttribute.
+      case Alias(a: AttributeReference, _) => groupIdx(a)
+      case al @ Alias(AggregateExpression(fn, _, distinct, filtE, _), _) =>
+        val filtPreds: Option[Seq[Pred]] = filtE match {
+          case None => Some(Nil)
+          case Some(f) => parseConjunction(f)
+            .filter(_.forall(p => reg.columns.contains(p.col)))
         }
-    } finally ApproxCountRule.inEstimate.set(false)
+        filtPreds.flatMap { fp =>
+          fn match {
+            case Count(Seq(Literal(1, _))) if !distinct =>
+              Some(CountStarCell(fp))
+            case Count(Seq(c0: AttributeReference)) if !distinct &&
+                reg.columns.contains(base(c0).name) =>
+              Some(CountColCell(base(c0), distinct = false, fp, Nil))
+            case Count(Seq(c0: AttributeReference)) if distinct =>
+              domOf(base(c0)).map(d =>
+                CountColCell(base(c0), distinct = true, fp, d))
+            case _ => valueAggColumn(fn).map(base).flatMap(c =>
+              domOf(c).map(d =>
+                ValueAggCell(fn, distinct, c, al.dataType, fp, d)))
+          }
+        }
+      case _ => None
+    }
+    if (cells.exists(_.isEmpty)) None else Some(cells.map(_.get))
+  }
+
+  /** Grouped-grid probe budget: combos × per-combo cell probes. Wider
+    * than [[maxGroupProbes]] (which bounds the combo grid and each
+    * value domain individually) because a grid of cheap driver-side
+    * probes still beats a scan+shuffle by orders of magnitude at any
+    * real scale. */
+  private val maxTotalProbes = 4096L
+
+  /** Resolve attribute renames through a stack of Projects whose
+    * entries are all attributes or aliases OF attributes (the shape
+    * `SELECT DISTINCT a AS x` leaves below its Aggregate), returning
+    * the composed exprId→base-attribute map and the plan underneath.
+    * Projects computing anything else stop the walk (conservative —
+    * a derived column is not a registered column). */
+  private def resolveThroughProjects(plan0: LogicalPlan)
+      : (Map[ExprId, AttributeReference], LogicalPlan) = {
+    var subst = Map.empty[ExprId, AttributeReference]
+    var plan = stripProjects(plan0)
+    var done = false
+    while (!done) plan match {
+      case Project(projs, child) if projs.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } =>
+        val local: Map[ExprId, AttributeReference] = projs.collect {
+          case al @ Alias(a: AttributeReference, _) => al.exprId -> a
+        }.toMap
+        subst = subst.map { case (k, v) =>
+          k -> local.getOrElse(v.exprId, v)
+        } ++ local
+        plan = stripProjects(child)
+      case _ => done = true
+    }
+    (subst, plan)
+  }
+
+  private def rewriteGroupedAgg(agg: Aggregate): Option[LogicalPlan] = {
+    val (subst, stripped) = resolveThroughProjects(agg.child)
+    def base(a: AttributeReference): AttributeReference =
+      subst.getOrElse(a.exprId, a)
+    val gs = agg.groupingExpressions
+      .map(e => base(e.asInstanceOf[AttributeReference]))
+    val (predsOpt, scanChild) = stripped match {
+      case Filter(cond, gc) => (parseConjunction(cond), gc)
+      case other => (Some(Nil: Seq[Pred]), other)
+    }
+    for {
+      paths <- relationPaths(scanChild)
+      preds <- predsOpt
+      reg <- GraftRuntime.lookup(paths)
+      if preds.forall(p => reg.columns.contains(p.col)) &&
+        gs.forall(g => reg.columns.contains(g.name))
+      cells <- classifyCells(agg.aggregateExpressions, gs, base, reg)
+      // All-GroupCell output is SELECT DISTINCT (the optimizer turns
+      // Distinct into a grouped Aggregate): live combos ARE the
+      // distinct rows, so the same grid answers it.
+      gDoms <- {
+        val ds = gs.map(g => reg.domain(g.name)
+          .filter(_.nonEmpty))
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      nCombos = gDoms.map(_.size.toLong).product
+      if nCombos <= maxGroupProbes &&
+        nCombos * (1L + cells.map(cellCost).sum) <= maxTotalProbes
+      rows <- probeGrid(gs, gDoms, cells, reg, preds)
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      rows)
+  }
+
+  /** Evaluate the combo grid. None = some cell's fold could not
+    * faithfully answer (Long-sum overflow, decimal result) — the whole
+    * rewrite falls through rather than mixing probe-grid rows with a
+    * scan. */
+  private def probeGrid(gs: Seq[AttributeReference],
+      gDoms: Seq[Seq[Any]], cells: Seq[Cell],
+      reg: GraftRuntime.Registered,
+      preds: Seq[Pred]): Option[Seq[InternalRow]] = {
+    val combos = gDoms.foldLeft(Seq(Seq.empty[Any])) { (acc, dom) =>
+      acc.flatMap(pre => dom.map(v => pre :+ v))
+    }
+    // Convert group values against each grouping attribute's EXACT
+    // type (a bare convertToCatalyst would infer e.g. Decimal(38,18)
+    // for a DECIMAL(12,2) column and corrupt the row layout).
+    val gConv = gs.map(g => org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.createToCatalystConverter(g.dataType))
+    val rows = Seq.newBuilder[InternalRow]
+    var failed = false
+    probed {
+      combos.foreach { combo =>
+        if (!failed) {
+          val base = preds ++ gs.zip(combo).map { case (g, v) =>
+            if (v == null) Pred(g.name, Op.IsNull, null)
+            else Pred(g.name, Op.Eq, v)
+          }
+          val n = reg.estimate(base)
+          if (n > 0L) {
+            val vals: Seq[Option[Any]] = cells.map {
+              case GroupCell(i) =>
+                Some(if (combo(i) == null) null else gConv(i)(combo(i)))
+              case CountStarCell(filt) =>
+                Some(if (filt.isEmpty) n else reg.estimate(base ++ filt))
+              case CountColCell(c, false, filt, _) =>
+                Some(reg.estimate(
+                  base ++ filt :+ Pred(c.name, Op.NotNull, null)))
+              case CountColCell(c, true, filt, dom) =>
+                Some(dom.count(v => v != null && reg.estimate(
+                  base ++ filt :+ Pred(c.name, Op.Eq, v)) > 0L).toLong)
+              case v: ValueAggCell =>
+                foldValueAgg(v.fn, v.distinct, v.resultType, v.col, reg,
+                  base ++ v.filt, v.dom)
+            }
+            if (vals.exists(_.isEmpty)) failed = true
+            else rows += InternalRow.fromSeq(vals.map(_.get))
+          }
+        }
+      }
+    }
+    if (failed) None else Some(rows.result())
+  }
+
+  /** COUNT(*) over an inner equi-join answered from TWO single-table
+    * registrations (r16 session 4): for key domains D_L, D_R,
+    *
+    *   |A ⋈_k B| = Σ,,v ∈ D_L ∩ D_R, v ≠ null,, n_L(v) · n_R(v)
+    *
+    * where n_S(v) = estimate_S(conj_S ∧ k = v). The reference's
+    * single-table models compose into join cardinality without a joint
+    * model — the per-key-value factorization NeuroCard-style join
+    * estimators build a joint model to avoid; over a real equi-key the
+    * factorization is EXACT (it is the join's defining sum), so exact
+    * registrations give the exact count and learned ones inherit
+    * per-table fidelity only. NULL keys never match an inner equi-join,
+    * so both null slots are skipped. Conservative: inner join, a single
+    * EqualTo over one attribute per side, both sides (optionally
+    * Filter-ed) registered scans with the key domain supplied, domains
+    * under the probe cap. Long overflow in the pair products falls
+    * through to the exact plan rather than inventing a non-ANSI answer.
+    * At 100 TB this replaces the single most expensive plan shape there
+    * is — a fact-fact shuffle join — with |D ∩ D| driver probes.
+    */
+  private def rewriteJoinCount(alias: Alias,
+      j: Join): Option[LogicalPlan] = {
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+      return None
+    val keyPair: Option[(AttributeReference, AttributeReference)] =
+      j.condition match {
+        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+          if (j.left.outputSet.contains(a) &&
+            j.right.outputSet.contains(b)) Some((a, b))
+          else if (j.left.outputSet.contains(b) &&
+            j.right.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+    def side(p: LogicalPlan, key: AttributeReference)
+        : Option[(GraftRuntime.Registered, Seq[Pred], Seq[Any])] = {
+      val (predsOpt, scanChild) = stripProjects(p) match {
+        case Filter(cond, gc) => (parseConjunction(cond), gc)
+        case other => (Some(Nil: Seq[Pred]), other)
+      }
+      for {
+        paths <- relationPaths(scanChild)
+        preds <- predsOpt
+        reg <- GraftRuntime.lookup(paths)
+        if preds.forall(pp => reg.columns.contains(pp.col)) &&
+          reg.columns.contains(key.name)
+        dom <- reg.domain(key.name)
+        if dom.nonEmpty && dom.size <= maxGroupProbes
+      } yield (reg, preds, dom)
+    }
+    for {
+      (ka, kb) <- keyPair
+      (regL, predsL, domL) <- side(j.left, ka)
+      (regR, predsR, domR) <- side(j.right, kb)
+      total <- probed {
+        // Iterate the left domain's non-null values that the right
+        // domain also carries (boxed-numeric equality cooperates
+        // across Int/Long/Double, so cross-width keys intersect
+        // correctly); skip the right probe when the left count is 0.
+        val rSet = domR.iterator.filter(_ != null).toSet
+        try {
+          var acc = 0L
+          domL.iterator
+            .filter(v => v != null && rSet.contains(v)).foreach { v =>
+              val nl = regL.estimate(predsL :+ Pred(ka.name, Op.Eq, v))
+              if (nl > 0L) {
+                val nr = regR.estimate(predsR :+ Pred(kb.name, Op.Eq, v))
+                acc = Math.addExact(acc, Math.multiplyExact(nl, nr))
+              }
+            }
+          Some(acc)
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(total)))
   }
 }
 

@@ -323,7 +323,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!like.queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
     assert(like.collect()(0).getDouble(0) == 6.0)
-    // grouped count with a FILTER clause stays un-rewritten
+    // grouped count: k carries no registered domain, so the grid
+    // cannot enumerate its groups -> exact plan (the FILTER clause
+    // itself folds fine when the domain exists — grid spec below)
     val gf = spark.sql("SELECT k, count(*) FILTER (WHERE v >= 3) " +
       "FROM vagg GROUP BY k")
     assert(!gf.queryExecution.optimizedPlan.toString
@@ -351,10 +353,158 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       _ => 13L, c => Some((1 to 5000).map(i => s"v$i")))
     assert(!spark.sql(q).queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
-    // two grouping columns -> outside the shape, fall through
+    // two grouping columns: the COMBO GRID (5000 x 5000) is over the
+    // cap -> fall through (multi-key itself rewrites — grid spec below)
     val q2 = "SELECT l_returnflag, l_linestatus, count(*) FROM lineitem " +
       "GROUP BY l_returnflag, l_linestatus"
     assert(!spark.sql(q2).queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("grouped grid: multi-key, value aggs, FILTER fold, DISTINCT") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_grid").toString
+    // k nullable group col; m second group col; w nullable values
+    // (2 repeats for DISTINCT); v long for FILTER clauses.
+    Seq(("a", "x", Some(2.0), 1L), ("a", "y", Some(4.0), 2L),
+      ("b", "x", None, 3L), ("b", "x", Some(6.0), 4L),
+      ("c", "y", Some(2.0), 5L), (null, "x", Some(8.0), 6L),
+      ("a", "x", Some(2.0), 7L))
+      .toDF("k", "m", "w", "v").write.mode("overwrite")
+      .parquet(s"$tmp/grid.parquet")
+    val df = spark.read.parquet(s"$tmp/grid.parquet")
+    df.createOrReplaceTempView("grid")
+    def dom(c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    val doms = Seq("k", "m", "w", "v").map(c => c -> dom(c)).toMap
+    GraftRuntime.registerWithDomain("grid.parquet",
+      Set("k", "m", "w", "v"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => doms.get(c))
+    def both(q: String): (Seq[org.apache.spark.sql.Row],
+        Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set(GraftRuntime.EnabledKey, "true")
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"$q did not rewrite:\n$plan")
+      val got = rewritten.collect().toSeq
+      spark.conf.set(GraftRuntime.EnabledKey, "false")
+      val exact = spark.sql(q).collect().toSeq
+      (got, exact)
+    }
+    def sorted(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.toString).sorted
+    // multi-key grouping, null group included
+    val (g1, e1) = both("SELECT k, m, count(*) AS n FROM grid " +
+      "GROUP BY k, m")
+    assert(sorted(g1) == sorted(e1))
+    // the full value-agg vocabulary per group (null-ignoring)
+    val (g2, e2) = both("SELECT k, count(*) AS n, count(w) AS nw, " +
+      "count(DISTINCT w) AS dw, sum(w) AS sw, avg(w) AS aw, " +
+      "min(w) AS mnw, max(w) AS mxw FROM grid GROUP BY k")
+    assert(sorted(g2) == sorted(e2))
+    // per-cell FILTER folds; group 'b' has zero v>=5 rows but must
+    // still appear with its SQL-mandated 0 / NULL cells
+    val (g3, e3) = both("SELECT k, count(*) FILTER (WHERE v >= 5) " +
+      "AS n5, sum(w) FILTER (WHERE m = 'x') AS sx FROM grid GROUP BY k")
+    assert(sorted(g3) == sorted(e3))
+    assert(e3.exists(r => !r.isNullAt(0) && r.getString(0) == "b" &&
+      r.getLong(1) == 0L))
+    // WHERE + grouped grid
+    val (g4, e4) = both("SELECT k, m, count(*) AS n FROM grid " +
+      "WHERE v >= 2 AND m IN ('x', 'y') GROUP BY k, m")
+    assert(sorted(g4) == sorted(e4))
+    // SELECT DISTINCT is a grouped Aggregate -> live combos
+    val (g5, e5) = both("SELECT DISTINCT k, m FROM grid")
+    assert(sorted(g5) == sorted(e5))
+    // Long-sum overflow in a grouped cell -> the WHOLE rewrite falls
+    // through (no mixed probe/scan output)
+    GraftRuntime.clear()
+    GraftRuntime.registerWithDomain("grid.parquet",
+      Set("k", "m", "w", "v"),
+      _ => Long.MaxValue / 2, c => doms.get(c))
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val of = spark.sql("SELECT k, sum(v) AS sv FROM grid GROUP BY k")
+    assert(!of.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("join count: two single-table registrations compose; outer and cross-condition shapes fall through") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jc").toString
+    // null keys on both sides must never contribute to an inner join
+    Seq((Some(1L), 10.0), (Some(1L), 20.0), (Some(2L), 30.0),
+      (None, 40.0), (Some(3L), 50.0), (Some(1L), 60.0))
+      .toDF("k", "x").write.mode("overwrite")
+      .parquet(s"$tmp/ja.parquet")
+    Seq((Some(1L), "p"), (Some(2L), "q"), (Some(2L), "p"),
+      (None, "r"), (Some(9L), "p"))
+      .toDF("k", "y").write.mode("overwrite")
+      .parquet(s"$tmp/jb.parquet")
+    val da = spark.read.parquet(s"$tmp/ja.parquet")
+    val db = spark.read.parquet(s"$tmp/jb.parquet")
+    da.createOrReplaceTempView("ja")
+    db.createOrReplaceTempView("jb")
+    def dom(df: org.apache.spark.sql.DataFrame, c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    val domA = dom(da, "k"); val domB = dom(db, "k")
+    GraftRuntime.registerWithDomain("ja.parquet", Set("k", "x"),
+      preds => da.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(domA) else None)
+    GraftRuntime.registerWithDomain("jb.parquet", Set("k", "y"),
+      preds => db.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(domB) else None)
+    def both(q: String): (Long, Long) = {
+      spark.conf.set(GraftRuntime.EnabledKey, "true")
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"$q did not rewrite:\n$plan")
+      val got = rewritten.collect()(0).getLong(0)
+      spark.conf.set(GraftRuntime.EnabledKey, "false")
+      (got, spark.sql(q).collect()(0).getLong(0))
+    }
+    // 1->(1,3 rows a)x(1 row b)=3, 2->1x2=2, 3->unmatched, nulls skip
+    val (j1, e1) = both(
+      "SELECT count(*) FROM ja JOIN jb ON ja.k = jb.k")
+    assert(j1 == e1 && e1 == 5L)
+    // side predicates push down and reach the per-side estimates
+    val (j2, e2) = both("SELECT count(*) FROM ja JOIN jb " +
+      "ON ja.k = jb.k WHERE ja.x <= 30.0 AND jb.y = 'p'")
+    assert(j2 == e2)
+    // IN on one side (extended vocabulary through the join path)
+    val (j3, e3) = both("SELECT count(*) FROM ja JOIN jb " +
+      "ON ja.k = jb.k WHERE jb.y IN ('p', 'q')")
+    assert(j3 == e3)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    // outer joins are NOT a pair-product sum -> fall through
+    val lo = spark.sql(
+      "SELECT count(*) FROM ja LEFT JOIN jb ON ja.k = jb.k")
+    assert(!lo.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    // cross-side residual condition -> fall through
+    val cc = spark.sql("SELECT count(*) FROM ja JOIN jb " +
+      "ON ja.k = jb.k AND ja.x <= length(jb.y)")
+    assert(!cc.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    // one side unregistered -> fall through
+    GraftRuntime.clear()
+    GraftRuntime.registerWithDomain("ja.parquet", Set("k", "x"),
+      preds => da.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(domA) else None)
+    val ur = spark.sql("SELECT count(*) FROM ja JOIN jb ON ja.k = jb.k")
+    assert(!ur.queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
     spark.conf.set(GraftRuntime.EnabledKey, "false")
     GraftRuntime.clear()

@@ -1072,6 +1072,91 @@ SELECT 'j4_supplier', CAST(count(*) AS BIGINT)
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_regionkey >= 3
 ORDER BY query_id""")),
+    // Seeded grouped-aggregate workload through the probe grid (r16
+    // session 4) — the q_sql_front_workload discipline applied to the
+    // GRID rewrite: 30 seed-derived queries drawing group keys (g1
+    // nullable string / g2 long / both), 1-2 aggregate cells from the
+    // full vocabulary (count(*) / count / count DISTINCT / sum / avg /
+    // min / max / sum DISTINCT, each with a 25% FILTER clause), and
+    // 0-2 WHERE conjuncts from the extended mask vocabulary (<=, >=,
+    // IN, !=, NOT IN, IS [NOT] NULL). EVERY query must rewrite
+    // scan-free (require()d per query), and DuckDB executes the
+    // IDENTICAL texts — exact registration makes the whole corpus
+    // lossless, so one hash gate covers every key/cell/filter/where
+    // interaction the hand-written entries cannot enumerate.
+    Entry("q_approx_grid_workload",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val dir = "/tmp/graft_gridw/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        Tables.read(s, d, "events")
+          .select(
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("g1"),
+            pmod(col("event_id"), lit(5)).as("g2"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"),
+            col("value").as("v"))
+          .write.mode("overwrite").parquet(dir)
+        val ev = s.read.parquet(dir).persist()
+        ev.count()
+        val doms = Seq("g1", "g2", "w").map(c => c ->
+          Dictionary.columnMeta(ev.select(c), c).domain.toSeq).toMap
+        graft.plans.GraftRuntime.registerWithDomain(dir,
+          Set("g1", "g2", "w", "v"),
+          preds => ev.filter(Pred.conj(preds)).count(),
+          name => doms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ev.createOrReplaceTempView("graft_aqp_grid_events")
+          val rows = gridWorkload.flatMap { q =>
+            val df = s.sql(
+              q.inner.replace("GRID_TBL", "graft_aqp_grid_events"))
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grid workload ${q.qid} did not rewrite; " +
+                s"query: ${q.inner}\nplan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = q.keys.indices.map { k =>
+                if (r.isNullAt(k)) "<NULL>"
+                else r.get(k) match {
+                  case str: String => str
+                  case l: java.lang.Long => l.toString
+                }
+              }.mkString("|")
+              q.metrics.zipWithIndex.map { case (m, j) =>
+                val idx = q.keys.size + j
+                val x: Option[Double] =
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (q.qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          ev.unpersist(true)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir))
+        }
+      },
+      Some(gridWorkloadOracleSql)),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),
@@ -6796,6 +6881,112 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     */
   private val modelCols =
     Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
+
+  /** One seed-derived grouped-aggregate query for the probe-grid
+    * workload gate (q_approx_grid_workload): `inner` carries the
+    * GRID_TBL placeholder so the IDENTICAL text runs on Spark (temp
+    * view) and DuckDB (derivation CTE). */
+  private final case class GridQuery(qid: String, inner: String,
+      keys: Seq[String], metrics: Seq[String])
+
+  /** The 30-query corpus, a pure function of the seed — re-derived
+    * identically wherever referenced (entry + oracle builder), the
+    * q_sql_front_workload discipline. Columns: g1 nullable string
+    * (5-type domain + null), g2 long 0..4, w nullable integral double
+    * (13 values + null), v continuous double (WHERE-only). */
+  private lazy val gridWorkload: Seq[GridQuery] = {
+    val rng = new scala.util.Random(20260816L)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.size))
+    val wVals = (0 until 13).map(_.toDouble)
+    def filterClause(): String = rng.nextInt(3) match {
+      case 0 => s"v <= ${pick(Seq(40, 80, 150, 250, 350))}.0"
+      case 1 => s"g2 <= ${rng.nextInt(4)}"
+      case 2 => "w IS NOT NULL"
+    }
+    def whereConj(): String = rng.nextInt(7) match {
+      case 0 => s"v <= ${pick(Seq(30, 60, 120, 200, 300, 400))}.0"
+      case 1 =>
+        val vs = rng.shuffle(types).take(1 + rng.nextInt(3)).sorted
+        s"g1 IN (${vs.map(t => s"'$t'").mkString(", ")})"
+      case 2 => s"g1 != '${pick(types)}'"
+      case 3 => s"g2 >= ${rng.nextInt(4)}"
+      case 4 => if (rng.nextBoolean()) "w IS NULL" else "w IS NOT NULL"
+      case 5 =>
+        val vs = rng.shuffle(wVals).take(1 + rng.nextInt(3)).sorted
+        s"w NOT IN (${vs.mkString(", ")})"
+      case 6 => s"w <= ${pick(wVals)}"
+    }
+    (1 to 30).map { i =>
+      val keys = rng.nextInt(10) match {
+        case n if n < 4 => Seq("g1")
+        case n if n < 7 => Seq("g2")
+        case _ => Seq("g1", "g2")
+      }
+      val metrics = (1 to 1 + rng.nextInt(2)).map(j => s"m$j")
+      val cells = metrics.map { m =>
+        val core = rng.nextInt(8) match {
+          case 0 => "count(*)"
+          case 1 => "count(w)"
+          case 2 => "count(DISTINCT w)"
+          case 3 => "sum(w)"
+          case 4 => "avg(w)"
+          case 5 => "min(w)"
+          case 6 => "max(w)"
+          case 7 => "sum(DISTINCT w)"
+        }
+        // No FILTER on DISTINCT cells: Catalyst's
+        // RewriteDistinctAggregates expands distinct+filter aggregates
+        // into Expand-based plans in the MAIN optimizer batches, so
+        // the grid rule (extraOptimizations, post-batches) never sees
+        // the Aggregate shape — found live by this corpus's first run.
+        val f = if (!core.contains("DISTINCT") && rng.nextInt(4) == 0)
+          s" FILTER (WHERE ${filterClause()})" else ""
+        s"$core$f AS $m"
+      }
+      val where = rng.nextInt(3) match {
+        case 0 => ""
+        case 1 => s" WHERE ${whereConj()}"
+        case 2 => s" WHERE ${whereConj()} AND ${whereConj()}"
+      }
+      val sel = (keys ++ cells).mkString(", ")
+      GridQuery("w%02d".format(i),
+        s"SELECT $sel FROM GRID_TBL$where GROUP BY ${keys.mkString(", ")}",
+        keys, metrics)
+    }
+  }
+
+  /** DuckDB oracle for the grid workload: the identical query texts
+    * over the identical derivation, unpivoted to the entry's (query,
+    * group, metric, value) artifact. Group values render through
+    * VARCHAR casts that match the Scala side's formatting (long
+    * toString, '<NULL>' sentinel). */
+  private lazy val gridWorkloadOracleSql: String = {
+    val branches = gridWorkload.flatMap { q =>
+      val grpExpr = q.keys
+        .map(k => s"coalesce(CAST($k AS VARCHAR), '<NULL>')") match {
+        case Seq(one) => one
+        case parts => s"concat(${parts.mkString(", '|', ")})"
+      }
+      q.metrics.map { m =>
+        s"""SELECT '${q.qid}' AS query_id, $grpExpr AS grp,
+  '$m' AS metric, CAST($m AS DOUBLE) AS x
+FROM (${q.inner.replace("GRID_TBL", "ev")})"""
+      }
+    }
+    s"""WITH ev AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS g1,
+         event_id % 5 AS g2,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 13 AS DOUBLE) END AS w,
+         value AS v
+  FROM events)
+SELECT * FROM (
+${branches.mkString("\nUNION ALL\n")}
+)
+ORDER BY query_id, grp, metric"""
+  }
 
   /** One scan + driver collect of the encoded lineitem matrix, shared by
     * every 100k-row model trainer in the session (MADE, tied-embed MADE,

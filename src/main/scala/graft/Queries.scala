@@ -4588,17 +4588,40 @@ SELECT event_type, rank, user_id, n, cents
 FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
   )
 
-  /** Documents scan, repartitioned ONLY when the scan has fewer input
-    * splits than cores (the local-testdata case: one small file = one
-    * task, which would serialize the expensive per-row text ops onto one
-    * core). On a real corpus the scan already has thousands of splits
-    * and the condition is false — the repartition disappears instead of
-    * being dead-weight shuffle.
+  /** Documents scan, repartitioned ONLY when the scan has fewer
+    * ROW-BEARING splits than cores (the local-testdata case: one small
+    * file = one task, which would serialize the expensive per-row text
+    * ops onto one core). On a real corpus the scan already has
+    * thousands of splits and the condition is false — the repartition
+    * disappears instead of being dead-weight shuffle.
+    *
+    * Row-BEARING is the load-bearing word (found by the 1000× audit):
+    * `rdd.getNumPartitions` counts BYTE-RANGE splits, but parquet only
+    * yields rows at row-group starts — a 568 MB single-file table with
+    * 5 row groups packs into 32 byte splits of which 27 are EMPTY, so
+    * a partition-count guard reads "32 ≥ 32 cores, fine" while the
+    * tokenize map crawls on 5 threads (4×48-minute whale tasks,
+    * jstack-verified). The guard therefore counts actual row groups
+    * from the parquet footers when the file count alone is
+    * inconclusive — driver-side metadata reads, one per file, only in
+    * the few-files regime where they are cheap by construction.
     */
   private def docs(s: SparkSession, d: String) = {
     val df = Tables.read(s, d, "documents")
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles
+    val effectiveSplits =
+      if (files.length >= target) files.length
+      else {
+        val conf = s.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum
+      }
+    if (effectiveSplits < target) df.repartition(target) else df
   }
 
   /** Shared DuckDB CTE: whitespace tokens → per-doc positional bigram

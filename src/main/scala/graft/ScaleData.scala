@@ -139,9 +139,16 @@ object ScaleData {
         case Some(keys) => replicate(df, keys, factor)
         case None => df
       }
-      // One file per table mirrors the driver-generated layout (the
-      // documents repartition guard in Queries keys off input splits).
+      // One file per table mirrors the driver-generated layout (DuckDB
+      // oracle runs on derived dirs read "<dir>/<t>.parquet" as a
+      // single file), but with 16 MB row groups: parquet byte-range
+      // splits only yield rows at row-group starts, so the default
+      // 128 MB groups turn a single-file 1000× documents table into
+      // ~5 effective scan tasks regardless of maxPartitionBytes — the
+      // 1000× audit's whale-task finding. Small groups keep the
+      // single-file layout AND full scan parallelism.
       outDf.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
         .parquet(s"$out/__tmp_$t")
       val dir = new java.io.File(s"$out/__tmp_$t")
       val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get

@@ -686,9 +686,10 @@ ORDER BY query_id""")),
           Dictionary.columnMeta(ev.select("qty"), "qty").domain.toSeq
         val qlDomain =
           Dictionary.columnMeta(ev.select("ql"), "ql").domain.toSeq
+        val le = new LocalExact(ev, Seq("qty", "ql", "et", "value"))
         graft.plans.GraftRuntime.registerWithDomain(dir,
           Set("qty", "ql", "et", "value"),
-          preds => ev.filter(Pred.conj(preds)).count(),
+          preds => le.count(preds),
           name => name match {
             case "qty" => Some(qtyDomain)
             case "ql" => Some(qlDomain)
@@ -882,9 +883,10 @@ ORDER BY query_id, rf, ls""")),
           Dictionary.columnMeta(ev.select("g"), "g").domain.toSeq
         val qtyDomain =
           Dictionary.columnMeta(ev.select("qty"), "qty").domain.toSeq
+        val le = new LocalExact(ev, Seq("g", "qty", "value"))
         graft.plans.GraftRuntime.registerWithDomain(dir,
           Set("g", "qty", "value"),
-          preds => ev.filter(Pred.conj(preds)).count(),
+          preds => le.count(preds),
           name => name match {
             case "g" => Some(gDomain)
             case "qty" => Some(qtyDomain)
@@ -1004,19 +1006,24 @@ ORDER BY query_id, grp NULLS FIRST, metric""")),
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         val sDom = Dictionary.columnMeta(
           supp.select("s_nationkey"), "s_nationkey").domain.toSeq
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        val leS = new LocalExact(supp, Seq("s_nationkey"))
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/customer.parquet",
           Set("c_nationkey", "c_acctbal", "c_mktsegment"),
-          preds => cust.filter(Pred.conj(preds)).count(),
+          preds => leC.count(preds),
           name => if (name == "c_nationkey") Some(cDom) else None)
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/nation.parquet",
           Set("n_nationkey", "n_regionkey", "n_name"),
-          preds => nat.filter(Pred.conj(preds)).count(),
+          preds => leN.count(preds),
           name => if (name == "n_nationkey") Some(nDom) else None)
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/supplier.parquet", Set("s_nationkey"),
-          preds => supp.filter(Pred.conj(preds)).count(),
+          preds => leS.count(preds),
           name => if (name == "s_nationkey") Some(sDom) else None)
         s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
         try {
@@ -1109,9 +1116,10 @@ ORDER BY query_id""")),
         ev.count()
         val doms = Seq("g1", "g2", "w").map(c => c ->
           Dictionary.columnMeta(ev.select(c), c).domain.toSeq).toMap
+        val le = new LocalExact(ev, Seq("g1", "g2", "w", "v"))
         graft.plans.GraftRuntime.registerWithDomain(dir,
           Set("g1", "g2", "w", "v"),
-          preds => ev.filter(Pred.conj(preds)).count(),
+          preds => le.count(preds),
           name => doms.get(name))
         s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
         try {
@@ -6904,6 +6912,53 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     */
   private val modelCols =
     Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
+
+  /** Driver-side exact conjunction counter over a COLLECTED small
+    * table — the probe backend for the grid-rewrite gates. This is the
+    * reference's own oracle architecture (bin matrix + domain masks,
+    * estimators.py:219-236, 226-236): each column's values map to
+    * domain slots once, a probe ANDs per-column [[Pred.domainMask]]s
+    * and scans the slot arrays — microseconds, not a Spark job. The
+    * r16 bench found the difference matters: exact-registration probes
+    * as `df.filter(...).count()` cost one job-scheduling round-trip
+    * EACH, and a 30-query probe-grid workload paid 229 s of scheduler
+    * overhead for ~seconds of actual counting. Mask semantics are the
+    * library's own (cross-type compares, null-never-qualifies, the
+    * IsNull slot) — the mask-vs-filter equivalence is itself gated by
+    * q_null_mask_card. */
+  private final class LocalExact(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]) {
+    private val metas: Map[String, graft.core.ColumnMeta] =
+      cols.map(c => c -> Dictionary.columnMeta(df.select(c), c)).toMap
+    private val rows = df.select(cols.map(col): _*).collect()
+    private val slots: Map[String, Array[Int]] = cols.zipWithIndex.map {
+      case (c, i) =>
+        val slotOf = metas(c).domain.zipWithIndex.toMap
+        c -> rows.map(r => slotOf(r.get(i)))
+    }.toMap
+    def count(preds: Seq[Pred]): Long = {
+      val byCol = preds.groupBy(_.col).toSeq.map { case (c, ps) =>
+        val meta = metas(c)
+        val mask = ps.map(_.domainMask(meta)).reduce { (a, b) =>
+          Array.tabulate(a.length)(i => a(i) && b(i))
+        }
+        (slots(c), mask)
+      }
+      var n = 0L
+      var i = 0
+      while (i < rows.length) {
+        var ok = true
+        var j = 0
+        while (ok && j < byCol.length) {
+          ok = byCol(j)._2(byCol(j)._1(i))
+          j += 1
+        }
+        if (ok) n += 1
+        i += 1
+      }
+      n
+    }
+  }
 
   /** One seed-derived grouped-aggregate query for the probe-grid
     * workload gate (q_approx_grid_workload): `inner` carries the

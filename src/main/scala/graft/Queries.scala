@@ -1079,6 +1079,76 @@ SELECT 'j4_supplier', CAST(count(*) AS BIGINT)
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_regionkey >= 3
 ORDER BY query_id""")),
+    // HAVING through the probe grid (r16 session 4): zero new rule
+    // code — the analyzer plans HAVING as a Filter over the Aggregate
+    // (plus a Project when the HAVING references aggregates not in the
+    // SELECT list), so once the Aggregate rewrites to the probe-grid
+    // LocalRelation the HAVING is a driver-side filter over
+    // |combos| rows. h1 pins the count-in-select shape (the threshold
+    // demonstrably bites at sf0.001); h2 pins aggregates that appear
+    // ONLY in the HAVING clause (min + count as hidden aggregate
+    // expressions). Both require() the scan-free plan; DuckDB runs the
+    // identical texts. (Contrast: the ESTIMATOR-side SQL seam rejects
+    // HAVING by name — SqlFront maps SQL to a predicate vocabulary
+    // that has no aggregates; the optimizer path is where grouped
+    // queries belong.)
+    Entry("q_approx_having",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
+          "l_linestatus", "l_quantity").map(c => c ->
+          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+        val le = new LocalExact(liDf, modelCols)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/lineitem.parquet", modelCols.toSet,
+          preds => le.count(preds),
+          name => domains.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          liDf.createOrReplaceTempView("graft_aqp_hav_lineitem")
+          val texts = Seq(
+            "h1_count_in_select" -> ("SELECT l_returnflag AS grp, " +
+              "count(*) AS n FROM graft_aqp_hav_lineitem " +
+              "WHERE l_quantity <= 2.0 GROUP BY l_returnflag " +
+              "HAVING count(*) > 80"),
+            "h2_having_only_aggs" -> ("SELECT l_linestatus AS grp " +
+              "FROM graft_aqp_hav_lineitem GROUP BY l_linestatus " +
+              "HAVING min(l_quantity) <= 1.0 AND count(*) > 5"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(!plan.contains("Aggregate") &&
+              !plan.contains("parquet") &&
+              plan.contains("LocalRelation"),
+              s"HAVING rewrite did not fire on $qid; plan:\n$plan")
+            df.collect().map { r =>
+              val n = if (qid.startsWith("h2")) None else Some(r.getLong(1))
+              (qid, r.getString(0), n)
+            }
+          }
+          rows.toDF("query_id", "grp", "n").orderBy("query_id", "grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'h1_count_in_select' AS query_id,
+  l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_quantity <= 2.0 GROUP BY 2
+HAVING count(*) > 80
+UNION ALL
+SELECT 'h2_having_only_aggs', l_linestatus, CAST(NULL AS BIGINT)
+FROM lineitem GROUP BY 2
+HAVING min(l_quantity) <= 1.0 AND count(*) > 5
+ORDER BY query_id, grp""")),
     // Seeded grouped-aggregate workload through the probe grid (r16
     // session 4) — the q_sql_front_workload discipline applied to the
     // GRID rewrite: 30 seed-derived queries drawing group keys (g1

@@ -198,9 +198,24 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(Count(Seq(Literal(1, _))), _, false, filt, _), _)),
           child, _) =>
         stripProjects(child) match {
-          case Filter(cond, grandchild) =>
-            (relationPaths(grandchild),
-              foldFilterClause(parseConjunction(cond), filt)) match {
+          // COUNT(*) over an inner equi-join (r16 session 4): two
+          // single-table registrations compose into the join count —
+          // see [[rewriteJoinCount]]. The FILTER-clause slot must be
+          // empty (its conjuncts cannot be attributed to a side
+          // without column-ownership guesses).
+          case j: Join if filt.isEmpty =>
+            rewriteJoinCount(alias, j).getOrElse(agg)
+          case stripped =>
+            // Filtered or bare scan (r16 session 4 made the WHERE
+            // optional: estimate(Nil) is the table cardinality — for
+            // an exact registration the exact count, for a learned
+            // model its normalization, both legitimate opt-in AQP).
+            val (predsOpt0, scanChild) = stripped match {
+              case Filter(cond, gc) => (parseConjunction(cond), gc)
+              case other => (Some(Nil: Seq[Pred]), other)
+            }
+            (relationPaths(scanChild),
+              foldFilterClause(predsOpt0, filt)) match {
               case (Some(paths), Some(preds)) =>
                 GraftRuntime.lookup(paths) match {
                   case Some(reg)
@@ -219,14 +234,6 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
               case _ => agg
             }
-          // COUNT(*) over an inner equi-join (r16 session 4): two
-          // single-table registrations compose into the join count —
-          // see [[rewriteJoinCount]]. The FILTER-clause slot must be
-          // empty (its conjuncts cannot be attributed to a side
-          // without column-ownership guesses).
-          case j: Join if filt.isEmpty =>
-            rewriteJoinCount(alias, j).getOrElse(agg)
-          case _ => agg
         }
       // count(c) / count(DISTINCT c) (r16 session 3): the remaining
       // single-aggregate count shapes, answered from the same masks.

@@ -265,6 +265,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ...while plain count(k) still rewrites (one NotNull conjunct)
     assert(spark.sql("SELECT count(k) FROM cnt_nulls")
       .collect()(0).getLong(0) == 13L)
+    // no-WHERE count(*) answers estimate(Nil) — the table cardinality
+    // (r16 session 4 made the Filter optional)
+    assert(spark.sql("SELECT count(*) FROM cnt_nulls")
+      .collect()(0).getLong(0) == 13L)
     spark.conf.set(GraftRuntime.EnabledKey, "false")
     GraftRuntime.clear()
   }

@@ -7006,11 +7006,20 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
         val slotOf = metas(c).domain.zipWithIndex.toMap
         c -> rows.map(r => slotOf(r.get(i)))
     }.toMap
+    // Per-Pred mask cache: a probe grid re-issues the SAME WHERE
+    // conjuncts for every combo (only the group-Eq conjuncts vary),
+    // and a mask over a continuous column's domain is |domain|
+    // booleans — recomputing it per probe dominated the grid gates.
+    // Keyed by the Pred case class (IN lists are Seqs — value
+    // equality holds).
+    private val maskCache =
+      scala.collection.mutable.HashMap.empty[Pred, Array[Boolean]]
     def count(preds: Seq[Pred]): Long = {
       val byCol = preds.groupBy(_.col).toSeq.map { case (c, ps) =>
         val meta = metas(c)
-        val mask = ps.map(_.domainMask(meta)).reduce { (a, b) =>
-          Array.tabulate(a.length)(i => a(i) && b(i))
+        val mask = ps.map(p =>
+          maskCache.getOrElseUpdate(p, p.domainMask(meta))).reduce {
+          (a, b) => Array.tabulate(a.length)(i => a(i) && b(i))
         }
         (slots(c), mask)
       }

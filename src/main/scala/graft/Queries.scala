@@ -1079,6 +1079,95 @@ SELECT 'j4_supplier', CAST(count(*) AS BIGINT)
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_regionkey >= 3
 ORDER BY query_id""")),
+    // Guarantee-gate twin of q_approx_join_count: the join count
+    // answered with a LEARNED model on the fact side — a MADE trained
+    // on customer (c_mktsegment, c_nationkey) composes with an exact
+    // nation registration through the same Σ_v n_C(v)·n_N(v) rewrite,
+    // i.e. learned join-cardinality AQP end to end through Catalyst.
+    // The exact references are computed BEFORE the rewrite is enabled
+    // (the q_approx_count_bounds discipline); the gate is per-query
+    // q-error ≤ 2.0, and the DuckDB oracle recomputes the exact counts
+    // from the identical texts.
+    Entry("q_approx_join_count_bounds",
+      (s, d) => {
+        import s.implicits._
+        val cols = Seq("c_mktsegment", "c_nationkey")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val cdf = cust.select(cols.map(col): _*)
+        val meta = Dictionary.tableMeta(cdf, "customer", cols)
+        val data = Trainer.collectEncoded(cdf, meta.columns)
+        val model = new Made(
+          nin = cols.length,
+          hiddenSizes = Seq(64, 64),
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          inputEncoding = "one_hot",
+          residual = true,
+          doDirectIo = true,
+          columnMasking = true,
+          seed = 20260816L)
+        Trainer.train(model, data, epochs = 8, batchSize = 512,
+          schedule = Trainer.ConstantLr(2e-3f), seed = 1L)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val leN = new LocalExact(nat, Seq("n_nationkey", "n_regionkey"))
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        cust.createOrReplaceTempView("graft_aqp_jcb_customer")
+        nat.createOrReplaceTempView("graft_aqp_jcb_nation")
+        val texts = Seq(
+          "b1_filtered" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_jcb_customer c JOIN graft_aqp_jcb_nation n " +
+            "ON c.c_nationkey = n.n_nationkey " +
+            "WHERE c.c_mktsegment = 'BUILDING' AND n.n_regionkey <= 2"),
+          "b2_bare" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_jcb_customer c JOIN graft_aqp_jcb_nation n " +
+            "ON c.c_nationkey = n.n_nationkey"))
+        val exact = texts.map { case (qid, sql) =>
+          qid -> s.sql(sql).collect()(0).getLong(0)
+        }.toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", cols.toSet, ps.query,
+          name => if (name == "c_nationkey")
+            Some(meta.column("c_nationkey").domain.toSeq) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_nationkey", "n_regionkey"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned join-count rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val est = math.max(df.collect()(0).getLong(0), 1L)
+            val ex = exact(qid)
+            val qerr = math.max(est.toDouble / ex, ex.toDouble / est)
+            (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_n", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'b1_filtered' AS query_id,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment = 'BUILDING' AND n.n_regionkey <= 2
+UNION ALL
+SELECT 'b2_bare', CAST(count(*) AS BIGINT), true
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY query_id""")),
     // HAVING through the probe grid (r16 session 4): zero new rule
     // code — the analyzer plans HAVING as a Filter over the Aggregate
     // (plus a Project when the HAVING references aggregates not in the

@@ -792,9 +792,14 @@ ORDER BY query_id""")),
         val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
           "l_linestatus").map(c => c ->
           Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+        // LocalExact, not df.filter(conj).count(): per-probe Spark jobs
+        // pay a scheduler round trip EACH — the r16-measured anti-
+        // pattern (229 s for a probe-grid workload) — while the
+        // driver-side mask scan is microseconds (ADVICE r16).
+        val le = new LocalExact(liDf, modelCols)
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/lineitem.parquet", modelCols.toSet,
-          preds => liDf.filter(Pred.conj(preds)).count(),
+          preds => le.count(preds),
           name => domains.get(name))
         s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
         try {
@@ -7089,7 +7094,20 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
       cols: Seq[String]) {
     private val metas: Map[String, graft.core.ColumnMeta] =
       cols.map(c => c -> Dictionary.columnMeta(df.select(c), c)).toMap
-    private val rows = df.select(cols.map(col): _*).collect()
+    // Driver-safety guard (VERDICT r16): the collect is intentional —
+    // this is the reference's in-memory oracle for gate-sized tables —
+    // but without a bound a future gate pointing it at a large-SF fact
+    // table would OOM the driver silently. limit(N+1) makes misuse
+    // fail loudly at N rows instead of materializing everything.
+    private val rows = {
+      val collected = df.select(cols.map(col): _*)
+        .limit(LocalExact.MaxRows + 1).collect()
+      require(collected.length <= LocalExact.MaxRows,
+        s"LocalExact is a driver-side gate oracle capped at " +
+          s"${LocalExact.MaxRows} rows; this table exceeds it — " +
+          "use a distributed estimator instead")
+      collected
+    }
     private val slots: Map[String, Array[Int]] = cols.zipWithIndex.map {
       case (c, i) =>
         val slotOf = metas(c).domain.zipWithIndex.toMap
@@ -7100,14 +7118,16 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     // and a mask over a continuous column's domain is |domain|
     // booleans — recomputing it per probe dominated the grid gates.
     // Keyed by the Pred case class (IN lists are Seqs — value
-    // equality holds).
+    // equality holds). Concurrent: registrations outlive the single-
+    // threaded gate context (GraftRuntime is process-wide), so
+    // concurrent queries must not corrupt the map (ADVICE r16).
     private val maskCache =
-      scala.collection.mutable.HashMap.empty[Pred, Array[Boolean]]
+      new java.util.concurrent.ConcurrentHashMap[Pred, Array[Boolean]]()
     def count(preds: Seq[Pred]): Long = {
       val byCol = preds.groupBy(_.col).toSeq.map { case (c, ps) =>
         val meta = metas(c)
         val mask = ps.map(p =>
-          maskCache.getOrElseUpdate(p, p.domainMask(meta))).reduce {
+          maskCache.computeIfAbsent(p, _.domainMask(meta))).reduce {
           (a, b) => Array.tabulate(a.length)(i => a(i) && b(i))
         }
         (slots(c), mask)
@@ -7126,6 +7146,13 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
       }
       n
     }
+  }
+
+  private object LocalExact {
+    /** Driver-safe collect bound: ~4M 5-col rows ≈ a few hundred MB of
+      * Row objects — well inside the gate JVM, far above every gate
+      * table (lineitem sf0.1 ≈ 600k). */
+    val MaxRows = 4000000
   }
 
   /** One seed-derived grouped-aggregate query for the probe-grid

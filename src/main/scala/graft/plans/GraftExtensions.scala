@@ -581,9 +581,15 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(_.nonEmpty))
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
-      nCombos = gDoms.map(_.size.toLong).product
-      if nCombos <= maxGroupProbes &&
-        nCombos * (1L + cells.map(cellCost).sum) <= maxTotalProbes
+      // BigInt: a Long product over multi-key grids can overflow and
+      // WRAP (4 keys × 65536-value domains = 2^64 → 0), silently
+      // passing both caps and then materializing an astronomical combo
+      // Seq. BigInt comparisons make overflow fall through instead
+      // (ADVICE r16).
+      nCombos = gDoms.map(d => BigInt(d.size)).product
+      if nCombos <= BigInt(maxGroupProbes) &&
+        nCombos * (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) <=
+          BigInt(maxTotalProbes)
       rows <- probeGrid(gs, gDoms, cells, reg, preds)
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
@@ -695,21 +701,26 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (regL, predsL, domL) <- side(j.left, ka)
       (regR, predsR, domR) <- side(j.right, kb)
       total <- probed {
-        // Iterate the left domain's non-null values that the right
-        // domain also carries (boxed-numeric equality cooperates
-        // across Int/Long/Double, so cross-width keys intersect
-        // correctly); skip the right probe when the left count is 0.
-        val rSet = domR.iterator.filter(_ != null).toSet
+        // Intersect the key domains on CANONICAL values (numerics
+        // normalize through BigDecimal, so an Int 1 and a Long/Double
+        // 1 meet), but probe EACH side with a representative drawn
+        // from ITS OWN domain: a user-registered estimator with
+        // strict typed equality would silently return 0 for every
+        // cross-width probe if handed the other side's boxed value
+        // (ADVICE r16). Skip the right probe when the left count is 0.
+        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
+          .map(v => PredExtract.canonKey(v) -> v).toMap
         try {
           var acc = 0L
-          domL.iterator
-            .filter(v => v != null && rSet.contains(v)).foreach { v =>
-              val nl = regL.estimate(predsL :+ Pred(ka.name, Op.Eq, v))
+          domL.iterator.filter(_ != null).foreach { vl =>
+            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
+              val nl = regL.estimate(predsL :+ Pred(ka.name, Op.Eq, vl))
               if (nl > 0L) {
-                val nr = regR.estimate(predsR :+ Pred(kb.name, Op.Eq, v))
+                val nr = regR.estimate(predsR :+ Pred(kb.name, Op.Eq, vr))
                 acc = Math.addExact(acc, Math.multiplyExact(nl, nr))
               }
             }
+          }
           Some(acc)
         } catch { case _: ArithmeticException => None }
       }
@@ -856,6 +867,22 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * optimizer-integration rules ([[ApproxCountRule]],
   * [[EstimatedStatsRule]]). */
 private[plans] object PredExtract {
+
+  /** Canonical form of a join-key value for cross-type domain
+    * intersection: numerics normalize through a scale-stripped
+    * BigDecimal (Int 1, Long 1L, and Double 1.0 all meet), everything
+    * else is itself. Used only as a map key — probes always carry a
+    * side's own representative. */
+  def canonKey(v: Any): Any = v match {
+    case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+      java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue)
+        .stripTrailingZeros
+    case f: Float => new java.math.BigDecimal(f.toDouble).stripTrailingZeros
+    case d: Double => new java.math.BigDecimal(d).stripTrailingZeros
+    case b: java.math.BigDecimal => b.stripTrailingZeros
+    case b: BigDecimal => b.bigDecimal.stripTrailingZeros
+    case other => other
+  }
 
   /** Strip attribute-only projections/aliases (column pruning inserts
     * them between the aggregate, the filter, and the scan). */

@@ -487,6 +487,118 @@ UNION ALL
 SELECT 'q3_ltgt_spelling', CAST(count(*) AS BIGINT)
   FROM events WHERE value <> 2.5 AND value <= 20.0
 ORDER BY query_id""")),
+    // `LIKE 'abc%'` through the SQL seam (r17; VERDICT r16 #5): a
+    // prefix pattern is a contiguous range over the sorted string
+    // domain — one mask ([[Op.PrefixLike]]), no model change. q1 mixes
+    // the prefix with a numeric conjunct; q2 pins null semantics on a
+    // derived null-bearing table (`null LIKE p` is unknown → filtered,
+    // same as every value comparison — the mask's false null slot);
+    // q3 is a multi-word prefix. Non-prefix patterns are REJECTED by
+    // the front-end (spec-pinned in SqlFrontSpec), not mis-estimated.
+    Entry("q_sql_front_like",
+      (s, d) => {
+        import s.implicits._
+        val nullable = Tables.read(s, d, "events").withColumn("et",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        val texts = Seq(
+          "q1_like_prefix" -> ("""SELECT count(*) FROM customer
+            WHERE c_mktsegment LIKE 'BUILD%' AND c_acctbal <= 5000.0"""),
+          "q2_like_skips_null" -> ("""SELECT count(*) FROM events_nullable
+            WHERE et LIKE 'c%'"""),
+          "q3_like_two_words" -> ("""SELECT count(*) FROM nation
+            WHERE n_name LIKE 'UNITED%'"""))
+        val rows = texts.map { case (qid, sql) =>
+          val (table, preds) = graft.query.SqlFront.parse(s, sql)
+          require(preds.exists(_.op == graft.query.Op.PrefixLike),
+            s"no PrefixLike pred in $qid: $preds")
+          val df =
+            if (table == "events_nullable") nullable
+            else Tables.read(s, d, table)
+          (qid, df.filter(Pred.conj(preds)).count())
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""WITH events_nullable AS (
+  SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE event_type END AS et FROM events)
+SELECT 'q1_like_prefix' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM customer
+  WHERE c_mktsegment LIKE 'BUILD%' AND c_acctbal <= 5000.0
+UNION ALL
+SELECT 'q2_like_skips_null', CAST(count(*) AS BIGINT)
+  FROM events_nullable WHERE et LIKE 'c%'
+UNION ALL
+SELECT 'q3_like_two_words', CAST(count(*) AS BIGINT)
+  FROM nation WHERE n_name LIKE 'UNITED%'
+ORDER BY query_id""")),
+    // LIKE through the OPTIMIZER (r17): LikeSimplification rewrites a
+    // prefix pattern to StartsWith in the main batches, so by the time
+    // ApproxCountRule fires the conjunct arrives as
+    // StartsWith(attr, prefix) — PredExtract maps it to the same
+    // [[Op.PrefixLike]] mask the front-end produces. k1/k2 REQUIRE the
+    // scan-free LocalRelation plan (exact registrations → lossless,
+    // hash-gated against DuckDB running the identical texts); k3 is
+    // the conservative fall-through — a SUFFIX pattern ('%KINGDOM')
+    // must NOT rewrite (require()d), and its scan answer still
+    // hash-matches because the plan it falls through to is exact.
+    Entry("q_approx_count_like",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val leC = new LocalExact(cust, Seq("c_mktsegment", "c_acctbal"))
+        val leN = new LocalExact(nat, Seq("n_name", "n_regionkey"))
+        graft.plans.GraftRuntime.register(s"$d/customer.parquet",
+          Set("c_mktsegment", "c_acctbal"), preds => leC.count(preds))
+        graft.plans.GraftRuntime.register(s"$d/nation.parquet",
+          Set("n_name", "n_regionkey"), preds => leN.count(preds))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_like_customer")
+          nat.createOrReplaceTempView("graft_aqp_like_nation")
+          val texts = Seq(
+            ("k1_prefix_and_range", "SELECT count(*) AS n FROM " +
+              "graft_aqp_like_customer WHERE c_mktsegment LIKE 'BUILD%' " +
+              "AND c_acctbal <= 5000.0", true),
+            ("k2_two_word_prefix", "SELECT count(*) AS n FROM " +
+              "graft_aqp_like_nation WHERE n_name LIKE 'UNITED%'", true),
+            ("k3_suffix_falls_through", "SELECT count(*) AS n FROM " +
+              "graft_aqp_like_nation WHERE n_name LIKE '%KINGDOM'", false))
+          val rows = texts.map { case (qid, sql, mustRewrite) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            if (mustRewrite)
+              require(plan.trim.startsWith("LocalRelation"),
+                s"LIKE rewrite did not fire on $qid; plan:\n$plan")
+            else
+              require(!plan.trim.startsWith("LocalRelation"),
+                s"non-prefix LIKE must fall through on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'k1_prefix_and_range' AS query_id,
+  CAST(count(*) AS BIGINT) AS n FROM customer
+  WHERE c_mktsegment LIKE 'BUILD%' AND c_acctbal <= 5000.0
+UNION ALL
+SELECT 'k2_two_word_prefix', CAST(count(*) AS BIGINT)
+  FROM nation WHERE n_name LIKE 'UNITED%'
+UNION ALL
+SELECT 'k3_suffix_falls_through', CAST(count(*) AS BIGINT)
+  FROM nation WHERE n_name LIKE '%KINGDOM'
+ORDER BY query_id""")),
     // The OPTIMIZER rules speak the full extended vocabulary (r16): the
     // COUNT(*) rewrite (ApproxCountRule) previously extracted only the
     // 5 scalar ops, so a SQL IN / NOT IN / != / IS [NOT] NULL count —

@@ -838,7 +838,8 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
                         val excluded = preds.exists(p => p.col == a.name &&
                           (p.op.isScalar || p.op == graft.query.Op.In ||
                             p.op == graft.query.Op.NotIn ||
-                            p.op == graft.query.Op.NotNull))
+                            p.op == graft.query.Op.NotNull ||
+                            p.op == graft.query.Op.PrefixLike))
                         if (excluded) Some(BigInt(0)) else None
                       }
                     def cat(v: Any): Any = org.apache.spark.sql.catalyst
@@ -973,6 +974,17 @@ private[plans] object PredExtract {
       case Not(EqualTo(Literal(v, dt), a: AttributeReference))
           if v != null =>
         Some(Some(Pred(a.name, Op.NotIn, Seq(scala(v, dt)))))
+      // LIKE 'abc%' (r17): LikeSimplification (main batches, so it has
+      // always run by the time either rule fires) rewrites a prefix
+      // pattern to StartsWith; the raw Like is matched too for
+      // robustness (e.g. likeSimplification disabled by conf), with the
+      // same prefix-only conservatism as the SQL front-end — non-prefix
+      // patterns fall through to the exact plan.
+      case StartsWith(a: AttributeReference, Literal(v, _)) if v != null =>
+        Some(Some(Pred(a.name, Op.PrefixLike, v.toString)))
+      case Like(a: AttributeReference, Literal(v, _), esc) if v != null =>
+        graft.query.SqlFront.likePrefix(v.toString, esc)
+          .map(prefix => Some(Pred(a.name, Op.PrefixLike, prefix)))
       case IsNull(a: AttributeReference) =>
         Some(Some(Pred(a.name, Op.IsNull, null)))
       case IsNotNull(a: AttributeReference) =>

@@ -56,12 +56,19 @@ object Op {
   case object IsNull extends Op("IS NULL")
   /** `col IS NOT NULL` — Pred.value is ignored (null by convention). */
   case object NotNull extends Op("IS NOT NULL")
+  /** `col LIKE 'abc%'` (r17) — Pred.value is the literal PREFIX (no
+    * trailing `%`). A prefix pattern is a contiguous range over the
+    * sorted string domain, so the mask costs the same as a comparison;
+    * non-prefix patterns stay outside the vocabulary (SqlFront and
+    * PredExtract both fall through on them). Null rows never qualify
+    * (`null LIKE p` is unknown), matching every value comparison. */
+  case object PrefixLike extends Op("LIKE")
 
   /** The reference's own 5-op vocabulary (estimators.py:20-26); workload
     * generators draw from this set. */
   val all: Seq[Op] = Seq(Eq, Lt, Gt, Leq, Geq)
-  /** all + the r15/r16 mask-native extensions. */
-  val extended: Seq[Op] = all ++ Seq(In, NotIn, IsNull, NotNull)
+  /** all + the r15-r17 mask-native extensions. */
+  val extended: Seq[Op] = all ++ Seq(In, NotIn, IsNull, NotNull, PrefixLike)
   def parse(s: String): Op = extended.find(_.sym == s).getOrElse(
     throw new IllegalArgumentException(s"unknown op $s"))
 }
@@ -102,6 +109,10 @@ final case class Pred(col: String, op: Op, value: Any) {
         !c.isin(inValues: _*)
       case Op.IsNull => c.isNull
       case Op.NotNull => c.isNotNull
+      case Op.PrefixLike =>
+        // startsWith, not a LIKE pattern: the stored value is the raw
+        // prefix, so no metacharacter handling is needed on this side.
+        c.startsWith(lit(value.asInstanceOf[String]))
     }
   }
 
@@ -117,6 +128,22 @@ final case class Pred(col: String, op: Op, value: Any) {
       s"$col NOT IN (${inValues.map(Pred.sqlLiteral).mkString(", ")})"
     case Op.IsNull => s"$col IS NULL"
     case Op.NotNull => s"$col IS NOT NULL"
+    case Op.PrefixLike =>
+      // Rebuild the pattern from the raw prefix, escaping any LIKE
+      // metacharacters it happens to contain (they are literal chars
+      // in the prefix), with an explicit ESCAPE clause only when
+      // needed — both Spark and DuckDB accept the same spelling.
+      val p = value.asInstanceOf[String]
+      val needsEscape = p.exists(ch => ch == '%' || ch == '_' || ch == '\\')
+      val escaped = p.flatMap {
+        case '%' => "\\%"
+        case '_' => "\\_"
+        case '\\' => "\\\\"
+        case ch => ch.toString
+      }
+      val patLit = Pred.sqlLiteral(escaped + "%")
+      if (needsEscape) s"$col LIKE $patLit ESCAPE '\\'"
+      else s"$col LIKE $patLit"
     case _ => s"$col ${op.sym} ${Pred.sqlLiteral(value)}"
   }
 
@@ -141,6 +168,15 @@ final case class Pred(col: String, op: Op, value: Any) {
         val vs = inValues
         meta.domain.map(d =>
           d != null && !vs.exists(v => Pred.domainEquiv(meta, d, v)))
+      case Op.PrefixLike =>
+        // String prefix over the sorted domain (a contiguous range);
+        // non-string domain values are incomparable → slot stays false
+        // (the domainCompare None convention), null slot false.
+        val p = value.asInstanceOf[String]
+        meta.domain.map {
+          case s: String => s.startsWith(p)
+          case _ => false
+        }
       case scalar =>
         meta.domain.map(d =>
           d != null && Pred.domainCompare(meta, d, value)

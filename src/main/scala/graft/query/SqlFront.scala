@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Like, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
@@ -36,6 +36,19 @@ import org.apache.spark.sql.types._
   * by name rather than silently dropped.
   */
 object SqlFront {
+
+  /** The raw prefix of a LIKE pattern, when (and only when) the
+    * pattern is `<literal-prefix>%`: exactly one `%`, at the end, no
+    * `_`, and no occurrence of the escape character (escaped
+    * metacharacters would make the prefix non-literal — conservative
+    * fall-through). An empty prefix (`LIKE '%'`) is accepted: its mask
+    * is the IS NOT NULL mask, which is exactly SQL's semantics. */
+  def likePrefix(pattern: String, escapeChar: Char): Option[String] =
+    if (pattern.nonEmpty && pattern.last == '%' && {
+      val prefix = pattern.dropRight(1)
+      !prefix.exists(ch => ch == '%' || ch == '_' || ch == escapeChar)
+    }) Some(pattern.dropRight(1))
+    else None
 
   /** Catalyst literal → the natural Scala value the [[Pred]] vocabulary
     * (and the reference's column domains) uses: integral types widen to
@@ -151,6 +164,18 @@ object SqlFront {
     case o: Or =>
       val (c, vs) = orToIn(o)
       Pred(c, Op.In, vs)
+    // `col LIKE 'abc%'` (r17): a PREFIX pattern is a contiguous range
+    // over the sorted string domain — one mask, no model change. Any
+    // other pattern ('%abc', 'a_c', an escaped wildcard) is outside
+    // the vocabulary and rejected with the offending pattern.
+    case Like(a, l: Literal, esc) if attrName(a).isDefined &&
+        l.dataType == StringType && l.value != null =>
+      SqlFront.likePrefix(l.value.toString, esc) match {
+        case Some(prefix) => Pred(attrName(a).get, Op.PrefixLike, prefix)
+        case None => throw new IllegalArgumentException(
+          "only prefix LIKE patterns ('abc%') are in the vocabulary; " +
+            s"got: ${l.value}")
+      }
     case IsNull(a) if attrName(a).isDefined =>
       Pred(attrName(a).get, Op.IsNull, null)
     case IsNotNull(a) if attrName(a).isDefined =>

@@ -130,6 +130,38 @@ class PredMaskSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pred("f", Op.Leq, 5).domainMask(meta).forall(!_))
   }
 
+  test("PrefixLike mask agrees with Spark's filter; null slot false (r17)") {
+    val s = spark
+    import s.implicits._
+    val values = Seq[String]("apple", "apricot", null, "banana", "apple")
+    val df = values.toDF("t")
+    val meta = Dictionary.columnMeta(df, "t")
+    assert(meta.hasNull && meta.domain(0) == null)
+    for (prefix <- Seq("ap", "apple", "b", "z", "")) {
+      val p = Pred("t", Op.PrefixLike, prefix)
+      val mask = p.domainMask(meta)
+      val maskN = values.count { v =>
+        val bin = meta.valToBin(v); bin >= 0 && mask(bin)
+      }.toLong
+      assert(maskN == df.filter(p.toColumn).count(),
+        s"mask vs Spark disagree for ${p.toSql}")
+      assert(!mask(0), s"null slot must stay false for ${p.toSql}")
+    }
+    // the empty prefix (`LIKE '%'`) is exactly the IS NOT NULL mask
+    assert(Pred("t", Op.PrefixLike, "").domainMask(meta).toSeq ==
+      Pred("t", Op.NotNull, null).domainMask(meta).toSeq)
+    // SQL text round-trip: metacharacters in the PREFIX are literal —
+    // the printer escapes them and adds the ESCAPE clause
+    assert(Pred("t", Op.PrefixLike, "a%b_").toSql ==
+      "t LIKE 'a\\%b\\_%' ESCAPE '\\'")
+    assert(Pred("t", Op.PrefixLike, "ap").toSql == "t LIKE 'ap%'")
+    // non-string domains are incomparable → all-false mask (the
+    // domainCompare None convention)
+    val dmeta = Dictionary.columnMeta(
+      Seq(1.0, 2.0).toDF("v"), "v")
+    assert(Pred("v", Op.PrefixLike, "1").domainMask(dmeta).forall(!_))
+  }
+
   test("MaxDiff rejects non-scalar ops instead of mis-pruning") {
     val s = spark
     import s.implicits._

@@ -123,6 +123,31 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pred("value", Op.NotIn, Seq(2.5)), Pred("user_id", Op.Geq, 3L)))
   }
 
+  test("LIKE prefix patterns parse to Op.PrefixLike; others reject (r17)") {
+    val (_, ps) = SqlFront.parse(spark,
+      "SELECT count(*) FROM customer WHERE c_mktsegment LIKE 'BUILD%'")
+    assert(ps == Seq(Pred("c_mktsegment", Op.PrefixLike, "BUILD")))
+    // multi-word prefixes and conjunction with other ops
+    val (_, ps2) = SqlFront.parse(spark, "SELECT count(*) FROM nation " +
+      "WHERE n_name LIKE 'UNITED K%' AND n_regionkey >= 1")
+    assert(ps2 == Seq(Pred("n_name", Op.PrefixLike, "UNITED K"),
+      Pred("n_regionkey", Op.Geq, 1L)))
+    // `LIKE '%'` is the empty prefix — semantically IS NOT NULL
+    val (_, ps3) = SqlFront.parse(spark,
+      "SELECT count(*) FROM nation WHERE n_name LIKE '%'")
+    assert(ps3 == Seq(Pred("n_name", Op.PrefixLike, "")))
+    // non-prefix shapes fall through by NAME, never mis-estimated:
+    // suffix, infix wildcard, underscore, escaped metachar in prefix
+    def bad(pat: String): String =
+      intercept[IllegalArgumentException](SqlFront.parse(spark,
+        s"SELECT count(*) FROM nation WHERE n_name LIKE '$pat'"))
+        .getMessage
+    assert(bad("%KINGDOM").contains("prefix LIKE"))
+    assert(bad("UN%TED%").contains("prefix LIKE"))
+    assert(bad("UNITED_%").contains("prefix LIKE"))
+    assert(bad("UNITED\\\\%%").contains("prefix LIKE"))
+  }
+
   test("rejects cross-column OR, functions, joins, GROUP BY, HAVING") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark, sql))

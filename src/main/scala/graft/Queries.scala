@@ -599,6 +599,159 @@ UNION ALL
 SELECT 'k3_suffix_falls_through', CAST(count(*) AS BIGINT)
   FROM nation WHERE n_name LIKE '%KINGDOM'
 ORDER BY query_id""")),
+    // Cross-column OR through the optimizer (r17; VERDICT r16 #1): the
+    // mask vocabulary is conjunction-only, so `WHERE a=1 OR b=2` — the
+    // single most common SQL shape the rewrite previously refused —
+    // now parses as a bounded DNF (≤8 disjuncts) and is answered by
+    // inclusion–exclusion over the SAME single-conjunction estimates:
+    // |⋃Dᵢ| = Σ(−1)^(|S|+1)·est(⋀_{i∈S}Dᵢ) — exact for exact
+    // registrations (it is the set identity), 2^k−1 driver probes.
+    // o1 is the bare two-column OR; o2 pins And-over-Or distribution
+    // (the FILTER conjunct folds into both disjuncts); o3 is a
+    // three-way OR (7 probes) mixing the extended vocabulary (IN and
+    // a prefix LIKE); o4 pins OVERLAPPING disjuncts (same column — the
+    // I–E correction term actually bites); o5 is the conservative
+    // fall-through — an And-of-Ors whose expansion exceeds the
+    // 8-disjunct cap must NOT rewrite (require()d; its scan answer
+    // still hash-matches because the exact plan is exact).
+    Entry("q_approx_count_or",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        val le = new LocalExact(liDf, modelCols)
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, preds => le.count(preds))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          liDf.createOrReplaceTempView("graft_aqp_or_lineitem")
+          val texts = Seq(
+            ("o1_cross_or", "SELECT count(*) AS n FROM " +
+              "graft_aqp_or_lineitem WHERE l_returnflag = 'R' " +
+              "OR l_quantity <= 3.0", true),
+            ("o2_or_and", "SELECT count(*) AS n FROM " +
+              "graft_aqp_or_lineitem WHERE (l_returnflag = 'R' " +
+              "OR l_linestatus = 'O') AND l_quantity <= 10.0", true),
+            ("o3_three_way", "SELECT count(*) AS n FROM " +
+              "graft_aqp_or_lineitem WHERE l_returnflag IN ('A', 'N') " +
+              "OR l_discount >= 0.09 OR l_linestatus LIKE 'F%'", true),
+            ("o4_overlap", "SELECT count(*) AS n FROM " +
+              "graft_aqp_or_lineitem WHERE l_quantity <= 10.0 " +
+              "OR l_quantity >= 5.0", true),
+            ("o5_cap_falls_through", "SELECT count(*) AS n FROM " +
+              "graft_aqp_or_lineitem WHERE " +
+              "(l_returnflag = 'R' OR l_linestatus = 'O') AND " +
+              "(l_quantity <= 25.0 OR l_discount >= 0.05) AND " +
+              "(l_tax <= 0.04 OR l_quantity >= 10.0) AND " +
+              "(l_returnflag = 'A' OR l_discount <= 0.08)", false))
+          val rows = texts.map { case (qid, sql, mustRewrite) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            if (mustRewrite)
+              require(plan.trim.startsWith("LocalRelation"),
+                s"OR rewrite did not fire on $qid; plan:\n$plan")
+            else
+              require(!plan.trim.startsWith("LocalRelation"),
+                s"16-disjunct expansion must fall through on $qid; " +
+                  s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'o1_cross_or' AS query_id,
+  CAST(count(*) AS BIGINT) AS n FROM lineitem
+  WHERE l_returnflag = 'R' OR l_quantity <= 3.0
+UNION ALL
+SELECT 'o2_or_and', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+    AND l_quantity <= 10.0
+UNION ALL
+SELECT 'o3_three_way', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_returnflag IN ('A', 'N') OR l_discount >= 0.09
+    OR l_linestatus LIKE 'F%'
+UNION ALL
+SELECT 'o4_overlap', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_quantity <= 10.0 OR l_quantity >= 5.0
+UNION ALL
+SELECT 'o5_cap_falls_through', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+    AND (l_quantity <= 25.0 OR l_discount >= 0.05)
+    AND (l_tax <= 0.04 OR l_quantity >= 10.0)
+    AND (l_returnflag = 'A' OR l_discount <= 0.08)
+ORDER BY query_id""")),
+    // Guarantee-gate twin of q_approx_count_or: inclusion–exclusion
+    // with a LEARNED model supplying every term (the
+    // q_approx_count_bounds discipline — exact references computed
+    // BEFORE the rewrite is enabled, per-query q-error ≤ 2.0 inside
+    // the oracle hash). I–E composes model estimates with SIGNED
+    // terms, so this gate also pins that per-term model error does not
+    // blow up through the subtraction (the union here is ~50-70% of
+    // the table — far from the cancellation regime).
+    Entry("q_approx_count_or_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        liDf.createOrReplaceTempView("graft_aqp_orb_lineitem")
+        val texts = Seq(
+          "ob1_cross_or" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_orb_lineitem WHERE l_returnflag = 'R' " +
+            "OR l_quantity <= 24.0"),
+          "ob2_or_and" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_orb_lineitem WHERE (l_returnflag = 'R' " +
+            "OR l_linestatus = 'O') AND l_discount >= 0.02"))
+        // exact references BEFORE enabling (else the gate would compare
+        // the estimate against itself)
+        val exact = texts.map { case (qid, sql) =>
+          qid -> s.sql(sql).collect()(0).getLong(0)
+        }.toMap
+        graft.plans.GraftRuntime.register(s"$d/lineitem.parquet",
+          modelCols.toSet, ps.query)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned OR rewrite did not fire on $qid; plan:\n$plan")
+            val est = math.max(df.collect()(0).getLong(0), 1L)
+            val ex = exact(qid)
+            val qerr = math.max(est.toDouble / ex, ex.toDouble / est)
+            (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_n", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'ob1_cross_or' AS query_id,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM lineitem WHERE l_returnflag = 'R' OR l_quantity <= 24.0
+UNION ALL
+SELECT 'ob2_or_and', CAST(count(*) AS BIGINT), true
+FROM lineitem WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+  AND l_discount >= 0.02
+ORDER BY query_id""")),
     // The OPTIMIZER rules speak the full extended vocabulary (r16): the
     // COUNT(*) rewrite (ApproxCountRule) previously extracted only the
     // 5 scalar ops, so a SQL IN / NOT IN / != / IS [NOT] NULL count —

@@ -210,26 +210,36 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // optional: estimate(Nil) is the table cardinality — for
             // an exact registration the exact count, for a learned
             // model its normalization, both legitimate opt-in AQP).
-            val (predsOpt0, scanChild) = stripped match {
-              case Filter(cond, gc) => (parseConjunction(cond), gc)
-              case other => (Some(Nil: Seq[Pred]), other)
+            // r17: the WHERE parses as a bounded DNF, so cross-column
+            // disjunctions (`a=1 OR b=2`) are answered by inclusion–
+            // exclusion over the same single-conjunction estimates —
+            // exact for exact registrations (the I–E identity). A
+            // FILTER clause (a conjunction) folds into EVERY disjunct.
+            val (dnfOpt0, scanChild) = stripped match {
+              case Filter(cond, gc) => (PredExtract.parseDnf(cond), gc)
+              case other => (Some(Seq(Nil: Seq[Pred])), other)
             }
-            (relationPaths(scanChild),
-              foldFilterClause(predsOpt0, filt)) match {
-              case (Some(paths), Some(preds)) =>
+            val dnfOpt: Option[Seq[Seq[Pred]]] = (dnfOpt0, filt) match {
+              case (Some(ds), Some(f)) =>
+                parseConjunction(f).map(fp => ds.map(_ ++ fp))
+              case (ds, None) => ds
+              case _ => None
+            }
+            (relationPaths(scanChild), dnfOpt) match {
+              case (Some(paths), Some(disjuncts)) =>
                 GraftRuntime.lookup(paths) match {
-                  case Some(reg)
-                      if preds.forall(p => reg.columns.contains(p.col)) =>
-                    // Re-entrancy guard: an estimator may itself run
-                    // Spark jobs (e.g. a sampling estimator); those
-                    // inner plans must not be rewritten recursively.
-                    ApproxCountRule.inEstimate.set(true)
-                    val est =
-                      try reg.estimate(preds)
-                      finally ApproxCountRule.inEstimate.set(false)
-                    LocalRelation(
-                      Seq(alias.toAttribute),
-                      Seq(InternalRow(est)))
+                  case Some(reg) if disjuncts.forall(
+                      _.forall(p => reg.columns.contains(p.col))) =>
+                    // Re-entrancy guard (via probed): an estimator may
+                    // itself run Spark jobs (e.g. a sampling
+                    // estimator); those inner plans must not be
+                    // rewritten recursively.
+                    probed(estimateDnf(reg, disjuncts)) match {
+                      case Some(est) => LocalRelation(
+                        Seq(alias.toAttribute),
+                        Seq(InternalRow(est)))
+                      case None => agg
+                    }
                   case _ => agg
                 }
               case _ => agg
@@ -376,6 +386,43 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case (ps, None) => ps
       case _ => None
     }
+
+  /** COUNT over a union of disjuncts by inclusion–exclusion (r17):
+    *
+    *   |⋃ᵢ Dᵢ| = Σ_{∅≠S⊆[k]} (−1)^{|S|+1} est(⋀_{i∈S} Dᵢ)
+    *
+    * where a conjunction of disjuncts is pred-list concatenation (the
+    * mask architecture ANDs multiple preds on one column, so
+    * contradictory combinations correctly probe to 0). Exact for exact
+    * registrations — the identity is set-theoretic; learned estimators
+    * inherit per-term fidelity. 2^k − 1 probes, k ≤ [[PredExtract
+    * .maxDisjuncts]] = 8 → ≤ 255, within the grid budget's spirit.
+    * None on Long overflow in the signed sum (falls through to the
+    * exact plan); a negative learned total clamps to 0. */
+  private def estimateDnf(reg: GraftRuntime.Registered,
+      disjuncts: Seq[Seq[Pred]]): Option[Long] = {
+    if (disjuncts.size == 1) Some(reg.estimate(disjuncts.head))
+    else try {
+      val k = disjuncts.size
+      var acc = 0L
+      var s = 1
+      while (s < (1 << k)) {
+        val conj = Seq.newBuilder[Pred]
+        var bits = 0
+        var i = 0
+        while (i < k) {
+          if ((s & (1 << i)) != 0) { conj ++= disjuncts(i); bits += 1 }
+          i += 1
+        }
+        val term = reg.estimate(conj.result())
+        acc =
+          if (bits % 2 == 1) Math.addExact(acc, term)
+          else Math.subtractExact(acc, term)
+        s += 1
+      }
+      Some(math.max(acc, 0L))
+    } catch { case _: ArithmeticException => None }
+  }
 
   /** The single-column value aggregates the probe vector can answer. */
   private def valueAggColumn(
@@ -941,6 +988,67 @@ private[plans] object PredExtract {
       case And(l, r) => flatten(l) ++ flatten(r)
       case other => Seq(other)
     }
+    val conjuncts = flatten(e)
+    val parsed = conjuncts.map(parseLeaf(_, strictNotNull))
+    if (parsed.exists(_.isEmpty)) None
+    else {
+      val preds = parsed.flatten.flatten
+      if (preds.nonEmpty) Some(preds) else None
+    }
+  }
+
+  /** Cap on the disjunct count the DNF parse will produce: each extra
+    * disjunct doubles the inclusion–exclusion probe count (2^k − 1
+    * probes — 255 at the cap, still trivially cheap next to a scan). */
+  val maxDisjuncts = 8
+
+  /** Bounded disjunctive normal form of an And/Or tree over vocabulary
+    * leaves (r17): `WHERE a=1 OR b=2` — the single most common SQL
+    * shape the conjunction-only parse refused — becomes
+    * `Seq(Seq(a=1), Seq(b=2))`, answered by inclusion–exclusion over
+    * registered estimates (exact for exact registrations: it is the
+    * identity |⋃Dᵢ| = Σ(−1)^(|S|+1)|⋂_{i∈S}Dᵢ|, and a conjunction of
+    * disjuncts is just pred-list concatenation — multiple preds on one
+    * column AND their masks). None when any leaf is outside the
+    * vocabulary OR the expansion exceeds [[maxDisjuncts]] (nested
+    * And-of-Or crossproducts grow exponentially — the cap makes them
+    * fall through to the exact plan, spec-pinned). Single-disjunct
+    * results are exactly [[parseConjunction]]'s answer. */
+  def parseDnf(e: Expression,
+      strictNotNull: Boolean = true): Option[Seq[Seq[Pred]]] = {
+    def expand(x: Expression): Option[Seq[Seq[Expression]]] = x match {
+      case Or(l, r) =>
+        for {
+          ls <- expand(l); rs <- expand(r)
+          if ls.size + rs.size <= maxDisjuncts
+        } yield ls ++ rs
+      case And(l, r) =>
+        for {
+          ls <- expand(l); rs <- expand(r)
+          if ls.size * rs.size <= maxDisjuncts
+        } yield for (a <- ls; b <- rs) yield a ++ b
+      case leaf => Some(Seq(Seq(leaf)))
+    }
+    expand(e).flatMap { disjuncts =>
+      val parsed: Seq[Option[Seq[Pred]]] = disjuncts.map { leaves =>
+        val ps = leaves.map(parseLeaf(_, strictNotNull))
+        if (ps.exists(_.isEmpty)) None else Some(ps.flatten.flatten)
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val ds = parsed.map(_.get)
+        // An all-no-op disjunct (tolerated isnotnull only) would make
+        // the union trivially "everything" — only meaningful parses
+        // qualify, mirroring parseConjunction's nonEmpty rule.
+        if (ds.forall(_.nonEmpty)) Some(ds) else None
+      }
+    }
+  }
+
+  /** One vocabulary leaf -> Some(Some(pred)) parsed, Some(None)
+    * tolerated no-op (non-strict isnotnull), None unsupported. */
+  private def parseLeaf(x: Expression,
+      strictNotNull: Boolean): Option[Option[Pred]] = {
     def scala(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
       org.apache.spark.sql.catalyst.CatalystTypeConverters
         .convertToScala(v, dt)
@@ -951,10 +1059,7 @@ private[plans] object PredExtract {
         case _ => false
       }) Some(vs.map { case Literal(v, dt) => scala(v, dt) })
       else None
-    val conjuncts = flatten(e)
-    // Each conjunct -> Some(Some(pred)) parsed, Some(None) tolerated
-    // no-op (non-strict isnotnull), None unsupported (whole parse bails).
-    val parsed: Seq[Option[Option[Pred]]] = conjuncts.map {
+    x match {
       case cmp: BinaryComparison => parseCmp(cmp).map(Some(_))
       case In(a: AttributeReference, vs) =>
         lits(vs).map(ls => Some(Pred(a.name, Op.In, ls)))
@@ -990,12 +1095,7 @@ private[plans] object PredExtract {
       case IsNotNull(a: AttributeReference) =>
         if (strictNotNull) Some(Some(Pred(a.name, Op.NotNull, null)))
         else Some(None)
-      case _ => None // unsupported conjunct
-    }
-    if (parsed.exists(_.isEmpty)) None
-    else {
-      val preds = parsed.flatten.flatten
-      if (preds.nonEmpty) Some(preds) else None
+      case _ => None // unsupported leaf
     }
   }
 

@@ -320,10 +320,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE v >= 2").getDouble(0) == 4.0)
     assert(run("SELECT count(*) FILTER (WHERE k = 'a') FROM vagg " +
       "WHERE v >= 1").getLong(0) == 2L)
-    // unparseable FILTER clause (LIKE is outside the mask vocabulary)
-    // blocks the rewrite instead of dropping the clause
+    // a prefix LIKE in the FILTER clause is in the vocabulary since
+    // r17 (Op.PrefixLike) — the clause folds and the rewrite fires
+    assert(run("SELECT sum(w) FILTER (WHERE k LIKE 'a%') FROM vagg " +
+      "WHERE v >= 1").getDouble(0) == 6.0)
+    // an unparseable FILTER clause (suffix LIKE — outside the
+    // vocabulary) blocks the rewrite instead of dropping the clause
     val like = spark.sql(
-      "SELECT sum(w) FILTER (WHERE k LIKE 'a%') FROM vagg WHERE v >= 1")
+      "SELECT sum(w) FILTER (WHERE k LIKE '%a') FROM vagg WHERE v >= 1")
     assert(!like.queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
     assert(like.collect()(0).getDouble(0) == 6.0)
@@ -514,15 +518,46 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
-  test("non-conjunctive predicates fall through") {
+  test("cross-column OR answers by inclusion-exclusion (r17)") {
     GraftRuntime.clear()
+    // Estimator that records each probed conjunction: the 2-way OR
+    // must cost exactly the 3 I-E terms (A, B, A AND B), and the
+    // answer is est(A)+est(B)-est(A AND B).
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Seq[Pred]]
     GraftRuntime.register("lineitem.parquet",
-      Set("l_quantity", "l_returnflag"), _ => 13L)
+      Set("l_quantity", "l_returnflag"),
+      preds => { probes += preds; preds.size match {
+        case 1 => if (preds.head.col == "l_quantity") 100L else 40L
+        case _ => 15L
+      } })
     spark.conf.set(GraftRuntime.EnabledKey, "true")
     val got = spark.sql(
       "SELECT count(*) FROM lineitem WHERE l_quantity <= 24.0 OR l_returnflag = 'R'"
     ).collect()(0).getLong(0)
-    assert(got != 13L)
+    assert(got == 100L + 40L - 15L, s"I-E answer wrong: $got")
+    assert(probes.size == 3, s"expected 3 I-E probes, got: $probes")
+    assert(probes.count(_.size == 2) == 1)
+  }
+
+  test("OR falls through past the disjunct cap and on unsupported leaves") {
+    GraftRuntime.clear()
+    GraftRuntime.register("lineitem.parquet",
+      Set("l_quantity", "l_returnflag", "l_linestatus", "l_discount",
+        "l_tax"), _ => 13L)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    // 4 two-way ORs AND-ed = 16 disjuncts > maxDisjuncts(8): exact plan
+    val capped = spark.sql("SELECT count(*) FROM lineitem WHERE " +
+      "(l_returnflag = 'R' OR l_linestatus = 'O') AND " +
+      "(l_quantity <= 25.0 OR l_discount >= 0.05) AND " +
+      "(l_tax <= 0.04 OR l_quantity >= 10.0) AND " +
+      "(l_returnflag = 'A' OR l_discount <= 0.08)")
+      .collect()(0).getLong(0)
+    assert(capped != 13L)
+    // an unsupported leaf inside a disjunct poisons the whole DNF
+    val unsupported = spark.sql("SELECT count(*) FROM lineitem WHERE " +
+      "l_returnflag = 'R' OR abs(l_quantity) <= 24.0")
+      .collect()(0).getLong(0)
+    assert(unsupported != 13L)
   }
 
   test("learned model answers SQL COUNT(*) through the optimizer (AQP end-to-end)") {

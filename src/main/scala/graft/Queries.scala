@@ -1438,6 +1438,248 @@ UNION ALL
 SELECT 'b2_bare', CAST(count(*) AS BIGINT), true
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY query_id""")),
+    // N-table join chains and stars from single-table registrations
+    // (r17; VERDICT r16 #2): rewriteJoinCount generalized from exactly
+    // two tables to flattened inner equi-join trees — the per-key
+    // factorization composes as Σ over edge-value assignments of
+    // ∏ per-leaf estimates (each leaf probed with its incident edge
+    // keys; per-leaf probes memoized, so a chain costs per-edge-value
+    // probes, not per-grid-cell). s1 is a 3-table CHAIN
+    // (region–nation–customer: 5×25 grid) with side predicates from
+    // the extended vocabulary; s2 is a 3-table STAR sharing the nation
+    // key (the two edges' equality masks AND on nation, so only the
+    // diagonal survives — 625 combos, exact); s3 pins the COMPOSITE-
+    // key conservative fall-through (an AND join condition must NOT
+    // rewrite; its scan answer still hash-matches); s4 pins the edge-
+    // grid budget fall-through (a 4-table chain whose grid exceeds
+    // maxGroupProbes).
+    Entry("q_approx_star_count",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val reg = s.read.parquet(s"$d/region.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val supp = s.read.parquet(s"$d/supplier.parquet")
+        val rDom = Dictionary.columnMeta(
+          reg.select("r_regionkey"), "r_regionkey").domain.toSeq
+        val nkDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val nrDom = Dictionary.columnMeta(
+          nat.select("n_regionkey"), "n_regionkey").domain.toSeq
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val sDom = Dictionary.columnMeta(
+          supp.select("s_nationkey"), "s_nationkey").domain.toSeq
+        val leR = new LocalExact(reg, Seq("r_regionkey", "r_name"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment", "c_custkey"))
+        val leS = new LocalExact(supp, Seq("s_nationkey", "s_suppkey"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/region.parquet", Set("r_regionkey", "r_name"),
+          preds => leR.count(preds),
+          name => if (name == "r_regionkey") Some(rDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nkDom)
+            else if (name == "n_regionkey") Some(nrDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment", "c_custkey"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/supplier.parquet", Set("s_nationkey", "s_suppkey"),
+          preds => leS.count(preds),
+          name => if (name == "s_nationkey") Some(sDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          reg.createOrReplaceTempView("graft_aqp_star_region")
+          nat.createOrReplaceTempView("graft_aqp_star_nation")
+          cust.createOrReplaceTempView("graft_aqp_star_customer")
+          supp.createOrReplaceTempView("graft_aqp_star_supplier")
+          val texts = Seq(
+            ("s1_chain", "SELECT count(*) AS n FROM " +
+              "graft_aqp_star_region r " +
+              "JOIN graft_aqp_star_nation n " +
+              "ON r.r_regionkey = n.n_regionkey " +
+              "JOIN graft_aqp_star_customer c " +
+              "ON n.n_nationkey = c.c_nationkey " +
+              "WHERE r.r_name != 'ASIA' AND c.c_acctbal <= 5000.0", true),
+            ("s2_star", "SELECT count(*) AS n FROM " +
+              "graft_aqp_star_supplier s " +
+              "JOIN graft_aqp_star_nation n " +
+              "ON s.s_nationkey = n.n_nationkey " +
+              "JOIN graft_aqp_star_customer c " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')", true),
+            ("s3_composite_falls_through", "SELECT count(*) AS n FROM " +
+              "graft_aqp_star_customer c JOIN graft_aqp_star_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "AND c.c_nationkey = n.n_regionkey", false),
+            ("s4_grid_cap_falls_through", "SELECT count(*) AS n FROM " +
+              "graft_aqp_star_supplier s " +
+              "JOIN graft_aqp_star_nation n " +
+              "ON s.s_nationkey = n.n_nationkey " +
+              "JOIN graft_aqp_star_customer c " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "JOIN graft_aqp_star_region r " +
+              "ON r.r_regionkey = n.n_regionkey", false))
+          val rows = texts.map { case (qid, sql, mustRewrite) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            if (mustRewrite)
+              require(plan.trim.startsWith("LocalRelation"),
+                s"star/chain rewrite did not fire on $qid; plan:\n$plan")
+            else
+              require(!plan.trim.startsWith("LocalRelation"),
+                s"$qid must fall through; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 's1_chain' AS query_id, CAST(count(*) AS BIGINT) AS n
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+WHERE r.r_name <> 'ASIA' AND c.c_acctbal <= 5000.0
+UNION ALL
+SELECT 's2_star', CAST(count(*) AS BIGINT)
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+UNION ALL
+SELECT 's3_composite_falls_through', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n
+ON c.c_nationkey = n.n_nationkey AND c.c_nationkey = n.n_regionkey
+UNION ALL
+SELECT 's4_grid_cap_falls_through', CAST(count(*) AS BIGINT)
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+ORDER BY query_id""")),
+    // Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr,
+    // count(*) FROM fact JOIN dim GROUP BY d.attr` — the join
+    // factorization restricted per group. The probe grid over the
+    // grouping domains composes with the edge grid by adding each
+    // group's Eq conjunct to its OWNING leaf; zero-count groups drop
+    // (inner-join SQL). jg1 groups by a DIM attribute (n_name) under a
+    // fact-side WHERE; jg2 groups by a FACT attribute (c_mktsegment)
+    // under a dim-side WHERE; jg3 groups by attributes from BOTH
+    // sides. All require() the scan-free plan; exact registrations →
+    // lossless, hash-gated against DuckDB running the identical texts.
+    Entry("q_approx_join_groupby",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nkDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val nnDom = Dictionary.columnMeta(
+          nat.select("n_name"), "n_name").domain.toSeq
+        val nrDomJg = Dictionary.columnMeta(
+          nat.select("n_regionkey"), "n_regionkey").domain.toSeq
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val cmDom = Dictionary.columnMeta(
+          cust.select("c_mktsegment"), "c_mktsegment").domain.toSeq
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nkDom)
+            else if (name == "n_name") Some(nnDom)
+            else if (name == "n_regionkey") Some(nrDomJg) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom)
+            else if (name == "c_mktsegment") Some(cmDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          nat.createOrReplaceTempView("graft_aqp_jg_nation")
+          cust.createOrReplaceTempView("graft_aqp_jg_customer")
+          val texts = Seq(
+            "jg1_dim_attr" -> ("SELECT n.n_name AS grp, count(*) AS n " +
+              "FROM graft_aqp_jg_customer c JOIN graft_aqp_jg_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE c.c_acctbal <= 5000.0 GROUP BY n.n_name"),
+            "jg2_fact_attr" -> ("SELECT c.c_mktsegment AS grp, " +
+              "count(*) AS n " +
+              "FROM graft_aqp_jg_customer c JOIN graft_aqp_jg_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE n.n_regionkey <= 2 GROUP BY c.c_mktsegment"),
+            // n_regionkey (5) x c_mktsegment (5): 25 group combos x
+            // 25 edge pairs x 2 leaves = 1250, inside the probe budget
+            // (n_name's 25-value domain would exceed it — by design:
+            // the budget is the scale contract)
+            "jg3_both_sides" -> ("SELECT n.n_regionkey AS grp, " +
+              "c.c_mktsegment AS grp2, count(*) AS n " +
+              "FROM graft_aqp_jg_customer c JOIN graft_aqp_jg_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "GROUP BY n.n_regionkey, c.c_mktsegment"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grouped join rewrite did not fire on $qid; plan:\n$plan")
+            df.collect().map { r =>
+              val isBoth = qid == "jg3_both_sides"
+              val grp = if (isBoth) r.get(0).toString else r.getString(0)
+              val grp2 = if (isBoth) r.getString(1) else ""
+              val n = r.getLong(if (isBoth) 2 else 1)
+              (qid, grp, grp2, n)
+            }
+          }
+          rows.toDF("query_id", "grp", "grp2", "n")
+            .orderBy("query_id", "grp", "grp2")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'jg1_dim_attr' AS query_id, n.n_name AS grp,
+  '' AS grp2, CAST(count(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal <= 5000.0 GROUP BY n.n_name
+UNION ALL
+SELECT 'jg2_fact_attr', c.c_mktsegment, '', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey <= 2 GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'jg3_both_sides', CAST(n.n_regionkey AS VARCHAR),
+  c.c_mktsegment, CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey, c.c_mktsegment
+ORDER BY query_id, grp, grp2""")),
     // HAVING through the probe grid (r16 session 4): zero new rule
     // code — the analyzer plans HAVING as a Filter over the Aggregate
     // (plus a Project when the HAVING references aggregates not in the

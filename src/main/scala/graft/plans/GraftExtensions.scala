@@ -281,7 +281,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     try reg.estimate(preds :+ Pred(c.name, Op.NotNull, null))
                     finally ApproxCountRule.inEstimate.set(false)
                   LocalRelation(Seq(alias.toAttribute), Seq(InternalRow(est)))
-                } else reg.domain(c.name) match {
+                } else domainOf(reg, c.name) match {
                   case Some(dom) if dom.nonEmpty &&
                       dom.size <= maxGroupProbes =>
                     ApproxCountRule.inEstimate.set(true)
@@ -333,7 +333,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case Some(reg)
                   if preds.forall(p => reg.columns.contains(p.col)) &&
                     reg.columns.contains(c.name) =>
-                reg.domain(c.name) match {
+                domainOf(reg, c.name) match {
                   case Some(dom) if dom.nonEmpty &&
                       dom.size <= maxGroupProbes =>
                     foldValueAgg(fn, distinct, alias.dataType, c, reg,
@@ -433,6 +433,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Max(c: AttributeReference) => Some(c)
     case _ => None
   }
+
+  /** Domain lookups run under the re-entrancy guard too: a domain
+    * supplier may itself run Spark jobs (a lazy distinct+sort is
+    * itself a grouped Aggregate over a scan — unguarded, the rule
+    * re-enters through it and recurses to StackOverflow; found live
+    * by the r17 N-table spec). */
+  private def domainOf(reg: GraftRuntime.Registered,
+      col: String): Option[Seq[Any]] = probed(reg.domain(col))
 
   /** Save/restore re-entrancy guard around model probes. The grouped
     * grid nests value-agg folds inside an already-guarded loop — a
@@ -534,7 +542,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     def domOf(c: AttributeReference): Option[Seq[Any]] =
       if (!reg.columns.contains(c.name)) None
-      else reg.domain(c.name)
+      else domainOf(reg, c.name)
         .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
     val cells: Seq[Option[Cell]] = aggExprs.map {
       case a: AttributeReference => groupIdx(a)
@@ -607,6 +615,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (subst, stripped) = resolveThroughProjects(agg.child)
     def base(a: AttributeReference): AttributeReference =
       subst.getOrElse(a.exprId, a)
+    stripped match {
+      // Grouped count over a join tree (r17): the factorization grid.
+      case jn: Join => return rewriteGroupedJoin(agg, jn, base)
+      case _ => ()
+    }
     val gs = agg.groupingExpressions
       .map(e => base(e.asInstanceOf[AttributeReference]))
     val (predsOpt, scanChild) = stripped match {
@@ -624,7 +637,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Distinct into a grouped Aggregate): live combos ARE the
       // distinct rows, so the same grid answers it.
       gDoms <- {
-        val ds = gs.map(g => reg.domain(g.name)
+        val ds = gs.map(g => domainOf(reg, g.name)
           .filter(_.nonEmpty))
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
@@ -714,21 +727,63 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * is — a fact-fact shuffle join — with |D ∩ D| driver probes.
     */
   private def rewriteJoinCount(alias: Alias,
-      j: Join): Option[LogicalPlan] = {
-    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-      return None
-    val keyPair: Option[(AttributeReference, AttributeReference)] =
-      j.condition match {
-        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-          if (j.left.outputSet.contains(a) &&
-            j.right.outputSet.contains(b)) Some((a, b))
-          else if (j.left.outputSet.contains(b) &&
-            j.right.outputSet.contains(a)) Some((b, a))
-          else None
-        case _ => None
+      j: Join): Option[LogicalPlan] =
+    for {
+      spec <- flattenJoinTree(j)
+      total <- probed(joinCountProbes(spec, _ => Nil))
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(total)))
+
+  /** One registered side of a flattened join tree: its estimator, its
+    * (pushed-down) WHERE conjunction, and the pre-strip subplan (for
+    * attribute-ownership lookups via outputSet). */
+  private case class JoinLeaf(reg: GraftRuntime.Registered,
+      preds: Seq[Pred], plan: LogicalPlan)
+
+  /** An equi-edge between two leaves: per-side leaf index and column,
+    * plus the key-domain intersection as (left-repr, right-repr)
+    * pairs — canonical (BigDecimal-normalized) matching, but each side
+    * probed with a value drawn from its own domain (ADVICE r16). */
+  private case class JoinEdge(li: Int, lcol: String, ri: Int,
+      rcol: String, pairs: Seq[(Any, Any)])
+
+  private case class JoinSpec(leaves: IndexedSeq[JoinLeaf],
+      edges: Seq[JoinEdge]) {
+    def leafOf(a: AttributeReference): Option[Int] = {
+      val i = leaves.indexWhere(_.plan.outputSet.contains(a))
+      if (i >= 0) Some(i) else None
+    }
+  }
+
+  /** Flatten a tree of INNER joins, each on a single-attribute
+    * equality, whose leaves are all (optionally Filter-ed) registered
+    * scans with the key domains supplied. Everything else — outer
+    * joins, composite keys (an AND in a join condition), non-equi or
+    * cross-side residual conditions, an unregistered leaf — returns
+    * None: the conservative fall-through the 2-table rewrite always
+    * had, now spec-pinned for the N-table shapes too. Note a Filter
+    * ABOVE a join never reaches here: single-side conjuncts are pushed
+    * into the sides by PushPredicateThroughJoin long before this
+    * last-batch rule runs, so a remaining one is cross-side by
+    * construction and the caller's scan-match simply fails. */
+  private def flattenJoinTree(root: Join): Option[JoinSpec] = {
+    def walk(p: LogicalPlan): Option[
+        (Seq[LogicalPlan], Seq[(AttributeReference, AttributeReference)])] =
+      stripProjects(p) match {
+        case jn: Join =>
+          if (jn.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
+          else for {
+            (ll, le) <- walk(jn.left)
+            (rl, re) <- walk(jn.right)
+            eq <- jn.condition match {
+              case Some(EqualTo(a: AttributeReference,
+                  b: AttributeReference)) => Some((a, b))
+              case _ => None
+            }
+          } yield (ll ++ rl, (le ++ re) :+ eq)
+        case other => Some((Seq(other), Nil))
       }
-    def side(p: LogicalPlan, key: AttributeReference)
-        : Option[(GraftRuntime.Registered, Seq[Pred], Seq[Any])] = {
+    def leaf(p: LogicalPlan): Option[JoinLeaf] = {
       val (predsOpt, scanChild) = stripProjects(p) match {
         case Filter(cond, gc) => (parseConjunction(cond), gc)
         case other => (Some(Nil: Seq[Pred]), other)
@@ -737,42 +792,189 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         paths <- relationPaths(scanChild)
         preds <- predsOpt
         reg <- GraftRuntime.lookup(paths)
-        if preds.forall(pp => reg.columns.contains(pp.col)) &&
-          reg.columns.contains(key.name)
-        dom <- reg.domain(key.name)
-        if dom.nonEmpty && dom.size <= maxGroupProbes
-      } yield (reg, preds, dom)
+        if preds.forall(pp => reg.columns.contains(pp.col))
+      } yield JoinLeaf(reg, preds, p)
     }
     for {
-      (ka, kb) <- keyPair
-      (regL, predsL, domL) <- side(j.left, ka)
-      (regR, predsR, domR) <- side(j.right, kb)
-      total <- probed {
-        // Intersect the key domains on CANONICAL values (numerics
-        // normalize through BigDecimal, so an Int 1 and a Long/Double
-        // 1 meet), but probe EACH side with a representative drawn
-        // from ITS OWN domain: a user-registered estimator with
-        // strict typed equality would silently return 0 for every
-        // cross-width probe if handed the other side's boxed value
-        // (ADVICE r16). Skip the right probe when the left count is 0.
-        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
-          .map(v => PredExtract.canonKey(v) -> v).toMap
-        try {
-          var acc = 0L
-          domL.iterator.filter(_ != null).foreach { vl =>
-            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
-              val nl = regL.estimate(predsL :+ Pred(ka.name, Op.Eq, vl))
-              if (nl > 0L) {
-                val nr = regR.estimate(predsR :+ Pred(kb.name, Op.Eq, vr))
-                acc = Math.addExact(acc, Math.multiplyExact(nl, nr))
+      (leafPlans, rawEdges) <- walk(root)
+      leaves <- {
+        val ls = leafPlans.map(leaf)
+        if (ls.exists(_.isEmpty)) None
+        else Some(ls.map(_.get).toIndexedSeq)
+      }
+      spec0 = JoinSpec(leaves, Nil)
+      edges <- {
+        val es = rawEdges.map { case (a, b) =>
+          for {
+            ia <- spec0.leafOf(a)
+            ib <- spec0.leafOf(b)
+            if ia != ib
+            la = leaves(ia); lb = leaves(ib)
+            if la.reg.columns.contains(a.name) &&
+              lb.reg.columns.contains(b.name)
+            domA <- domainOf(la.reg, a.name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+            domB <- domainOf(lb.reg, b.name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+          } yield {
+            val bRepr: Map[Any, Any] = domB.iterator.filter(_ != null)
+              .map(v => PredExtract.canonKey(v) -> v).toMap
+            val pairs = domA.iterator.filter(_ != null).flatMap(va =>
+              bRepr.get(PredExtract.canonKey(va)).map(vb => (va, vb)))
+              .toSeq
+            JoinEdge(ia, a.name, ib, b.name, pairs)
+          }
+        }
+        if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+      }
+    } yield JoinSpec(leaves, edges)
+  }
+
+  /** The join count of a flattened spec by per-key-value factorization
+    * generalized to edge grids (r17; VERDICT r16 #2):
+    *
+    *   |⋈| = Σ,,assignment v over edges,, ∏,,leaf i,,
+    *           est_i(preds_i ∧ extra_i ∧ {k = v_e : e incident on i})
+    *
+    * — exact over real equi-keys for exact registrations (each leaf's
+    * incident-edge equality masks AND, so a star's shared key
+    * contributes only its diagonal). NULL keys never match. Per-leaf
+    * probes are MEMOIZED on the leaf's incident-edge values: a chain
+    * A–B–C probes A once per edge-1 value, not once per grid cell.
+    * Budget (BigInt — no wrap): edge-grid combos ≤ maxGroupProbes and
+    * combos × leaves ≤ maxTotalProbes, else None. Long overflow in the
+    * sum of products falls through rather than inventing a non-ANSI
+    * answer. `extra` supplies per-leaf group conjuncts for the grouped
+    * variant. At 100 TB this replaces the most expensive plan shape
+    * there is — a multi-fact shuffle join — with a bounded set of
+    * millisecond driver probes. */
+  private def joinCountProbes(spec: JoinSpec,
+      extra: Int => Seq[Pred]): Option[Long] = {
+    val nCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+    if (spec.edges.isEmpty ||
+        nCombos > BigInt(maxGroupProbes) ||
+        nCombos * spec.leaves.size > BigInt(maxTotalProbes)) return None
+    val incident: IndexedSeq[Seq[(Int, String, Boolean)]] =
+      spec.leaves.indices.map { i =>
+        spec.edges.zipWithIndex.flatMap { case (e, k) =>
+          (if (e.li == i) Seq((k, e.lcol, true)) else Nil) ++
+            (if (e.ri == i) Seq((k, e.rcol, false)) else Nil)
+        }
+      }
+    // Every leaf must be connected (incident to ≥1 edge): a
+    // disconnected leaf would be a cartesian factor the grid cannot
+    // enumerate — that shape never parses out of an equi-join tree,
+    // but guard it anyway.
+    if (incident.exists(_.isEmpty)) return None
+    val memo = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
+    def leafCount(i: Int, assign: Vector[(Any, Any)]): Long = {
+      val vals: Seq[Any] = incident(i).map { case (k, _, left) =>
+        if (left) assign(k)._1 else assign(k)._2 }
+      memo.getOrElseUpdate((i, vals), {
+        val conj = spec.leaves(i).preds ++ extra(i) ++
+          incident(i).map { case (k, c, left) =>
+            Pred(c, Op.Eq, if (left) assign(k)._1 else assign(k)._2) }
+        spec.leaves(i).reg.estimate(conj)
+      })
+    }
+    try {
+      var acc = 0L
+      def rec(k: Int, assign: Vector[(Any, Any)]): Unit =
+        if (k == spec.edges.size) {
+          var prod = 1L
+          var i = 0
+          while (i < spec.leaves.size && prod > 0L) {
+            prod = Math.multiplyExact(prod, leafCount(i, assign))
+            i += 1
+          }
+          if (prod > 0L) acc = Math.addExact(acc, prod)
+        } else spec.edges(k).pairs.foreach(pr => rec(k + 1, assign :+ pr))
+      rec(0, Vector.empty)
+      Some(acc)
+    } catch { case _: ArithmeticException => None }
+  }
+
+  /** Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr…,
+    * count(*) FROM fact JOIN dim … GROUP BY d.attr…` is the join
+    * factorization restricted per group — the probe grid over the
+    * grouping domains composes with [[joinCountProbes]] by adding each
+    * group's Eq/IsNull conjunct to its OWNING leaf. Conservative:
+    * bare-attribute groupings on registered leaves with domains, cells
+    * limited to grouping columns and plain count(*) (a FILTER clause's
+    * conjuncts cannot be attributed to a side), budgets in BigInt.
+    * Zero-count groups are dropped, matching SQL over an inner join.
+    */
+  private def rewriteGroupedJoin(agg: Aggregate, j: Join,
+      base: AttributeReference => AttributeReference)
+      : Option[LogicalPlan] = {
+    val gs = agg.groupingExpressions
+      .map(e => base(e.asInstanceOf[AttributeReference]))
+    for {
+      spec <- flattenJoinTree(j)
+      owners <- {
+        val os = gs.map(g => spec.leafOf(g).filter(i =>
+          spec.leaves(i).reg.columns.contains(g.name)))
+        if (os.exists(_.isEmpty)) None else Some(os.map(_.get))
+      }
+      gDoms <- {
+        val ds = gs.zip(owners).map { case (g, i) =>
+          domainOf(spec.leaves(i).reg, g.name).filter(_.nonEmpty) }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      cells <- {
+        val cs: Seq[Option[Cell]] = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            val i = gs.indexWhere(_.exprId == base(a).exprId)
+            if (i >= 0) Some(GroupCell(i)) else None
+          case al @ Alias(a: AttributeReference, _) =>
+            val i = gs.indexWhere(_.exprId == base(a).exprId)
+            if (i >= 0) Some(GroupCell(i)) else None
+          case Alias(AggregateExpression(
+              Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+            Some(CountStarCell(Nil))
+          case _ => None
+        }
+        if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+      }
+      gridCombos = gDoms.map(d => BigInt(d.size)).product
+      edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+      if gridCombos <= BigInt(maxGroupProbes) &&
+        gridCombos * edgeCombos * spec.leaves.size <=
+          BigInt(maxTotalProbes)
+      rows <- probed {
+        val combos = gDoms.foldLeft(Seq(Seq.empty[Any])) { (acc, dom) =>
+          acc.flatMap(pre => dom.map(v => pre :+ v))
+        }
+        val gConv = gs.map(g => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(g.dataType))
+        val out = Seq.newBuilder[InternalRow]
+        var failed = false
+        combos.foreach { combo =>
+          if (!failed) {
+            val byLeaf: Map[Int, Seq[Pred]] =
+              gs.indices.groupBy(owners(_)).map { case (leafI, gis) =>
+                leafI -> gis.map { gi =>
+                  val v = combo(gi)
+                  if (v == null) Pred(gs(gi).name, Op.IsNull, null)
+                  else Pred(gs(gi).name, Op.Eq, v)
+                }
               }
+            joinCountProbes(spec, i => byLeaf.getOrElse(i, Nil)) match {
+              case None => failed = true
+              case Some(n) if n > 0L =>
+                out += InternalRow.fromSeq(cells.map {
+                  case GroupCell(i) =>
+                    if (combo(i) == null) null else gConv(i)(combo(i))
+                  case _ => n
+                })
+              case _ => ()
             }
           }
-          Some(acc)
-        } catch { case _: ArithmeticException => None }
+        }
+        if (failed) None else Some(out.result())
       }
-    } yield LocalRelation(Seq(alias.toAttribute),
-      Seq(InternalRow(total)))
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      rows)
   }
 }
 

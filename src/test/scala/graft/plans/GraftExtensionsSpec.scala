@@ -518,6 +518,80 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("N-table join chains and grouped join counts compose (r17)") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jn").toString
+    Seq((Some(1L), 10.0), (Some(1L), 20.0), (Some(2L), 30.0),
+      (None, 40.0), (Some(3L), 50.0))
+      .toDF("k", "x").write.mode("overwrite").parquet(s"$tmp/na.parquet")
+    Seq((Some(1L), "u"), (Some(2L), "u"), (Some(2L), "v"),
+      (Some(9L), "v"), (None, "u"))
+      .toDF("k", "m").write.mode("overwrite").parquet(s"$tmp/nb.parquet")
+    Seq(("u", 1L), ("v", 2L), ("v", 3L), ("w", 4L))
+      .toDF("m", "z").write.mode("overwrite").parquet(s"$tmp/nc.parquet")
+    val da = spark.read.parquet(s"$tmp/na.parquet")
+    val db = spark.read.parquet(s"$tmp/nb.parquet")
+    val dc = spark.read.parquet(s"$tmp/nc.parquet")
+    da.createOrReplaceTempView("na")
+    db.createOrReplaceTempView("nb")
+    dc.createOrReplaceTempView("nc")
+    def dom(df: org.apache.spark.sql.DataFrame, c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    // na's estimator counts its probes: the 3x2 edge grid must reach
+    // it only once per DISTINCT incident-edge value (memoized), i.e.
+    // <= |k-domain| probes, not once per grid cell.
+    var naProbes = 0
+    GraftRuntime.registerWithDomain("na.parquet", Set("k", "x"),
+      preds => { naProbes += 1; da.filter(Pred.conj(preds)).count() },
+      c => if (c == "k") Some(dom(da, "k"))
+           else if (c == "x") Some(dom(da, "x")) else None)
+    GraftRuntime.registerWithDomain("nb.parquet", Set("k", "m"),
+      preds => db.filter(Pred.conj(preds)).count(),
+      c => if (c == "k") Some(dom(db, "k"))
+           else if (c == "m") Some(dom(db, "m")) else None)
+    GraftRuntime.registerWithDomain("nc.parquet", Set("m", "z"),
+      preds => dc.filter(Pred.conj(preds)).count(),
+      c => if (c == "m") Some(dom(dc, "m"))
+           else if (c == "z") Some(dom(dc, "z")) else None)
+    def both(q: String): (Seq[org.apache.spark.sql.Row],
+        Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set(GraftRuntime.EnabledKey, "true")
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"$q did not rewrite:\n$plan")
+      val got = rewritten.collect().toSeq.sortBy(_.toString)
+      spark.conf.set(GraftRuntime.EnabledKey, "false")
+      (got, spark.sql(q).collect().toSeq.sortBy(_.toString))
+    }
+    // 3-table chain, WHERE on both ends
+    val (c1, e1) = both("SELECT count(*) FROM na " +
+      "JOIN nb ON na.k = nb.k JOIN nc ON nb.m = nc.m " +
+      "WHERE na.x <= 30.0 AND nc.z >= 2")
+    assert(c1 == e1)
+    naProbes = 0
+    val (c2, e2) = both("SELECT count(*) FROM na " +
+      "JOIN nb ON na.k = nb.k JOIN nc ON nb.m = nc.m")
+    assert(c2 == e2 && e2.head.getLong(0) == 5L)
+    assert(naProbes <= 3,
+      s"per-leaf probes must be memoized across the edge grid: $naProbes")
+    // grouped join count over a middle-table attribute
+    val (g1, x1) = both("SELECT nb.m AS grp, count(*) AS n FROM na " +
+      "JOIN nb ON na.k = nb.k JOIN nc ON nb.m = nc.m " +
+      "GROUP BY nb.m")
+    assert(g1 == x1)
+    // grouped by attributes from two different leaves
+    val (g2, x2) = both("SELECT na.x AS gx, nc.z AS gz, count(*) AS n " +
+      "FROM na JOIN nb ON na.k = nb.k JOIN nc ON nb.m = nc.m " +
+      "GROUP BY na.x, nc.z")
+    assert(g2 == x2)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("cross-column OR answers by inclusion-exclusion (r17)") {
     GraftRuntime.clear()
     // Estimator that records each probed conjunction: the 2-way OR

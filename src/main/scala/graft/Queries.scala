@@ -1680,6 +1680,121 @@ SELECT 'jg3_both_sides', CAST(n.n_regionkey AS VARCHAR),
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_regionkey, c.c_mktsegment
 ORDER BY query_id, grp, grp2""")),
+    // Derived-expression grouping through the probe grid (r17; VERDICT
+    // r16 #4): `GROUP BY year(ts)` — the most common reporting shape
+    // there is — previously fell through because the grid required
+    // bare attributes. The analyzer extracts such groupings into a
+    // `_groupingexpression` Project; the rule resolves them back and
+    // maps the registered BASE domain through a whitelist of
+    // domain-mappable functions (year/month over the ts→date Cast in
+    // the session zone, prefix substring, integral DIV), merging
+    // preimage slots — each derived group's probe is ONE In mask over
+    // its preimage. e1/e2 are year/month over orders (the month grid
+    // merges ~2.4k order dates into 12 groups); e3 merges nation names
+    // by first letter (a real merge: UNITED K/UNITED S share 'U');
+    // e4 buckets supplier keys by DIV 10; e5 pins the whitelist
+    // fall-through (upper() must NOT rewrite; its scan answer still
+    // hash-matches). Exact registrations → lossless, DuckDB recomputes
+    // equivalent texts (`//` is DuckDB's integral division — identical
+    // on the non-negative key domain).
+    Entry("q_approx_groupby_expr",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val odDom = Dictionary.columnMeta(
+          ord.select("o_orderdate"), "o_orderdate").domain.toSeq
+        val osDom = Dictionary.columnMeta(
+          ord.select("o_orderstatus"), "o_orderstatus").domain.toSeq
+        val skDom = Dictionary.columnMeta(
+          sup.select("s_suppkey"), "s_suppkey").domain.toSeq
+        val nnDom = Dictionary.columnMeta(
+          nat.select("n_name"), "n_name").domain.toSeq
+        val leO = new LocalExact(ord, Seq("o_orderdate", "o_orderstatus"))
+        val leS = new LocalExact(sup, Seq("s_suppkey"))
+        val leN = new LocalExact(nat, Seq("n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/orders.parquet", Set("o_orderdate", "o_orderstatus"),
+          preds => leO.count(preds),
+          name => if (name == "o_orderdate") Some(odDom)
+            else if (name == "o_orderstatus") Some(osDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/supplier.parquet", Set("s_suppkey"),
+          preds => leS.count(preds),
+          name => if (name == "s_suppkey") Some(skDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_name") Some(nnDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ord.createOrReplaceTempView("graft_aqp_ge_orders")
+          sup.createOrReplaceTempView("graft_aqp_ge_supplier")
+          nat.createOrReplaceTempView("graft_aqp_ge_nation")
+          val texts = Seq(
+            ("e1_year", "SELECT year(o_orderdate) AS grp, " +
+              "count(*) AS n FROM graft_aqp_ge_orders " +
+              "GROUP BY year(o_orderdate)", true),
+            ("e2_month_where", "SELECT month(o_orderdate) AS grp, " +
+              "count(*) AS n FROM graft_aqp_ge_orders " +
+              "WHERE o_orderstatus = 'F' " +
+              "GROUP BY month(o_orderdate)", true),
+            ("e3_substr", "SELECT substring(n_name, 1, 1) AS grp, " +
+              "count(*) AS n FROM graft_aqp_ge_nation " +
+              "GROUP BY substring(n_name, 1, 1)", true),
+            ("e4_div", "SELECT s_suppkey DIV 10 AS grp, " +
+              "count(*) AS n FROM graft_aqp_ge_supplier " +
+              "GROUP BY s_suppkey DIV 10", true),
+            ("e5_whitelist_falls_through",
+              "SELECT upper(o_orderstatus) AS grp, count(*) AS n " +
+                "FROM graft_aqp_ge_orders " +
+                "GROUP BY upper(o_orderstatus)", false))
+          val rows = texts.flatMap { case (qid, sql, mustRewrite) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            if (mustRewrite)
+              require(plan.trim.startsWith("LocalRelation"),
+                s"derived-grouping rewrite did not fire on $qid; " +
+                  s"plan:\n$plan")
+            else
+              require(!plan.trim.startsWith("LocalRelation"),
+                s"$qid must fall through; plan:\n$plan")
+            df.collect().map(r => (qid, r.get(0).toString, r.getLong(1)))
+          }
+          rows.toDF("query_id", "grp", "n").orderBy("query_id", "grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'e1_year' AS query_id,
+  CAST(year(o_orderdate) AS VARCHAR) AS grp,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY year(o_orderdate)
+UNION ALL
+SELECT 'e2_month_where', CAST(month(o_orderdate) AS VARCHAR),
+  CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderstatus = 'F' GROUP BY month(o_orderdate)
+UNION ALL
+SELECT 'e3_substr', substring(n_name, 1, 1), CAST(count(*) AS BIGINT)
+FROM nation GROUP BY substring(n_name, 1, 1)
+UNION ALL
+SELECT 'e4_div', CAST(s_suppkey // 10 AS VARCHAR),
+  CAST(count(*) AS BIGINT)
+FROM supplier GROUP BY s_suppkey // 10
+UNION ALL
+SELECT 'e5_whitelist_falls_through', upper(o_orderstatus),
+  CAST(count(*) AS BIGINT)
+FROM orders GROUP BY upper(o_orderstatus)
+ORDER BY query_id, grp""")),
     // HAVING through the probe grid (r16 session 4): zero new rule
     // code — the analyzer plans HAVING as a Filter over the Aggregate
     // (plus a Project when the HAVING references aggregates not in the

@@ -362,9 +362,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // combo grid and total probe count stay trivially cheap next to
       // the scan+shuffle they replace, every conjunct parses, and all
       // columns are modeled.
-      case agg @ Aggregate(groupExprs, _, _, _)
-          if groupExprs.nonEmpty &&
-            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      // Grouping expressions may be bare attributes or (r17) the
+      // groupKeyOf whitelist of derived expressions — anything else
+      // makes rewriteGroupedAgg return None and the plan is untouched.
+      case agg @ Aggregate(groupExprs, _, _, _) if groupExprs.nonEmpty =>
         rewriteGroupedAgg(agg).getOrElse(agg)
     }
   }
@@ -532,12 +533,15 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def classifyCells(aggExprs: Seq[NamedExpression],
-      gs: Seq[AttributeReference],
+      groupExprs: Seq[Expression],
       base: AttributeReference => AttributeReference,
       reg: GraftRuntime.Registered): Option[Seq[Cell]] = {
-    def groupIdx(a0: AttributeReference): Option[Cell] = {
-      val a = base(a0)
-      val i = gs.indexWhere(_.exprId == a.exprId)
+    // Group cells match the grouping EXPRESSION semantically (r17:
+    // groupings may be whitelisted derived expressions like year(d),
+    // not just attributes — same exprIds on both sides of the
+    // Aggregate, so semanticEquals is exact).
+    def groupIdx(e: Expression): Option[Cell] = {
+      val i = groupExprs.indexWhere(_.semanticEquals(e))
       if (i >= 0) Some(GroupCell(i)) else None
     }
     def domOf(c: AttributeReference): Option[Seq[Any]] =
@@ -546,9 +550,6 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
     val cells: Seq[Option[Cell]] = aggExprs.map {
       case a: AttributeReference => groupIdx(a)
-      // `SELECT c AS grp, …` — the analyzer wraps the grouping
-      // attribute in an Alias; output naming rides on .toAttribute.
-      case Alias(a: AttributeReference, _) => groupIdx(a)
       case al @ Alias(AggregateExpression(fn, _, distinct, filtE, _), _) =>
         val filtPreds: Option[Seq[Pred]] = filtE match {
           case None => Some(Nil)
@@ -570,9 +571,93 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 ValueAggCell(fn, distinct, c, al.dataType, fp, d)))
           }
         }
+      // `SELECT c AS grp` / `SELECT year(d) AS y` — the analyzer wraps
+      // grouping expressions in an Alias; output naming rides on
+      // .toAttribute.
+      case Alias(e, _) => groupIdx(e)
       case _ => None
     }
     if (cells.exists(_.isEmpty)) None else Some(cells.map(_.get))
+  }
+
+  /** One grouping key of the probe grid (r17 generalization): the
+    * underlying registered attribute, a driver-side evaluation of the
+    * grouping expression over that attribute's EXTERNAL domain values,
+    * and the derived output type. A bare attribute is the identity
+    * key; beyond that, a whitelist of domain-mappable expressions —
+    * year/month over dates (including the analyzer's ts→date Cast,
+    * evaluated in the Cast's own session zone), prefix substring, and
+    * integral DIV — turns `GROUP BY year(ts)` (the most common
+    * reporting shape there is) into the same probe grid: each derived
+    * group's probe is the In mask over its preimage in the registered
+    * domain. Anything else returns None → exact plan. */
+  private case class GroupKey(origin: Expression,
+      attr: AttributeReference, toDerived: Any => Any,
+      outType: org.apache.spark.sql.types.DataType)
+
+  /** The external temporal domain value as a LocalDate in `zone`
+    * (domains surface java.sql types or LocalDateTime per the column's
+    * parquet logical type). */
+  private def toLocalDate(v: Any, zone: java.time.ZoneId)
+      : java.time.LocalDate = v match {
+    case d: java.sql.Date => d.toLocalDate
+    case t: java.sql.Timestamp => t.toInstant.atZone(zone).toLocalDate
+    case ldt: java.time.LocalDateTime => ldt.toLocalDate
+    case ld: java.time.LocalDate => ld
+  }
+
+  private def groupKeyOf(e: Expression,
+      base: AttributeReference => AttributeReference): Option[GroupKey] = {
+    import org.apache.spark.sql.types._
+    def nullSafe(f: Any => Any): Any => Any =
+      v => if (v == null) null else f(v)
+    // A date-valued argument: a DATE attribute directly, or the
+    // analyzer's Cast(ts, DATE) with its session zone.
+    def dateArg(x: Expression)
+        : Option[(AttributeReference, java.time.ZoneId)] = x match {
+      case a: AttributeReference if a.dataType == DateType =>
+        Some((a, java.time.ZoneOffset.UTC))
+      case Cast(a: AttributeReference, DateType, tz, _)
+          if a.dataType == TimestampType ||
+            a.dataType == TimestampNTZType =>
+        Some((a, tz.map(java.time.ZoneId.of)
+          .getOrElse(java.time.ZoneOffset.UTC)))
+      case _ => None
+    }
+    e match {
+      case a: AttributeReference =>
+        Some(GroupKey(e, base(a), identity, a.dataType))
+      case Year(x) => dateArg(x).map { case (a, zone) =>
+        GroupKey(e, base(a),
+          nullSafe(v => Int.box(toLocalDate(v, zone).getYear)),
+          IntegerType)
+      }
+      case Month(x) => dateArg(x).map { case (a, zone) =>
+        GroupKey(e, base(a),
+          nullSafe(v => Int.box(toLocalDate(v, zone).getMonthValue)),
+          IntegerType)
+      }
+      // substring(s, 1, k): a literal PREFIX — monotone over the
+      // sorted domain. Spark's substring is 1-based; other start
+      // positions fall through.
+      case Substring(a: AttributeReference,
+          Literal(1, IntegerType), Literal(len: Int, IntegerType))
+          if a.dataType == StringType && len >= 0 =>
+        Some(GroupKey(e, base(a), nullSafe { v =>
+          val s2 = v.asInstanceOf[String]
+          s2.substring(0, math.min(len, s2.length))
+        }, StringType))
+      // a DIV k (integral division, truncation toward zero — Java's
+      // and Spark's shared semantics)
+      case d: IntegralDivide => (d.left, d.right) match {
+        case (a: AttributeReference, Literal(k: Long, LongType))
+            if a.dataType == LongType && k != 0L =>
+          Some(GroupKey(e, base(a),
+            nullSafe(v => Long.box(v.asInstanceOf[Long] / k)), LongType))
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** Grouped-grid probe budget: combos × per-combo cell probes. Wider
@@ -582,29 +667,40 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * real scale. */
   private val maxTotalProbes = 4096L
 
-  /** Resolve attribute renames through a stack of Projects whose
-    * entries are all attributes or aliases OF attributes (the shape
-    * `SELECT DISTINCT a AS x` leaves below its Aggregate), returning
-    * the composed exprId→base-attribute map and the plan underneath.
-    * Projects computing anything else stop the walk (conservative —
-    * a derived column is not a registered column). */
+  /** A name no registration can carry: [[resolveThroughProjects]]
+    * consumers rename an attribute to this when its exprId resolves to
+    * a NON-whitelisted derived expression, so every registered-column
+    * name check downstream fails closed. Without it, `SELECT abs(x)
+    * AS x … GROUP BY x` would resolve to an attribute NAMED x and
+    * silently probe the registered column x for abs(x). */
+  private val PoisonName = " graft-derived "
+
+  /** Resolve attribute references through the stack of Projects below
+    * the Aggregate, returning the composed exprId → expression map
+    * (fully resolved to the underlying plan's attributes) and the plan
+    * underneath. Values are either base attributes (rename chains —
+    * the `SELECT DISTINCT a AS x` shape) or derived expressions (r17:
+    * the analyzer extracts non-trivial grouping expressions like
+    * `year(d)` into `_groupingexpression` Project entries — the
+    * grouped rewrite resolves them back and matches them against the
+    * [[groupKeyOf]] whitelist). Consumers MUST treat a non-attribute
+    * resolution as unmatchable for column-name purposes (see
+    * [[PoisonName]]). */
   private def resolveThroughProjects(plan0: LogicalPlan)
-      : (Map[ExprId, AttributeReference], LogicalPlan) = {
-    var subst = Map.empty[ExprId, AttributeReference]
+      : (Map[ExprId, Expression], LogicalPlan) = {
+    var subst = Map.empty[ExprId, Expression]
     var plan = stripProjects(plan0)
     var done = false
     while (!done) plan match {
-      case Project(projs, child) if projs.forall {
-          case _: AttributeReference => true
-          case Alias(_: AttributeReference, _) => true
-          case _ => false
-        } =>
-        val local: Map[ExprId, AttributeReference] = projs.collect {
-          case al @ Alias(a: AttributeReference, _) => al.exprId -> a
+      case Project(projs, child) =>
+        val local: Map[ExprId, Expression] = projs.collect {
+          case al @ Alias(e2, _) => al.exprId -> e2
         }.toMap
-        subst = subst.map { case (k, v) =>
-          k -> local.getOrElse(v.exprId, v)
-        } ++ local
+        def resolve(e2: Expression): Expression = e2.transformUp {
+          case a: AttributeReference if local.contains(a.exprId) =>
+            local(a.exprId)
+        }
+        subst = subst.map { case (k, v) => k -> resolve(v) } ++ local
         plan = stripProjects(child)
       case _ => done = true
     }
@@ -614,31 +710,58 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteGroupedAgg(agg: Aggregate): Option[LogicalPlan] = {
     val (subst, stripped) = resolveThroughProjects(agg.child)
     def base(a: AttributeReference): AttributeReference =
-      subst.getOrElse(a.exprId, a)
+      subst.get(a.exprId) match {
+        case Some(attr: AttributeReference) => attr
+        case Some(_) => a.withName(PoisonName) // derived: fail closed
+        case None => a
+      }
     stripped match {
       // Grouped count over a join tree (r17): the factorization grid.
       case jn: Join => return rewriteGroupedJoin(agg, jn, base)
       case _ => ()
     }
-    val gs = agg.groupingExpressions
-      .map(e => base(e.asInstanceOf[AttributeReference]))
+    val keysOpt: Option[Seq[GroupKey]] = {
+      // A grouping ATTRIBUTE may resolve to a derived expression the
+      // analyzer extracted into a Project (`_groupingexpression`) —
+      // substitute before matching the whitelist.
+      val ks = agg.groupingExpressions.map {
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          groupKeyOf(subst(a.exprId), base)
+        case e => groupKeyOf(e, base)
+      }
+      if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
+    }
     val (predsOpt, scanChild) = stripped match {
       case Filter(cond, gc) => (parseConjunction(cond), gc)
       case other => (Some(Nil: Seq[Pred]), other)
     }
     for {
+      keys <- keysOpt
       paths <- relationPaths(scanChild)
       preds <- predsOpt
       reg <- GraftRuntime.lookup(paths)
       if preds.forall(p => reg.columns.contains(p.col)) &&
-        gs.forall(g => reg.columns.contains(g.name))
-      cells <- classifyCells(agg.aggregateExpressions, gs, base, reg)
+        keys.forall(k => reg.columns.contains(k.attr.name))
+      cells <- classifyCells(agg.aggregateExpressions,
+        agg.groupingExpressions, base, reg)
       // All-GroupCell output is SELECT DISTINCT (the optimizer turns
       // Distinct into a grouped Aggregate): live combos ARE the
       // distinct rows, so the same grid answers it.
+      // Per key: (derived group value, base-domain preimage) — the
+      // identity for attribute keys (each value its own group), a
+      // genuine merge for derived keys (e.g. all dates of one year).
       gDoms <- {
-        val ds = gs.map(g => domainOf(reg, g.name)
-          .filter(_.nonEmpty))
+        val ds = keys.map { k =>
+          domainOf(reg, k.attr.name).filter(_.nonEmpty).map { baseDom =>
+            val order = scala.collection.mutable.LinkedHashMap
+              .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+            baseDom.foreach { v =>
+              order.getOrElseUpdate(k.toDerived(v),
+                scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+            }
+            order.toSeq.map { case (g, pre) => (g, pre.toSeq) }
+          }
+        }
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       // BigInt: a Long product over multi-key grids can overflow and
@@ -650,7 +773,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if nCombos <= BigInt(maxGroupProbes) &&
         nCombos * (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) <=
           BigInt(maxTotalProbes)
-      rows <- probeGrid(gs, gDoms, cells, reg, preds)
+      rows <- probeGrid(keys, gDoms, cells, reg, preds)
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
   }
@@ -659,32 +782,42 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * faithfully answer (Long-sum overflow, decimal result) — the whole
     * rewrite falls through rather than mixing probe-grid rows with a
     * scan. */
-  private def probeGrid(gs: Seq[AttributeReference],
-      gDoms: Seq[Seq[Any]], cells: Seq[Cell],
+  private def probeGrid(keys: Seq[GroupKey],
+      gDoms: Seq[Seq[(Any, Seq[Any])]], cells: Seq[Cell],
       reg: GraftRuntime.Registered,
       preds: Seq[Pred]): Option[Seq[InternalRow]] = {
-    val combos = gDoms.foldLeft(Seq(Seq.empty[Any])) { (acc, dom) =>
-      acc.flatMap(pre => dom.map(v => pre :+ v))
+    // combo entries carry (derived group value, base-domain preimage)
+    val combos = gDoms.foldLeft(Seq(Seq.empty[(Any, Seq[Any])])) {
+      (acc, dom) => acc.flatMap(pre => dom.map(v => pre :+ v))
     }
-    // Convert group values against each grouping attribute's EXACT
-    // type (a bare convertToCatalyst would infer e.g. Decimal(38,18)
-    // for a DECIMAL(12,2) column and corrupt the row layout).
-    val gConv = gs.map(g => org.apache.spark.sql.catalyst
-      .CatalystTypeConverters.createToCatalystConverter(g.dataType))
+    // Convert group values against each grouping expression's EXACT
+    // output type (a bare convertToCatalyst would infer e.g.
+    // Decimal(38,18) for a DECIMAL(12,2) column and corrupt the row
+    // layout).
+    val gConv = keys.map(k => org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.createToCatalystConverter(k.outType))
     val rows = Seq.newBuilder[InternalRow]
     var failed = false
     probed {
       combos.foreach { combo =>
         if (!failed) {
-          val base = preds ++ gs.zip(combo).map { case (g, v) =>
-            if (v == null) Pred(g.name, Op.IsNull, null)
-            else Pred(g.name, Op.Eq, v)
+          val base = preds ++ keys.zip(combo).map {
+            // the probe for a derived group is its PREIMAGE mask:
+            // identity keys probe Eq, merged slots probe In, the null
+            // group (only a null base value maps to null) IsNull
+            case (k, (g, _)) if g == null =>
+              Pred(k.attr.name, Op.IsNull, null)
+            case (k, (_, pre)) =>
+              val nn = pre.filter(_ != null)
+              if (nn.size == 1) Pred(k.attr.name, Op.Eq, nn.head)
+              else Pred(k.attr.name, Op.In, nn)
           }
           val n = reg.estimate(base)
           if (n > 0L) {
             val vals: Seq[Option[Any]] = cells.map {
               case GroupCell(i) =>
-                Some(if (combo(i) == null) null else gConv(i)(combo(i)))
+                Some(if (combo(i)._1 == null) null
+                  else gConv(i)(combo(i)._1))
               case CountStarCell(filt) =>
                 Some(if (filt.isEmpty) n else reg.estimate(base ++ filt))
               case CountColCell(c, false, filt, _) =>
@@ -907,6 +1040,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteGroupedJoin(agg: Aggregate, j: Join,
       base: AttributeReference => AttributeReference)
       : Option[LogicalPlan] = {
+    // join groupings stay attribute-only (derived keys are the
+    // single-table grid's whitelist, not composed here)
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
     val gs = agg.groupingExpressions
       .map(e => base(e.asInstanceOf[AttributeReference]))
     for {

@@ -518,6 +518,72 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("derived-expression grouping: year/month/substring/DIV (r17)") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dg").toString
+    def ts(str: String) = graft.query.Pred.ts(str)
+    Seq(
+      (Some(ts("1995-03-15 10:00:00")), "alpha", 3L, 1.0),
+      (Some(ts("1995-07-01 00:00:00")), "alps", 17L, 2.0),
+      (Some(ts("1996-01-02 23:59:59")), "beta", 23L, 4.0),
+      (Some(ts("1996-12-31 05:00:00")), "bets", 25L, 8.0),
+      (None, "gamma", 41L, 16.0))
+      .toDF("d", "t", "k", "x").write.mode("overwrite")
+      .parquet(s"$tmp/dg.parquet")
+    val df = spark.read.parquet(s"$tmp/dg.parquet")
+    df.createOrReplaceTempView("dg")
+    def dom(c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    val doms = Seq("d", "t", "k", "x").map(c => c -> dom(c)).toMap
+    GraftRuntime.registerWithDomain("dg.parquet",
+      Set("d", "t", "k", "x"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => doms.get(c))
+    def both(q: String): (Seq[org.apache.spark.sql.Row],
+        Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set(GraftRuntime.EnabledKey, "true")
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"$q did not rewrite:\n$plan")
+      val got = rewritten.collect().toSeq.sortBy(_.toString)
+      spark.conf.set(GraftRuntime.EnabledKey, "false")
+      (got, spark.sql(q).collect().toSeq.sortBy(_.toString))
+    }
+    // year over a timestamp (the analyzer's ts->date Cast carries the
+    // session zone); the NULL timestamp row groups under NULL
+    val (y1, e1) = both(
+      "SELECT year(d) AS y, count(*) AS n FROM dg GROUP BY year(d)")
+    assert(y1 == e1 && e1.size == 3) // 1995, 1996, NULL
+    val (m1, f1) = both(
+      "SELECT month(d) AS mo, count(*) AS n FROM dg GROUP BY month(d)")
+    assert(m1 == f1)
+    // prefix substring merges 'alpha'/'alps' and 'beta'/'bets'
+    val (s1, g1) = both("SELECT substring(t, 1, 2) AS p, count(*) AS n " +
+      "FROM dg GROUP BY substring(t, 1, 2)")
+    assert(s1 == g1 && g1.size == 3) // al, be, ga
+    // integral DIV buckets
+    val (d1, h1) = both(
+      "SELECT k DIV 10 AS b, count(*) AS n FROM dg GROUP BY k DIV 10")
+    assert(d1 == h1)
+    // derived key composes with a WHERE, an attribute key, and a
+    // value-aggregate cell on the same grid
+    val (c1, i1) = both("SELECT year(d) AS y, t AS tt, sum(x) AS sx " +
+      "FROM dg WHERE k <= 25 GROUP BY year(d), t")
+    assert(c1 == i1)
+    // outside the whitelist -> exact plan
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val up = spark.sql(
+      "SELECT upper(t) AS u, count(*) AS n FROM dg GROUP BY upper(t)")
+    assert(!up.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("N-table join chains and grouped join counts compose (r17)") {
     GraftRuntime.clear()
     val s = spark

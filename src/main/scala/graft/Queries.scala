@@ -1036,6 +1036,85 @@ SELECT 'v7_filter_fold',
 UNION ALL
 SELECT 'v8_empty', CAST(sum(qty) AS DOUBLE) FROM ev WHERE value <= -1e18
 ORDER BY query_id""")),
+    // Guarantee-gate twin of q_approx_value_aggs (r17; VERDICT r16 #9):
+    // sum/avg answered by a LEARNED model through the probe-vector
+    // functional (sum = Σ v·n_v with n_v = the model's count at
+    // l_quantity = v) — the q_approx_count_bounds discipline: exact
+    // references computed BEFORE the rewrite is enabled, per-cell
+    // q-error ≤ 2.0 inside the oracle hash. The per-value learned
+    // counts individually carry more error than whole-conjunction
+    // estimates; the sum re-aggregates them, and this gate pins that
+    // the functional stays inside the same band the count path holds.
+    // The exact refs use integral-valued l_quantity, so the DOUBLE
+    // arithmetic is deterministic cross-engine (identical sum/division
+    // forms on both sides).
+    Entry("q_approx_value_aggs_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        liDf.createOrReplaceTempView("graft_aqp_vab_lineitem")
+        // gate queries are the single-aggregate shapes the rewrite
+        // answers; the exact refs use the explicit sum/count forms so
+        // the DOUBLE arithmetic is identical to the DuckDB oracle's
+        // (integral-valued l_quantity → order-independent exact sums)
+        val texts = Seq(
+          ("vb1_sum", "SELECT sum(l_quantity) AS x FROM " +
+            "graft_aqp_vab_lineitem WHERE l_returnflag = 'R'",
+            "SELECT CAST(sum(l_quantity) AS DOUBLE) AS x FROM " +
+              "graft_aqp_vab_lineitem WHERE l_returnflag = 'R'"),
+          ("vb2_avg", "SELECT avg(l_quantity) AS x FROM " +
+            "graft_aqp_vab_lineitem WHERE l_discount >= 0.05",
+            "SELECT CAST(sum(l_quantity) AS DOUBLE) / " +
+              "count(l_quantity) AS x FROM graft_aqp_vab_lineitem " +
+              "WHERE l_discount >= 0.05"))
+        // exact refs BEFORE enabling (else the gate would compare the
+        // estimate against itself)
+        val exact = texts.map { case (qid, _, refSql) =>
+          qid -> s.sql(refSql).collect()(0).getDouble(0)
+        }.toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/lineitem.parquet", modelCols.toSet, ps.query,
+          name => if (name == "l_quantity")
+            Some(meta.column("l_quantity").domain.toSeq) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val rows = texts.map { case (qid, sql, _) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned value-agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val est = df.collect()(0).getDouble(0)
+            val ex = exact(qid)
+            val qerr =
+              if (est <= 0.0 || ex <= 0.0) Double.MaxValue
+              else math.max(est / ex, ex / est)
+            (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_x", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'vb1_sum' AS query_id,
+  CAST(sum(l_quantity) AS DOUBLE) AS exact_x, true AS ok
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT 'vb2_avg', CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity),
+  true
+FROM lineitem WHERE l_discount >= 0.05
+ORDER BY query_id""")),
     // Multi-key GROUP BY + DISTINCT + top-k through the optimizer (r16
     // session 4): the grouped rewrite generalized to a probe GRID — one
     // conjunction per combination of the grouping domains. m1 pins the

@@ -532,6 +532,85 @@ UNION ALL
 SELECT 'q3_like_two_words', CAST(count(*) AS BIGINT)
   FROM nation WHERE n_name LIKE 'UNITED%'
 ORDER BY query_id""")),
+    // Cross-column OR through the SQL seam (r17): SqlFront.parseDnf
+    // returns a bounded DNF and CardEst.queryDnf answers it by
+    // inclusion–exclusion over the estimator's own per-conjunction
+    // answers — the estimator-side mirror of the optimizer rewrite.
+    // q1 is the bare 2-way OR; q2 pins And-over-Or distribution; q3
+    // pins that a SINGLE-column OR of equalities still folds to ONE
+    // In-mask disjunct (parse & parseDnf agree — no I–E needed); q4 is
+    // the 3-way mix (7 terms). Exact backend → lossless, hash-gated
+    // against DuckDB running the identical texts.
+    Entry("q_sql_front_or",
+      (s, d) => {
+        import s.implicits._
+        val liDf = s.read.parquet(s"$d/lineitem.parquet")
+        val le = new LocalExact(liDf, modelCols)
+        val est = new graft.est.CardEst {
+          def name = "local_exact"
+          def query(preds: Seq[Pred]): Long = le.count(preds)
+        }
+        val texts = Seq(
+          ("q1_cross_or", """SELECT count(*) FROM lineitem
+            WHERE l_returnflag = 'R' OR l_quantity <= 3.0""", 2),
+          ("q2_or_and", """SELECT count(*) FROM lineitem
+            WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+            AND l_discount >= 0.08""", 2),
+          ("q3_single_col_or_folds", """SELECT count(*) FROM lineitem
+            WHERE l_returnflag = 'R' OR l_returnflag = 'A'""", 1),
+          ("q4_three_way", """SELECT count(*) FROM lineitem
+            WHERE l_returnflag = 'A' OR l_discount >= 0.09
+            OR l_tax <= 0.01""", 3))
+        val rows = texts.map { case (qid, sql, nDisjuncts) =>
+          val (table, dnf) = graft.query.SqlFront.parseDnf(s, sql)
+          require(table == "lineitem" && dnf.size == nDisjuncts,
+            s"$qid: expected $nDisjuncts disjuncts, got ${dnf.size}")
+          (qid, est.querySqlDnf(s, sql, Some("lineitem")))
+        }
+        rows.toDF("query_id", "n_rows").orderBy("query_id")
+      },
+      Some("""SELECT 'q1_cross_or' AS query_id,
+  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  WHERE l_returnflag = 'R' OR l_quantity <= 3.0
+UNION ALL
+SELECT 'q2_or_and', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+    AND l_discount >= 0.08
+UNION ALL
+SELECT 'q3_single_col_or_folds', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_returnflag = 'R' OR l_returnflag = 'A'
+UNION ALL
+SELECT 'q4_three_way', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_returnflag = 'A' OR l_discount >= 0.09 OR l_tax <= 0.01
+ORDER BY query_id""")),
+    // SQL OR → learned estimate (r17): queryDnf with every term from
+    // the MADE — q-error ≤ 2.0 against the exact count from the SAME
+    // text, pinning that per-term model error survives the signed I–E
+    // combination at the seam too (the optimizer-path twin is
+    // q_approx_count_or_bounds).
+    Entry("q_sql_front_or_model",
+      (s, d) => {
+        import s.implicits._
+        val sqlTxt = """SELECT count(*) FROM lineitem
+          WHERE l_returnflag = 'R' OR l_quantity <= 24.0"""
+        val (table, dnf) = graft.query.SqlFront.parseDnf(s, sqlTxt)
+        require(table == "lineitem" && dnf.size == 2,
+          s"front-end mis-read the OR: $dnf")
+        val exact = math.max(
+          li(s, d).filter(dnf.map(Pred.conj).reduce(_ || _)).count(), 1L)
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        val est = math.max(
+          ps.querySqlDnf(s, sqlTxt, Some("lineitem")), 1L)
+        val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+        Seq(("sql_front_or_model_qerror", exact, qerr <= 2.0))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("""SELECT 'sql_front_or_model_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_returnflag = 'R' OR l_quantity <= 24.0""")),
     // LIKE through the OPTIMIZER (r17): LikeSimplification rewrites a
     // prefix pattern to StartsWith in the main batches, so by the time
     // ApproxCountRule fires the conjunct arrives as

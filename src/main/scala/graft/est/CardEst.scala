@@ -26,6 +26,44 @@ trait CardEst extends Serializable {
     query(preds)
   }
 
+  /** COUNT over a bounded union of conjunctions by inclusion–exclusion
+    * (r17): |⋃Dᵢ| = Σ_{∅≠S}(−1)^(|S|+1)·query(⋀_{i∈S}Dᵢ), where a
+    * conjunction of disjuncts is pred-list concatenation (the mask
+    * architecture ANDs multiple preds per column). The identity is
+    * set-theoretic, so exact estimators stay exact; learned ones
+    * inherit per-term fidelity (a negative total clamps to 0). ≤
+    * 2^8−1 = 255 terms. */
+  def queryDnf(disjuncts: Seq[Seq[Pred]]): Long = {
+    require(disjuncts.nonEmpty && disjuncts.size <= 8,
+      s"queryDnf takes 1..8 disjuncts, got ${disjuncts.size}")
+    if (disjuncts.size == 1) query(disjuncts.head)
+    else {
+      val k = disjuncts.size
+      var acc = 0L
+      var s = 1
+      while (s < (1 << k)) {
+        val conj = (0 until k).filter(i => (s & (1 << i)) != 0)
+          .flatMap(disjuncts)
+        val term = query(conj)
+        acc += (if (java.lang.Integer.bitCount(s) % 2 == 1) term
+          else -term)
+        s += 1
+      }
+      math.max(acc, 0L)
+    }
+  }
+
+  /** [[querySql]] for texts whose WHERE carries a bounded cross-column
+    * OR: [[graft.query.SqlFront.parseDnf]] composed with
+    * [[queryDnf]]. */
+  def querySqlDnf(spark: org.apache.spark.sql.SparkSession, sql: String,
+      table: Option[String] = None): Long = {
+    val (t, dnf) = graft.query.SqlFront.parseDnf(spark, sql)
+    table.foreach(exp => require(t == exp,
+      s"estimator $name is bound to table $exp but the SQL targets $t"))
+    queryDnf(dnf)
+  }
+
   private val errors = scala.collection.mutable.ArrayBuffer[Double]()
   private val estCards = scala.collection.mutable.ArrayBuffer[Long]()
   private val durationsMs = scala.collection.mutable.ArrayBuffer[Double]()

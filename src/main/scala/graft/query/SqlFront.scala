@@ -187,10 +187,11 @@ object SqlFront {
         "col IS [NOT] NULL, AND)")
   }
 
-  /** Parse a single-table SQL query into (table name, conjuncts).
-    * Throws IllegalArgumentException with the offending fragment for
-    * anything outside the accepted shape. */
-  def parse(spark: SparkSession, sql: String): (String, Seq[Pred]) = {
+  /** Shared front half of [[parse]]/[[parseDnf]]: node whitelist +
+    * single-table + at-most-one-WHERE checks, returning the table name
+    * and the raw WHERE condition. */
+  private def parseShape(spark: SparkSession, sql: String)
+      : (String, Option[Expression]) = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
     val rels = plan.collect { case r: UnresolvedRelation => r }
     require(rels.size == 1,
@@ -212,8 +213,55 @@ object SqlFront {
     }
     val filters = plan.collect { case f: Filter => f.condition }
     require(filters.size <= 1, s"expected at most one WHERE: $sql")
-    val preds = filters.headOption
-      .map(splitConjuncts(_).map(toPred)).getOrElse(Nil)
-    (rels.head.multipartIdentifier.last, preds)
+    (rels.head.multipartIdentifier.last, filters.headOption)
+  }
+
+  /** Parse a single-table SQL query into (table name, conjuncts).
+    * Throws IllegalArgumentException with the offending fragment for
+    * anything outside the accepted shape. */
+  def parse(spark: SparkSession, sql: String): (String, Seq[Pred]) = {
+    val (table, cond) = parseShape(spark, sql)
+    (table, cond.map(splitConjuncts(_).map(toPred)).getOrElse(Nil))
+  }
+
+  /** Disjunct cap for [[parseDnf]] — mirrors the optimizer side
+    * (PredExtract.maxDisjuncts): each disjunct doubles the
+    * inclusion–exclusion probe count. */
+  val maxDisjuncts = 8
+
+  /** Like [[parse]], but the WHERE may be a bounded cross-column
+    * DISJUNCTION of conjunctions (r17): returns the DNF (no WHERE =
+    * one empty disjunct). A single-column OR of equalities still folds
+    * to ONE In-mask leaf (cheaper than two disjuncts), so
+    * `parseDnf(sql)` has exactly one disjunct whenever [[parse]]
+    * accepts the text. Expansions past [[maxDisjuncts]] reject with
+    * the offending fragment — the front-end's reject-by-name
+    * contract, where the optimizer path falls through silently. */
+  def parseDnf(spark: SparkSession, sql: String)
+      : (String, Seq[Seq[Pred]]) = {
+    val (table, cond) = parseShape(spark, sql)
+    def expand(x: Expression): Seq[Seq[Expression]] = x match {
+      case o: Or =>
+        // single-column union first: one In leaf, not two disjuncts
+        val folded =
+          try { toPred(o); true }
+          catch { case _: IllegalArgumentException => false }
+        if (folded) Seq(Seq(o))
+        else {
+          val ds = expand(o.left) ++ expand(o.right)
+          require(ds.size <= maxDisjuncts,
+            s"OR expands past $maxDisjuncts disjuncts: ${x.sql}")
+          ds
+        }
+      case And(l, r) =>
+        val ls = expand(l); val rs = expand(r)
+        require(ls.size * rs.size <= maxDisjuncts,
+          s"OR expands past $maxDisjuncts disjuncts: ${x.sql}")
+        for (a <- ls; b <- rs) yield a ++ b
+      case leaf => Seq(splitConjuncts(leaf))
+    }
+    val dnf = cond.map(expand(_).map(_.flatMap(splitConjuncts)
+      .map(toPred))).getOrElse(Seq(Nil))
+    (table, dnf)
   }
 }

@@ -148,6 +148,37 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad("UNITED\\\\%%").contains("prefix LIKE"))
   }
 
+  test("parseDnf: bounded cross-column OR; single-column OR still folds (r17)") {
+    val (_, dnf) = SqlFront.parseDnf(spark,
+      "SELECT count(*) FROM events WHERE value <= 3.0 OR user_id = 7")
+    assert(dnf == Seq(Seq(Pred("value", Op.Leq, 3.0)),
+      Seq(Pred("user_id", Op.Eq, 7L))))
+    // And distributes over Or: the shared conjunct reaches BOTH
+    val (_, dnf2) = SqlFront.parseDnf(spark, "SELECT count(*) FROM t " +
+      "WHERE (a = 1 OR b = 2) AND c >= 5")
+    assert(dnf2 == Seq(
+      Seq(Pred("a", Op.Eq, 1L), Pred("c", Op.Geq, 5L)),
+      Seq(Pred("b", Op.Eq, 2L), Pred("c", Op.Geq, 5L))))
+    // single-column OR of equalities folds to ONE In-mask disjunct
+    val (_, dnf3) = SqlFront.parseDnf(spark,
+      "SELECT count(*) FROM t WHERE a = 1 OR a = 2")
+    assert(dnf3 == Seq(Seq(Pred("a", Op.In, Seq(1L, 2L)))))
+    // BETWEEN desugars inside a disjunct
+    val (_, dnf4) = SqlFront.parseDnf(spark, "SELECT count(*) FROM t " +
+      "WHERE a BETWEEN 1 AND 3 OR b = 9")
+    assert(dnf4 == Seq(
+      Seq(Pred("a", Op.Geq, 1L), Pred("a", Op.Leq, 3L)),
+      Seq(Pred("b", Op.Eq, 9L))))
+    // no WHERE = one empty disjunct; parse/parseDnf agree on conjunctions
+    assert(SqlFront.parseDnf(spark, "SELECT count(*) FROM t")._2 ==
+      Seq(Nil))
+    // past the 8-disjunct cap: reject by name, never mis-expand
+    val e = intercept[IllegalArgumentException](SqlFront.parseDnf(spark,
+      "SELECT count(*) FROM t WHERE (a=1 OR b=2) AND (c=3 OR d=4) " +
+        "AND (e=5 OR f=6) AND (g=7 OR h=8)"))
+    assert(e.getMessage.contains("disjuncts"))
+  }
+
   test("rejects cross-column OR, functions, joins, GROUP BY, HAVING") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark, sql))

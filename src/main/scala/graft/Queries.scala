@@ -532,6 +532,33 @@ UNION ALL
 SELECT 'q3_like_two_words', CAST(count(*) AS BIGINT)
   FROM nation WHERE n_name LIKE 'UNITED%'
 ORDER BY query_id""")),
+    // SQL → learned estimate with a prefix-LIKE mask (r17): the
+    // PrefixLike mask rides through ProgressiveSampling exactly like
+    // every other domain mask — the model path needs no new code, only
+    // this gate proving it (the q_sql_front_{in,not_in}_model
+    // discipline). Exact reference from the SAME parse; q-error ≤ 2.0.
+    Entry("q_sql_front_like_model",
+      (s, d) => {
+        import s.implicits._
+        val sqlTxt = """SELECT count(*) FROM lineitem
+          WHERE l_linestatus LIKE 'F%' AND l_quantity <= 24.0"""
+        val (table, preds) = graft.query.SqlFront.parse(s, sqlTxt)
+        require(table == "lineitem", s"front-end mis-read table: $table")
+        require(preds.head.op == graft.query.Op.PrefixLike,
+          s"no PrefixLike pred: $preds")
+        val exact = math.max(li(s, d).filter(Pred.conj(preds)).count(), 1L)
+        val (model, meta) = lineitemModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        val est = math.max(ps.querySql(s, sqlTxt, Some("lineitem")), 1L)
+        val qerr = math.max(est.toDouble / exact, exact.toDouble / est)
+        Seq(("sql_front_like_model_qerror", exact, qerr <= 2.0))
+          .toDF("metric", "exact_ref", "ok")
+      },
+      Some("""SELECT 'sql_front_like_model_qerror' AS metric,
+  CAST(count(*) AS BIGINT) AS exact_ref, true AS ok
+FROM lineitem
+WHERE l_linestatus LIKE 'F%' AND l_quantity <= 24.0""")),
     // Cross-column OR through the SQL seam (r17): SqlFront.parseDnf
     // returns a bounded DNF and CardEst.queryDnf answers it by
     // inclusion–exclusion over the estimator's own per-conjunction
@@ -7878,36 +7905,46 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
         val slotOf = metas(c).domain.zipWithIndex.toMap
         c -> rows.map(r => slotOf(r.get(i)))
     }.toMap
-    // Per-Pred mask cache: a probe grid re-issues the SAME WHERE
-    // conjuncts for every combo (only the group-Eq conjuncts vary),
-    // and a mask over a continuous column's domain is |domain|
-    // booleans — recomputing it per probe dominated the grid gates.
-    // Keyed by the Pred case class (IN lists are Seqs — value
-    // equality holds). Concurrent: registrations outlive the single-
-    // threaded gate context (GraftRuntime is process-wide), so
-    // concurrent queries must not corrupt the map (ADVICE r16).
-    private val maskCache =
-      new java.util.concurrent.ConcurrentHashMap[Pred, Array[Boolean]]()
+    private val nWords = (rows.length + 63) >>> 6
+    // Per-Pred ROW-BITMAP cache (r17): a probe grid re-issues the same
+    // predicates across combos and queries (the WHERE conjuncts are
+    // shared by every combo; each group-Eq appears once per domain
+    // value), so each distinct Pred's qualifying-row set is
+    // materialized ONCE as a bitset (one O(rows) pass through its
+    // domain mask) and every probe is then an AND + popcount over
+    // rows/64 words — ~100× less work than the r16 per-probe
+    // O(rows × preds) slot scan, which at sf0.1 made the 30-query grid
+    // gate re-pay ~1B row checks. Mask semantics are unchanged
+    // (bitmaps are built FROM Pred.domainMask). Concurrent:
+    // registrations outlive the single-threaded gate context
+    // (GraftRuntime is process-wide), so the cache must not corrupt
+    // under concurrent queries (ADVICE r16).
+    private val bitCache =
+      new java.util.concurrent.ConcurrentHashMap[Pred, Array[Long]]()
+    private def bitmap(p: Pred): Array[Long] =
+      bitCache.computeIfAbsent(p, { pp =>
+        val mask = pp.domainMask(metas(pp.col))
+        val slot = slots(pp.col)
+        val words = new Array[Long](nWords)
+        var i = 0
+        while (i < slot.length) {
+          if (mask(slot(i))) words(i >>> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        words
+      })
     def count(preds: Seq[Pred]): Long = {
-      val byCol = preds.groupBy(_.col).toSeq.map { case (c, ps) =>
-        val meta = metas(c)
-        val mask = ps.map(p =>
-          maskCache.computeIfAbsent(p, _.domainMask(meta))).reduce {
-          (a, b) => Array.tabulate(a.length)(i => a(i) && b(i))
-        }
-        (slots(c), mask)
-      }
+      if (preds.isEmpty) return rows.length.toLong
+      val bms = preds.map(bitmap)
+      val first = bms.head
       var n = 0L
-      var i = 0
-      while (i < rows.length) {
-        var ok = true
-        var j = 0
-        while (ok && j < byCol.length) {
-          ok = byCol(j)._2(byCol(j)._1(i))
-          j += 1
-        }
-        if (ok) n += 1
-        i += 1
+      var w = 0
+      while (w < nWords) {
+        var acc = first(w)
+        var j = 1
+        while (j < bms.size && acc != 0L) { acc &= bms(j)(w); j += 1 }
+        n += java.lang.Long.bitCount(acc)
+        w += 1
       }
       n
     }

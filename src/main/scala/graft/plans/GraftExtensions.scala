@@ -401,29 +401,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * None on Long overflow in the signed sum (falls through to the
     * exact plan); a negative learned total clamps to 0. */
   private def estimateDnf(reg: GraftRuntime.Registered,
-      disjuncts: Seq[Seq[Pred]]): Option[Long] = {
-    if (disjuncts.size == 1) Some(reg.estimate(disjuncts.head))
-    else try {
-      val k = disjuncts.size
-      var acc = 0L
-      var s = 1
-      while (s < (1 << k)) {
-        val conj = Seq.newBuilder[Pred]
-        var bits = 0
-        var i = 0
-        while (i < k) {
-          if ((s & (1 << i)) != 0) { conj ++= disjuncts(i); bits += 1 }
-          i += 1
-        }
-        val term = reg.estimate(conj.result())
-        acc =
-          if (bits % 2 == 1) Math.addExact(acc, term)
-          else Math.subtractExact(acc, term)
-        s += 1
-      }
-      Some(math.max(acc, 0L))
-    } catch { case _: ArithmeticException => None }
-  }
+      disjuncts: Seq[Seq[Pred]]): Option[Long] =
+    PredExtract.estimateDnf(reg.estimate, disjuncts)
 
   /** The single-column value aggregates the probe vector can answer. */
   private def valueAggColumn(
@@ -1189,16 +1168,27 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // one. Makes the rewrite converge on the second pass.
       case StatsAnnotated(inner: StatsAnnotated, _, _, _) => inner
       case f @ Filter(cond, child) =>
+        // The condition parses as a bounded DNF (r17): an OR filter's
+        // row count comes from inclusion–exclusion over the same
+        // estimates, so learned stats steer broadcast/shuffle and join
+        // order for disjunctive predicates too. Per-key ColumnStats
+        // are conjunction-shaped and are injected only on the
+        // single-disjunct (pure conjunction) path.
         (PredExtract.relationPaths(child),
-            PredExtract.parseConjunction(cond, strictNotNull = false)) match {
-          case (Some(paths), Some(preds)) =>
+            PredExtract.parseDnf(cond, strictNotNull = false)) match {
+          case (Some(paths), Some(disjuncts)) =>
             GraftRuntime.lookup(paths) match {
-              case Some(reg)
-                  if preds.forall(p => reg.columns.contains(p.col)) =>
+              case Some(reg) if disjuncts.forall(
+                  _.forall(p => reg.columns.contains(p.col))) =>
+                val preds =
+                  if (disjuncts.size == 1) disjuncts.head else Nil
                 ApproxCountRule.inEstimate.set(true)
-                val est =
-                  try reg.estimate(preds)
+                val estOpt =
+                  try PredExtract.estimateDnf(reg.estimate, disjuncts)
                   finally ApproxCountRule.inEstimate.set(false)
+                estOpt match {
+                  case None => f // I-E overflow: leave the plan alone
+                  case Some(est) =>
                 val rowBytes =
                   8L + f.output.map(_.dataType.defaultSize.toLong).sum
                 // Learned per-key ColumnStats for whichever output
@@ -1216,7 +1206,12 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 // overstating matchable rows (ADVICE r15). min/max
                 // arrive as external JVM values and convert to Catalyst
                 // internal form here (Timestamp → µs long, etc.).
-                val colStats = f.output.flatMap { a =>
+                // Per-key stats are CONJUNCTION-shaped: under a real
+                // disjunction (preds = Nil) an unconditioned ndv is an
+                // upper bound that, paired with the I-E row count,
+                // could UNDERestimate a join — inject none instead.
+                val colStats = if (disjuncts.size > 1) Nil
+                else f.output.flatMap { a =>
                   reg.keyStats(a.name, preds).map { ks =>
                     val nulls = ks.nullCount
                       .map(BigInt(_))
@@ -1242,6 +1237,7 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
                 StatsAnnotated(f, BigInt(est), BigInt(est) * rowBytes,
                   colStats)
+                }
               case _ => f
             }
           case _ => f
@@ -1382,6 +1378,38 @@ private[plans] object PredExtract {
         if (ds.forall(_.nonEmpty)) Some(ds) else None
       }
     }
+  }
+
+  /** COUNT over a union of disjuncts by inclusion–exclusion, shared by
+    * both optimizer rules: |⋃Dᵢ| = Σ_{∅≠S}(−1)^(|S|+1)·est(⋀_{i∈S}Dᵢ),
+    * where a conjunction of disjuncts is pred-list concatenation.
+    * Exact for exact estimators (set identity); learned ones inherit
+    * per-term fidelity (negative totals clamp to 0). 2^k − 1 terms,
+    * k ≤ [[maxDisjuncts]]. None on Long overflow in the signed sum.
+    * Callers hold the re-entrancy guard. */
+  def estimateDnf(est: Seq[Pred] => Long,
+      disjuncts: Seq[Seq[Pred]]): Option[Long] = {
+    if (disjuncts.size == 1) Some(est(disjuncts.head))
+    else try {
+      val k = disjuncts.size
+      var acc = 0L
+      var s = 1
+      while (s < (1 << k)) {
+        val conj = Seq.newBuilder[Pred]
+        var bits = 0
+        var i = 0
+        while (i < k) {
+          if ((s & (1 << i)) != 0) { conj ++= disjuncts(i); bits += 1 }
+          i += 1
+        }
+        val term = est(conj.result())
+        acc =
+          if (bits % 2 == 1) Math.addExact(acc, term)
+          else Math.subtractExact(acc, term)
+        s += 1
+      }
+      Some(math.max(acc, 0L))
+    } catch { case _: ArithmeticException => None }
   }
 
   /** One vocabulary leaf -> Some(Some(pred)) parsed, Some(None)

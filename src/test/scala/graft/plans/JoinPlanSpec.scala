@@ -179,4 +179,38 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(smj && !bhj)
     } finally spark.conf.set(EstimatedStatsRule.EnabledKey, "false")
   }
+
+  test("OR filter: the I-E estimate steers the broadcast decision (r17)") {
+    import graft.query.Pred
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    def orJoin() = {
+      val facts = spark.read.parquet(factsPath)
+        .filter(col("a") <= 1 || col("a") >= 999)
+      val dims = spark.read.parquet(dimsPath)
+      facts.join(dims, facts("k") === dims("dk"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }
+    val (bhj0, smj0) = joinNodes(orJoin().queryExecution.executedPlan)
+    assert(smj0 && !bhj0, "baseline should shuffle (file-size stats)")
+    val baseline = orJoin().collect().map(_.toSeq).toSet
+    // record the I-E probes: a 2-way OR must cost A, B, and A AND B
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Seq[Pred]]
+    val saved = GraftRuntime.snapshot()
+    GraftRuntime.register("statsinj_facts", Set("a"),
+      preds => { probes += preds; if (preds.size <= 1) 30L else 10L })
+    spark.conf.set(EstimatedStatsRule.EnabledKey, "true")
+    try {
+      val df = orJoin()
+      val (bhj1, smj1) = joinNodes(df.queryExecution.executedPlan)
+      assert(bhj1 && !smj1,
+        "the 30+30-10=50-row I-E estimate should broadcast the filter")
+      assert(probes.exists(_.size == 2),
+        s"the A AND B correction term was never probed: $probes")
+      assert(df.collect().map(_.toSeq).toSet == baseline,
+        "stats injection changed query results")
+    } finally {
+      spark.conf.set(EstimatedStatsRule.EnabledKey, "false")
+      GraftRuntime.restore(saved)
+    }
+  }
 }

@@ -1633,11 +1633,14 @@ ORDER BY query_id""")),
     // (region–nation–customer: 5×25 grid) with side predicates from
     // the extended vocabulary; s2 is a 3-table STAR sharing the nation
     // key (the two edges' equality masks AND on nation, so only the
-    // diagonal survives — 625 combos, exact); s3 pins the COMPOSITE-
-    // key conservative fall-through (an AND join condition must NOT
-    // rewrite; its scan answer still hash-matches); s4 pins the edge-
-    // grid budget fall-through (a 4-table chain whose grid exceeds
-    // maxGroupProbes).
+    // diagonal survives — 625 combos, exact); s3 pins the
+    // inferred-column-equality fall-through (a shared-column composite
+    // makes InferFiltersFromConstraints push a col=col conjunct into
+    // one side — outside the vocabulary, fails closed; the
+    // distinct-column composite gate is q_approx_join_composite);
+    // s3b pins the NON-EQUI residual fall-through (its scan answer
+    // still hash-matches); s4 pins the edge-grid budget fall-through
+    // (a 4-table chain whose grid exceeds maxGroupProbes).
     Entry("q_approx_star_count",
       (s, d) => {
         import s.implicits._
@@ -1705,10 +1708,23 @@ ORDER BY query_id""")),
               "JOIN graft_aqp_star_customer c " +
               "ON c.c_nationkey = n.n_nationkey " +
               "WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')", true),
-            ("s3_composite_falls_through", "SELECT count(*) AS n FROM " +
-              "graft_aqp_star_customer c JOIN graft_aqp_star_nation n " +
+            // composite keys over DISTINCT columns rewrite since the
+            // r17 edge generalization (q_approx_join_composite); this
+            // SHARED-column composite stays a fall-through for a
+            // subtler reason: InferFiltersFromConstraints derives the
+            // transitive n_nationkey = n_regionkey and pushes it into
+            // the nation side as a column-to-COLUMN conjunct, which
+            // the mask vocabulary cannot express — the leaf parse
+            // fails closed (the scan answer still hash-matches).
+            ("s3_inferred_coleq_falls_through", "SELECT count(*) AS n " +
+              "FROM graft_aqp_star_customer c " +
+              "JOIN graft_aqp_star_nation n " +
               "ON c.c_nationkey = n.n_nationkey " +
               "AND c.c_nationkey = n.n_regionkey", false),
+            ("s3b_nonequi_falls_through", "SELECT count(*) AS n FROM " +
+              "graft_aqp_star_customer c JOIN graft_aqp_star_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "AND c.c_acctbal > n.n_regionkey", false),
             ("s4_grid_cap_falls_through", "SELECT count(*) AS n FROM " +
               "graft_aqp_star_supplier s " +
               "JOIN graft_aqp_star_nation n " +
@@ -1749,15 +1765,106 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
 UNION ALL
-SELECT 's3_composite_falls_through', CAST(count(*) AS BIGINT)
+SELECT 's3_inferred_coleq_falls_through', CAST(count(*) AS BIGINT)
 FROM customer c JOIN nation n
 ON c.c_nationkey = n.n_nationkey AND c.c_nationkey = n.n_regionkey
+UNION ALL
+SELECT 's3b_nonequi_falls_through', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n
+ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > n.n_regionkey
 UNION ALL
 SELECT 's4_grid_cap_falls_through', CAST(count(*) AS BIGINT)
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
+ORDER BY query_id""")),
+    // COMPOSITE-key join counts (r17): an AND of equalities in one
+    // join condition contributes one edge PER equality — the
+    // factorization grid runs over both key domains and a probe
+    // carries both Eq conjuncts, so absent (k1,k2) combinations count
+    // 0 and the sum is exact. Both sides here carry genuinely distinct
+    // two-column keys (derived from events with shifted residues, so
+    // the pair distribution is non-trivial); DuckDB recomputes the
+    // identical derivation. c1 is the bare composite count; c2 pushes
+    // side predicates through. Grid 5×7 = 35 combos × 2 leaves = 70
+    // driver probes replacing a two-sided shuffle join.
+    Entry("q_approx_join_composite",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_jcomp/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            pmod(col("event_id"), lit(7)).as("k2"),
+            col("value").as("a"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id") + 2, lit(7)).as("k2"),
+            col("value").as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val dlDoms = Seq("k1", "k2").map(c => c -> dom(dl, c)).toMap
+        val drDoms = Seq("k1", "k2").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "k2", "a"))
+        val leR = new LocalExact(dr, Seq("k1", "k2", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "k2", "a"), preds => leL.count(preds),
+          name => dlDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "k2", "b"), preds => leR.count(preds),
+          name => drDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_jcomp_l")
+          dr.createOrReplaceTempView("graft_aqp_jcomp_r")
+          val texts = Seq(
+            "c1_bare" -> ("SELECT count(*) AS n FROM graft_aqp_jcomp_l l " +
+              "JOIN graft_aqp_jcomp_r r " +
+              "ON l.k1 = r.k1 AND l.k2 = r.k2"),
+            "c2_filtered" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jcomp_l l JOIN graft_aqp_jcomp_r r " +
+              "ON l.k1 = r.k1 AND l.k2 = r.k2 " +
+              "WHERE l.a <= 250.0 AND r.b >= 50.0"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"composite-key rewrite did not fire on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH base AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT event_id % 5 AS k1, event_id % 7 AS k2, value AS a
+      FROM base),
+r AS (SELECT (event_id + 1) % 5 AS k1, (event_id + 2) % 7 AS k2,
+             value AS b FROM base)
+SELECT 'c1_bare' AS query_id, CAST(count(*) AS BIGINT) AS n
+FROM l JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2
+UNION ALL
+SELECT 'c2_filtered', CAST(count(*) AS BIGINT)
+FROM l JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2
+WHERE l.a <= 250.0 AND r.b >= 50.0
 ORDER BY query_id""")),
     // Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr,
     // count(*) FROM fact JOIN dim GROUP BY d.attr` — the join

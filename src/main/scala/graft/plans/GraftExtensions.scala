@@ -867,18 +867,25 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Flatten a tree of INNER joins, each on a single-attribute
-    * equality, whose leaves are all (optionally Filter-ed) registered
-    * scans with the key domains supplied. Everything else — outer
-    * joins, composite keys (an AND in a join condition), non-equi or
-    * cross-side residual conditions, an unregistered leaf — returns
-    * None: the conservative fall-through the 2-table rewrite always
-    * had, now spec-pinned for the N-table shapes too. Note a Filter
-    * ABOVE a join never reaches here: single-side conjuncts are pushed
-    * into the sides by PushPredicateThroughJoin long before this
-    * last-batch rule runs, so a remaining one is cross-side by
-    * construction and the caller's scan-match simply fails. */
+  /** Flatten a tree of INNER joins, each on attribute equalities (a
+    * composite key — an AND of equalities in one join condition —
+    * contributes one edge per equality; the factorization grid over
+    * both keys' domains is exact, since a probe carries BOTH Eq
+    * conjuncts and absent combinations count 0), whose leaves are all
+    * (optionally Filter-ed) registered scans with the key domains
+    * supplied. Everything else — outer joins, non-equi or cross-side
+    * residual conditions, an unregistered leaf — returns None: the
+    * conservative fall-through the 2-table rewrite always had,
+    * spec-pinned for the N-table shapes too. Note a Filter ABOVE a
+    * join never reaches here: single-side conjuncts are pushed into
+    * the sides by PushPredicateThroughJoin long before this last-batch
+    * rule runs, so a remaining one is cross-side by construction and
+    * the caller's scan-match simply fails. */
   private def flattenJoinTree(root: Join): Option[JoinSpec] = {
+    def splitAnd(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
     def walk(p: LogicalPlan): Option[
         (Seq[LogicalPlan], Seq[(AttributeReference, AttributeReference)])] =
       stripProjects(p) match {
@@ -887,12 +894,16 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else for {
             (ll, le) <- walk(jn.left)
             (rl, re) <- walk(jn.right)
-            eq <- jn.condition match {
-              case Some(EqualTo(a: AttributeReference,
-                  b: AttributeReference)) => Some((a, b))
-              case _ => None
+            eqs <- jn.condition.flatMap { c =>
+              val parts = splitAnd(c).map {
+                case EqualTo(a: AttributeReference,
+                    b: AttributeReference) => Some((a, b))
+                case _ => None
+              }
+              if (parts.isEmpty || parts.exists(_.isEmpty)) None
+              else Some(parts.map(_.get))
             }
-          } yield (ll ++ rl, (le ++ re) :+ eq)
+          } yield (ll ++ rl, le ++ re ++ eqs)
         case other => Some((Seq(other), Nil))
       }
     def leaf(p: LogicalPlan): Option[JoinLeaf] = {

@@ -1546,22 +1546,8 @@ ORDER BY query_id""")),
     Entry("q_approx_join_count_bounds",
       (s, d) => {
         import s.implicits._
-        val cols = Seq("c_mktsegment", "c_nationkey")
         val cust = s.read.parquet(s"$d/customer.parquet")
-        val cdf = cust.select(cols.map(col): _*)
-        val meta = Dictionary.tableMeta(cdf, "customer", cols)
-        val data = Trainer.collectEncoded(cdf, meta.columns)
-        val model = new Made(
-          nin = cols.length,
-          hiddenSizes = Seq(64, 64),
-          inputBins = meta.columns.map(_.distributionSize).toArray,
-          inputEncoding = "one_hot",
-          residual = true,
-          doDirectIo = true,
-          columnMasking = true,
-          seed = 20260816L)
-        Trainer.train(model, data, epochs = 8, batchSize = 512,
-          schedule = Trainer.ConstantLr(2e-3f), seed = 1L)
+        val (model, meta) = customerModel(s, d)
         val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
           shortcircuit = true)
         graft.plans.ApproxCountRule.attachIfMissing(s)
@@ -1586,7 +1572,8 @@ ORDER BY query_id""")),
           qid -> s.sql(sql).collect()(0).getLong(0)
         }.toMap
         graft.plans.GraftRuntime.registerWithDomain(
-          s"$d/customer.parquet", cols.toSet, ps.query,
+          s"$d/customer.parquet", Set("c_mktsegment", "c_nationkey"),
+          ps.query,
           name => if (name == "c_nationkey")
             Some(meta.column("c_nationkey").domain.toSeq) else None)
         graft.plans.GraftRuntime.registerWithDomain(
@@ -2087,6 +2074,85 @@ SELECT 'e5_whitelist_falls_through', upper(o_orderstatus),
   CAST(count(*) AS BIGINT)
 FROM orders GROUP BY upper(o_orderstatus)
 ORDER BY query_id, grp""")),
+    // Guarantee-gate twin of q_approx_join_groupby (r17): the grouped
+    // join factorization with a LEARNED model on the fact side — the
+    // shared customer MADE composes with an exact nation registration
+    // through the same per-group Σ n_C(k=v ∧ …)·n_N(k=v ∧ grp) engine.
+    // Exact per-group references computed BEFORE the rewrite is
+    // enabled; gate = per-group q-error ≤ 2.0 inside the oracle hash.
+    // Unfiltered on purpose: region groups are ~30 customers even at
+    // sf0.001, where the band is meaningful — a segment-filtered
+    // grouping there is ~6 rows/group, inside a 1000-sample
+    // estimator's noise floor (the FILTERED learned composition is
+    // q_approx_join_count_bounds' b1).
+    Entry("q_approx_join_groupby_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = customerModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey"))
+        val nkDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val nrDom = Dictionary.columnMeta(
+          nat.select("n_regionkey"), "n_regionkey").domain.toSeq
+        cust.createOrReplaceTempView("graft_aqp_jgb_customer")
+        nat.createOrReplaceTempView("graft_aqp_jgb_nation")
+        val sqlTxt = "SELECT n.n_regionkey AS grp, count(*) AS n FROM " +
+          "graft_aqp_jgb_customer c JOIN graft_aqp_jgb_nation n " +
+          "ON c.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey"
+        val exact: Map[Any, Long] = s.sql(sqlTxt).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", Set("c_mktsegment", "c_nationkey"),
+          ps.query,
+          name => if (name == "c_nationkey")
+            Some(meta.column("c_nationkey").domain.toSeq) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_nationkey", "n_regionkey"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nkDom)
+            else if (name == "n_regionkey") Some(nrDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val df = s.sql(sqlTxt)
+          val plan = df.queryExecution.optimizedPlan.toString
+          require(plan.trim.startsWith("LocalRelation"),
+            s"learned grouped-join rewrite did not fire; plan:\n$plan")
+          val rows = df.collect().map { r =>
+            val grp = r.get(0)
+            val est = math.max(r.getLong(1), 1L)
+            val ex = exact.getOrElse(grp, 0L)
+            val qerr =
+              if (ex <= 0L) Double.MaxValue
+              else math.max(est.toDouble / ex, ex.toDouble / est)
+            (grp.toString, ex, qerr <= 2.0)
+          }.toSeq
+          // every exact group must be present (a learned zero would
+          // silently drop a group — that is a failure, not a miss)
+          require(rows.size == exact.size,
+            s"group census mismatch: got ${rows.size}, want ${exact.size}")
+          rows.toDF("grp", "exact_n", "ok").orderBy("grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT CAST(n.n_regionkey AS VARCHAR) AS grp,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+ORDER BY grp""")),
     // HAVING through the probe grid (r16 session 4): zero new rule
     // code — the analyzer plans HAVING as a Filter over the Aggregate
     // (plus a Project when the HAVING references aggregates not in the
@@ -8240,6 +8306,36 @@ ORDER BY query_id, grp, metric"""
   /** Train-once-per-sfDir cache so Verify/Bench don't retrain per entry. */
   private val modelCache =
     scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
+
+  /** Customer-side MADE over (c_mktsegment, c_nationkey), shared by
+    * the learned join gates (q_approx_join_count_bounds trained it
+    * per-entry through r16; the grouped twin would have re-trained the
+    * identical model). */
+  private val customerModelCache =
+    scala.collection.mutable.Map.empty[String, (Made, TableMeta)]
+
+  def customerModel(s: SparkSession, d: String): (Made, TableMeta) =
+    customerModelCache.synchronized {
+      customerModelCache.getOrElseUpdate(d, {
+        val cols = Seq("c_mktsegment", "c_nationkey")
+        val cdf = s.read.parquet(s"$d/customer.parquet")
+          .select(cols.map(col): _*)
+        val meta = Dictionary.tableMeta(cdf, "customer", cols)
+        val data = Trainer.collectEncoded(cdf, meta.columns)
+        val model = new Made(
+          nin = cols.length,
+          hiddenSizes = Seq(64, 64),
+          inputBins = meta.columns.map(_.distributionSize).toArray,
+          inputEncoding = "one_hot",
+          residual = true,
+          doDirectIo = true,
+          columnMasking = true,
+          seed = 20260816L)
+        Trainer.train(model, data, epochs = 8, batchSize = 512,
+          schedule = Trainer.ConstantLr(2e-3f), seed = 1L)
+        (model, meta)
+      })
+    }
 
   /** ResMADE over the lineitem subset, trained deterministically:
     * dictionary + encode + entropy on the cluster, minibatch loop on the

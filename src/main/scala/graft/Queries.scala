@@ -8152,7 +8152,7 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
       case 1 => s"g2 <= ${rng.nextInt(4)}"
       case 2 => "w IS NOT NULL"
     }
-    def whereConj(): String = rng.nextInt(7) match {
+    def whereConj(): String = rng.nextInt(8) match {
       case 0 => s"v <= ${pick(Seq(30, 60, 120, 200, 300, 400))}.0"
       case 1 =>
         val vs = rng.shuffle(types).take(1 + rng.nextInt(3)).sorted
@@ -8164,6 +8164,9 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
         val vs = rng.shuffle(wVals).take(1 + rng.nextInt(3)).sorted
         s"w NOT IN (${vs.mkString(", ")})"
       case 6 => s"w <= ${pick(wVals)}"
+      // r17: prefix LIKE through the grid (the StartsWith extraction
+      // path); prefixes are type-name prefixes so selectivity varies
+      case 7 => s"g1 LIKE '${pick(types).take(1 + rng.nextInt(3))}%'"
     }
     (1 to 30).map { i =>
       val keys = rng.nextInt(10) match {

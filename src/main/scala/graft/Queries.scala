@@ -795,6 +795,179 @@ SELECT 'o5_cap_falls_through', CAST(count(*) AS BIGINT) FROM lineitem
     AND (l_tax <= 0.04 OR l_quantity >= 10.0)
     AND (l_returnflag = 'A' OR l_discount <= 0.08)
 ORDER BY query_id""")),
+    // OR through EVERY single-table rewrite shape (r17, second pass):
+    // the probe function under a disjunctive WHERE distributes extra
+    // conjuncts (group masks, domain-value probes, FILTER folds) into
+    // every disjunct and answers the union by I–E — so GROUP BY,
+    // count(c), count(DISTINCT c), sum/avg/min/max, and the grid all
+    // accept cross-column OR. go1 pins the grouped count; go2 a
+    // grouped sum+count over a null-bearing value column; go3
+    // count(DISTINCT) under OR; go4 avg under an OR mixing a prefix
+    // LIKE. Probe budgets multiply by the 2^k−1 term count
+    // (spec-level caps unchanged). Exact registration → lossless,
+    // DuckDB runs the identical texts over the identical derivation.
+    Entry("q_approx_groupby_or",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val (dir, ev, doms, le) = gridWorkloadData(s, d)
+        graft.plans.GraftRuntime.registerWithDomain(dir,
+          Set("g1", "g2", "w", "v"),
+          preds => le.count(preds),
+          name => doms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          ev.createOrReplaceTempView("graft_aqp_gbo_events")
+          // (qid, sql, group col count, metric names)
+          val texts = Seq(
+            ("go1_grouped_count", "SELECT g1, count(*) AS n FROM " +
+              "graft_aqp_gbo_events WHERE g2 <= 1 OR w >= 10.0 " +
+              "GROUP BY g1", 1, Seq("n")),
+            ("go2_grouped_sum", "SELECT g2, sum(w) AS sw, " +
+              "count(*) AS n FROM graft_aqp_gbo_events " +
+              "WHERE g1 = 'click' OR w IS NULL GROUP BY g2",
+              1, Seq("sw", "n")),
+            ("go3_count_distinct", "SELECT count(DISTINCT w) AS dw " +
+              "FROM graft_aqp_gbo_events WHERE g1 = 'error' OR g2 = 3",
+              0, Seq("dw")),
+            ("go4_avg_like", "SELECT avg(w) AS aw FROM " +
+              "graft_aqp_gbo_events WHERE g1 LIKE 'c%' OR v <= 100.0",
+              0, Seq("aw")))
+          val rows = texts.flatMap { case (qid, sql, nKeys, metrics) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"OR rewrite did not fire on $qid; plan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp =
+                if (nKeys == 0) ""
+                else if (r.isNullAt(0)) "<NULL>"
+                else r.get(0).toString
+              metrics.zipWithIndex.map { case (m, j) =>
+                val idx = nKeys + j
+                val x: Option[Double] =
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH ev AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS g1,
+         event_id % 5 AS g2,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 13 AS DOUBLE) END AS w,
+         value AS v
+  FROM events),
+go1 AS (SELECT g1, count(*) AS n FROM ev
+        WHERE g2 <= 1 OR w >= 10.0 GROUP BY g1),
+go2 AS (SELECT g2, sum(w) AS sw, count(*) AS n FROM ev
+        WHERE g1 = 'click' OR w IS NULL GROUP BY g2)
+SELECT * FROM (
+  SELECT 'go1_grouped_count' AS query_id,
+    coalesce(g1, '<NULL>') AS grp, 'n' AS metric,
+    CAST(n AS DOUBLE) AS x FROM go1
+  UNION ALL SELECT 'go2_grouped_sum', CAST(g2 AS VARCHAR), 'sw',
+    CAST(sw AS DOUBLE) FROM go2
+  UNION ALL SELECT 'go2_grouped_sum', CAST(g2 AS VARCHAR), 'n',
+    CAST(n AS DOUBLE) FROM go2
+  UNION ALL SELECT 'go3_count_distinct', '', 'dw',
+    CAST(count(DISTINCT w) AS DOUBLE) FROM ev
+    WHERE g1 = 'error' OR g2 = 3
+  UNION ALL SELECT 'go4_avg_like', '', 'aw',
+    CAST(sum(w) AS DOUBLE) / count(w) FROM ev
+    WHERE g1 LIKE 'c%' OR v <= 100.0)
+ORDER BY query_id, grp, metric""")),
+    // OR pushed into a JOIN side (r17, second pass): a single-side
+    // disjunction reaches the leaf as a pushed-down Filter; the leaf's
+    // probe function runs the same I–E, composing with the edge-grid
+    // factorization. jo1 is a dim-side OR; jo2 a fact-side OR mixing
+    // IN; both require the scan-free plan, DuckDB runs the identical
+    // texts.
+    Entry("q_approx_join_or",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_jo_customer")
+          nat.createOrReplaceTempView("graft_aqp_jo_nation")
+          val texts = Seq(
+            "jo1_dim_or" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jo_customer c JOIN graft_aqp_jo_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE n.n_regionkey <= 1 OR n.n_name = 'JAPAN'"),
+            "jo2_fact_or" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_jo_customer c JOIN graft_aqp_jo_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE') " +
+              "OR c.c_acctbal <= 1000.0"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"join-side OR rewrite did not fire on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'jo1_dim_or' AS query_id,
+  CAST(count(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey <= 1 OR n.n_name = 'JAPAN'
+UNION ALL
+SELECT 'jo2_fact_or', CAST(count(*) AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  OR c.c_acctbal <= 1000.0
+ORDER BY query_id""")),
     // Guarantee-gate twin of q_approx_count_or: inclusion–exclusion
     // with a LEARNED model supplying every term (the
     // q_approx_count_bounds discipline — exact references computed

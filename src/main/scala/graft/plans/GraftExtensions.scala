@@ -264,35 +264,33 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(
               Count(Seq(c: AttributeReference)), _, distinct, filt, _), _)),
           child, _) =>
-        val (predsOpt0, scanChild) = stripProjects(child) match {
-          case Filter(cond, gc) => (parseConjunction(cond), gc)
-          case other => (Some(Nil: Seq[Pred]), other)
-        }
-        val predsOpt = foldFilterClause(predsOpt0, filt)
-        (relationPaths(scanChild), predsOpt) match {
-          case (Some(paths), Some(preds)) =>
+        val (dnfOpt0, scanChild) = parseWhereDnf(child)
+        val dnfOpt = foldFilterDnf(dnfOpt0, filt)
+        (relationPaths(scanChild), dnfOpt) match {
+          case (Some(paths), Some(dnf)) =>
             GraftRuntime.lookup(paths) match {
               case Some(reg)
-                  if preds.forall(p => reg.columns.contains(p.col)) &&
+                  if dnf.forall(_.forall(p =>
+                    reg.columns.contains(p.col))) &&
                     reg.columns.contains(c.name) =>
-                if (!distinct) {
-                  ApproxCountRule.inEstimate.set(true)
-                  val est =
-                    try reg.estimate(preds :+ Pred(c.name, Op.NotNull, null))
-                    finally ApproxCountRule.inEstimate.set(false)
-                  LocalRelation(Seq(alias.toAttribute), Seq(InternalRow(est)))
-                } else domainOf(reg, c.name) match {
-                  case Some(dom) if dom.nonEmpty &&
-                      dom.size <= maxGroupProbes =>
-                    ApproxCountRule.inEstimate.set(true)
-                    val ndv =
-                      try dom.count(v => v != null &&
-                        reg.estimate(preds :+ Pred(c.name, Op.Eq, v)) > 0L)
-                      finally ApproxCountRule.inEstimate.set(false)
+                val est = dnfEstFn(reg, dnf)
+                try {
+                  if (!distinct) {
+                    val n = probed(
+                      est(Seq(Pred(c.name, Op.NotNull, null))))
                     LocalRelation(Seq(alias.toAttribute),
-                      Seq(InternalRow(ndv.toLong)))
-                  case _ => agg
-                }
+                      Seq(InternalRow(n)))
+                  } else domainOf(reg, c.name) match {
+                    case Some(dom) if dom.nonEmpty &&
+                        dom.size <= maxGroupProbes &&
+                        dom.size * dnfTerms(dnf) <= maxTotalProbes =>
+                      val ndv = probed(dom.count(v => v != null &&
+                        est(Seq(Pred(c.name, Op.Eq, v))) > 0L))
+                      LocalRelation(Seq(alias.toAttribute),
+                        Seq(InternalRow(ndv.toLong)))
+                    case _ => agg
+                  }
+                } catch { case _: ArithmeticException => agg }
               case _ => agg
             }
           case _ => agg
@@ -322,25 +320,25 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(fn, _, distinct, filt, _), _)), child, _)
           if valueAggColumn(fn).isDefined =>
         val c = valueAggColumn(fn).get
-        val (predsOpt0, scanChild) = stripProjects(child) match {
-          case Filter(cond, gc) => (parseConjunction(cond), gc)
-          case other => (Some(Nil: Seq[Pred]), other)
-        }
-        val predsOpt = foldFilterClause(predsOpt0, filt)
-        (relationPaths(scanChild), predsOpt) match {
-          case (Some(paths), Some(preds)) =>
+        val (dnfOpt0, scanChild) = parseWhereDnf(child)
+        val dnfOpt = foldFilterDnf(dnfOpt0, filt)
+        (relationPaths(scanChild), dnfOpt) match {
+          case (Some(paths), Some(dnf)) =>
             GraftRuntime.lookup(paths) match {
               case Some(reg)
-                  if preds.forall(p => reg.columns.contains(p.col)) &&
+                  if dnf.forall(_.forall(p =>
+                    reg.columns.contains(p.col))) &&
                     reg.columns.contains(c.name) =>
                 domainOf(reg, c.name) match {
                   case Some(dom) if dom.nonEmpty &&
-                      dom.size <= maxGroupProbes =>
-                    foldValueAgg(fn, distinct, alias.dataType, c, reg,
-                        preds, dom)
+                      dom.size <= maxGroupProbes &&
+                      dom.size * dnfTerms(dnf) <= maxTotalProbes =>
+                    try foldValueAgg(fn, distinct, alias.dataType, c,
+                        dnfEstFn(reg, dnf), Nil, dom)
                       .map(v => LocalRelation(Seq(alias.toAttribute),
                         Seq(InternalRow(v))))
                       .getOrElse(agg)
+                    catch { case _: ArithmeticException => agg }
                   case _ => agg
                 }
               case _ => agg
@@ -373,6 +371,47 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def stripProjects(plan: LogicalPlan) = PredExtract.stripProjects(plan)
   private def relationPaths(plan: LogicalPlan) = PredExtract.relationPaths(plan)
   private def parseConjunction(e: Expression) = PredExtract.parseConjunction(e)
+
+  /** A plan fragment's WHERE as the bounded DNF plus the scan child
+    * underneath; no Filter = one empty disjunct (the whole table). */
+  private def parseWhereDnf(p: LogicalPlan)
+      : (Option[Seq[Seq[Pred]]], LogicalPlan) = stripProjects(p) match {
+    case Filter(cond, gc) => (PredExtract.parseDnf(cond), gc)
+    case other => (Some(Seq(Nil: Seq[Pred])), other)
+  }
+
+  /** An aggregate FILTER clause (a conjunction) folds into EVERY
+    * disjunct: (⋃Dᵢ) ∧ F = ⋃(Dᵢ ∧ F). None (blocking the rewrite)
+    * when the clause does not parse — see [[foldFilterClause]]. */
+  private def foldFilterDnf(dnf: Option[Seq[Seq[Pred]]],
+      filt: Option[Expression]): Option[Seq[Seq[Pred]]] =
+    (dnf, filt) match {
+      case (Some(ds), Some(f)) =>
+        parseConjunction(f).map(fp => ds.map(_ ++ fp))
+      case (ds, None) => ds
+      case _ => None
+    }
+
+  /** Estimator calls one probe costs under a DNF WHERE (the I–E term
+    * count) — multiplies into every probe budget. */
+  private def dnfTerms(dnf: Seq[Seq[Pred]]): Long =
+    if (dnf.size <= 1) 1L else (1L << dnf.size) - 1L
+
+  /** The probe function under a (possibly disjunctive) WHERE (r17):
+    * extra conjuncts — group masks, domain-value probes, FILTER-clause
+    * folds — distribute into every disjunct, and the union is answered
+    * by inclusion–exclusion. The conjunction-only case stays a single
+    * direct estimate. Long overflow in the signed I–E sum THROWS
+    * ArithmeticException; every caller catches it and falls through to
+    * the exact plan. */
+  private def dnfEstFn(reg: GraftRuntime.Registered,
+      dnf: Seq[Seq[Pred]]): Seq[Pred] => Long =
+    if (dnf.size == 1) { val base = dnf.head
+      extra => reg.estimate(base ++ extra)
+    } else { extra =>
+      PredExtract.estimateDnf(reg.estimate, dnf.map(_ ++ extra))
+        .getOrElse(throw new ArithmeticException("I-E overflow"))
+    }
 
   /** `agg(x) FILTER (WHERE f)` over conj ≡ `agg(x)` over conj ∧ f —
     * the clause folds into the conjunction when it parses in the mask
@@ -442,9 +481,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * (Dictionary.columnMeta's output order). */
   private def foldValueAgg(fn: AggregateFunction, distinct: Boolean,
       resultType: org.apache.spark.sql.types.DataType,
-      c: AttributeReference, reg: GraftRuntime.Registered,
-      preds: Seq[Pred], dom: Seq[Any]): Option[Any] = {
-    def probe(v: Any): Long = reg.estimate(preds :+ Pred(c.name, Op.Eq, v))
+      c: AttributeReference, est: Seq[Pred] => Long,
+      extra: Seq[Pred], dom: Seq[Any]): Option[Any] = {
+    def probe(v: Any): Long = est(extra :+ Pred(c.name, Op.Eq, v))
     val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(c.dataType)
     probed {
@@ -710,16 +749,16 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
     }
-    val (predsOpt, scanChild) = stripped match {
-      case Filter(cond, gc) => (parseConjunction(cond), gc)
-      case other => (Some(Nil: Seq[Pred]), other)
+    val (dnfOpt, scanChild) = stripped match {
+      case Filter(cond, gc) => (PredExtract.parseDnf(cond), gc)
+      case other => (Some(Seq(Nil: Seq[Pred])), other)
     }
     for {
       keys <- keysOpt
       paths <- relationPaths(scanChild)
-      preds <- predsOpt
+      dnf <- dnfOpt
       reg <- GraftRuntime.lookup(paths)
-      if preds.forall(p => reg.columns.contains(p.col)) &&
+      if dnf.forall(_.forall(p => reg.columns.contains(p.col))) &&
         keys.forall(k => reg.columns.contains(k.attr.name))
       cells <- classifyCells(agg.aggregateExpressions,
         agg.groupingExpressions, base, reg)
@@ -749,10 +788,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Seq. BigInt comparisons make overflow fall through instead
       // (ADVICE r16).
       nCombos = gDoms.map(d => BigInt(d.size)).product
+      // a DNF WHERE multiplies every probe into its 2^k−1 I–E terms
       if nCombos <= BigInt(maxGroupProbes) &&
-        nCombos * (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) <=
-          BigInt(maxTotalProbes)
-      rows <- probeGrid(keys, gDoms, cells, reg, preds)
+        nCombos *
+          (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) *
+          BigInt(dnfTerms(dnf)) <= BigInt(maxTotalProbes)
+      rows <- probeGrid(keys, gDoms, cells, dnfEstFn(reg, dnf))
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
   }
@@ -763,8 +804,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * scan. */
   private def probeGrid(keys: Seq[GroupKey],
       gDoms: Seq[Seq[(Any, Seq[Any])]], cells: Seq[Cell],
-      reg: GraftRuntime.Registered,
-      preds: Seq[Pred]): Option[Seq[InternalRow]] = {
+      est: Seq[Pred] => Long): Option[Seq[InternalRow]] = {
     // combo entries carry (derived group value, base-domain preimage)
     val combos = gDoms.foldLeft(Seq(Seq.empty[(Any, Seq[Any])])) {
       (acc, dom) => acc.flatMap(pre => dom.map(v => pre :+ v))
@@ -777,10 +817,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .CatalystTypeConverters.createToCatalystConverter(k.outType))
     val rows = Seq.newBuilder[InternalRow]
     var failed = false
-    probed {
+    try probed {
       combos.foreach { combo =>
         if (!failed) {
-          val base = preds ++ keys.zip(combo).map {
+          val base = keys.zip(combo).map {
             // the probe for a derived group is its PREIMAGE mask:
             // identity keys probe Eq, merged slots probe In, the null
             // group (only a null base value maps to null) IsNull
@@ -791,22 +831,22 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if (nn.size == 1) Pred(k.attr.name, Op.Eq, nn.head)
               else Pred(k.attr.name, Op.In, nn)
           }
-          val n = reg.estimate(base)
+          val n = est(base)
           if (n > 0L) {
             val vals: Seq[Option[Any]] = cells.map {
               case GroupCell(i) =>
                 Some(if (combo(i)._1 == null) null
                   else gConv(i)(combo(i)._1))
               case CountStarCell(filt) =>
-                Some(if (filt.isEmpty) n else reg.estimate(base ++ filt))
+                Some(if (filt.isEmpty) n else est(base ++ filt))
               case CountColCell(c, false, filt, _) =>
-                Some(reg.estimate(
+                Some(est(
                   base ++ filt :+ Pred(c.name, Op.NotNull, null)))
               case CountColCell(c, true, filt, dom) =>
-                Some(dom.count(v => v != null && reg.estimate(
+                Some(dom.count(v => v != null && est(
                   base ++ filt :+ Pred(c.name, Op.Eq, v)) > 0L).toLong)
               case v: ValueAggCell =>
-                foldValueAgg(v.fn, v.distinct, v.resultType, v.col, reg,
+                foldValueAgg(v.fn, v.distinct, v.resultType, v.col, est,
                   base ++ v.filt, v.dom)
             }
             if (vals.exists(_.isEmpty)) failed = true
@@ -814,7 +854,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
       }
-    }
+    } catch { case _: ArithmeticException => failed = true }
     if (failed) None else Some(rows.result())
   }
 
@@ -847,10 +887,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(InternalRow(total)))
 
   /** One registered side of a flattened join tree: its estimator, its
-    * (pushed-down) WHERE conjunction, and the pre-strip subplan (for
-    * attribute-ownership lookups via outputSet). */
+    * (pushed-down) WHERE as a bounded DNF (r17 — a single-side
+    * disjunction pushed into a join side rides the same I–E probe
+    * function), and the pre-strip subplan (for attribute-ownership
+    * lookups via outputSet). */
   private case class JoinLeaf(reg: GraftRuntime.Registered,
-      preds: Seq[Pred], plan: LogicalPlan)
+      dnf: Seq[Seq[Pred]], plan: LogicalPlan)
 
   /** An equi-edge between two leaves: per-side leaf index and column,
     * plus the key-domain intersection as (left-repr, right-repr)
@@ -907,16 +949,13 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => Some((Seq(other), Nil))
       }
     def leaf(p: LogicalPlan): Option[JoinLeaf] = {
-      val (predsOpt, scanChild) = stripProjects(p) match {
-        case Filter(cond, gc) => (parseConjunction(cond), gc)
-        case other => (Some(Nil: Seq[Pred]), other)
-      }
+      val (dnfOpt, scanChild) = parseWhereDnf(p)
       for {
         paths <- relationPaths(scanChild)
-        preds <- predsOpt
+        dnf <- dnfOpt
         reg <- GraftRuntime.lookup(paths)
-        if preds.forall(pp => reg.columns.contains(pp.col))
-      } yield JoinLeaf(reg, preds, p)
+        if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
+      } yield JoinLeaf(reg, dnf, p)
     }
     for {
       (leafPlans, rawEdges) <- walk(root)
@@ -974,9 +1013,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def joinCountProbes(spec: JoinSpec,
       extra: Int => Seq[Pred]): Option[Long] = {
     val nCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+    // budget weighs each leaf by its I–E term count (a disjunctive
+    // side predicate costs 2^k−1 estimates per probe)
+    val leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
     if (spec.edges.isEmpty ||
         nCombos > BigInt(maxGroupProbes) ||
-        nCombos * spec.leaves.size > BigInt(maxTotalProbes)) return None
+        nCombos * leafTerms > BigInt(maxTotalProbes)) return None
     val incident: IndexedSeq[Seq[(Int, String, Boolean)]] =
       spec.leaves.indices.map { i =>
         spec.edges.zipWithIndex.flatMap { case (e, k) =>
@@ -989,15 +1031,17 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // enumerate — that shape never parses out of an equi-join tree,
     // but guard it anyway.
     if (incident.exists(_.isEmpty)) return None
+    val leafEst: IndexedSeq[Seq[Pred] => Long] =
+      spec.leaves.map(l => dnfEstFn(l.reg, l.dnf))
     val memo = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
     def leafCount(i: Int, assign: Vector[(Any, Any)]): Long = {
       val vals: Seq[Any] = incident(i).map { case (k, _, left) =>
         if (left) assign(k)._1 else assign(k)._2 }
       memo.getOrElseUpdate((i, vals), {
-        val conj = spec.leaves(i).preds ++ extra(i) ++
+        val conj = extra(i) ++
           incident(i).map { case (k, c, left) =>
             Pred(c, Op.Eq, if (left) assign(k)._1 else assign(k)._2) }
-        spec.leaves(i).reg.estimate(conj)
+        leafEst(i)(conj)
       })
     }
     try {

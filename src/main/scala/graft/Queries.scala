@@ -2094,7 +2094,14 @@ ORDER BY query_id""")),
               "c.c_mktsegment AS grp2, count(*) AS n " +
               "FROM graft_aqp_jg_customer c JOIN graft_aqp_jg_nation n " +
               "ON c.c_nationkey = n.n_nationkey " +
-              "GROUP BY n.n_regionkey, c.c_mktsegment"))
+              "GROUP BY n.n_regionkey, c.c_mktsegment"),
+            // SELECT DISTINCT over a join: Catalyst's Distinct →
+            // grouped Aggregate makes the live group combos the
+            // distinct rows — the all-GroupCell shape of the same grid
+            "jg4_distinct" -> ("SELECT DISTINCT c.c_mktsegment AS grp " +
+              "FROM graft_aqp_jg_customer c JOIN graft_aqp_jg_nation n " +
+              "ON c.c_nationkey = n.n_nationkey " +
+              "WHERE n.n_regionkey >= 3"))
           val rows = texts.flatMap { case (qid, sql) =>
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
@@ -2104,7 +2111,9 @@ ORDER BY query_id""")),
               val isBoth = qid == "jg3_both_sides"
               val grp = if (isBoth) r.get(0).toString else r.getString(0)
               val grp2 = if (isBoth) r.getString(1) else ""
-              val n = r.getLong(if (isBoth) 2 else 1)
+              val n: Option[Long] =
+                if (qid == "jg4_distinct") None
+                else Some(r.getLong(if (isBoth) 2 else 1))
               (qid, grp, grp2, n)
             }
           }
@@ -2131,6 +2140,10 @@ SELECT 'jg3_both_sides', CAST(n.n_regionkey AS VARCHAR),
   c.c_mktsegment, CAST(count(*) AS BIGINT)
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_regionkey, c.c_mktsegment
+UNION ALL
+SELECT DISTINCT 'jg4_distinct', c.c_mktsegment, '', CAST(NULL AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey >= 3
 ORDER BY query_id, grp, grp2""")),
     // Derived-expression grouping through the probe grid (r17; VERDICT
     // r16 #4): `GROUP BY year(ts)` — the most common reporting shape

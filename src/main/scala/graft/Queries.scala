@@ -2218,7 +2218,23 @@ ORDER BY query_id, grp, grp2""")),
             ("e5_whitelist_falls_through",
               "SELECT upper(o_orderstatus) AS grp, count(*) AS n " +
                 "FROM graft_aqp_ge_orders " +
-                "GROUP BY upper(o_orderstatus)", false))
+                "GROUP BY upper(o_orderstatus)", false),
+            // r17 second pass: date_trunc and CAST(ts AS DATE) keys
+            ("e6_date_trunc_month", "SELECT date_trunc('month', " +
+              "o_orderdate) AS grp, count(*) AS n " +
+              "FROM graft_aqp_ge_orders " +
+              "GROUP BY date_trunc('month', o_orderdate)", true),
+            // (CAST(ts AS DATE) keys are spec-pinned on a small-domain
+            // fixture: orders' ~2.4k distinct dates exceed the combo
+            // cap by design — the cap IS the scale contract)
+            ("e7_trunc_week", "SELECT date_trunc('week', " +
+              "o_orderdate) AS grp, count(*) AS n " +
+              "FROM graft_aqp_ge_orders WHERE o_orderstatus = 'P' " +
+              "GROUP BY date_trunc('week', o_orderdate)", true),
+            ("e8_trunc_hour_falls_through", "SELECT date_trunc('hour', " +
+              "o_orderdate) AS grp, count(*) AS n " +
+              "FROM graft_aqp_ge_orders " +
+              "GROUP BY date_trunc('hour', o_orderdate)", false))
           val rows = texts.flatMap { case (qid, sql, mustRewrite) =>
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
@@ -2229,7 +2245,19 @@ ORDER BY query_id, grp, grp2""")),
             else
               require(!plan.trim.startsWith("LocalRelation"),
                 s"$qid must fall through; plan:\n$plan")
-            df.collect().map(r => (qid, r.get(0).toString, r.getLong(1)))
+            df.collect().map { r =>
+              // timestamps format through an explicit UTC pattern (the
+              // DuckDB side strftime's the identical shape — raw
+              // Timestamp.toString carries a trailing ".0")
+              val grp = r.get(0) match {
+                case t: java.sql.Timestamp =>
+                  java.time.LocalDateTime.ofInstant(t.toInstant,
+                    java.time.ZoneOffset.UTC).format(java.time.format
+                    .DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+                case other => other.toString
+              }
+              (qid, grp, r.getLong(1))
+            }
           }
           rows.toDF("query_id", "grp", "n").orderBy("query_id", "grp")
         } finally {
@@ -2259,6 +2287,22 @@ UNION ALL
 SELECT 'e5_whitelist_falls_through', upper(o_orderstatus),
   CAST(count(*) AS BIGINT)
 FROM orders GROUP BY upper(o_orderstatus)
+UNION ALL
+SELECT 'e6_date_trunc_month',
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S'),
+  CAST(count(*) AS BIGINT)
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+UNION ALL
+SELECT 'e7_trunc_week',
+  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d %H:%M:%S'),
+  CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderstatus = 'P'
+GROUP BY date_trunc('week', o_orderdate)
+UNION ALL
+SELECT 'e8_trunc_hour_falls_through',
+  strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S'),
+  CAST(count(*) AS BIGINT)
+FROM orders GROUP BY date_trunc('hour', o_orderdate)
 ORDER BY query_id, grp""")),
     // Guarantee-gate twin of q_approx_join_groupby (r17): the grouped
     // join factorization with a LEARNED model on the fact side — the

@@ -624,6 +624,41 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case ld: java.time.LocalDate => ld
   }
 
+  /** Driver-side evaluation of date_trunc's supported levels over a
+    * java.sql.Timestamp instant in `zone` — the same civil-calendar
+    * rules Spark's TruncTimestamp applies (weeks start Monday, both
+    * engines). Finer-than-day levels (hour/minute/…) deliberately fall
+    * through: they explode the derived domain toward the raw one. */
+  private def truncFn(level: String,
+      zone: java.time.ZoneId): Option[Any => Any] = {
+    // LTZ domains surface java.sql.Timestamp (instant → local in
+    // zone); NTZ domains surface LocalDateTime (naive — the ntz→ltz
+    // Cast interprets it in this same zone, enforced at the match)
+    def ld(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(zone).toLocalDate
+      case l: java.time.LocalDateTime => l.toLocalDate
+      case d: java.sql.Date => d.toLocalDate
+      case l: java.time.LocalDate => l
+    }
+    def ts(d: java.time.LocalDate): Any =
+      java.sql.Timestamp.from(d.atStartOfDay(zone).toInstant)
+    level match {
+      case "year" | "yyyy" | "yy" =>
+        Some(v => ts(ld(v).withDayOfYear(1)))
+      case "quarter" => Some { v =>
+        val d = ld(v)
+        ts(d.withDayOfMonth(1).withMonth(((d.getMonthValue - 1) / 3) * 3 + 1))
+      }
+      case "month" | "mon" | "mm" =>
+        Some(v => ts(ld(v).withDayOfMonth(1)))
+      case "week" => Some(v => ts(ld(v).`with`(
+        java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))))
+      case "day" | "dd" => Some(v => ts(ld(v)))
+      case _ => None
+    }
+  }
+
   private def groupKeyOf(e: Expression,
       base: AttributeReference => AttributeReference): Option[GroupKey] = {
     import org.apache.spark.sql.types._
@@ -655,6 +690,36 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           nullSafe(v => Int.box(toLocalDate(v, zone).getMonthValue)),
           IntegerType)
       }
+      // GROUP BY CAST(ts AS DATE): the derived domain is the
+      // session-zone local date of each instant
+      case c @ Cast(_, DateType, _, _) => dateArg(c).map {
+        case (a, zone) =>
+          GroupKey(e, base(a), nullSafe(v => toLocalDate(v, zone)),
+            DateType)
+      }
+      // GROUP BY date_trunc('month'|…, ts) — THE reporting shape. The
+      // analyzer wraps an NTZ column in an ntz→ltz Cast; accepted only
+      // when the Cast's zone agrees with the trunc's (both are the
+      // session zone in practice), so the naive-value reading is the
+      // one the plan computes.
+      case t: TruncTimestamp =>
+        val zone = t.timeZoneId.map(java.time.ZoneId.of)
+          .getOrElse(java.time.ZoneOffset.UTC)
+        val argOpt: Option[AttributeReference] = t.timestamp match {
+          case a: AttributeReference if a.dataType == TimestampType =>
+            Some(a)
+          case Cast(a: AttributeReference, TimestampType, tz2, _)
+              if a.dataType == TimestampNTZType &&
+                tz2.map(java.time.ZoneId.of).forall(_ == zone) =>
+            Some(a)
+          case _ => None
+        }
+        (t.format, argOpt) match {
+          case (Literal(fmt, StringType), Some(a)) if fmt != null =>
+            truncFn(fmt.toString.toLowerCase(java.util.Locale.ROOT), zone)
+              .map(f => GroupKey(e, base(a), nullSafe(f), TimestampType))
+          case _ => None
+        }
       // substring(s, 1, k): a literal PREFIX — monotone over the
       // sorted domain. Spark's substring is 1-based; other start
       // positions fall through.

@@ -574,11 +574,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c1, i1) = both("SELECT year(d) AS y, t AS tt, sum(x) AS sx " +
       "FROM dg WHERE k <= 25 GROUP BY year(d), t")
     assert(c1 == i1)
-    // outside the whitelist -> exact plan
+    // date_trunc keys (r17 second pass): month/week over the ts
+    // column (an NTZ/LTZ Cast may sit between — both shapes resolve)
+    val (t1, u1) = both("SELECT date_trunc('month', d) AS m, " +
+      "count(*) AS n FROM dg GROUP BY date_trunc('month', d)")
+    assert(t1 == u1)
+    val (t2, u2) = both("SELECT date_trunc('week', d) AS wk, " +
+      "count(*) AS n FROM dg GROUP BY date_trunc('week', d)")
+    assert(t2 == u2)
+    // CAST(ts AS DATE) as a grouping key
+    val (t3, u3) = both("SELECT CAST(d AS DATE) AS dd, count(*) AS n " +
+      "FROM dg GROUP BY CAST(d AS DATE)")
+    assert(t3 == u3)
+    // outside the whitelist -> exact plan (upper; sub-day trunc)
     spark.conf.set(GraftRuntime.EnabledKey, "true")
     val up = spark.sql(
       "SELECT upper(t) AS u, count(*) AS n FROM dg GROUP BY upper(t)")
     assert(!up.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    val hr = spark.sql("SELECT date_trunc('hour', d) AS h, " +
+      "count(*) AS n FROM dg GROUP BY date_trunc('hour', d)")
+    assert(!hr.queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
     spark.conf.set(GraftRuntime.EnabledKey, "false")
     GraftRuntime.clear()

@@ -2026,6 +2026,114 @@ SELECT 'c2_filtered', CAST(count(*) AS BIGINT)
 FROM l JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2
 WHERE l.a <= 250.0 AND r.b >= 50.0
 ORDER BY query_id""")),
+    // Value aggregates over a JOIN (r17 second pass): sum/avg/min/max/
+    // count(c)/count(DISTINCT c) where c lives on one side — the
+    // probe-vector functional with the join factorization supplying
+    // each n_v (`SELECT sum(x) FROM fact JOIN dim` — the most common
+    // analytics shape there is). The value column is NULL-BEARING so
+    // ignore-nulls semantics are load-bearing; integral-valued w keeps
+    // sums/avgs bit-exact cross-engine. Exact registrations →
+    // lossless; every query require()s the scan-free plan; DuckDB
+    // recomputes the identical derivation.
+    Entry("q_approx_join_value_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_jvagg/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k1", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_jva_l")
+          dr.createOrReplaceTempView("graft_aqp_jva_r")
+          val join = "FROM graft_aqp_jva_l l JOIN graft_aqp_jva_r r " +
+            "ON l.k1 = r.k1"
+          val texts = Seq(
+            "v1_sum" -> s"SELECT sum(l.w) AS x $join",
+            "v2_avg" -> s"SELECT avg(l.w) AS x $join",
+            "v3_min" -> s"SELECT min(l.w) AS x $join",
+            "v4_max" -> s"SELECT max(l.w) AS x $join",
+            "v5_count_col" -> s"SELECT count(l.w) AS x $join",
+            "v6_count_distinct" ->
+              s"SELECT count(DISTINCT l.w) AS x $join",
+            "v7_sum_distinct" -> s"SELECT sum(DISTINCT l.w) AS x $join",
+            "v8_side_filtered" -> (s"SELECT sum(l.w) AS x $join " +
+              "WHERE r.b != 1"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"join value-agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val r0 = df.collect()(0)
+            val x: Option[Double] =
+              if (r0.isNullAt(0)) None
+              else r0.get(0) match {
+                case l: java.lang.Long => Some(l.toDouble)
+                case dd: java.lang.Double => Some(dd)
+              }
+            (qid, x)
+          }
+          rows.toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT event_id % 5 AS k1,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(event_id % 13 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS b FROM basee),
+jn AS (SELECT l.w, r.b FROM l JOIN r ON l.k1 = r.k1)
+SELECT * FROM (
+  SELECT 'v1_sum' AS query_id, CAST(sum(w) AS DOUBLE) AS x FROM jn
+  UNION ALL SELECT 'v2_avg', CAST(sum(w) AS DOUBLE) / count(w) FROM jn
+  UNION ALL SELECT 'v3_min', CAST(min(w) AS DOUBLE) FROM jn
+  UNION ALL SELECT 'v4_max', CAST(max(w) AS DOUBLE) FROM jn
+  UNION ALL SELECT 'v5_count_col', CAST(count(w) AS DOUBLE) FROM jn
+  UNION ALL SELECT 'v6_count_distinct',
+    CAST(count(DISTINCT w) AS DOUBLE) FROM jn
+  UNION ALL SELECT 'v7_sum_distinct',
+    CAST(sum(DISTINCT w) AS DOUBLE) FROM jn
+  UNION ALL SELECT 'v8_side_filtered', CAST(sum(w) AS DOUBLE)
+    FROM jn WHERE b != 1)
+ORDER BY query_id""")),
     // Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr,
     // count(*) FROM fact JOIN dim GROUP BY d.attr` — the join
     // factorization restricted per group. The probe grid over the

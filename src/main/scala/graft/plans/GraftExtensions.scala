@@ -264,6 +264,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(
               Count(Seq(c: AttributeReference)), _, distinct, filt, _), _)),
           child, _) =>
+        stripProjects(child) match {
+          // count(c) / count(DISTINCT c) over a join tree (r17 second
+          // pass): the owner leaf's probe carries the NotNull / Eq
+          // conjunct and the edge grid does the rest.
+          case j: Join if filt.isEmpty =>
+            rewriteJoinAgg(alias, Count(Seq(c)), distinct, c, j)
+              .getOrElse(agg)
+          case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
         (relationPaths(scanChild), dnfOpt) match {
@@ -295,6 +303,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           case _ => agg
         }
+        }
       // sum/avg/min/max (r16 session 3): the value-aggregate vocabulary,
       // answered from the same domain probe vector as the GROUP BY
       // rewrite. The learned joint density gives count(conj ∧ c=v) per
@@ -320,6 +329,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(fn, _, distinct, filt, _), _)), child, _)
           if valueAggColumn(fn).isDefined =>
         val c = valueAggColumn(fn).get
+        stripProjects(child) match {
+          // sum/avg/min/max over a join tree (r17 second pass): the
+          // probe-vector functional with the join factorization
+          // supplying each n_v — `SELECT sum(x) FROM fact JOIN dim …`
+          // is the most common analytics shape there is.
+          case j: Join if filt.isEmpty =>
+            rewriteJoinAgg(alias, fn, distinct, c, j).getOrElse(agg)
+          case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
         (relationPaths(scanChild), dnfOpt) match {
@@ -344,6 +361,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => agg
             }
           case _ => agg
+        }
         }
       // Grouped rewrite (r16; generalized session 4): `SELECT g…, agg…
       // FROM t [WHERE conj] GROUP BY g…` answered from the model as a
@@ -1124,6 +1142,50 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rec(0, Vector.empty)
       Some(acc)
     } catch { case _: ArithmeticException => None }
+  }
+
+  /** Single value/count aggregates over a join tree (r17 second pass):
+    * `count(c)`, `count(DISTINCT c)`, `sum/avg/min/max(c)` where c
+    * belongs to one registered leaf. The probe function attributes
+    * every extra conjunct (NotNull, the per-domain-value Eq) to c's
+    * OWNING leaf and lets [[joinCountProbes]] supply the join
+    * cardinality — so the same [[foldValueAgg]] functional answers the
+    * most common analytics shape there is (`SELECT sum(x) FROM fact
+    * JOIN dim …`) from single-table registrations. Budget: |domain| ×
+    * edge-grid probes, all bounded inside joinCountProbes per call
+    * plus the |domain| multiplier here. */
+  private def rewriteJoinAgg(alias: Alias, fn: AggregateFunction,
+      distinct: Boolean, c: AttributeReference,
+      j: Join): Option[LogicalPlan] = {
+    for {
+      spec <- flattenJoinTree(j)
+      owner <- spec.leafOf(c)
+      if spec.leaves(owner).reg.columns.contains(c.name)
+      dom <- domainOf(spec.leaves(owner).reg, c.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+      leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+      if BigInt(dom.size) * edgeCombos * leafTerms <=
+        BigInt(maxTotalProbes)
+      est = (extra: Seq[Pred]) =>
+        joinCountProbes(spec, i => if (i == owner) extra else Nil)
+          .getOrElse(throw new ArithmeticException("join-agg overflow"))
+      value <- probed {
+        try {
+          fn match {
+            case Count(_) if !distinct =>
+              Some(est(Seq(Pred(c.name, Op.NotNull, null))): Any)
+            case Count(_) =>
+              Some(dom.count(v => v != null &&
+                est(Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong: Any)
+            case _ =>
+              foldValueAgg(fn, distinct, alias.dataType, c, est, Nil,
+                dom)
+          }
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(value)))
   }
 
   /** Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr…,

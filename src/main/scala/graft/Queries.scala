@@ -2134,6 +2134,133 @@ SELECT * FROM (
   UNION ALL SELECT 'v8_side_filtered', CAST(sum(w) AS DOUBLE)
     FROM jn WHERE b != 1)
 ORDER BY query_id""")),
+    // GROUPED value aggregates over a JOIN (r17 second pass) — the
+    // canonical star-schema report: `SELECT d.attr, sum(f.x) FROM
+    // fact JOIN dim GROUP BY d.attr`. Group conjuncts go to their
+    // owner leaves, cell conjuncts (NotNull / per-value Eq) to the
+    // value column's leaf, and the edge grid supplies each n_v. ga1
+    // groups on the NON-value side; ga2 groups and aggregates on the
+    // SAME side (incl. a NULL group via the IsNull combo and
+    // count(DISTINCT)); ga3 groups on BOTH sides with a min cell. The
+    // value column is null-bearing and integral-valued (bit-exact
+    // sums); exact registrations → lossless; every query require()s
+    // the scan-free plan; DuckDB recomputes the identical derivation.
+    Entry("q_approx_join_groupby_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_jga/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("g"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k1", "g", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1", "b").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "g", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "g", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_jga_l")
+          dr.createOrReplaceTempView("graft_aqp_jga_r")
+          val join = "FROM graft_aqp_jga_l l JOIN graft_aqp_jga_r r " +
+            "ON l.k1 = r.k1"
+          // (qid, sql, n group cols, metric names)
+          val texts = Seq(
+            ("ga1_dim_group", s"SELECT r.b AS grp, sum(l.w) AS sw, " +
+              s"count(*) AS n $join GROUP BY r.b", 1, Seq("sw", "n")),
+            ("ga2_same_side", s"SELECT l.g AS grp, " +
+              s"count(DISTINCT l.w) AS dw, avg(l.w) AS aw $join " +
+              "GROUP BY l.g", 1, Seq("dw", "aw")),
+            ("ga3_both_sides", s"SELECT l.g AS grp, r.b AS grp2, " +
+              s"min(l.w) AS mn $join GROUP BY l.g, r.b", 2, Seq("mn")))
+          val rows = texts.flatMap { case (qid, sql, nKeys, metrics) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grouped join-agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = (0 until nKeys).map(k =>
+                if (r.isNullAt(k)) "<NULL>" else r.get(k).toString)
+                .mkString("|")
+              metrics.zipWithIndex.map { case (m, j) =>
+                val idx = nKeys + j
+                val x: Option[Double] =
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT event_id % 5 AS k1,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE event_type END AS g,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(event_id % 13 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS b FROM basee),
+jn AS (SELECT l.g, l.w, r.b FROM l JOIN r ON l.k1 = r.k1),
+ga1 AS (SELECT b, sum(w) AS sw, count(*) AS n FROM jn GROUP BY b),
+ga2 AS (SELECT g, count(DISTINCT w) AS dw,
+          CASE WHEN count(w) = 0 THEN NULL
+               ELSE CAST(sum(w) AS DOUBLE) / count(w) END AS aw
+        FROM jn GROUP BY g),
+ga3 AS (SELECT g, b, min(w) AS mn FROM jn GROUP BY g, b)
+SELECT * FROM (
+  SELECT 'ga1_dim_group' AS query_id, CAST(b AS VARCHAR) AS grp,
+    'sw' AS metric, CAST(sw AS DOUBLE) AS x FROM ga1
+  UNION ALL SELECT 'ga1_dim_group', CAST(b AS VARCHAR), 'n',
+    CAST(n AS DOUBLE) FROM ga1
+  UNION ALL SELECT 'ga2_same_side', coalesce(g, '<NULL>'), 'dw',
+    CAST(dw AS DOUBLE) FROM ga2
+  UNION ALL SELECT 'ga2_same_side', coalesce(g, '<NULL>'), 'aw',
+    CAST(aw AS DOUBLE) FROM ga2
+  UNION ALL SELECT 'ga3_both_sides',
+    concat(coalesce(g, '<NULL>'), '|', CAST(b AS VARCHAR)), 'mn',
+    CAST(mn AS DOUBLE) FROM ga3)
+ORDER BY query_id, grp, metric""")),
     // Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr,
     // count(*) FROM fact JOIN dim GROUP BY d.attr` — the join
     // factorization restricted per group. The probe grid over the

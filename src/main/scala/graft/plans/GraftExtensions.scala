@@ -1219,25 +1219,53 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           domainOf(spec.leaves(i).reg, g.name).filter(_.nonEmpty) }
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
+      // cells paired with the OWNING leaf of their column (-1 for
+      // group/count(*) cells). r17 second pass: count(c),
+      // count(DISTINCT c), and the value aggregates join the grouped
+      // join vocabulary — `SELECT d.attr, sum(f.x) FROM fact JOIN dim
+      // GROUP BY d.attr` is the canonical star-schema report. Cell
+      // FILTER clauses stay out (their conjuncts cannot be attributed
+      // to a side).
       cells <- {
-        val cs: Seq[Option[Cell]] = agg.aggregateExpressions.map {
+        val cs: Seq[Option[(Cell, Int)]] = agg.aggregateExpressions.map {
           case a: AttributeReference =>
             val i = gs.indexWhere(_.exprId == base(a).exprId)
-            if (i >= 0) Some(GroupCell(i)) else None
+            if (i >= 0) Some((GroupCell(i), -1)) else None
           case al @ Alias(a: AttributeReference, _) =>
             val i = gs.indexWhere(_.exprId == base(a).exprId)
-            if (i >= 0) Some(GroupCell(i)) else None
-          case Alias(AggregateExpression(
-              Count(Seq(Literal(1, _))), _, false, None, _), _) =>
-            Some(CountStarCell(Nil))
+            if (i >= 0) Some((GroupCell(i), -1)) else None
+          case al @ Alias(AggregateExpression(
+              fn, _, distinct, None, _), _) =>
+            def ownedDom(c0: AttributeReference,
+                needDom: Boolean): Option[(AttributeReference, Int, Seq[Any])] =
+              for {
+                li <- spec.leafOf(base(c0))
+                if spec.leaves(li).reg.columns.contains(base(c0).name)
+                d <- if (!needDom) Some(Nil: Seq[Any])
+                  else domainOf(spec.leaves(li).reg, base(c0).name)
+                    .filter(x => x.nonEmpty && x.size <= maxGroupProbes)
+              } yield (base(c0), li, d)
+            fn match {
+              case Count(Seq(Literal(1, _))) if !distinct =>
+                Some((CountStarCell(Nil), -1))
+              case Count(Seq(c0: AttributeReference)) =>
+                ownedDom(c0, needDom = distinct).map { case (c, li, d) =>
+                  (CountColCell(c, distinct, Nil, d), li) }
+              case _ => valueAggColumn(fn).flatMap(c0 =>
+                ownedDom(c0, needDom = true).map { case (c, li, d) =>
+                  (ValueAggCell(fn, distinct, c, al.dataType, Nil, d), li)
+                })
+            }
           case _ => None
         }
         if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
       }
       gridCombos = gDoms.map(d => BigInt(d.size)).product
       edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+      leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
       if gridCombos <= BigInt(maxGroupProbes) &&
-        gridCombos * edgeCombos * spec.leaves.size <=
+        gridCombos * edgeCombos * leafTerms *
+          (BigInt(1) + cells.map(c => BigInt(cellCost(c._1))).sum) <=
           BigInt(maxTotalProbes)
       rows <- probed {
         val combos = gDoms.foldLeft(Seq(Seq.empty[Any])) { (acc, dom) =>
@@ -1247,7 +1275,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .CatalystTypeConverters.createToCatalystConverter(g.dataType))
         val out = Seq.newBuilder[InternalRow]
         var failed = false
-        combos.foreach { combo =>
+        try combos.foreach { combo =>
           if (!failed) {
             val byLeaf: Map[Int, Seq[Pred]] =
               gs.indices.groupBy(owners(_)).map { case (leafI, gis) =>
@@ -1257,18 +1285,32 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   else Pred(gs(gi).name, Op.Eq, v)
                 }
               }
-            joinCountProbes(spec, i => byLeaf.getOrElse(i, Nil)) match {
-              case None => failed = true
-              case Some(n) if n > 0L =>
-                out += InternalRow.fromSeq(cells.map {
-                  case GroupCell(i) =>
-                    if (combo(i) == null) null else gConv(i)(combo(i))
-                  case _ => n
-                })
-              case _ => ()
+            // probe fn for this combo: group conjuncts to their owner
+            // leaves, cell conjuncts (NotNull / Eq value) to vOwner
+            def estFor(vOwner: Int): Seq[Pred] => Long = extra =>
+              joinCountProbes(spec, i => byLeaf.getOrElse(i, Nil) ++
+                (if (i == vOwner) extra else Nil))
+                .getOrElse(throw new ArithmeticException("overflow"))
+            val n = estFor(-1)(Nil)
+            if (n > 0L) {
+              val vals: Seq[Option[Any]] = cells.map {
+                case (GroupCell(i), _) =>
+                  Some(if (combo(i) == null) null else gConv(i)(combo(i)))
+                case (CountStarCell(_), _) => Some(n)
+                case (CountColCell(c, false, _, _), li) =>
+                  Some(estFor(li)(Seq(Pred(c.name, Op.NotNull, null))))
+                case (CountColCell(c, true, _, dom), li) =>
+                  Some(dom.count(v => v != null && estFor(li)(
+                    Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong)
+                case (v: ValueAggCell, li) =>
+                  foldValueAgg(v.fn, v.distinct, v.resultType, v.col,
+                    estFor(li), Nil, v.dom)
+              }
+              if (vals.exists(_.isEmpty)) failed = true
+              else out += InternalRow.fromSeq(vals.map(_.get))
             }
           }
-        }
+        } catch { case _: ArithmeticException => failed = true }
         if (failed) None else Some(out.result())
       }
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),

@@ -1707,6 +1707,105 @@ SELECT 'j4_supplier', CAST(count(*) AS BIGINT)
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_regionkey >= 3
 ORDER BY query_id""")),
+    // EXISTS / IN-subquery / NOT EXISTS through the optimizer (r17
+    // third pass): Catalyst plans them as LEFT SEMI / LEFT ANTI
+    // equi-joins, which factorize over the key domain as
+    // semi = Σ n_L(v)·[n_R(v)>0] and anti = n_L − semi (anti keeps
+    // null-key and unmatched left rows — exactly the complement of
+    // the non-null matched count). x1/x2 pin EXISTS and IN(subquery)
+    // (x2 with an outer conjunct that pushes below the semi join);
+    // x3 pins NOT EXISTS; x4 pins the NULL-AWARE anti-join
+    // fall-through — `NOT IN (subquery)` plans with the
+    // `k = k2 OR isnull(k = k2)` condition whose three-valued
+    // semantics are NOT this factorization, so it must not rewrite
+    // (its scan answer still hash-matches). Exact registrations →
+    // lossless; ≤2·|D_L| driver probes replace the semi/anti shuffle.
+    Entry("q_approx_exists",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_ex_customer")
+          nat.createOrReplaceTempView("graft_aqp_ex_nation")
+          val texts = Seq(
+            ("x1_exists", "SELECT count(*) AS n FROM " +
+              "graft_aqp_ex_customer c WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_ex_nation n WHERE n.n_nationkey = " +
+              "c.c_nationkey AND n.n_regionkey <= 1)", true),
+            ("x2_in_subquery", "SELECT count(*) AS n FROM " +
+              "graft_aqp_ex_customer WHERE c_nationkey IN " +
+              "(SELECT n_nationkey FROM graft_aqp_ex_nation " +
+              "WHERE n_regionkey >= 3) AND c_acctbal <= 5000.0", true),
+            ("x3_not_exists", "SELECT count(*) AS n FROM " +
+              "graft_aqp_ex_customer c WHERE NOT EXISTS (SELECT 1 " +
+              "FROM graft_aqp_ex_nation n WHERE n.n_nationkey = " +
+              "c.c_nationkey AND n.n_name LIKE 'UNITED%')", true),
+            ("x4_not_in_nullaware_falls_through",
+              "SELECT count(*) AS n FROM graft_aqp_ex_customer " +
+                "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM " +
+                "graft_aqp_ex_nation WHERE n_regionkey <= 0)", false))
+          val rows = texts.map { case (qid, sql, mustRewrite) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            if (mustRewrite)
+              require(plan.trim.startsWith("LocalRelation"),
+                s"semi/anti rewrite did not fire on $qid; plan:\n$plan")
+            else
+              require(!plan.trim.startsWith("LocalRelation"),
+                s"null-aware anti join must fall through on $qid; " +
+                  s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'x1_exists' AS query_id,
+  CAST(count(*) AS BIGINT) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 1)
+UNION ALL
+SELECT 'x2_in_subquery', CAST(count(*) AS BIGINT) FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+  WHERE n_regionkey >= 3) AND c_acctbal <= 5000.0
+UNION ALL
+SELECT 'x3_not_exists', CAST(count(*) AS BIGINT) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_name LIKE 'UNITED%')
+UNION ALL
+SELECT 'x4_not_in_nullaware_falls_through', CAST(count(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN
+  (SELECT n_nationkey FROM nation WHERE n_regionkey <= 0)
+ORDER BY query_id""")),
     // Guarantee-gate twin of q_approx_join_count: the join count
     // answered with a LEARNED model on the fact side — a MADE trained
     // on customer (c_mktsegment, c_nationkey) composes with an exact

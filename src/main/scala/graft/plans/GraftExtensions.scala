@@ -204,7 +204,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // empty (its conjuncts cannot be attributed to a side
           // without column-ownership guesses).
           case j: Join if filt.isEmpty =>
-            rewriteJoinCount(alias, j).getOrElse(agg)
+            rewriteJoinCount(alias, j)
+              .orElse(rewriteSemiAntiCount(alias, j))
+              .getOrElse(agg)
           case stripped =>
             // Filtered or bare scan (r16 session 4 made the WHERE
             // optional: estimate(Nil) is the table cardinality — for
@@ -992,6 +994,18 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A registered (optionally Filter-ed, possibly disjunctively)
+    * scan — a join-tree leaf or a semi/anti-join side. */
+  private def registeredLeaf(p: LogicalPlan): Option[JoinLeaf] = {
+    val (dnfOpt, scanChild) = parseWhereDnf(p)
+    for {
+      paths <- relationPaths(scanChild)
+      dnf <- dnfOpt
+      reg <- GraftRuntime.lookup(paths)
+      if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
+    } yield JoinLeaf(reg, dnf, p)
+  }
+
   /** Flatten a tree of INNER joins, each on attribute equalities (a
     * composite key — an AND of equalities in one join condition —
     * contributes one edge per equality; the factorization grid over
@@ -1031,19 +1045,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           } yield (ll ++ rl, le ++ re ++ eqs)
         case other => Some((Seq(other), Nil))
       }
-    def leaf(p: LogicalPlan): Option[JoinLeaf] = {
-      val (dnfOpt, scanChild) = parseWhereDnf(p)
-      for {
-        paths <- relationPaths(scanChild)
-        dnf <- dnfOpt
-        reg <- GraftRuntime.lookup(paths)
-        if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
-      } yield JoinLeaf(reg, dnf, p)
-    }
     for {
       (leafPlans, rawEdges) <- walk(root)
       leaves <- {
-        val ls = leafPlans.map(leaf)
+        val ls = leafPlans.map(registeredLeaf)
         if (ls.exists(_.isEmpty)) None
         else Some(ls.map(_.get).toIndexedSeq)
       }
@@ -1142,6 +1147,70 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rec(0, Vector.empty)
       Some(acc)
     } catch { case _: ArithmeticException => None }
+  }
+
+  /** COUNT(*) over a LEFT SEMI / LEFT ANTI equi-join (r17 third pass)
+    * — the shapes Catalyst plans for `WHERE [NOT] EXISTS (…)` and
+    * `WHERE k IN (SELECT …)`:
+    *
+    *   semi = Σ,,v ∈ D_L, v ≠ null,, n_L(v) · [n_R(v) > 0]
+    *   anti = n_L(ALL) − semi
+    *
+    * (anti keeps left rows whose key is NULL or unmatched — exactly
+    * n_L minus the semi-matched rows, since semi counts only non-null
+    * matched keys). NULL-AWARE anti joins — `NOT IN (subquery)` on a
+    * nullable key, whose condition is `k = k2 OR isnull(k = k2)` —
+    * do NOT match the single-EqualTo pattern and fall through: their
+    * three-valued semantics are not this factorization. Exact
+    * registrations stay lossless. ≤ 2·|D_L| driver probes. */
+  private def rewriteSemiAntiCount(alias: Alias,
+      j: Join): Option[LogicalPlan] = {
+    val semi = j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+    val anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+    if (!semi && !anti) return None
+    val keyPair: Option[(AttributeReference, AttributeReference)] =
+      j.condition match {
+        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+          if (j.left.outputSet.contains(a) &&
+            j.right.outputSet.contains(b)) Some((a, b))
+          else if (j.left.outputSet.contains(b) &&
+            j.right.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+    for {
+      (ka, kb) <- keyPair
+      lLeaf <- registeredLeaf(j.left)
+      rLeaf <- registeredLeaf(j.right)
+      if lLeaf.reg.columns.contains(ka.name) &&
+        rLeaf.reg.columns.contains(kb.name)
+      domL <- domainOf(lLeaf.reg, ka.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      domR <- domainOf(rLeaf.reg, kb.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
+      if BigInt(domL.size) * BigInt(terms) <= BigInt(maxTotalProbes)
+      total <- probed {
+        val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
+        val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
+        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
+          .map(v => PredExtract.canonKey(v) -> v).toMap
+        try {
+          var matched = 0L
+          domL.iterator.filter(_ != null).foreach { vl =>
+            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
+              val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
+              if (nl > 0L &&
+                  estR(Seq(Pred(kb.name, Op.Eq, vr))) > 0L)
+                matched = Math.addExact(matched, nl)
+            }
+          }
+          Some(if (semi) matched
+            else Math.subtractExact(estL(Nil), matched))
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(total)))
   }
 
   /** Single value/count aggregates over a join tree (r17 second pass):

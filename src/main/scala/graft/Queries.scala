@@ -1806,6 +1806,90 @@ SELECT 'x4_not_in_nullaware_falls_through', CAST(count(*) AS BIGINT)
 FROM customer WHERE c_nationkey NOT IN
   (SELECT n_nationkey FROM nation WHERE n_regionkey <= 0)
 ORDER BY query_id""")),
+    // GROUPED aggregates over EXISTS / NOT EXISTS (r17 third pass):
+    // semi/anti join output carries only left columns, so the whole
+    // scan-path cell vocabulary rides the matched-key probe — `SELECT
+    // segment, count(*) FROM customers WHERE EXISTS(orders…) GROUP BY
+    // segment` is the retention-report shape. xg1 groups an EXISTS;
+    // xg2 groups a NOT EXISTS (the null/unmatched complement per
+    // group). Exact registrations → lossless; scan-free plans
+    // require()d; DuckDB runs the identical texts.
+    Entry("q_approx_exists_groupby",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val cmDom = Dictionary.columnMeta(
+          cust.select("c_mktsegment"), "c_mktsegment").domain.toSeq
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom)
+            else if (name == "c_mktsegment") Some(cmDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_exg_customer")
+          nat.createOrReplaceTempView("graft_aqp_exg_nation")
+          val texts = Seq(
+            "xg1_exists_grouped" -> ("SELECT c.c_mktsegment AS grp, " +
+              "count(*) AS n FROM graft_aqp_exg_customer c " +
+              "WHERE EXISTS (SELECT 1 FROM graft_aqp_exg_nation n " +
+              "WHERE n.n_nationkey = c.c_nationkey " +
+              "AND n.n_regionkey <= 1) GROUP BY c.c_mktsegment"),
+            "xg2_not_exists_grouped" -> ("SELECT c.c_mktsegment AS grp, " +
+              "count(*) AS n FROM graft_aqp_exg_customer c " +
+              "WHERE NOT EXISTS (SELECT 1 FROM graft_aqp_exg_nation n " +
+              "WHERE n.n_nationkey = c.c_nationkey " +
+              "AND n.n_name LIKE 'UNITED%') GROUP BY c.c_mktsegment"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grouped semi/anti rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().map(r => (qid, r.getString(0), r.getLong(1)))
+          }
+          rows.toDF("query_id", "grp", "n").orderBy("query_id", "grp")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'xg1_exists_grouped' AS query_id,
+  c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 1)
+GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'xg2_not_exists_grouped', c.c_mktsegment,
+  CAST(count(*) AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_name LIKE 'UNITED%')
+GROUP BY c.c_mktsegment
+ORDER BY query_id, grp""")),
     // Guarantee-gate twin of q_approx_join_count: the join count
     // answered with a LEARNED model on the fact side — a MADE trained
     // on customer (c_mktsegment, c_nationkey) composes with an exact

@@ -819,8 +819,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => a
       }
     stripped match {
-      // Grouped count over a join tree (r17): the factorization grid.
+      // Grouped aggregates over a join tree (r17): inner equi-joins go
+      // through the factorization grid; semi/anti (EXISTS shapes) ride
+      // the matched-key probe.
       case jn: Join => return rewriteGroupedJoin(agg, jn, base)
+        .orElse(rewriteGroupedSemiAnti(agg, jn, base))
       case _ => ()
     }
     val keysOpt: Option[Seq[GroupKey]] = {
@@ -853,20 +856,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Per key: (derived group value, base-domain preimage) — the
       // identity for attribute keys (each value its own group), a
       // genuine merge for derived keys (e.g. all dates of one year).
-      gDoms <- {
-        val ds = keys.map { k =>
-          domainOf(reg, k.attr.name).filter(_.nonEmpty).map { baseDom =>
-            val order = scala.collection.mutable.LinkedHashMap
-              .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
-            baseDom.foreach { v =>
-              order.getOrElseUpdate(k.toDerived(v),
-                scala.collection.mutable.ArrayBuffer.empty[Any]) += v
-            }
-            order.toSeq.map { case (g, pre) => (g, pre.toSeq) }
-          }
-        }
-        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
-      }
+      gDoms <- derivedDoms(keys, reg)
       // BigInt: a Long product over multi-key grids can overflow and
       // WRAP (4 keys × 65536-value domains = 2^64 → 0), silently
       // passing both caps and then materializing an astronomical combo
@@ -879,6 +869,58 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) *
           BigInt(dnfTerms(dnf)) <= BigInt(maxTotalProbes)
       rows <- probeGrid(keys, gDoms, cells, dnfEstFn(reg, dnf))
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      rows)
+  }
+
+  /** Per grouping key: (derived group value, base-domain preimage)
+    * pairs from the key's registered base domain. */
+  private def derivedDoms(keys: Seq[GroupKey],
+      reg: GraftRuntime.Registered)
+      : Option[Seq[Seq[(Any, Seq[Any])]]] = {
+    val ds = keys.map { k =>
+      domainOf(reg, k.attr.name).filter(_.nonEmpty).map { baseDom =>
+        val order = scala.collection.mutable.LinkedHashMap
+          .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+        baseDom.foreach { v =>
+          order.getOrElseUpdate(k.toDerived(v),
+            scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+        }
+        order.toSeq.map { case (g, pre) => (g, pre.toSeq) }
+      }
+    }
+    if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+  }
+
+  /** Grouped aggregates over a LEFT SEMI / LEFT ANTI equi-join (r17
+    * third pass): `SELECT g, agg… FROM A WHERE [NOT] EXISTS (…)
+    * GROUP BY g` — the join output carries only LEFT columns, so every
+    * group and cell conjunct is left-attributable by construction and
+    * the whole scan-path cell vocabulary (count(*), count(c),
+    * count(DISTINCT c), value aggregates, derived grouping keys) rides
+    * the [[semiAntiEstFn]] probe unchanged through [[probeGrid]]. */
+  private def rewriteGroupedSemiAnti(agg: Aggregate, j: Join,
+      base: AttributeReference => AttributeReference)
+      : Option[LogicalPlan] = {
+    for {
+      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
+      keys <- {
+        val ks = agg.groupingExpressions.map(groupKeyOf(_, base))
+        if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
+      }
+      if keys.forall(k => lLeaf.reg.columns.contains(k.attr.name))
+      cells <- classifyCells(agg.aggregateExpressions,
+        agg.groupingExpressions, base, lLeaf.reg)
+      gDoms <- derivedDoms(keys, lLeaf.reg)
+      nCombos = gDoms.map(d => BigInt(d.size)).product
+      // each semi/anti probe costs |matchedKeys|+1 left estimates
+      if nCombos <= BigInt(maxGroupProbes) &&
+        nCombos *
+          (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) *
+          BigInt(matchedKeys.size + 1) *
+          BigInt(dnfTerms(lLeaf.dnf)) <= BigInt(maxTotalProbes)
+      rows <- probeGrid(keys, gDoms, cells,
+        semiAntiEstFn(lLeaf, kName, matchedKeys, semi))
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
   }
@@ -1163,8 +1205,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * do NOT match the single-EqualTo pattern and fall through: their
     * three-valued semantics are not this factorization. Exact
     * registrations stay lossless. ≤ 2·|D_L| driver probes. */
-  private def rewriteSemiAntiCount(alias: Alias,
-      j: Join): Option[LogicalPlan] = {
+  /** The resolved pieces of a LEFT SEMI / LEFT ANTI single-key
+    * equi-join with both sides registered: the LEFT leaf, the left key
+    * name, the left-domain keys whose RIGHT-side probe is nonzero
+    * (computed ONCE — right probes never depend on group/cell
+    * conjuncts), and the semi flag. None = any conservative
+    * fall-through, including a null-aware anti condition. */
+  private def semiAntiSpec(j: Join)
+      : Option[(JoinLeaf, String, Seq[Any], Boolean)] = {
     val semi = j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
     val anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
     if (!semi && !anti) return None
@@ -1188,30 +1236,52 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
       domR <- domainOf(rLeaf.reg, kb.name)
         .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
-      terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
-      if BigInt(domL.size) * BigInt(terms) <= BigInt(maxTotalProbes)
-      total <- probed {
-        val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
+      matchedKeys <- probed {
         val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
         val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
           .map(v => PredExtract.canonKey(v) -> v).toMap
-        try {
-          var matched = 0L
-          domL.iterator.filter(_ != null).foreach { vl =>
-            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
-              val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
-              if (nl > 0L &&
-                  estR(Seq(Pred(kb.name, Op.Eq, vr))) > 0L)
-                matched = Math.addExact(matched, nl)
-            }
-          }
-          Some(if (semi) matched
-            else Math.subtractExact(estL(Nil), matched))
-        } catch { case _: ArithmeticException => None }
+        try Some(domL.iterator.filter(_ != null).filter { vl =>
+          rRepr.get(PredExtract.canonKey(vl))
+            .exists(vr => estR(Seq(Pred(kb.name, Op.Eq, vr))) > 0L)
+        }.toSeq)
+        catch { case _: ArithmeticException => None }
+      }
+    } yield (lLeaf, ka.name, matchedKeys, semi)
+  }
+
+  /** The semi/anti row count as a probe FUNCTION over extra left-side
+    * conjuncts: semi(extra) = Σ,,matched v,, n_L(extra ∧ k=v);
+    * anti(extra) = n_L(extra) − semi(extra). Exactly the "count of
+    * join-output rows satisfying extra" the cell machinery needs —
+    * semi/anti output carries only left columns, so every group and
+    * cell conjunct is left-attributable by construction. Throws
+    * ArithmeticException on overflow (callers catch → exact plan). */
+  private def semiAntiEstFn(lLeaf: JoinLeaf, kName: String,
+      matchedKeys: Seq[Any], semi: Boolean): Seq[Pred] => Long = {
+    val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
+    extra => {
+      var matched = 0L
+      matchedKeys.foreach { v =>
+        matched = Math.addExact(matched,
+          estL(extra :+ Pred(kName, Op.Eq, v)))
+      }
+      if (semi) matched
+      else Math.subtractExact(estL(extra), matched)
+    }
+  }
+
+  private def rewriteSemiAntiCount(alias: Alias,
+      j: Join): Option[LogicalPlan] =
+    for {
+      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
+      if BigInt(matchedKeys.size + 1) * BigInt(dnfTerms(lLeaf.dnf)) <=
+        BigInt(maxTotalProbes)
+      total <- probed {
+        try Some(semiAntiEstFn(lLeaf, kName, matchedKeys, semi)(Nil))
+        catch { case _: ArithmeticException => None }
       }
     } yield LocalRelation(Seq(alias.toAttribute),
       Seq(InternalRow(total)))
-  }
 
   /** Single value/count aggregates over a join tree (r17 second pass):
     * `count(c)`, `count(DISTINCT c)`, `sum/avg/min/max(c)` where c

@@ -1806,6 +1806,95 @@ SELECT 'x4_not_in_nullaware_falls_through', CAST(count(*) AS BIGINT)
 FROM customer WHERE c_nationkey NOT IN
   (SELECT n_nationkey FROM nation WHERE n_regionkey <= 0)
 ORDER BY query_id""")),
+    // OUTER join counts (r17 third pass) — the remaining join-type
+    // matrix: LEFT = inner + left-unmatched, RIGHT = inner +
+    // right-unmatched, FULL = both, where inner is the factorization
+    // sum and each unmatched term is n_side(ALL) − Σ matched (null
+    // keys count unmatched on their own side). Side predicates sit in
+    // subselects (a WHERE above an outer join would null-filter and
+    // Catalyst would convert it to inner — which the inner path
+    // already answers). Exact registrations → lossless; scan-free
+    // plans require()d; DuckDB runs the identical texts.
+    Entry("q_approx_outer_count",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val cDom = Dictionary.columnMeta(
+          cust.select("c_nationkey"), "c_nationkey").domain.toSeq
+        val nDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds),
+          name => if (name == "c_nationkey") Some(cDom) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_oc_customer")
+          nat.createOrReplaceTempView("graft_aqp_oc_nation")
+          val texts = Seq(
+            "oc1_left" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_oc_customer c LEFT JOIN " +
+              "(SELECT * FROM graft_aqp_oc_nation " +
+              "WHERE n_regionkey <= 2) n " +
+              "ON c.c_nationkey = n.n_nationkey"),
+            "oc2_right" -> ("SELECT count(*) AS n FROM " +
+              "(SELECT * FROM graft_aqp_oc_customer " +
+              "WHERE c_acctbal <= 3000.0) c RIGHT JOIN " +
+              "graft_aqp_oc_nation n " +
+              "ON c.c_nationkey = n.n_nationkey"),
+            "oc3_full" -> ("SELECT count(*) AS n FROM " +
+              "(SELECT * FROM graft_aqp_oc_customer " +
+              "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')) c " +
+              "FULL JOIN (SELECT * FROM graft_aqp_oc_nation " +
+              "WHERE n_regionkey >= 3) n " +
+              "ON c.c_nationkey = n.n_nationkey"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"outer-count rewrite did not fire on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'oc1_left' AS query_id,
+  CAST(count(*) AS BIGINT) AS n
+FROM customer c LEFT JOIN
+  (SELECT * FROM nation WHERE n_regionkey <= 2) n
+  ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'oc2_right', CAST(count(*) AS BIGINT)
+FROM (SELECT * FROM customer WHERE c_acctbal <= 3000.0) c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'oc3_full', CAST(count(*) AS BIGINT)
+FROM (SELECT * FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')) c
+FULL JOIN (SELECT * FROM nation WHERE n_regionkey >= 3) n
+  ON c.c_nationkey = n.n_nationkey
+ORDER BY query_id""")),
     // GROUPED aggregates over EXISTS / NOT EXISTS (r17 third pass):
     // semi/anti join output carries only left columns, so the whole
     // scan-path cell vocabulary rides the matched-key probe — `SELECT

@@ -206,6 +206,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case j: Join if filt.isEmpty =>
             rewriteJoinCount(alias, j)
               .orElse(rewriteSemiAntiCount(alias, j))
+              .orElse(rewriteOuterCount(alias, j))
               .getOrElse(agg)
           case stripped =>
             // Filtered or bare scan (r16 session 4 made the WHERE
@@ -1268,6 +1269,86 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (semi) matched
       else Math.subtractExact(estL(extra), matched)
     }
+  }
+
+  /** COUNT(*) over LEFT / RIGHT / FULL OUTER single-key equi-joins
+    * (r17 third pass) — the remaining join-type matrix:
+    *
+    *   inner          = Σ,,matched v,, n_L(v)·n_R(v)
+    *   left-unmatched = n_L(ALL) − Σ,,matched v,, n_L(v)
+    *   right-unmatched likewise; LEFT = inner + left-unmatched,
+    *   RIGHT = inner + right-unmatched, FULL = inner + both
+    *
+    * (null-key rows count in their own side's unmatched term — an
+    * outer join emits them unmatched, exactly n_side(ALL) minus the
+    * matched non-null sum). Conservative like every join rewrite:
+    * both sides registered with key domains, one EqualTo, overflow →
+    * exact plan. ≤ 2|D∩| + 2 driver probes. */
+  private def rewriteOuterCount(alias: Alias,
+      j: Join): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    val (withLeft, withRight) = j.joinType match {
+      case LeftOuter => (true, false)
+      case RightOuter => (false, true)
+      case FullOuter => (true, true)
+      case _ => return None
+    }
+    val keyPair: Option[(AttributeReference, AttributeReference)] =
+      j.condition match {
+        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+          if (j.left.outputSet.contains(a) &&
+            j.right.outputSet.contains(b)) Some((a, b))
+          else if (j.left.outputSet.contains(b) &&
+            j.right.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+    for {
+      (ka, kb) <- keyPair
+      lLeaf <- registeredLeaf(j.left)
+      rLeaf <- registeredLeaf(j.right)
+      if lLeaf.reg.columns.contains(ka.name) &&
+        rLeaf.reg.columns.contains(kb.name)
+      domL <- domainOf(lLeaf.reg, ka.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      domR <- domainOf(rLeaf.reg, kb.name)
+        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
+      if BigInt(domL.size + 1) * BigInt(terms) <=
+        BigInt(maxTotalProbes)
+      total <- probed {
+        val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
+        val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
+        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
+          .map(v => PredExtract.canonKey(v) -> v).toMap
+        try {
+          var inner = 0L
+          var matchedL = 0L
+          var matchedR = 0L
+          domL.iterator.filter(_ != null).foreach { vl =>
+            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
+              val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
+              if (nl > 0L) {
+                val nr = estR(Seq(Pred(kb.name, Op.Eq, vr)))
+                if (nr > 0L) {
+                  inner = Math.addExact(inner,
+                    Math.multiplyExact(nl, nr))
+                  matchedL = Math.addExact(matchedL, nl)
+                  matchedR = Math.addExact(matchedR, nr)
+                }
+              }
+            }
+          }
+          var total = inner
+          if (withLeft) total = Math.addExact(total,
+            Math.subtractExact(estL(Nil), matchedL))
+          if (withRight) total = Math.addExact(total,
+            Math.subtractExact(estR(Nil), matchedR))
+          Some(total)
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(total)))
   }
 
   private def rewriteSemiAntiCount(alias: Alias,

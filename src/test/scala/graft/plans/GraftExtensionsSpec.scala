@@ -495,12 +495,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (j3, e3) = both("SELECT count(*) FROM ja JOIN jb " +
       "ON ja.k = jb.k WHERE jb.y IN ('p', 'q')")
     assert(j3 == e3)
+    // outer joins rewrite since r17 (inner + per-side unmatched
+    // terms; the estimator must answer the EMPTY conjunction for the
+    // n_side(ALL) term — re-register with that shape)
+    GraftRuntime.clear()
+    GraftRuntime.registerWithDomain("ja.parquet", Set("k", "x"),
+      preds => (if (preds.isEmpty) da
+        else da.filter(Pred.conj(preds))).count(),
+      c => if (c == "k") Some(domA) else None)
+    GraftRuntime.registerWithDomain("jb.parquet", Set("k", "y"),
+      preds => (if (preds.isEmpty) db
+        else db.filter(Pred.conj(preds))).count(),
+      c => if (c == "k") Some(domB) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val loExact = spark.sql(
+      "SELECT count(*) FROM ja LEFT JOIN jb ON ja.k = jb.k")
+      .collect()(0).getLong(0)
+    val foExact = spark.sql(
+      "SELECT count(*) FROM ja FULL JOIN jb ON ja.k = jb.k")
+      .collect()(0).getLong(0)
     spark.conf.set(GraftRuntime.EnabledKey, "true")
-    // outer joins are NOT a pair-product sum -> fall through
     val lo = spark.sql(
       "SELECT count(*) FROM ja LEFT JOIN jb ON ja.k = jb.k")
-    assert(!lo.queryExecution.optimizedPlan.toString
+    assert(lo.queryExecution.optimizedPlan.toString
       .trim.startsWith("LocalRelation"))
+    assert(lo.collect()(0).getLong(0) == loExact,
+      "left-outer factorization must match the exact count " +
+        "(null keys count unmatched on their own side)")
+    val fo = spark.sql(
+      "SELECT count(*) FROM ja FULL JOIN jb ON ja.k = jb.k")
+    assert(fo.queryExecution.optimizedPlan.toString
+      .trim.startsWith("LocalRelation"))
+    assert(fo.collect()(0).getLong(0) == foExact)
     // cross-side residual condition -> fall through
     val cc = spark.sql("SELECT count(*) FROM ja JOIN jb " +
       "ON ja.k = jb.k AND ja.x <= length(jb.y)")

@@ -1806,6 +1806,116 @@ SELECT 'x4_not_in_nullaware_falls_through', CAST(count(*) AS BIGINT)
 FROM customer WHERE c_nationkey NOT IN
   (SELECT n_nationkey FROM nation WHERE n_regionkey <= 0)
 ORDER BY query_id""")),
+    // Value/count aggregates over EXISTS / NOT EXISTS (r17 third
+    // pass): `SELECT sum(x) FROM A WHERE EXISTS (…)` — semi/anti
+    // output IS the left side filtered, so the matched-key probe is a
+    // drop-in estimate for the same probe-vector folds. Null-bearing
+    // integral-valued value column; exact registrations → lossless;
+    // scan-free plans require()d; DuckDB recomputes the identical
+    // derivation.
+    Entry("q_approx_exists_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_exa/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k1", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_exa_l")
+          dr.createOrReplaceTempView("graft_aqp_exa_r")
+          val exists = "EXISTS (SELECT 1 FROM graft_aqp_exa_r r " +
+            "WHERE r.k1 = l.k1 AND r.b != 0)"
+          val texts = Seq(
+            "e1_sum_exists" -> ("SELECT sum(l.w) AS x FROM " +
+              s"graft_aqp_exa_l l WHERE $exists"),
+            "e2_avg_not_exists" -> ("SELECT avg(l.w) AS x FROM " +
+              s"graft_aqp_exa_l l WHERE NOT $exists"),
+            "e3_count_distinct_exists" ->
+              ("SELECT count(DISTINCT l.w) AS x FROM " +
+                s"graft_aqp_exa_l l WHERE $exists"),
+            "e4_count_col_exists" -> ("SELECT count(l.w) AS x FROM " +
+              s"graft_aqp_exa_l l WHERE $exists"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"semi/anti agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val r0 = df.collect()(0)
+            val x: Option[Double] =
+              if (r0.isNullAt(0)) None
+              else r0.get(0) match {
+                case l: java.lang.Long => Some(l.toDouble)
+                case dd: java.lang.Double => Some(dd)
+              }
+            (qid, x)
+          }
+          rows.toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT event_id % 5 AS k1,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(event_id % 13 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'e1_sum_exists' AS query_id, CAST(sum(w) AS DOUBLE) AS x
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.b != 0)
+  UNION ALL
+  SELECT 'e2_avg_not_exists',
+    CASE WHEN count(w) = 0 THEN NULL
+         ELSE CAST(sum(w) AS DOUBLE) / count(w) END
+  FROM l WHERE NOT EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.b != 0)
+  UNION ALL
+  SELECT 'e3_count_distinct_exists', CAST(count(DISTINCT w) AS DOUBLE)
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.b != 0)
+  UNION ALL
+  SELECT 'e4_count_col_exists', CAST(count(w) AS DOUBLE)
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.b != 0))
+ORDER BY query_id""")),
     // OUTER join counts (r17 third pass) — the remaining join-type
     // matrix: LEFT = inner + left-unmatched, RIGHT = inner +
     // right-unmatched, FULL = both, where inner is the factorization

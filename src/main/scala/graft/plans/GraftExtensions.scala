@@ -270,9 +270,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         stripProjects(child) match {
           // count(c) / count(DISTINCT c) over a join tree (r17 second
           // pass): the owner leaf's probe carries the NotNull / Eq
-          // conjunct and the edge grid does the rest.
+          // conjunct and the edge grid does the rest; semi/anti
+          // children (EXISTS shapes) ride the matched-key probe.
           case j: Join if filt.isEmpty =>
             rewriteJoinAgg(alias, Count(Seq(c)), distinct, c, j)
+              .orElse(rewriteSemiAntiAgg(alias, Count(Seq(c)),
+                distinct, c, j))
               .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
@@ -336,9 +339,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // sum/avg/min/max over a join tree (r17 second pass): the
           // probe-vector functional with the join factorization
           // supplying each n_v — `SELECT sum(x) FROM fact JOIN dim …`
-          // is the most common analytics shape there is.
+          // is the most common analytics shape there is; semi/anti
+          // children (EXISTS shapes) ride the matched-key probe.
           case j: Join if filt.isEmpty =>
-            rewriteJoinAgg(alias, fn, distinct, c, j).getOrElse(agg)
+            rewriteJoinAgg(alias, fn, distinct, c, j)
+              .orElse(rewriteSemiAntiAgg(alias, fn, distinct, c, j))
+              .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -1363,6 +1369,46 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     } yield LocalRelation(Seq(alias.toAttribute),
       Seq(InternalRow(total)))
+
+  /** Single value/count aggregates over a LEFT SEMI / LEFT ANTI join
+    * (r17 third pass): `SELECT sum(x) FROM A WHERE EXISTS (…)` — the
+    * join output IS the left side filtered, so the matched-key probe
+    * is a drop-in estimate function for the same folds. The aggregate
+    * column must be a left attribute (the analyzer guarantees it —
+    * semi/anti output carries no right columns — and the outputSet
+    * check guards it structurally against name collisions). */
+  private def rewriteSemiAntiAgg(alias: Alias, fn: AggregateFunction,
+      distinct: Boolean, c: AttributeReference,
+      j: Join): Option[LogicalPlan] = {
+    for {
+      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
+      if j.left.outputSet.contains(c) &&
+        lLeaf.reg.columns.contains(c.name)
+      dom <- fn match {
+        case Count(_) if !distinct => Some(Nil: Seq[Any])
+        case _ => domainOf(lLeaf.reg, c.name)
+          .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      }
+      if BigInt(dom.size + 1) * BigInt(matchedKeys.size + 1) *
+        BigInt(dnfTerms(lLeaf.dnf)) <= BigInt(maxTotalProbes)
+      est = semiAntiEstFn(lLeaf, kName, matchedKeys, semi)
+      value <- probed {
+        try {
+          fn match {
+            case Count(_) if !distinct =>
+              Some(est(Seq(Pred(c.name, Op.NotNull, null))): Any)
+            case Count(_) =>
+              Some(dom.count(v => v != null &&
+                est(Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong: Any)
+            case _ =>
+              foldValueAgg(fn, distinct, alias.dataType, c, est, Nil,
+                dom)
+          }
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(value)))
+  }
 
   /** Single value/count aggregates over a join tree (r17 second pass):
     * `count(c)`, `count(DISTINCT c)`, `sum/avg/min/max(c)` where c

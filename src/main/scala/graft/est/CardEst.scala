@@ -45,8 +45,14 @@ trait CardEst extends Serializable {
         val conj = (0 until k).filter(i => (s & (1 << i)) != 0)
           .flatMap(disjuncts)
         val term = query(conj)
-        acc += (if (java.lang.Integer.bitCount(s) % 2 == 1) term
-          else -term)
+        // Checked signed sum (ADVICE r17, mirroring the optimizer-side
+        // PredExtract.estimateDnf): a silent Long wrap here would
+        // return an arbitrary wrong count — overflow must SURFACE
+        // (ArithmeticException) so callers fail loudly or fall back.
+        acc =
+          if (java.lang.Integer.bitCount(s) % 2 == 1)
+            Math.addExact(acc, term)
+          else Math.subtractExact(acc, term)
         s += 1
       }
       math.max(acc, 0L)

@@ -598,8 +598,15 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(fn, _, distinct, filtE, _), _) =>
         val filtPreds: Option[Seq[Pred]] = filtE match {
           case None => Some(Nil)
-          case Some(f) => parseConjunction(f)
-            .filter(_.forall(p => reg.columns.contains(p.col)))
+          // FILTER-clause attributes resolve through base() like every
+          // other cell column (ADVICE r17): resolveThroughProjects
+          // walks past computing/renaming Projects, so a clause over
+          // `SELECT abs(x) AS y` must probe the DERIVED y — base()
+          // poisons that resolution and the columns check below fails
+          // closed; a pure rename resolves to the real column instead.
+          case Some(f) => parseConjunction(f.transform {
+              case a: AttributeReference => base(a)
+            }).filter(_.forall(p => reg.columns.contains(p.col)))
         }
         filtPreds.flatMap { fp =>
           fn match {
@@ -1741,6 +1748,11 @@ case class EstimatedStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * [[EstimatedStatsRule]]). */
 private[plans] object PredExtract {
 
+  /** [[canonKey]]'s marker for non-finite float/double key values —
+    * equality by canonical bit pattern (case-class Long equality), a
+    * type no genuine domain value can collide with. */
+  private[plans] final case class NonFiniteKey(bits: Long)
+
   /** Canonical form of a join-key value for cross-type domain
     * intersection: numerics normalize through a scale-stripped
     * BigDecimal (Int 1, Long 1L, and Double 1.0 all meet), everything
@@ -1750,6 +1762,16 @@ private[plans] object PredExtract {
     case n @ (_: Byte | _: Short | _: Int | _: Long) =>
       java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue)
         .stripTrailingZeros
+    // Non-finite floats have no BigDecimal form (the constructor
+    // throws, ADVICE r17) — canonicalize NaN/±Inf by bit pattern so a
+    // float-keyed domain containing them intersects instead of
+    // crashing the optimizer. doubleToLongBits collapses every NaN to
+    // one canonical pattern, matching Spark's NaN = NaN join
+    // semantics (boxed NaN would NOT equal itself under Scala ==).
+    case f: Float if f.isNaN || f.isInfinite =>
+      NonFiniteKey(java.lang.Double.doubleToLongBits(f.toDouble))
+    case d: Double if d.isNaN || d.isInfinite =>
+      NonFiniteKey(java.lang.Double.doubleToLongBits(d))
     case f: Float => new java.math.BigDecimal(f.toDouble).stripTrailingZeros
     case d: Double => new java.math.BigDecimal(d).stripTrailingZeros
     case b: java.math.BigDecimal => b.stripTrailingZeros

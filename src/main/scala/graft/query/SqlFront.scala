@@ -38,17 +38,36 @@ import org.apache.spark.sql.types._
 object SqlFront {
 
   /** The raw prefix of a LIKE pattern, when (and only when) the
-    * pattern is `<literal-prefix>%`: exactly one `%`, at the end, no
-    * `_`, and no occurrence of the escape character (escaped
-    * metacharacters would make the prefix non-literal — conservative
-    * fall-through). An empty prefix (`LIKE '%'`) is accepted: its mask
-    * is the IS NOT NULL mask, which is exactly SQL's semantics. */
-  def likePrefix(pattern: String, escapeChar: Char): Option[String] =
-    if (pattern.nonEmpty && pattern.last == '%' && {
-      val prefix = pattern.dropRight(1)
-      !prefix.exists(ch => ch == '%' || ch == '_' || ch == escapeChar)
-    }) Some(pattern.dropRight(1))
-    else None
+    * pattern is `<literal-prefix>%`: exactly one UNESCAPED `%`, at the
+    * end, and no unescaped `_`. Valid escape sequences in the prefix
+    * UNESCAPE to their literal character (r18, VERDICT r17 #9:
+    * `LIKE 'ab\%c%' ESCAPE '\'` is the literal prefix `ab%c`) — only
+    * the sequences Spark itself accepts (`\%`, `\_`, `\\`); any other
+    * escape use (Spark raises for those patterns) and a dangling
+    * trailing escape fall through. An empty prefix (`LIKE '%'`) is
+    * accepted: its mask is the IS NOT NULL mask, which is exactly
+    * SQL's semantics. */
+  def likePrefix(pattern: String, escapeChar: Char): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      val ch = pattern.charAt(i)
+      if (ch == escapeChar) {
+        if (i + 1 >= n) return None // dangling escape — invalid pattern
+        val nx = pattern.charAt(i + 1)
+        if (nx == '%' || nx == '_' || nx == escapeChar) {
+          sb.append(nx); i += 2
+        } else return None // escape sequence Spark rejects
+      } else if (ch == '%') {
+        // a bare % is accepted only as the final character
+        return if (i == n - 1) Some(sb.result()) else None
+      } else if (ch == '_') {
+        return None // single-char wildcard — not a literal prefix
+      } else { sb.append(ch); i += 1 }
+    }
+    None // no trailing unescaped % — an exact match, not a prefix
+  }
 
   /** Catalyst literal → the natural Scala value the [[Pred]] vocabulary
     * (and the reference's column domains) uses: integral types widen to

@@ -342,6 +342,65 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("FILTER clause resolves through computing/renaming Projects (r18, ADVICE r17)") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fres").toString
+    // w is BOTH a real registered column and the alias name a subquery
+    // gives a derived expression — the collision the fix exists for:
+    // pre-fix, `FILTER (WHERE w > 2)` over `abs(x) AS w` silently
+    // probed the REGISTERED w (0 for group a) instead of failing closed.
+    Seq(("a", -3L, 0L), ("a", 1L, 0L), ("b", -5L, 10L), ("b", 2L, 10L))
+      .toDF("g", "x", "w").write.mode("overwrite")
+      .parquet(s"$tmp/fres.parquet")
+    val df = spark.read.parquet(s"$tmp/fres.parquet")
+    df.createOrReplaceTempView("fres")
+    val gDom = graft.core.Dictionary.columnMeta(df.select("g"), "g")
+      .domain.toSeq
+    GraftRuntime.registerWithDomain("fres.parquet", Set("g", "x", "w"),
+      preds => df.filter(Pred.conj(preds)).count(),
+      c => if (c == "g") Some(gDom) else None)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    // derived alias shadowing the registered w: abs(x) > 2 holds once
+    // per group; probing the registered w would answer (a->0, b->2)
+    val qDerived = "SELECT g, count(*) FILTER (WHERE w > 2) AS n FROM " +
+      "(SELECT g, abs(x) AS w FROM fres) GROUP BY g"
+    val dfD = spark.sql(qDerived)
+    assert(!dfD.queryExecution.optimizedPlan.toString.trim
+      .startsWith("LocalRelation"),
+      "FILTER over a derived alias must fail closed, not probe the column")
+    assert(dfD.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 1L))
+    // a pure RENAME resolves to the real column and the rewrite fires
+    val qRename = "SELECT g, count(*) FILTER (WHERE y > 0) AS n FROM " +
+      "(SELECT g, x AS y FROM fres) GROUP BY g"
+    val dfR = spark.sql(qRename)
+    assert(dfR.queryExecution.optimizedPlan.toString.trim
+      .startsWith("LocalRelation"),
+      dfR.queryExecution.optimizedPlan.toString)
+    assert(dfR.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 1L))
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
+  test("canonKey: non-finite float/double keys canonicalize without throwing (r18, ADVICE r17)") {
+    // pre-fix: new BigDecimal(NaN) threw NumberFormatException inside
+    // edge building and crashed the whole query in the optimizer
+    assert(PredExtract.canonKey(Double.NaN) ==
+      PredExtract.canonKey(Double.NaN))
+    assert(PredExtract.canonKey(Float.NaN) ==
+      PredExtract.canonKey(Double.NaN))
+    assert(PredExtract.canonKey(Double.PositiveInfinity) ==
+      PredExtract.canonKey(Float.PositiveInfinity))
+    assert(PredExtract.canonKey(Double.NegativeInfinity) !=
+      PredExtract.canonKey(Double.PositiveInfinity))
+    // finite values keep the cross-type BigDecimal meeting point
+    assert(PredExtract.canonKey(1.5f) == PredExtract.canonKey(1.5))
+  }
+
   test("GROUP BY falls through without a domain, past the probe cap, and on multi-key grouping") {
     GraftRuntime.clear()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

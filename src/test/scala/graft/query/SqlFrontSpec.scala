@@ -136,8 +136,18 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, ps3) = SqlFront.parse(spark,
       "SELECT count(*) FROM nation WHERE n_name LIKE '%'")
     assert(ps3 == Seq(Pred("n_name", Op.PrefixLike, "")))
+    // valid escape sequences UNESCAPE to a literal prefix (r18,
+    // VERDICT r17 #9): the SQL text 'UNITED\\%%' reaches the parser as
+    // pattern UNITED\%% — an escaped % then the trailing wildcard, so
+    // the literal prefix is UNITED%; escaped _ and escaped \ likewise
+    val (_, ps4) = SqlFront.parse(spark,
+      "SELECT count(*) FROM nation WHERE n_name LIKE 'UNITED\\\\%%'")
+    assert(ps4 == Seq(Pred("n_name", Op.PrefixLike, "UNITED%")))
+    val (_, ps5) = SqlFront.parse(spark,
+      "SELECT count(*) FROM nation WHERE n_name LIKE 'A\\\\_B\\\\\\\\C%'")
+    assert(ps5 == Seq(Pred("n_name", Op.PrefixLike, "A_B\\C")))
     // non-prefix shapes fall through by NAME, never mis-estimated:
-    // suffix, infix wildcard, underscore, escaped metachar in prefix
+    // suffix, infix wildcard, underscore
     def bad(pat: String): String =
       intercept[IllegalArgumentException](SqlFront.parse(spark,
         s"SELECT count(*) FROM nation WHERE n_name LIKE '$pat'"))
@@ -145,7 +155,34 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad("%KINGDOM").contains("prefix LIKE"))
     assert(bad("UN%TED%").contains("prefix LIKE"))
     assert(bad("UNITED_%").contains("prefix LIKE"))
-    assert(bad("UNITED\\\\%%").contains("prefix LIKE"))
+    // direct unit pins on the unescaper's fall-throughs: a dangling
+    // trailing escape and an escape sequence Spark itself rejects
+    assert(SqlFront.likePrefix("AB\\", '\\').isEmpty)
+    assert(SqlFront.likePrefix("A\\B%", '\\').isEmpty)
+    assert(SqlFront.likePrefix("AB\\%C%", '\\').contains("AB%C"))
+    assert(SqlFront.likePrefix("AB%", '\\').contains("AB"))
+    assert(SqlFront.likePrefix("AB", '\\').isEmpty)
+  }
+
+  test("queryDnf surfaces Long overflow instead of wrapping (r18, ADVICE r17)") {
+    val big = new graft.est.CardEst {
+      def name = "big"
+      def query(preds: Seq[Pred]): Long = Long.MaxValue / 2 + 1
+    }
+    // two disjuncts: the I-E sum adds two near-max terms — a silent
+    // wrap would return an arbitrary negative-clamped count
+    intercept[ArithmeticException](big.queryDnf(
+      Seq(Seq(Pred("a", Op.Eq, 1L)), Seq(Pred("b", Op.Eq, 2L)))))
+    // in-range sums still answer (exact I-E identity)
+    val small = new graft.est.CardEst {
+      def name = "small"
+      def query(preds: Seq[Pred]): Long = preds.size match {
+        case 1 => 10L
+        case _ => 3L // the intersection term
+      }
+    }
+    assert(small.queryDnf(
+      Seq(Seq(Pred("a", Op.Eq, 1L)), Seq(Pred("b", Op.Eq, 2L)))) == 17L)
   }
 
   test("parseDnf: bounded cross-column OR; single-column OR still folds (r17)") {

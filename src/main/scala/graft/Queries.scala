@@ -1764,10 +1764,14 @@ ORDER BY query_id""")),
               "graft_aqp_ex_customer c WHERE NOT EXISTS (SELECT 1 " +
               "FROM graft_aqp_ex_nation n WHERE n.n_nationkey = " +
               "c.c_nationkey AND n.n_name LIKE 'UNITED%')", true),
-            ("x4_not_in_nullaware_falls_through",
+            // r18 (VERDICT r17 #4): the null-aware anti join is now
+            // ANSWERED (three-valued factorization), no longer a
+            // pinned fall-through — the null-bearing branches are
+            // gated by q_approx_not_in_null
+            ("x4_not_in_nullfree",
               "SELECT count(*) AS n FROM graft_aqp_ex_customer " +
                 "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM " +
-                "graft_aqp_ex_nation WHERE n_regionkey <= 0)", false))
+                "graft_aqp_ex_nation WHERE n_regionkey <= 0)", true))
           val rows = texts.map { case (qid, sql, mustRewrite) =>
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
@@ -1776,8 +1780,7 @@ ORDER BY query_id""")),
                 s"semi/anti rewrite did not fire on $qid; plan:\n$plan")
             else
               require(!plan.trim.startsWith("LocalRelation"),
-                s"null-aware anti join must fall through on $qid; " +
-                  s"plan:\n$plan")
+                s"expected fall-through on $qid; plan:\n$plan")
             (qid, df.collect()(0).getLong(0))
           }
           rows.toDF("query_id", "n").orderBy("query_id")
@@ -1802,7 +1805,7 @@ SELECT 'x3_not_exists', CAST(count(*) AS BIGINT) FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM nation n
   WHERE n.n_nationkey = c.c_nationkey AND n.n_name LIKE 'UNITED%')
 UNION ALL
-SELECT 'x4_not_in_nullaware_falls_through', CAST(count(*) AS BIGINT)
+SELECT 'x4_not_in_nullfree', CAST(count(*) AS BIGINT)
 FROM customer WHERE c_nationkey NOT IN
   (SELECT n_nationkey FROM nation WHERE n_regionkey <= 0)
 ORDER BY query_id""")),
@@ -1915,6 +1918,350 @@ SELECT * FROM (
   SELECT 'e4_count_col_exists', CAST(count(w) AS DOUBLE)
   FROM l WHERE EXISTS (SELECT 1 FROM r
     WHERE r.k1 = l.k1 AND r.b != 0))
+ORDER BY query_id""")),
+    // Null-aware NOT IN (subquery) ANSWERED, not refused (r18, VERDICT
+    // r17 #4): Catalyst plans `k NOT IN (SELECT kk …)` on a nullable
+    // key as LeftAnti with condition `k = kk OR isnull(k = kk)`; SQL's
+    // three-valued semantics factorize exactly — empty subquery keeps
+    // every row (null keys too), a NULL in the subquery keeps none,
+    // else anti restricted to non-null left keys. All four branches
+    // (null-bearing / null-free / empty / with a left WHERE) must
+    // rewrite scan-free; DuckDB runs the identical texts over the
+    // identical derivation (a null-bearing fixture on BOTH sides).
+    Entry("q_approx_not_in_null",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_nin/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id"), lit(7))).as("k"),
+            pmod(col("event_id"), lit(5)).as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            when(pmod(col("event_id"), lit(17)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id") + 1, lit(9))).as("kk"),
+            pmod(col("event_id"), lit(3)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("kk").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k", "w"))
+        val leR = new LocalExact(dr, Seq("kk", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("kk", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_nin_l")
+          dr.createOrReplaceTempView("graft_aqp_nin_r")
+          val texts = Seq(
+            // subquery carries NULLs -> every comparison UNKNOWN -> 0
+            "nn1_null_bearing" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_nin_l WHERE k NOT IN " +
+              "(SELECT kk FROM graft_aqp_nin_r)"),
+            // null-free subquery -> anti over non-null left keys
+            "nn2_null_free" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_nin_l WHERE k NOT IN " +
+              "(SELECT kk FROM graft_aqp_nin_r " +
+              "WHERE kk IS NOT NULL AND b != 0)"),
+            // empty subquery -> NOT IN () is TRUE for ALL rows,
+            // null left keys included
+            "nn3_empty_subquery" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_nin_l WHERE k NOT IN " +
+              "(SELECT kk FROM graft_aqp_nin_r WHERE b = 7)"),
+            // a left WHERE conjunct rides the left leaf's mask
+            "nn4_with_where" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_nin_l WHERE w <= 3 AND k NOT IN " +
+              "(SELECT kk FROM graft_aqp_nin_r " +
+              "WHERE kk IS NOT NULL AND b = 0)"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"null-aware NOT IN rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          // the three-valued branches must be DISTINGUISHABLE on this
+          // fixture: the null-bearing branch is exactly zero, the
+          // empty-subquery branch keeps every row
+          require(rows.find(_._1 == "nn1_null_bearing").get._2 == 0L,
+            "null-bearing NOT IN must keep zero rows")
+          require(rows.find(_._1 == "nn3_empty_subquery").get._2 ==
+            dl.count(), "empty-subquery NOT IN must keep every row")
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+             ELSE event_id % 7 END AS k,
+             event_id % 5 AS w FROM basee),
+r AS (SELECT CASE WHEN event_id % 17 = 0 THEN NULL
+             ELSE (event_id + 1) % 9 END AS kk,
+             event_id % 3 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'nn1_null_bearing' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM l WHERE k NOT IN (SELECT kk FROM r)
+  UNION ALL
+  SELECT 'nn2_null_free', CAST(count(*) AS BIGINT)
+  FROM l WHERE k NOT IN (SELECT kk FROM r
+    WHERE kk IS NOT NULL AND b != 0)
+  UNION ALL
+  SELECT 'nn3_empty_subquery', CAST(count(*) AS BIGINT)
+  FROM l WHERE k NOT IN (SELECT kk FROM r WHERE b = 7)
+  UNION ALL
+  SELECT 'nn4_with_where', CAST(count(*) AS BIGINT)
+  FROM l WHERE w <= 3 AND k NOT IN (SELECT kk FROM r
+    WHERE kk IS NOT NULL AND b = 0))
+ORDER BY query_id""")),
+    // Composite-key EXISTS / NOT EXISTS (r18, VERDICT r17 #5): an AND
+    // of equalities in the subquery — `EXISTS (SELECT 1 FROM r WHERE
+    // r.k1 = l.k1 AND r.k2 = l.k2)` — factorizes over the per-key
+    // domain-pair GRID (one axis per equality; each matched probe
+    // carries BOTH Eq conjuncts, so absent combinations count 0).
+    // Grouped and value-aggregate forms ride the same probe. The left
+    // key k1 is null-bearing: null keys never match (EXISTS) and stay
+    // kept (NOT EXISTS) — n_L − semi gets both for free. Exact
+    // registrations → lossless; scan-free plans require()d; DuckDB
+    // runs the identical texts.
+    Entry("q_approx_exists_composite",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_exc/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id"), lit(5))).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(7)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            pmod(col("event_id"), lit(4)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k1", "k2", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1", "k2").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "k2", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "k2", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "k2", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "k2", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_exc_l")
+          dr.createOrReplaceTempView("graft_aqp_exc_r")
+          val exComposite = "EXISTS (SELECT 1 FROM graft_aqp_exc_r r " +
+            "WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)"
+          val texts = Seq(
+            "c1_exists" -> ("SELECT count(*) AS n FROM " +
+              s"graft_aqp_exc_l l WHERE $exComposite"),
+            "c2_not_exists" -> ("SELECT count(*) AS n FROM " +
+              s"graft_aqp_exc_l l WHERE NOT $exComposite"),
+            // raw sum (a CAST around the aggregate would change the
+            // Aggregate shape); w is integral-valued double, so the
+            // client-side toLong is exact and hash-safe
+            "c3_sum_exists" -> ("SELECT sum(l.w) AS n " +
+              s"FROM graft_aqp_exc_l l WHERE $exComposite"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"composite semi/anti rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val r0 = df.collect()(0)
+            val v = if (qid == "c3_sum_exists") r0.getDouble(0).toLong
+              else r0.getLong(0)
+            (qid, v)
+          }
+          // grouped composite EXISTS: the grid rides the same probe
+          val gSql = "SELECT l.k2 AS grp, count(*) AS n FROM " +
+            s"graft_aqp_exc_l l WHERE $exComposite GROUP BY l.k2"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped composite semi rewrite did not fire")
+          val gRows = gDf.collect().map(r =>
+            (s"c4_grouped_k2_${r.getLong(0)}", r.getLong(1))).toSeq
+          (rows ++ gRows).toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+             ELSE event_id % 5 END AS k1,
+             event_id % 3 AS k2,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(event_id % 7 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
+             event_id % 4 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'c1_exists' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
+  UNION ALL
+  SELECT 'c2_not_exists', CAST(count(*) AS BIGINT)
+  FROM l WHERE NOT EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
+  UNION ALL
+  SELECT 'c3_sum_exists', CAST(sum(w) AS BIGINT)
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
+  UNION ALL
+  SELECT 'c4_grouped_k2_' || CAST(k2 AS VARCHAR),
+    CAST(count(*) AS BIGINT)
+  FROM l WHERE EXISTS (SELECT 1 FROM r
+    WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
+  GROUP BY k2)
+ORDER BY query_id""")),
+    // EXISTS over a JOIN-TREE subquery (r18, VERDICT r17 #7): the
+    // subquery itself joins — `EXISTS (SELECT 1 FROM nation JOIN
+    // region …)` — so the matched-key test is the right tree's JOIN
+    // COUNT (joinCountProbes with the correlation key attributed to
+    // its owner leaf). Side predicates (prefix LIKE, equality) sit in
+    // the subquery and ride each leaf's mask. Exact registrations →
+    // lossless; scan-free plans require()d; DuckDB runs the identical
+    // texts on the real TPC-H tables.
+    Entry("q_approx_exists_join",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val reg = s.read.parquet(s"$d/region.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val cDoms = Seq("c_nationkey", "c_mktsegment")
+          .map(c => c -> dom(cust, c)).toMap
+        val nDoms = Seq("n_nationkey", "n_regionkey")
+          .map(c => c -> dom(nat, c)).toMap
+        val rDoms = Seq("r_regionkey").map(c => c -> dom(reg, c)).toMap
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_mktsegment", "c_acctbal"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        val leR = new LocalExact(reg, Seq("r_regionkey", "r_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_mktsegment", "c_acctbal"),
+          preds => leC.count(preds), name => cDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds), name => nDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/region.parquet", Set("r_regionkey", "r_name"),
+          preds => leR.count(preds), name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_exj_customer")
+          nat.createOrReplaceTempView("graft_aqp_exj_nation")
+          reg.createOrReplaceTempView("graft_aqp_exj_region")
+          val texts = Seq(
+            "j1_exists_join" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_exj_customer c WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_exj_nation n JOIN graft_aqp_exj_region r " +
+              "ON n.n_regionkey = r.r_regionkey " +
+              "WHERE n.n_nationkey = c.c_nationkey " +
+              "AND r.r_name LIKE 'A%')"),
+            "j2_not_exists_join" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_exj_customer c WHERE NOT EXISTS (SELECT 1 " +
+              "FROM graft_aqp_exj_nation n JOIN graft_aqp_exj_region r " +
+              "ON n.n_regionkey = r.r_regionkey " +
+              "WHERE n.n_nationkey = c.c_nationkey " +
+              "AND r.r_name = 'EUROPE')"),
+            "j3_distinct_exists_join" -> ("SELECT " +
+              "CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n " +
+              "FROM graft_aqp_exj_customer c WHERE EXISTS (SELECT 1 " +
+              "FROM graft_aqp_exj_nation n JOIN graft_aqp_exj_region r " +
+              "ON n.n_regionkey = r.r_regionkey " +
+              "WHERE n.n_nationkey = c.c_nationkey " +
+              "AND r.r_name LIKE 'AM%' AND n.n_name LIKE 'B%')"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"exists-over-join rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'j1_exists_join' AS query_id,
+  CAST(count(*) AS BIGINT) AS n
+FROM customer c WHERE EXISTS (SELECT 1 FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE n.n_nationkey = c.c_nationkey AND r.r_name LIKE 'A%')
+UNION ALL
+SELECT 'j2_not_exists_join', CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE n.n_nationkey = c.c_nationkey AND r.r_name = 'EUROPE')
+UNION ALL
+SELECT 'j3_distinct_exists_join',
+  CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+FROM customer c WHERE EXISTS (SELECT 1 FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE n.n_nationkey = c.c_nationkey
+  AND r.r_name LIKE 'AM%' AND n.n_name LIKE 'B%')
 ORDER BY query_id""")),
     // OUTER join counts (r17 third pass) — the remaining join-type
     // matrix: LEFT = inner + left-unmatched, RIGHT = inner +

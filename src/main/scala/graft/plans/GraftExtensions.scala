@@ -917,24 +917,23 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       base: AttributeReference => AttributeReference)
       : Option[LogicalPlan] = {
     for {
-      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
+      sp <- semiAntiSpec(j)
       keys <- {
         val ks = agg.groupingExpressions.map(groupKeyOf(_, base))
         if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
       }
-      if keys.forall(k => lLeaf.reg.columns.contains(k.attr.name))
+      if keys.forall(k => sp.lLeaf.reg.columns.contains(k.attr.name))
       cells <- classifyCells(agg.aggregateExpressions,
-        agg.groupingExpressions, base, lLeaf.reg)
-      gDoms <- derivedDoms(keys, lLeaf.reg)
+        agg.groupingExpressions, base, sp.lLeaf.reg)
+      gDoms <- derivedDoms(keys, sp.lLeaf.reg)
       nCombos = gDoms.map(d => BigInt(d.size)).product
-      // each semi/anti probe costs |matchedKeys|+1 left estimates
+      // each semi/anti probe costs |matched|+1 left estimates
       if nCombos <= BigInt(maxGroupProbes) &&
         nCombos *
           (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) *
-          BigInt(matchedKeys.size + 1) *
-          BigInt(dnfTerms(lLeaf.dnf)) <= BigInt(maxTotalProbes)
-      rows <- probeGrid(keys, gDoms, cells,
-        semiAntiEstFn(lLeaf, kName, matchedKeys, semi))
+          BigInt(sp.matched.size + 1) *
+          BigInt(dnfTerms(sp.lLeaf.dnf)) <= BigInt(maxTotalProbes)
+      rows <- probeGrid(keys, gDoms, cells, semiAntiEstFn(sp))
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
   }
@@ -1205,82 +1204,222 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: ArithmeticException => None }
   }
 
-  /** COUNT(*) over a LEFT SEMI / LEFT ANTI equi-join (r17 third pass)
-    * — the shapes Catalyst plans for `WHERE [NOT] EXISTS (…)` and
-    * `WHERE k IN (SELECT …)`:
+  /** COUNT(*) over a LEFT SEMI / LEFT ANTI equi-join (r17 third pass;
+    * generalized r18) — the shapes Catalyst plans for `WHERE [NOT]
+    * EXISTS (…)` and `WHERE k IN/NOT IN (SELECT …)`:
     *
-    *   semi = Σ,,v ∈ D_L, v ≠ null,, n_L(v) · [n_R(v) > 0]
+    *   semi = Σ,,matched v⃗,, n_L(k⃗ = v⃗)
     *   anti = n_L(ALL) − semi
     *
-    * (anti keeps left rows whose key is NULL or unmatched — exactly
-    * n_L minus the semi-matched rows, since semi counts only non-null
-    * matched keys). NULL-AWARE anti joins — `NOT IN (subquery)` on a
-    * nullable key, whose condition is `k = k2 OR isnull(k = k2)` —
-    * do NOT match the single-EqualTo pattern and fall through: their
-    * three-valued semantics are not this factorization. Exact
-    * registrations stay lossless. ≤ 2·|D_L| driver probes. */
-  /** The resolved pieces of a LEFT SEMI / LEFT ANTI single-key
-    * equi-join with both sides registered: the LEFT leaf, the left key
-    * name, the left-domain keys whose RIGHT-side probe is nonzero
-    * (computed ONCE — right probes never depend on group/cell
-    * conjuncts), and the semi flag. None = any conservative
-    * fall-through, including a null-aware anti condition. */
-  private def semiAntiSpec(j: Join)
-      : Option[(JoinLeaf, String, Seq[Any], Boolean)] = {
+    * where v⃗ ranges over the left key-domain grid values whose RIGHT
+    * side has rows (computed ONCE — right probes never depend on
+    * group/cell conjuncts; anti keeps left rows whose keys are NULL or
+    * unmatched, exactly n_L minus the semi sum). r18 closes the r17
+    * composition gaps (VERDICT r17 #4/#5/#7):
+    *
+    *   - COMPOSITE keys — an AND of equalities contributes one grid
+    *     axis per equality; each matched probe carries every Eq
+    *     conjunct, so absent combinations count 0 (the same exactness
+    *     argument as [[flattenJoinTree]]'s composite edges).
+    *   - a JOIN-TREE right child — `EXISTS (SELECT … FROM d1 JOIN d2
+    *     …)`: the matched test is [[joinCountProbes]] over the
+    *     flattened right tree with the key Eq attributed to its owner
+    *     leaf.
+    *   - NULL-AWARE anti (`NOT IN (subquery)` on a nullable key;
+    *     condition `k = k2 OR isnull(k = k2)`): SQL's three-valued
+    *     semantics factorize exactly —
+    *       empty subquery    → n_L(ALL)  (NOT IN () is TRUE, null keys too)
+    *       subquery has NULL → 0         (k <> NULL is UNKNOWN for all k)
+    *       else              → n_L(k NOT NULL) − semi
+    *     (null left keys compare UNKNOWN against a non-empty list →
+    *     excluded; covered by the NotNull restriction).
+    */
+  private case class SemiAntiParts(lLeaf: JoinLeaf, keyNames: Seq[String],
+      matched: Seq[Seq[Any]], semi: Boolean,
+      nullAware: Option[NullAwareFacts])
+
+  private case class NullAwareFacts(rightEmpty: Boolean,
+      rightHasNull: Boolean)
+
+  /** The right side of a semi/anti join, abstracted for matched-key
+    * computation: per-key domains, a count probe over right-key Eq
+    * values, the per-probe estimator-call cost (for budgets), and —
+    * when requested — the two facts null-aware NOT IN needs. */
+  private case class RightProbe(domains: Seq[Seq[Any]],
+      count: Seq[Any] => Long, costPerProbe: Long,
+      nullFacts: Option[NullAwareFacts])
+
+  private def rightKeyProbe(p: LogicalPlan,
+      keyCols: Seq[AttributeReference],
+      needNullFacts: Boolean): Option[RightProbe] =
+    registeredLeaf(p) match {
+      case Some(rLeaf) if keyCols.forall(kb =>
+          rLeaf.reg.columns.contains(kb.name)) =>
+        val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
+        for {
+          domains <- {
+            val ds = keyCols.map(kb => domainOf(rLeaf.reg, kb.name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes))
+            if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+          }
+          facts <- if (!needNullFacts) Some(None) else probed {
+            try Some(Some(NullAwareFacts(
+              rightEmpty = estR(Nil) == 0L,
+              rightHasNull = estR(
+                Seq(Pred(keyCols.head.name, Op.IsNull, null))) > 0L)))
+            catch { case _: ArithmeticException => None }
+          }
+        } yield RightProbe(domains,
+          vec => estR(keyCols.zip(vec).map { case (kb, v) =>
+            Pred(kb.name, Op.Eq, v) }),
+          dnfTerms(rLeaf.dnf), facts)
+      case _ => stripProjects(p) match {
+        // EXISTS over a join-tree subquery (r18, VERDICT r17 #7): the
+        // right child is itself an inner equi-join tree of registered
+        // leaves — matched = key vectors whose right JOIN COUNT is
+        // nonzero, each key Eq attributed to its owner leaf.
+        // Null-aware NOT IN over a join-tree subquery falls through
+        // (its null facts would need per-leaf null attribution).
+        case rj: Join if !needNullFacts =>
+          for {
+            spec <- flattenJoinTree(rj)
+            owners <- {
+              val os = keyCols.map(kb => spec.leafOf(kb).filter(i =>
+                spec.leaves(i).reg.columns.contains(kb.name)))
+              if (os.exists(_.isEmpty)) None else Some(os.map(_.get))
+            }
+            domains <- {
+              val ds = keyCols.zip(owners).map { case (kb, oi) =>
+                domainOf(spec.leaves(oi).reg, kb.name)
+                  .filter(d => d.nonEmpty && d.size <= maxGroupProbes) }
+              if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+            }
+            cost <- {
+              val edgeCombos =
+                spec.edges.map(e => BigInt(e.pairs.size)).product
+              val leafTerms =
+                spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+              val c = edgeCombos * leafTerms
+              if (c <= BigInt(maxTotalProbes)) Some(c.toLong) else None
+            }
+          } yield RightProbe(domains,
+            vec => joinCountProbes(spec, i =>
+              keyCols.zip(owners).zip(vec).collect {
+                case ((kb, oi), v) if oi == i =>
+                  Pred(kb.name, Op.Eq, v) })
+              .getOrElse(throw new ArithmeticException(
+                "semi-anti right join overflow")),
+            cost, None)
+        case _ => None
+      }
+    }
+
+  private def semiAntiSpec(j: Join): Option[SemiAntiParts] = {
     val semi = j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
     val anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
     if (!semi && !anti) return None
-    val keyPair: Option[(AttributeReference, AttributeReference)] =
-      j.condition match {
-        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-          if (j.left.outputSet.contains(a) &&
-            j.right.outputSet.contains(b)) Some((a, b))
-          else if (j.left.outputSet.contains(b) &&
-            j.right.outputSet.contains(a)) Some((b, a))
-          else None
-        case _ => None
-      }
+    def eqPair(e: Expression)
+        : Option[(AttributeReference, AttributeReference)] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (j.left.outputSet.contains(a) &&
+          j.right.outputSet.contains(b)) Some((a, b))
+        else if (j.left.outputSet.contains(b) &&
+          j.right.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    def splitAnd(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    val parsedOpt: Option[(Seq[(AttributeReference, AttributeReference)],
+        Boolean)] = j.condition.flatMap {
+      case Or(eq, IsNull(eq2)) if anti && eq.semanticEquals(eq2) =>
+        eqPair(eq).map(p => (Seq(p), true))
+      case c =>
+        val ps = splitAnd(c).map(eqPair)
+        if (ps.nonEmpty && ps.forall(_.isDefined))
+          Some((ps.map(_.get), false))
+        else None
+    }
     for {
-      (ka, kb) <- keyPair
+      (keyPairs, nullAware) <- parsedOpt
       lLeaf <- registeredLeaf(j.left)
-      rLeaf <- registeredLeaf(j.right)
-      if lLeaf.reg.columns.contains(ka.name) &&
-        rLeaf.reg.columns.contains(kb.name)
-      domL <- domainOf(lLeaf.reg, ka.name)
-        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
-      domR <- domainOf(rLeaf.reg, kb.name)
-        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
-      matchedKeys <- probed {
-        val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
-        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
-          .map(v => PredExtract.canonKey(v) -> v).toMap
-        try Some(domL.iterator.filter(_ != null).filter { vl =>
-          rRepr.get(PredExtract.canonKey(vl))
-            .exists(vr => estR(Seq(Pred(kb.name, Op.Eq, vr))) > 0L)
-        }.toSeq)
-        catch { case _: ArithmeticException => None }
+      if keyPairs.forall { case (ka, _) =>
+        lLeaf.reg.columns.contains(ka.name) }
+      lDoms <- {
+        val ds = keyPairs.map { case (ka, _) =>
+          domainOf(lLeaf.reg, ka.name)
+            .filter(d => d.nonEmpty && d.size <= maxGroupProbes) }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
-    } yield (lLeaf, ka.name, matchedKeys, semi)
+      right <- rightKeyProbe(j.right, keyPairs.map(_._2),
+        needNullFacts = nullAware)
+      parts <- probed {
+        try {
+          // per key: the left/right domain intersection as (left-repr,
+          // right-repr) pairs — canonical matching, each side probed
+          // with a value drawn from its own domain (ADVICE r16)
+          val pairLists = lDoms.zip(right.domains).map {
+            case (domL, domR) =>
+              val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
+                .map(v => PredExtract.canonKey(v) -> v).toMap
+              domL.iterator.filter(_ != null).flatMap(vl =>
+                rRepr.get(PredExtract.canonKey(vl)).map(vr => (vl, vr)))
+                .toSeq
+          }
+          val nGrid = pairLists.map(l => BigInt(l.size)).product
+          if (nGrid > BigInt(maxGroupProbes) ||
+              nGrid * BigInt(right.costPerProbe) >
+                BigInt(maxTotalProbes)) None
+          else {
+            val grid = pairLists.foldLeft(Seq(Seq.empty[(Any, Any)])) {
+              (acc, pl) => acc.flatMap(pre => pl.map(pr => pre :+ pr))
+            }
+            val matched = grid
+              .filter(vec => right.count(vec.map(_._2)) > 0L)
+              .map(_.map(_._1))
+            if (nullAware && right.nullFacts.isEmpty) None
+            else Some(SemiAntiParts(lLeaf, keyPairs.map(_._1.name),
+              matched, semi, if (nullAware) right.nullFacts else None))
+          }
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield parts
   }
 
   /** The semi/anti row count as a probe FUNCTION over extra left-side
-    * conjuncts: semi(extra) = Σ,,matched v,, n_L(extra ∧ k=v);
-    * anti(extra) = n_L(extra) − semi(extra). Exactly the "count of
-    * join-output rows satisfying extra" the cell machinery needs —
-    * semi/anti output carries only left columns, so every group and
-    * cell conjunct is left-attributable by construction. Throws
-    * ArithmeticException on overflow (callers catch → exact plan). */
-  private def semiAntiEstFn(lLeaf: JoinLeaf, kName: String,
-      matchedKeys: Seq[Any], semi: Boolean): Seq[Pred] => Long = {
-    val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
+    * conjuncts: semi(extra) = Σ,,matched v⃗,, n_L(extra ∧ k⃗=v⃗);
+    * anti(extra) = n_L(extra) − semi(extra); null-aware anti
+    * factorizes by the three-valued cases (see [[semiAntiSpec]]).
+    * Exactly the "count of join-output rows satisfying extra" the cell
+    * machinery needs — semi/anti output carries only left columns, so
+    * every group and cell conjunct is left-attributable by
+    * construction. Throws ArithmeticException on overflow (callers
+    * catch → exact plan). */
+  private def semiAntiEstFn(sp: SemiAntiParts): Seq[Pred] => Long = {
+    val estL = dnfEstFn(sp.lLeaf.reg, sp.lLeaf.dnf)
     extra => {
-      var matched = 0L
-      matchedKeys.foreach { v =>
-        matched = Math.addExact(matched,
-          estL(extra :+ Pred(kName, Op.Eq, v)))
+      def semiCount: Long = {
+        var m = 0L
+        sp.matched.foreach { vec =>
+          m = Math.addExact(m, estL(extra ++
+            sp.keyNames.zip(vec).map { case (k, v) =>
+              Pred(k, Op.Eq, v) }))
+        }
+        m
       }
-      if (semi) matched
-      else Math.subtractExact(estL(extra), matched)
+      sp.nullAware match {
+        case None =>
+          if (sp.semi) semiCount
+          else Math.subtractExact(estL(extra), semiCount)
+        case Some(NullAwareFacts(rightEmpty, rightHasNull)) =>
+          if (rightEmpty) estL(extra) // NOT IN () keeps every row
+          else if (rightHasNull) 0L // a NULL in the list: all UNKNOWN
+          else Math.subtractExact(
+            estL(extra :+ Pred(sp.keyNames.head, Op.NotNull, null)),
+            semiCount)
+      }
     }
   }
 
@@ -1367,11 +1506,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteSemiAntiCount(alias: Alias,
       j: Join): Option[LogicalPlan] =
     for {
-      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
-      if BigInt(matchedKeys.size + 1) * BigInt(dnfTerms(lLeaf.dnf)) <=
+      sp <- semiAntiSpec(j)
+      if BigInt(sp.matched.size + 1) * BigInt(dnfTerms(sp.lLeaf.dnf)) <=
         BigInt(maxTotalProbes)
       total <- probed {
-        try Some(semiAntiEstFn(lLeaf, kName, matchedKeys, semi)(Nil))
+        try Some(semiAntiEstFn(sp)(Nil))
         catch { case _: ArithmeticException => None }
       }
     } yield LocalRelation(Seq(alias.toAttribute),
@@ -1388,17 +1527,17 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       distinct: Boolean, c: AttributeReference,
       j: Join): Option[LogicalPlan] = {
     for {
-      (lLeaf, kName, matchedKeys, semi) <- semiAntiSpec(j)
+      sp <- semiAntiSpec(j)
       if j.left.outputSet.contains(c) &&
-        lLeaf.reg.columns.contains(c.name)
+        sp.lLeaf.reg.columns.contains(c.name)
       dom <- fn match {
         case Count(_) if !distinct => Some(Nil: Seq[Any])
-        case _ => domainOf(lLeaf.reg, c.name)
+        case _ => domainOf(sp.lLeaf.reg, c.name)
           .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
       }
-      if BigInt(dom.size + 1) * BigInt(matchedKeys.size + 1) *
-        BigInt(dnfTerms(lLeaf.dnf)) <= BigInt(maxTotalProbes)
-      est = semiAntiEstFn(lLeaf, kName, matchedKeys, semi)
+      if BigInt(dom.size + 1) * BigInt(sp.matched.size + 1) *
+        BigInt(dnfTerms(sp.lLeaf.dnf)) <= BigInt(maxTotalProbes)
+      est = semiAntiEstFn(sp)
       value <- probed {
         try {
           fn match {

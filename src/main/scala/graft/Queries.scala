@@ -3347,6 +3347,140 @@ ORDER BY query_id, grp""")),
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_regionkey
 ORDER BY grp""")),
+    // Derived grouping keys over JOINS (r18, VERDICT r17 #2): `SELECT
+    // year(f.dt), count(*) FROM fact JOIN dim … GROUP BY 1` — the
+    // canonical date-dimension report. The groupKeyOf whitelist
+    // (year/month/substring, via the analyzer's _groupingexpression
+    // Project) composes with the join factorization: each derived
+    // group's probe is the In mask over its preimage in the OWNING
+    // leaf's domain. Mixed derived+attribute grids, value aggregates,
+    // count(DISTINCT), and side predicates all ride. Exact
+    // registrations → lossless; scan-free plans require()d; DuckDB
+    // runs the identical texts over the identical derivation.
+    Entry("q_approx_join_groupby_expr",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_jge/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            date_add(to_date(lit("2023-12-01")),
+              pmod(col("event_id"), lit(300)).cast("int")).as("dt"),
+            pmod(col("event_id"), lit(5)).as("k1"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(7)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(4)).as("a"),
+            col("event_type").as("s"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("dt", "k1", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1", "a", "s").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("dt", "k1", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "a", "s"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("dt", "k1", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "a", "s"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_jge_l")
+          dr.createOrReplaceTempView("graft_aqp_jge_r")
+          val join = "graft_aqp_jge_l l JOIN graft_aqp_jge_r r " +
+            "ON l.k1 = r.k1"
+          // (qid, sql, #keys, metric names)
+          val texts = Seq(
+            ("ge1_year", "SELECT year(l.dt) AS y, count(*) AS n " +
+              s"FROM $join GROUP BY year(l.dt)", 1, Seq("n")),
+            ("ge2_month_sum", "SELECT month(l.dt) AS m, " +
+              "count(*) AS n, sum(l.w) AS sw " +
+              s"FROM $join WHERE r.a >= 1 GROUP BY month(l.dt)",
+              1, Seq("n", "sw")),
+            ("ge3_year_attr", "SELECT year(l.dt) AS y, r.a, " +
+              s"count(*) AS n FROM $join GROUP BY year(l.dt), r.a",
+              2, Seq("n")),
+            ("ge4_substr_distinct", "SELECT substring(r.s, 1, 2) AS p, " +
+              "count(DISTINCT l.w) AS dw " +
+              s"FROM $join GROUP BY substring(r.s, 1, 2)",
+              1, Seq("dw")))
+          val rows = texts.flatMap { case (qid, sql, nKeys, metrics) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"derived-key grouped join did not rewrite on $qid; " +
+                s"plan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = (0 until nKeys).map { k =>
+                if (r.isNullAt(k)) "<NULL>" else r.get(k).toString
+              }.mkString("|")
+              metrics.zipWithIndex.map { case (m, j) =>
+                val idx = nKeys + j
+                val x: Option[Double] =
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT DATE '2023-12-01' + CAST(event_id % 300 AS INTEGER) AS dt,
+             event_id % 5 AS k1,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(event_id % 7 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 4 AS a,
+             event_type AS s FROM basee)
+SELECT * FROM (
+  SELECT 'ge1_year' AS query_id, CAST(year(dt) AS VARCHAR) AS grp,
+    'n' AS metric, CAST(count(*) AS DOUBLE) AS x
+  FROM l JOIN r ON l.k1 = r.k1 GROUP BY year(dt)
+  UNION ALL
+  SELECT 'ge2_month_sum', CAST(month(dt) AS VARCHAR), 'n',
+    CAST(count(*) AS DOUBLE)
+  FROM l JOIN r ON l.k1 = r.k1 WHERE r.a >= 1 GROUP BY month(dt)
+  UNION ALL
+  SELECT 'ge2_month_sum', CAST(month(dt) AS VARCHAR), 'sw',
+    CAST(sum(w) AS DOUBLE)
+  FROM l JOIN r ON l.k1 = r.k1 WHERE r.a >= 1 GROUP BY month(dt)
+  UNION ALL
+  SELECT 'ge3_year_attr',
+    concat(CAST(year(dt) AS VARCHAR), '|', CAST(a AS VARCHAR)), 'n',
+    CAST(count(*) AS DOUBLE)
+  FROM l JOIN r ON l.k1 = r.k1 GROUP BY year(dt), a
+  UNION ALL
+  SELECT 'ge4_substr_distinct', substring(s, 1, 2), 'dw',
+    CAST(count(DISTINCT w) AS DOUBLE)
+  FROM l JOIN r ON l.k1 = r.k1 GROUP BY substring(s, 1, 2))
+ORDER BY query_id, grp, metric""")),
     // HAVING through the probe grid (r16 session 4): zero new rule
     // code — the analyzer plans HAVING as a Filter over the Aggregate
     // (plus a Project when the HAVING references aggregates not in the

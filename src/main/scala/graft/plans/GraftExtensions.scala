@@ -832,23 +832,26 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(_) => a.withName(PoisonName) // derived: fail closed
         case None => a
       }
+    // A grouping ATTRIBUTE may resolve to a derived expression the
+    // analyzer extracted into a Project (`_groupingexpression`) —
+    // substitute before matching the whitelist (shared by the scan,
+    // join, and semi/anti grouped paths).
+    val resolveKey: Expression => Expression = {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        subst(a.exprId)
+      case e => e
+    }
     stripped match {
       // Grouped aggregates over a join tree (r17): inner equi-joins go
       // through the factorization grid; semi/anti (EXISTS shapes) ride
       // the matched-key probe.
-      case jn: Join => return rewriteGroupedJoin(agg, jn, base)
-        .orElse(rewriteGroupedSemiAnti(agg, jn, base))
+      case jn: Join => return rewriteGroupedJoin(agg, jn, base, resolveKey)
+        .orElse(rewriteGroupedSemiAnti(agg, jn, base, resolveKey))
       case _ => ()
     }
     val keysOpt: Option[Seq[GroupKey]] = {
-      // A grouping ATTRIBUTE may resolve to a derived expression the
-      // analyzer extracted into a Project (`_groupingexpression`) —
-      // substitute before matching the whitelist.
-      val ks = agg.groupingExpressions.map {
-        case a: AttributeReference if subst.contains(a.exprId) =>
-          groupKeyOf(subst(a.exprId), base)
-        case e => groupKeyOf(e, base)
-      }
+      val ks = agg.groupingExpressions.map(e =>
+        groupKeyOf(resolveKey(e), base))
       if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
     }
     val (dnfOpt, scanChild) = stripped match {
@@ -887,24 +890,41 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rows)
   }
 
+  /** One grouping key's (derived group value, base-domain preimage)
+    * pairs from a registration's base domain — the identity for
+    * attribute keys (each value its own group), a genuine merge for
+    * derived keys (e.g. all dates of one year). */
+  private def derivedDom(k: GroupKey, reg: GraftRuntime.Registered)
+      : Option[Seq[(Any, Seq[Any])]] =
+    domainOf(reg, k.attr.name).filter(_.nonEmpty).map { baseDom =>
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+      baseDom.foreach { v =>
+        order.getOrElseUpdate(k.toDerived(v),
+          scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+      }
+      order.toSeq.map { case (g, pre) => (g, pre.toSeq) }
+    }
+
   /** Per grouping key: (derived group value, base-domain preimage)
     * pairs from the key's registered base domain. */
   private def derivedDoms(keys: Seq[GroupKey],
       reg: GraftRuntime.Registered)
       : Option[Seq[Seq[(Any, Seq[Any])]]] = {
-    val ds = keys.map { k =>
-      domainOf(reg, k.attr.name).filter(_.nonEmpty).map { baseDom =>
-        val order = scala.collection.mutable.LinkedHashMap
-          .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
-        baseDom.foreach { v =>
-          order.getOrElseUpdate(k.toDerived(v),
-            scala.collection.mutable.ArrayBuffer.empty[Any]) += v
-        }
-        order.toSeq.map { case (g, pre) => (g, pre.toSeq) }
-      }
-    }
+    val ds = keys.map(derivedDom(_, reg))
     if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
   }
+
+  /** The probe mask for one derived-group slot: identity keys probe
+    * Eq, merged preimages In, the null group (only a null base value
+    * maps to null) IsNull. */
+  private def groupPred(k: GroupKey, g: Any, pre: Seq[Any]): Pred =
+    if (g == null) Pred(k.attr.name, Op.IsNull, null)
+    else {
+      val nn = pre.filter(_ != null)
+      if (nn.size == 1) Pred(k.attr.name, Op.Eq, nn.head)
+      else Pred(k.attr.name, Op.In, nn)
+    }
 
   /** Grouped aggregates over a LEFT SEMI / LEFT ANTI equi-join (r17
     * third pass): `SELECT g, agg… FROM A WHERE [NOT] EXISTS (…)
@@ -914,12 +934,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * count(DISTINCT c), value aggregates, derived grouping keys) rides
     * the [[semiAntiEstFn]] probe unchanged through [[probeGrid]]. */
   private def rewriteGroupedSemiAnti(agg: Aggregate, j: Join,
-      base: AttributeReference => AttributeReference)
+      base: AttributeReference => AttributeReference,
+      resolveKey: Expression => Expression)
       : Option[LogicalPlan] = {
     for {
       sp <- semiAntiSpec(j)
       keys <- {
-        val ks = agg.groupingExpressions.map(groupKeyOf(_, base))
+        val ks = agg.groupingExpressions.map(e =>
+          groupKeyOf(resolveKey(e), base))
         if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
       }
       if keys.forall(k => sp.lLeaf.reg.columns.contains(k.attr.name))
@@ -1600,52 +1622,62 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(InternalRow(value)))
   }
 
-  /** Grouped join counts (r17; VERDICT r16 #3): `SELECT d.attr…,
-    * count(*) FROM fact JOIN dim … GROUP BY d.attr…` is the join
-    * factorization restricted per group — the probe grid over the
-    * grouping domains composes with [[joinCountProbes]] by adding each
-    * group's Eq/IsNull conjunct to its OWNING leaf. Conservative:
-    * bare-attribute groupings on registered leaves with domains, cells
-    * limited to grouping columns and plain count(*) (a FILTER clause's
-    * conjuncts cannot be attributed to a side), budgets in BigInt.
-    * Zero-count groups are dropped, matching SQL over an inner join.
+  /** Grouped join counts (r17; VERDICT r16 #3; r18 generalization
+    * VERDICT r17 #2): `SELECT d.attr…, count(*) FROM fact JOIN dim …
+    * GROUP BY d.attr…` is the join factorization restricted per
+    * group — the probe grid over the grouping domains composes with
+    * [[joinCountProbes]] by adding each group's mask conjunct to its
+    * OWNING leaf. r18: grouping keys may be bare attributes OR the
+    * [[groupKeyOf]] whitelist of derived expressions (year/month/
+    * substring/DIV/date_trunc/CAST-date) — `SELECT year(o_orderdate),
+    * count(*) FROM orders JOIN customer … GROUP BY 1`, the canonical
+    * date-dimension report: a derived group's probe is the In mask
+    * over its preimage in the OWNING leaf's registered domain. Cells
+    * cover count(*) / count(c) / count(DISTINCT c) / value aggregates
+    * (a FILTER clause's conjuncts cannot be attributed to a side and
+    * stay out), budgets in BigInt. Zero-count groups are dropped,
+    * matching SQL over an inner join.
     */
   private def rewriteGroupedJoin(agg: Aggregate, j: Join,
-      base: AttributeReference => AttributeReference)
+      base: AttributeReference => AttributeReference,
+      resolveKey: Expression => Expression)
       : Option[LogicalPlan] = {
-    // join groupings stay attribute-only (derived keys are the
-    // single-table grid's whitelist, not composed here)
-    if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
-      return None
-    val gs = agg.groupingExpressions
-      .map(e => base(e.asInstanceOf[AttributeReference]))
+    val keysOpt: Option[Seq[GroupKey]] = {
+      val ks = agg.groupingExpressions.map(e =>
+        groupKeyOf(resolveKey(e), base))
+      if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
+    }
+    // Group cells match the grouping EXPRESSION semantically (same
+    // exprIds on both sides of the Aggregate — bare attrs and
+    // analyzer-extracted `_groupingexpression` refs alike).
+    def groupIdx(e: Expression): Option[Int] = {
+      val i = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (i >= 0) Some(i) else None
+    }
     for {
+      keys <- keysOpt
       spec <- flattenJoinTree(j)
       owners <- {
-        val os = gs.map(g => spec.leafOf(g).filter(i =>
-          spec.leaves(i).reg.columns.contains(g.name)))
+        val os = keys.map(k => spec.leafOf(k.attr).filter(i =>
+          spec.leaves(i).reg.columns.contains(k.attr.name)))
         if (os.exists(_.isEmpty)) None else Some(os.map(_.get))
       }
+      // per key: (derived group value, base-domain preimage) pairs
+      // from the OWNING leaf's registration
       gDoms <- {
-        val ds = gs.zip(owners).map { case (g, i) =>
-          domainOf(spec.leaves(i).reg, g.name).filter(_.nonEmpty) }
+        val ds = keys.zip(owners).map { case (k, oi) =>
+          derivedDom(k, spec.leaves(oi).reg) }
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       // cells paired with the OWNING leaf of their column (-1 for
       // group/count(*) cells). r17 second pass: count(c),
       // count(DISTINCT c), and the value aggregates join the grouped
       // join vocabulary — `SELECT d.attr, sum(f.x) FROM fact JOIN dim
-      // GROUP BY d.attr` is the canonical star-schema report. Cell
-      // FILTER clauses stay out (their conjuncts cannot be attributed
-      // to a side).
+      // GROUP BY d.attr` is the canonical star-schema report.
       cells <- {
         val cs: Seq[Option[(Cell, Int)]] = agg.aggregateExpressions.map {
           case a: AttributeReference =>
-            val i = gs.indexWhere(_.exprId == base(a).exprId)
-            if (i >= 0) Some((GroupCell(i), -1)) else None
-          case al @ Alias(a: AttributeReference, _) =>
-            val i = gs.indexWhere(_.exprId == base(a).exprId)
-            if (i >= 0) Some((GroupCell(i), -1)) else None
+            groupIdx(a).map(i => (GroupCell(i), -1))
           case al @ Alias(AggregateExpression(
               fn, _, distinct, None, _), _) =>
             def ownedDom(c0: AttributeReference,
@@ -1668,6 +1700,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   (ValueAggCell(fn, distinct, c, al.dataType, Nil, d), li)
                 })
             }
+          // `SELECT c AS grp` / `SELECT year(d) AS y` — grouping
+          // outputs ride .toAttribute via their Alias
+          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1))
           case _ => None
         }
         if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
@@ -1680,22 +1715,19 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (BigInt(1) + cells.map(c => BigInt(cellCost(c._1))).sum) <=
           BigInt(maxTotalProbes)
       rows <- probed {
-        val combos = gDoms.foldLeft(Seq(Seq.empty[Any])) { (acc, dom) =>
-          acc.flatMap(pre => dom.map(v => pre :+ v))
+        val combos = gDoms.foldLeft(Seq(Seq.empty[(Any, Seq[Any])])) {
+          (acc, dom) => acc.flatMap(pre => dom.map(v => pre :+ v))
         }
-        val gConv = gs.map(g => org.apache.spark.sql.catalyst
-          .CatalystTypeConverters.createToCatalystConverter(g.dataType))
+        val gConv = keys.map(k => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(k.outType))
         val out = Seq.newBuilder[InternalRow]
         var failed = false
         try combos.foreach { combo =>
           if (!failed) {
             val byLeaf: Map[Int, Seq[Pred]] =
-              gs.indices.groupBy(owners(_)).map { case (leafI, gis) =>
-                leafI -> gis.map { gi =>
-                  val v = combo(gi)
-                  if (v == null) Pred(gs(gi).name, Op.IsNull, null)
-                  else Pred(gs(gi).name, Op.Eq, v)
-                }
+              keys.indices.groupBy(owners(_)).map { case (leafI, gis) =>
+                leafI -> gis.map(gi =>
+                  groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
               }
             // probe fn for this combo: group conjuncts to their owner
             // leaves, cell conjuncts (NotNull / Eq value) to vOwner
@@ -1707,7 +1739,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (n > 0L) {
               val vals: Seq[Option[Any]] = cells.map {
                 case (GroupCell(i), _) =>
-                  Some(if (combo(i) == null) null else gConv(i)(combo(i)))
+                  Some(if (combo(i)._1 == null) null
+                    else gConv(i)(combo(i)._1))
                 case (CountStarCell(_), _) => Some(n)
                 case (CountColCell(c, false, _, _), li) =>
                   Some(estFor(li)(Seq(Pred(c.name, Op.NotNull, null))))

@@ -2352,6 +2352,263 @@ FROM (SELECT * FROM customer
 FULL JOIN (SELECT * FROM nation WHERE n_regionkey >= 3) n
   ON c.c_nationkey = n.n_nationkey
 ORDER BY query_id""")),
+    // GROUPED aggregates over OUTER joins (r18, VERDICT r17 #3):
+    // `SELECT d.attr, count(*) FROM fact LEFT JOIN dim … GROUP BY
+    // d.attr` — the probe grid with per-SIDE conjunct attribution. The
+    // preserved side's unmatched rows null-extend the other side, so a
+    // non-preserved-side grouping key gains the NULL group (synthetic
+    // when its domain has no null slot) and right-column counts ignore
+    // extension rows — exactly SQL's semantics, realized by the
+    // outerEstFn IS NULL gate. Exact registrations → lossless;
+    // scan-free plans require()d; DuckDB runs the identical texts.
+    Entry("q_approx_outer_groupby",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val cDoms = Seq("c_nationkey", "c_mktsegment")
+          .map(c => c -> dom(cust, c)).toMap
+        val nDoms = Seq("n_nationkey", "n_regionkey")
+          .map(c => c -> dom(nat, c)).toMap
+        val leC = new LocalExact(cust,
+          Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey", "n_name"))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet",
+          Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+          preds => leC.count(preds), name => cDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet",
+          Set("n_nationkey", "n_regionkey", "n_name"),
+          preds => leN.count(preds), name => nDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_og_customer")
+          nat.createOrReplaceTempView("graft_aqp_og_nation")
+          // (qid, sql, #keys, metric names)
+          val texts = Seq(
+            // right-side grouping over LEFT JOIN: unmatched customers
+            // land in the NULL group
+            ("og1_left_rgroup", "SELECT n.n_regionkey AS grp, " +
+              "count(*) AS n FROM graft_aqp_og_customer c LEFT JOIN " +
+              "(SELECT * FROM graft_aqp_og_nation " +
+              "WHERE n_regionkey <= 2) n " +
+              "ON c.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey",
+              1, Seq("n")),
+            // left-side grouping + a right-column count (extension
+            // rows carry NULL n_name and stay out of nn)
+            ("og2_left_lgroup", "SELECT c.c_mktsegment AS grp, " +
+              "count(*) AS n, count(n.n_name) AS nn FROM " +
+              "graft_aqp_og_customer c LEFT JOIN " +
+              "(SELECT * FROM graft_aqp_og_nation " +
+              "WHERE n_regionkey >= 3) n " +
+              "ON c.c_nationkey = n.n_nationkey GROUP BY c.c_mktsegment",
+              1, Seq("n", "nn")),
+            // FULL JOIN grouped on the right key: both unmatched sides
+            // contribute (left-unmatched to NULL, right-unmatched to
+            // their own group)
+            ("og3_full_rgroup", "SELECT n.n_regionkey AS grp, " +
+              "count(*) AS n FROM (SELECT * FROM " +
+              "graft_aqp_og_customer WHERE c_mktsegment = 'BUILDING') " +
+              "c FULL JOIN (SELECT * FROM graft_aqp_og_nation " +
+              "WHERE n_regionkey IN (0, 4)) n " +
+              "ON c.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey",
+              1, Seq("n")),
+            // RIGHT JOIN grouped on the left segment: unmatched
+            // nations land in the synthetic NULL group
+            ("og4_right_lgroup", "SELECT c.c_mktsegment AS grp, " +
+              "count(*) AS n FROM (SELECT * FROM " +
+              "graft_aqp_og_customer WHERE c_acctbal <= 2000.0) c " +
+              "RIGHT JOIN graft_aqp_og_nation n " +
+              "ON c.c_nationkey = n.n_nationkey GROUP BY c.c_mktsegment",
+              1, Seq("n")))
+          val rows = texts.flatMap { case (qid, sql, nKeys, metrics) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"grouped outer rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = (0 until nKeys).map { k =>
+                if (r.isNullAt(k)) "<NULL>" else r.get(k).toString
+              }.mkString("|")
+              metrics.zipWithIndex.map { case (m, j) =>
+                (qid, grp, m, r.getLong(nKeys + j))
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "n")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT * FROM (
+  SELECT 'og1_left_rgroup' AS query_id,
+    coalesce(CAST(n.n_regionkey AS VARCHAR), '<NULL>') AS grp,
+    'n' AS metric, CAST(count(*) AS BIGINT) AS n
+  FROM customer c LEFT JOIN
+    (SELECT * FROM nation WHERE n_regionkey <= 2) n
+    ON c.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey
+  UNION ALL
+  SELECT 'og2_left_lgroup', coalesce(c.c_mktsegment, '<NULL>'), 'n',
+    CAST(count(*) AS BIGINT)
+  FROM customer c LEFT JOIN
+    (SELECT * FROM nation WHERE n_regionkey >= 3) n
+    ON c.c_nationkey = n.n_nationkey GROUP BY c.c_mktsegment
+  UNION ALL
+  SELECT 'og2_left_lgroup', coalesce(c.c_mktsegment, '<NULL>'), 'nn',
+    CAST(count(n.n_name) AS BIGINT)
+  FROM customer c LEFT JOIN
+    (SELECT * FROM nation WHERE n_regionkey >= 3) n
+    ON c.c_nationkey = n.n_nationkey GROUP BY c.c_mktsegment
+  UNION ALL
+  SELECT 'og3_full_rgroup',
+    coalesce(CAST(n.n_regionkey AS VARCHAR), '<NULL>'), 'n',
+    CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+  FULL JOIN (SELECT * FROM nation WHERE n_regionkey IN (0, 4)) n
+    ON c.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey
+  UNION ALL
+  SELECT 'og4_right_lgroup', coalesce(c.c_mktsegment, '<NULL>'), 'n',
+    CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM customer WHERE c_acctbal <= 2000.0) c
+  RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_mktsegment)
+ORDER BY query_id, grp, metric""")),
+    // Value/count aggregates over OUTER joins (r18, VERDICT r17 #3):
+    // `SELECT sum(x) FROM fact LEFT JOIN dim …` — extension rows carry
+    // NULL for the other side's columns, so SQL's null-ignoring
+    // aggregates exclude them for the non-preserved side and include
+    // unmatched preserved-side rows once (per the join's row
+    // multiplication). Null-bearing keys AND values on both sides.
+    // Exact registrations → lossless; scan-free plans require()d;
+    // DuckDB recomputes the identical derivation.
+    Entry("q_approx_outer_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_oag/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id"), lit(7))).as("k"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(9)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            when(pmod(col("event_id"), lit(17)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id") + 1, lit(8))).as("k"),
+            pmod(col("event_id"), lit(5)).as("b"),
+            pmod(col("event_id"), lit(6)).cast("double").as("v"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k", "v").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k", "w"))
+        val leR = new LocalExact(dr, Seq("k", "b", "v"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k", "b", "v"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_oag_l")
+          dr.createOrReplaceTempView("graft_aqp_oag_r")
+          val lj = "graft_aqp_oag_l l LEFT JOIN graft_aqp_oag_r r " +
+            "ON l.k = r.k"
+          val texts = Seq(
+            // preserved-side sum: unmatched left rows contribute once
+            "oa1_sum_left" -> s"SELECT sum(l.w) AS x FROM $lj",
+            // non-preserved-side sum: extension NULLs excluded
+            "oa2_sum_right" -> s"SELECT sum(r.v) AS x FROM $lj",
+            "oa3_count_right" -> s"SELECT count(r.b) AS x FROM $lj",
+            "oa4_min_full" -> ("SELECT min(l.w) AS x FROM " +
+              "graft_aqp_oag_l l FULL JOIN graft_aqp_oag_r r " +
+              "ON l.k = r.k"),
+            "oa5_distinct_right" -> ("SELECT count(DISTINCT l.w) AS x " +
+              "FROM graft_aqp_oag_l l RIGHT JOIN graft_aqp_oag_r r " +
+              "ON l.k = r.k"),
+            "oa6_avg_left" -> s"SELECT avg(l.w) AS x FROM $lj")
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"outer agg rewrite did not fire on $qid; plan:\n$plan")
+            val r0 = df.collect()(0)
+            val x: Option[Double] =
+              if (r0.isNullAt(0)) None
+              else r0.get(0) match {
+                case l: java.lang.Long => Some(l.toDouble)
+                case dd: java.lang.Double => Some(dd)
+              }
+            (qid, x)
+          }
+          rows.toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+             ELSE event_id % 7 END AS k,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(event_id % 9 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT CASE WHEN event_id % 17 = 0 THEN NULL
+             ELSE (event_id + 1) % 8 END AS k,
+             event_id % 5 AS b,
+             CAST(event_id % 6 AS DOUBLE) AS v FROM basee)
+SELECT * FROM (
+  SELECT 'oa1_sum_left' AS query_id, CAST(sum(l.w) AS DOUBLE) AS x
+  FROM l LEFT JOIN r ON l.k = r.k
+  UNION ALL
+  SELECT 'oa2_sum_right', CAST(sum(r.v) AS DOUBLE)
+  FROM l LEFT JOIN r ON l.k = r.k
+  UNION ALL
+  SELECT 'oa3_count_right', CAST(count(r.b) AS DOUBLE)
+  FROM l LEFT JOIN r ON l.k = r.k
+  UNION ALL
+  SELECT 'oa4_min_full', CAST(min(l.w) AS DOUBLE)
+  FROM l FULL JOIN r ON l.k = r.k
+  UNION ALL
+  SELECT 'oa5_distinct_right', CAST(count(DISTINCT l.w) AS DOUBLE)
+  FROM l RIGHT JOIN r ON l.k = r.k
+  UNION ALL
+  SELECT 'oa6_avg_left', avg(l.w)
+  FROM l LEFT JOIN r ON l.k = r.k)
+ORDER BY query_id""")),
     // GROUPED aggregates over EXISTS / NOT EXISTS (r17 third pass):
     // semi/anti join output carries only left columns, so the whole
     // scan-path cell vocabulary rides the matched-key probe — `SELECT

@@ -276,6 +276,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             rewriteJoinAgg(alias, Count(Seq(c)), distinct, c, j)
               .orElse(rewriteSemiAntiAgg(alias, Count(Seq(c)),
                 distinct, c, j))
+              .orElse(rewriteOuterAgg(alias, Count(Seq(c)),
+                distinct, c, j))
               .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
@@ -344,6 +346,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case j: Join if filt.isEmpty =>
             rewriteJoinAgg(alias, fn, distinct, c, j)
               .orElse(rewriteSemiAntiAgg(alias, fn, distinct, c, j))
+              .orElse(rewriteOuterAgg(alias, fn, distinct, c, j))
               .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
@@ -847,6 +850,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the matched-key probe.
       case jn: Join => return rewriteGroupedJoin(agg, jn, base, resolveKey)
         .orElse(rewriteGroupedSemiAnti(agg, jn, base, resolveKey))
+        .orElse(rewriteGroupedOuter(agg, jn, base, resolveKey))
       case _ => ()
     }
     val keysOpt: Option[Seq[GroupKey]] = {
@@ -1445,21 +1449,39 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** COUNT(*) over LEFT / RIGHT / FULL OUTER single-key equi-joins
-    * (r17 third pass) — the remaining join-type matrix:
+  /** LEFT / RIGHT / FULL OUTER single-key equi-joins (r17 third pass;
+    * r18 grouped + value-aggregate forms, VERDICT r17 #3) — the
+    * remaining join-type matrix:
     *
-    *   inner          = Σ,,matched v,, n_L(v)·n_R(v)
-    *   left-unmatched = n_L(ALL) − Σ,,matched v,, n_L(v)
+    *   inner          = Σ,,matched v,, n_L(exL ∧ v)·n_R(exR ∧ v)
+    *   left-unmatched = n_L(exL) − Σ,,matched v,, n_L(exL ∧ v)
     *   right-unmatched likewise; LEFT = inner + left-unmatched,
     *   RIGHT = inner + right-unmatched, FULL = inner + both
     *
-    * (null-key rows count in their own side's unmatched term — an
-    * outer join emits them unmatched, exactly n_side(ALL) minus the
-    * matched non-null sum). Conservative like every join rewrite:
-    * both sides registered with key domains, one EqualTo, overflow →
-    * exact plan. ≤ 2|D∩| + 2 driver probes. */
-  private def rewriteOuterCount(alias: Alias,
-      j: Join): Option[LogicalPlan] = {
+    * where "matched v" = key-domain intersection values with rows on
+    * BOTH sides (null-key rows count in their own side's unmatched
+    * term). The r18 generalization makes it a probe FUNCTION over
+    * per-side extra conjuncts (group masks, cell values): a
+    * NULL-EXTENDED row satisfies an opposite-side conjunct only when
+    * that conjunct is IS NULL — Eq/In/NotNull/cmp/NotIn/PrefixLike all
+    * reject NULL — which is exactly SQL's semantics (aggregates over a
+    * right column ignore left-unmatched rows; a right-side grouping
+    * key sends them to the NULL group). Matched-pair base counts are
+    * computed ONCE (spec construction); conservative like every join
+    * rewrite, overflow → exact plan. */
+  private case class OuterParts(lLeaf: JoinLeaf, rLeaf: JoinLeaf,
+      ka: String, kb: String,
+      /** (left value, right value, n_L(v), n_R(v)) — prefiltered to
+        * pairs with rows on both sides. */
+      pairs: Seq[(Any, Any, Long, Long)],
+      withLeft: Boolean, withRight: Boolean) {
+    /** Probe-count multiplier for budgets. */
+    def probeCost: Long =
+      (2L * pairs.size + 2L) *
+        (dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf))
+  }
+
+  private def outerSpec(j: Join): Option[OuterParts] = {
     import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
     val (withLeft, withRight) = j.joinType match {
       case LeftOuter => (true, false)
@@ -1490,39 +1512,242 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
       if BigInt(domL.size + 1) * BigInt(terms) <=
         BigInt(maxTotalProbes)
-      total <- probed {
+      pairs <- probed {
         val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
         val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
         val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
           .map(v => PredExtract.canonKey(v) -> v).toMap
-        try {
-          var inner = 0L
-          var matchedL = 0L
-          var matchedR = 0L
-          domL.iterator.filter(_ != null).foreach { vl =>
-            rRepr.get(PredExtract.canonKey(vl)).foreach { vr =>
-              val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
-              if (nl > 0L) {
-                val nr = estR(Seq(Pred(kb.name, Op.Eq, vr)))
-                if (nr > 0L) {
-                  inner = Math.addExact(inner,
-                    Math.multiplyExact(nl, nr))
-                  matchedL = Math.addExact(matchedL, nl)
-                  matchedR = Math.addExact(matchedR, nr)
-                }
-              }
+        try Some(domL.iterator.filter(_ != null).flatMap { vl =>
+          rRepr.get(PredExtract.canonKey(vl)).flatMap { vr =>
+            val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
+            if (nl <= 0L) None
+            else {
+              val nr = estR(Seq(Pred(kb.name, Op.Eq, vr)))
+              if (nr <= 0L) None else Some((vl, vr, nl, nr))
             }
           }
-          var total = inner
-          if (withLeft) total = Math.addExact(total,
-            Math.subtractExact(estL(Nil), matchedL))
-          if (withRight) total = Math.addExact(total,
-            Math.subtractExact(estR(Nil), matchedR))
-          Some(total)
-        } catch { case _: ArithmeticException => None }
+        }.toSeq)
+        catch { case _: ArithmeticException => None }
+      }
+    } yield OuterParts(lLeaf, rLeaf, ka.name, kb.name, pairs,
+      withLeft, withRight)
+  }
+
+  /** The outer-join row count as a probe function over (left extras,
+    * right extras). Throws ArithmeticException on overflow (callers
+    * catch → exact plan). */
+  private def outerEstFn(sp: OuterParts)
+      : (Seq[Pred], Seq[Pred]) => Long = {
+    val estL = dnfEstFn(sp.lLeaf.reg, sp.lLeaf.dnf)
+    val estR = dnfEstFn(sp.rLeaf.reg, sp.rLeaf.dnf)
+    (exL, exR) => {
+      var inner = 0L
+      var matchedL = 0L
+      var matchedR = 0L
+      sp.pairs.foreach { case (vl, vr, nlAll, nrAll) =>
+        val nl = if (exL.isEmpty) nlAll
+          else estL(exL :+ Pred(sp.ka, Op.Eq, vl))
+        val nr = if (exR.isEmpty) nrAll
+          else estR(exR :+ Pred(sp.kb, Op.Eq, vr))
+        inner = Math.addExact(inner, Math.multiplyExact(nl, nr))
+        matchedL = Math.addExact(matchedL, nl)
+        matchedR = Math.addExact(matchedR, nr)
+      }
+      var total = inner
+      // a NULL-extension satisfies an opposite-side conjunct only
+      // when every such conjunct is IS NULL
+      if (sp.withLeft && exR.forall(_.op == Op.IsNull))
+        total = Math.addExact(total,
+          Math.subtractExact(estL(exL), matchedL))
+      if (sp.withRight && exL.forall(_.op == Op.IsNull))
+        total = Math.addExact(total,
+          Math.subtractExact(estR(exR), matchedR))
+      total
+    }
+  }
+
+  private def rewriteOuterCount(alias: Alias,
+      j: Join): Option[LogicalPlan] =
+    for {
+      sp <- outerSpec(j)
+      total <- probed {
+        try Some(outerEstFn(sp)(Nil, Nil))
+        catch { case _: ArithmeticException => None }
       }
     } yield LocalRelation(Seq(alias.toAttribute),
       Seq(InternalRow(total)))
+
+  /** Which side of the outer join owns an attribute: 0 left, 1 right,
+    * None if neither (or the side's registration does not model it). */
+  private def outerSide(sp: OuterParts, j: Join,
+      a: AttributeReference): Option[Int] =
+    if (j.left.outputSet.contains(a) &&
+      sp.lLeaf.reg.columns.contains(a.name)) Some(0)
+    else if (j.right.outputSet.contains(a) &&
+      sp.rLeaf.reg.columns.contains(a.name)) Some(1)
+    else None
+
+  /** Single value/count aggregates over an outer join (r18): `SELECT
+    * sum(x) FROM fact LEFT JOIN dim …` — right-extension rows carry
+    * NULL for left columns and vice versa, so SQL's null-ignoring
+    * aggregates fall out of the Eq/NotNull probes rejecting the
+    * extension term (see [[outerEstFn]]). */
+  private def rewriteOuterAgg(alias: Alias, fn: AggregateFunction,
+      distinct: Boolean, c: AttributeReference,
+      j: Join): Option[LogicalPlan] = {
+    for {
+      sp <- outerSpec(j)
+      side <- outerSide(sp, j, c)
+      leaf = if (side == 0) sp.lLeaf else sp.rLeaf
+      dom <- fn match {
+        case Count(_) if !distinct => Some(Nil: Seq[Any])
+        case _ => domainOf(leaf.reg, c.name)
+          .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      }
+      if BigInt(dom.size + 1) * BigInt(sp.probeCost) <=
+        BigInt(maxTotalProbes)
+      oEst = outerEstFn(sp)
+      est = (extra: Seq[Pred]) =>
+        if (side == 0) oEst(extra, Nil) else oEst(Nil, extra)
+      value <- probed {
+        try {
+          fn match {
+            case Count(_) if !distinct =>
+              Some(est(Seq(Pred(c.name, Op.NotNull, null))): Any)
+            case Count(_) =>
+              Some(dom.count(v => v != null &&
+                est(Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong: Any)
+            case _ =>
+              foldValueAgg(fn, distinct, alias.dataType, c, est, Nil,
+                dom)
+          }
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(value)))
+  }
+
+  /** Grouped aggregates over an outer join (r18): the probe grid with
+    * per-SIDE conjunct attribution. Grouping keys may sit on either
+    * side ([[groupKeyOf]] whitelist included); a grouping key on the
+    * non-preserved side gains a synthetic NULL group when its domain
+    * has no null slot — the unmatched rows of the preserved side land
+    * there (outerEstFn's IS NULL gate makes that exact). Cell FILTER
+    * clauses stay out. Zero-count groups are dropped, matching SQL. */
+  private def rewriteGroupedOuter(agg: Aggregate, j: Join,
+      base: AttributeReference => AttributeReference,
+      resolveKey: Expression => Expression): Option[LogicalPlan] = {
+    val keysOpt: Option[Seq[GroupKey]] = {
+      val ks = agg.groupingExpressions.map(e =>
+        groupKeyOf(resolveKey(e), base))
+      if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get))
+    }
+    def groupIdx(e: Expression): Option[Int] = {
+      val i = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (i >= 0) Some(i) else None
+    }
+    for {
+      sp <- outerSpec(j)
+      keys <- keysOpt
+      sides <- {
+        val ss = keys.map(k => outerSide(sp, j, k.attr))
+        if (ss.exists(_.isEmpty)) None else Some(ss.map(_.get))
+      }
+      gDoms <- {
+        val ds = keys.zip(sides).map { case (k, side) =>
+          val leaf = if (side == 0) sp.lLeaf else sp.rLeaf
+          derivedDom(k, leaf.reg).map { dom =>
+            // synthetic NULL group: the opposite side's unmatched rows
+            // null-extend this side's columns
+            val needsNull =
+              (side == 0 && sp.withRight) || (side == 1 && sp.withLeft)
+            if (needsNull && !dom.exists(_._1 == null))
+              (null, Seq(null: Any)) +: dom
+            else dom
+          }
+        }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      cells <- {
+        val cs: Seq[Option[(Cell, Int)]] = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            groupIdx(a).map(i => (GroupCell(i), -1))
+          case al @ Alias(AggregateExpression(
+              fn, _, distinct, None, _), _) =>
+            def ownedDom(c0: AttributeReference, needDom: Boolean)
+                : Option[(AttributeReference, Int, Seq[Any])] =
+              for {
+                side <- outerSide(sp, j, base(c0))
+                leaf = if (side == 0) sp.lLeaf else sp.rLeaf
+                d <- if (!needDom) Some(Nil: Seq[Any])
+                  else domainOf(leaf.reg, base(c0).name)
+                    .filter(x => x.nonEmpty && x.size <= maxGroupProbes)
+              } yield (base(c0), side, d)
+            fn match {
+              case Count(Seq(Literal(1, _))) if !distinct =>
+                Some((CountStarCell(Nil), -1))
+              case Count(Seq(c0: AttributeReference)) =>
+                ownedDom(c0, needDom = distinct).map { case (c, side, d) =>
+                  (CountColCell(c, distinct, Nil, d), side) }
+              case _ => valueAggColumn(fn).flatMap(c0 =>
+                ownedDom(c0, needDom = true).map { case (c, side, d) =>
+                  (ValueAggCell(fn, distinct, c, al.dataType, Nil, d),
+                    side)
+                })
+            }
+          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1))
+          case _ => None
+        }
+        if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+      }
+      gridCombos = gDoms.map(d => BigInt(d.size)).product
+      if gridCombos <= BigInt(maxGroupProbes) &&
+        gridCombos *
+          (BigInt(1) + cells.map(c => BigInt(cellCost(c._1))).sum) *
+          BigInt(sp.probeCost) <= BigInt(maxTotalProbes)
+      rows <- probed {
+        val oEst = outerEstFn(sp)
+        val combos = gDoms.foldLeft(Seq(Seq.empty[(Any, Seq[Any])])) {
+          (acc, dom) => acc.flatMap(pre => dom.map(v => pre :+ v))
+        }
+        val gConv = keys.map(k => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(k.outType))
+        val out = Seq.newBuilder[InternalRow]
+        var failed = false
+        try combos.foreach { combo =>
+          if (!failed) {
+            val exL0 = keys.indices.filter(sides(_) == 0).map(gi =>
+              groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
+            val exR0 = keys.indices.filter(sides(_) == 1).map(gi =>
+              groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
+            def estFor(cellSide: Int): Seq[Pred] => Long = extra =>
+              oEst(exL0 ++ (if (cellSide == 0) extra else Nil),
+                exR0 ++ (if (cellSide == 1) extra else Nil))
+            val n = oEst(exL0, exR0)
+            if (n > 0L) {
+              val vals: Seq[Option[Any]] = cells.map {
+                case (GroupCell(i), _) =>
+                  Some(if (combo(i)._1 == null) null
+                    else gConv(i)(combo(i)._1))
+                case (CountStarCell(_), _) => Some(n)
+                case (CountColCell(c, false, _, _), side) =>
+                  Some(estFor(side)(Seq(Pred(c.name, Op.NotNull, null))))
+                case (CountColCell(c, true, _, dom), side) =>
+                  Some(dom.count(v => v != null && estFor(side)(
+                    Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong)
+                case (v: ValueAggCell, side) =>
+                  foldValueAgg(v.fn, v.distinct, v.resultType, v.col,
+                    estFor(side), Nil, v.dom)
+              }
+              if (vals.exists(_.isEmpty)) failed = true
+              else out += InternalRow.fromSeq(vals.map(_.get))
+            }
+          }
+        } catch { case _: ArithmeticException => failed = true }
+        if (failed) None else Some(out.result())
+      }
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      rows)
   }
 
   private def rewriteSemiAntiCount(alias: Alias,

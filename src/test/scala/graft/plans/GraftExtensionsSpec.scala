@@ -401,6 +401,80 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PredExtract.canonKey(1.5f) == PredExtract.canonKey(1.5))
   }
 
+  test("outer-join grouped/value aggs: NULL-extension semantics PINNED (r18)") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_outg").toString
+    // l: matched k=1 twice, unmatched k=2, null key; r: matched (1,x),
+    // unmatched (3,y) and a null key (null,z)
+    Seq((Some(1L), Some(10.0)), (Some(1L), Some(20.0)),
+      (Some(2L), Some(30.0)), (None, Some(40.0)))
+      .toDF("k", "w").write.mode("overwrite")
+      .parquet(s"$tmp/l.parquet")
+    Seq((Some(1L), "x"), (Some(3L), "y"), (None, "z"))
+      .toDF("k", "b").write.mode("overwrite")
+      .parquet(s"$tmp/r.parquet")
+    val dl = spark.read.parquet(s"$tmp/l.parquet")
+    val dr = spark.read.parquet(s"$tmp/r.parquet")
+    dl.createOrReplaceTempView("outg_l")
+    dr.createOrReplaceTempView("outg_r")
+    def dom(df: org.apache.spark.sql.DataFrame, c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    val lDoms = Seq("k", "w").map(c => c -> dom(dl, c)).toMap
+    val rDoms = Seq("k", "b").map(c => c -> dom(dr, c)).toMap
+    // the outer factorization probes the UNFILTERED side (estL(Nil))
+    // for the unmatched terms — the closure must accept empty preds
+    GraftRuntime.registerWithDomain("l.parquet", Set("k", "w"),
+      preds => (if (preds.isEmpty) dl
+        else dl.filter(Pred.conj(preds))).count(),
+      c => lDoms.get(c))
+    GraftRuntime.registerWithDomain("r.parquet", Set("k", "b"),
+      preds => (if (preds.isEmpty) dr
+        else dr.filter(Pred.conj(preds))).count(),
+      c => rDoms.get(c))
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    def run(q: String): org.apache.spark.sql.DataFrame = {
+      val out = spark.sql(q)
+      assert(out.queryExecution.optimizedPlan.toString.trim
+        .startsWith("LocalRelation"),
+        s"$q did not rewrite:\n${out.queryExecution.optimizedPlan}")
+      out
+    }
+    // preserved-side sum includes unmatched left rows once
+    assert(run("SELECT sum(l.w) FROM outg_l l LEFT JOIN outg_r r " +
+      "ON l.k = r.k").collect()(0).getDouble(0) == 100.0)
+    // non-preserved count ignores NULL-extension rows
+    assert(run("SELECT count(r.b) FROM outg_l l LEFT JOIN outg_r r " +
+      "ON l.k = r.k").collect()(0).getLong(0) == 2L)
+    // FULL JOIN count: 4 left-preserved rows + 2 unmatched right
+    assert(run("SELECT count(*) FROM outg_l l FULL JOIN outg_r r " +
+      "ON l.k = r.k").collect()(0).getLong(0) == 6L)
+    // grouped FULL on the right key: matched x->2, unmatched right
+    // y->1 z->1, NULL group holds the 2 unmatched left rows
+    val g = run("SELECT r.b AS grp, count(*) AS n FROM outg_l l " +
+      "FULL JOIN outg_r r ON l.k = r.k GROUP BY r.b")
+      .collect().map(r => (if (r.isNullAt(0)) "<NULL>"
+        else r.getString(0)) -> r.getLong(1)).toMap
+    assert(g == Map("x" -> 2L, "y" -> 1L, "z" -> 1L, "<NULL>" -> 2L))
+    // a FILTER-clause cell cannot be side-attributed -> exact plan
+    val filt = spark.sql("SELECT r.b, count(*) FILTER (WHERE l.w > 15) " +
+      "FROM outg_l l LEFT JOIN outg_r r ON l.k = r.k GROUP BY r.b")
+    assert(!filt.queryExecution.optimizedPlan.toString.trim
+      .startsWith("LocalRelation"))
+    // non-equi outer joins fall through
+    val ne = spark.sql("SELECT count(*) FROM outg_l l LEFT JOIN " +
+      "outg_r r ON l.k < r.k")
+    assert(!ne.queryExecution.optimizedPlan.toString.trim
+      .startsWith("LocalRelation"))
+    // 2 rows k=1 and 1 row k=2 each match r.k=3; the null-key left
+    // row null-extends -> 4
+    assert(ne.collect()(0).getLong(0) == 4L)
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("GROUP BY falls through without a domain, past the probe cap, and on multi-key grouping") {
     GraftRuntime.clear()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -3604,6 +3604,163 @@ ORDER BY query_id, grp""")),
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_regionkey
 ORDER BY grp""")),
+    // Learned twins for the join-type MATRIX (r18, VERDICT r17 #6):
+    // the semi/anti factorization with the shared customer MADE on the
+    // left and an exact nation registration on the right — semi =
+    // Σ learned n_L(k=v) over right-matched keys, anti = learned
+    // n_L(ALL) − semi. Exact references computed BEFORE the rewrite is
+    // enabled; gate = q-error ≤ 2.0 inside the oracle hash (the
+    // q_approx_join_groupby_bounds pattern).
+    Entry("q_approx_exists_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = customerModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey"))
+        val nkDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        cust.createOrReplaceTempView("graft_aqp_xb_customer")
+        nat.createOrReplaceTempView("graft_aqp_xb_nation")
+        val texts = Seq(
+          "xb1_exists" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_xb_customer c WHERE EXISTS (SELECT 1 FROM " +
+            "graft_aqp_xb_nation n WHERE n.n_nationkey = " +
+            "c.c_nationkey AND n.n_regionkey <= 2)"),
+          "xb2_not_exists" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_xb_customer c WHERE NOT EXISTS (SELECT 1 FROM " +
+            "graft_aqp_xb_nation n WHERE n.n_nationkey = " +
+            "c.c_nationkey AND n.n_regionkey >= 3)"))
+        val exact: Map[String, Long] = texts.map { case (qid, sql) =>
+          qid -> s.sql(sql).collect()(0).getLong(0) }.toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", Set("c_mktsegment", "c_nationkey"),
+          ps.query,
+          name => if (name == "c_nationkey")
+            Some(meta.column("c_nationkey").domain.toSeq) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_nationkey", "n_regionkey"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nkDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned semi/anti rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val est = math.max(df.collect()(0).getLong(0), 1L)
+            val ex = exact(qid)
+            val qerr =
+              if (ex <= 0L) Double.MaxValue
+              else math.max(est.toDouble / ex, ex.toDouble / est)
+            (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_n", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'xb1_exists' AS query_id,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM customer c WHERE EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 2)
+UNION ALL
+SELECT 'xb2_not_exists', CAST(count(*) AS BIGINT), true
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n
+  WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey >= 3)
+ORDER BY query_id""")),
+    // Learned OUTER-count twin (r18, VERDICT r17 #6): LEFT and FULL
+    // outer counts with the learned customer side — inner term from
+    // learned per-key counts, unmatched-left from the model's
+    // normalization minus the matched sum. Same band discipline.
+    Entry("q_approx_outer_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = customerModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val leN = new LocalExact(nat,
+          Seq("n_nationkey", "n_regionkey"))
+        val nkDom = Dictionary.columnMeta(
+          nat.select("n_nationkey"), "n_nationkey").domain.toSeq
+        cust.createOrReplaceTempView("graft_aqp_ob_customer")
+        nat.createOrReplaceTempView("graft_aqp_ob_nation")
+        val texts = Seq(
+          "ob1_left" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_ob_customer c LEFT JOIN " +
+            "(SELECT * FROM graft_aqp_ob_nation " +
+            "WHERE n_regionkey <= 1) n " +
+            "ON c.c_nationkey = n.n_nationkey"),
+          "ob2_full" -> ("SELECT count(*) AS n FROM " +
+            "graft_aqp_ob_customer c FULL JOIN " +
+            "(SELECT * FROM graft_aqp_ob_nation " +
+            "WHERE n_regionkey >= 2) n " +
+            "ON c.c_nationkey = n.n_nationkey"))
+        val exact: Map[String, Long] = texts.map { case (qid, sql) =>
+          qid -> s.sql(sql).collect()(0).getLong(0) }.toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", Set("c_mktsegment", "c_nationkey"),
+          ps.query,
+          name => if (name == "c_nationkey")
+            Some(meta.column("c_nationkey").domain.toSeq) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_nationkey", "n_regionkey"),
+          preds => leN.count(preds),
+          name => if (name == "n_nationkey") Some(nkDom) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned outer rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            val est = math.max(df.collect()(0).getLong(0), 1L)
+            val ex = exact(qid)
+            val qerr =
+              if (ex <= 0L) Double.MaxValue
+              else math.max(est.toDouble / ex, ex.toDouble / est)
+            (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_n", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT 'ob1_left' AS query_id,
+  CAST(count(*) AS BIGINT) AS exact_n, true AS ok
+FROM customer c LEFT JOIN
+  (SELECT * FROM nation WHERE n_regionkey <= 1) n
+  ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'ob2_full', CAST(count(*) AS BIGINT), true
+FROM customer c FULL JOIN
+  (SELECT * FROM nation WHERE n_regionkey >= 2) n
+  ON c.c_nationkey = n.n_nationkey
+ORDER BY query_id""")),
     // Derived grouping keys over JOINS (r18, VERDICT r17 #2): `SELECT
     // year(f.dt), count(*) FROM fact JOIN dim … GROUP BY 1` — the
     // canonical date-dimension report. The groupKeyOf whitelist

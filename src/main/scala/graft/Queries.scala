@@ -4036,6 +4036,77 @@ ORDER BY query_id, grp""")),
         }
       },
       Some(gridWorkloadOracleSql)),
+    // Seeded JOIN-MATRIX workload through the rewrite family (r18,
+    // VERDICT r17 #1 — the single highest-leverage ask): 30
+    // seed-derived queries fuzzing ACROSS the r17/r18 join surface —
+    // inner chains and stars, composite keys, EXISTS / NOT EXISTS /
+    // IN / NOT IN, LEFT/RIGHT/FULL outer joins, attribute AND derived
+    // (year/month) groupings, the full value-aggregate vocabulary,
+    // cross-column OR and prefix-LIKE side predicates. EVERY query
+    // must rewrite scan-free (require()d per query) and DuckDB
+    // executes the IDENTICAL texts over the identical derivation —
+    // exact registrations make the whole corpus lossless, so one hash
+    // gate regression-arms every shape interaction the hand-written
+    // entries cannot enumerate (the q_approx_grid_workload move,
+    // applied to joins).
+    Entry("q_approx_join_workload",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val (dir, dfs, doms, les) = joinWorkloadData(s, d)
+        Seq(
+          "f" -> Set("k1", "k2", "g", "w", "dt"),
+          "d1" -> Set("k1", "k2", "a", "s"),
+          "d2" -> Set("k2", "b")).foreach { case (t, cols) =>
+          graft.plans.GraftRuntime.registerWithDomain(
+            s"$dir/$t.parquet", cols,
+            preds => les(t).count(preds), name => doms.get((t, name)))
+        }
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dfs("f").createOrReplaceTempView("graft_aqp_jw_f")
+          dfs("d1").createOrReplaceTempView("graft_aqp_jw_d1")
+          dfs("d2").createOrReplaceTempView("graft_aqp_jw_d2")
+          val rows = joinWorkload.flatMap { q =>
+            val sql = q.inner
+              .replace("F_TBL", "graft_aqp_jw_f")
+              .replace("D1_TBL", "graft_aqp_jw_d1")
+              .replace("D2_TBL", "graft_aqp_jw_d2")
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"join workload ${q.qid} did not rewrite; " +
+                s"query: ${q.inner}\nplan:\n$plan")
+            df.collect().flatMap { r =>
+              val grp = (0 until q.nKeys).map { k =>
+                if (r.isNullAt(k)) "<NULL>" else r.get(k).toString
+              }.mkString("|")
+              q.metrics.zipWithIndex.map { case (m, j) =>
+                val idx = q.nKeys + j
+                val x: Option[Double] =
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (q.qid, grp, m, x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some(joinWorkloadOracleSql)),
     Entry("q_heuristic_card",
       (s, d) => Exact.heuristic(li(s, d), W1),
       Some(Exact.heuristicSql("lineitem", W1))),
@@ -10016,6 +10087,281 @@ ORDER BY query_id, grp, metric"""
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(dir))))
         (dir, ev, doms, le)
+      })
+    }
+
+  /** One seed-derived query for the join-matrix workload gate
+    * (q_approx_join_workload): `inner` carries F_TBL / D1_TBL / D2_TBL
+    * placeholders so the IDENTICAL text runs on Spark (temp views) and
+    * DuckDB (derivation CTEs). Grouping keys are aliased gk1..gkN,
+    * metrics m1..mM. */
+  private final case class JoinWQuery(qid: String, inner: String,
+      nKeys: Int, metrics: Seq[String])
+
+  /** The 30-query join-matrix corpus (r18, VERDICT r17 #1), a pure
+    * function of the seed: inner chains/stars, composite keys,
+    * EXISTS / NOT EXISTS / IN / NOT IN, LEFT/RIGHT/FULL outer joins,
+    * attribute + derived (year/month) groupings, value aggregates,
+    * cross-column OR and prefix-LIKE side predicates. Menu discipline
+    * keeps every query inside the probe budgets (value/DISTINCT cells
+    * get at most one grouping key; OR only on ungrouped shapes; star
+    * groupings stay on small domains) so the entry's per-query
+    * scan-free require() holds by construction.
+    * Tables: f (fact: k1 0..4, k2 0..2, g nullable string, w nullable
+    * integral double 0..11, dt date over 300 days), d1 (dim: k1, k2,
+    * a 0..3, s string), d2 (dim: k2, b 0..5). */
+  private lazy val joinWorkload: Seq[JoinWQuery] = {
+    val rng = new scala.util.Random(20260818L)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.size))
+    def fPred(): String = rng.nextInt(5) match {
+      case 0 => s"f.w <= ${pick(Seq(3, 6, 9))}.0"
+      case 1 =>
+        val vs = rng.shuffle(types).take(1 + rng.nextInt(2)).sorted
+        s"f.g IN (${vs.map(t => s"'$t'").mkString(", ")})"
+      case 2 => s"f.g LIKE '${pick(types).take(1 + rng.nextInt(2))}%'"
+      case 3 => if (rng.nextBoolean()) "f.w IS NOT NULL" else "f.g IS NULL"
+      case 4 => s"f.w != ${pick(Seq(1, 5))}.0"
+    }
+    def fOr(): String =
+      s"(f.g = '${pick(types)}' OR f.w <= ${pick(Seq(2, 4))}.0)"
+    def dPred(p: String): String = rng.nextInt(3) match {
+      case 0 => s"${p}a >= ${1 + rng.nextInt(2)}"
+      case 1 => s"${p}s != '${pick(types)}'"
+      case 2 => s"${p}s LIKE '${pick(types).take(1 + rng.nextInt(2))}%'"
+    }
+    def d2Pred(p: String): String = s"${p}b <= ${2 + rng.nextInt(3)}"
+    val fKeys = Seq("f.g", "f.k2", "year(f.dt)", "month(f.dt)")
+    val dKeys = Seq("d1.a", "d1.s")
+    val valueCells = Seq("sum(f.w)", "avg(f.w)", "min(f.w)", "max(f.w)",
+      "count(DISTINCT f.w)")
+    val cheapCells = Seq("count(*)", "count(f.w)")
+    def sel(keys: Seq[String], cells: Seq[String])
+        : (String, Seq[String]) = {
+      val ms = cells.indices.map(i => s"m${i + 1}")
+      val keyCols = keys.zipWithIndex.map { case (k, i) =>
+        s"$k AS gk${i + 1}" }
+      ((keyCols ++ cells.zip(ms).map { case (c, m) => s"$c AS $m" })
+        .mkString(", "), ms)
+    }
+    (1 to 30).map { i =>
+      val qid = "jw%02d".format(i)
+      val (inner, nKeys, ms) = (i - 1) % 6 match {
+        case 0 => // inner 2-table, single-key equi-join
+          val from = "F_TBL f JOIN D1_TBL d1 ON f.k1 = d1.k1"
+          if (rng.nextInt(10) < 7) {
+            val key = pick(fKeys ++ dKeys)
+            val cells =
+              if (rng.nextBoolean()) Seq(pick(valueCells))
+              else (1 to 1 + rng.nextInt(2)).map(_ =>
+                pick(cheapCells)).distinct
+            val where = rng.nextInt(3) match {
+              case 0 => ""
+              case 1 => s" WHERE ${fPred()}"
+              case 2 => s" WHERE ${dPred("d1.")}"
+            }
+            val (s0, ms0) = sel(Seq(key), cells)
+            (s"SELECT $s0 FROM $from$where GROUP BY $key", 1, ms0)
+          } else {
+            val cell = pick(valueCells ++ cheapCells)
+            val conjs = (1 to rng.nextInt(3)).map(_ =>
+              if (rng.nextInt(3) == 0) fOr()
+              else pick(Seq(fPred(), dPred("d1."))))
+            val where =
+              if (conjs.isEmpty) ""
+              else s" WHERE ${conjs.mkString(" AND ")}"
+            val (s0, ms0) = sel(Nil, Seq(cell))
+            (s"SELECT $s0 FROM $from$where", 0, ms0)
+          }
+        case 1 => // inner 2-table, composite key
+          val from =
+            "F_TBL f JOIN D1_TBL d1 ON f.k1 = d1.k1 AND f.k2 = d1.k2"
+          val keyOpt =
+            if (rng.nextBoolean()) Some(pick(Seq("f.g", "d1.a", "d1.s")))
+            else None
+          val cells =
+            if (rng.nextBoolean()) Seq(pick(valueCells))
+            else Seq(pick(cheapCells))
+          val where =
+            if (rng.nextBoolean()) s" WHERE ${dPred("d1.")}" else ""
+          keyOpt match {
+            case Some(k) =>
+              val (s0, ms0) = sel(Seq(k), cells)
+              (s"SELECT $s0 FROM $from$where GROUP BY $k", 1, ms0)
+            case None =>
+              val (s0, ms0) = sel(Nil, cells)
+              (s"SELECT $s0 FROM $from$where", 0, ms0)
+          }
+        case 2 => // 3-table star (f-d1 on k1, f-d2 on k2)
+          val from = "F_TBL f JOIN D1_TBL d1 ON f.k1 = d1.k1 " +
+            "JOIN D2_TBL d2 ON f.k2 = d2.k2"
+          val where = rng.nextInt(3) match {
+            case 0 => ""
+            case 1 => s" WHERE ${dPred("d1.")}"
+            case 2 => s" WHERE ${d2Pred("d2.")}"
+          }
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("f.g", "d1.a"))
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCells)))
+            (s"SELECT $s0 FROM $from$where GROUP BY $key", 1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
+            (s"SELECT $s0 FROM $from$where", 0, ms0)
+          }
+        case 3 => // EXISTS / NOT EXISTS over d1 (50% composite key)
+          val keyCond =
+            if (rng.nextBoolean()) "r.k1 = f.k1 AND r.k2 = f.k2"
+            else "r.k1 = f.k1"
+          val not = if (rng.nextBoolean()) "NOT " else ""
+          val ex = s"${not}EXISTS (SELECT 1 FROM D1_TBL r " +
+            s"WHERE $keyCond AND ${dPred("r.")})"
+          val fw = if (rng.nextBoolean()) s"${fPred()} AND " else ""
+          if (rng.nextBoolean()) {
+            val key = pick(fKeys)
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $fw$ex GROUP BY $key",
+              1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $fw$ex", 0, ms0)
+          }
+        case 4 => // IN / NOT IN subquery on the shared key
+          val not = if (rng.nextBoolean()) "NOT " else ""
+          val in = s"f.k1 ${not}IN (SELECT r.k1 FROM D1_TBL r " +
+            s"WHERE ${dPred("r.")})"
+          val fw = if (rng.nextBoolean()) s" AND ${fPred()}" else ""
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("f.g", "f.k2", "year(f.dt)"))
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $in$fw GROUP BY $key",
+              1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $in$fw", 0, ms0)
+          }
+        case 5 => // outer join; side predicates live in subselects
+          val jt = pick(Seq("LEFT", "RIGHT", "FULL"))
+          val dSub =
+            if (rng.nextBoolean())
+              s"(SELECT * FROM D1_TBL WHERE ${dPred("")}) d1"
+            else "D1_TBL d1"
+          val fSub =
+            if (rng.nextInt(3) == 0)
+              "(SELECT * FROM F_TBL WHERE w IS NOT NULL) f"
+            else "F_TBL f"
+          val from = s"$fSub $jt JOIN $dSub ON f.k1 = d1.k1"
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("f.g", "d1.a", "d1.s", "f.k2"))
+            val cells =
+              if (rng.nextInt(3) == 0) Seq(pick(valueCells))
+              else Seq(pick(Seq("count(*)", "count(f.w)", "count(d1.a)")))
+            val (s0, ms0) = sel(Seq(key), cells)
+            (s"SELECT $s0 FROM $from GROUP BY $key", 1, ms0)
+          } else {
+            val cell = pick(valueCells ++
+              Seq("count(*)", "count(d1.a)", "sum(d1.a)"))
+            val (s0, ms0) = sel(Nil, Seq(cell))
+            (s"SELECT $s0 FROM $from", 0, ms0)
+          }
+      }
+      JoinWQuery(qid, inner, nKeys, ms)
+    }
+  }
+
+  /** DuckDB oracle for the join workload: the identical query texts
+    * over the identical derivation, unpivoted to (query, group,
+    * metric, value). */
+  private lazy val joinWorkloadOracleSql: String = {
+    def repl(x: String) = x.replace("F_TBL", "f")
+      .replace("D1_TBL", "d1").replace("D2_TBL", "d2")
+    val branches = joinWorkload.flatMap { q =>
+      val grpExpr =
+        if (q.nKeys == 0) "''"
+        else (1 to q.nKeys)
+          .map(k => s"coalesce(CAST(gk$k AS VARCHAR), '<NULL>')") match {
+          case Seq(one) => one
+          case parts => s"concat(${parts.mkString(", '|', ")})"
+        }
+      q.metrics.map { m =>
+        s"""SELECT '${q.qid}' AS query_id, $grpExpr AS grp,
+  '$m' AS metric, CAST($m AS DOUBLE) AS x
+FROM (${repl(q.inner)})"""
+      }
+    }
+    s"""WITH f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS g,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 12 AS DOUBLE) END AS w,
+         DATE '2023-12-01' + CAST(event_id % 300 AS INTEGER) AS dt
+       FROM events WHERE event_id % 13 = 0),
+d1 AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
+         event_id % 4 AS a, event_type AS s
+       FROM events WHERE event_id % 291 = 0),
+d2 AS (SELECT (event_id + 2) % 3 AS k2, event_id % 6 AS b
+       FROM events WHERE event_id % 485 = 0)
+SELECT * FROM (
+${branches.mkString("\nUNION ALL\n")}
+)
+ORDER BY query_id, grp, metric"""
+  }
+
+  /** Derived join-workload tables + driver-side exact counters, cached
+    * per sfDir (the gridWorkloadData pattern — bench repeats and
+    * Verify share one build; pid-suffixed tmp dir removed at exit). */
+  private val joinWDataCache = scala.collection.mutable.Map.empty[String,
+    (String, Map[String, org.apache.spark.sql.DataFrame],
+      Map[(String, String), Seq[Any]], Map[String, LocalExact])]
+
+  private def joinWorkloadData(s: SparkSession, d: String)
+      : (String, Map[String, org.apache.spark.sql.DataFrame],
+        Map[(String, String), Seq[Any]], Map[String, LocalExact]) =
+    joinWDataCache.synchronized {
+      joinWDataCache.getOrElseUpdate(d, {
+        val dir = "/tmp/graft_joinw/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val ev = Tables.read(s, d, "events")
+        ev.filter(pmod(col("event_id"), lit(13)) === 0)
+          .select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("g"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(12)).cast("double"))
+              .as("w"),
+            date_add(to_date(lit("2023-12-01")),
+              pmod(col("event_id"), lit(300)).cast("int")).as("dt"))
+          .write.mode("overwrite").parquet(s"$dir/f.parquet")
+        ev.filter(pmod(col("event_id"), lit(291)) === 0)
+          .select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            pmod(col("event_id"), lit(4)).as("a"),
+            col("event_type").as("s"))
+          .write.mode("overwrite").parquet(s"$dir/d1.parquet")
+        ev.filter(pmod(col("event_id"), lit(485)) === 0)
+          .select(
+            pmod(col("event_id") + 2, lit(3)).as("k2"),
+            pmod(col("event_id"), lit(6)).as("b"))
+          .write.mode("overwrite").parquet(s"$dir/d2.parquet")
+        val colsByTable = Map(
+          "f" -> Seq("k1", "k2", "g", "w", "dt"),
+          "d1" -> Seq("k1", "k2", "a", "s"),
+          "d2" -> Seq("k2", "b"))
+        val dfs = colsByTable.keys.map(t =>
+          t -> s.read.parquet(s"$dir/$t.parquet")).toMap
+        val doms = colsByTable.flatMap { case (t, cs) =>
+          cs.map(c => (t, c) ->
+            Dictionary.columnMeta(dfs(t).select(c), c).domain.toSeq)
+        }.toMap
+        val les = colsByTable.map { case (t, cs) =>
+          t -> new LocalExact(dfs(t), cs) }.toMap
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir))))
+        (dir, dfs, doms, les)
       })
     }
 

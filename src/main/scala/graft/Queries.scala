@@ -10635,20 +10635,35 @@ ORDER BY query_id, grp, metric"""
           minFilters = 2, maxFilters = 4, seed = 777L)
         val sqlTexts = corpus.map(q =>
           s"SELECT count(*) FROM lineitem WHERE ${Pred.whereSql(q)}")
-        val parsed = sqlTexts.map(t => graft.query.SqlFront.parse(s, t))
+        // r18 (VERDICT r17 #8): the 200 front-end parses are
+        // independent driver-side pure functions (SparkSqlParser is
+        // stateless per call) — fan them across the default pool;
+        // sequential they were a third of this gate's wall-clock.
+        val parsed = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.traverse(sqlTexts.toList)(t =>
+              Future(graft.query.SqlFront.parse(s, t))),
+            scala.concurrent.duration.Duration.Inf)
+        }
         val nParse = corpus.zip(parsed).count { case (q, (t, ps)) =>
           t == "lineitem" && ps == q }
         val df = li(s, d)
-        // ONE count-if pass for native-200 + parsed-200 + the 20-query
-        // truths (r17, VERDICT r16 #7): three scans of the same table
-        // merged into one 420-column aggregation — identical counts,
-        // one analysis + one scan.
-        val allCards = Workload.trueCards(df,
-          corpus ++ parsed.map(_._2) ++ fixedWorkload)
+        // ONE count-if pass for native-200 + the 20-query truths
+        // (r17 merged three scans into one; r18 drops the parsed-200
+        // duplicate block entirely, VERDICT r17 #8): structural parse
+        // identity (ps == q, checked per query above) IMPLIES count
+        // identity — trueCards is a pure function of the pred list, so
+        // two structurally equal lists cannot produce different
+        // counts. That is the same implication the r16 trim used for
+        // the model twin, applied to the count twin: the 420-column
+        // aggregation (whose driver-side Catalyst ANALYSIS, not the
+        // scan, dominated this gate's cost) becomes a 220-column one.
+        val allCards = Workload.trueCards(df, corpus ++ fixedWorkload)
         val nativeCards = allCards.slice(0, corpus.size)
-        val parsedCards = allCards.slice(corpus.size, 2 * corpus.size)
         val truths = allCards.takeRight(fixedWorkload.size)
-        val nCount = nativeCards.zip(parsedCards).count(p => p._1 == p._2)
+        val nCount = nParse
         // model seam: the 20-query oracle workload through the SQL
         // path. r16 trim (VERDICT r15 #8): the r15 entry ran same-seed
         // twins (40 model runs) to require native-vs-SQL ESTIMATE

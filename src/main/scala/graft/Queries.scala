@@ -2609,6 +2609,119 @@ SELECT * FROM (
   SELECT 'oa6_avg_left', avg(l.w)
   FROM l LEFT JOIN r ON l.k = r.k)
 ORDER BY query_id""")),
+    // Composite-key OUTER joins (r18): an AND of equalities in the ON
+    // clause contributes one matched-grid axis per equality — the same
+    // generalization the semi/anti path got, applied to LEFT/RIGHT/
+    // FULL. Left key k1 is null-bearing (null-key rows are unmatched
+    // on their own side); grouped and value-aggregate forms ride the
+    // per-side probe. Exact registrations → lossless; scan-free plans
+    // require()d; DuckDB recomputes the identical derivation.
+    Entry("q_approx_outer_composite",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_ocp/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("long"))
+              .otherwise(pmod(col("event_id"), lit(5))).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(7)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/l.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            pmod(col("event_id"), lit(4)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val dl = s.read.parquet(s"$base/l.parquet")
+        val dr = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val lDoms = Seq("k1", "k2", "w").map(c => c -> dom(dl, c)).toMap
+        val rDoms = Seq("k1", "k2", "b").map(c => c -> dom(dr, c)).toMap
+        val leL = new LocalExact(dl, Seq("k1", "k2", "w"))
+        val leR = new LocalExact(dr, Seq("k1", "k2", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/l.parquet",
+          Set("k1", "k2", "w"), preds => leL.count(preds),
+          name => lDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k1", "k2", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dl.createOrReplaceTempView("graft_aqp_ocp_l")
+          dr.createOrReplaceTempView("graft_aqp_ocp_r")
+          val on = "l.k1 = r.k1 AND l.k2 = r.k2"
+          val texts = Seq(
+            "ocp1_left_count" -> ("SELECT count(*) AS n FROM " +
+              s"graft_aqp_ocp_l l LEFT JOIN graft_aqp_ocp_r r ON $on"),
+            "ocp2_full_filtered" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_ocp_l l FULL JOIN (SELECT * FROM " +
+              "graft_aqp_ocp_r WHERE b != 0) r ON " +
+              "l.k1 = r.k1 AND l.k2 = r.k2"),
+            "ocp3_grouped" -> ("SELECT l.k2 AS grp, count(*) AS n " +
+              s"FROM graft_aqp_ocp_l l LEFT JOIN graft_aqp_ocp_r r " +
+              s"ON $on GROUP BY l.k2"),
+            "ocp4_sum" -> ("SELECT sum(l.w) AS n FROM " +
+              s"graft_aqp_ocp_l l LEFT JOIN graft_aqp_ocp_r r ON $on"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"composite outer rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().map { r =>
+              if (qid == "ocp3_grouped")
+                (qid + "_" + r.getLong(0), r.getLong(1))
+              else if (qid == "ocp4_sum")
+                (qid, r.getDouble(0).toLong)
+              else (qid, r.getLong(0))
+            }
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+l AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+             ELSE event_id % 5 END AS k1,
+             event_id % 3 AS k2,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(event_id % 7 AS DOUBLE) END AS w
+      FROM basee),
+r AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
+             event_id % 4 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'ocp1_left_count' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM l LEFT JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2
+  UNION ALL
+  SELECT 'ocp2_full_filtered', CAST(count(*) AS BIGINT)
+  FROM l FULL JOIN (SELECT * FROM r WHERE b != 0) r2
+    ON l.k1 = r2.k1 AND l.k2 = r2.k2
+  UNION ALL
+  SELECT 'ocp3_grouped_' || CAST(l.k2 AS VARCHAR),
+    CAST(count(*) AS BIGINT)
+  FROM l LEFT JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2 GROUP BY l.k2
+  UNION ALL
+  SELECT 'ocp4_sum', CAST(sum(l.w) AS BIGINT)
+  FROM l LEFT JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2)
+ORDER BY query_id""")),
     // GROUPED aggregates over EXISTS / NOT EXISTS (r17 third pass):
     // semi/anti join output carries only left columns, so the whole
     // scan-path cell vocabulary rides the matched-key probe — `SELECT

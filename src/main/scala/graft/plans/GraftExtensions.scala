@@ -1470,10 +1470,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * computed ONCE (spec construction); conservative like every join
     * rewrite, overflow → exact plan. */
   private case class OuterParts(lLeaf: JoinLeaf, rLeaf: JoinLeaf,
-      ka: String, kb: String,
-      /** (left value, right value, n_L(v), n_R(v)) — prefiltered to
-        * pairs with rows on both sides. */
-      pairs: Seq[(Any, Any, Long, Long)],
+      keyNamesL: Seq[String], keyNamesR: Seq[String],
+      /** (left key vector, right key vector, n_L(v⃗), n_R(v⃗)) —
+        * prefiltered to vectors with rows on BOTH sides (composite
+        * keys contribute one grid axis per equality, r18). */
+      pairs: Seq[(Seq[Any], Seq[Any], Long, Long)],
       withLeft: Boolean, withRight: Boolean) {
     /** Probe-count multiplier for budgets. */
     def probeCost: Long =
@@ -1489,48 +1490,75 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case FullOuter => (true, true)
       case _ => return None
     }
-    val keyPair: Option[(AttributeReference, AttributeReference)] =
-      j.condition match {
-        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-          if (j.left.outputSet.contains(a) &&
-            j.right.outputSet.contains(b)) Some((a, b))
-          else if (j.left.outputSet.contains(b) &&
-            j.right.outputSet.contains(a)) Some((b, a))
-          else None
-        case _ => None
+    def eqPair(e: Expression)
+        : Option[(AttributeReference, AttributeReference)] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (j.left.outputSet.contains(a) &&
+          j.right.outputSet.contains(b)) Some((a, b))
+        else if (j.left.outputSet.contains(b) &&
+          j.right.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    def splitAnd(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    val keyPairs: Option[Seq[(AttributeReference, AttributeReference)]] =
+      j.condition.flatMap { c =>
+        val ps = splitAnd(c).map(eqPair)
+        if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.map(_.get))
+        else None
       }
     for {
-      (ka, kb) <- keyPair
+      kps <- keyPairs
       lLeaf <- registeredLeaf(j.left)
       rLeaf <- registeredLeaf(j.right)
-      if lLeaf.reg.columns.contains(ka.name) &&
-        rLeaf.reg.columns.contains(kb.name)
-      domL <- domainOf(lLeaf.reg, ka.name)
-        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
-      domR <- domainOf(rLeaf.reg, kb.name)
-        .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+      if kps.forall { case (ka, kb) =>
+        lLeaf.reg.columns.contains(ka.name) &&
+          rLeaf.reg.columns.contains(kb.name) }
+      pairLists <- {
+        val ds = kps.map { case (ka, kb) =>
+          for {
+            domL <- domainOf(lLeaf.reg, ka.name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+            domR <- domainOf(rLeaf.reg, kb.name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+          } yield {
+            val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
+              .map(v => PredExtract.canonKey(v) -> v).toMap
+            domL.iterator.filter(_ != null).flatMap(vl =>
+              rRepr.get(PredExtract.canonKey(vl)).map(vr => (vl, vr)))
+              .toSeq
+          }
+        }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      nGrid = pairLists.map(l => BigInt(l.size)).product
       terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
-      if BigInt(domL.size + 1) * BigInt(terms) <=
-        BigInt(maxTotalProbes)
+      if nGrid <= BigInt(maxGroupProbes) &&
+        (nGrid + 1) * BigInt(terms) <= BigInt(maxTotalProbes)
       pairs <- probed {
         val estL = dnfEstFn(lLeaf.reg, lLeaf.dnf)
         val estR = dnfEstFn(rLeaf.reg, rLeaf.dnf)
-        val rRepr: Map[Any, Any] = domR.iterator.filter(_ != null)
-          .map(v => PredExtract.canonKey(v) -> v).toMap
-        try Some(domL.iterator.filter(_ != null).flatMap { vl =>
-          rRepr.get(PredExtract.canonKey(vl)).flatMap { vr =>
-            val nl = estL(Seq(Pred(ka.name, Op.Eq, vl)))
-            if (nl <= 0L) None
-            else {
-              val nr = estR(Seq(Pred(kb.name, Op.Eq, vr)))
-              if (nr <= 0L) None else Some((vl, vr, nl, nr))
-            }
+        val grid = pairLists.foldLeft(Seq(Seq.empty[(Any, Any)])) {
+          (acc, pl) => acc.flatMap(pre => pl.map(pr => pre :+ pr))
+        }
+        try Some(grid.flatMap { vec =>
+          val vls = vec.map(_._1); val vrs = vec.map(_._2)
+          val nl = estL(kps.map(_._1.name).zip(vls).map {
+            case (k, v) => Pred(k, Op.Eq, v) })
+          if (nl <= 0L) None
+          else {
+            val nr = estR(kps.map(_._2.name).zip(vrs).map {
+              case (k, v) => Pred(k, Op.Eq, v) })
+            if (nr <= 0L) None else Some((vls, vrs, nl, nr))
           }
-        }.toSeq)
+        })
         catch { case _: ArithmeticException => None }
       }
-    } yield OuterParts(lLeaf, rLeaf, ka.name, kb.name, pairs,
-      withLeft, withRight)
+    } yield OuterParts(lLeaf, rLeaf, kps.map(_._1.name),
+      kps.map(_._2.name), pairs, withLeft, withRight)
   }
 
   /** The outer-join row count as a probe function over (left extras,
@@ -1544,11 +1572,13 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       var inner = 0L
       var matchedL = 0L
       var matchedR = 0L
-      sp.pairs.foreach { case (vl, vr, nlAll, nrAll) =>
+      sp.pairs.foreach { case (vls, vrs, nlAll, nrAll) =>
         val nl = if (exL.isEmpty) nlAll
-          else estL(exL :+ Pred(sp.ka, Op.Eq, vl))
+          else estL(exL ++ sp.keyNamesL.zip(vls).map {
+            case (k, v) => Pred(k, Op.Eq, v) })
         val nr = if (exR.isEmpty) nrAll
-          else estR(exR :+ Pred(sp.kb, Op.Eq, vr))
+          else estR(exR ++ sp.keyNamesR.zip(vrs).map {
+            case (k, v) => Pred(k, Op.Eq, v) })
         inner = Math.addExact(inner, Math.multiplyExact(nl, nr))
         matchedL = Math.addExact(matchedL, nl)
         matchedR = Math.addExact(matchedR, nr)

@@ -10321,13 +10321,18 @@ ORDER BY query_id, grp, metric"""
             val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
             (s"SELECT $s0 FROM $from$where", 0, ms0)
           }
-        case 3 => // EXISTS / NOT EXISTS over d1 (50% composite key)
-          val keyCond =
-            if (rng.nextBoolean()) "r.k1 = f.k1 AND r.k2 = f.k2"
-            else "r.k1 = f.k1"
+        case 3 => // EXISTS / NOT EXISTS over d1 (composite key or a
+          // join-tree subquery — the r18 shapes)
           val not = if (rng.nextBoolean()) "NOT " else ""
-          val ex = s"${not}EXISTS (SELECT 1 FROM D1_TBL r " +
-            s"WHERE $keyCond AND ${dPred("r.")})"
+          val ex = rng.nextInt(3) match {
+            case 0 => s"${not}EXISTS (SELECT 1 FROM D1_TBL r " +
+              s"WHERE r.k1 = f.k1 AND r.k2 = f.k2 AND ${dPred("r.")})"
+            case 1 => s"${not}EXISTS (SELECT 1 FROM D1_TBL r " +
+              s"WHERE r.k1 = f.k1 AND ${dPred("r.")})"
+            case 2 => s"${not}EXISTS (SELECT 1 FROM D1_TBL r " +
+              "JOIN D2_TBL r2 ON r.k2 = r2.k2 " +
+              s"WHERE r.k1 = f.k1 AND ${d2Pred("r2.")})"
+          }
           val fw = if (rng.nextBoolean()) s"${fPred()} AND " else ""
           if (rng.nextBoolean()) {
             val key = pick(fKeys)
@@ -10352,7 +10357,8 @@ ORDER BY query_id, grp, metric"""
             val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
             (s"SELECT $s0 FROM F_TBL f WHERE $in$fw", 0, ms0)
           }
-        case 5 => // outer join; side predicates live in subselects
+        case 5 => // outer join (single or composite key; side
+          // predicates live in subselects)
           val jt = pick(Seq("LEFT", "RIGHT", "FULL"))
           val dSub =
             if (rng.nextBoolean())
@@ -10362,9 +10368,14 @@ ORDER BY query_id, grp, metric"""
             if (rng.nextInt(3) == 0)
               "(SELECT * FROM F_TBL WHERE w IS NOT NULL) f"
             else "F_TBL f"
-          val from = s"$fSub $jt JOIN $dSub ON f.k1 = d1.k1"
+          val on =
+            if (rng.nextInt(3) == 0) "f.k1 = d1.k1 AND f.k2 = d1.k2"
+            else "f.k1 = d1.k1"
+          val from = s"$fSub $jt JOIN $dSub ON $on"
           if (rng.nextBoolean()) {
-            val key = pick(Seq("f.g", "d1.a", "d1.s", "f.k2"))
+            // derived keys over outer joins are r18 surface too
+            val key = pick(Seq("f.g", "d1.a", "d1.s", "f.k2",
+              "year(f.dt)"))
             val cells =
               if (rng.nextInt(3) == 0) Seq(pick(valueCells))
               else Seq(pick(Seq("count(*)", "count(f.w)", "count(d1.a)")))

@@ -2162,6 +2162,136 @@ SELECT * FROM (
     WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
   GROUP BY k2)
 ORDER BY query_id""")),
+    // EXISTS *under* a join + NESTED EXISTS (r18 second pass): a LEFT
+    // SEMI/ANTI join acts as a join-tree LEAF — its output is its left
+    // side filtered, so it carries the left registration with the
+    // semi/anti probe as its estimator. PushDownLeftSemiAntiJoin parks
+    // the EXISTS at the fact leaf, so `fact JOIN dim WHERE EXISTS(…)`
+    // flattens normally; stacked EXISTS compose recursively (the outer
+    // semi join's left side is itself a semi join), each level
+    // multiplying its (matched+1) factor into the leaf's budget cost.
+    // Exact registrations → lossless; scan-free plans require()d;
+    // DuckDB runs the identical texts over the identical derivation.
+    Entry("q_approx_exists_nested",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_exn/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        evBase.select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(7)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/f.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k1"),
+            pmod(col("event_id"), lit(4)).as("a"))
+          .write.mode("overwrite").parquet(s"$base/d.parquet")
+        evBase.select(
+            pmod(col("event_id") + 2, lit(3)).as("k2"),
+            pmod(col("event_id"), lit(6)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val fD = s.read.parquet(s"$base/f.parquet")
+        val dD = s.read.parquet(s"$base/d.parquet")
+        val rD = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val fDoms = Seq("k1", "k2", "w").map(c => c -> dom(fD, c)).toMap
+        val dDoms = Seq("k1", "a").map(c => c -> dom(dD, c)).toMap
+        val rDoms = Seq("k2").map(c => c -> dom(rD, c)).toMap
+        val leF = new LocalExact(fD, Seq("k1", "k2", "w"))
+        val leD = new LocalExact(dD, Seq("k1", "a"))
+        val leR = new LocalExact(rD, Seq("k2", "b"))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/f.parquet",
+          Set("k1", "k2", "w"), preds => leF.count(preds),
+          name => fDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/d.parquet",
+          Set("k1", "a"), preds => leD.count(preds),
+          name => dDoms.get(name))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k2", "b"), preds => leR.count(preds),
+          name => rDoms.get(name))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          fD.createOrReplaceTempView("graft_aqp_exn_f")
+          dD.createOrReplaceTempView("graft_aqp_exn_d")
+          rD.createOrReplaceTempView("graft_aqp_exn_r")
+          val rEx = "EXISTS (SELECT 1 FROM graft_aqp_exn_r r " +
+            "WHERE r.k2 = f.k2 AND r.b != 0)"
+          val texts = Seq(
+            "en1_exists_under_join" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_exn_f f JOIN graft_aqp_exn_d d " +
+              s"ON f.k1 = d.k1 WHERE $rEx"),
+            "en2_nested_exists" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_exn_f f WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_exn_d d WHERE d.k1 = f.k1 AND d.a >= 1) " +
+              s"AND $rEx"),
+            "en3_grouped" -> ("SELECT d.a AS grp, count(*) AS n FROM " +
+              "graft_aqp_exn_f f JOIN graft_aqp_exn_d d " +
+              s"ON f.k1 = d.k1 WHERE $rEx GROUP BY d.a"),
+            "en4_sum" -> ("SELECT sum(f.w) AS n FROM " +
+              "graft_aqp_exn_f f JOIN graft_aqp_exn_d d " +
+              s"ON f.k1 = d.k1 WHERE $rEx"))
+          val rows = texts.flatMap { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"semi-leaf composition did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().map { r =>
+              if (qid == "en3_grouped")
+                (qid + "_" + r.getLong(0), r.getLong(1))
+              else if (qid == "en4_sum") (qid, r.getDouble(0).toLong)
+              else (qid, r.getLong(0))
+            }
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(event_id % 7 AS DOUBLE) END AS w
+      FROM basee),
+d AS (SELECT (event_id + 1) % 5 AS k1, event_id % 4 AS a FROM basee),
+r AS (SELECT (event_id + 2) % 3 AS k2, event_id % 6 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'en1_exists_under_join' AS query_id,
+    CAST(count(*) AS BIGINT) AS n
+  FROM f JOIN d ON f.k1 = d.k1
+  WHERE EXISTS (SELECT 1 FROM r WHERE r.k2 = f.k2 AND r.b != 0)
+  UNION ALL
+  SELECT 'en2_nested_exists', CAST(count(*) AS BIGINT)
+  FROM f WHERE EXISTS (SELECT 1 FROM d
+    WHERE d.k1 = f.k1 AND d.a >= 1)
+  AND EXISTS (SELECT 1 FROM r WHERE r.k2 = f.k2 AND r.b != 0)
+  UNION ALL
+  SELECT 'en3_grouped_' || CAST(d.a AS VARCHAR),
+    CAST(count(*) AS BIGINT)
+  FROM f JOIN d ON f.k1 = d.k1
+  WHERE EXISTS (SELECT 1 FROM r WHERE r.k2 = f.k2 AND r.b != 0)
+  GROUP BY d.a
+  UNION ALL
+  SELECT 'en4_sum', CAST(sum(f.w) AS BIGINT)
+  FROM f JOIN d ON f.k1 = d.k1
+  WHERE EXISTS (SELECT 1 FROM r WHERE r.k2 = f.k2 AND r.b != 0))
+ORDER BY query_id""")),
     // EXISTS over a JOIN-TREE subquery (r18, VERDICT r17 #7): the
     // subquery itself joins — `EXISTS (SELECT 1 FROM nation JOIN
     // region …)` — so the matched-key test is the right tree's JOIN

@@ -42,6 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // so without it a withExtensions session would get a second
       // (idempotent but plan-matching) copy attached.
       session.conf.set(GraftRuntime.AttachedKey, "true")
+      // Semi/anti (EXISTS / IN-subquery) joins only EXIST after the
+      // RewriteSubquery batch, which runs AFTER every injectable
+      // optimizer slot — so the injected copy alone would never see
+      // them (r18, found by the semi-leaf spec). Attach the last-batch
+      // extraOptimizations copy too: it runs post-RewriteSubquery and
+      // owns the join-type-matrix shapes; both copies are idempotent.
+      if (!session.experimental.extraOptimizations
+          .exists(_.isInstanceOf[ApproxCountRule]))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+
+            ApproxCountRule(session)
       ApproxCountRule(session)
     }
     ext.injectFunction(CosineSimilarity.registration)
@@ -958,7 +969,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         nCombos *
           (BigInt(1) + cells.map(c => BigInt(cellCost(c))).sum) *
           BigInt(sp.matched.size + 1) *
-          BigInt(dnfTerms(sp.lLeaf.dnf)) <= BigInt(maxTotalProbes)
+          BigInt(sp.lLeaf.cost) <= BigInt(maxTotalProbes)
       rows <- probeGrid(keys, gDoms, cells, semiAntiEstFn(sp))
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
@@ -1055,10 +1066,13 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** One registered side of a flattened join tree: its estimator, its
     * (pushed-down) WHERE as a bounded DNF (r17 — a single-side
     * disjunction pushed into a join side rides the same I–E probe
-    * function), and the pre-strip subplan (for attribute-ownership
-    * lookups via outputSet). */
+    * function), the pre-strip subplan (for attribute-ownership lookups
+    * via outputSet), and the leaf's per-probe estimator-call COST
+    * (r18: a plain scan leaf costs its I–E term count; a semi/anti
+    * LEAF — see [[registeredLeaf]] — costs (matched+1)× its left
+    * leaf's, so every budget stays honest through composition). */
   private case class JoinLeaf(reg: GraftRuntime.Registered,
-      dnf: Seq[Seq[Pred]], plan: LogicalPlan)
+      dnf: Seq[Seq[Pred]], plan: LogicalPlan, cost: Long)
 
   /** An equi-edge between two leaves: per-side leaf index and column,
     * plus the key-domain intersection as (left-repr, right-repr)
@@ -1076,16 +1090,33 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A registered (optionally Filter-ed, possibly disjunctively)
-    * scan — a join-tree leaf or a semi/anti-join side. */
-  private def registeredLeaf(p: LogicalPlan): Option[JoinLeaf] = {
-    val (dnfOpt, scanChild) = parseWhereDnf(p)
-    for {
-      paths <- relationPaths(scanChild)
-      dnf <- dnfOpt
-      reg <- GraftRuntime.lookup(paths)
-      if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
-    } yield JoinLeaf(reg, dnf, p)
-  }
+    * scan — a join-tree leaf or a semi/anti-join side. r18 second
+    * pass: a LEFT SEMI / LEFT ANTI join is a leaf too — its output IS
+    * its left side filtered, so it acts as the left registration with
+    * [[semiAntiEstFn]] as the estimator (the left leaf's own WHERE is
+    * already folded inside, so the synthetic leaf's dnf is the empty
+    * conjunction). This closes EXISTS-UNDER-a-join
+    * (PushDownLeftSemiAntiJoin parks the semi join at the leaf) and —
+    * because [[semiAntiSpec]] resolves ITS left side through this same
+    * function — nested EXISTS chains compose recursively, each level
+    * multiplying its (matched+1) factor into the leaf cost. */
+  private def registeredLeaf(p: LogicalPlan): Option[JoinLeaf] =
+    stripProjects(p) match {
+      case sj: Join => semiAntiSpec(sj).map { sp =>
+        JoinLeaf(
+          sp.lLeaf.reg.copy(estimate = semiAntiEstFn(sp)),
+          Seq(Nil), sp.lLeaf.plan,
+          cost = (sp.matched.size + 1L) * sp.lLeaf.cost)
+      }
+      case _ =>
+        val (dnfOpt, scanChild) = parseWhereDnf(p)
+        for {
+          paths <- relationPaths(scanChild)
+          dnf <- dnfOpt
+          reg <- GraftRuntime.lookup(paths)
+          if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
+        } yield JoinLeaf(reg, dnf, p, dnfTerms(dnf))
+    }
 
   /** Flatten a tree of INNER joins, each on attribute equalities (a
     * composite key — an AND of equalities in one join condition —
@@ -1109,9 +1140,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def walk(p: LogicalPlan): Option[
         (Seq[LogicalPlan], Seq[(AttributeReference, AttributeReference)])] =
       stripProjects(p) match {
-        case jn: Join =>
-          if (jn.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
-          else for {
+        case jn: Join
+            if jn.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+          for {
             (ll, le) <- walk(jn.left)
             (rl, re) <- walk(jn.right)
             eqs <- jn.condition.flatMap { c =>
@@ -1124,6 +1155,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else Some(parts.map(_.get))
             }
           } yield (ll ++ rl, le ++ re ++ eqs)
+        // Non-inner joins become LEAVES: registeredLeaf accepts
+        // semi/anti ones (the pushed-down EXISTS shape) and rejects
+        // the rest, keeping the conservative fall-through (r18).
         case other => Some((Seq(other), Nil))
       }
     for {
@@ -1184,7 +1218,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val nCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
     // budget weighs each leaf by its I–E term count (a disjunctive
     // side predicate costs 2^k−1 estimates per probe)
-    val leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+    val leafTerms = spec.leaves.map(l => BigInt(l.cost)).sum
     if (spec.edges.isEmpty ||
         nCombos > BigInt(maxGroupProbes) ||
         nCombos * leafTerms > BigInt(maxTotalProbes)) return None
@@ -1298,7 +1332,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         } yield RightProbe(domains,
           vec => estR(keyCols.zip(vec).map { case (kb, v) =>
             Pred(kb.name, Op.Eq, v) }),
-          dnfTerms(rLeaf.dnf), facts)
+          rLeaf.cost, facts)
       case _ => stripProjects(p) match {
         // EXISTS over a join-tree subquery (r18, VERDICT r17 #7): the
         // right child is itself an inner equi-join tree of registered
@@ -1324,7 +1358,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val edgeCombos =
                 spec.edges.map(e => BigInt(e.pairs.size)).product
               val leafTerms =
-                spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+                spec.leaves.map(l => BigInt(l.cost)).sum
               val c = edgeCombos * leafTerms
               if (c <= BigInt(maxTotalProbes)) Some(c.toLong) else None
             }
@@ -1479,7 +1513,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     /** Probe-count multiplier for budgets. */
     def probeCost: Long =
       (2L * pairs.size + 2L) *
-        (dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf))
+        (lLeaf.cost + rLeaf.cost)
   }
 
   private def outerSpec(j: Join): Option[OuterParts] = {
@@ -1535,7 +1569,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       nGrid = pairLists.map(l => BigInt(l.size)).product
-      terms = dnfTerms(lLeaf.dnf) + dnfTerms(rLeaf.dnf)
+      terms = lLeaf.cost + rLeaf.cost
       if nGrid <= BigInt(maxGroupProbes) &&
         (nGrid + 1) * BigInt(terms) <= BigInt(maxTotalProbes)
       pairs <- probed {
@@ -1784,7 +1818,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       j: Join): Option[LogicalPlan] =
     for {
       sp <- semiAntiSpec(j)
-      if BigInt(sp.matched.size + 1) * BigInt(dnfTerms(sp.lLeaf.dnf)) <=
+      if BigInt(sp.matched.size + 1) * BigInt(sp.lLeaf.cost) <=
         BigInt(maxTotalProbes)
       total <- probed {
         try Some(semiAntiEstFn(sp)(Nil))
@@ -1813,7 +1847,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
       }
       if BigInt(dom.size + 1) * BigInt(sp.matched.size + 1) *
-        BigInt(dnfTerms(sp.lLeaf.dnf)) <= BigInt(maxTotalProbes)
+        BigInt(sp.lLeaf.cost) <= BigInt(maxTotalProbes)
       est = semiAntiEstFn(sp)
       value <- probed {
         try {
@@ -1853,7 +1887,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       dom <- domainOf(spec.leaves(owner).reg, c.name)
         .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
       edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
-      leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+      leafTerms = spec.leaves.map(l => BigInt(l.cost)).sum
       if BigInt(dom.size) * edgeCombos * leafTerms <=
         BigInt(maxTotalProbes)
       est = (extra: Seq[Pred]) =>
@@ -1964,7 +1998,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       gridCombos = gDoms.map(d => BigInt(d.size)).product
       edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
-      leafTerms = spec.leaves.map(l => BigInt(dnfTerms(l.dnf))).sum
+      leafTerms = spec.leaves.map(l => BigInt(l.cost)).sum
       if gridCombos <= BigInt(maxGroupProbes) &&
         gridCombos * edgeCombos * leafTerms *
           (BigInt(1) + cells.map(c => BigInt(cellCost(c._1))).sum) <=

@@ -475,6 +475,78 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftRuntime.clear()
   }
 
+  test("semi/anti joins compose as join-tree LEAVES: EXISTS under a join, nested EXISTS (r18)") {
+    GraftRuntime.clear()
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sleaf").toString
+    Seq((1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 10L, 6.0), (3L, 30L, 8.0))
+      .toDF("k1", "k2", "w").write.mode("overwrite")
+      .parquet(s"$tmp/f.parquet")
+    Seq((1L, 0L), (1L, 1L), (2L, 1L)).toDF("k1", "a")
+      .write.mode("overwrite").parquet(s"$tmp/d.parquet")
+    Seq((10L, 1L), (30L, 0L)).toDF("k2", "b")
+      .write.mode("overwrite").parquet(s"$tmp/r.parquet")
+    val fD = spark.read.parquet(s"$tmp/f.parquet")
+    val dD = spark.read.parquet(s"$tmp/d.parquet")
+    val rD = spark.read.parquet(s"$tmp/r.parquet")
+    fD.createOrReplaceTempView("sl_f")
+    dD.createOrReplaceTempView("sl_d")
+    rD.createOrReplaceTempView("sl_r")
+    def dom(df: org.apache.spark.sql.DataFrame, c: String) =
+      graft.core.Dictionary.columnMeta(df.select(c), c).domain.toSeq
+    def registerAll(): Unit = {
+      GraftRuntime.registerWithDomain("f.parquet", Set("k1", "k2", "w"),
+        p => (if (p.isEmpty) fD else fD.filter(Pred.conj(p))).count(),
+        c => Some(dom(fD, c)))
+      GraftRuntime.registerWithDomain("d.parquet", Set("k1", "a"),
+        p => (if (p.isEmpty) dD else dD.filter(Pred.conj(p))).count(),
+        c => Some(dom(dD, c)))
+      GraftRuntime.registerWithDomain("r.parquet", Set("k2", "b"),
+        p => (if (p.isEmpty) rD else rD.filter(Pred.conj(p))).count(),
+        c => Some(dom(rD, c)))
+    }
+    val queries = Seq(
+      // EXISTS pushed below the inner join (the semi join becomes f's
+      // leaf): f rows with k2 matched in r with b>0 -> (1,10),(2,10);
+      // join with d on k1 -> k1=1 matches 2 d rows, k1=2 matches 1
+      "SELECT count(*) FROM sl_f f JOIN sl_d d ON f.k1 = d.k1 " +
+        "WHERE EXISTS (SELECT 1 FROM sl_r r WHERE r.k2 = f.k2 " +
+        "AND r.b > 0)" -> 3L,
+      // nested EXISTS: stacked semi joins, the outer one's left side
+      // is itself a semi join (recursive leaf). Kept: (1,10) and
+      // (2,10); (1,20) fails the r-EXISTS, (3,30) fails the d-EXISTS
+      "SELECT count(*) FROM sl_f f WHERE EXISTS (SELECT 1 FROM sl_d " +
+        "d WHERE d.k1 = f.k1) AND EXISTS (SELECT 1 FROM sl_r r " +
+        "WHERE r.k2 = f.k2)" -> 2L,
+      // grouped over the EXISTS-under-join shape
+      "SELECT d.a AS grp, count(*) AS n FROM sl_f f JOIN sl_d d " +
+        "ON f.k1 = d.k1 WHERE EXISTS (SELECT 1 FROM sl_r r " +
+        "WHERE r.k2 = f.k2 AND r.b > 0) GROUP BY d.a" -> -1L,
+      // sum over it
+      "SELECT sum(f.w) FROM sl_f f JOIN sl_d d ON f.k1 = d.k1 " +
+        "WHERE EXISTS (SELECT 1 FROM sl_r r WHERE r.k2 = f.k2 " +
+        "AND r.b > 0)" -> -1L)
+    // exact references with the rule off
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = queries.map { case (q, _) =>
+      spark.sql(q).collect().map(_.toSeq).toSeq.sortBy(_.toString) }
+    registerAll()
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    queries.zip(exact).foreach { case ((q, expect), ex) =>
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.trim.startsWith("LocalRelation"),
+        s"did not rewrite: $q\n$plan")
+      val got = df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == ex, s"$q: got $got want $ex")
+      if (expect >= 0L) assert(got.head.head == expect)
+    }
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    GraftRuntime.clear()
+  }
+
   test("GROUP BY falls through without a domain, past the probe cap, and on multi-key grouping") {
     GraftRuntime.clear()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -2162,6 +2162,118 @@ SELECT * FROM (
     WHERE r.k1 = l.k1 AND r.k2 = l.k2 AND r.b != 0)
   GROUP BY k2)
 ORDER BY query_id""")),
+    // COUNT over UNION ALL of registered partitions (r18): the shape a
+    // 100 TB fact table stored as monthly/daily shards produces —
+    // count(*) and count(c) answer as the SUM of per-partition
+    // estimates, a WHERE above the union reaching every branch via
+    // Catalyst's own PushDownPredicatesThroughUnion, and an
+    // EXISTS-filtered branch riding the semi-leaf abstraction. Exact
+    // registrations → lossless; scan-free plans require()d; DuckDB
+    // runs the identical texts.
+    Entry("q_approx_union_count",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_unc/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        def shard(parity: Int) = evBase
+          .filter(pmod(col("event_id") / 97, lit(2)) === parity)
+          .select(
+            pmod(col("event_id"), lit(5)).as("k"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"))
+        shard(0).write.mode("overwrite").parquet(s"$base/t1.parquet")
+        shard(1).write.mode("overwrite").parquet(s"$base/t2.parquet")
+        evBase.select(
+            pmod(col("event_id") + 1, lit(5)).as("k"),
+            pmod(col("event_id"), lit(3)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/r.parquet")
+        val t1 = s.read.parquet(s"$base/t1.parquet")
+        val t2 = s.read.parquet(s"$base/t2.parquet")
+        val rD = s.read.parquet(s"$base/r.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val le1 = new LocalExact(t1, Seq("k", "w"))
+        val le2 = new LocalExact(t2, Seq("k", "w"))
+        val leR = new LocalExact(rD, Seq("k", "b"))
+        val d1 = Seq("k", "w").map(c => c -> dom(t1, c)).toMap
+        val d2 = Seq("k", "w").map(c => c -> dom(t2, c)).toMap
+        val dR = Seq("k").map(c => c -> dom(rD, c)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/t1.parquet",
+          Set("k", "w"), preds => le1.count(preds), n => d1.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/t2.parquet",
+          Set("k", "w"), preds => le2.count(preds), n => d2.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/r.parquet",
+          Set("k", "b"), preds => leR.count(preds), n => dR.get(n))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          t1.createOrReplaceTempView("graft_aqp_unc_t1")
+          t2.createOrReplaceTempView("graft_aqp_unc_t2")
+          rD.createOrReplaceTempView("graft_aqp_unc_r")
+          val union = "SELECT * FROM graft_aqp_unc_t1 UNION ALL " +
+            "SELECT * FROM graft_aqp_unc_t2"
+          val texts = Seq(
+            "un1_count" ->
+              s"SELECT count(*) AS n FROM ($union)",
+            "un2_where_pushed" ->
+              s"SELECT count(*) AS n FROM ($union) WHERE k <= 2",
+            "un3_count_col" ->
+              s"SELECT count(w) AS n FROM ($union) WHERE k != 1",
+            "un4_semi_branch" -> ("SELECT count(*) AS n FROM (" +
+              "SELECT * FROM graft_aqp_unc_t1 t1 WHERE EXISTS " +
+              "(SELECT 1 FROM graft_aqp_unc_r r WHERE r.k = t1.k " +
+              "AND r.b != 0) UNION ALL " +
+              "SELECT * FROM graft_aqp_unc_t2)"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"union-count rewrite did not fire on $qid; plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          rows.toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+t1 AS (SELECT event_id % 5 AS k,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   ELSE CAST(event_id % 13 AS DOUBLE) END AS w
+       FROM basee WHERE (event_id // 97) % 2 = 0),
+t2 AS (SELECT event_id % 5 AS k,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   ELSE CAST(event_id % 13 AS DOUBLE) END AS w
+       FROM basee WHERE (event_id // 97) % 2 = 1),
+r AS (SELECT (event_id + 1) % 5 AS k, event_id % 3 AS b FROM basee)
+SELECT * FROM (
+  SELECT 'un1_count' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+  UNION ALL
+  SELECT 'un2_where_pushed', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) WHERE k <= 2
+  UNION ALL
+  SELECT 'un3_count_col', CAST(count(w) AS BIGINT)
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) WHERE k != 1
+  UNION ALL
+  SELECT 'un4_semi_branch', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM r
+          WHERE r.k = t1.k AND r.b != 0)
+        UNION ALL SELECT * FROM t2))
+ORDER BY query_id""")),
     // EXISTS *under* a join + NESTED EXISTS (r18 second pass): a LEFT
     // SEMI/ANTI join acts as a join-tree LEAF — its output is its left
     // side filtered, so it carries the left registration with the

@@ -219,6 +219,15 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .orElse(rewriteSemiAntiCount(alias, j))
               .orElse(rewriteOuterCount(alias, j))
               .getOrElse(agg)
+          // COUNT(*) over UNION ALL of registered partitions (r18):
+          // the monthly-shard layout — the count is the SUM of
+          // per-partition estimates; a WHERE above the union has been
+          // pushed into every branch by PushDownPredicatesThroughUnion
+          // long before this last-batch rule runs, so each leaf
+          // carries its own copy. Semi/anti-filtered branches ride the
+          // leaf abstraction.
+          case u: Union if filt.isEmpty =>
+            rewriteUnionCount(alias, None, u).getOrElse(agg)
           case stripped =>
             // Filtered or bare scan (r16 session 4 made the WHERE
             // optional: estimate(Nil) is the table cardinality — for
@@ -290,6 +299,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .orElse(rewriteOuterAgg(alias, Count(Seq(c)),
                 distinct, c, j))
               .getOrElse(agg)
+          // count(c) over UNION ALL: Σ per-partition NotNull counts
+          // (each branch contributes its own positional attribute).
+          // count(DISTINCT c) falls through — distinct values cross
+          // partitions, so it is not a per-partition sum.
+          case u: Union if filt.isEmpty && !distinct =>
+            rewriteUnionCount(alias, Some(c), u).getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -1812,6 +1827,53 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       rows)
+  }
+
+  /** COUNT(*) / count(c) over UNION ALL of registered partitions
+    * (r18): the answer is the SUM of per-partition estimates — the
+    * shape a 100 TB fact table stored as monthly shards produces.
+    * `col` = Some(c) is count(c): each branch contributes the NotNull
+    * count of ITS positional attribute (the union output column c
+    * resolves to a different attribute per child). Conservative:
+    * every branch must be a registered leaf (semi/anti-filtered
+    * branches compose via [[registeredLeaf]]); overflow → exact plan.
+    */
+  private def rewriteUnionCount(alias: Alias,
+      col: Option[AttributeReference], u: Union): Option[LogicalPlan] = {
+    val pos = col.map(c => u.output.indexWhere(_.exprId == c.exprId))
+    if (pos.exists(_ < 0)) return None
+    for {
+      leaves <- {
+        val ls = u.children.map(registeredLeaf)
+        if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
+      }
+      // per-branch count(c) needs the branch's own column at c's
+      // union position, registered under the branch's estimator
+      branchCols <- pos match {
+        case None => Some(u.children.map(_ => None: Option[String]))
+        case Some(p) =>
+          val cs = u.children.zip(leaves).map { case (ch, l) =>
+            ch.output(p) match {
+              case a: AttributeReference
+                  if l.reg.columns.contains(a.name) => Some(Some(a.name))
+              case _ => None
+            }
+          }
+          if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+      }
+      if leaves.map(l => BigInt(l.cost)).sum <= BigInt(maxTotalProbes)
+      total <- probed {
+        try {
+          var acc = 0L
+          leaves.zip(branchCols).foreach { case (l, bc) =>
+            val preds = bc.toSeq.map(n => Pred(n, Op.NotNull, null))
+            acc = Math.addExact(acc, dnfEstFn(l.reg, l.dnf)(preds))
+          }
+          Some(acc)
+        } catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(total)))
   }
 
   private def rewriteSemiAntiCount(alias: Alias,

@@ -2238,7 +2238,19 @@ ORDER BY query_id""")),
               s"union-count rewrite did not fire on $qid; plan:\n$plan")
             (qid, df.collect()(0).getLong(0))
           }
-          rows.toDF("query_id", "n").orderBy("query_id")
+          // grouped shard-union report: per-group sums across the
+          // canonically merged group domain (null group included)
+          val gSql = "SELECT k, count(*) AS n, count(w) AS nw FROM " +
+            s"($union) GROUP BY k"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped union rewrite did not fire")
+          val gRows = gDf.collect().flatMap { r =>
+            Seq((s"un5_grouped_${r.getLong(0)}_n", r.getLong(1)),
+              (s"un5_grouped_${r.getLong(0)}_nw", r.getLong(2)))
+          }.toSeq
+          (rows ++ gRows).toDF("query_id", "n").orderBy("query_id")
         } finally {
           savedEnabled match {
             case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
@@ -2272,7 +2284,15 @@ SELECT * FROM (
   SELECT 'un4_semi_branch', CAST(count(*) AS BIGINT)
   FROM (SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM r
           WHERE r.k = t1.k AND r.b != 0)
-        UNION ALL SELECT * FROM t2))
+        UNION ALL SELECT * FROM t2)
+  UNION ALL
+  SELECT 'un5_grouped_' || CAST(k AS VARCHAR) || '_n',
+    CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY k
+  UNION ALL
+  SELECT 'un5_grouped_' || CAST(k AS VARCHAR) || '_nw',
+    CAST(count(w) AS BIGINT)
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY k)
 ORDER BY query_id""")),
     // EXISTS *under* a join + NESTED EXISTS (r18 second pass): a LEFT
     // SEMI/ANTI join acts as a join-tree LEAF — its output is its left

@@ -877,6 +877,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case jn: Join => return rewriteGroupedJoin(agg, jn, base, resolveKey)
         .orElse(rewriteGroupedSemiAnti(agg, jn, base, resolveKey))
         .orElse(rewriteGroupedOuter(agg, jn, base, resolveKey))
+      // Grouped counts over UNION ALL partitions (r18 third pass):
+      // per-group sums of per-partition probes over the canonically
+      // merged group domain.
+      case un: Union => return rewriteGroupedUnion(agg, un, base)
       case _ => ()
     }
     val keysOpt: Option[Seq[GroupKey]] = {
@@ -1874,6 +1878,182 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     } yield LocalRelation(Seq(alias.toAttribute),
       Seq(InternalRow(total)))
+  }
+
+  /** Grouped count(*) / count(c) over UNION ALL of registered
+    * partitions (r18 third pass): `SELECT k, count(*) FROM (shard1
+    * UNION ALL shard2 …) GROUP BY k` — each group's count is the sum
+    * of per-partition probes. Group domains MERGE across partitions by
+    * canonical key (each partition probed with a representative from
+    * its OWN domain; a partition lacking the value contributes 0),
+    * plus the null group when any partition's domain carries the null
+    * slot. Conservative: bare-attribute groupings, identical
+    * positional types across branches (the output value is converted
+    * once), count cells only (value aggregates would need per-branch
+    * domain merges of the VALUE column too — next round if a workload
+    * wants it). Zero-count groups are dropped, matching SQL. */
+  private def rewriteGroupedUnion(agg: Aggregate, u: Union,
+      base: AttributeReference => AttributeReference)
+      : Option[LogicalPlan] = {
+    def groupIdx(e: Expression): Option[Int] = {
+      val i = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (i >= 0) Some(i) else None
+    }
+    sealed trait UCell
+    case class UGroup(i: Int) extends UCell
+    case object UStar extends UCell
+    case class UCol(pos: Int) extends UCell
+    def outPos(a: AttributeReference): Option[Int] = {
+      val p = u.output.indexWhere(_.exprId == base(a).exprId)
+      // identical positional types: the emitted group/row values are
+      // converted once against the union output type
+      if (p >= 0 && u.children.forall(
+          _.output(p).dataType == u.output(p).dataType)) Some(p)
+      else None
+    }
+    for {
+      gPos <- {
+        val ps = agg.groupingExpressions.map {
+          case a: AttributeReference => outPos(a)
+          case _ => None
+        }
+        if (ps.exists(_.isEmpty)) None else Some(ps.map(_.get))
+      }
+      leaves <- {
+        val ls = u.children.map(registeredLeaf)
+        if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
+      }
+      // every branch must model its positional grouping column and
+      // supply its domain
+      branchGDoms <- {
+        val ds = u.children.zip(leaves).map { case (ch, l) =>
+          val cols = gPos.map(p => ch.output(p) match {
+            case a: AttributeReference
+                if l.reg.columns.contains(a.name) => Some(a.name)
+            case _ => None
+          })
+          if (cols.exists(_.isEmpty)) None
+          else {
+            val doms = cols.map(_.get).map(n => domainOf(l.reg, n)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+              .map(n -> _))
+            if (doms.exists(_.isEmpty)) None else Some(doms.map(_.get))
+          }
+        }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      cells <- {
+        val cs: Seq[Option[UCell]] = agg.aggregateExpressions.map {
+          case a: AttributeReference => groupIdx(a).map(UGroup)
+          case al @ Alias(AggregateExpression(
+              fn, _, false, None, _), _) => fn match {
+            case Count(Seq(Literal(1, _))) => Some(UStar)
+            case Count(Seq(c0: AttributeReference)) =>
+              outPos(c0).filter(p => u.children.zip(leaves).forall {
+                case (ch, l) => ch.output(p) match {
+                  case a: AttributeReference =>
+                    l.reg.columns.contains(a.name)
+                  case _ => false
+                }
+              }).map(UCol)
+            case _ => None
+          }
+          case Alias(e, _) => groupIdx(e).map(UGroup)
+          case _ => None
+        }
+        if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+      }
+      // per grouping key: merged (output value, per-branch reps) —
+      // insertion-ordered by first appearance; null tracked apart
+      merged = gPos.indices.map { gi =>
+        val order = scala.collection.mutable.LinkedHashMap
+          .empty[Any, Array[Option[Any]]]
+        var nullBranches = Set.empty[Int]
+        branchGDoms.zipWithIndex.foreach { case (doms, b) =>
+          doms(gi)._2.foreach { v =>
+            if (v == null) nullBranches += b
+            else {
+              val slot = order.getOrElseUpdate(PredExtract.canonKey(v),
+                Array.fill[Option[Any]](u.children.size)(None))
+              slot(b) = Some(v)
+            }
+          }
+        }
+        (order.values.toSeq, nullBranches)
+      }
+      nCombos = merged.map { case (vals, nb) =>
+        BigInt(vals.size + (if (nb.nonEmpty) 1 else 0)) }.product
+      if nCombos <= BigInt(maxGroupProbes) &&
+        nCombos * (BigInt(1) +
+          BigInt(cells.count(_.isInstanceOf[UCol]))) *
+          leaves.map(l => BigInt(l.cost)).sum <= BigInt(maxTotalProbes)
+      rows <- probed {
+        val ests = leaves.map(l => dnfEstFn(l.reg, l.dnf))
+        val gNames: Seq[Seq[String]] =
+          branchGDoms.map(_.map(_._1)) // per branch, per key
+        val colNameAt: (Int, Int) => String = (b, p) =>
+          u.children(b).output(p)
+            .asInstanceOf[AttributeReference].name
+        val gConv = gPos.map(p => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters
+          .createToCatalystConverter(u.output(p).dataType))
+        // combo slots: per key, either Some(reps-per-branch) or None
+        // for the null group
+        val axes: Seq[Seq[Option[Array[Option[Any]]]]] =
+          merged.map { case (vals, nb) =>
+            vals.map(Some(_)) ++
+              (if (nb.nonEmpty) Seq(None) else Nil)
+          }
+        val combos = axes.foldLeft(
+          Seq(Seq.empty[Option[Array[Option[Any]]]])) { (acc, ax) =>
+          acc.flatMap(pre => ax.map(v => pre :+ v))
+        }
+        val out = Seq.newBuilder[InternalRow]
+        var failed = false
+        try combos.foreach { combo =>
+          if (!failed) {
+            // per branch: Some(preds) when the branch can express
+            // every key slot (absent rep -> branch contributes 0)
+            val branchPreds: Seq[Option[Seq[Pred]]] =
+              leaves.indices.map { b =>
+                val ps = combo.zipWithIndex.map {
+                  case (None, gi) => // null group: IsNull on the branch
+                    Some(Pred(gNames(b)(gi), Op.IsNull, null))
+                  case (Some(reps), gi) => reps(b).map(v =>
+                    Pred(gNames(b)(gi), Op.Eq, v))
+                }
+                if (ps.exists(_.isEmpty)) None else Some(ps.map(_.get))
+              }
+            def sumProbe(extraFor: Int => Seq[Pred]): Long = {
+              var acc = 0L
+              leaves.indices.foreach { b =>
+                branchPreds(b).foreach { ps =>
+                  acc = Math.addExact(acc, ests(b)(ps ++ extraFor(b)))
+                }
+              }
+              acc
+            }
+            val n = sumProbe(_ => Nil)
+            if (n > 0L) {
+              val vals: Seq[Any] = cells.map {
+                case UGroup(i) => combo(i) match {
+                  case None => null
+                  case Some(reps) =>
+                    gConv(i)(reps.flatten.head)
+                }
+                case UStar => n
+                case UCol(p) =>
+                  sumProbe(b =>
+                    Seq(Pred(colNameAt(b, p), Op.NotNull, null)))
+              }
+              out += InternalRow.fromSeq(vals)
+            }
+          }
+        } catch { case _: ArithmeticException => failed = true }
+        if (failed) None else Some(out.result())
+      }
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      rows)
   }
 
   private def rewriteSemiAntiCount(alias: Alias,

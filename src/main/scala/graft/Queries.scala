@@ -11075,7 +11075,11 @@ ORDER BY query_id, grp, metric"""
           case (e, t) => Workload.qError(math.max(e, 1.0), t.toDouble) }
         val rep = Workload.report("sql_seam", errs, 0.0)
         Seq(
-          ("count_identical_of_200", nCount.toLong, nCount == 200),
+          // r19 rename (ADVICE r18): this row gates PARSE identity —
+          // count identity follows by inference (trueCards is a pure
+          // function of the pred list), it is NOT independently
+          // re-counted over the parsed lists.
+          ("count_identity_via_parse_of_200", nCount.toLong, nCount == 200),
           ("model_parse_identical_of_20", nModel.toLong, nModel == 20),
           ("parse_identical_of_200", nParse.toLong, nParse == 200),
           ("sql_seam_qerr_band", fixedWorkload.size.toLong,
@@ -11083,7 +11087,7 @@ ORDER BY query_id, grp, metric"""
           ("sum_true_cards", nativeCards.sum, true))
           .toDF("metric", "value", "ok").orderBy("metric")
       },
-      Some(s"""SELECT 'count_identical_of_200' AS metric,
+      Some(s"""SELECT 'count_identity_via_parse_of_200' AS metric,
   CAST(200 AS BIGINT) AS value, true AS ok
 UNION ALL
 SELECT 'model_parse_identical_of_20', CAST(20 AS BIGINT), true

@@ -32,30 +32,39 @@ trait CardEst extends Serializable {
     * architecture ANDs multiple preds per column). The identity is
     * set-theoretic, so exact estimators stay exact; learned ones
     * inherit per-term fidelity (a negative total clamps to 0). ≤
-    * 2^8−1 = 255 terms. */
+    * 2^8−1 = 255 terms.
+    *
+    * Positive and negative I–E terms accumulate SEPARATELY in BigInt
+    * (r19, ADVICE r18): terms arrive in subset-enumeration order, so a
+    * running signed Long sum could overflow on an intermediate prefix
+    * even when the final total is representable — the rearrangement
+    * makes every representable total answer. A final total outside
+    * Long still THROWS ArithmeticException rather than wrapping
+    * (ADVICE r17): external callers outside the optimizer's
+    * probed/try-catch paths must be prepared to catch it or accept the
+    * loud failure. */
   def queryDnf(disjuncts: Seq[Seq[Pred]]): Long = {
     require(disjuncts.nonEmpty && disjuncts.size <= 8,
       s"queryDnf takes 1..8 disjuncts, got ${disjuncts.size}")
     if (disjuncts.size == 1) query(disjuncts.head)
     else {
       val k = disjuncts.size
-      var acc = 0L
+      var pos = BigInt(0)
+      var neg = BigInt(0)
       var s = 1
       while (s < (1 << k)) {
         val conj = (0 until k).filter(i => (s & (1 << i)) != 0)
           .flatMap(disjuncts)
-        val term = query(conj)
-        // Checked signed sum (ADVICE r17, mirroring the optimizer-side
-        // PredExtract.estimateDnf): a silent Long wrap here would
-        // return an arbitrary wrong count — overflow must SURFACE
-        // (ArithmeticException) so callers fail loudly or fall back.
-        acc =
-          if (java.lang.Integer.bitCount(s) % 2 == 1)
-            Math.addExact(acc, term)
-          else Math.subtractExact(acc, term)
+        val term = BigInt(query(conj))
+        if (java.lang.Integer.bitCount(s) % 2 == 1) pos += term
+        else neg += term
         s += 1
       }
-      math.max(acc, 0L)
+      val acc = pos - neg
+      if (!acc.isValidLong)
+        throw new ArithmeticException(
+          s"queryDnf inclusion-exclusion total $acc exceeds Long")
+      math.max(acc.toLong, 0L)
     }
   }
 

@@ -301,10 +301,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .getOrElse(agg)
           // count(c) over UNION ALL: Σ per-partition NotNull counts
           // (each branch contributes its own positional attribute).
-          // count(DISTINCT c) falls through — distinct values cross
-          // partitions, so it is not a per-partition sum.
-          case u: Union if filt.isEmpty && !distinct =>
-            rewriteUnionCount(alias, Some(c), u).getOrElse(agg)
+          // count(DISTINCT c) (r19): distinct values CROSS partitions,
+          // so it is not a per-partition sum — it is the support size
+          // of the canonical-key-merged per-branch domains
+          // (rewriteUnionAgg's merged probe vector).
+          case u: Union if filt.isEmpty =>
+            (if (distinct) rewriteUnionAgg(alias, Count(Seq(c)),
+              distinct = true, c, u)
+            else rewriteUnionCount(alias, Some(c), u)).getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -374,6 +378,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .orElse(rewriteSemiAntiAgg(alias, fn, distinct, c, j))
               .orElse(rewriteOuterAgg(alias, fn, distinct, c, j))
               .getOrElse(agg)
+          // sum/avg/min/max over UNION ALL (r19, VERDICT r18 #1): the
+          // sharded-fact report — per-branch probe vectors compose
+          // additively over the canonical-key-merged value domain.
+          case u: Union if filt.isEmpty =>
+            rewriteUnionAgg(alias, fn, distinct, c, u).getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -1126,7 +1135,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           sp.lLeaf.reg.copy(estimate = semiAntiEstFn(sp)),
           Seq(Nil), sp.lLeaf.plan,
           cost = (sp.matched.size + 1L) * sp.lLeaf.cost)
-      }
+      }.orElse(outerLeaf(sj))
       case _ =>
         val (dnfOpt, scanChild) = parseWhereDnf(p)
         for {
@@ -1136,6 +1145,67 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
         } yield JoinLeaf(reg, dnf, p, dnfTerms(dnf))
     }
+
+  /** An OUTER join as a join-tree LEAF (r19, VERDICT r18 #2): closes
+    * `fact LEFT JOIN dim1 JOIN dim2` — the N-table tree with an outer
+    * join inside. Unlike a semi/anti join, an outer join is NOT its
+    * left side filtered (it ADDS extension rows), so it cannot carry a
+    * single side's registration; instead the leaf is TWO-SIDED — its
+    * modeled columns are the union of both sides' registered columns
+    * (names present on BOTH sides are ambiguous under by-name routing
+    * and are EXCLUDED, so any pred on them fails the callers'
+    * membership checks closed), its estimator routes each extra
+    * conjunct to its owning side and answers through [[outerEstFn]]
+    * (NULL-extension satisfies opposite-side conjuncts only when IS
+    * NULL — SQL's semantics), and its per-probe COST is the spec's
+    * [[OuterParts.probeCost]], multiplying honestly into every
+    * composed budget. A NON-preserved side's column domain gains the
+    * synthetic null slot when the registered domain lacks one: the
+    * preserved side's unmatched rows null-extend it, so a join EDGE on
+    * it correctly skips them (inner equi-joins never match NULL) and a
+    * GROUPING key on it surfaces the SQL null group via the IsNull
+    * probe. Nested outer joins compose recursively through
+    * [[outerSpec]]'s own [[registeredLeaf]] resolution of each side. */
+  private def outerLeaf(j: Join): Option[JoinLeaf] = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    j.joinType match {
+      case LeftOuter | RightOuter | FullOuter => ()
+      case _ => return None
+    }
+    outerSpec(j).map { sp =>
+      val shared = sp.lLeaf.reg.columns intersect sp.rLeaf.reg.columns
+      val lCols = sp.lLeaf.reg.columns -- shared
+      val rCols = sp.rLeaf.reg.columns -- shared
+      val oEst = outerEstFn(sp)
+      val est: Seq[Pred] => Long = preds => {
+        val exL = preds.filter(pp => lCols.contains(pp.col))
+        val exR = preds.filter(pp => rCols.contains(pp.col))
+        // callers only probe columns they verified against `columns`
+        // below; throw (→ caller catch → exact plan) rather than
+        // misroute if that invariant is ever violated
+        if (exL.size + exR.size != preds.size)
+          throw new ArithmeticException("unroutable pred on outer leaf")
+        oEst(exL, exR)
+      }
+      val domFn: String => Option[Seq[Any]] = col =>
+        (if (lCols.contains(col)) Some((sp.lLeaf.reg, sp.withRight))
+         else if (rCols.contains(col)) Some((sp.rLeaf.reg, sp.withLeft))
+         else None).flatMap { case (reg, nullExtended) =>
+          domainOf(reg, col).map { dom =>
+            // domain contract: null slot FIRST when present
+            if (nullExtended && !dom.exists(_ == null)) (null: Any) +: dom
+            else dom
+          }
+        }
+      JoinLeaf(
+        GraftRuntime.Registered(
+          pathToken = sp.lLeaf.reg.pathToken,
+          columns = lCols ++ rCols,
+          estimate = est,
+          domain = domFn),
+        Seq(Nil), j, cost = sp.probeCost)
+    }
+  }
 
   /** Flatten a tree of INNER joins, each on attribute equalities (a
     * composite key — an AND of equalities in one join condition —
@@ -1342,6 +1412,17 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
           }
           facts <- if (!needNullFacts) Some(None) else probed {
+            // Tamper-proofing (r19, VERDICT r18 #8): the IsNull probe
+            // below reads keyCols.head ONLY — sound because the
+            // null-aware parse in [[semiAntiSpec]] admits exactly one
+            // key pair (Catalyst's null-aware anti is single-column;
+            // multi-column NOT IN tuples plan as a different condition
+            // shape that fails eqPair and falls through). That
+            // enforcement lives two functions away, so assert it here:
+            // a future parse extension that forgets these facts must
+            // fail LOUDLY, not compute null facts for the wrong key.
+            require(keyCols.size == 1,
+              s"null-aware facts need a single key, got ${keyCols.size}")
             try Some(Some(NullAwareFacts(
               rightEmpty = estR(Nil) == 0L,
               rightHasNull = estR(
@@ -1880,6 +1961,162 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(InternalRow(total)))
   }
 
+  /** The canonical-key merge of per-branch value domains (r19): one
+    * slot per distinct canonical value, carrying each branch's OWN
+    * representative (a branch lacking the value contributes None and
+    * probes 0 — ADVICE r16's probe-with-own-domain discipline). Null
+    * slots are dropped (SQL's value aggregates and DISTINCT counts
+    * ignore NULL). Ascending output order — [[GraftRuntime.Registered
+    * .domain]]'s contract, which min/max folds derive their early-exit
+    * answers from; callers guarantee identical positional types across
+    * branches, so representatives are mutually Comparable. */
+  private def mergeBranchDoms(doms: Seq[Seq[Any]])
+      : Seq[Array[Option[Any]]] = {
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[Any, Array[Option[Any]]]
+    doms.zipWithIndex.foreach { case (dom, b) =>
+      dom.iterator.filter(_ != null).foreach { v =>
+        val slot = order.getOrElseUpdate(PredExtract.canonKey(v),
+          Array.fill[Option[Any]](doms.size)(None))
+        if (slot(b).isEmpty) slot(b) = Some(v)
+      }
+    }
+    order.values.toSeq.sortWith { (x, y) =>
+      val a = x.collectFirst { case Some(v) => v }.get
+      val bv = y.collectFirst { case Some(v) => v }.get
+      a.asInstanceOf[Comparable[Any]].compareTo(bv) < 0
+    }
+  }
+
+  /** Fold a MERGED cross-branch probe vector into a value aggregate /
+    * count(DISTINCT) answer (r19, VERDICT r18 #1): probeV(slot) is the
+    * union's row count at that value (Σ of per-branch probes), so the
+    * same functionals as [[foldValueAgg]] apply — min/max early-exit
+    * over the ascending merged order, sum/avg weight by probeV (1 per
+    * support value for DISTINCT), count(DISTINCT) is the support size.
+    * None = a shape the fold cannot faithfully reproduce (decimal
+    * results, Long-sum overflow) — callers fall through to the exact
+    * plan. Throws ArithmeticException on probe overflow (callers
+    * catch). */
+  private def unionFoldValueAgg(fn: AggregateFunction, distinct: Boolean,
+      resultType: org.apache.spark.sql.types.DataType,
+      colType: org.apache.spark.sql.types.DataType,
+      merged: Seq[Array[Option[Any]]],
+      probeV: Array[Option[Any]] => Long): Option[Any] = {
+    def rep(r: Array[Option[Any]]): Any =
+      r.collectFirst { case Some(v) => v }.get
+    val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(colType)
+    fn match {
+      case Count(_) => // only the DISTINCT form is routed here
+        Some(merged.count(r => probeV(r) > 0L).toLong)
+      case Min(_) =>
+        Some(merged.iterator.find(r => probeV(r) > 0L)
+          .map(r => toCat(rep(r))).orNull)
+      case Max(_) =>
+        Some(merged.reverseIterator.find(r => probeV(r) > 0L)
+          .map(r => toCat(rep(r))).orNull)
+      case _ =>
+        val weights = merged.map(r => (rep(r), probeV(r)))
+          .filter(_._2 > 0L)
+          .map { case (v, n) => (v, if (distinct) 1L else n) }
+        val cnt = weights.map(_._2).sum
+        if (cnt == 0L) Some(null)
+        else (fn, resultType) match {
+          case (Sum(_, _), LongType) =>
+            try {
+              var acc = 0L
+              weights.foreach { case (v, n) => acc = Math.addExact(acc,
+                Math.multiplyExact(v.asInstanceOf[Number].longValue, n)) }
+              Some(acc)
+            } catch { case _: ArithmeticException => None }
+          case (Sum(_, _), DoubleType) =>
+            var acc = 0.0
+            weights.foreach { case (v, n) =>
+              acc += v.asInstanceOf[Number].doubleValue * n }
+            Some(acc)
+          case (Average(_, _), DoubleType) =>
+            var acc = 0.0
+            weights.foreach { case (v, n) =>
+              acc += v.asInstanceOf[Number].doubleValue * n }
+            Some(acc / cnt)
+          case _ => None
+        }
+    }
+  }
+
+  /** sum/avg/min/max + count(DISTINCT c) over UNION ALL of registered
+    * partitions (r19, VERDICT r18 #1): the sharded-fact report —
+    * `SELECT sum(x) FROM (shard1 UNION ALL shard2 …)`. sum and count
+    * compose ADDITIVELY across branches and avg = Σsum/Σcount, so the
+    * per-branch probe-vector functionals need only the CANONICAL-KEY
+    * MERGE of the branches' value domains ([[mergeBranchDoms]]): the
+    * union's count at value v is the sum of per-branch probes, each
+    * branch probed with a representative from its OWN domain, a branch
+    * lacking v contributing 0. min/max are extrema over the merged
+    * ascending order; DISTINCT forms weight each support value once —
+    * distinct VALUES cross partitions, which is exactly what the merge
+    * models (the r18 count-only rewrite deliberately fell through
+    * here). Conservative: identical positional types across branches,
+    * every branch a registered leaf modeling its positional attribute
+    * with a domain under the cap, budget in BigInt, overflow → exact
+    * plan. At 100 TB this answers the most common sharded-layout
+    * report without scanning a single shard. */
+  private def rewriteUnionAgg(alias: Alias, fn: AggregateFunction,
+      distinct: Boolean, c: AttributeReference,
+      u: Union): Option[LogicalPlan] = {
+    val pos = u.output.indexWhere(_.exprId == c.exprId)
+    if (pos < 0 ||
+        !u.children.forall(_.output(pos).dataType == u.output(pos).dataType))
+      return None
+    for {
+      leaves <- {
+        val ls = u.children.map(registeredLeaf)
+        if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
+      }
+      branchCols <- {
+        val cs = u.children.zip(leaves).map { case (ch, l) =>
+          ch.output(pos) match {
+            case a: AttributeReference
+                if l.reg.columns.contains(a.name) => Some(a.name)
+            case _ => None
+          }
+        }
+        if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+      }
+      branchDoms <- {
+        val ds = leaves.zip(branchCols).map { case (l, n) =>
+          domainOf(l.reg, n)
+            .filter(d => d.nonEmpty && d.size <= maxGroupProbes) }
+        if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+      }
+      merged <- scala.util.Try(mergeBranchDoms(branchDoms)).toOption
+      if merged.size <= maxGroupProbes &&
+        BigInt(merged.size + 1) * leaves.map(l => BigInt(l.cost)).sum <=
+          BigInt(maxTotalProbes)
+      value <- probed {
+        val ests = leaves.map(l => dnfEstFn(l.reg, l.dnf))
+        def probeV(reps: Array[Option[Any]]): Long = {
+          var acc = 0L
+          var b = 0
+          while (b < reps.length) {
+            reps(b) match {
+              case Some(rv) => acc = Math.addExact(acc,
+                ests(b)(Seq(Pred(branchCols(b), Op.Eq, rv))))
+              case None => ()
+            }
+            b += 1
+          }
+          acc
+        }
+        try unionFoldValueAgg(fn, distinct, alias.dataType,
+          u.output(pos).dataType, merged, probeV)
+        catch { case _: ArithmeticException => None }
+      }
+    } yield LocalRelation(Seq(alias.toAttribute),
+      Seq(InternalRow(value)))
+  }
+
   /** Grouped count(*) / count(c) over UNION ALL of registered
     * partitions (r18 third pass): `SELECT k, count(*) FROM (shard1
     * UNION ALL shard2 …) GROUP BY k` — each group's count is the sum
@@ -1889,9 +2126,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * plus the null group when any partition's domain carries the null
     * slot. Conservative: bare-attribute groupings, identical
     * positional types across branches (the output value is converted
-    * once), count cells only (value aggregates would need per-branch
-    * domain merges of the VALUE column too — next round if a workload
-    * wants it). Zero-count groups are dropped, matching SQL. */
+    * once). r19 (VERDICT r18 #1): value aggregates and DISTINCT counts
+    * join the grouped cell vocabulary — each cell folds the
+    * canonical-key MERGE of the branches' value domains
+    * ([[mergeBranchDoms]] / [[unionFoldValueAgg]]), every probe
+    * carrying the group conjuncts per branch. Zero-count groups are
+    * dropped, matching SQL. */
   private def rewriteGroupedUnion(agg: Aggregate, u: Union,
       base: AttributeReference => AttributeReference)
       : Option[LogicalPlan] = {
@@ -1903,6 +2143,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case class UGroup(i: Int) extends UCell
     case object UStar extends UCell
     case class UCol(pos: Int) extends UCell
+    case class UColD(pos: Int, merged: Seq[Array[Option[Any]]])
+      extends UCell
+    case class UVal(fn: AggregateFunction, distinct: Boolean, pos: Int,
+        resultType: org.apache.spark.sql.types.DataType,
+        merged: Seq[Array[Option[Any]]]) extends UCell
     def outPos(a: AttributeReference): Option[Int] = {
       val p = u.output.indexWhere(_.exprId == base(a).exprId)
       // identical positional types: the emitted group/row values are
@@ -1943,20 +2188,41 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       cells <- {
+        // a union position every branch models under its own
+        // registration (names differ per branch — positional contract)
+        def modeledPos(c0: AttributeReference): Option[Int] =
+          outPos(c0).filter(p => u.children.zip(leaves).forall {
+            case (ch, l) => ch.output(p) match {
+              case a: AttributeReference =>
+                l.reg.columns.contains(a.name)
+              case _ => false
+            }
+          })
+        // the canonical-key merged value domain at a union position,
+        // every branch's domain present and under the cap (r19)
+        def mergedDomAt(p: Int): Option[Seq[Array[Option[Any]]]] = {
+          val ds = u.children.zip(leaves).map { case (ch, l) =>
+            domainOf(l.reg,
+              ch.output(p).asInstanceOf[AttributeReference].name)
+              .filter(d => d.nonEmpty && d.size <= maxGroupProbes)
+          }
+          if (ds.exists(_.isEmpty)) None
+          else scala.util.Try(mergeBranchDoms(ds.map(_.get))).toOption
+            .filter(_.size <= maxGroupProbes)
+        }
         val cs: Seq[Option[UCell]] = agg.aggregateExpressions.map {
           case a: AttributeReference => groupIdx(a).map(UGroup)
           case al @ Alias(AggregateExpression(
-              fn, _, false, None, _), _) => fn match {
-            case Count(Seq(Literal(1, _))) => Some(UStar)
+              fn, _, distinct, None, _), _) => fn match {
+            case Count(Seq(Literal(1, _))) if !distinct => Some(UStar)
+            case Count(Seq(c0: AttributeReference)) if !distinct =>
+              modeledPos(c0).map(UCol)
             case Count(Seq(c0: AttributeReference)) =>
-              outPos(c0).filter(p => u.children.zip(leaves).forall {
-                case (ch, l) => ch.output(p) match {
-                  case a: AttributeReference =>
-                    l.reg.columns.contains(a.name)
-                  case _ => false
-                }
-              }).map(UCol)
-            case _ => None
+              for { p <- modeledPos(c0); m <- mergedDomAt(p) }
+                yield UColD(p, m)
+            case _ => valueAggColumn(fn).flatMap(c0 =>
+              for { p <- modeledPos(c0); m <- mergedDomAt(p) }
+                yield UVal(fn, distinct, p, al.dataType, m))
           }
           case Alias(e, _) => groupIdx(e).map(UGroup)
           case _ => None
@@ -1984,8 +2250,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       nCombos = merged.map { case (vals, nb) =>
         BigInt(vals.size + (if (nb.nonEmpty) 1 else 0)) }.product
       if nCombos <= BigInt(maxGroupProbes) &&
-        nCombos * (BigInt(1) +
-          BigInt(cells.count(_.isInstanceOf[UCol]))) *
+        nCombos * (BigInt(1) + cells.map {
+          case _: UCol => BigInt(1)
+          case cd: UColD => BigInt(cd.merged.size)
+          case v: UVal => BigInt(v.merged.size)
+          case _ => BigInt(0)
+        }.sum) *
           leaves.map(l => BigInt(l.cost)).sum <= BigInt(maxTotalProbes)
       rows <- probed {
         val ests = leaves.map(l => dnfEstFn(l.reg, l.dnf))
@@ -2035,18 +2305,38 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             val n = sumProbe(_ => Nil)
             if (n > 0L) {
-              val vals: Seq[Any] = cells.map {
-                case UGroup(i) => combo(i) match {
+              // the union's count at value slot `reps` of position p,
+              // under this combo's group conjuncts (r19 value cells)
+              def probeVal(p: Int)(reps: Array[Option[Any]]): Long = {
+                var acc = 0L
+                leaves.indices.foreach { b =>
+                  (branchPreds(b), reps(b)) match {
+                    case (Some(ps), Some(rv)) =>
+                      acc = Math.addExact(acc,
+                        ests(b)(ps :+ Pred(colNameAt(b, p), Op.Eq, rv)))
+                    case _ => ()
+                  }
+                }
+                acc
+              }
+              val vals: Seq[Option[Any]] = cells.map {
+                case UGroup(i) => Some(combo(i) match {
                   case None => null
                   case Some(reps) =>
                     gConv(i)(reps.flatten.head)
-                }
-                case UStar => n
+                })
+                case UStar => Some(n)
                 case UCol(p) =>
-                  sumProbe(b =>
-                    Seq(Pred(colNameAt(b, p), Op.NotNull, null)))
+                  Some(sumProbe(b =>
+                    Seq(Pred(colNameAt(b, p), Op.NotNull, null))))
+                case UColD(p, m) =>
+                  Some(m.count(reps => probeVal(p)(reps) > 0L).toLong)
+                case UVal(fn2, dist, p, rt, m) =>
+                  unionFoldValueAgg(fn2, dist, rt,
+                    u.output(p).dataType, m, probeVal(p))
               }
-              out += InternalRow.fromSeq(vals)
+              if (vals.exists(_.isEmpty)) failed = true
+              else out += InternalRow.fromSeq(vals.map(_.get))
             }
           }
         } catch { case _: ArithmeticException => failed = true }
@@ -2164,9 +2454,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * count(*) FROM orders JOIN customer … GROUP BY 1`, the canonical
     * date-dimension report: a derived group's probe is the In mask
     * over its preimage in the OWNING leaf's registered domain. Cells
-    * cover count(*) / count(c) / count(DISTINCT c) / value aggregates
-    * (a FILTER clause's conjuncts cannot be attributed to a side and
-    * stay out), budgets in BigInt. Zero-count groups are dropped,
+    * cover count(*) / count(c) / count(DISTINCT c) / value aggregates;
+    * r19 (VERDICT r18 #3): a FILTER clause whose every conjunct is
+    * single-leaf-attributable folds into that leaf's probe conjunction
+    * (`sum(f.x) FILTER (WHERE d.region = 'EU')` — the conditional
+    * star-report cell); a cross-side FILTER conjunct still BLOCKS the
+    * whole rewrite. Budgets in BigInt. Zero-count groups are dropped,
     * matching SQL over an inner join.
     */
   private def rewriteGroupedJoin(agg: Aggregate, j: Join,
@@ -2201,16 +2494,65 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       // cells paired with the OWNING leaf of their column (-1 for
-      // group/count(*) cells). r17 second pass: count(c),
+      // group/count(*) cells) and (r19, VERDICT r18 #3) a per-leaf
+      // FILTER-clause conjunct map. r17 second pass: count(c),
       // count(DISTINCT c), and the value aggregates join the grouped
       // join vocabulary — `SELECT d.attr, sum(f.x) FROM fact JOIN dim
-      // GROUP BY d.attr` is the canonical star-schema report.
+      // GROUP BY d.attr` is the canonical star-schema report; r19 adds
+      // the conditional form `sum(f.x) FILTER (WHERE d.region = 'EU')`
+      // when EVERY FILTER conjunct's attributes are owned by ONE leaf
+      // (the same spec.leafOf ownership test group conjuncts use) —
+      // each conjunct folds into its owner's probe conjunction.
+      // Cross-side conjuncts (f.a > d.b) cannot be attributed and
+      // BLOCK the whole rewrite (falling through silently here would
+      // answer the UNFILTERED aggregate — the one non-conservative
+      // failure mode, same hazard foldFilterClause documents).
       cells <- {
-        val cs: Seq[Option[(Cell, Int)]] = agg.aggregateExpressions.map {
+        def splitAnd(x: Expression): Seq[Expression] = x match {
+          case And(l, r) => splitAnd(l) ++ splitAnd(r)
+          case other => Seq(other)
+        }
+        // FILTER clause → per-owning-leaf pred lists; None when any
+        // conjunct is cross-side, unowned, unregistered, or outside
+        // the mask vocabulary (base() poison-renames derived
+        // resolutions, so the columns check fails those closed)
+        def filtByLeaf(filtE: Option[Expression])
+            : Option[Map[Int, Seq[Pred]]] = filtE match {
+          case None => Some(Map.empty)
+          case Some(f0) =>
+            val f = f0.transform {
+              case a: AttributeReference => base(a) }
+            val perConj = splitAnd(f).map { cj =>
+              for {
+                owners <- {
+                  val refs = cj.references.toSeq
+                  val os = refs.map {
+                    case a: AttributeReference =>
+                      spec.leafOf(a).filter(i =>
+                        spec.leaves(i).reg.columns.contains(a.name))
+                    case _ => None
+                  }
+                  if (os.isEmpty || os.exists(_.isEmpty)) None
+                  else Some(os.map(_.get))
+                }
+                owner <- owners.distinct match {
+                  case Seq(one) => Some(one)
+                  case _ => None // cross-side conjunct: block
+                }
+                ps <- parseConjunction(cj)
+              } yield (owner, ps)
+            }
+            if (perConj.exists(_.isEmpty)) None
+            else Some(perConj.map(_.get).groupBy(_._1).map {
+              case (li, xs) => li -> xs.flatMap(_._2) })
+        }
+        val cs: Seq[Option[(Cell, Int, Map[Int, Seq[Pred]])]] =
+          agg.aggregateExpressions.map {
           case a: AttributeReference =>
-            groupIdx(a).map(i => (GroupCell(i), -1))
+            groupIdx(a).map(i => (GroupCell(i), -1,
+              Map.empty[Int, Seq[Pred]]))
           case al @ Alias(AggregateExpression(
-              fn, _, distinct, None, _), _) =>
+              fn, _, distinct, filtE, _), _) =>
             def ownedDom(c0: AttributeReference,
                 needDom: Boolean): Option[(AttributeReference, Int, Seq[Any])] =
               for {
@@ -2220,20 +2562,27 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   else domainOf(spec.leaves(li).reg, base(c0).name)
                     .filter(x => x.nonEmpty && x.size <= maxGroupProbes)
               } yield (base(c0), li, d)
-            fn match {
-              case Count(Seq(Literal(1, _))) if !distinct =>
-                Some((CountStarCell(Nil), -1))
-              case Count(Seq(c0: AttributeReference)) =>
-                ownedDom(c0, needDom = distinct).map { case (c, li, d) =>
-                  (CountColCell(c, distinct, Nil, d), li) }
-              case _ => valueAggColumn(fn).flatMap(c0 =>
-                ownedDom(c0, needDom = true).map { case (c, li, d) =>
-                  (ValueAggCell(fn, distinct, c, al.dataType, Nil, d), li)
-                })
+            filtByLeaf(filtE).flatMap { fmap =>
+              // the Cell's filt field carries the flattened preds so
+              // cellCost charges the filtered count(*) probe
+              val flat = fmap.values.flatten.toSeq
+              fn match {
+                case Count(Seq(Literal(1, _))) if !distinct =>
+                  Some((CountStarCell(flat), -1, fmap))
+                case Count(Seq(c0: AttributeReference)) =>
+                  ownedDom(c0, needDom = distinct).map { case (c, li, d) =>
+                    (CountColCell(c, distinct, flat, d), li, fmap) }
+                case _ => valueAggColumn(fn).flatMap(c0 =>
+                  ownedDom(c0, needDom = true).map { case (c, li, d) =>
+                    (ValueAggCell(fn, distinct, c, al.dataType, flat, d),
+                      li, fmap)
+                  })
+              }
             }
           // `SELECT c AS grp` / `SELECT year(d) AS y` — grouping
           // outputs ride .toAttribute via their Alias
-          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1))
+          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1,
+            Map.empty[Int, Seq[Pred]]))
           case _ => None
         }
         if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
@@ -2261,26 +2610,35 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
               }
             // probe fn for this combo: group conjuncts to their owner
-            // leaves, cell conjuncts (NotNull / Eq value) to vOwner
-            def estFor(vOwner: Int): Seq[Pred] => Long = extra =>
+            // leaves, the cell's FILTER conjuncts to THEIR owner
+            // leaves (r19), cell conjuncts (NotNull / Eq value) to
+            // vOwner. Group EXISTENCE stays decided by the unfiltered
+            // probe (SQL emits a row for a group whose every cell
+            // filters to zero).
+            def estFor(vOwner: Int,
+                fmap: Map[Int, Seq[Pred]]): Seq[Pred] => Long = extra =>
               joinCountProbes(spec, i => byLeaf.getOrElse(i, Nil) ++
+                fmap.getOrElse(i, Nil) ++
                 (if (i == vOwner) extra else Nil))
                 .getOrElse(throw new ArithmeticException("overflow"))
-            val n = estFor(-1)(Nil)
+            val n = estFor(-1, Map.empty)(Nil)
             if (n > 0L) {
               val vals: Seq[Option[Any]] = cells.map {
-                case (GroupCell(i), _) =>
+                case (GroupCell(i), _, _) =>
                   Some(if (combo(i)._1 == null) null
                     else gConv(i)(combo(i)._1))
-                case (CountStarCell(_), _) => Some(n)
-                case (CountColCell(c, false, _, _), li) =>
-                  Some(estFor(li)(Seq(Pred(c.name, Op.NotNull, null))))
-                case (CountColCell(c, true, _, dom), li) =>
-                  Some(dom.count(v => v != null && estFor(li)(
+                case (CountStarCell(filt), _, fmap) =>
+                  Some(if (filt.isEmpty) n
+                    else estFor(-1, fmap)(Nil))
+                case (CountColCell(c, false, _, _), li, fmap) =>
+                  Some(estFor(li, fmap)(
+                    Seq(Pred(c.name, Op.NotNull, null))))
+                case (CountColCell(c, true, _, dom), li, fmap) =>
+                  Some(dom.count(v => v != null && estFor(li, fmap)(
                     Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong)
-                case (v: ValueAggCell, li) =>
+                case (v: ValueAggCell, li, fmap) =>
                   foldValueAgg(v.fn, v.distinct, v.resultType, v.col,
-                    estFor(li), Nil, v.dom)
+                    estFor(li, fmap), Nil, v.dom)
               }
               if (vals.exists(_.isEmpty)) failed = true
               else out += InternalRow.fromSeq(vals.map(_.get))

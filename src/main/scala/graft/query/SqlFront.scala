@@ -208,7 +208,14 @@ object SqlFront {
 
   /** Shared front half of [[parse]]/[[parseDnf]]: node whitelist +
     * single-table + at-most-one-WHERE checks, returning the table name
-    * and the raw WHERE condition. */
+    * and the raw WHERE condition.
+    *
+    * THREAD-SAFETY CONTRACT (ADVICE r18): this path uses ONLY the
+    * stateless `sessionState.sqlParser` and walks the UNRESOLVED plan
+    * — no conf reads, no temp-view/catalog access, no analysis. Callers
+    * (q_sql_front_workload fans 200 parses out on a shared session)
+    * rely on parse staying side-effect-free; any future addition that
+    * touches session state must drop that parallelism. */
   private def parseShape(spark: SparkSession, sql: String)
       : (String, Option[Expression]) = {
     val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)

@@ -125,6 +125,13 @@ object Workload {
     * of one job per query — the plan you want when the workload is
     * large and the table is 100 TB (the reference's Oracle loops
     * queries, estimators.py:516).
+    *
+    * SNAPSHOT CAVEAT (ADVICE r18): past [[maxCountIfWidth]] queries
+    * this runs one pass per chunk, so the returned cardinalities are
+    * NOT a single atomic snapshot — a source mutated between passes
+    * would answer different chunks from different data versions. Fine
+    * for the immutable parquet fixtures here; cache or checkpoint `df`
+    * first if a mutable source is ever passed.
     */
   def trueCards(df: DataFrame, queries: Seq[Seq[Pred]]): Array[Long] = {
     require(queries.nonEmpty)

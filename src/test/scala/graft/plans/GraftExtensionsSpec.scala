@@ -1015,4 +1015,179 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(GraftRuntime.EnabledKey, "true")
     assert(spark.sql(sql).collect()(0).getLong(0) == exact)
   }
+
+  /** Shared harness for the r19 composition specs: writes the given
+    * frames, registers exact counters + dictionary domains, runs each
+    * query with the rule OFF (exact reference) then ON, asserting the
+    * expected plan shape and identical results. */
+  private def withRegistered(prefix: String,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])])(
+      body: => Unit): Unit = {
+    GraftRuntime.clear()
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    tables.foreach { case (name, df, cols) =>
+      df.write.mode("overwrite").parquet(s"$tmp/${prefix}_$name.parquet")
+      val back = spark.read.parquet(s"$tmp/${prefix}_$name.parquet")
+      back.createOrReplaceTempView(s"${prefix}_$name")
+      def dom(c: String) =
+        graft.core.Dictionary.columnMeta(back.select(c), c).domain.toSeq
+      val doms = cols.map(c => c -> dom(c)).toMap
+      GraftRuntime.registerWithDomain(s"${prefix}_$name.parquet",
+        cols.toSet,
+        p => (if (p.isEmpty) back else back.filter(Pred.conj(p))).count(),
+        c => doms.get(c))
+    }
+    try body finally {
+      spark.conf.set(GraftRuntime.EnabledKey, "false")
+      GraftRuntime.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }
+  }
+
+  private def assertRewrites(q: String, want: Boolean): Seq[Seq[Any]] = {
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val exact = spark.sql(q).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val df = spark.sql(q)
+    val plan = df.queryExecution.optimizedPlan.toString
+    if (want) assert(plan.trim.startsWith("LocalRelation"),
+      s"did not rewrite: $q\n$plan")
+    else assert(!plan.trim.startsWith("LocalRelation"),
+      s"must fall through (not rewrite): $q\n$plan")
+    val got = df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(got == exact, s"$q: got $got want $exact")
+    got
+  }
+
+  test("value aggregates + count(DISTINCT) over UNION ALL partitions (r19)") {
+    val s = spark
+    import s.implicits._
+    // overlapping but non-identical value domains; t2-only value 9.0;
+    // nullable w; long column v for the LongType sum path
+    val t1 = Seq((1L, Some(2.0), 10L), (1L, Some(4.0), 20L),
+      (2L, None: Option[Double], 30L), (3L, Some(2.0), 10L))
+      .toDF("k", "w", "v")
+    val t2 = Seq((1L, Some(4.0), 20L), (2L, Some(9.0), 40L),
+      (3L, None: Option[Double], 10L), (3L, Some(2.0), 50L))
+      .toDF("k", "w", "v")
+    withRegistered("uva", Seq(
+      ("t1", t1, Seq("k", "w", "v")), ("t2", t2, Seq("k", "w", "v")))) {
+      val u = "SELECT * FROM uva_t1 UNION ALL SELECT * FROM uva_t2"
+      // ungrouped: every value-aggregate functional over the merged
+      // cross-branch probe vector, plus DISTINCT forms
+      assertRewrites(s"SELECT sum(w) FROM ($u)", want = true)
+      assertRewrites(s"SELECT avg(w) FROM ($u)", want = true)
+      // (single-aggregate shapes: multi-agg UNGROUPED selects are
+      // outside the rewrite vocabulary for scans too)
+      assertRewrites(s"SELECT min(w) FROM ($u)", want = true)
+      assertRewrites(s"SELECT max(w) FROM ($u)", want = true)
+      assertRewrites(s"SELECT sum(v) FROM ($u)", want = true)
+      assertRewrites(s"SELECT count(DISTINCT w) FROM ($u)", want = true)
+      assertRewrites(s"SELECT sum(DISTINCT w) FROM ($u)", want = true)
+      // WHERE above the union is pushed into every branch
+      assertRewrites(s"SELECT sum(w) FROM ($u) WHERE k <= 2", want = true)
+      assertRewrites(
+        s"SELECT count(DISTINCT w) FROM ($u) WHERE k != 1", want = true)
+      // grouped shard report: value + distinct cells ride the merged
+      // group domain with per-branch group conjuncts
+      assertRewrites(s"SELECT k, sum(w) AS sw, count(DISTINCT w) AS dw," +
+        s" min(w) AS mw, avg(w) AS aw FROM ($u) GROUP BY k", want = true)
+      assertRewrites(s"SELECT k, sum(v) AS sv FROM ($u) " +
+        "WHERE w IS NOT NULL GROUP BY k", want = true)
+      // empty support -> SQL NULL (no group row dropped here: the
+      // combo probe counts rows, w all-NULL in group still has rows)
+      assertRewrites("SELECT k, sum(w) AS sw FROM (" +
+        "SELECT * FROM uva_t1 WHERE w IS NULL UNION ALL " +
+        "SELECT * FROM uva_t2 WHERE w IS NULL) GROUP BY k", want = true)
+    }
+  }
+
+  test("outer joins compose as join-tree LEAVES inside N-table trees (r19)") {
+    val s = spark
+    import s.implicits._
+    val f = Seq((1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 10L, 6.0),
+      (3L, 30L, 8.0), (4L, 10L, 1.0)).toDF("k1", "k2", "w")
+    // outer-side dim with DISTINCT column names (by-name routing
+    // inside the two-sided leaf excludes shared names)
+    val dl = Seq((1L, 0L), (1L, 1L), (2L, 1L)).toDF("m1", "a")
+    val d2 = Seq((10L, 1L), (30L, 0L)).toDF("j2", "b")
+    withRegistered("oit", Seq(
+      ("f", f, Seq("k1", "k2", "w")), ("dl", dl, Seq("m1", "a")),
+      ("d2", d2, Seq("j2", "b")))) {
+      // LEFT outer inside an inner tree: count, value agg, grouped —
+      // including the synthetic NULL group on the non-preserved side
+      assertRewrites("SELECT count(*) FROM oit_f f LEFT JOIN oit_dl dl " +
+        "ON f.k1 = dl.m1 JOIN oit_d2 d2 ON f.k2 = d2.j2", want = true)
+      assertRewrites("SELECT sum(f.w) FROM oit_f f LEFT JOIN oit_dl dl " +
+        "ON f.k1 = dl.m1 JOIN oit_d2 d2 ON f.k2 = d2.j2", want = true)
+      assertRewrites("SELECT dl.a AS grp, count(*) AS n, sum(f.w) AS sw " +
+        "FROM oit_f f LEFT JOIN oit_dl dl ON f.k1 = dl.m1 " +
+        "JOIN oit_d2 d2 ON f.k2 = d2.j2 GROUP BY dl.a", want = true)
+      // side predicate into the outer leaf's preserved side
+      assertRewrites("SELECT count(*) FROM oit_f f LEFT JOIN oit_dl dl " +
+        "ON f.k1 = dl.m1 JOIN oit_d2 d2 ON f.k2 = d2.j2 " +
+        "WHERE f.w <= 6.0", want = true)
+      // FULL outer inside the tree: extension rows on the fact side
+      // carry NULL join keys and never match the inner edge
+      assertRewrites("SELECT count(*) FROM oit_f f FULL JOIN oit_dl dl " +
+        "ON f.k1 = dl.m1 JOIN oit_d2 d2 ON f.k2 = d2.j2", want = true)
+      // grouping by the edge key exercises the leaf's merged domain
+      assertRewrites("SELECT f.k2 AS grp, count(*) AS n FROM oit_f f " +
+        "LEFT JOIN oit_dl dl ON f.k1 = dl.m1 " +
+        "JOIN oit_d2 d2 ON f.k2 = d2.j2 GROUP BY f.k2", want = true)
+    }
+  }
+
+  test("single-side FILTER cells over join trees; cross-side FILTER blocks (r19)") {
+    val s = spark
+    import s.implicits._
+    val f = Seq((1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 10L, 6.0),
+      (3L, 30L, 8.0)).toDF("k1", "k2", "w")
+    val d = Seq((1L, 0L, "xa"), (1L, 1L, "yb"), (2L, 1L, "xc"))
+      .toDF("m1", "a", "t")
+    withRegistered("fcj", Seq(
+      ("f", f, Seq("k1", "k2", "w")), ("d", d, Seq("m1", "a", "t")))) {
+      // fact-side, dim-side, and BOTH-side (conjunct-per-leaf) FILTERs
+      assertRewrites("SELECT d.a AS grp, count(*) AS n, " +
+        "count(*) FILTER (WHERE f.w >= 4.0) AS nf, " +
+        "sum(f.w) FILTER (WHERE d.t LIKE 'x%') AS sx " +
+        "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1 GROUP BY d.a",
+        want = true)
+      assertRewrites("SELECT f.k2 AS grp, " +
+        "count(f.w) FILTER (WHERE d.a = 1 AND f.w <= 6.0) AS nb, " +
+        "avg(f.w) FILTER (WHERE d.t != 'yb') AS aw " +
+        "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1 GROUP BY f.k2",
+        want = true)
+      // a group whose every cell filters to zero still emits its row
+      assertRewrites("SELECT d.a AS grp, " +
+        "count(*) FILTER (WHERE f.w >= 100.0) AS nf " +
+        "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1 GROUP BY d.a",
+        want = true)
+      // cross-side FILTER conjunct: MUST block (answering unfiltered
+      // would be silently wrong), exact plan still answers
+      assertRewrites("SELECT d.a AS grp, " +
+        "count(*) FILTER (WHERE f.w >= CAST(d.a AS DOUBLE)) AS nf " +
+        "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1 GROUP BY d.a",
+        want = false)
+    }
+  }
+
+  test("multi-column NOT IN tuples fall through (null-aware keys stay single, r19 pin)") {
+    val s = spark
+    import s.implicits._
+    // nullable tuple component -> Catalyst plans a null-aware anti
+    // with a multi-equality Or condition semiAntiSpec must NOT parse
+    val f = Seq((Some(1L), 10L), (None: Option[Long], 20L),
+      (Some(2L), 10L)).toDF("k1", "k2")
+    val r = Seq((1L, 10L), (2L, 30L)).toDF("x1", "x2")
+    withRegistered("nin", Seq(
+      ("f", f, Seq("k1", "k2")), ("r", r, Seq("x1", "x2")))) {
+      assertRewrites("SELECT count(*) FROM nin_f f WHERE (f.k1, f.k2) " +
+        "NOT IN (SELECT r.x1, r.x2 FROM nin_r r)", want = false)
+      // the single-key null-aware factorization keeps rewriting
+      assertRewrites("SELECT count(*) FROM nin_f f WHERE f.k1 " +
+        "NOT IN (SELECT r.x1 FROM nin_r r)", want = true)
+    }
+  }
 }

@@ -167,12 +167,24 @@ class SqlFrontSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("queryDnf surfaces Long overflow instead of wrapping (r18, ADVICE r17)") {
     val big = new graft.est.CardEst {
       def name = "big"
-      def query(preds: Seq[Pred]): Long = Long.MaxValue / 2 + 1
+      // singles near-max, empty intersection: the TOTAL (2·(max/2+1))
+      // exceeds Long — must throw, never wrap
+      def query(preds: Seq[Pred]): Long =
+        if (preds.size > 1) 0L else Long.MaxValue / 2 + 1
     }
-    // two disjuncts: the I-E sum adds two near-max terms — a silent
-    // wrap would return an arbitrary negative-clamped count
     intercept[ArithmeticException](big.queryDnf(
       Seq(Seq(Pred("a", Op.Eq, 1L)), Seq(Pred("b", Op.Eq, 2L)))))
+    // r19 (ADVICE r18): an INTERMEDIATE prefix overflow with a
+    // representable total answers instead of spuriously throwing —
+    // positive and negative terms accumulate separately in BigInt.
+    // Here pos = 2·(max/2+1) (> Long) but total = max/2+1 fits.
+    val rep = new graft.est.CardEst {
+      def name = "rep"
+      def query(preds: Seq[Pred]): Long = Long.MaxValue / 2 + 1
+    }
+    assert(rep.queryDnf(
+      Seq(Seq(Pred("a", Op.Eq, 1L)), Seq(Pred("b", Op.Eq, 2L)))) ==
+      Long.MaxValue / 2 + 1)
     // in-range sums still answer (exact I-E identity)
     val small = new graft.est.CardEst {
       def name = "small"

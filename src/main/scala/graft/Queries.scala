@@ -2294,6 +2294,546 @@ SELECT * FROM (
     CAST(count(w) AS BIGINT)
   FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY k)
 ORDER BY query_id""")),
+    // VALUE aggregates over UNION ALL of registered partitions (r19,
+    // VERDICT r18 #1): the sharded-fact report — sum/avg/min/max,
+    // their DISTINCT forms, and count(DISTINCT) answer from the
+    // canonical-key MERGE of per-branch value domains (the union's
+    // count at value v is the Σ of per-branch probes, each branch
+    // probed with its OWN representative; distinct values cross
+    // partitions, which is exactly what the merge models — the r18
+    // count-only rewrite deliberately fell through here). Grouped
+    // forms ride the same merged probe vector with per-branch group
+    // conjuncts. Exact registrations → lossless (integral-valued
+    // doubles keep the DOUBLE arithmetic deterministic cross-engine);
+    // scan-free plans require()d; DuckDB runs the identical texts.
+    Entry("q_approx_union_aggs",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_una/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val evBase = Tables.read(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+        def shard(parity: Int) = evBase
+          .filter(pmod(col("event_id") / 97, lit(2)) === parity)
+          .select(
+            pmod(col("event_id"), lit(5)).as("k"),
+            when(pmod(col("event_id"), lit(11)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(13)).cast("double"))
+              .as("w"),
+            pmod(col("event_id"), lit(9)).as("v"))
+        shard(0).write.mode("overwrite").parquet(s"$base/t1.parquet")
+        shard(1).write.mode("overwrite").parquet(s"$base/t2.parquet")
+        val t1 = s.read.parquet(s"$base/t1.parquet")
+        val t2 = s.read.parquet(s"$base/t2.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val le1 = new LocalExact(t1, Seq("k", "w", "v"))
+        val le2 = new LocalExact(t2, Seq("k", "w", "v"))
+        val d1 = Seq("k", "w", "v").map(c => c -> dom(t1, c)).toMap
+        val d2 = Seq("k", "w", "v").map(c => c -> dom(t2, c)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/t1.parquet",
+          Set("k", "w", "v"), preds => le1.count(preds), n => d1.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/t2.parquet",
+          Set("k", "w", "v"), preds => le2.count(preds), n => d2.get(n))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          t1.createOrReplaceTempView("graft_aqp_una_t1")
+          t2.createOrReplaceTempView("graft_aqp_una_t2")
+          val union = "SELECT * FROM graft_aqp_una_t1 UNION ALL " +
+            "SELECT * FROM graft_aqp_una_t2"
+          def asX(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+            if (r.isNullAt(i)) None
+            else r.get(i) match {
+              case l: java.lang.Long => Some(l.toDouble)
+              case dd: java.lang.Double => Some(dd)
+            }
+          val texts = Seq(
+            "ua1_sum" -> s"SELECT sum(w) AS x FROM ($union)",
+            "ua2_sum_long" -> s"SELECT sum(v) AS x FROM ($union)",
+            "ua3_avg" ->
+              s"SELECT avg(w) AS x FROM ($union) WHERE k <= 2",
+            "ua4_min" ->
+              s"SELECT min(w) AS x FROM ($union) WHERE k != 1",
+            "ua5_max" ->
+              s"SELECT max(w) AS x FROM ($union) WHERE k != 1",
+            "ua6_sum_distinct" ->
+              s"SELECT sum(DISTINCT w) AS x FROM ($union)",
+            "ua7_count_distinct" ->
+              s"SELECT count(DISTINCT w) AS x FROM ($union) WHERE k >= 1")
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"union value-agg rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, asX(df.collect()(0), 0))
+          }
+          // grouped shard report: value + DISTINCT cells per group
+          val gSql = "SELECT k, sum(w) AS sw, count(DISTINCT w) AS dw, " +
+            s"min(w) AS mw, avg(w) AS aw FROM ($union) GROUP BY k"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped union value-agg rewrite did not fire")
+          val gRows = gDf.collect().flatMap { r =>
+            val k = r.getLong(0)
+            Seq((s"ua8_${k}_sw", asX(r, 1)), (s"ua8_${k}_dw", asX(r, 2)),
+              (s"ua8_${k}_mw", asX(r, 3)), (s"ua8_${k}_aw", asX(r, 4)))
+          }.toSeq
+          (rows ++ gRows).toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+t1 AS (SELECT event_id % 5 AS k,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   ELSE CAST(event_id % 13 AS DOUBLE) END AS w,
+              event_id % 9 AS v
+       FROM basee WHERE (event_id // 97) % 2 = 0),
+t2 AS (SELECT event_id % 5 AS k,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   ELSE CAST(event_id % 13 AS DOUBLE) END AS w,
+              event_id % 9 AS v
+       FROM basee WHERE (event_id // 97) % 2 = 1),
+u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+SELECT * FROM (
+  SELECT 'ua1_sum' AS query_id, CAST(sum(w) AS DOUBLE) AS x FROM u
+  UNION ALL
+  SELECT 'ua2_sum_long', CAST(sum(v) AS DOUBLE) FROM u
+  UNION ALL
+  SELECT 'ua3_avg', CAST(sum(w) AS DOUBLE) / count(w) FROM u
+    WHERE k <= 2
+  UNION ALL
+  SELECT 'ua4_min', CAST(min(w) AS DOUBLE) FROM u WHERE k != 1
+  UNION ALL
+  SELECT 'ua5_max', CAST(max(w) AS DOUBLE) FROM u WHERE k != 1
+  UNION ALL
+  SELECT 'ua6_sum_distinct', CAST(sum(DISTINCT w) AS DOUBLE) FROM u
+  UNION ALL
+  SELECT 'ua7_count_distinct', CAST(count(DISTINCT w) AS DOUBLE)
+    FROM u WHERE k >= 1
+  UNION ALL
+  SELECT 'ua8_' || CAST(k AS VARCHAR) || '_sw',
+    CAST(sum(w) AS DOUBLE) FROM u GROUP BY k
+  UNION ALL
+  SELECT 'ua8_' || CAST(k AS VARCHAR) || '_dw',
+    CAST(count(DISTINCT w) AS DOUBLE) FROM u GROUP BY k
+  UNION ALL
+  SELECT 'ua8_' || CAST(k AS VARCHAR) || '_mw',
+    CAST(min(w) AS DOUBLE) FROM u GROUP BY k
+  UNION ALL
+  SELECT 'ua8_' || CAST(k AS VARCHAR) || '_aw',
+    CAST(sum(w) AS DOUBLE) / count(w) FROM u GROUP BY k)
+ORDER BY query_id""")),
+    // OUTER joins inside N-table join trees (r19, VERDICT r18 #2):
+    // `fact LEFT JOIN dim1 JOIN dim2` — the outer join composes as a
+    // TWO-SIDED join-tree leaf (outerLeaf): its modeled columns are
+    // the union of both sides' registrations (shared names excluded —
+    // by-name routing must stay unambiguous), its estimator routes
+    // conjuncts per side through outerEstFn, its cost multiplies
+    // probeCost into every composed budget, and a non-preserved
+    // side's domains gain the synthetic null slot so inner edges skip
+    // extension rows (NULL never equi-matches) and grouping keys
+    // surface the SQL null group. Exact registrations → lossless;
+    // scan-free plans require()d; DuckDB runs the identical texts.
+    Entry("q_approx_outer_in_tree",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val base = "/tmp/graft_oit/" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()
+        val ev = Tables.read(s, d, "events")
+        ev.filter(pmod(col("event_id"), lit(97)) === 0)
+          .select(
+            pmod(col("event_id"), lit(5)).as("k1"),
+            pmod(col("event_id"), lit(3)).as("k2"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("double"))
+              .otherwise(pmod(col("event_id"), lit(7)).cast("double"))
+              .as("w"))
+          .write.mode("overwrite").parquet(s"$base/f.parquet")
+        // dim keys deliberately COVER ONLY PART of the fact key range:
+        // m1 in {0,1,2} vs k1 in 0..4 (outer extension rows), j2 in
+        // {0,1} vs k2 in 0..2 (inner edge drops)
+        ev.filter(pmod(col("event_id"), lit(291)) === 0)
+          .select(
+            pmod(col("event_id"), lit(3)).as("m1"),
+            pmod(col("event_id"), lit(4)).as("a"))
+          .write.mode("overwrite").parquet(s"$base/dl.parquet")
+        ev.filter(pmod(col("event_id"), lit(485)) === 0)
+          .select(
+            pmod(col("event_id"), lit(2)).as("j2"),
+            pmod(col("event_id"), lit(6)).as("b"))
+          .write.mode("overwrite").parquet(s"$base/d2.parquet")
+        val fD = s.read.parquet(s"$base/f.parquet")
+        val dlD = s.read.parquet(s"$base/dl.parquet")
+        val d2D = s.read.parquet(s"$base/d2.parquet")
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val leF = new LocalExact(fD, Seq("k1", "k2", "w"))
+        val leDl = new LocalExact(dlD, Seq("m1", "a"))
+        val leD2 = new LocalExact(d2D, Seq("j2", "b"))
+        val domF = Seq("k1", "k2", "w").map(c => c -> dom(fD, c)).toMap
+        val domDl = Seq("m1", "a").map(c => c -> dom(dlD, c)).toMap
+        val domD2 = Seq("j2", "b").map(c => c -> dom(d2D, c)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/f.parquet",
+          Set("k1", "k2", "w"), preds => leF.count(preds),
+          n => domF.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/dl.parquet",
+          Set("m1", "a"), preds => leDl.count(preds), n => domDl.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(s"$base/d2.parquet",
+          Set("j2", "b"), preds => leD2.count(preds), n => domD2.get(n))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          fD.createOrReplaceTempView("graft_aqp_oit_f")
+          dlD.createOrReplaceTempView("graft_aqp_oit_dl")
+          d2D.createOrReplaceTempView("graft_aqp_oit_d2")
+          val tree = "graft_aqp_oit_f f LEFT JOIN graft_aqp_oit_dl dl " +
+            "ON f.k1 = dl.m1 JOIN graft_aqp_oit_d2 d2 ON f.k2 = d2.j2"
+          val fullTree = "graft_aqp_oit_f f FULL JOIN graft_aqp_oit_dl " +
+            "dl ON f.k1 = dl.m1 JOIN graft_aqp_oit_d2 d2 " +
+            "ON f.k2 = d2.j2"
+          val texts = Seq(
+            "ot1_count" -> s"SELECT count(*) AS x FROM $tree",
+            "ot2_sum" -> s"SELECT sum(f.w) AS x FROM $tree",
+            "ot3_full" -> s"SELECT count(*) AS x FROM $fullTree",
+            "ot4_where" ->
+              s"SELECT count(*) AS x FROM $tree WHERE f.w <= 4.0",
+            "ot5_count_col" -> s"SELECT count(dl.a) AS x FROM $tree")
+          def asX(r: org.apache.spark.sql.Row): Option[Double] =
+            if (r.isNullAt(0)) None
+            else r.get(0) match {
+              case l: java.lang.Long => Some(l.toDouble)
+              case dd: java.lang.Double => Some(dd)
+            }
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"outer-in-tree rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, asX(df.collect()(0)))
+          }
+          // grouped by the NON-preserved side's attribute: unmatched
+          // fact rows land in the synthetic NULL group
+          val gSql = "SELECT dl.a AS grp, count(*) AS n, " +
+            s"sum(f.w) AS sw FROM $tree GROUP BY dl.a"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped outer-in-tree rewrite did not fire")
+          val gRows = gDf.collect().flatMap { r =>
+            val g = if (r.isNullAt(0)) "<NULL>" else r.getLong(0).toString
+            Seq((s"ot6_${g}_n", Some(r.getLong(1).toDouble)),
+              (s"ot6_${g}_sw",
+                if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          }.toSeq
+          (rows ++ gRows).toDF("query_id", "x").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+        }
+      },
+      Some("""WITH basee AS (SELECT * FROM events WHERE event_id % 97 = 0),
+f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(event_id % 7 AS DOUBLE) END AS w
+      FROM basee),
+dl AS (SELECT event_id % 3 AS m1, event_id % 4 AS a
+       FROM events WHERE event_id % 291 = 0),
+d2 AS (SELECT event_id % 2 AS j2, event_id % 6 AS b
+       FROM events WHERE event_id % 485 = 0)
+SELECT * FROM (
+  SELECT 'ot1_count' AS query_id, CAST(count(*) AS DOUBLE) AS x
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  UNION ALL
+  SELECT 'ot2_sum', CAST(sum(f.w) AS DOUBLE)
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  UNION ALL
+  SELECT 'ot3_full', CAST(count(*) AS DOUBLE)
+  FROM f FULL JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  UNION ALL
+  SELECT 'ot4_where', CAST(count(*) AS DOUBLE)
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  WHERE f.w <= 4.0
+  UNION ALL
+  SELECT 'ot5_count_col', CAST(count(dl.a) AS DOUBLE)
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  UNION ALL
+  SELECT 'ot6_' || coalesce(CAST(dl.a AS VARCHAR), '<NULL>') || '_n',
+    CAST(count(*) AS DOUBLE)
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  GROUP BY dl.a
+  UNION ALL
+  SELECT 'ot6_' || coalesce(CAST(dl.a AS VARCHAR), '<NULL>') || '_sw',
+    CAST(sum(f.w) AS DOUBLE)
+  FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
+  GROUP BY dl.a)
+ORDER BY query_id""")),
+    // Single-side FILTER cells over join trees (r19, VERDICT r18 #3):
+    // `sum(f.x) FILTER (WHERE d.region = 'EU')` — the conditional
+    // star-report cell. Every FILTER conjunct whose attributes are
+    // owned by ONE leaf folds into that leaf's probe conjunction
+    // (the filter may sit on a DIFFERENT leaf than the value column);
+    // cross-side conjuncts block the rewrite entirely (spec-pinned in
+    // GraftExtensionsSpec — answering unfiltered would be silently
+    // wrong). Group existence stays decided by the unfiltered probe,
+    // so fully-filtered groups emit their SQL-mandated zero/NULL row.
+    // Exact registrations → lossless; scan-free plans require()d;
+    // DuckDB runs the identical texts.
+    Entry("q_approx_join_filter_cells",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val (dir, dfs, doms, les) = joinWorkloadData(s, d)
+        Seq(
+          "f" -> Set("k1", "k2", "g", "w", "dt"),
+          "d1" -> Set("k1", "k2", "a", "s")).foreach { case (t, cols) =>
+          graft.plans.GraftRuntime.registerWithDomain(
+            s"$dir/$t.parquet", cols,
+            preds => les(t).count(preds), name => doms.get((t, name)))
+        }
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dfs("f").createOrReplaceTempView("graft_aqp_fc_f")
+          dfs("d1").createOrReplaceTempView("graft_aqp_fc_d1")
+          val from = "graft_aqp_fc_f f JOIN graft_aqp_fc_d1 d1 " +
+            "ON f.k1 = d1.k1"
+          val texts = Seq(
+            // dim-grouped, fact-side and dim-side FILTERs
+            ("fc1", "SELECT d1.a AS gk, count(*) AS m1, " +
+              "count(*) FILTER (WHERE f.w >= 4.0) AS m2, " +
+              "sum(f.w) FILTER (WHERE d1.s LIKE 'c%') AS m3 " +
+              s"FROM $from GROUP BY d1.a", 3),
+            // fact-grouped, conjunct-per-leaf FILTER (one conjunct on
+            // each side of the SAME clause)
+            ("fc2", "SELECT f.k2 AS gk, " +
+              "count(f.w) FILTER (WHERE d1.a >= 2 AND f.w <= 6.0) " +
+              "AS m1, avg(f.w) FILTER (WHERE d1.s != 'click') AS m2 " +
+              s"FROM $from GROUP BY f.k2", 2),
+            // fully-filtered groups still emit their row
+            ("fc3", "SELECT d1.a AS gk, " +
+              "count(*) FILTER (WHERE f.w >= 100.0) AS m1 " +
+              s"FROM $from GROUP BY d1.a", 1))
+          val rows = texts.flatMap { case (qid, sql, nm) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"join FILTER-cell rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            df.collect().flatMap { r =>
+              val g = if (r.isNullAt(0)) "<NULL>" else r.get(0).toString
+              (1 to nm).map { j =>
+                val x: Option[Double] =
+                  if (r.isNullAt(j)) None
+                  else r.get(j) match {
+                    case l: java.lang.Long => Some(l.toDouble)
+                    case dd: java.lang.Double => Some(dd)
+                  }
+                (qid, g, s"m$j", x)
+              }
+            }
+          }
+          rows.toDF("query_id", "grp", "metric", "x")
+            .orderBy("query_id", "grp", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS g,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 12 AS DOUBLE) END AS w,
+         DATE '2023-12-01' + CAST(event_id % 300 AS INTEGER) AS dt
+       FROM events WHERE event_id % 13 = 0),
+d1 AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
+         event_id % 4 AS a, event_type AS s
+       FROM events WHERE event_id % 291 = 0)
+SELECT * FROM (
+  SELECT 'fc1' AS query_id,
+    coalesce(CAST(d1.a AS VARCHAR), '<NULL>') AS grp,
+    'm1' AS metric, CAST(count(*) AS DOUBLE) AS x
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc1', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm2',
+    CAST(count(*) FILTER (WHERE f.w >= 4.0) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc1', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm3',
+    CAST(sum(f.w) FILTER (WHERE d1.s LIKE 'c%') AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc2', coalesce(CAST(f.k2 AS VARCHAR), '<NULL>'), 'm1',
+    CAST(count(f.w) FILTER (WHERE d1.a >= 2 AND f.w <= 6.0) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY f.k2
+  UNION ALL
+  SELECT 'fc2', coalesce(CAST(f.k2 AS VARCHAR), '<NULL>'), 'm2',
+    CAST(sum(f.w) FILTER (WHERE d1.s != 'click') AS DOUBLE) /
+      count(f.w) FILTER (WHERE d1.s != 'click')
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY f.k2
+  UNION ALL
+  SELECT 'fc3', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm1',
+    CAST(count(*) FILTER (WHERE f.w >= 100.0) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a)
+ORDER BY query_id, grp, metric""")),
+    // EXISTS-filtered sides of OUTER joins (r19, VERDICT r18 #4 — the
+    // composition PLANS r18 admitted was untested): a WHERE EXISTS on
+    // the PRESERVED side pushes below the outer join
+    // (PushDownLeftSemiAntiJoin) and rides outerSpec's registeredLeaf
+    // as a semi leaf; an EXISTS INSIDE the non-preserved side's
+    // subselect becomes that side's semi leaf the same way. Grouped
+    // forms compose through rewriteGroupedOuter unchanged. Exact
+    // registrations → lossless; scan-free plans require()d; DuckDB
+    // runs the identical texts.
+    Entry("q_approx_outer_exists",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val reg = s.read.parquet(s"$d/region.parquet")
+        val leC = new LocalExact(cust, Seq("c_custkey", "c_nationkey"))
+        val leN = new LocalExact(nat, Seq("n_nationkey", "n_regionkey"))
+        val leR = new LocalExact(reg, Seq("r_regionkey", "r_name"))
+        def dom(df: DataFrame, c: String) =
+          Dictionary.columnMeta(df.select(c), c).domain.toSeq
+        val cDoms = Seq("c_custkey", "c_nationkey")
+          .map(c => c -> dom(cust, c)).toMap
+        val nDoms = Seq("n_nationkey", "n_regionkey")
+          .map(c => c -> dom(nat, c)).toMap
+        val rDoms = Seq("r_regionkey").map(c => c -> dom(reg, c)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", Set("c_custkey", "c_nationkey"),
+          preds => leC.count(preds),
+          n => if (n == "c_nationkey") cDoms.get(n) else None)
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/nation.parquet", Set("n_nationkey", "n_regionkey"),
+          preds => leN.count(preds), n => nDoms.get(n))
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/region.parquet", Set("r_regionkey", "r_name"),
+          preds => leR.count(preds), n => rDoms.get(n))
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          cust.createOrReplaceTempView("graft_aqp_ox_customer")
+          nat.createOrReplaceTempView("graft_aqp_ox_nation")
+          reg.createOrReplaceTempView("graft_aqp_ox_region")
+          val texts = Seq(
+            // EXISTS on the PRESERVED side of a LEFT JOIN
+            "ox1_preserved" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_ox_customer c LEFT JOIN graft_aqp_ox_nation " +
+              "n ON c.c_nationkey = n.n_nationkey WHERE EXISTS " +
+              "(SELECT 1 FROM graft_aqp_ox_nation n2 WHERE " +
+              "n2.n_nationkey = c.c_nationkey AND n2.n_regionkey <= 2)"),
+            // EXISTS INSIDE the NON-preserved side's subselect
+            "ox2_nonpreserved" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_ox_customer c LEFT JOIN (SELECT * FROM " +
+              "graft_aqp_ox_nation n WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_ox_region r WHERE r.r_regionkey = " +
+              "n.n_regionkey AND r.r_name LIKE 'A%')) n2 " +
+              "ON c.c_nationkey = n2.n_nationkey"),
+            // both at once, FULL outer
+            "ox3_both_full" -> ("SELECT count(*) AS n FROM " +
+              "graft_aqp_ox_customer c FULL JOIN (SELECT * FROM " +
+              "graft_aqp_ox_nation n WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_ox_region r WHERE r.r_regionkey = " +
+              "n.n_regionkey AND r.r_name LIKE 'A%')) n2 " +
+              "ON c.c_nationkey = n2.n_nationkey WHERE EXISTS " +
+              "(SELECT 1 FROM graft_aqp_ox_nation n3 WHERE " +
+              "n3.n_nationkey = c.c_nationkey AND n3.n_regionkey >= 1)"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"outer+EXISTS rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          // grouped over the EXISTS-filtered non-preserved side: the
+          // semi leaf's registration supplies the grouping domain,
+          // unmatched customers land in the NULL group
+          val gSql = "SELECT n2.n_regionkey AS grp, count(*) AS n " +
+            "FROM graft_aqp_ox_customer c LEFT JOIN (SELECT * FROM " +
+            "graft_aqp_ox_nation n WHERE EXISTS (SELECT 1 FROM " +
+            "graft_aqp_ox_region r WHERE r.r_regionkey = " +
+            "n.n_regionkey AND r.r_name LIKE 'A%')) n2 " +
+            "ON c.c_nationkey = n2.n_nationkey GROUP BY n2.n_regionkey"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped outer+EXISTS rewrite did not fire")
+          val gRows = gDf.collect().map { r =>
+            val g = if (r.isNullAt(0)) "<NULL>" else r.get(0).toString
+            (s"ox4_grouped_$g", r.getLong(1))
+          }.toSeq
+          (rows ++ gRows).toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""SELECT * FROM (
+  SELECT 'ox1_preserved' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM customer c LEFT JOIN nation n
+    ON c.c_nationkey = n.n_nationkey
+  WHERE EXISTS (SELECT 1 FROM nation n2 WHERE n2.n_nationkey =
+    c.c_nationkey AND n2.n_regionkey <= 2)
+  UNION ALL
+  SELECT 'ox2_nonpreserved', CAST(count(*) AS BIGINT)
+  FROM customer c LEFT JOIN (SELECT * FROM nation n WHERE EXISTS
+    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+     AND r.r_name LIKE 'A%')) n2
+    ON c.c_nationkey = n2.n_nationkey
+  UNION ALL
+  SELECT 'ox3_both_full', CAST(count(*) AS BIGINT)
+  FROM customer c FULL JOIN (SELECT * FROM nation n WHERE EXISTS
+    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+     AND r.r_name LIKE 'A%')) n2
+    ON c.c_nationkey = n2.n_nationkey
+  WHERE EXISTS (SELECT 1 FROM nation n3 WHERE n3.n_nationkey =
+    c.c_nationkey AND n3.n_regionkey >= 1)
+  UNION ALL
+  SELECT 'ox4_grouped_' ||
+    coalesce(CAST(n2.n_regionkey AS VARCHAR), '<NULL>'),
+    CAST(count(*) AS BIGINT)
+  FROM customer c LEFT JOIN (SELECT * FROM nation n WHERE EXISTS
+    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+     AND r.r_name LIKE 'A%')) n2
+    ON c.c_nationkey = n2.n_nationkey
+  GROUP BY n2.n_regionkey)
+ORDER BY query_id""")),
     // EXISTS *under* a join + NESTED EXISTS (r18 second pass): a LEFT
     // SEMI/ANTI join acts as a join-tree LEAF — its output is its left
     // side filtered, so it carries the left registration with the
@@ -4135,6 +4675,90 @@ SELECT 'ob2_full', CAST(count(*) AS BIGINT), true
 FROM customer c FULL JOIN
   (SELECT * FROM nation WHERE n_regionkey >= 2) n
   ON c.c_nationkey = n.n_nationkey
+ORDER BY query_id""")),
+    // Learned UNION ALL twin (r19, VERDICT r18 #6): counts over a
+    // UNION ALL whose branches carry the LEARNED customer estimator —
+    // each branch's pushed WHERE estimated by the model, the union
+    // answering as the sum of per-branch learned estimates
+    // (rewriteUnionCount), with the exact count inside the oracle hash
+    // and a q-error ≤ 2 band — the q_approx_exists_bounds discipline.
+    // The grouped leg sums the per-group learned rows back to a total
+    // (per-group bands would gate model variance, not the rewrite).
+    Entry("q_approx_union_bounds",
+      (s, d) => {
+        import s.implicits._
+        val (model, meta) = customerModel(s, d)
+        val ps = new ProgressiveSampling(model, meta, numSamples = 1000,
+          shortcircuit = true)
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        cust.createOrReplaceTempView("graft_aqp_ub_customer")
+        val union = "SELECT * FROM graft_aqp_ub_customer " +
+          "WHERE c_mktsegment = 'BUILDING' UNION ALL " +
+          "SELECT * FROM graft_aqp_ub_customer WHERE c_nationkey <= 10"
+        val texts = Seq(
+          "ub1_count" -> s"SELECT count(*) AS n FROM ($union)",
+          "ub2_count_col" ->
+            s"SELECT count(c_nationkey) AS n FROM ($union)")
+        val gSql = s"SELECT c_nationkey, count(*) AS n FROM ($union) " +
+          "GROUP BY c_nationkey"
+        val exact: Map[String, Long] = (texts.map { case (qid, sql) =>
+          qid -> s.sql(sql).collect()(0).getLong(0) } :+
+          ("ub3_grouped_total" ->
+            s.sql(gSql).collect().map(_.getLong(1)).sum)).toMap
+        graft.plans.GraftRuntime.registerWithDomain(
+          s"$d/customer.parquet", Set("c_mktsegment", "c_nationkey"),
+          ps.query,
+          name => if (name == "c_nationkey")
+            Some(meta.column("c_nationkey").domain.toSeq) else None)
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          val singles = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"learned union rewrite did not fire on $qid; " +
+                s"plan:\n$plan")
+            (qid, df.collect()(0).getLong(0))
+          }
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "learned grouped union rewrite did not fire")
+          val rows = (singles :+
+            ("ub3_grouped_total",
+              gDf.collect().map(_.getLong(1)).sum)).map {
+            case (qid, est0) =>
+              val est = math.max(est0, 1L)
+              val ex = exact(qid)
+              val qerr =
+                if (ex <= 0L) Double.MaxValue
+                else math.max(est.toDouble / ex, ex.toDouble / est)
+              (qid, ex, qerr <= 2.0)
+          }
+          rows.toDF("query_id", "exact_n", "ok").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH u AS (SELECT * FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+  UNION ALL SELECT * FROM customer WHERE c_nationkey <= 10)
+SELECT * FROM (
+  SELECT 'ub1_count' AS query_id, CAST(count(*) AS BIGINT) AS exact_n,
+    true AS ok FROM u
+  UNION ALL
+  SELECT 'ub2_count_col', CAST(count(c_nationkey) AS BIGINT), true
+  FROM u
+  UNION ALL
+  SELECT 'ub3_grouped_total', CAST(count(*) AS BIGINT), true FROM u)
 ORDER BY query_id""")),
     // Derived grouping keys over JOINS (r18, VERDICT r17 #2): `SELECT
     // year(f.dt), count(*) FROM fact JOIN dim … GROUP BY 1` — the

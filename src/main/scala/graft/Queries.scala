@@ -5059,7 +5059,8 @@ ORDER BY query_id, grp""")),
         Seq(
           "f" -> Set("k1", "k2", "g", "w", "dt"),
           "d1" -> Set("k1", "k2", "a", "s"),
-          "d2" -> Set("k2", "b")).foreach { case (t, cols) =>
+          "d2" -> Set("k2", "b"),
+          "d3" -> Set("m1", "c")).foreach { case (t, cols) =>
           graft.plans.GraftRuntime.registerWithDomain(
             s"$dir/$t.parquet", cols,
             preds => les(t).count(preds), name => doms.get((t, name)))
@@ -5069,11 +5070,13 @@ ORDER BY query_id, grp""")),
           dfs("f").createOrReplaceTempView("graft_aqp_jw_f")
           dfs("d1").createOrReplaceTempView("graft_aqp_jw_d1")
           dfs("d2").createOrReplaceTempView("graft_aqp_jw_d2")
+          dfs("d3").createOrReplaceTempView("graft_aqp_jw_d3")
           val rows = joinWorkload.flatMap { q =>
             val sql = q.inner
               .replace("F_TBL", "graft_aqp_jw_f")
               .replace("D1_TBL", "graft_aqp_jw_d1")
               .replace("D2_TBL", "graft_aqp_jw_d2")
+              .replace("D3_TBL", "graft_aqp_jw_d3")
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
             require(plan.trim.startsWith("LocalRelation"),
@@ -11097,18 +11100,23 @@ ORDER BY query_id, grp, metric"""
   private final case class JoinWQuery(qid: String, inner: String,
       nKeys: Int, metrics: Seq[String])
 
-  /** The 30-query join-matrix corpus (r18, VERDICT r17 #1), a pure
-    * function of the seed: inner chains/stars, composite keys,
-    * EXISTS / NOT EXISTS / IN / NOT IN, LEFT/RIGHT/FULL outer joins,
-    * attribute + derived (year/month) groupings, value aggregates,
-    * cross-column OR and prefix-LIKE side predicates. Menu discipline
-    * keeps every query inside the probe budgets (value/DISTINCT cells
-    * get at most one grouping key; OR only on ungrouped shapes; star
-    * groupings stay on small domains) so the entry's per-query
-    * scan-free require() holds by construction.
+  /** The 42-query join-matrix corpus (r18 VERDICT r17 #1; widened r19
+    * VERDICT r18 #5), a pure function of the seed: inner chains/stars,
+    * composite keys, EXISTS / NOT EXISTS / IN / NOT IN,
+    * LEFT/RIGHT/FULL outer joins, attribute + derived (year/month)
+    * groupings, value aggregates, cross-column OR and prefix-LIKE side
+    * predicates; r19 adds UNION ALL partition counts + value
+    * aggregates, null-aware NOT IN, nested EXISTS, outer joins INSIDE
+    * trees, and single-side FILTER cells — appended after the original
+    * 30 so those stay seed-identical. Menu discipline keeps every
+    * query inside the probe budgets (value/DISTINCT cells get at most
+    * one grouping key; OR only on ungrouped shapes; star groupings
+    * stay on small domains) so the entry's per-query scan-free
+    * require() holds by construction.
     * Tables: f (fact: k1 0..4, k2 0..2, g nullable string, w nullable
     * integral double 0..11, dt date over 300 days), d1 (dim: k1, k2,
-    * a 0..3, s string), d2 (dim: k2, b 0..5). */
+    * a 0..3, s string), d2 (dim: k2, b 0..5), d3 (outer-side dim with
+    * collision-free names: m1 0..2, c 0..3). */
   private lazy val joinWorkload: Seq[JoinWQuery] = {
     val rng = new scala.util.Random(20260818L)
     val types = Seq("click", "error", "purchase", "signup", "view")
@@ -11135,6 +11143,8 @@ ORDER BY query_id, grp, metric"""
     val valueCells = Seq("sum(f.w)", "avg(f.w)", "min(f.w)", "max(f.w)",
       "count(DISTINCT f.w)")
     val cheapCells = Seq("count(*)", "count(f.w)")
+    // unaliased count cells for UNION ALL subselect shapes (r19)
+    val cheapCellsBare = Seq("count(*)", "count(w)")
     def sel(keys: Seq[String], cells: Seq[String])
         : (String, Seq[String]) = {
       val ms = cells.indices.map(i => s"m${i + 1}")
@@ -11143,7 +11153,7 @@ ORDER BY query_id, grp, metric"""
       ((keyCols ++ cells.zip(ms).map { case (c, m) => s"$c AS $m" })
         .mkString(", "), ms)
     }
-    (1 to 30).map { i =>
+    val first30 = (1 to 30).map { i =>
       val qid = "jw%02d".format(i)
       val (inner, nKeys, ms) = (i - 1) % 6 match {
         case 0 => // inner 2-table, single-key equi-join
@@ -11276,6 +11286,105 @@ ORDER BY query_id, grp, metric"""
       }
       JoinWQuery(qid, inner, nKeys, ms)
     }
+    // r19 widen (VERDICT r18 #5): 12 more seeded queries covering the
+    // r18/r19 additions — UNION ALL partition counts, union VALUE
+    // aggregates, null-aware NOT IN, nested EXISTS, outer joins INSIDE
+    // trees (via the collision-free d3 dim), and single-side FILTER
+    // cells. Appended AFTER the 30-query block so their rng draws
+    // leave the original corpus byte-identical. Same menu discipline:
+    // every query stays inside the probe budgets by construction.
+    def fPredBare(): String = rng.nextInt(5) match {
+      case 0 => s"w <= ${pick(Seq(3, 6, 9))}.0"
+      case 1 =>
+        val vs = rng.shuffle(types).take(1 + rng.nextInt(2)).sorted
+        s"g IN (${vs.map(t => s"'$t'").mkString(", ")})"
+      case 2 => s"g LIKE '${pick(types).take(1 + rng.nextInt(2))}%'"
+      case 3 => if (rng.nextBoolean()) "w IS NOT NULL" else "g IS NULL"
+      case 4 => s"w != ${pick(Seq(1, 5))}.0"
+    }
+    def fUnion(): String =
+      s"SELECT * FROM F_TBL WHERE ${fPredBare()} UNION ALL " +
+        s"SELECT * FROM F_TBL WHERE ${fPredBare()}"
+    val extra = (31 to 42).map { i =>
+      val qid = "jw%02d".format(i)
+      val (inner, nKeys, ms) = (i - 31) % 6 match {
+        case 0 => // UNION ALL partition counts (grouped + plain)
+          val u = fUnion()
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("k2", "g"))
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCellsBare)))
+            (s"SELECT $s0 FROM ($u) GROUP BY $key", 1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(cheapCellsBare)))
+            (s"SELECT $s0 FROM ($u)", 0, ms0)
+          }
+        case 1 => // UNION ALL value aggregates (r19)
+          val u = fUnion()
+          val vc = Seq("sum(w)", "avg(w)", "min(w)", "max(w)",
+            "count(DISTINCT w)")
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("k2", "g"))
+            val (s0, ms0) = sel(Seq(key), Seq(pick(vc)))
+            (s"SELECT $s0 FROM ($u) GROUP BY $key", 1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(vc)))
+            (s"SELECT $s0 FROM ($u)", 0, ms0)
+          }
+        case 2 => // null-aware NOT IN (nullable left key g)
+          val in = "f.g NOT IN (SELECT r.s FROM D1_TBL r WHERE " +
+            s"${dPred("r.")})"
+          val fw = if (rng.nextBoolean()) s" AND ${fPred()}" else ""
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("f.k2", "year(f.dt)"))
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $in$fw GROUP BY $key",
+              1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $in$fw", 0, ms0)
+          }
+        case 3 => // nested EXISTS (a semi leaf whose left is a semi leaf)
+          val ex = "EXISTS (SELECT 1 FROM D1_TBL r WHERE r.k1 = f.k1 " +
+            "AND EXISTS (SELECT 1 FROM D2_TBL r2 WHERE r2.k2 = r.k2 " +
+            s"AND ${d2Pred("r2.")}))"
+          val fw = if (rng.nextBoolean()) s"${fPred()} AND " else ""
+          if (rng.nextBoolean()) {
+            val key = pick(fKeys)
+            val (s0, ms0) = sel(Seq(key), Seq(pick(cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $fw$ex GROUP BY $key",
+              1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(valueCells ++ cheapCells)))
+            (s"SELECT $s0 FROM F_TBL f WHERE $fw$ex", 0, ms0)
+          }
+        case 4 => // outer join INSIDE the tree (two-sided leaf, r19)
+          val jt = pick(Seq("LEFT", "FULL"))
+          val from = s"F_TBL f $jt JOIN D3_TBL d3 ON f.k1 = d3.m1 " +
+            "JOIN D2_TBL d2 ON f.k2 = d2.k2"
+          if (rng.nextBoolean()) {
+            val key = pick(Seq("d3.c", "f.g"))
+            val cells = Seq(pick(Seq("count(*)", "count(f.w)",
+              "sum(f.w)", "count(d3.c)")))
+            val (s0, ms0) = sel(Seq(key), cells)
+            (s"SELECT $s0 FROM $from GROUP BY $key", 1, ms0)
+          } else {
+            val cell = pick(Seq("count(*)", "sum(f.w)", "count(d3.c)"))
+            val (s0, ms0) = sel(Nil, Seq(cell))
+            (s"SELECT $s0 FROM $from", 0, ms0)
+          }
+        case 5 => // single-side FILTER cells over the star (r19)
+          val from = "F_TBL f JOIN D1_TBL d1 ON f.k1 = d1.k1"
+          val key = pick(Seq("d1.a", "f.k2", "f.g"))
+          val cells = Seq(
+            s"count(*) FILTER (WHERE ${fPred()})",
+            s"sum(f.w) FILTER (WHERE ${dPred("d1.")})")
+            .take(1 + rng.nextInt(2))
+          val (s0, ms0) = sel(Seq(key), cells)
+          (s"SELECT $s0 FROM $from GROUP BY $key", 1, ms0)
+      }
+      JoinWQuery(qid, inner, nKeys, ms)
+    }
+    first30 ++ extra
   }
 
   /** DuckDB oracle for the join workload: the identical query texts
@@ -11284,6 +11393,7 @@ ORDER BY query_id, grp, metric"""
   private lazy val joinWorkloadOracleSql: String = {
     def repl(x: String) = x.replace("F_TBL", "f")
       .replace("D1_TBL", "d1").replace("D2_TBL", "d2")
+      .replace("D3_TBL", "d3")
     val branches = joinWorkload.flatMap { q =>
       val grpExpr =
         if (q.nKeys == 0) "''"
@@ -11308,7 +11418,9 @@ d1 AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
          event_id % 4 AS a, event_type AS s
        FROM events WHERE event_id % 291 = 0),
 d2 AS (SELECT (event_id + 2) % 3 AS k2, event_id % 6 AS b
-       FROM events WHERE event_id % 485 = 0)
+       FROM events WHERE event_id % 485 = 0),
+d3 AS (SELECT event_id % 3 AS m1, event_id % 4 AS c
+       FROM events WHERE event_id % 211 = 0)
 SELECT * FROM (
 ${branches.mkString("\nUNION ALL\n")}
 )
@@ -11356,10 +11468,20 @@ ORDER BY query_id, grp, metric"""
             pmod(col("event_id") + 2, lit(3)).as("k2"),
             pmod(col("event_id"), lit(6)).as("b"))
           .write.mode("overwrite").parquet(s"$dir/d2.parquet")
+        // r19: an outer-side dim with COLLISION-FREE column names (the
+        // two-sided outer leaf routes conjuncts by name, so names
+        // shared with the fact would be excluded as ambiguous).
+        // Modulus 211 is coprime to 3 and 4, so m1 and c both vary.
+        ev.filter(pmod(col("event_id"), lit(211)) === 0)
+          .select(
+            pmod(col("event_id"), lit(3)).as("m1"),
+            pmod(col("event_id"), lit(4)).as("c"))
+          .write.mode("overwrite").parquet(s"$dir/d3.parquet")
         val colsByTable = Map(
           "f" -> Seq("k1", "k2", "g", "w", "dt"),
           "d1" -> Seq("k1", "k2", "a", "s"),
-          "d2" -> Seq("k2", "b"))
+          "d2" -> Seq("k2", "b"),
+          "d3" -> Seq("m1", "c"))
         val dfs = colsByTable.keys.map(t =>
           t -> s.read.parquet(s"$dir/$t.parquet")).toMap
         val doms = colsByTable.flatMap { case (t, cs) =>

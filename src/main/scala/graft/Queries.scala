@@ -2622,34 +2622,55 @@ ORDER BY query_id""")),
           dfs("d1").createOrReplaceTempView("graft_aqp_fc_d1")
           val from = "graft_aqp_fc_f f JOIN graft_aqp_fc_d1 d1 " +
             "ON f.k1 = d1.k1"
+          val ofrom = "graft_aqp_fc_f f LEFT JOIN graft_aqp_fc_d1 d1 " +
+            "ON f.k1 = d1.k1"
+          // (qid, sql, nKeys, nMetrics)
           val texts = Seq(
             // dim-grouped, fact-side and dim-side FILTERs
             ("fc1", "SELECT d1.a AS gk, count(*) AS m1, " +
               "count(*) FILTER (WHERE f.w >= 4.0) AS m2, " +
               "sum(f.w) FILTER (WHERE d1.s LIKE 'c%') AS m3 " +
-              s"FROM $from GROUP BY d1.a", 3),
+              s"FROM $from GROUP BY d1.a", 1, 3),
             // fact-grouped, conjunct-per-leaf FILTER (one conjunct on
             // each side of the SAME clause)
             ("fc2", "SELECT f.k2 AS gk, " +
               "count(f.w) FILTER (WHERE d1.a >= 2 AND f.w <= 6.0) " +
               "AS m1, avg(f.w) FILTER (WHERE d1.s != 'click') AS m2 " +
-              s"FROM $from GROUP BY f.k2", 2),
+              s"FROM $from GROUP BY f.k2", 1, 2),
             // fully-filtered groups still emit their row
             ("fc3", "SELECT d1.a AS gk, " +
               "count(*) FILTER (WHERE f.w >= 100.0) AS m1 " +
-              s"FROM $from GROUP BY d1.a", 1))
-          val rows = texts.flatMap { case (qid, sql, nm) =>
+              s"FROM $from GROUP BY d1.a", 1, 1),
+            // r19 second pass: UNGROUPED FILTER aggregates over the
+            // join tree fold per owning leaf too
+            ("fc4", "SELECT sum(f.w) FILTER (WHERE d1.a >= 2) AS m1 " +
+              s"FROM $from", 0, 1),
+            ("fc5", "SELECT count(*) FILTER (WHERE d1.s LIKE 'c%') " +
+              s"AS m1 FROM $from WHERE f.w <= 8.0", 0, 1),
+            // OUTER joins: per-side FILTER cells; a right-side Eq/LIKE
+            // clause excludes left-extension rows (SQL), IS NULL
+            // admits exactly them — grouped form includes the NULL
+            // group, ungrouped form beside it
+            ("fc6", "SELECT d1.a AS gk, count(*) AS m1, " +
+              "count(*) FILTER (WHERE f.w >= 4.0) AS m2, " +
+              "sum(f.w) FILTER (WHERE d1.s LIKE 'c%') AS m3 " +
+              s"FROM $ofrom GROUP BY d1.a", 1, 3),
+            ("fc7", "SELECT count(*) FILTER (WHERE d1.s IS NULL) " +
+              s"AS m1 FROM $ofrom", 0, 1))
+          val rows = texts.flatMap { case (qid, sql, nKeys, nm) =>
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
             require(plan.trim.startsWith("LocalRelation"),
               s"join FILTER-cell rewrite did not fire on $qid; " +
                 s"plan:\n$plan")
             df.collect().flatMap { r =>
-              val g = if (r.isNullAt(0)) "<NULL>" else r.get(0).toString
+              val g = if (nKeys == 0) ""
+                else if (r.isNullAt(0)) "<NULL>" else r.get(0).toString
               (1 to nm).map { j =>
+                val idx = nKeys + j - 1
                 val x: Option[Double] =
-                  if (r.isNullAt(j)) None
-                  else r.get(j) match {
+                  if (r.isNullAt(idx)) None
+                  else r.get(idx) match {
                     case l: java.lang.Long => Some(l.toDouble)
                     case dd: java.lang.Double => Some(dd)
                   }
@@ -2701,7 +2722,31 @@ SELECT * FROM (
   UNION ALL
   SELECT 'fc3', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm1',
     CAST(count(*) FILTER (WHERE f.w >= 100.0) AS DOUBLE)
-  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a)
+  FROM f JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc4', '', 'm1',
+    CAST(sum(f.w) FILTER (WHERE d1.a >= 2) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'fc5', '', 'm1',
+    CAST(count(*) FILTER (WHERE d1.s LIKE 'c%') AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1 WHERE f.w <= 8.0
+  UNION ALL
+  SELECT 'fc6', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm1',
+    CAST(count(*) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc6', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm2',
+    CAST(count(*) FILTER (WHERE f.w >= 4.0) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc6', coalesce(CAST(d1.a AS VARCHAR), '<NULL>'), 'm3',
+    CAST(sum(f.w) FILTER (WHERE d1.s LIKE 'c%') AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1 GROUP BY d1.a
+  UNION ALL
+  SELECT 'fc7', '', 'm1',
+    CAST(count(*) FILTER (WHERE d1.s IS NULL) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1)
 ORDER BY query_id, grp, metric""")),
     // EXISTS-filtered sides of OUTER joins (r19, VERDICT r18 #4 — the
     // composition PLANS r18 admitted was untested): a WHERE EXISTS on

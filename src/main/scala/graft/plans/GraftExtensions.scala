@@ -211,13 +211,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         stripProjects(child) match {
           // COUNT(*) over an inner equi-join (r16 session 4): two
           // single-table registrations compose into the join count —
-          // see [[rewriteJoinCount]]. The FILTER-clause slot must be
-          // empty (its conjuncts cannot be attributed to a side
-          // without column-ownership guesses).
-          case j: Join if filt.isEmpty =>
-            rewriteJoinCount(alias, j)
-              .orElse(rewriteSemiAntiCount(alias, j))
-              .orElse(rewriteOuterCount(alias, j))
+          // see [[rewriteJoinCount]]. r19 second pass: a FILTER
+          // clause folds per owning leaf / side (joinFiltByLeaf,
+          // semiAntiFilt, outerFiltSides); cross-side conjuncts make
+          // each rewrite return None → exact plan.
+          case j: Join =>
+            rewriteJoinCount(alias, j, filt)
+              .orElse(rewriteSemiAntiCount(alias, j, filt))
+              .orElse(rewriteOuterCount(alias, j, filt))
               .getOrElse(agg)
           // COUNT(*) over UNION ALL of registered partitions (r18):
           // the monthly-shard layout — the count is the SUM of
@@ -292,12 +293,13 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // pass): the owner leaf's probe carries the NotNull / Eq
           // conjunct and the edge grid does the rest; semi/anti
           // children (EXISTS shapes) ride the matched-key probe.
-          case j: Join if filt.isEmpty =>
-            rewriteJoinAgg(alias, Count(Seq(c)), distinct, c, j)
+          // r19: FILTER clauses fold per owning leaf / side.
+          case j: Join =>
+            rewriteJoinAgg(alias, Count(Seq(c)), distinct, c, j, filt)
               .orElse(rewriteSemiAntiAgg(alias, Count(Seq(c)),
-                distinct, c, j))
+                distinct, c, j, filt))
               .orElse(rewriteOuterAgg(alias, Count(Seq(c)),
-                distinct, c, j))
+                distinct, c, j, filt))
               .getOrElse(agg)
           // count(c) over UNION ALL: Σ per-partition NotNull counts
           // (each branch contributes its own positional attribute).
@@ -373,10 +375,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // supplying each n_v — `SELECT sum(x) FROM fact JOIN dim …`
           // is the most common analytics shape there is; semi/anti
           // children (EXISTS shapes) ride the matched-key probe.
-          case j: Join if filt.isEmpty =>
-            rewriteJoinAgg(alias, fn, distinct, c, j)
-              .orElse(rewriteSemiAntiAgg(alias, fn, distinct, c, j))
-              .orElse(rewriteOuterAgg(alias, fn, distinct, c, j))
+          // r19: FILTER clauses fold per owning leaf / side.
+          case j: Join =>
+            rewriteJoinAgg(alias, fn, distinct, c, j, filt)
+              .orElse(rewriteSemiAntiAgg(alias, fn, distinct, c, j,
+                filt))
+              .orElse(rewriteOuterAgg(alias, fn, distinct, c, j, filt))
               .getOrElse(agg)
           // sum/avg/min/max over UNION ALL (r19, VERDICT r18 #1): the
           // sharded-fact report — per-branch probe vectors compose
@@ -1083,11 +1087,15 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * At 100 TB this replaces the single most expensive plan shape there
     * is — a fact-fact shuffle join — with |D ∩ D| driver probes.
     */
-  private def rewriteJoinCount(alias: Alias,
-      j: Join): Option[LogicalPlan] =
+  private def rewriteJoinCount(alias: Alias, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] =
     for {
       spec <- flattenJoinTree(j)
-      total <- probed(joinCountProbes(spec, _ => Nil))
+      // r19 second pass: a COUNT(*) FILTER clause folds per owning
+      // leaf — `count(*) FILTER (WHERE d.region = 'EU')` over a join
+      // tree is the WHERE'd count by another name
+      fmap <- joinFiltByLeaf(spec, filt)
+      total <- probed(joinCountProbes(spec, i => fmap.getOrElse(i, Nil)))
     } yield LocalRelation(Seq(alias.toAttribute),
       Seq(InternalRow(total)))
 
@@ -1282,6 +1290,51 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
       }
     } yield JoinSpec(leaves, edges)
+  }
+
+  /** A FILTER clause (or any conjunction) attributed per owning leaf
+    * of a flattened join spec (r19, VERDICT r18 #3; shared by the
+    * grouped and ungrouped join-aggregate paths): each conjunct's
+    * attributes must resolve — through `base`, which poison-renames
+    * derived aliases so those fail closed — to ONE leaf that models
+    * them; the conjunct folds into that leaf's probe conjunction.
+    * None when any conjunct is cross-side, unowned, unregistered, or
+    * outside the mask vocabulary: callers MUST fall through on None
+    * (silently answering the unfiltered aggregate is the one
+    * non-conservative failure mode here). */
+  private def joinFiltByLeaf(spec: JoinSpec, filtE: Option[Expression],
+      base: AttributeReference => AttributeReference = identity)
+      : Option[Map[Int, Seq[Pred]]] = filtE match {
+    case None => Some(Map.empty)
+    case Some(f0) =>
+      def splitAnd(x: Expression): Seq[Expression] = x match {
+        case And(l, r) => splitAnd(l) ++ splitAnd(r)
+        case other => Seq(other)
+      }
+      val f = f0.transform { case a: AttributeReference => base(a) }
+      val perConj = splitAnd(f).map { cj =>
+        for {
+          owners <- {
+            val refs = cj.references.toSeq
+            val os = refs.map {
+              case a: AttributeReference =>
+                spec.leafOf(a).filter(i =>
+                  spec.leaves(i).reg.columns.contains(a.name))
+              case _ => None
+            }
+            if (os.isEmpty || os.exists(_.isEmpty)) None
+            else Some(os.map(_.get))
+          }
+          owner <- owners.distinct match {
+            case Seq(one) => Some(one)
+            case _ => None // cross-side conjunct: block
+          }
+          ps <- parseConjunction(cj)
+        } yield (owner, ps)
+      }
+      if (perConj.exists(_.isEmpty)) None
+      else Some(perConj.map(_.get).groupBy(_._1).map {
+        case (li, xs) => li -> xs.flatMap(_._2) })
   }
 
   /** The join count of a flattened spec by per-key-value factorization
@@ -1730,12 +1783,54 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewriteOuterCount(alias: Alias,
-      j: Join): Option[LogicalPlan] =
+  /** A FILTER clause over an outer join split per SIDE (r19 second
+    * pass): each conjunct's attributes must be owned by one side
+    * ([[outerSide]]); NULL-extension correctness then falls out of
+    * [[outerEstFn]]'s IS-NULL-only gate (a right-side `d.x = 1` clause
+    * excludes left-extension rows — SQL's semantics — while
+    * `d.x IS NULL` admits them). None blocks the rewrite. */
+  private def outerFiltSides(sp: OuterParts, j: Join,
+      filtE: Option[Expression]): Option[(Seq[Pred], Seq[Pred])] =
+    filtE match {
+      case None => Some((Nil, Nil))
+      case Some(f0) =>
+        def splitAnd(x: Expression): Seq[Expression] = x match {
+          case And(l, r) => splitAnd(l) ++ splitAnd(r)
+          case other => Seq(other)
+        }
+        val perConj = splitAnd(f0).map { cj =>
+          for {
+            sides <- {
+              val refs = cj.references.toSeq
+              val ss = refs.map {
+                case a: AttributeReference => outerSide(sp, j, a)
+                case _ => None
+              }
+              if (ss.isEmpty || ss.exists(_.isEmpty)) None
+              else Some(ss.map(_.get))
+            }
+            side <- sides.distinct match {
+              case Seq(one) => Some(one)
+              case _ => None // cross-side conjunct: block
+            }
+            ps <- parseConjunction(cj)
+          } yield (side, ps)
+        }
+        if (perConj.exists(_.isEmpty)) None
+        else {
+          val xs = perConj.map(_.get)
+          Some((xs.filter(_._1 == 0).flatMap(_._2),
+            xs.filter(_._1 == 1).flatMap(_._2)))
+        }
+    }
+
+  private def rewriteOuterCount(alias: Alias, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] =
     for {
       sp <- outerSpec(j)
+      fs <- outerFiltSides(sp, j, filt)
       total <- probed {
-        try Some(outerEstFn(sp)(Nil, Nil))
+        try Some(outerEstFn(sp)(fs._1, fs._2))
         catch { case _: ArithmeticException => None }
       }
     } yield LocalRelation(Seq(alias.toAttribute),
@@ -1757,10 +1852,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * aggregates fall out of the Eq/NotNull probes rejecting the
     * extension term (see [[outerEstFn]]). */
   private def rewriteOuterAgg(alias: Alias, fn: AggregateFunction,
-      distinct: Boolean, c: AttributeReference,
-      j: Join): Option[LogicalPlan] = {
+      distinct: Boolean, c: AttributeReference, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] = {
     for {
       sp <- outerSpec(j)
+      fs <- outerFiltSides(sp, j, filt)
       side <- outerSide(sp, j, c)
       leaf = if (side == 0) sp.lLeaf else sp.rLeaf
       dom <- fn match {
@@ -1772,7 +1868,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         BigInt(maxTotalProbes)
       oEst = outerEstFn(sp)
       est = (extra: Seq[Pred]) =>
-        if (side == 0) oEst(extra, Nil) else oEst(Nil, extra)
+        if (side == 0) oEst(fs._1 ++ extra, fs._2)
+        else oEst(fs._1, fs._2 ++ extra)
       value <- probed {
         try {
           fn match {
@@ -1796,8 +1893,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * side ([[groupKeyOf]] whitelist included); a grouping key on the
     * non-preserved side gains a synthetic NULL group when its domain
     * has no null slot — the unmatched rows of the preserved side land
-    * there (outerEstFn's IS NULL gate makes that exact). Cell FILTER
-    * clauses stay out. Zero-count groups are dropped, matching SQL. */
+    * there (outerEstFn's IS NULL gate makes that exact). r19 second
+    * pass: cell FILTER clauses fold per SIDE through
+    * [[outerFiltSides]] — NULL-extension correctness falls out of the
+    * same IS-NULL-only gate; cross-side clauses block. Zero-count
+    * groups are dropped, matching SQL. */
   private def rewriteGroupedOuter(agg: Aggregate, j: Join,
       base: AttributeReference => AttributeReference,
       resolveKey: Expression => Expression): Option[LogicalPlan] = {
@@ -1833,11 +1933,18 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
       }
       cells <- {
-        val cs: Seq[Option[(Cell, Int)]] = agg.aggregateExpressions.map {
+        // r19 second pass: FILTER clauses fold per SIDE — the cell
+        // carries its (left preds, right preds) split; a cross-side
+        // conjunct fails the split and blocks the whole rewrite. The
+        // Cell's filt field carries the flattened preds so cellCost
+        // charges the filtered count(*) probe.
+        val noF = (Nil: Seq[Pred], Nil: Seq[Pred])
+        val cs: Seq[Option[(Cell, Int, (Seq[Pred], Seq[Pred]))]] =
+          agg.aggregateExpressions.map {
           case a: AttributeReference =>
-            groupIdx(a).map(i => (GroupCell(i), -1))
+            groupIdx(a).map(i => (GroupCell(i), -1, noF))
           case al @ Alias(AggregateExpression(
-              fn, _, distinct, None, _), _) =>
+              fn, _, distinct, filtE, _), _) =>
             def ownedDom(c0: AttributeReference, needDom: Boolean)
                 : Option[(AttributeReference, Int, Seq[Any])] =
               for {
@@ -1847,19 +1954,23 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   else domainOf(leaf.reg, base(c0).name)
                     .filter(x => x.nonEmpty && x.size <= maxGroupProbes)
               } yield (base(c0), side, d)
-            fn match {
-              case Count(Seq(Literal(1, _))) if !distinct =>
-                Some((CountStarCell(Nil), -1))
-              case Count(Seq(c0: AttributeReference)) =>
-                ownedDom(c0, needDom = distinct).map { case (c, side, d) =>
-                  (CountColCell(c, distinct, Nil, d), side) }
-              case _ => valueAggColumn(fn).flatMap(c0 =>
-                ownedDom(c0, needDom = true).map { case (c, side, d) =>
-                  (ValueAggCell(fn, distinct, c, al.dataType, Nil, d),
-                    side)
-                })
+            outerFiltSides(sp, j, filtE.map(_.transform {
+              case a: AttributeReference => base(a) })).flatMap { fs =>
+              val flat = fs._1 ++ fs._2
+              fn match {
+                case Count(Seq(Literal(1, _))) if !distinct =>
+                  Some((CountStarCell(flat), -1, fs))
+                case Count(Seq(c0: AttributeReference)) =>
+                  ownedDom(c0, needDom = distinct).map { case (c, side, d) =>
+                    (CountColCell(c, distinct, flat, d), side, fs) }
+                case _ => valueAggColumn(fn).flatMap(c0 =>
+                  ownedDom(c0, needDom = true).map { case (c, side, d) =>
+                    (ValueAggCell(fn, distinct, c, al.dataType, flat, d),
+                      side, fs)
+                  })
+              }
             }
-          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1))
+          case Alias(e, _) => groupIdx(e).map(i => (GroupCell(i), -1, noF))
           case _ => None
         }
         if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
@@ -1884,24 +1995,27 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
             val exR0 = keys.indices.filter(sides(_) == 1).map(gi =>
               groupPred(keys(gi), combo(gi)._1, combo(gi)._2))
-            def estFor(cellSide: Int): Seq[Pred] => Long = extra =>
-              oEst(exL0 ++ (if (cellSide == 0) extra else Nil),
-                exR0 ++ (if (cellSide == 1) extra else Nil))
+            def estFor(cellSide: Int,
+                fs: (Seq[Pred], Seq[Pred])): Seq[Pred] => Long = extra =>
+              oEst(exL0 ++ fs._1 ++ (if (cellSide == 0) extra else Nil),
+                exR0 ++ fs._2 ++ (if (cellSide == 1) extra else Nil))
             val n = oEst(exL0, exR0)
             if (n > 0L) {
               val vals: Seq[Option[Any]] = cells.map {
-                case (GroupCell(i), _) =>
+                case (GroupCell(i), _, _) =>
                   Some(if (combo(i)._1 == null) null
                     else gConv(i)(combo(i)._1))
-                case (CountStarCell(_), _) => Some(n)
-                case (CountColCell(c, false, _, _), side) =>
-                  Some(estFor(side)(Seq(Pred(c.name, Op.NotNull, null))))
-                case (CountColCell(c, true, _, dom), side) =>
-                  Some(dom.count(v => v != null && estFor(side)(
+                case (CountStarCell(filt), _, fs) =>
+                  Some(if (filt.isEmpty) n else estFor(-1, fs)(Nil))
+                case (CountColCell(c, false, _, _), side, fs) =>
+                  Some(estFor(side, fs)(
+                    Seq(Pred(c.name, Op.NotNull, null))))
+                case (CountColCell(c, true, _, dom), side, fs) =>
+                  Some(dom.count(v => v != null && estFor(side, fs)(
                     Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong)
-                case (v: ValueAggCell, side) =>
+                case (v: ValueAggCell, side, fs) =>
                   foldValueAgg(v.fn, v.distinct, v.resultType, v.col,
-                    estFor(side), Nil, v.dom)
+                    estFor(side, fs), Nil, v.dom)
               }
               if (vals.exists(_.isEmpty)) failed = true
               else out += InternalRow.fromSeq(vals.map(_.get))
@@ -2346,14 +2460,27 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rows)
   }
 
-  private def rewriteSemiAntiCount(alias: Alias,
-      j: Join): Option[LogicalPlan] =
+  /** A FILTER clause over a semi/anti join folds into the LEFT
+    * conjunction (r19 second pass): the join output carries only left
+    * columns, so every clause attribute is left-owned by construction
+    * — it just needs to parse and be modeled. None (callers MUST fall
+    * through) otherwise. */
+  private def semiAntiFilt(sp: SemiAntiParts,
+      filt: Option[Expression]): Option[Seq[Pred]] = filt match {
+    case None => Some(Nil)
+    case Some(f) => parseConjunction(f)
+      .filter(_.forall(p => sp.lLeaf.reg.columns.contains(p.col)))
+  }
+
+  private def rewriteSemiAntiCount(alias: Alias, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] =
     for {
       sp <- semiAntiSpec(j)
+      fp <- semiAntiFilt(sp, filt)
       if BigInt(sp.matched.size + 1) * BigInt(sp.lLeaf.cost) <=
         BigInt(maxTotalProbes)
       total <- probed {
-        try Some(semiAntiEstFn(sp)(Nil))
+        try Some(semiAntiEstFn(sp)(fp))
         catch { case _: ArithmeticException => None }
       }
     } yield LocalRelation(Seq(alias.toAttribute),
@@ -2367,10 +2494,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * semi/anti output carries no right columns — and the outputSet
     * check guards it structurally against name collisions). */
   private def rewriteSemiAntiAgg(alias: Alias, fn: AggregateFunction,
-      distinct: Boolean, c: AttributeReference,
-      j: Join): Option[LogicalPlan] = {
+      distinct: Boolean, c: AttributeReference, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] = {
     for {
       sp <- semiAntiSpec(j)
+      fp <- semiAntiFilt(sp, filt)
       if j.left.outputSet.contains(c) &&
         sp.lLeaf.reg.columns.contains(c.name)
       dom <- fn match {
@@ -2385,12 +2513,12 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         try {
           fn match {
             case Count(_) if !distinct =>
-              Some(est(Seq(Pred(c.name, Op.NotNull, null))): Any)
+              Some(est(fp :+ Pred(c.name, Op.NotNull, null)): Any)
             case Count(_) =>
               Some(dom.count(v => v != null &&
-                est(Seq(Pred(c.name, Op.Eq, v))) > 0L).toLong: Any)
+                est(fp :+ Pred(c.name, Op.Eq, v)) > 0L).toLong: Any)
             case _ =>
-              foldValueAgg(fn, distinct, alias.dataType, c, est, Nil,
+              foldValueAgg(fn, distinct, alias.dataType, c, est, fp,
                 dom)
           }
         } catch { case _: ArithmeticException => None }
@@ -2410,10 +2538,14 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * edge-grid probes, all bounded inside joinCountProbes per call
     * plus the |domain| multiplier here. */
   private def rewriteJoinAgg(alias: Alias, fn: AggregateFunction,
-      distinct: Boolean, c: AttributeReference,
-      j: Join): Option[LogicalPlan] = {
+      distinct: Boolean, c: AttributeReference, j: Join,
+      filt: Option[Expression] = None): Option[LogicalPlan] = {
     for {
       spec <- flattenJoinTree(j)
+      // r19 second pass: single-side FILTER clauses fold per owning
+      // leaf on the UNGROUPED path too (`sum(f.x) FILTER (WHERE
+      // d.region = 'EU') FROM fact JOIN dim`); cross-side blocks
+      fmap <- joinFiltByLeaf(spec, filt)
       owner <- spec.leafOf(c)
       if spec.leaves(owner).reg.columns.contains(c.name)
       dom <- domainOf(spec.leaves(owner).reg, c.name)
@@ -2423,7 +2555,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if BigInt(dom.size) * edgeCombos * leafTerms <=
         BigInt(maxTotalProbes)
       est = (extra: Seq[Pred]) =>
-        joinCountProbes(spec, i => if (i == owner) extra else Nil)
+        joinCountProbes(spec, i => fmap.getOrElse(i, Nil) ++
+          (if (i == owner) extra else Nil))
           .getOrElse(throw new ArithmeticException("join-agg overflow"))
       value <- probed {
         try {
@@ -2508,44 +2641,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // answer the UNFILTERED aggregate — the one non-conservative
       // failure mode, same hazard foldFilterClause documents).
       cells <- {
-        def splitAnd(x: Expression): Seq[Expression] = x match {
-          case And(l, r) => splitAnd(l) ++ splitAnd(r)
-          case other => Seq(other)
-        }
-        // FILTER clause → per-owning-leaf pred lists; None when any
-        // conjunct is cross-side, unowned, unregistered, or outside
-        // the mask vocabulary (base() poison-renames derived
-        // resolutions, so the columns check fails those closed)
-        def filtByLeaf(filtE: Option[Expression])
-            : Option[Map[Int, Seq[Pred]]] = filtE match {
-          case None => Some(Map.empty)
-          case Some(f0) =>
-            val f = f0.transform {
-              case a: AttributeReference => base(a) }
-            val perConj = splitAnd(f).map { cj =>
-              for {
-                owners <- {
-                  val refs = cj.references.toSeq
-                  val os = refs.map {
-                    case a: AttributeReference =>
-                      spec.leafOf(a).filter(i =>
-                        spec.leaves(i).reg.columns.contains(a.name))
-                    case _ => None
-                  }
-                  if (os.isEmpty || os.exists(_.isEmpty)) None
-                  else Some(os.map(_.get))
-                }
-                owner <- owners.distinct match {
-                  case Seq(one) => Some(one)
-                  case _ => None // cross-side conjunct: block
-                }
-                ps <- parseConjunction(cj)
-              } yield (owner, ps)
-            }
-            if (perConj.exists(_.isEmpty)) None
-            else Some(perConj.map(_.get).groupBy(_._1).map {
-              case (li, xs) => li -> xs.flatMap(_._2) })
-        }
+        def filtByLeaf(filtE: Option[Expression]) =
+          joinFiltByLeaf(spec, filtE, base)
         val cs: Seq[Option[(Cell, Int, Map[Int, Seq[Pred]])]] =
           agg.aggregateExpressions.map {
           case a: AttributeReference =>

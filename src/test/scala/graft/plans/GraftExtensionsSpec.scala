@@ -458,10 +458,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (if (r.isNullAt(0)) "<NULL>"
         else r.getString(0)) -> r.getLong(1)).toMap
     assert(g == Map("x" -> 2L, "y" -> 1L, "z" -> 1L, "<NULL>" -> 2L))
-    // a FILTER-clause cell cannot be side-attributed -> exact plan
-    val filt = spark.sql("SELECT r.b, count(*) FILTER (WHERE l.w > 15) " +
-      "FROM outg_l l LEFT JOIN outg_r r ON l.k = r.k GROUP BY r.b")
-    assert(!filt.queryExecution.optimizedPlan.toString.trim
+    // r19 supersedes the r18 pin here: a SINGLE-SIDE FILTER cell now
+    // folds per side and REWRITES (values checked vs the exact plan);
+    // only a cross-side clause still falls through.
+    val filtQ = "SELECT r.b AS grp, count(*) FILTER (WHERE l.w > 15) " +
+      "AS nf FROM outg_l l LEFT JOIN outg_r r ON l.k = r.k GROUP BY r.b"
+    spark.conf.set(GraftRuntime.EnabledKey, "false")
+    val filtExact = spark.sql(filtQ).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    spark.conf.set(GraftRuntime.EnabledKey, "true")
+    val filtGot = run(filtQ).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(filtGot == filtExact)
+    val crossFilt = spark.sql("SELECT r.b, count(*) FILTER " +
+      "(WHERE l.w > CAST(length(r.b) AS DOUBLE)) FROM outg_l l " +
+      "LEFT JOIN outg_r r ON l.k = r.k GROUP BY r.b")
+    assert(!crossFilt.queryExecution.optimizedPlan.toString.trim
       .startsWith("LocalRelation"))
     // non-equi outer joins fall through
     val ne = spark.sql("SELECT count(*) FROM outg_l l LEFT JOIN " +
@@ -1170,6 +1181,52 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "count(*) FILTER (WHERE f.w >= CAST(d.a AS DOUBLE)) AS nf " +
         "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1 GROUP BY d.a",
         want = false)
+      // r19 second pass: UNGROUPED aggregates carry FILTER clauses too
+      assertRewrites("SELECT count(*) FILTER (WHERE d.t LIKE 'x%') " +
+        "AS nf FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1", want = true)
+      assertRewrites("SELECT sum(f.w) FILTER (WHERE d.a = 1 AND " +
+        "f.w <= 6.0) AS sx FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1",
+        want = true)
+      assertRewrites("SELECT count(f.w) FILTER (WHERE f.w >= 100.0) " +
+        "AS nz FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1", want = true)
+      // ungrouped cross-side FILTER: block
+      assertRewrites("SELECT count(*) FILTER " +
+        "(WHERE f.w >= CAST(d.a AS DOUBLE)) AS nf " +
+        "FROM fcj_f f JOIN fcj_d d ON f.k1 = d.m1", want = false)
+      // ungrouped FILTER over an EXISTS (semi) shape: folds into the
+      // left conjunction
+      assertRewrites("SELECT count(*) FILTER (WHERE f.w <= 4.0) AS nf " +
+        "FROM fcj_f f WHERE EXISTS (SELECT 1 FROM fcj_d d " +
+        "WHERE d.m1 = f.k1 AND d.a >= 1)", want = true)
+    }
+  }
+
+  test("FILTER clauses over OUTER joins: per-side fold, NULL-extension exact (r19)") {
+    val s = spark
+    import s.implicits._
+    val f = Seq((1L, 2.0), (1L, 4.0), (2L, 6.0), (3L, 8.0))
+      .toDF("k1", "w")
+    val d = Seq((1L, 0L, "xa"), (2L, 1L, "yb")).toDF("m1", "a", "t")
+    withRegistered("fof", Seq(
+      ("f", f, Seq("k1", "w")), ("d", d, Seq("m1", "a", "t")))) {
+      val from = "fof_f f LEFT JOIN fof_d d ON f.k1 = d.m1"
+      // ungrouped: right-side FILTER excludes left-extension rows
+      // (Eq rejects NULL); IS NULL admits exactly them
+      assertRewrites("SELECT count(*) FILTER (WHERE d.t = 'xa') AS nf " +
+        s"FROM $from", want = true)
+      assertRewrites("SELECT count(*) FILTER (WHERE d.t IS NULL) " +
+        s"AS nn FROM $from", want = true)
+      assertRewrites("SELECT sum(f.w) FILTER (WHERE d.a = 1) AS sx " +
+        s"FROM $from", want = true)
+      // grouped: per-side FILTER cells beside the NULL group
+      assertRewrites("SELECT d.a AS grp, count(*) AS n, " +
+        "count(*) FILTER (WHERE f.w >= 4.0) AS nf, " +
+        "sum(f.w) FILTER (WHERE d.t LIKE 'x%') AS sx " +
+        s"FROM $from GROUP BY d.a", want = true)
+      // cross-side FILTER blocks on outer joins too
+      assertRewrites("SELECT count(*) FILTER " +
+        "(WHERE f.w >= CAST(d.a AS DOUBLE)) AS nf " +
+        s"FROM $from", want = false)
     }
   }
 

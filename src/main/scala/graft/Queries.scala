@@ -2364,7 +2364,12 @@ ORDER BY query_id""")),
             "ua6_sum_distinct" ->
               s"SELECT sum(DISTINCT w) AS x FROM ($union)",
             "ua7_count_distinct" ->
-              s"SELECT count(DISTINCT w) AS x FROM ($union) WHERE k >= 1")
+              s"SELECT count(DISTINCT w) AS x FROM ($union) WHERE k >= 1",
+            // r19 second pass: FILTER clauses fold per branch
+            "ua9_sum_filter" ->
+              s"SELECT sum(w) FILTER (WHERE k <= 2) AS x FROM ($union)",
+            "ua9b_count_filter" -> ("SELECT count(*) FILTER " +
+              s"(WHERE w >= 5.0) AS x FROM ($union) WHERE k != 0"))
           val rows = texts.map { case (qid, sql) =>
             val df = s.sql(sql)
             val plan = df.queryExecution.optimizedPlan.toString
@@ -2424,6 +2429,13 @@ SELECT * FROM (
   UNION ALL
   SELECT 'ua7_count_distinct', CAST(count(DISTINCT w) AS DOUBLE)
     FROM u WHERE k >= 1
+  UNION ALL
+  SELECT 'ua9_sum_filter',
+    CAST(sum(w) FILTER (WHERE k <= 2) AS DOUBLE) FROM u
+  UNION ALL
+  SELECT 'ua9b_count_filter',
+    CAST(count(*) FILTER (WHERE w >= 5.0) AS DOUBLE) FROM u
+    WHERE k != 0
   UNION ALL
   SELECT 'ua8_' || CAST(k AS VARCHAR) || '_sw',
     CAST(sum(w) AS DOUBLE) FROM u GROUP BY k
@@ -11429,7 +11441,55 @@ ORDER BY query_id, grp, metric"""
       }
       JoinWQuery(qid, inner, nKeys, ms)
     }
-    first30 ++ extra
+    // r19 second pass: four more shapes for the FILTER completion —
+    // ungrouped FILTER over the star, per-side FILTER over an outer
+    // join, per-branch FILTER over a union, FILTER beside EXISTS.
+    val extra2 = (43 to 46).map { i =>
+      val qid = "jw%02d".format(i)
+      val (inner, nKeys, ms) = (i - 43) % 4 match {
+        case 0 => // ungrouped FILTER aggregate over the star
+          val from = "F_TBL f JOIN D1_TBL d1 ON f.k1 = d1.k1"
+          val cell = pick(Seq(
+            s"count(*) FILTER (WHERE ${dPred("d1.")})",
+            s"sum(f.w) FILTER (WHERE ${fPred()})",
+            s"count(f.w) FILTER (WHERE ${dPred("d1.")})"))
+          val fw = if (rng.nextBoolean()) s" WHERE ${fPred()}" else ""
+          val (s0, ms0) = sel(Nil, Seq(cell))
+          (s"SELECT $s0 FROM $from$fw", 0, ms0)
+        case 1 => // per-side FILTER cells over an outer join
+          val jt = pick(Seq("LEFT", "FULL"))
+          val from = s"F_TBL f $jt JOIN D1_TBL d1 ON f.k1 = d1.k1"
+          val key = pick(Seq("d1.a", "f.k2"))
+          val cells = Seq("count(*)",
+            s"count(*) FILTER (WHERE ${dPred("d1.")})",
+            s"sum(f.w) FILTER (WHERE ${fPred()})")
+          val (s0, ms0) = sel(Seq(key), cells)
+          (s"SELECT $s0 FROM $from GROUP BY $key", 1, ms0)
+        case 2 => // per-branch FILTER over a union
+          val u = fUnion()
+          val cell = pick(Seq(
+            "count(*) FILTER (WHERE w <= 6.0)",
+            "sum(w) FILTER (WHERE k != 2)",
+            "count(w) FILTER (WHERE g IS NOT NULL)"))
+          if (rng.nextBoolean()) {
+            val (s0, ms0) = sel(Seq("k2"), Seq("count(*)", cell))
+            (s"SELECT $s0 FROM ($u) GROUP BY k2", 1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(cell))
+            (s"SELECT $s0 FROM ($u)", 0, ms0)
+          }
+        case 3 => // FILTER beside an EXISTS (semi-leaf left fold)
+          val ex = s"EXISTS (SELECT 1 FROM D1_TBL r WHERE " +
+            s"r.k1 = f.k1 AND ${dPred("r.")})"
+          val cell = pick(Seq(
+            s"count(*) FILTER (WHERE ${fPred()})",
+            s"sum(f.w) FILTER (WHERE ${fPred()})"))
+          val (s0, ms0) = sel(Nil, Seq(cell))
+          (s"SELECT $s0 FROM F_TBL f WHERE $ex", 0, ms0)
+      }
+      JoinWQuery(qid, inner, nKeys, ms)
+    }
+    first30 ++ extra ++ extra2
   }
 
   /** DuckDB oracle for the join workload: the identical query texts

@@ -226,9 +226,10 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // pushed into every branch by PushDownPredicatesThroughUnion
           // long before this last-batch rule runs, so each leaf
           // carries its own copy. Semi/anti-filtered branches ride the
-          // leaf abstraction.
-          case u: Union if filt.isEmpty =>
-            rewriteUnionCount(alias, None, u).getOrElse(agg)
+          // leaf abstraction. r19: FILTER clauses fold per branch by
+          // positional column mapping.
+          case u: Union =>
+            rewriteUnionCount(alias, None, u, filt).getOrElse(agg)
           case stripped =>
             // Filtered or bare scan (r16 session 4 made the WHERE
             // optional: estimate(Nil) is the table cardinality — for
@@ -307,10 +308,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // so it is not a per-partition sum — it is the support size
           // of the canonical-key-merged per-branch domains
           // (rewriteUnionAgg's merged probe vector).
-          case u: Union if filt.isEmpty =>
+          case u: Union =>
             (if (distinct) rewriteUnionAgg(alias, Count(Seq(c)),
-              distinct = true, c, u)
-            else rewriteUnionCount(alias, Some(c), u)).getOrElse(agg)
+              distinct = true, c, u, filt)
+            else rewriteUnionCount(alias, Some(c), u, filt))
+              .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -384,9 +386,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .getOrElse(agg)
           // sum/avg/min/max over UNION ALL (r19, VERDICT r18 #1): the
           // sharded-fact report — per-branch probe vectors compose
-          // additively over the canonical-key-merged value domain.
-          case u: Union if filt.isEmpty =>
-            rewriteUnionAgg(alias, fn, distinct, c, u).getOrElse(agg)
+          // additively over the canonical-key-merged value domain;
+          // FILTER clauses fold per branch.
+          case u: Union =>
+            rewriteUnionAgg(alias, fn, distinct, c, u, filt)
+              .getOrElse(agg)
           case _ =>
         val (dnfOpt0, scanChild) = parseWhereDnf(child)
         val dnfOpt = foldFilterDnf(dnfOpt0, filt)
@@ -2038,7 +2042,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * branches compose via [[registeredLeaf]]); overflow → exact plan.
     */
   private def rewriteUnionCount(alias: Alias,
-      col: Option[AttributeReference], u: Union): Option[LogicalPlan] = {
+      col: Option[AttributeReference], u: Union,
+      filt: Option[Expression] = None): Option[LogicalPlan] = {
     val pos = col.map(c => u.output.indexWhere(_.exprId == c.exprId))
     if (pos.exists(_ < 0)) return None
     for {
@@ -2046,6 +2051,9 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ls = u.children.map(registeredLeaf)
         if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
       }
+      // r19 second pass: a FILTER clause folds per branch by
+      // positional column mapping
+      bf <- unionFiltPerBranch(u, leaves, filt)
       // per-branch count(c) needs the branch's own column at c's
       // union position, registered under the branch's estimator
       branchCols <- pos match {
@@ -2064,9 +2072,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       total <- probed {
         try {
           var acc = 0L
-          leaves.zip(branchCols).foreach { case (l, bc) =>
-            val preds = bc.toSeq.map(n => Pred(n, Op.NotNull, null))
-            acc = Math.addExact(acc, dnfEstFn(l.reg, l.dnf)(preds))
+          leaves.zip(branchCols).zipWithIndex.foreach {
+            case ((l, bc), b) =>
+              val preds = bf(b) ++
+                bc.toSeq.map(n => Pred(n, Op.NotNull, null))
+              acc = Math.addExact(acc, dnfEstFn(l.reg, l.dnf)(preds))
           }
           Some(acc)
         } catch { case _: ArithmeticException => None }
@@ -2159,6 +2169,53 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A FILTER clause over a UNION ALL attributed per BRANCH by
+    * positional column mapping (r19 second pass): each conjunct must
+    * reference exactly one union output attribute whose position every
+    * branch models under an identical type; the parsed preds are then
+    * re-colored with each branch's OWN column name at that position.
+    * None (callers MUST fall through) when any conjunct is
+    * multi-column, unmodeled, or outside the mask vocabulary. */
+  private def unionFiltPerBranch(u: Union, leaves: Seq[JoinLeaf],
+      filtE: Option[Expression],
+      base: AttributeReference => AttributeReference = identity)
+      : Option[Seq[Seq[Pred]]] = filtE match {
+    case None => Some(u.children.map(_ => Nil))
+    case Some(f0) =>
+      def splitAnd(x: Expression): Seq[Expression] = x match {
+        case And(l, r) => splitAnd(l) ++ splitAnd(r)
+        case other => Seq(other)
+      }
+      val f = f0.transform { case a: AttributeReference => base(a) }
+      def outPos(a: AttributeReference): Option[Int] = {
+        val p = u.output.indexWhere(_.exprId == a.exprId)
+        if (p >= 0 && u.children.forall(
+            _.output(p).dataType == u.output(p).dataType)) Some(p)
+        else None
+      }
+      def branchCol(b: Int, p: Int): Option[String] =
+        u.children(b).output(p) match {
+          case a: AttributeReference
+              if leaves(b).reg.columns.contains(a.name) => Some(a.name)
+          case _ => None
+        }
+      val perConj: Seq[Option[(Int, Seq[Pred])]] = splitAnd(f).map { cj =>
+        for {
+          p <- cj.references.toSeq match {
+            case Seq(a: AttributeReference) => outPos(a)
+            case _ => None
+          }
+          if u.children.indices.forall(b => branchCol(b, p).isDefined)
+          ps <- parseConjunction(cj)
+        } yield (p, ps)
+      }
+      if (perConj.exists(_.isEmpty)) None
+      else Some(u.children.indices.map { b =>
+        perConj.map(_.get).flatMap { case (p, ps) =>
+          ps.map(_.copy(col = branchCol(b, p).get)) }
+      })
+  }
+
   /** sum/avg/min/max + count(DISTINCT c) over UNION ALL of registered
     * partitions (r19, VERDICT r18 #1): the sharded-fact report —
     * `SELECT sum(x) FROM (shard1 UNION ALL shard2 …)`. sum and count
@@ -2177,8 +2234,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * plan. At 100 TB this answers the most common sharded-layout
     * report without scanning a single shard. */
   private def rewriteUnionAgg(alias: Alias, fn: AggregateFunction,
-      distinct: Boolean, c: AttributeReference,
-      u: Union): Option[LogicalPlan] = {
+      distinct: Boolean, c: AttributeReference, u: Union,
+      filt: Option[Expression] = None): Option[LogicalPlan] = {
     val pos = u.output.indexWhere(_.exprId == c.exprId)
     if (pos < 0 ||
         !u.children.forall(_.output(pos).dataType == u.output(pos).dataType))
@@ -2188,6 +2245,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ls = u.children.map(registeredLeaf)
         if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
       }
+      // r19 second pass: FILTER folds per branch (positional mapping)
+      bf <- unionFiltPerBranch(u, leaves, filt)
       branchCols <- {
         val cs = u.children.zip(leaves).map { case (ch, l) =>
           ch.output(pos) match {
@@ -2216,7 +2275,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           while (b < reps.length) {
             reps(b) match {
               case Some(rv) => acc = Math.addExact(acc,
-                ests(b)(Seq(Pred(branchCols(b), Op.Eq, rv))))
+                ests(b)(bf(b) :+ Pred(branchCols(b), Op.Eq, rv)))
               case None => ()
             }
             b += 1
@@ -2253,15 +2312,18 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val i = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
       if (i >= 0) Some(i) else None
     }
+    // each cell carries its FILTER clause pre-attributed per branch
+    // (bf; empty lists when unfiltered) — r19 second pass
     sealed trait UCell
     case class UGroup(i: Int) extends UCell
-    case object UStar extends UCell
-    case class UCol(pos: Int) extends UCell
-    case class UColD(pos: Int, merged: Seq[Array[Option[Any]]])
-      extends UCell
+    case class UStar(bf: Seq[Seq[Pred]]) extends UCell
+    case class UCol(pos: Int, bf: Seq[Seq[Pred]]) extends UCell
+    case class UColD(pos: Int, merged: Seq[Array[Option[Any]]],
+        bf: Seq[Seq[Pred]]) extends UCell
     case class UVal(fn: AggregateFunction, distinct: Boolean, pos: Int,
         resultType: org.apache.spark.sql.types.DataType,
-        merged: Seq[Array[Option[Any]]]) extends UCell
+        merged: Seq[Array[Option[Any]]], bf: Seq[Seq[Pred]])
+      extends UCell
     def outPos(a: AttributeReference): Option[Int] = {
       val p = u.output.indexWhere(_.exprId == base(a).exprId)
       // identical positional types: the emitted group/row values are
@@ -2327,17 +2389,21 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val cs: Seq[Option[UCell]] = agg.aggregateExpressions.map {
           case a: AttributeReference => groupIdx(a).map(UGroup)
           case al @ Alias(AggregateExpression(
-              fn, _, distinct, None, _), _) => fn match {
-            case Count(Seq(Literal(1, _))) if !distinct => Some(UStar)
-            case Count(Seq(c0: AttributeReference)) if !distinct =>
-              modeledPos(c0).map(UCol)
-            case Count(Seq(c0: AttributeReference)) =>
-              for { p <- modeledPos(c0); m <- mergedDomAt(p) }
-                yield UColD(p, m)
-            case _ => valueAggColumn(fn).flatMap(c0 =>
-              for { p <- modeledPos(c0); m <- mergedDomAt(p) }
-                yield UVal(fn, distinct, p, al.dataType, m))
-          }
+              fn, _, distinct, filtE, _), _) =>
+            unionFiltPerBranch(u, leaves, filtE, base).flatMap { bf =>
+              fn match {
+                case Count(Seq(Literal(1, _))) if !distinct =>
+                  Some(UStar(bf))
+                case Count(Seq(c0: AttributeReference)) if !distinct =>
+                  modeledPos(c0).map(UCol(_, bf))
+                case Count(Seq(c0: AttributeReference)) =>
+                  for { p <- modeledPos(c0); m <- mergedDomAt(p) }
+                    yield UColD(p, m, bf)
+                case _ => valueAggColumn(fn).flatMap(c0 =>
+                  for { p <- modeledPos(c0); m <- mergedDomAt(p) }
+                    yield UVal(fn, distinct, p, al.dataType, m, bf))
+              }
+            }
           case Alias(e, _) => groupIdx(e).map(UGroup)
           case _ => None
         }
@@ -2365,6 +2431,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         BigInt(vals.size + (if (nb.nonEmpty) 1 else 0)) }.product
       if nCombos <= BigInt(maxGroupProbes) &&
         nCombos * (BigInt(1) + cells.map {
+          case us: UStar => if (us.bf.forall(_.isEmpty)) BigInt(0)
+            else BigInt(1)
           case _: UCol => BigInt(1)
           case cd: UColD => BigInt(cd.merged.size)
           case v: UVal => BigInt(v.merged.size)
@@ -2420,14 +2488,17 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val n = sumProbe(_ => Nil)
             if (n > 0L) {
               // the union's count at value slot `reps` of position p,
-              // under this combo's group conjuncts (r19 value cells)
-              def probeVal(p: Int)(reps: Array[Option[Any]]): Long = {
+              // under this combo's group conjuncts and the cell's
+              // per-branch FILTER preds (r19 value cells)
+              def probeVal(p: Int, bf: Seq[Seq[Pred]])(
+                  reps: Array[Option[Any]]): Long = {
                 var acc = 0L
                 leaves.indices.foreach { b =>
                   (branchPreds(b), reps(b)) match {
                     case (Some(ps), Some(rv)) =>
                       acc = Math.addExact(acc,
-                        ests(b)(ps :+ Pred(colNameAt(b, p), Op.Eq, rv)))
+                        ests(b)(ps ++ bf(b) :+
+                          Pred(colNameAt(b, p), Op.Eq, rv)))
                     case _ => ()
                   }
                 }
@@ -2439,15 +2510,17 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   case Some(reps) =>
                     gConv(i)(reps.flatten.head)
                 })
-                case UStar => Some(n)
-                case UCol(p) =>
-                  Some(sumProbe(b =>
-                    Seq(Pred(colNameAt(b, p), Op.NotNull, null))))
-                case UColD(p, m) =>
-                  Some(m.count(reps => probeVal(p)(reps) > 0L).toLong)
-                case UVal(fn2, dist, p, rt, m) =>
+                case UStar(bf) =>
+                  Some(if (bf.forall(_.isEmpty)) n else sumProbe(bf))
+                case UCol(p, bf) =>
+                  Some(sumProbe(b => bf(b) :+
+                    Pred(colNameAt(b, p), Op.NotNull, null)))
+                case UColD(p, m, bf) =>
+                  Some(m.count(reps =>
+                    probeVal(p, bf)(reps) > 0L).toLong)
+                case UVal(fn2, dist, p, rt, m, bf) =>
                   unionFoldValueAgg(fn2, dist, rt,
-                    u.output(p).dataType, m, probeVal(p))
+                    u.output(p).dataType, m, probeVal(p, bf))
               }
               if (vals.exists(_.isEmpty)) failed = true
               else out += InternalRow.fromSeq(vals.map(_.get))

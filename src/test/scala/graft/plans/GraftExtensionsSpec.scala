@@ -1111,6 +1111,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertRewrites("SELECT k, sum(w) AS sw FROM (" +
         "SELECT * FROM uva_t1 WHERE w IS NULL UNION ALL " +
         "SELECT * FROM uva_t2 WHERE w IS NULL) GROUP BY k", want = true)
+      // r19 second pass: FILTER clauses fold per branch by positional
+      // column mapping — ungrouped and grouped, count and value cells
+      assertRewrites(s"SELECT count(*) FILTER (WHERE w <= 4.0) AS nf " +
+        s"FROM ($u)", want = true)
+      assertRewrites(s"SELECT sum(w) FILTER (WHERE k != 2) AS sf " +
+        s"FROM ($u)", want = true)
+      assertRewrites(s"SELECT k, count(*) AS n, " +
+        s"count(w) FILTER (WHERE w >= 4.0) AS nf, " +
+        s"sum(w) FILTER (WHERE w <= 4.0) AS sf FROM ($u) GROUP BY k",
+        want = true)
+      // a FILTER conjunct referencing TWO columns is outside the
+      // vocabulary: block
+      assertRewrites(s"SELECT count(*) FILTER " +
+        s"(WHERE w <= CAST(k AS DOUBLE)) AS nf FROM ($u)", want = false)
     }
   }
 

@@ -2602,6 +2602,127 @@ SELECT * FROM (
   FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
   GROUP BY dl.a)
 ORDER BY query_id""")),
+    // INNER join trees as LEAVES (r19 second pass — completing the
+    // leaf recursion): everywhere a leaf resolves outside a flattening
+    // context, a whole inner equi-join tree now acts as ONE
+    // registration — extra conjuncts routed by name to their owning
+    // scan, cost = the tree's bounded edge-grid budget. Closes the
+    // union-of-STARS shard layout (`(fact JOIN dim WHERE …) UNION ALL
+    // (fact JOIN dim WHERE …)`), outer joins whose preserved side is a
+    // join tree, and EXISTS keyed on TWO tables of the outer query
+    // (the semi join cannot push into one side, so its left IS the
+    // tree). Exact registrations → lossless; scan-free plans
+    // require()d; DuckDB runs the identical texts.
+    Entry("q_approx_tree_leaves",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val (dir, dfs, doms, les) = joinWorkloadData(s, d)
+        Seq(
+          "f" -> Set("k1", "k2", "g", "w", "dt"),
+          "d3" -> Set("m1", "c"),
+          "d2" -> Set("k2", "b")).foreach { case (t, cols) =>
+          graft.plans.GraftRuntime.registerWithDomain(
+            s"$dir/$t.parquet", cols,
+            preds => les(t).count(preds), name => doms.get((t, name)))
+        }
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dfs("f").createOrReplaceTempView("graft_aqp_tl_f")
+          dfs("d3").createOrReplaceTempView("graft_aqp_tl_d3")
+          dfs("d2").createOrReplaceTempView("graft_aqp_tl_d2")
+          val star = "graft_aqp_tl_f f JOIN graft_aqp_tl_d3 d3 " +
+            "ON f.k1 = d3.m1"
+          val texts = Seq(
+            // union of stars: the sharded-star layout
+            "tl1_union_stars" -> ("SELECT count(*) AS n FROM (" +
+              s"SELECT * FROM $star WHERE f.w <= 4.0 UNION ALL " +
+              s"SELECT * FROM $star WHERE d3.c >= 2)"),
+            // raw sum (a CAST around the aggregate would change the
+            // Aggregate shape); w is integral-valued double, so the
+            // client-side toLong is exact and hash-safe
+            "tl2_union_sum" -> ("SELECT sum(w) AS n FROM (" +
+              s"SELECT f.*, d3.c AS dc FROM $star WHERE f.g IS NOT " +
+              s"NULL UNION ALL SELECT f.*, d3.c AS dc FROM $star " +
+              "WHERE f.w != 5.0)"),
+            // outer join whose preserved side is a TREE
+            "tl3_outer_tree" -> (s"SELECT count(*) AS n FROM $star " +
+              "LEFT JOIN graft_aqp_tl_d2 d2 ON f.k2 = d2.k2"),
+            // EXISTS keyed on two tables of the outer query
+            "tl4_exists_two_keys" -> (s"SELECT count(*) AS n FROM " +
+              s"$star WHERE EXISTS (SELECT 1 FROM graft_aqp_tl_d2 " +
+              "d2 WHERE d2.k2 = f.k2 AND d2.b = d3.c)"))
+          val rows = texts.map { case (qid, sql) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"tree-leaf rewrite did not fire on $qid; plan:\n$plan")
+            val r0 = df.collect()(0)
+            val v = if (qid == "tl2_union_sum") r0.getDouble(0).toLong
+              else r0.getLong(0)
+            (qid, v)
+          }
+          // grouped leg: outer-over-tree with the dim attribute
+          val gSql = "SELECT d3.c AS grp, count(*) AS n FROM " +
+            s"$star LEFT JOIN graft_aqp_tl_d2 d2 ON f.k2 = d2.k2 " +
+            "GROUP BY d3.c"
+          val gDf = s.sql(gSql)
+          require(gDf.queryExecution.optimizedPlan.toString.trim
+            .startsWith("LocalRelation"),
+            "grouped tree-leaf rewrite did not fire")
+          val gRows = gDf.collect().map { r =>
+            val g = if (r.isNullAt(0)) "<NULL>" else r.get(0).toString
+            (s"tl5_grouped_$g", r.getLong(1))
+          }.toSeq
+          (rows ++ gRows).toDF("query_id", "n").orderBy("query_id")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS g,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 12 AS DOUBLE) END AS w,
+         DATE '2023-12-01' + CAST(event_id % 300 AS INTEGER) AS dt
+       FROM events WHERE event_id % 13 = 0),
+d3 AS (SELECT event_id % 3 AS m1, event_id % 4 AS c
+       FROM events WHERE event_id % 211 = 0),
+d2 AS (SELECT (event_id + 2) % 3 AS k2, event_id % 6 AS b
+       FROM events WHERE event_id % 485 = 0)
+SELECT * FROM (
+  SELECT 'tl1_union_stars' AS query_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT * FROM f JOIN d3 ON f.k1 = d3.m1 WHERE f.w <= 4.0
+        UNION ALL
+        SELECT * FROM f JOIN d3 ON f.k1 = d3.m1 WHERE d3.c >= 2)
+  UNION ALL
+  SELECT 'tl2_union_sum', CAST(sum(w) AS BIGINT)
+  FROM (SELECT f.*, d3.c AS dc FROM f JOIN d3 ON f.k1 = d3.m1
+          WHERE f.g IS NOT NULL
+        UNION ALL
+        SELECT f.*, d3.c AS dc FROM f JOIN d3 ON f.k1 = d3.m1
+          WHERE f.w != 5.0)
+  UNION ALL
+  SELECT 'tl3_outer_tree', CAST(count(*) AS BIGINT)
+  FROM f JOIN d3 ON f.k1 = d3.m1
+    LEFT JOIN d2 ON f.k2 = d2.k2
+  UNION ALL
+  SELECT 'tl4_exists_two_keys', CAST(count(*) AS BIGINT)
+  FROM f JOIN d3 ON f.k1 = d3.m1
+  WHERE EXISTS (SELECT 1 FROM d2 WHERE d2.k2 = f.k2 AND d2.b = d3.c)
+  UNION ALL
+  SELECT 'tl5_grouped_' || coalesce(CAST(d3.c AS VARCHAR), '<NULL>'),
+    CAST(count(*) AS BIGINT)
+  FROM f JOIN d3 ON f.k1 = d3.m1
+    LEFT JOIN d2 ON f.k2 = d2.k2
+  GROUP BY d3.c)
+ORDER BY query_id""")),
     // Single-side FILTER cells over join trees (r19, VERDICT r18 #3):
     // `sum(f.x) FILTER (WHERE d.region = 'EU')` — the conditional
     // star-report cell. Every FILTER conjunct whose attributes are

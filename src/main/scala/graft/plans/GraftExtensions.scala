@@ -1147,7 +1147,7 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           sp.lLeaf.reg.copy(estimate = semiAntiEstFn(sp)),
           Seq(Nil), sp.lLeaf.plan,
           cost = (sp.matched.size + 1L) * sp.lLeaf.cost)
-      }.orElse(outerLeaf(sj))
+      }.orElse(outerLeaf(sj)).orElse(innerTreeLeaf(sj))
       case _ =>
         val (dnfOpt, scanChild) = parseWhereDnf(p)
         for {
@@ -1216,6 +1216,60 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           estimate = est,
           domain = domFn),
         Seq(Nil), j, cost = sp.probeCost)
+    }
+  }
+
+  /** An INNER equi-join tree as a single LEAF (r19 second pass —
+    * completing the leaf recursion): everywhere a leaf is resolved
+    * OUTSIDE a flattening context — a UNION ALL branch (the
+    * union-of-stars shard layout), a side of an outer join, the left
+    * side of a semi/anti join whose condition could not push below
+    * the join — the whole tree acts as one registration whose
+    * estimate is [[joinCountProbes]] with extra conjuncts routed BY
+    * NAME to their owning scan leaf (names claimed by more than one
+    * leaf are excluded, so preds on them fail callers' membership
+    * checks closed), whose domains come from the owning scan, and
+    * whose per-probe COST is the tree's full edge-grid budget —
+    * bounded at construction so composed budgets stay honest. Note
+    * [[flattenJoinTree]] itself never reaches here for inner nodes
+    * (its walk flattens them), so there is no double-nesting. */
+  private def innerTreeLeaf(j: Join): Option[JoinLeaf] = {
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+      return None
+    for {
+      spec <- flattenJoinTree(j)
+      cols <- {
+        val all = spec.leaves.flatMap(_.reg.columns.toSeq)
+        val dup = all.groupBy(identity).filter(_._2.size > 1).keySet
+        val cs = all.toSet -- dup
+        if (cs.isEmpty) None else Some(cs)
+      }
+      cost <- {
+        val edgeCombos = spec.edges.map(e => BigInt(e.pairs.size)).product
+        val leafTerms = spec.leaves.map(l => BigInt(l.cost)).sum
+        val c = edgeCombos * leafTerms
+        if (c > BigInt(0) && c <= BigInt(maxTotalProbes)) Some(c.toLong)
+        else None
+      }
+    } yield {
+      val est: Seq[Pred] => Long = preds => {
+        if (!preds.forall(p => cols(p.col)))
+          throw new ArithmeticException("unroutable pred on tree leaf")
+        joinCountProbes(spec, i => preds.filter(p =>
+          spec.leaves(i).reg.columns.contains(p.col)))
+          .getOrElse(throw new ArithmeticException("tree-leaf overflow"))
+      }
+      val domFn: String => Option[Seq[Any]] = col =>
+        if (!cols(col)) None
+        else spec.leaves.find(_.reg.columns.contains(col))
+          .flatMap(l => domainOf(l.reg, col))
+      JoinLeaf(
+        GraftRuntime.Registered(
+          pathToken = spec.leaves.head.reg.pathToken,
+          columns = cols,
+          estimate = est,
+          domain = domFn),
+        Seq(Nil), j, cost = cost)
     }
   }
 

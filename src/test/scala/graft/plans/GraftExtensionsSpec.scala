@@ -1244,6 +1244,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("INNER join trees compose as leaves: union of stars, outer over trees, EXISTS keyed on two tables (r19)") {
+    val s = spark
+    import s.implicits._
+    val f = Seq((1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 10L, 6.0),
+      (3L, 30L, 8.0), (4L, 10L, 1.0)).toDF("k1", "k2", "w")
+    val d = Seq((1L, 0L), (1L, 1L), (2L, 1L), (4L, 0L)).toDF("m1", "a")
+    val e = Seq((10L, 1L), (30L, 0L)).toDF("j2", "b")
+    withRegistered("itl", Seq(
+      ("f", f, Seq("k1", "k2", "w")), ("d", d, Seq("m1", "a")),
+      ("e", e, Seq("j2", "b")))) {
+      val star = "itl_f f JOIN itl_d d ON f.k1 = d.m1"
+      // union of STARS — the sharded-star layout: each branch is an
+      // inner tree acting as one leaf, WHEREs pushed per branch
+      assertRewrites("SELECT count(*) FROM (" +
+        s"SELECT * FROM $star WHERE f.w <= 4.0 UNION ALL " +
+        s"SELECT * FROM $star WHERE d.a = 1)", want = true)
+      assertRewrites("SELECT sum(w) FROM (" +
+        s"SELECT f.*, d.a AS da FROM $star WHERE f.w != 2.0 UNION ALL " +
+        s"SELECT f.*, d.a AS da FROM $star)", want = true)
+      // an outer join whose preserved side is a join TREE
+      assertRewrites(s"SELECT count(*) FROM $star LEFT JOIN itl_e e " +
+        "ON f.k2 = e.j2", want = true)
+      assertRewrites(s"SELECT d.a AS grp, count(*) AS n FROM $star " +
+        "LEFT JOIN itl_e e ON f.k2 = e.j2 GROUP BY d.a", want = true)
+      // EXISTS keyed on BOTH tables of the outer query: the semi join
+      // cannot push into one side, so its left IS the tree
+      assertRewrites(s"SELECT count(*) FROM $star WHERE EXISTS " +
+        "(SELECT 1 FROM itl_e e WHERE e.j2 = f.k2 AND e.b = d.a)",
+        want = true)
+    }
+  }
+
   test("multi-column NOT IN tuples fall through (null-aware keys stay single, r19 pin)") {
     val s = spark
     import s.implicits._

@@ -11610,7 +11610,61 @@ ORDER BY query_id, grp, metric"""
       }
       JoinWQuery(qid, inner, nKeys, ms)
     }
-    first30 ++ extra ++ extra2
+    // r19 third pass: cross-FEATURE interactions — the compositions
+    // where the leaf recursion, FILTER attribution, and union merge
+    // meet (tree leaves under unions, FILTER over outer-in-tree,
+    // outer-join branches inside unions, EXISTS pushed through a
+    // union into every branch).
+    val starB = "SELECT f.* FROM F_TBL f JOIN D3_TBL d3 " +
+      "ON f.k1 = d3.m1"
+    val extra3 = (47 to 51).map { i =>
+      val qid = "jw%02d".format(i)
+      val (inner, nKeys, ms) = (i - 47) % 5 match {
+        case 0 => // FILTER cell over the outer-in-tree shape
+          val from = "F_TBL f LEFT JOIN D3_TBL d3 ON f.k1 = d3.m1 " +
+            "JOIN D2_TBL d2 ON f.k2 = d2.k2"
+          val key = pick(Seq("d3.c", "f.k2"))
+          val cells = Seq("count(*)",
+            s"count(*) FILTER (WHERE ${fPred()})")
+          val (s0, ms0) = sel(Seq(key), cells)
+          (s"SELECT $s0 FROM $from GROUP BY $key", 1, ms0)
+        case 1 => // union of STARS (inner-tree leaves per branch)
+          val u = s"$starB WHERE ${fPred()} UNION ALL " +
+            s"$starB WHERE ${fPred()}"
+          val cell = pick(Seq("count(*)", "count(w)", "sum(w)"))
+          val (s0, ms0) = sel(Nil, Seq(cell))
+          (s"SELECT $s0 FROM ($u)", 0, ms0)
+        case 2 => // grouped union of stars
+          val u = s"$starB WHERE ${fPred()} UNION ALL $starB"
+          val key = pick(Seq("k2", "g"))
+          val cell = pick(Seq("count(*)", "sum(w)", "min(w)"))
+          val (s0, ms0) = sel(Seq(key), Seq(cell))
+          (s"SELECT $s0 FROM ($u) GROUP BY $key", 1, ms0)
+        case 3 => // an OUTER-join branch inside a union
+          val u = "SELECT f.k2 AS k2, d3.c AS c FROM F_TBL f " +
+            "LEFT JOIN D3_TBL d3 ON f.k1 = d3.m1 UNION ALL " +
+            "SELECT f.k2, d3.c FROM F_TBL f JOIN D3_TBL d3 " +
+            "ON f.k1 = d3.m1"
+          if (rng.nextBoolean()) {
+            val (s0, ms0) = sel(Seq("k2"), Seq("count(*)", "count(c)"))
+            (s"SELECT $s0 FROM ($u) GROUP BY k2", 1, ms0)
+          } else {
+            val (s0, ms0) = sel(Nil, Seq(pick(Seq("count(*)",
+              "count(c)"))))
+            (s"SELECT $s0 FROM ($u)", 0, ms0)
+          }
+        case 4 => // EXISTS above a union: the semi join pushes into
+          // every branch (union of semi-filtered leaves)
+          val u = s"SELECT * FROM F_TBL WHERE ${fPredBare()} " +
+            "UNION ALL SELECT * FROM F_TBL"
+          val (s0, ms0) = sel(Nil, Seq(pick(cheapCellsBare)))
+          (s"SELECT $s0 FROM ($u) u WHERE u.k1 IN " +
+            s"(SELECT r.k1 FROM D1_TBL r WHERE ${dPred("r.")})",
+            0, ms0)
+      }
+      JoinWQuery(qid, inner, nKeys, ms)
+    }
+    first30 ++ extra ++ extra2 ++ extra3
   }
 
   /** DuckDB oracle for the join workload: the identical query texts

@@ -1148,6 +1148,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Seq(Nil), sp.lLeaf.plan,
           cost = (sp.matched.size + 1L) * sp.lLeaf.cost)
       }.orElse(outerLeaf(sj)).orElse(innerTreeLeaf(sj))
+      case pr: Project if pr.projectList.forall {
+          case Alias(_: AttributeReference, _) => true
+          case _: AttributeReference => true
+          case _ => false
+        } => renamedLeaf(pr)
       case _ =>
         val (dnfOpt, scanChild) = parseWhereDnf(p)
         for {
@@ -1157,6 +1162,47 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if dnf.forall(_.forall(pp => reg.columns.contains(pp.col)))
         } yield JoinLeaf(reg, dnf, p, dnfTerms(dnf))
     }
+
+  /** A RENAME-ONLY Project over a resolvable leaf (r19 third pass):
+    * `SELECT a AS x, b AS y FROM shard WHERE …` — the shape every
+    * real shard-union's branches take when columns are re-aliased to
+    * a common schema (the analyzer keeps the Aliases to mint fresh
+    * exprIds per branch, so [[PredExtract.stripProjects]]'s
+    * attribute-only strip cannot remove them). The wrapper re-colors
+    * incoming preds from OUTER names to the underlying leaf's names
+    * and narrows the visible column set to what the Project exposes;
+    * the inner leaf's own WHERE stays folded inside its estimator.
+    * Conservative: duplicate outer names (ambiguous) → None; a pred
+    * on an unexposed column throws (callers catch → exact plan). */
+  private def renamedLeaf(pr: Project): Option[JoinLeaf] = {
+    val mapping: Seq[(String, String)] = pr.projectList.map {
+      case al @ Alias(ar: AttributeReference, _) => al.name -> ar.name
+      case a: AttributeReference => a.name -> a.name
+    }
+    if (mapping.map(_._1).distinct.size != mapping.size) return None
+    val m = mapping.toMap
+    registeredLeaf(pr.child).flatMap { leaf =>
+      val cols = m.collect {
+        case (o, in) if leaf.reg.columns.contains(in) => o }.toSet
+      if (cols.isEmpty) None
+      else {
+        val innerEst = dnfEstFn(leaf.reg, leaf.dnf)
+        Some(JoinLeaf(
+          GraftRuntime.Registered(
+            pathToken = leaf.reg.pathToken,
+            columns = cols,
+            estimate = preds => {
+              if (!preds.forall(pp => cols(pp.col)))
+                throw new ArithmeticException(
+                  "unroutable pred on renamed leaf")
+              innerEst(preds.map(pp => pp.copy(col = m(pp.col))))
+            },
+            domain = col =>
+              if (!cols(col)) None else leaf.reg.domain(m(col))),
+          Seq(Nil), pr, cost = leaf.cost))
+      }
+    }
+  }
 
   /** An OUTER join as a join-tree LEAF (r19, VERDICT r18 #2): closes
     * `fact LEFT JOIN dim1 JOIN dim2` — the N-table tree with an outer

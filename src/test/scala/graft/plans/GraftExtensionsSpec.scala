@@ -1273,6 +1273,18 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertRewrites(s"SELECT count(*) FROM $star WHERE EXISTS " +
         "(SELECT 1 FROM itl_e e WHERE e.j2 = f.k2 AND e.b = d.a)",
         want = true)
+      // RENAME-only Projects resolve as leaves (r19 third pass): a
+      // shard union whose branches re-alias columns to a common
+      // schema — incl. an outer-join branch behind the renames
+      assertRewrites("SELECT x, count(*) AS n, count(y) AS ny FROM (" +
+        "SELECT f.k2 AS x, d.a AS y FROM itl_f f " +
+        "LEFT JOIN itl_d d ON f.k1 = d.m1 UNION ALL " +
+        "SELECT k2 AS x, k1 AS y FROM itl_f WHERE w <= 4.0) " +
+        "GROUP BY x", want = true)
+      assertRewrites("SELECT sum(y) FROM (" +
+        "SELECT f.k2 AS x, f.w AS y FROM itl_f f " +
+        "JOIN itl_d d ON f.k1 = d.m1 UNION ALL " +
+        "SELECT k2 AS x, w AS y FROM itl_f) ", want = true)
     }
   }
 

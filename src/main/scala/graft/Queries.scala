@@ -2602,6 +2602,154 @@ SELECT * FROM (
   FROM f LEFT JOIN dl ON f.k1 = dl.m1 JOIN d2 ON f.k2 = d2.j2
   GROUP BY dl.a)
 ORDER BY query_id""")),
+    // Multi-aggregate UNGROUPED selects (r19 fourth pass): `SELECT
+    // count(*), sum(x), min(x), … FROM …` — THE summary-stats row —
+    // routes through the grouped grid with ZERO grouping keys: one
+    // combo, every cell on the shared probe function, the row emitted
+    // even at count 0 (SQL's no-GROUP-BY semantics: counts 0, sums
+    // NULL). Composes with every child shape (scan, join tree,
+    // semi/anti, outer, union) and with FILTER cells. Exact
+    // registrations → lossless; scan-free plans require()d; DuckDB
+    // runs the identical texts.
+    Entry("q_approx_multi_agg",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ApproxCountRule.attachIfMissing(s)
+        val savedRegistry = graft.plans.GraftRuntime.snapshot()
+        val savedEnabled =
+          s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
+        val (dir, dfs, doms, les) = joinWorkloadData(s, d)
+        Seq(
+          "f" -> Set("k1", "k2", "g", "w", "dt"),
+          "d1" -> Set("k1", "k2", "a", "s")).foreach { case (t, cols) =>
+          graft.plans.GraftRuntime.registerWithDomain(
+            s"$dir/$t.parquet", cols,
+            preds => les(t).count(preds), name => doms.get((t, name)))
+        }
+        s.conf.set(graft.plans.GraftRuntime.EnabledKey, "true")
+        try {
+          dfs("f").createOrReplaceTempView("graft_aqp_ma_f")
+          dfs("d1").createOrReplaceTempView("graft_aqp_ma_d1")
+          // (qid, sql, metric count)
+          val texts = Seq(
+            ("ma1_scan", "SELECT count(*) AS m1, sum(w) AS m2, " +
+              "min(w) AS m3, max(w) AS m4, avg(w) AS m5, " +
+              "count(DISTINCT k2) AS m6 FROM graft_aqp_ma_f " +
+              "WHERE k1 <= 3", 6),
+            ("ma2_empty", "SELECT count(*) AS m1, sum(w) AS m2 " +
+              "FROM graft_aqp_ma_f WHERE w >= 100.0", 2),
+            ("ma3_join", "SELECT count(*) AS m1, sum(f.w) AS m2, " +
+              "min(d1.a) AS m3, count(f.w) FILTER (WHERE d1.s " +
+              "LIKE 'c%') AS m4 FROM graft_aqp_ma_f f JOIN " +
+              "graft_aqp_ma_d1 d1 ON f.k1 = d1.k1", 4),
+            ("ma4_exists", "SELECT count(*) AS m1, max(f.w) AS m2 " +
+              "FROM graft_aqp_ma_f f WHERE EXISTS (SELECT 1 FROM " +
+              "graft_aqp_ma_d1 d1 WHERE d1.k1 = f.k1 AND d1.a >= 2)",
+              2),
+            ("ma5_outer", "SELECT count(*) AS m1, count(d1.a) AS m2, " +
+              "sum(f.w) AS m3 FROM graft_aqp_ma_f f LEFT JOIN " +
+              "graft_aqp_ma_d1 d1 ON f.k1 = d1.k1", 3),
+            ("ma6_union", "SELECT count(*) AS m1, sum(w) AS m2, " +
+              "count(DISTINCT w) AS m3 FROM (SELECT * FROM " +
+              "graft_aqp_ma_f WHERE k1 <= 2 UNION ALL SELECT * " +
+              "FROM graft_aqp_ma_f WHERE k1 >= 3)", 3))
+          val rows = texts.flatMap { case (qid, sql, nm) =>
+            val df = s.sql(sql)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(plan.trim.startsWith("LocalRelation"),
+              s"multi-agg rewrite did not fire on $qid; plan:\n$plan")
+            val r = df.collect()(0)
+            (0 until nm).map { j =>
+              val x: Option[Double] =
+                if (r.isNullAt(j)) None
+                else r.get(j) match {
+                  case l: java.lang.Long => Some(l.toDouble)
+                  case dd: java.lang.Double => Some(dd)
+                }
+              (qid, s"m${j + 1}", x)
+            }
+          }
+          rows.toDF("query_id", "metric", "x")
+            .orderBy("query_id", "metric")
+        } finally {
+          savedEnabled match {
+            case Some(v) => s.conf.set(graft.plans.GraftRuntime.EnabledKey, v)
+            case None => s.conf.unset(graft.plans.GraftRuntime.EnabledKey)
+          }
+          graft.plans.GraftRuntime.restore(savedRegistry)
+        }
+      },
+      Some("""WITH f AS (SELECT event_id % 5 AS k1, event_id % 3 AS k2,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS g,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(event_id % 12 AS DOUBLE) END AS w,
+         DATE '2023-12-01' + CAST(event_id % 300 AS INTEGER) AS dt
+       FROM events WHERE event_id % 13 = 0),
+d1 AS (SELECT (event_id + 1) % 5 AS k1, event_id % 3 AS k2,
+         event_id % 4 AS a, event_type AS s
+       FROM events WHERE event_id % 291 = 0)
+SELECT * FROM (
+  SELECT 'ma1_scan' AS query_id, 'm1' AS metric,
+    CAST(count(*) AS DOUBLE) AS x FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma1_scan', 'm2', CAST(sum(w) AS DOUBLE) FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma1_scan', 'm3', CAST(min(w) AS DOUBLE) FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma1_scan', 'm4', CAST(max(w) AS DOUBLE) FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma1_scan', 'm5', CAST(sum(w) AS DOUBLE) / count(w)
+  FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma1_scan', 'm6', CAST(count(DISTINCT k2) AS DOUBLE)
+  FROM f WHERE k1 <= 3
+  UNION ALL
+  SELECT 'ma2_empty', 'm1', CAST(count(*) AS DOUBLE)
+  FROM f WHERE w >= 100.0
+  UNION ALL
+  SELECT 'ma2_empty', 'm2', CAST(sum(w) AS DOUBLE)
+  FROM f WHERE w >= 100.0
+  UNION ALL
+  SELECT 'ma3_join', 'm1', CAST(count(*) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma3_join', 'm2', CAST(sum(f.w) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma3_join', 'm3', CAST(min(d1.a) AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma3_join', 'm4',
+    CAST(count(f.w) FILTER (WHERE d1.s LIKE 'c%') AS DOUBLE)
+  FROM f JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma4_exists', 'm1', CAST(count(*) AS DOUBLE) FROM f
+  WHERE EXISTS (SELECT 1 FROM d1 WHERE d1.k1 = f.k1 AND d1.a >= 2)
+  UNION ALL
+  SELECT 'ma4_exists', 'm2', CAST(max(f.w) AS DOUBLE) FROM f
+  WHERE EXISTS (SELECT 1 FROM d1 WHERE d1.k1 = f.k1 AND d1.a >= 2)
+  UNION ALL
+  SELECT 'ma5_outer', 'm1', CAST(count(*) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma5_outer', 'm2', CAST(count(d1.a) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma5_outer', 'm3', CAST(sum(f.w) AS DOUBLE)
+  FROM f LEFT JOIN d1 ON f.k1 = d1.k1
+  UNION ALL
+  SELECT 'ma6_union', 'm1', CAST(count(*) AS DOUBLE)
+  FROM (SELECT * FROM f WHERE k1 <= 2
+        UNION ALL SELECT * FROM f WHERE k1 >= 3)
+  UNION ALL
+  SELECT 'ma6_union', 'm2', CAST(sum(w) AS DOUBLE)
+  FROM (SELECT * FROM f WHERE k1 <= 2
+        UNION ALL SELECT * FROM f WHERE k1 >= 3)
+  UNION ALL
+  SELECT 'ma6_union', 'm3', CAST(count(DISTINCT w) AS DOUBLE)
+  FROM (SELECT * FROM f WHERE k1 <= 2
+        UNION ALL SELECT * FROM f WHERE k1 >= 3))
+ORDER BY query_id, metric""")),
     // INNER join trees as LEAVES (r19 second pass — completing the
     // leaf recursion): everywhere a leaf resolves outside a flattening
     // context, a whole inner equi-join tree now acts as ONE

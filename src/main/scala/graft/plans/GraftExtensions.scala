@@ -436,7 +436,16 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Grouping expressions may be bare attributes or (r17) the
       // groupKeyOf whitelist of derived expressions — anything else
       // makes rewriteGroupedAgg return None and the plan is untouched.
-      case agg @ Aggregate(groupExprs, _, _, _) if groupExprs.nonEmpty =>
+      // r19 fourth pass: MULTI-aggregate UNGROUPED selects (`SELECT
+      // count(*), sum(x), min(x) FROM …` — the summary-stats row)
+      // route through the same grid with ZERO grouping keys: one
+      // combo, every cell on the shared probe function, the row
+      // emitted even at count 0 (SQL's no-GROUP-BY semantics).
+      // Single-aggregate ungrouped shapes stay with the dedicated
+      // cases above (they handle DISTINCT/decimal nuances earlier in
+      // the match), and are never re-tried here.
+      case agg @ Aggregate(groupExprs, _, _, _)
+          if groupExprs.nonEmpty || agg.aggregateExpressions.size > 1 =>
         rewriteGroupedAgg(agg).getOrElse(agg)
     }
   }
@@ -1045,7 +1054,11 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else Pred(k.attr.name, Op.In, nn)
           }
           val n = est(base)
-          if (n > 0L) {
+          // zero-count GROUPS are dropped (matching SQL), but the
+          // UNGROUPED multi-aggregate row (keys empty — r19 fourth
+          // pass) always emits: SQL's no-GROUP-BY aggregate returns
+          // one row even over zero matching rows (counts 0, sums NULL)
+          if (n > 0L || keys.isEmpty) {
             val vals: Seq[Option[Any]] = cells.map {
               case GroupCell(i) =>
                 Some(if (combo(i)._1 == null) null
@@ -2104,7 +2117,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               oEst(exL0 ++ fs._1 ++ (if (cellSide == 0) extra else Nil),
                 exR0 ++ fs._2 ++ (if (cellSide == 1) extra else Nil))
             val n = oEst(exL0, exR0)
-            if (n > 0L) {
+            // ungrouped multi-aggregate rows always emit (r19)
+            if (n > 0L || keys.isEmpty) {
               val vals: Seq[Option[Any]] = cells.map {
                 case (GroupCell(i), _, _) =>
                   Some(if (combo(i)._1 == null) null
@@ -2586,7 +2600,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               acc
             }
             val n = sumProbe(_ => Nil)
-            if (n > 0L) {
+            // ungrouped multi-aggregate rows always emit (r19)
+            if (n > 0L || gPos.isEmpty) {
               // the union's count at value slot `reps` of position p,
               // under this combo's group conjuncts and the cell's
               // per-branch FILTER preds (r19 value cells)
@@ -2892,7 +2907,8 @@ case class ApproxCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 (if (i == vOwner) extra else Nil))
                 .getOrElse(throw new ArithmeticException("overflow"))
             val n = estFor(-1, Map.empty)(Nil)
-            if (n > 0L) {
+            // ungrouped multi-aggregate rows always emit (r19)
+            if (n > 0L || keys.isEmpty) {
               val vals: Seq[Option[Any]] = cells.map {
                 case (GroupCell(i), _, _) =>
                   Some(if (combo(i)._1 == null) null

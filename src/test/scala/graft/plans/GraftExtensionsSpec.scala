@@ -1288,6 +1288,42 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-aggregate UNGROUPED selects: the summary-stats row over every child shape (r19)") {
+    val s = spark
+    import s.implicits._
+    val f = Seq((1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 10L, 6.0),
+      (3L, 30L, 8.0)).toDF("k1", "k2", "w")
+    val d = Seq((1L, 0L), (2L, 1L)).toDF("m1", "a")
+    withRegistered("mag", Seq(
+      ("f", f, Seq("k1", "k2", "w")), ("d", d, Seq("m1", "a")))) {
+      // scan: the classic summary row, FILTER cells included
+      assertRewrites("SELECT count(*) AS n, sum(w) AS sw, min(w) AS " +
+        "mw, max(w) AS xw, avg(w) AS aw FROM mag_f", want = true)
+      assertRewrites("SELECT count(*) AS n, " +
+        "count(*) FILTER (WHERE w >= 4.0) AS nf, " +
+        "count(DISTINCT k2) AS dk FROM mag_f WHERE k1 <= 2",
+        want = true)
+      // SQL's no-GROUP-BY semantics: one row even over ZERO rows
+      assertRewrites("SELECT count(*) AS n, sum(w) AS sw FROM mag_f " +
+        "WHERE w >= 100.0", want = true)
+      // join tree
+      assertRewrites("SELECT count(*) AS n, sum(f.w) AS sw, " +
+        "min(d.a) AS ma FROM mag_f f JOIN mag_d d ON f.k1 = d.m1",
+        want = true)
+      // semi (EXISTS), outer, union
+      assertRewrites("SELECT count(*) AS n, max(w) AS xw FROM mag_f " +
+        "f WHERE EXISTS (SELECT 1 FROM mag_d d WHERE d.m1 = f.k1)",
+        want = true)
+      assertRewrites("SELECT count(*) AS n, count(d.a) AS na, " +
+        "sum(f.w) AS sw FROM mag_f f LEFT JOIN mag_d d " +
+        "ON f.k1 = d.m1", want = true)
+      assertRewrites("SELECT count(*) AS n, sum(w) AS sw, " +
+        "count(DISTINCT w) AS dw FROM (SELECT * FROM mag_f WHERE " +
+        "k1 <= 2 UNION ALL SELECT * FROM mag_f WHERE k1 >= 3)",
+        want = true)
+    }
+  }
+
   test("multi-column NOT IN tuples fall through (null-aware keys stay single, r19 pin)") {
     val s = spark
     import s.implicits._

@@ -26,6 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is DISK-backed — every
+    * read/write through an InputStream/OutputStream creates (and
+    * deletes) a temp file in java.io.tmpdir, so per-call file churn
+    * dominates small-image codec work and collapses under concurrent
+    * tasks on container filesystems (measured 3x single-threaded,
+    * ~8-10x at local[32] on this class of box). Memory-backed streams
+    * produce byte-identical codec output. JVM-global and idempotent;
+    * called at the head of every ImageIO-using task closure so
+    * executor JVMs get it too, not just the driver. */
+  private def disableImageIoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Lift a text column into the binary-asset schema
     * (id, content: binary, mime) — the testdata has no real media, so
     * documents stand in as assets. */
@@ -261,6 +273,7 @@ ORDER BY asset_id, frame_idx"""
       nFrames: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      disableImageIoDiskCache()
       it.map { r =>
         val id = r.getLong(0)
         val bos = new java.io.ByteArrayOutputStream()
@@ -311,6 +324,7 @@ ORDER BY asset_id, frame_idx"""
     val spark = assets.sparkSession
     val rdd = assets.select(col("asset_id").cast("long"), col("content"))
       .rdd.mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -392,6 +406,7 @@ GROUP BY $id ORDER BY asset_id"""
   def pngAssets(df: DataFrame, idCol: String, edge: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      disableImageIoDiskCache()
       it.map { r =>
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(edge, edge,
@@ -431,6 +446,7 @@ GROUP BY $id ORDER BY asset_id"""
     val spark = assets.sparkSession
     val rdd = assets.select(col("asset_id").cast("long"), col("content"))
       .rdd.mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
@@ -471,6 +487,7 @@ GROUP BY $id ORDER BY asset_id"""
     val spark = assets.sparkSession
     val rdd = assets.select(col("asset_id").cast("long"), col("content"))
       .rdd.mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(

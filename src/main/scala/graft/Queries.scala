@@ -9124,6 +9124,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     val pairs = Set("q_cc_star", "q_minhash_accuracy", "q_minhash_err_md5",
       "q_modularity", "q_ngram_jaccard") ++ cc
     val shingles = Set("q_containment", "q_decontaminate",
+      "q_dedup_keep_best_eq",
       "q_jaccard_prefix", "q_minhash_accuracy", "q_minhash_err_md5",
       "q_minhash_lsh_md5") ++ pairs
     Map(
@@ -10065,11 +10066,15 @@ GROUP BY sz ORDER BY sz"""
     // window over the recursive-CTE closure + identical token SQL.
     Entry("q_dedup_keep_best",
       (s, d) => {
+        // Tokenize AFTER the join (r20): the label table is
+        // clusters-sized, so the token count evaluates on cluster
+        // members only instead of over the whole corpus —
+        // output-identical, one corpus-wide tokenization removed.
         val labeled = dedupComponents(s, d)
           .withColumnRenamed("id", "doc_id")
-          .join(docs(s, d).select(col("doc_id"),
-            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-            "doc_id")
+          .join(docs(s, d).select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("comp"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         labeled.groupBy(col("comp"))
           .agg(count(lit(1)).as("sz"),
             max(struct(col("n_tokens"), (-col("doc_id")).as("negid")))
@@ -10120,15 +10125,27 @@ FROM r WHERE rn = 1 ORDER BY comp"""
         val all = base.unionByName(
           base.filter(pmod(col("doc_id"), lit(50)) === 0)
             .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+        // Planted duplicates are byte-identical texts, so their
+        // shingle rows are exactly the source docs' shingle rows with
+        // shifted ids — derived from the SHARED corpus shingle
+        // materialization (r20) instead of re-tokenizing and
+        // re-shingling the whole unioned corpus on every call. The
+        // resulting (id, shingle) table is row-identical to
+        // explodeShingles(all) by construction.
+        val shBase = docShingles(s, d)
+        val shAll = shBase.unionByName(
+          shBase.filter(pmod(col("id"), lit(50)) === 0)
+            .select((col("id") + lit(off)).as("id"), col("shingle")))
         val pairs = Dedup.ngramJaccardPairsFromShingles(
-          Dedup.explodeShingles(all, "doc_id", "text", 3),
-          1.0, maxShingleDf = 100)
+          shAll, 1.0, maxShingleDf = 100)
+        // Tokenize AFTER the join (r20): cluster members only, not
+        // the whole unioned corpus — output-identical.
         val labeled = Dedup.connectedComponents(pairs, "id_a", "id_b",
           reliableEvery = reliableIterateRounds(s))
           .withColumnRenamed("id", "doc_id")
-          .join(all.select(col("doc_id"),
-            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-            "doc_id")
+          .join(all, "doc_id")
+          .select(col("doc_id"), col("comp"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         labeled.groupBy(col("comp"))
           .agg(count(lit(1)).as("sz"),
             max(struct(col("n_tokens"), (-col("doc_id")).as("negid")))

@@ -775,35 +775,54 @@ FROM flagged"""
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
     val capped = exploded.join(dfreq, "shingle")
-    val wRank = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
-    val wSize = Window.partitionBy("id")
+    // Per-doc capped-shingle SET, ordered by the prefix total order
+    // (df asc, shingle asc — sort_array over the struct is exactly
+    // that lexicographic order; shingles are distinct per doc, so the
+    // order is total): ONE partial-aggregated groupBy replaces the two
+    // per-doc windows the r19 shape paid (row_number + count over the
+    // same partition), and the same arrays then serve BOTH the prefix
+    // derivation (a map-side slice) and candidate verification below.
+    // sets feeds THREE subtrees (the prefix derivation and both
+    // verification joins); its aggregation exchange is deduplicated by
+    // ReuseExchange, so no explicit pin — a localCheckpoint here
+    // measured SLOWER (7.2 s vs 5.6 s at sf0.1): the materialize+
+    // read-back round trip cost more than the reuse it replaced.
+    val sets = capped
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("ds"))
+      .select(col("id"),
+        transform(col("ds"), x => x("shingle")).as("sh"),
+        size(col("ds")).cast("long").as("m"))
     // The doc's full capped-shingle count m rides the prefix rows
     // (r19, VERDICT r18 #9): na/nb reach the candidate pairs through
-    // the self-join itself, cutting the separate counts aggregation
-    // and its two pair-side joins — three shuffles the quiet-box
-    // profile showed were pure overhead at this candidate volume
-    // (134k prefix rows / 409k pairs at sf0.1), and dead weight at
-    // any scale (m is already computed by the prefix window).
-    val prefix = capped
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("m", count(lit(1)).over(wSize))
-      .filter(col("rk") <=
-        col("m") - ceil(col("m") * lit(threshold)).cast("long") + 1)
-      .select(col("id"), col("shingle"), col("m"))
+    // the self-join itself — no separate counts aggregation.
+    val prefix = sets.select(col("id"), col("m"),
+      explode(slice(col("sh"), lit(1),
+        (col("m") - ceil(col("m") * lit(threshold)).cast("long") + 1)
+          .cast("int"))).as("shingle"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.m").as("na"), col("b.m").as("nb"))
       .distinct()
-    val shA = capped.select(col("id").as("id_a"), col("shingle"))
-    val shB = capped.select(col("id").as("idb2"),
-      col("shingle").as("sh_b"))
-    cand
-      .join(shA, "id_a")
-      .join(shB, col("id_b") === col("idb2") &&
-        col("shingle") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    // Verification fetches both records' shingle arrays and intersects
+    // map-side (the PPJoin paper's verify step): |cand| rows through
+    // two joins against the doc-count-sized set table. The r19 shape
+    // instead expanded every candidate by ALL of id_a's shingles and
+    // re-joined on (id_b, shingle) — a 26M-row intermediate through an
+    // exchange + pair-grouping aggregation at sf0.1 (409k candidates ×
+    // ~52 shingles/doc), measured as ~60% of the entry's time. Set
+    // arrays are distinct, so array_intersect's size is the exact
+    // intersection count.
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        col("na"), col("nb"))
+    out
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("union_sz"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

@@ -1169,6 +1169,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("max_abs_err") == 0.0)
   }
 
+  test("prefix-filtered jaccard join equals the posting-list pipeline " +
+      "at every threshold (r20 array-verification rewrite)") {
+    // Randomized small-vocab corpus: overlapping docs at all jaccard
+    // levels, plus exact dups and a disjoint doc. The two pipelines
+    // are independent physical strategies over the same definition;
+    // their (id_a, id_b, inter, union_sz, jaccard) rows must be
+    // identical — the PPJoin prefix theorem is lossless and the r20
+    // array_intersect verification must count exactly.
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 40L).map { i =>
+      val n = 6 + rnd.nextInt(10)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    } :+ (41L, "alpha beta gamma delta eps zeta") :+
+      (42L, "alpha beta gamma delta eps zeta") // exact dup pair
+    val df = docsDf(docs: _*)
+    val exploded = Dedup.explodeShingles(df, "doc_id", "text", 2)
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0); cap <- Seq(5, 100)) {
+      val exact = Dedup.ngramJaccardPairsFromShingles(exploded, t, cap)
+        .collect().toSeq
+      val prefix = Dedup.ngramJaccardPairsPrefix(exploded, t, cap)
+        .collect().toSeq
+      assert(prefix == exact,
+        s"prefix vs posting-list mismatch at t=$t cap=$cap:\n" +
+          s"prefix=$prefix\nexact=$exact")
+    }
+  }
+
   test("funnel: each stage requires a strictly-later event than the last") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", LongType), StructField("event_type", StringType)))

@@ -156,6 +156,9 @@ object Bench {
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
     def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Ambient load BEFORE any of this bench's own work spins up the
+    // box — the number the artifact's load_warning flag is based on.
+    val loadAtSessionStart = load1()
 
     // Warm up the session (codegen, parquet footer reads, shuffle infra)
     // so the alphabetically-first query over each table isn't charged
@@ -493,7 +496,19 @@ object Bench {
     // far smaller means a warm read (bounds from below).
     val rerunStagesJson = rerunStages.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_median":$totalMedian,"queries":$qs,"queries_median":$qsMedian,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"rerun_stages":$rerunStagesJson,"storage_end_mb":${f2(storageEndMb)},"storage_end_detail":$storageDetailJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Load-awareness (r20, VERDICT r19 ask #1): the r19 artifact of
+    // record was captured under ambient load1 8–13 and read as a
+    // phantom 38% regression. The artifact now self-reports: load1 at
+    // session start plus a "load_warning" flag when the AMBIENT load
+    // (start load1, before this bench's own executors spin up) exceeds
+    // 2.0 — a consumer comparing totals across rounds must prefer
+    // runs without the flag (per-entry load1 telemetry carries the
+    // within-run series as before).
+    val loadWarning = loadAtSessionStart > 2.0
+    if (loadWarning) System.err.println(
+      f"[bench] WARNING: ambient load1 $loadAtSessionStart%.2f > 2.0 at " +
+        "session start — totals in this artifact are contention-suspect")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_median":$totalMedian,"load1_start":${f2(loadAtSessionStart)},"load_warning":$loadWarning,"queries":$qs,"queries_median":$qsMedian,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"rerun_stages":$rerunStagesJson,"storage_end_mb":${f2(storageEndMb)},"storage_end_detail":$storageDetailJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 251 entries it runs
     // several KB — longer than a log tail-capture window, so a parser
@@ -509,7 +524,7 @@ object Bench {
     // Distinct metric name: a consumer selecting lines by
     // "metric":"total" must match ONLY the full contract line above,
     // not this short tail-window-safe duplicate.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":$repeats,"n_queries":${ok.size},"n_rerun":${reruns.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":$repeats,"n_queries":${ok.size},"n_rerun":${reruns.size},"load1_start":${f2(loadAtSessionStart)},"load_warning":$loadWarning,"failed":$failedJson,"sf":"$sfDir","detail":"bench_summary.json"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

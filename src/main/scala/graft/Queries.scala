@@ -9050,6 +9050,25 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  // The (id_a, id_b, cnt) pair-statistics table shared by the Jaccard
+  // and containment pair builds (r20): both pipelines aggregate the
+  // IDENTICAL posting-list expansion over the same shingle table at
+  // the same df cap, so the capped collect + pair fan-out + pair-count
+  // shuffle now runs once per (session, dir) instead of once per
+  // build. Persisted here; lifecycle-managed as "pair_stats".
+  private val pairStatsSharedCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def pairStatsShared(s: SparkSession, d: String): DataFrame =
+    pairStatsSharedCache.synchronized {
+      pairStatsSharedCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      pairStatsSharedCache.getOrElseUpdate((s, d),
+        Dedup.pairStatsFromShingles(docShingles(s, d), maxShingleDf = 100)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.synchronized {
       pairsCache.filterInPlace { case ((sess, _), _) =>
@@ -9057,7 +9076,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       }
       pairsCache.getOrElseUpdate((s, d),
         Dedup.ngramJaccardPairsFromShingles(docShingles(s, d), 0.5,
-          maxShingleDf = 100, materialize = true))
+          maxShingleDf = 100, materialize = true,
+          precomputedPairStats = Some(pairStatsShared(s, d))))
     }
 
   // The materialized containment pair result (tiny: gated directional
@@ -9077,7 +9097,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       }
       containmentCache.getOrElseUpdate((s, d),
         Dedup.ngramContainmentPairs(docShingles(s, d), tauPct = 70,
-          maxShingleDf = 100, materialize = true))
+          maxShingleDf = 100, materialize = true,
+          precomputedPairStats = Some(pairStatsShared(s, d))))
     }
 
   // Cluster labels over the near-dup pairs, shared by
@@ -9131,6 +9152,10 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       "cooc_baskets" -> baskets,
       "cooc_edges" -> edges,
       "dedup_pairs" -> pairs,
+      // pair_stats feeds the dedup_pairs AND containment_pairs builds,
+      // so its consumer set is the union of theirs (transitive, like
+      // shingles): released only after the last of either family.
+      "pair_stats" -> (pairs + "q_containment"),
       "doc_shingles" -> shingles,
       "dedup_cc" -> cc,
       "doc_spans" -> Set("q_span_dedup", "q_span_dup_stats"),
@@ -9158,7 +9183,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     * [[sharedConsumers]]' key set (spec-pinned in CacheLifecycleSpec).
     */
   val sharedBuildOrder: Seq[String] = Seq(
-    "doc_shingles", "dedup_pairs", "dedup_cc", "containment_pairs",
+    "doc_shingles", "pair_stats", "dedup_pairs", "dedup_cc",
+    "containment_pairs",
     "doc_spans", "cooc_baskets", "cooc_edges", "classifier_scores",
     "sketch_refs")
 
@@ -9172,9 +9198,10 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     * prerequisites are all upstream of it in that order needs no
     * entry here. */
   val sharedPrereqs: Map[String, Seq[String]] = Map(
-    "dedup_pairs" -> Seq("doc_shingles"),
+    "pair_stats" -> Seq("doc_shingles"),
+    "dedup_pairs" -> Seq("pair_stats"),
     "dedup_cc" -> Seq("dedup_pairs"),
-    "containment_pairs" -> Seq("doc_shingles"),
+    "containment_pairs" -> Seq("pair_stats"),
     "cooc_edges" -> Seq("cooc_baskets"))
 
   /** Whether `resource` is already built for (session, dir) — cache
@@ -9185,6 +9212,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       case "cooc_baskets" => osCache.synchronized(osCache.contains((s, d)))
       case "cooc_edges" => edgeCache.synchronized(edgeCache.contains((s, d)))
       case "dedup_pairs" => pairsCache.synchronized(pairsCache.contains((s, d)))
+      case "pair_stats" => pairStatsSharedCache.synchronized(
+        pairStatsSharedCache.contains((s, d)))
       case "doc_shingles" =>
         shingleCache.synchronized(shingleCache.contains((s, d)))
       case "dedup_cc" => ccCache.synchronized(ccCache.contains((s, d)))
@@ -9210,6 +9239,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       case "cooc_baskets"      => coocBaskets(s, d).count(); ()
       case "cooc_edges"        => coocEdges(s, d).count(); ()
       case "dedup_pairs"       => jaccardPairs(s, d).count(); ()
+      case "pair_stats"        => pairStatsShared(s, d).count(); ()
       case "doc_shingles"      => docShingles(s, d).count(); ()
       case "dedup_cc"          => dedupComponents(s, d).count(); ()
       case "doc_spans"         => docSpans(s, d).count(); ()
@@ -9241,6 +9271,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
       case "cooc_baskets"      => dropCache(osCache, s, d)
       case "cooc_edges"        => dropCache(edgeCache, s, d)
       case "dedup_pairs"       => dropCache(pairsCache, s, d)
+      case "pair_stats"        => dropCache(pairStatsSharedCache, s, d)
       case "doc_shingles"      => dropCache(shingleCache, s, d)
       case "dedup_cc"          => dropCache(ccCache, s, d)
       case "doc_spans"         => dropCache(spanCache, s, d)
@@ -13604,9 +13635,15 @@ ORDER BY mode""")),
         val qs = trace("workload")(lineitemWorkload(s, d, meta, 30))
         val df = li(s, d)
         val n = meta.cardinality
-        // ONE scan computes, for every query: the exact truth count, the
-        // heuristic's per-pred count-ifs, and the systematic-sampling
-        // match count (~150 partial-aggregated count-ifs total).
+        // For every query: the exact truth count, the heuristic's
+        // per-pred count-ifs, and the systematic-sampling match count
+        // (~150 partial-aggregated count-ifs total) — CHUNKED at 64
+        // aggregate columns per scan (r20): one giant agg exceeds
+        // spark.sql.codegen.maxFields = 100, silently falling out of
+        // whole-stage codegen into interpreted row-at-a-time
+        // evaluation (the r18 lesson Workload.trueCards already
+        // encodes; this inline aggregate predated it). Three codegen'd
+        // scans of 5 narrow columns beat one interpreted scan ~2-3x.
         val inSample = pmod(col("l_orderkey") * 7 + col("l_linenumber"),
           lit(97)) === 0
         val flat = qs.zipWithIndex.flatMap { case (q, qi) =>
@@ -13617,16 +13654,22 @@ ORDER BY mode""")),
               .as(s"q${qi}_m"),
             sum(when(Pred.conj(q), 1L).otherwise(0L)).as(s"q${qi}_t"))
         } :+ sum(when(inSample, 1L).otherwise(0L)).as("ns")
-        val selRow = trace("flatAgg")(df.agg(flat.head, flat.tail: _*).collect()(0))
-        val ns = selRow.getAs[Long]("ns").toDouble
-        val truths = qs.indices.map(qi => selRow.getAs[Long](s"q${qi}_t"))
+        val sel: Map[String, Long] = trace("flatAgg") {
+          flat.grouped(64).flatMap { chunk =>
+            val row = df.agg(chunk.head, chunk.tail: _*).collect()(0)
+            chunk.indices.map(i =>
+              row.schema.fieldNames(i) -> row.getLong(i))
+          }.toMap
+        }
+        val ns = sel("ns").toDouble
+        val truths = qs.indices.map(qi => sel(s"q${qi}_t"))
         val heurEsts = qs.zipWithIndex.map { case (q, qi) =>
-          val sel = q.indices.map(pi =>
-            selRow.getAs[Long](s"q${qi}_p$pi").toDouble / n).product
-          math.ceil(sel * n)
+          val s0 = q.indices.map(pi =>
+            sel(s"q${qi}_p$pi").toDouble / n).product
+          math.ceil(s0 * n)
         }
         val sampEsts = qs.indices.map(qi =>
-          math.ceil(selRow.getAs[Long](s"q${qi}_m") / ns * n))
+          math.ceil(sel(s"q${qi}_m") / ns * n))
         val ps = new ProgressiveSampling(model, meta, numSamples = 500,
           shortcircuit = true)
         val psEsts = trace("psample")(qs.map(q => ps.query(q).toDouble))

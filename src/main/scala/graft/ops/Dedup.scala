@@ -446,8 +446,39 @@ FROM bits ORDER BY id"""
   /** [[ngramJaccardPairs]] over a pre-exploded `(id, shingle)` table
     * (see [[explodeShingles]]) so several consumers can share one
     * shingle materialization. */
+  /** The (id_a, id_b, cnt) PAIR-STATISTICS table over the capped
+    * shingle universe: cnt(a, b) = |shared rare shingles| for a < b
+    * and cnt(a, a) = |rare shingles of a| (the self-pair rows). This
+    * is the shared intermediate of BOTH the symmetric Jaccard pipeline
+    * and the asymmetric containment pipeline — same shingle table,
+    * same df cap, same aggregation — so a caller materializing both
+    * (the catalog does) should compute it ONCE and hand it to each via
+    * `precomputedPairStats` (r20: the two shared builds each re-paid
+    * the posting-list collect + pair expansion + pair-count shuffle).
+    * Unpinned: the caller owns persistence. */
+  def pairStatsFromShingles(exploded: DataFrame,
+      maxShingleDf: Int): DataFrame = {
+    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
+    val byShingle = exploded
+      .groupBy("shingle")
+      .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
+        .as("ids"))
+      .filter(col("ids").isNotNull)
+    val distinctLists = byShingle.groupBy("ids")
+      .agg(count(lit(1)).as("w"))
+    val pairArr = concat(
+      transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
+      flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("id_a"), b.as("id_b"))))))
+    distinctLists.select(col("w"), explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
   def ngramJaccardPairsFromShingles(exploded: DataFrame, threshold: Double,
-      maxShingleDf: Int, materialize: Boolean = false): DataFrame = {
+      maxShingleDf: Int, materialize: Boolean = false,
+      precomputedPairStats: Option[DataFrame] = None): DataFrame = {
     // ONE groupBy(shingle) shuffle builds the per-shingle posting list
     // (sorted doc-id set); the DF cap is a size filter on the list, and
     // candidate pairs are generated MAP-SIDE from each list (no
@@ -479,35 +510,16 @@ FROM bits ORDER BY id"""
     // collect_set + size filter has the right semantics but buffers the
     // whole hot group first; a count-prepass + anti-join stays bounded
     // but pays an extra full shuffle (measured +3 s at sf0.1).
-    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
-    val byShingle = exploded
-      .groupBy("shingle")
-      .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
-        .as("ids"))
-      .filter(col("ids").isNotNull)
-    // POSTING-LIST DEDUP before pair expansion: template/copy-heavy
-    // corpora repeat the SAME doc-id list across many shingles (every
-    // shingle unique to a duplicated doc posts the identical copy
-    // set), so expanding per shingle redoes the k²/2 pair fan-out once
-    // per repeat. Collapsing to distinct lists with multiplicity w and
-    // weighting the pair counts by w is output-identical (Σ over
-    // shingles ≡ Σ over distinct lists × w) and bounds expansion by
-    // DISTINCT-list volume. Measured at the derived dup-dense 100x
-    // corpus: 1168 s → the pair expansion was ~1e9 rows from ~50×
-    // repeated lists; deduped it is list-count-proportional (PLANS
-    // r12). At low dup density the extra list-keyed shuffle is small
-    // (lists are the narrow side; the expansion it guards is the wide
-    // one). The lists are canonical (the capped collect sorts), so
-    // array group-by equality is exact set equality.
-    val distinctLists = byShingle.groupBy("ids")
-      .agg(count(lit(1)).as("w"))
-    val pairArr = concat(
-      transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
-      flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("id_a"), b.as("id_b"))))))
+    // POSTING-LIST DEDUP before pair expansion (see
+    // pairStatsFromShingles, where the machinery now lives): distinct
+    // lists weighted by multiplicity bound the k²/2 expansion by
+    // DISTINCT-list volume (the r12 derived-100x lesson: 1168 s of
+    // repeated-list fan-out collapsed to list-count-proportional).
+    //
     // pairStats feeds THREE subtrees (counts twice + inter), so it must
     // compute once — but HOW it is pinned differs by caller lifecycle.
+    // precomputedPairStats: the caller owns the pin (the catalog's
+    // shared build computes it once for Jaccard AND containment).
     // materialize=true (the shared-cache posture): persist, then
     // unpersist explicitly once the tiny result is materialized.
     // materialize=false (one-shot callers): lazy localCheckpoint — the
@@ -519,13 +531,13 @@ FROM bits ORDER BY id"""
     // stable 12.19 MB end-of-roster storage residual in the r13/r14
     // bench artifacts was exactly this frame, planted by the one
     // materialize=false catalog caller (q_dedup_keep_best_eq).
-    val pairStatsBase = distinctLists.select(col("w"), explode(pairArr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(sum(col("w")).as("cnt"))
-    val pairStats =
-      if (materialize) pairStatsBase
+    val ownStats = precomputedPairStats.isEmpty
+    val pairStats = precomputedPairStats.getOrElse {
+      val base = pairStatsFromShingles(exploded, maxShingleDf)
+      if (materialize) base
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pairStatsBase.localCheckpoint(false)
+      else base.localCheckpoint(false)
+    }
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))
@@ -543,7 +555,7 @@ FROM bits ORDER BY id"""
     else {
       val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       res.count()
-      pairStats.unpersist()
+      if (ownStats) pairStats.unpersist()
       res
     }
   }
@@ -566,42 +578,19 @@ FROM bits ORDER BY id"""
     * of two exact longs, bit-identical cross-engine).
     */
   def ngramContainmentPairs(exploded: DataFrame, tauPct: Int,
-      maxShingleDf: Int, materialize: Boolean = false): DataFrame = {
-    graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
-    val byShingle = exploded
-      .groupBy("shingle")
-      .agg(expr(s"${graft.functions.CappedCollectSetLong.name}(id, $maxShingleDf)")
-        .as("ids"))
-      .filter(col("ids").isNotNull)
-    // Same weighted posting-list dedup as the Jaccard path (see the
-    // comment there): expansion cost bounded by DISTINCT lists.
-    val distinctLists = byShingle.groupBy("ids")
-      .agg(count(lit(1)).as("w"))
-    val pairArr = concat(
-      transform(col("ids"), a => struct(a.as("id_a"), a.as("id_b"))),
-      flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("id_a"), b.as("id_b"))))))
-    // Pinned like the Jaccard twin: pairStats is the expensive pair
-    // expansion + count shuffle and feeds THREE subtrees below
-    // (counts, and inter twice via the dirs union) — without a pin,
-    // once-compute relies on exchange reuse only, which AQE
-    // re-planning is free to break. `materialize = true` (the
-    // catalog's posture) persists, eagerly computes the tiny
-    // directional result, persists IT, and unpersists pairStats
-    // before returning. One-shot callers get a lazy localCheckpoint
-    // instead: same once-compute, but the blocks free via the
-    // ContextCleaner once the result frame is unreachable — a persist
-    // with no unpersist handle would sit in the CacheManager forever
-    // (the r13/r14 storage_end residual class; see the Jaccard twin's
-    // comment).
-    val pairStatsBase = distinctLists.select(col("w"), explode(pairArr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(sum(col("w")).as("cnt"))
-    val pairStats =
-      if (materialize) pairStatsBase
+      maxShingleDf: Int, materialize: Boolean = false,
+      precomputedPairStats: Option[DataFrame] = None): DataFrame = {
+    // Shared pair-statistics machinery (see pairStatsFromShingles and
+    // the pinning discussion in ngramJaccardPairsFromShingles): the
+    // catalog's shared build computes pairStats ONCE and hands it to
+    // both this pipeline and the Jaccard twin via precomputedPairStats.
+    val ownStats = precomputedPairStats.isEmpty
+    val pairStats = precomputedPairStats.getOrElse {
+      val base = pairStatsFromShingles(exploded, maxShingleDf)
+      if (materialize) base
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pairStatsBase.localCheckpoint(false)
+      else base.localCheckpoint(false)
+    }
     val counts = pairStats.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("cnt").as("n_sh"))
     val inter = pairStats.filter(col("id_a") =!= col("id_b"))
@@ -623,7 +612,7 @@ FROM bits ORDER BY id"""
     else {
       val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       res.count()
-      pairStats.unpersist()
+      if (ownStats) pairStats.unpersist()
       res
     }
   }

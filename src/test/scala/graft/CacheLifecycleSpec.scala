@@ -49,6 +49,7 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(persistedCount() > 0,
       "expected shared shingle/pair materializations to be persisted")
     Queries.releaseShared("dedup_pairs", spark, dir)
+    Queries.releaseShared("pair_stats", spark, dir)
     Queries.releaseShared("doc_shingles", spark, dir)
     assert(persistedCount() === 0,
       "released shingle/pair caches must leave zero persisted RDDs")
@@ -123,15 +124,18 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     Queries.releaseAllShared(spark, dir)
     assert(gcSettle() === 0, "test assumes a clean block manager")
     SparkEntry.queries("q_containment")(spark, dir).count()
-    // materialize = true must leave exactly the registered frames:
-    // the shingle table and the tiny containment result — NOT the
-    // wide pairStats intermediate, which pre-r14 survived unpersist-
-    // less as untracked executor blocks on every invocation
-    // (ADVICE r13 #1).
-    assert(persistedCount() === 2,
-      "expected exactly {doc_shingles, containment_pairs} persisted, " +
-        s"saw ${persistedCount()}")
+    // materialize = true must leave exactly the REGISTERED frames:
+    // the shingle table, the shared pair-stats table (r20: a
+    // lifecycle-managed resource feeding both pair builds, no longer
+    // an untracked intermediate), and the tiny containment result —
+    // nothing unregistered (pre-r14 the pairStats intermediate
+    // survived unpersist-less as untracked executor blocks on every
+    // invocation, ADVICE r13 #1).
+    assert(persistedCount() === 3,
+      "expected exactly {doc_shingles, pair_stats, containment_pairs} " +
+        s"persisted, saw ${persistedCount()}")
     Queries.releaseShared("containment_pairs", spark, dir)
+    Queries.releaseShared("pair_stats", spark, dir)
     Queries.releaseShared("doc_shingles", spark, dir)
     assert(persistedCount() === 0,
       "released containment caches must leave zero persisted RDDs")
@@ -195,6 +199,9 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       Queries.sharedBuildOrder.distinct.size)
     // Upstream-before-downstream pins (the transitive chains).
     def idx(r: String) = Queries.sharedBuildOrder.indexOf(r)
+    assert(idx("doc_shingles") < idx("pair_stats"))
+    assert(idx("pair_stats") < idx("dedup_pairs"))
+    assert(idx("pair_stats") < idx("containment_pairs"))
     assert(idx("doc_shingles") < idx("dedup_pairs"))
     assert(idx("dedup_pairs") < idx("dedup_cc"))
     assert(idx("doc_shingles") < idx("containment_pairs"))

@@ -88,6 +88,13 @@ object Bench {
     stages: Long, storageMb: Double)
 
   def main(args: Array[String]): Unit = {
+    // Ambient load FIRST (ADVICE r20 #5): sampled before the JVM spins
+    // up Spark/sbt work so startup cannot false-flag a quiet box.
+    // getSystemLoadAverage returns -1 where unsupported — recorded as
+    // -1 with load_warning null so consumers can tell "unavailable"
+    // from "quiet".
+    val loadAtSessionStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -156,9 +163,6 @@ object Bench {
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
     def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // Ambient load BEFORE any of this bench's own work spins up the
-    // box — the number the artifact's load_warning flag is based on.
-    val loadAtSessionStart = load1()
 
     // Warm up the session (codegen, parquet footer reads, shuffle infra)
     // so the alphabetically-first query over each table isn't charged
@@ -295,6 +299,22 @@ object Bench {
     // min-of-N: session-cached model training is charged to the first
     // repeat only, so its median still includes one training share.
     var repeatTimes = Map.empty[String, List[Double]]
+    // First-build ledger drain (VERDICT r20 ask #2): entry bodies may
+    // run first-time setup builds (keyed LocalExact oracles, deriveOnce
+    // gate tables) INSIDE their timed repeat; min-of-N then discards
+    // repeat 1 and with it the build cost — r20's totals silently
+    // excluded those builds. Now each drained build is subtracted from
+    // the repeat it ran in and charged to its own `_build_*` roster
+    // line (no telemetry row — the build's stages/shuffle stay merged
+    // into the consumer entry's telemetry, a documented limitation),
+    // so every build appears exactly once in the charged total.
+    def drainSetupBuilds(): Seq[(String, Double)] = {
+      var out = List.empty[(String, Double)]
+      var e = Queries.setupBuildLog.poll()
+      while (e != null) { out ::= e; e = Queries.setupBuildLog.poll() }
+      out.reverse
+    }
+    drainSetupBuilds() // discard anything from warmup
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
@@ -305,17 +325,22 @@ object Bench {
       val st0 = mStages.get
       while (rep < repeats && !failed.contains(name)) {
         val t0 = System.nanoTime()
+        var builtSecs = 0.0
         // noop sink, not count(): count() lets Catalyst prune computed
         // columns on map-only entries, under-charging their real work.
         try {
           val df = fn(spark, sfDir)
           df.write.format("noop").mode("overwrite").save()
+          val built = drainSetupBuilds()
+          builtSecs = built.map(_._2).sum
+          buildTimes ++= built
           // Plan telemetry AFTER the timed write (planning results are
           // cached on df.queryExecution, so this re-walks, not re-runs)
           // and only on the first repeat; failures must not fail the
           // entry — the timing above is the contract, this is metadata.
           if (rep == 0) {
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            best = math.min(best,
+              math.max(0.0, (System.nanoTime() - t0) / 1e9 - builtSecs))
             try plans += name -> planMetrics(df)
             catch { case e: Throwable => System.err.println(
               s"[bench] $name plan telemetry failed: ${e.getMessage}") }
@@ -329,8 +354,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             e.printStackTrace(System.err)
             failed ::= name
+            drainSetupBuilds() // partial builds stay uncharged
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        val elapsed =
+          math.max(0.0, (System.nanoTime() - t0) / 1e9 - builtSecs)
         best = math.min(best, elapsed)
         if (!failed.contains(name))
           repeatTimes += name -> (repeatTimes.getOrElse(name, Nil) :+ elapsed)
@@ -403,11 +430,17 @@ object Bench {
         // so the artifact carries the cause, not just the anomaly
         // (VERDICT r14 "what's wrong" #2).
         val rrSt0 = mStages.get
+        drainSetupBuilds() // prebuild-pass setups stay uncharged, as before
         val t0 = System.nanoTime()
         try {
           byName(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          val t = (System.nanoTime() - t0) / 1e9
+          // A rerun normally reads warm setup caches; if one somehow
+          // rebuilds (subset-run cache clears), keep the rerun number
+          // an entry-only cost and drop the build (its first run was
+          // already charged).
+          val t = math.max(0.0, (System.nanoTime() - t0) / 1e9 -
+            drainSetupBuilds().map(_._2).sum)
           settle()
           reruns += name -> t
           rerunStages += name -> (mStages.get - rrSt0)
@@ -458,10 +491,14 @@ object Bench {
 
     // `_build_<resource>` lines join the per-query map and the total:
     // the roster's wall-clock is unchanged, only its attribution moves
-    // off the first consumers.
-    val qs = (ok ++ buildTimes).map { case (k, v) => s"\"" + k + "\":" + v }
+    // off the first consumers. Ledger-drained inline builds could in
+    // principle recur under one label (a rebuild after a cache clear);
+    // summed per label so the JSON map stays single-keyed.
+    val buildAgg = buildTimes.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }.toSeq.sortBy(_._1)
+    val qs = (ok ++ buildAgg).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum + buildTimes.map(_._2).sum
+    val total = ok.map(_._2).sum + buildAgg.map(_._2).sum
     // Median-of-repeats series (VERDICT r18 #7): even-length medians
     // average the middle pair (= the mean for repeats=2). Build lines
     // run once; their single time joins the median total so the two
@@ -473,10 +510,10 @@ object Bench {
     }
     val medians = ok.flatMap { case (k, _) =>
       repeatTimes.get(k).map(k -> medianOf(_)) }
-    val qsMedian = (medians ++ buildTimes)
+    val qsMedian = (medians ++ buildAgg)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val totalMedian = medians.map(_._2).sum + buildTimes.map(_._2).sum
+    val totalMedian = medians.map(_._2).sum + buildAgg.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val plansJson = plans.toSeq.sortBy(_._1).map { case (k, (n, l, x, ru)) =>
       s"\"$k\":{\"nodes\":$n,\"leaves\":$l,\"exchanges\":$x,\"reused\":$ru}"
@@ -504,8 +541,13 @@ object Bench {
     // 2.0 — a consumer comparing totals across rounds must prefer
     // runs without the flag (per-entry load1 telemetry carries the
     // within-run series as before).
-    val loadWarning = loadAtSessionStart > 2.0
-    if (loadWarning) System.err.println(
+    // load_warning: true/false from the ambient sample, JSON null when
+    // the platform reports no load average (-1) — "unavailable" must
+    // not read as "quiet" (ADVICE r20 #5).
+    val loadWarning =
+      if (loadAtSessionStart < 0) "null"
+      else (loadAtSessionStart > 2.0).toString
+    if (loadWarning == "true") System.err.println(
       f"[bench] WARNING: ambient load1 $loadAtSessionStart%.2f > 2.0 at " +
         "session start — totals in this artifact are contention-suspect")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_median":$totalMedian,"load1_start":${f2(loadAtSessionStart)},"load_warning":$loadWarning,"queries":$qs,"queries_median":$qsMedian,"plans":$plansJson,"telemetry":$telJson,"rerun":$rerunJson,"rerun_stages":$rerunStagesJson,"storage_end_mb":${f2(storageEndMb)},"storage_end_detail":$storageDetailJson,"failed":$failedJson,"sf":"$sfDir"}"""
@@ -521,6 +563,24 @@ object Bench {
       java.nio.file.Paths.get("bench_summary.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}") }
+    // Per-entry seconds in tail-capturable CHUNKS (VERDICT r20 ask #1:
+    // PERF's per_query table has been empty for two rounds because the
+    // per-entry map rides only the multi-KB full line above, which a
+    // tail-window capture truncates). Each line is a self-contained
+    // small JSON object: {"metric":"queries_part","i":<1-based chunk>,
+    // "n":<chunk count>,"queries":{<=40 entries, 3-decimal seconds>}}.
+    // Printed immediately before total_short so the LAST lines of
+    // stdout carry the whole per-entry series; additions only — the
+    // full line and bench_summary.json are unchanged.
+    def f3(d: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val partEntries = (ok ++ buildAgg).sortBy(_._1)
+    val parts = partEntries.grouped(40).toSeq
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, v) => s"\"$k\":${f3(v)}" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","i":${i + 1},"n":${parts.size},"queries":$body}""")
+    }
     // Distinct metric name: a consumer selecting lines by
     // "metric":"total" must match ONLY the full contract line above,
     // not this short tail-window-safe duplicate.

@@ -288,7 +288,7 @@ ORDER BY query_id""")),
         val dfv = Tables.read(s, d, "events").select(
           when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
             .otherwise(col("event_type")).as("et"))
-        val meta = Dictionary.columnMeta(dfv, "et")
+        val meta = cachedColumnMeta(s"$d/events.parquet|et_null7", dfv, "et")
         require(meta.hasNull && meta.domain(0) == null,
           "derived table lost its null slot")
         val preds = Seq(
@@ -910,9 +910,9 @@ ORDER BY query_id, grp, metric""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val cust = s.read.parquet(s"$d/customer.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         val leC = localExact(s"$d/customer.parquet", cust,
           Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
@@ -1418,7 +1418,7 @@ ORDER BY query_id""")),
         val liDf = s.read.parquet(s"$d/lineitem.parquet")
         val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
           "l_linestatus").map(c => c ->
-          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+          cachedColumnMeta(s"$d/lineitem.parquet", liDf.select(c), c).domain.toSeq).toMap
         // LocalExact, not df.filter(conj).count(): per-probe Spark jobs
         // pay a scheduler round trip EACH — the r16-measured anti-
         // pattern (229 s for a probe-grid workload) — while the
@@ -1630,11 +1630,11 @@ ORDER BY query_id, grp NULLS FIRST, metric""")),
         val cust = s.read.parquet(s"$d/customer.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
         val supp = s.read.parquet(s"$d/supplier.parquet")
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
-        val sDom = Dictionary.columnMeta(
+        val sDom = cachedColumnMeta(s"$d/supplier.parquet",
           supp.select("s_nationkey"), "s_nationkey").domain.toSeq
         val leC = localExact(s"$d/customer.parquet", cust,
           Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
@@ -1731,9 +1731,9 @@ ORDER BY query_id""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val cust = s.read.parquet(s"$d/customer.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         val leC = localExact(s"$d/customer.parquet", cust,
           Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
@@ -3393,9 +3393,9 @@ ORDER BY query_id""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val cust = s.read.parquet(s"$d/customer.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         val leC = localExact(s"$d/customer.parquet", cust,
           Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
@@ -3845,11 +3845,11 @@ ORDER BY query_id""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val cust = s.read.parquet(s"$d/customer.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val cmDom = Dictionary.columnMeta(
+        val cmDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_mktsegment"), "c_mktsegment").domain.toSeq
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         val leC = localExact(s"$d/customer.parquet", cust,
           Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
@@ -3934,7 +3934,7 @@ ORDER BY query_id, grp""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val nat = s.read.parquet(s"$d/nation.parquet")
         val leN = localExact(s"$d/nation.parquet", nat, Seq("n_nationkey", "n_regionkey"))
-        val nDom = Dictionary.columnMeta(
+        val nDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         cust.createOrReplaceTempView("graft_aqp_jcb_customer")
         nat.createOrReplaceTempView("graft_aqp_jcb_nation")
@@ -4017,15 +4017,15 @@ ORDER BY query_id""")),
         val nat = s.read.parquet(s"$d/nation.parquet")
         val cust = s.read.parquet(s"$d/customer.parquet")
         val supp = s.read.parquet(s"$d/supplier.parquet")
-        val rDom = Dictionary.columnMeta(
+        val rDom = cachedColumnMeta(s"$d/region.parquet",
           reg.select("r_regionkey"), "r_regionkey").domain.toSeq
-        val nkDom = Dictionary.columnMeta(
+        val nkDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
-        val nrDom = Dictionary.columnMeta(
+        val nrDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_regionkey"), "n_regionkey").domain.toSeq
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val sDom = Dictionary.columnMeta(
+        val sDom = cachedColumnMeta(s"$d/supplier.parquet",
           supp.select("s_nationkey"), "s_nationkey").domain.toSeq
         val leR = localExact(s"$d/region.parquet", reg, Seq("r_regionkey", "r_name"))
         val leN = localExact(s"$d/nation.parquet", nat,
@@ -4479,15 +4479,15 @@ ORDER BY query_id, grp, metric""")),
           s.conf.getOption(graft.plans.GraftRuntime.EnabledKey)
         val nat = s.read.parquet(s"$d/nation.parquet")
         val cust = s.read.parquet(s"$d/customer.parquet")
-        val nkDom = Dictionary.columnMeta(
+        val nkDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
-        val nnDom = Dictionary.columnMeta(
+        val nnDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_name"), "n_name").domain.toSeq
-        val nrDomJg = Dictionary.columnMeta(
+        val nrDomJg = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_regionkey"), "n_regionkey").domain.toSeq
-        val cDom = Dictionary.columnMeta(
+        val cDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_nationkey"), "c_nationkey").domain.toSeq
-        val cmDom = Dictionary.columnMeta(
+        val cmDom = cachedColumnMeta(s"$d/customer.parquet",
           cust.select("c_mktsegment"), "c_mktsegment").domain.toSeq
         val leN = localExact(s"$d/nation.parquet", nat,
           Seq("n_nationkey", "n_regionkey", "n_name"))
@@ -4606,13 +4606,13 @@ ORDER BY query_id, grp, grp2""")),
         val ord = s.read.parquet(s"$d/orders.parquet")
         val sup = s.read.parquet(s"$d/supplier.parquet")
         val nat = s.read.parquet(s"$d/nation.parquet")
-        val odDom = Dictionary.columnMeta(
+        val odDom = cachedColumnMeta(s"$d/orders.parquet",
           ord.select("o_orderdate"), "o_orderdate").domain.toSeq
-        val osDom = Dictionary.columnMeta(
+        val osDom = cachedColumnMeta(s"$d/orders.parquet",
           ord.select("o_orderstatus"), "o_orderstatus").domain.toSeq
-        val skDom = Dictionary.columnMeta(
+        val skDom = cachedColumnMeta(s"$d/supplier.parquet",
           sup.select("s_suppkey"), "s_suppkey").domain.toSeq
-        val nnDom = Dictionary.columnMeta(
+        val nnDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_name"), "n_name").domain.toSeq
         val leO = localExact(s"$d/orders.parquet", ord, Seq("o_orderdate", "o_orderstatus"))
         val leS = localExact(s"$d/supplier.parquet", sup, Seq("s_suppkey"))
@@ -4763,9 +4763,9 @@ ORDER BY query_id, grp""")),
         val nat = s.read.parquet(s"$d/nation.parquet")
         val leN = localExact(s"$d/nation.parquet", nat,
           Seq("n_nationkey", "n_regionkey"))
-        val nkDom = Dictionary.columnMeta(
+        val nkDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
-        val nrDom = Dictionary.columnMeta(
+        val nrDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_regionkey"), "n_regionkey").domain.toSeq
         cust.createOrReplaceTempView("graft_aqp_jgb_customer")
         nat.createOrReplaceTempView("graft_aqp_jgb_nation")
@@ -4838,7 +4838,7 @@ ORDER BY grp""")),
         val nat = s.read.parquet(s"$d/nation.parquet")
         val leN = localExact(s"$d/nation.parquet", nat,
           Seq("n_nationkey", "n_regionkey"))
-        val nkDom = Dictionary.columnMeta(
+        val nkDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         cust.createOrReplaceTempView("graft_aqp_xb_customer")
         nat.createOrReplaceTempView("graft_aqp_xb_nation")
@@ -4913,7 +4913,7 @@ ORDER BY query_id""")),
         val nat = s.read.parquet(s"$d/nation.parquet")
         val leN = localExact(s"$d/nation.parquet", nat,
           Seq("n_nationkey", "n_regionkey"))
-        val nkDom = Dictionary.columnMeta(
+        val nkDom = cachedColumnMeta(s"$d/nation.parquet",
           nat.select("n_nationkey"), "n_nationkey").domain.toSeq
         cust.createOrReplaceTempView("graft_aqp_ob_customer")
         nat.createOrReplaceTempView("graft_aqp_ob_nation")
@@ -5213,7 +5213,7 @@ ORDER BY query_id, grp, metric""")),
         val liDf = s.read.parquet(s"$d/lineitem.parquet")
         val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
           "l_linestatus", "l_quantity").map(c => c ->
-          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+          cachedColumnMeta(s"$d/lineitem.parquet", liDf.select(c), c).domain.toSeq).toMap
         val le = localExact(s"$d/lineitem.parquet", liDf, modelCols)
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/lineitem.parquet", modelCols.toSet,
@@ -8490,13 +8490,18 @@ SELECT 'hub' AS side, CAST(count(*) AS BIGINT) AS n_nodes,
   CAST(sum(x * (n % 1009)) AS BIGINT) AS checksum FROM h2
 ORDER BY side""")),
     // Frequent-itemset mining (Apriori) over order baskets — the
-    // market-basket operator. The scale shape: pair/triple INSTANCE
-    // generation is basket-local (order size is spec-bounded, so
-    // fan-out per order is a constant, never corpus-sized); support
-    // counting is one shuffle keyed on the itemset; and the Apriori
-    // closure prunes candidate triples by semi-joining BOTH
-    // constituent pairs against the frequent-pair set BEFORE the
-    // support count touches the instance stream — at 100 TB the
+    // market-basket operator. The scale shape (r21 basket-array
+    // rewrite, guide §2.3/§3): ONE ok-keyed shuffle builds the sorted
+    // frequent-item array per basket; pair AND triple instances are
+    // then generated MAP-SIDE from the array (order size is
+    // spec-bounded, so fan-out per basket is a constant, never
+    // corpus-sized) and partial aggregation collapses them BEFORE the
+    // support-count exchanges — the r11–r20 shape instead self-joined
+    // the basket table on ok for pairs and again for the triple
+    // extension, shuffling the full instance streams (149 MB at
+    // sf0.1). The Apriori closure prunes candidate triples by
+    // semi-joining the BROADCAST candidate-triple set (derived from
+    // frequent pairs) before the support count — at 100 TB the
     // frequent sets are dimension-sized and broadcast. Checksum uses
     // pmod-per-key before the weighted mix (derived-scale ids ~1e15
     // would overflow a raw p1*31).
@@ -8508,17 +8513,19 @@ ORDER BY side""")),
         val l1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("n"))
           .filter(col("n") >= 5)
         val freqItems = l1.select(col("p").as("fp"))
-        val fb = baskets.join(freqItems, col("p") === col("fp"), "left_semi")
-        // ONE basket self-join feeds both levels: pair instances keep
-        // their basket key so the triple instances EXTEND them with a
-        // third item (pairInst ⋈ fb) instead of re-deriving the a⋈b
-        // join from scratch — the identical pairInst subtree appears
-        // twice in the final plan and exchange reuse runs it once
-        // (r11 verdict "What's wrong" #4).
-        val pairInst = fb.as("a").join(fb.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .select(col("a.ok").as("ok"), col("a.p").as("p1"),
-            col("b.p").as("p2"))
+        val fb = baskets.join(broadcast(freqItems),
+          col("p") === col("fp"), "left_semi")
+        // Sorted DISTINCT item array per basket: ascending order makes
+        // map-side (i < j) generation emit exactly the a.p < b.p pairs
+        // the self-join produced (items are distinct within a basket,
+        // so ascending is strict).
+        val arr = fb.groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("p"))).as("items"))
+        val pairInst = arr.select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), " +
+            "y -> named_struct('p1', x, 'p2', y))))")).as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         val l2 = pairInst.groupBy(col("p1"), col("p2"))
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
         val cand3 = l2.as("x").join(l2.as("y"),
@@ -8528,12 +8535,20 @@ ORDER BY side""")),
           .join(l2.select(col("p1").as("c1"), col("p2").as("c2")),
             col("q2") === col("c1") && col("q3") === col("c2"),
             "left_semi")
-        val tripInst = pairInst
-          .join(fb.select(col("ok").as("cok"), col("p").as("cp")),
-            col("ok") === col("cok") && col("p2") < col("cp"))
-          .select(col("p1").as("q1"), col("p2").as("q2"),
-            col("cp").as("q3"))
-        val l3 = tripInst.join(cand3, Seq("q1", "q2", "q3"), "left_semi")
+        // All (i < j < k) triples of each basket's sorted array —
+        // value-identical to the r20 pairInst ⋈ fb extension (every
+        // ascending triple of frequent items per basket, once), with
+        // zero joins; the broadcast semi-join against the Apriori
+        // candidates prunes before the support-count exchange.
+        val tripInst = arr.select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "flatten(transform(slice(items, i + 2, size(items)), " +
+            "(y, j) -> transform(slice(items, i + j + 3, size(items)), " +
+            "z -> named_struct('q1', x, 'q2', y, 'q3', z))))))")).as("tr"))
+          .select(col("tr.q1").as("q1"), col("tr.q2").as("q2"),
+            col("tr.q3").as("q3"))
+        val l3 = tripInst.join(broadcast(cand3), Seq("q1", "q2", "q3"),
+            "left_semi")
           .groupBy(col("q1"), col("q2"), col("q3"))
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
         def mix(a: org.apache.spark.sql.Column,
@@ -9291,8 +9306,10 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
   def releaseAllShared(s: SparkSession, d: String): Unit = {
     sharedConsumers.keys.foreach(releaseShared(_, s, d))
     // Driver-heap-only caches (no executor storage): the keyed
-    // LocalExact gate oracles follow the same end-of-roster lifecycle.
+    // LocalExact gate oracles and columnMeta dictionaries follow the
+    // same end-of-roster lifecycle.
     localExactCache.synchronized(localExactCache.clear())
+    columnMetaCache.synchronized(columnMetaCache.clear())
   }
 
   val docEntries: Seq[Entry] = Seq(
@@ -11331,15 +11348,78 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
     * call: conservative fall-through gate queries scan the files on
     * every call, so a per-call delete would break the repeat. */
   private val derivedDirs = new java.util.HashSet[String]()
+  // Dirs registered for deletion at JVM exit — ONE shutdown hook
+  // draining the set instead of one hook thread per dir (ADVICE r20).
+  private val dirsToDelete =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private lazy val deleteHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirsToDelete.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(d)))))
+    true
+  }
+
+  /** First-build ledger (VERDICT r20 ask #2): every first-time
+    * [[deriveOnce]] / [[localExact]] build appends (roster label,
+    * seconds) here; Bench drains it after each repeat, SUBTRACTS the
+    * build seconds from that repeat's clock and charges them to their
+    * own `_build_*` roster line — so the min-of-N total contains every
+    * build exactly once instead of silently discarding repeat-1 builds
+    * with the min. Labels are digit-stripped (pids and sf digits would
+    * make names unstable across runs) and hash-suffixed (distinct
+    * column sets on one table must not collide into one roster key).
+    * Verify/tests never read the ledger; it stays bounded by the
+    * number of distinct setup artifacts per process. */
+  private[graft] val setupBuildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+  private def setupLabel(prefix: String, key: String): String = {
+    val cleaned = key.replaceAll("^/tmp/", "").replaceAll("[0-9]+", "")
+      .replaceAll("[^A-Za-z]+", "_").replaceAll("^_+|_+$", "")
+    val stable = Integer.toHexString(
+      key.replaceAll("[0-9]+", "").hashCode)
+    s"_build_$prefix${cleaned.take(40)}_$stable"
+  }
+
   private def deriveOnce(dir: String)(write: => Unit): Unit =
     derivedDirs.synchronized {
       if (!derivedDirs.contains(dir)) {
+        val t0 = System.nanoTime()
         write
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(dir))))
+        setupBuildLog.offer(
+          (setupLabel("drv_", dir), (System.nanoTime() - t0) / 1e9))
+        require(deleteHookInstalled)
+        dirsToDelete.add(dir)
         derivedDirs.add(dir); ()
       }
+    }
+
+  /** Keyed [[graft.core.Dictionary.columnMeta]] cache — the localExact
+    * convention applied to the other registration-time metadata build
+    * (VERDICT r20 next #7): every gate entry re-ran one distinct+sort
+    * job per registered join-key/domain column per call, and min-of-2
+    * repeats re-paid all of them. Keys embed the sfDir-qualified source
+    * (plus a derivation tag where the df is not a bare table read);
+    * first builds are timed into [[setupBuildLog]]. NOT used by entries
+    * whose MEASURED operator is the dictionary build itself
+    * (q_vocab_quantity, q_discretize) — caching those would memoize the
+    * timed work, which the no-precomputation rule bans. Cleared in
+    * releaseAllShared with the localExact cache. */
+  private val columnMetaCache =
+    scala.collection.mutable.Map.empty[String, graft.core.ColumnMeta]
+  private def cachedColumnMeta(key: String,
+      df: => org.apache.spark.sql.DataFrame,
+      c: String): graft.core.ColumnMeta =
+    columnMetaCache.synchronized {
+      val k = key + "|" + c
+      columnMetaCache.getOrElse(k, {
+        val t0 = System.nanoTime()
+        val m = Dictionary.columnMeta(df, c)
+        setupBuildLog.offer(
+          (setupLabel("cm_", k), (System.nanoTime() - t0) / 1e9))
+        columnMetaCache.update(k, m)
+        m
+      })
     }
 
   private val localExactCache =
@@ -11348,8 +11428,15 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""))
       df: => org.apache.spark.sql.DataFrame,
       cols: Seq[String]): LocalExact =
     localExactCache.synchronized {
-      localExactCache.getOrElseUpdate(key + "|" + cols.mkString(","),
-        new LocalExact(df, cols))
+      val k = key + "|" + cols.mkString(",")
+      localExactCache.getOrElse(k, {
+        val t0 = System.nanoTime()
+        val le = new LocalExact(df, cols)
+        setupBuildLog.offer(
+          (setupLabel("lx_", k), (System.nanoTime() - t0) / 1e9))
+        localExactCache.update(k, le)
+        le
+      })
     }
 
   /** One seed-derived grouped-aggregate query for the probe-grid
@@ -12554,7 +12641,7 @@ WHERE l_quantity <= 24.0 AND l_discount >= 0.05 AND l_returnflag = 'R'""")),
         val liDf = s.read.parquet(s"$d/lineitem.parquet")
         val domains: Map[String, Seq[Any]] = Seq("l_returnflag",
           "l_linestatus").map(c => c ->
-          Dictionary.columnMeta(liDf.select(c), c).domain.toSeq).toMap
+          cachedColumnMeta(s"$d/lineitem.parquet", liDf.select(c), c).domain.toSeq).toMap
         graft.plans.GraftRuntime.registerWithDomain(
           s"$d/lineitem.parquet", modelCols.toSet,
           preds => liDf.filter(Pred.conj(preds)).count(),
@@ -13447,7 +13534,7 @@ ORDER BY mode""")),
         val savedThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
         val savedCbo = s.conf.get("spark.sql.cbo.enabled")
-        val liSk = Dictionary.columnMeta(
+        val liSk = cachedColumnMeta(s"$d/lineitem.parquet",
           s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey")
         val skNdv = liSk.nonNullDomain.length.toLong
         def reg(injectNdv: Boolean): Unit = {
@@ -13654,12 +13741,20 @@ ORDER BY mode""")),
               .as(s"q${qi}_m"),
             sum(when(Pred.conj(q), 1L).otherwise(0L)).as(s"q${qi}_t"))
         } :+ sum(when(inSample, 1L).otherwise(0L)).as("ns")
+        // r21 (guide §2.6): the three chunked scans are independent
+        // jobs — overlapping them from driver threads back-fills each
+        // scan's straggler tail with the next scan's tasks (results
+        // merged by alias name, values unchanged).
         val sel: Map[String, Long] = trace("flatAgg") {
-          flat.grouped(64).flatMap { chunk =>
-            val row = df.agg(chunk.head, chunk.tail: _*).collect()(0)
-            chunk.indices.map(i =>
-              row.schema.fieldNames(i) -> row.getLong(i))
-          }.toMap
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.traverse(flat.grouped(64).toList) { chunk => Future {
+              val row = df.agg(chunk.head, chunk.tail: _*).collect()(0)
+              chunk.indices.map(i =>
+                row.schema.fieldNames(i) -> row.getLong(i))
+            }},
+            scala.concurrent.duration.Duration.Inf).flatten.toMap
         }
         val ns = sel("ns").toDouble
         val truths = qs.indices.map(qi => sel(s"q${qi}_t"))
@@ -13675,11 +13770,27 @@ ORDER BY mode""")),
         val psEsts = trace("psample")(qs.map(q => ps.query(q).toDouble))
         // The transformer's forward is ~10x a MADE step: a 250-sample
         // budget keeps its report row at MADE-row cost with quantiles
-        // well inside the estimator's own variance.
+        // well inside the estimator's own variance. r21 (VERDICT r20
+        // next #5): queries fan out in parallel exactly like the
+        // ensemble row below — per-query seeded samplers keep the row
+        // deterministic under any schedule, and concurrent inference on
+        // one Transformer is safe because forward outputs never read
+        // the layer caches (xCache/xhat/attnCache are written for
+        // backward, which inference never calls) and each sampler owns
+        // its input buffer and rng. Estimates differ from the r20
+        // sequential-shared-rng row only in which seeded draws each
+        // query consumes (within estimator variance; no-oracle entry).
         val (tModel, tMeta) = lineitemTransformer(s, d)
-        val tps = new ProgressiveSampling(tModel, tMeta, numSamples = 250,
-          shortcircuit = true)
-        val tpsEsts = trace("transformer")(qs.map(q => tps.query(q).toDouble))
+        val tpsEsts = trace("transformer") {
+          val acc = new Array[Double](qs.length)
+          java.util.stream.IntStream.range(0, qs.length).parallel()
+            .forEach { i =>
+              val p = new ProgressiveSampling(tModel, tMeta,
+                numSamples = 250, shortcircuit = true, seed = 1234L + i)
+              acc(i) = p.query(qs(i)).toDouble
+            }
+          acc.toSeq
+        }
         val sm = new SampleFromModel(model, meta, numSamplesPerQuery = 500)
         val smEsts = trace("msample")(qs.map(q => sm.query(q).toDouble))
         val bnEst = new BayesNetEstimator(lineitemBn(s, d), numSamples = 500)
@@ -15041,21 +15152,24 @@ FROM r ORDER BY stratum"""))
         val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
         val savedCbo = s.conf.get("spark.sql.cbo.enabled")
         val savedReord = s.conf.get("spark.sql.cbo.joinReorder.enabled")
-        // o_orderkey scales 0..N-1 with the SF: the 10% band is derived
-        // from the data, not a constant (the derived-dir lesson).
-        val maxOk = Tables.read(s, d, "orders")
-          .agg(max(col("o_orderkey"))).head().getLong(0)
-        val okCut = maxOk / 10
         // Dictionaries for the join keys — the reference's own domain
         // structure; NDV-under-filter is the mask true-count.
-        val liOk = Dictionary.columnMeta(
+        val liOk = cachedColumnMeta(s"$d/lineitem.parquet",
           s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey")
-        val liSk = Dictionary.columnMeta(
+        val liSk = cachedColumnMeta(s"$d/lineitem.parquet",
           s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey")
-        val oOk = Dictionary.columnMeta(
+        val oOk = cachedColumnMeta(s"$d/orders.parquet",
           Tables.read(s, d, "orders"), "o_orderkey")
-        val sSk = Dictionary.columnMeta(
+        val sSk = cachedColumnMeta(s"$d/supplier.parquet",
           s.read.parquet(s"$d/supplier.parquet"), "s_suppkey")
+        // o_orderkey scales 0..N-1 with the SF: the 10% band is derived
+        // from the data, not a constant (the derived-dir lesson). r21:
+        // the max is the sorted dictionary's last non-null value — the
+        // former per-call agg(max) job re-computed what the cached
+        // domain already holds (max() ignores nulls; so does
+        // nonNullDomain).
+        val maxOk = oOk.nonNullDomain.last.asInstanceOf[Long]
+        val okCut = maxOk / 10
         def maskNdv(m: graft.core.ColumnMeta, preds: Seq[Pred]): Long = {
           val mine = preds.filter(_.col == m.name)
           if (mine.isEmpty) m.nonNullDomain.length.toLong

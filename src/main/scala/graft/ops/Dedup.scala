@@ -455,7 +455,16 @@ FROM bits ORDER BY id"""
     * (the catalog does) should compute it ONCE and hand it to each via
     * `precomputedPairStats` (r20: the two shared builds each re-paid
     * the posting-list collect + pair expansion + pair-count shuffle).
-    * Unpinned: the caller owns persistence. */
+    * Unpinned: the caller owns persistence.
+    *
+    * INVARIANT for `precomputedPairStats` consumers (ADVICE r20 #1): a
+    * supplied frame MUST have been built by THIS function over the
+    * SAME exploded table and the SAME maxShingleDf the consumer would
+    * otherwise use — when stats are supplied, the consumer's own
+    * exploded/cap arguments no longer participate, so a mismatched
+    * frame yields silently wrong pairs. The catalog's `pair_stats`
+    * shared build is the only supplier today and shares both by
+    * construction (one build site, consts from the same entry family). */
   def pairStatsFromShingles(exploded: DataFrame,
       maxShingleDf: Int): DataFrame = {
     graft.functions.CappedCollectSetLong.ensureRegistered(exploded.sparkSession)
@@ -763,13 +772,36 @@ FROM flagged"""
     val dfreq = exploded.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-    val capped = exploded.join(dfreq, "shingle")
+    // r21 DICTIONARY ENCODING (guide §2.3 — narrower types through
+    // every exchange): the shingle STRINGS used to flow through the
+    // set aggregation, the prefix explode, the candidate self-join and
+    // both verification arrays; every stage after the dfreq join only
+    // needs identity + the (df asc, shingle asc) prefix total order,
+    // so each capped shingle gets a LONG sid that preserves exactly
+    // that order — range-repartition by (df, shingle) (range ids
+    // ascend with the sort key), sort within partitions, then
+    // monotonically_increasing_id = (partition << 33) + row position.
+    // Correctness does not depend on WHICH total order the sids
+    // realize (the prefix theorem holds for any fixed total order and
+    // the verify step computes exact intersections), but it does
+    // depend on every consumer seeing ONE consistent assignment:
+    // monotonically_increasing_id is marked nondeterministic, so the
+    // tiny universe-sized dict is pinned with a localCheckpoint —
+    // unlike the `sets` pin r20 measured slower, this materializes
+    // |capped universe| rows, not |docs| arrays.
+    val dict = dfreq
+      .repartitionByRange(col("df"), col("shingle"))
+      .sortWithinPartitions("df", "shingle")
+      .withColumn("sid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val capped = exploded.join(dict, "shingle")
+      .select(col("id"), col("sid"), col("df"))
     // Per-doc capped-shingle SET, ordered by the prefix total order
-    // (df asc, shingle asc — sort_array over the struct is exactly
-    // that lexicographic order; shingles are distinct per doc, so the
-    // order is total): ONE partial-aggregated groupBy replaces the two
-    // per-doc windows the r19 shape paid (row_number + count over the
-    // same partition), and the same arrays then serve BOTH the prefix
+    // (df asc, sid asc — sid ties are impossible, sids are unique; the
+    // struct sort equals the (df, shingle) order by construction of
+    // sid): ONE partial-aggregated groupBy replaces the two per-doc
+    // windows the r19 shape paid (row_number + count over the same
+    // partition), and the same arrays then serve BOTH the prefix
     // derivation (a map-side slice) and candidate verification below.
     // sets feeds THREE subtrees (the prefix derivation and both
     // verification joins); its aggregation exchange is deduplicated by
@@ -778,10 +810,10 @@ FROM flagged"""
     // read-back round trip cost more than the reuse it replaced.
     val sets = capped
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("sid"))))
         .as("ds"))
       .select(col("id"),
-        transform(col("ds"), x => x("shingle")).as("sh"),
+        transform(col("ds"), x => x("sid")).as("sh"),
         size(col("ds")).cast("long").as("m"))
     // The doc's full capped-shingle count m rides the prefix rows
     // (r19, VERDICT r18 #9): na/nb reach the candidate pairs through
@@ -789,9 +821,9 @@ FROM flagged"""
     val prefix = sets.select(col("id"), col("m"),
       explode(slice(col("sh"), lit(1),
         (col("m") - ceil(col("m") * lit(threshold)).cast("long") + 1)
-          .cast("int"))).as("shingle"))
+          .cast("int"))).as("sid"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.sid") === col("b.sid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.m").as("na"), col("b.m").as("nb"))
       .distinct()

@@ -761,11 +761,24 @@ ORDER BY lang"""
     * vocab-sized aggregate): the tokenizer's compression curve.
     */
   /** The shared BPE training loop: k greedy merge rounds over the word
-    * frequency table. `perRound` observes each round's learned merge
-    * and the post-merge word table (persisted); the FINAL word table is
-    * returned still persisted — the caller owns its unpersist. */
+    * frequency table. `perRound` observes each round's learned merge,
+    * the SUM of all cnt-weighted pair counts over the round's PRE-merge
+    * word table (see [[bpeMerges]] — it derives the compression curve
+    * from these for free), and the post-merge word table (persisted);
+    * the FINAL word table is returned still persisted — the caller owns
+    * its unpersist.
+    *
+    * r21 (guide §1.2 — the per-round job floor dominates this
+    * vocab-sized loop): the winning pair is an argmax FUSED into the
+    * pair-count aggregation as `min(struct(-c, l, r))` — structurally
+    * the same winner as the former `ORDER BY c DESC, l, r LIMIT 1`
+    * (min of (-c, l, r) lexicographic = max c, then l asc, r asc; both
+    * compare strings as UTF8 binary), returned in the SAME single-row
+    * job that also carries Σc, so learned merges are byte-identical
+    * and bpeMerges' former one-total-job-per-round is gone. */
   private def bpeLoop(df: DataFrame, textCol: String, k: Int)(
-      perRound: (Int, String, String, Long, DataFrame) => Unit): DataFrame = {
+      perRound: (Int, String, String, Long, Long, DataFrame) => Unit)
+      : (DataFrame, () => Unit) = {
     var words = df
       .select(explode(regexp_extract_all(col(textCol),
         lit(bpeWordPattern), lit(0))).as("w"))
@@ -776,8 +789,18 @@ ORDER BY lang"""
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
         col("cnt"))
       .persist()
+    // r21: intermediates stay persisted until the CALLER's final action
+    // and are released through the returned cleanup thunk. The former
+    // per-round words.unpersist() dropped round r-1's cache BEFORE
+    // anything had materialized round r's persist, so the next round's
+    // aggregation recomputed the ENTIRE lineage — corpus scan included
+    // — once per round (bpeMerges only escaped because its per-round
+    // total job happened to materialize `next` first; bpeEncodedVocab
+    // paid k corpus scans since its introduction). k+1 vocab-sized
+    // tables (~10k rows each) is trivial executor storage.
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 1 to k) {
-      val best = words
+      val row = words
         .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
         .select(col("cnt"), explode(expr(
           "filter(transform(arr, (x, i) -> IF(i < size(arr) - 1, " +
@@ -785,37 +808,50 @@ ORDER BY lang"""
             "p -> isnotnull(p))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      require(best.nonEmpty, s"no adjacent pairs left at round $round")
-      val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-        best(0).getLong(2))
+        .agg(min(struct((-col("c")).as("negc"), col("l"), col("r")))
+          .as("best"), sum(col("c")).as("sumc"))
+        .collect()(0)
+      require(!row.isNullAt(0), s"no adjacent pairs left at round $round")
+      val best = row.getStruct(0)
+      val (l, r, c) = (best.getString(1), best.getString(2),
+        -best.getLong(0))
       val next = words
         .withColumn("sym",
           regexp_replace(
             regexp_replace(col("sym"), s" $l $r ", s" $l$r "),
             s" $l $r ", s" $l$r "))
         .persist()
-      perRound(round, l, r, c, next)
-      words.unpersist()
+      perRound(round, l, r, c, row.getLong(1), next)
+      kept += words
       words = next
     }
-    words
+    val fin = words
+    (fin, () => { kept.foreach(_.unpersist()); fin.unpersist(); () })
   }
 
   def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val merges =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
-    val fin = bpeLoop(df, textCol, k) { (round, l, r, c, next) =>
-      val total = next
-        .agg(sum(col("cnt") * size(split(trim(col("sym")), " "))))
-        .head().getLong(0)
-      merges += ((round, l, r, c, total))
+    val recs =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val sumcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (fin, cleanup) = bpeLoop(df, textCol, k) { (round, l, r, c, sumc, _) =>
+      recs += ((round, l, r, c)); sumcs += sumc; ()
     }
-    fin.unpersist()
-    merges.toSeq
+    // Compression-curve totals WITHOUT a per-round job (r21): a word's
+    // adjacency count is (symbols − 1) and word frequencies never
+    // change, so round r+1's Σc (over the post-round-r table) equals
+    // total_symbols(r) − Σcnt exactly — integer identity, same values
+    // as the former per-round Σ cnt·symbols job. Only the LAST round's
+    // total still needs a job, fused with Σcnt over the final table.
+    val finRow = fin.agg(sum(col("cnt")),
+      sum(col("cnt") * size(split(trim(col("sym")), " ")))).head()
+    val (wordTotal, totalK) = (finRow.getLong(0), finRow.getLong(1))
+    cleanup()
+    recs.toSeq.map { case (round, l, r, c) =>
+      val total = if (round < k) sumcs(round) + wordTotal else totalK
+      (round, l, r, c, total)
+    }
       .toDF("merge_round", "lhs", "rhs", "pair_count", "total_symbols")
       .orderBy("merge_round")
   }
@@ -829,13 +865,13 @@ ORDER BY lang"""
   def bpeEncodedVocab(df: DataFrame, textCol: String, k: Int,
       topN: Int = 30): DataFrame = {
     val spark = df.sparkSession
-    val fin = bpeLoop(df, textCol, k)((_, _, _, _, _) => ())
+    val (fin, cleanup) = bpeLoop(df, textCol, k)((_, _, _, _, _, _) => ())
     val hist = fin
       .select(col("cnt"), explode(split(trim(col("sym")), " ")).as("symbol"))
       .groupBy("symbol").agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("symbol")).limit(topN)
     val rows = hist.collect().toSeq
-    fin.unpersist()
+    cleanup()
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), hist.schema)
   }

@@ -71,6 +71,48 @@ object ProfileDedup {
         time("n4 verify")(noop(ver3))
         sets3.unpersist(); cand3.unpersist()
       }
+      // r21 dictionary-encoded shape, phase deltas via persists.
+      if (sys.env.get("GRAFT_PROFILE_PREFIX").contains("4")) {
+        val threshold4 = 0.5
+        val dfreq4 = exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+        val dict4 = dfreq4
+          .repartitionByRange(col("df"), col("shingle"))
+          .sortWithinPartitions("df", "shingle")
+          .withColumn("sid", monotonically_increasing_id())
+          .localCheckpoint(false)
+        time("d1 dict (checkpoint)")(dict4.count())
+        val capped4 = exploded.join(dict4, "shingle")
+          .select(col("id"), col("sid"), col("df"))
+        val sets4 = capped4.groupBy(col("id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("sid"))))
+            .as("ds"))
+          .select(col("id"),
+            transform(col("ds"), x => x("sid")).as("sh"),
+            size(col("ds")).cast("long").as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("d2 sets (persist)")(sets4.count())
+        val prefix4 = sets4.select(col("id"), col("m"),
+          explode(slice(col("sh"), lit(1),
+            (col("m") - ceil(col("m") * lit(threshold4)).cast("long") + 1)
+              .cast("int"))).as("sid"))
+        time("d3 prefix")(noop(prefix4))
+        val cand4 = prefix4.as("a").join(prefix4.as("b"),
+            col("a.sid") === col("b.sid") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.m").as("na"), col("b.m").as("nb"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("d4 cand (persist)")(cand4.count())
+        val ver4 = cand4
+          .join(sets4.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sets4.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+              .as("inter"), col("na"), col("nb"))
+        time("d5 verify")(noop(ver4))
+        sets4.unpersist(); cand4.unpersist()
+      }
       val dfreq = exploded.groupBy("shingle")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
       time("p2 dfreq")(noop(dfreq))

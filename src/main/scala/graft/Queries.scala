@@ -9310,6 +9310,7 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""))
     // same end-of-roster lifecycle.
     localExactCache.synchronized(localExactCache.clear())
     columnMetaCache.synchronized(columnMetaCache.clear())
+    workloadCache.synchronized(workloadCache.clear())
   }
 
   val docEntries: Seq[Entry] = Seq(
@@ -12309,13 +12310,32 @@ ORDER BY query_id, grp, metric"""
 
   /** The evaluation workload over the modeled columns (seeded generator,
     * eval_model.py:175-217). */
+  /** Keyed cache for the anchored lineitem workload (r21): like the
+    * fixed-domain [[gridWorkload]]/[[fixedWorkload]] corpora (lazy vals
+    * since r17) this is a pure function of (sfDir, n, seed) — the only
+    * difference is that its anchors come from two bounded Spark jobs
+    * (approx-distinct + systematic slice), which every bench repeat
+    * re-paid. First builds are timed into the setup ledger; the digit
+    * count is spelled in letters because ledger labels digit-strip. */
+  private val workloadCache =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[Seq[Pred]]]
   def lineitemWorkload(s: SparkSession, d: String,
-      meta: TableMeta, n: Int): Seq[Seq[Pred]] = {
-    val df = li(s, d)
-    val anchors = Workload.anchorRows(df, modelCols, n)
-    Workload.generate(meta, modelCols, anchors, n,
-      minFilters = 2, maxFilters = 4, seed = 1234L)
-  }
+      meta: TableMeta, n: Int): Seq[Seq[Pred]] =
+    workloadCache.synchronized {
+      workloadCache.getOrElse((d, n), {
+        val t0 = System.nanoTime()
+        val df = li(s, d)
+        val anchors = Workload.anchorRows(df, modelCols, n)
+        val qs = Workload.generate(meta, modelCols, anchors, n,
+          minFilters = 2, maxFilters = 4, seed = 1234L)
+        val nTag = n.toString.map(c => ('a' + (c - '0')).toChar)
+        setupBuildLog.offer((setupLabel("wl_",
+          s"$d/lineitem.parquet|workload_$nTag"),
+          (System.nanoTime() - t0) / 1e9))
+        workloadCache.update((d, n), qs)
+        qs
+      })
+    }
 
   /** SF-invariant lineitem domains (fixed by the TPC-H spec), so the
     * seeded workload below is a pure function — its oracle SQL exists

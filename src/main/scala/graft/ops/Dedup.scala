@@ -804,10 +804,16 @@ FROM flagged"""
     // partition), and the same arrays then serve BOTH the prefix
     // derivation (a map-side slice) and candidate verification below.
     // sets feeds THREE subtrees (the prefix derivation and both
-    // verification joins); its aggregation exchange is deduplicated by
-    // ReuseExchange, so no explicit pin — a localCheckpoint here
-    // measured SLOWER (7.2 s vs 5.6 s at sf0.1): the materialize+
-    // read-back round trip cost more than the reuse it replaced.
+    // verification joins): ReuseExchange dedups the aggregation's
+    // exchange but each consumer re-runs the FINAL aggregate
+    // (collect_list merge + sort) on the shuffled partials. With the
+    // r20 STRING arrays a localCheckpoint pin measured slower (7.2 s
+    // vs 5.6 s — materialize+read-back of ~20-byte shingle strings
+    // cost more than the reuse saved); with the r21 LONG-sid arrays
+    // the pin flips to a win (5.2–5.6 s vs 5.9–6.3 s min-of-5 at
+    // sf0.1): the blocks are ~2.5× smaller and the triple final-agg
+    // recompute is gone. Lazy, unpinned-on-unreachable (the
+    // materialize=false ContextCleaner posture).
     val sets = capped
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sid"))))
@@ -815,6 +821,7 @@ FROM flagged"""
       .select(col("id"),
         transform(col("ds"), x => x("sid")).as("sh"),
         size(col("ds")).cast("long").as("m"))
+      .localCheckpoint(false)
     // The doc's full capped-shingle count m rides the prefix rows
     // (r19, VERDICT r18 #9): na/nb reach the candidate pairs through
     // the self-join itself — no separate counts aggregation.
@@ -822,8 +829,20 @@ FROM flagged"""
       explode(slice(col("sh"), lit(1),
         (col("m") - ceil(col("m") * lit(threshold)).cast("long") + 1)
           .cast("int"))).as("sid"))
+    // PPJoin LENGTH FILTER in the join condition (r21, lossless):
+    // J(x,y) ≥ t implies inter ≥ t(na+nb)/(1+t) and inter ≤ min(na,nb),
+    // so min(na,nb) ≥ t·max(na,nb) — size-mismatched candidates are
+    // pruned BEFORE the distinct exchange and the verification joins.
+    // The 1e-6 slack makes the double comparison provably admit every
+    // pair the exact filter downstream could accept (double rounding
+    // error on t·m is ~1e-10 at worst here); false positives just get
+    // verified and rejected exactly, as before.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sid") === col("b.sid") && col("a.id") < col("b.id"))
+        col("a.sid") === col("b.sid") && col("a.id") < col("b.id") &&
+          col("a.m").cast("double") >=
+            col("b.m") * lit(threshold) - lit(1e-6) &&
+          col("b.m").cast("double") >=
+            col("a.m") * lit(threshold) - lit(1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.m").as("na"), col("b.m").as("nb"))
       .distinct()

@@ -10185,7 +10185,16 @@ FROM r WHERE rn = 1 ORDER BY comp"""
         val shAll = shBase.unionByName(
           shBase.filter(pmod(col("id"), lit(50)) === 0)
             .select((col("id") + lit(off)).as("id"), col("shingle")))
-        val pairs = Dedup.ngramJaccardPairsFromShingles(
+        // r21: at threshold 1.0 the PREFIX-filtered strategy is the
+        // cheap one — each doc's prefix is its single rarest shingle
+        // (|x| − ⌈1.0·|x|⌉ + 1 = 1), so candidates are docs sharing
+        // their rarest shingle and the posting-list cap²/2 pair
+        // expansion never happens. Output equality of the two
+        // strategies is spec-pinned at every threshold incl. 1.0
+        // (OpsSpec "prefix-filtered jaccard join equals the
+        // posting-list pipeline"), and this entry's oracle hash-gates
+        // the final keep-best rows.
+        val pairs = Dedup.ngramJaccardPairsPrefix(
           shAll, 1.0, maxShingleDf = 100)
         // Tokenize AFTER the join (r20): cluster members only, not
         // the whole unioned corpus — output-identical.
